@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {op: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deltasink_spark import registry
+from deltasink_spark.session import get_spark
+
+# Headline set: one representative per operator family; bench runs these
+# plus everything else registered (cheaply, via count) if DS_BENCH_ALL=1.
+HEADLINE = [
+    "agg_hash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark(app_name="deltasink_bench")
+    ops = [op for op in HEADLINE if op in registry.QUERIES]
+    if os.environ.get("DS_BENCH_ALL"):
+        ops = sorted(registry.QUERIES)
+
+    # warm up the JVM + parquet footer cache once
+    registry.QUERIES[ops[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for op in ops:
+        t0 = time.perf_counter()
+        df = registry.QUERIES[op](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[op] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_headline_queries",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Query modules — importing this package registers every op.
+
+One module per SURVEY.md §2 section. Import order is irrelevant; each
+module only calls ``registry.query`` at import time.
+"""
+
+from deltasink_spark.queries import aggregates  # noqa: F401

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the OLAP + streaming-ingest workload.
+
+Design notes for 100 TB scale (tested on local[N]):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  SMJ->BHJ switch replace any hand-tuned physical planning.
+- UTC session timezone: fixture timestamps are UTC-naive; the DuckDB
+  oracle compares UTC-naive values.
+- Arrow enabled: every Pandas-UDF path (similarity, multimodal decode)
+  rides vectorized Arrow batches instead of per-row pickling.
+- shuffle.partitions defaults to the local core count; on a real
+  cluster this is overridden per-job (or left to AQE coalescing from a
+  high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "deltasink_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(4, cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,27 @@
+"""Differential test: every registered op with an oracle must match
+DuckDB exactly at the oracle scale factor (mirrors the driver's t2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltasink_spark import registry
+
+registry.load_all()
+
+WITH_ORACLE = sorted(registry.ORACLES)
+ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.mark.parametrize("op_id", WITH_ORACLE)
+def test_oracle_match(spark, sf_oracle, op_id):
+    from tests.diffcheck import compare
+
+    compare(spark, sf_oracle, registry.QUERIES[op_id], registry.ORACLES[op_id], op_id)
+
+
+@pytest.mark.parametrize("op_id", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_oracle, op_id):
+    df = registry.QUERIES[op_id](spark, sf_oracle)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
