@@ -1,0 +1,229 @@
+"""Join operators (SURVEY.md §2.4).
+
+Physical strategy notes (the 100 TB story):
+- fact x fact equi-joins (lineitem x orders) -> sort-merge join on the
+  shuffled key; AQE switches to broadcast when a side is small and
+  splits skewed partitions.
+- dim joins (nation/region/supplier) -> explicit broadcast() so the
+  fact side never shuffles.
+- the range/theta join broadcasts the tiny band table (nested-loop
+  against a broadcast side is linear, not quadratic).
+- the as-of join uses the union + carry-forward window from
+  operators/asof.py: one shuffle, no pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.operators.asof import asof_join
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS disc_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_hash(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT f.o_custkey AS fkey, s.o_custkey AS okey,
+           f.n_f, s.n_o
+    FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey) s
+      ON f.o_custkey = s.o_custkey
+    """,
+)
+def join_full(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("fkey"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    s = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("okey"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(s, f.fkey == s.okey, "full").select("fkey", "okey", "n_f", "n_o")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS same_region
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("same_region"),
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, b.band
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 900.0),
+                 ('mid', 900.0, 1400.0),
+                 ('premium', 1400.0, 1000000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi band join: broadcast the tiny band table so the fact
+    side streams through a BroadcastNestedLoopJoin (linear scan)."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 900.0), ("mid", 900.0, 1400.0), ("premium", 1400.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    ).select("p_partkey", "p_retailprice", "band")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey,
+           o.o_orderdate AS asof_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_q(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), "ts"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    out = asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"),
+    )

@@ -1,0 +1,257 @@
+"""Projection / filter / conditional ops (§2.3), sort / limit / top-k /
+sample (§2.7), set operations + exact dedup (§2.8).
+
+All hot-path expressions are built-in Catalyst expressions: filters and
+column pruning push into the parquet scan (verified via .explain —
+PushedFilters / ReadSchema), and every query stays inside whole-stage
+codegen. Raw double arithmetic (no aggregation) is IEEE-deterministic,
+so outputs hash-match DuckDB without decimal games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+# --- §2.3 projection / filters ------------------------------------------
+
+
+@query(
+    "project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           upper(l_returnflag) AS flag_uc
+    FROM lineitem
+    """,
+)
+def project(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.upper("l_returnflag").alias("flag_uc"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 45
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount > 0.05 OR l_tax < 0.02)
+      AND NOT (l_linestatus LIKE 'O%')
+    """,
+)
+def filter_pred(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 45)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.02))
+        & ~F.col("l_linestatus").like("O%")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           CASE WHEN NULLIF(o_totalprice, 0.0) IS NULL THEN -1.0
+                ELSE o_totalprice END AS price_nz
+    FROM orders
+    WHERE NULLIF(o_orderpriority, 'none') IS NOT NULL
+    """,
+)
+def filter_null(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.nullif(F.col("o_orderpriority"), F.lit("none")).isNotNull())
+        .select(
+            "o_orderkey",
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status_norm"
+            ),
+            F.when(F.nullif(F.col("o_totalprice"), F.lit(0.0)).isNull(), F.lit(-1.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price_nz"),
+        )
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS size_band,
+           CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+                ELSE 'other' END AS status_word
+    FROM orders
+    """,
+)
+def case_when(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+    )
+
+
+# --- §2.7 sort / limit / top-k / sample ---------------------------------
+
+
+@query(
+    "sort_order",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_mktsegment ASC, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+)
+def sort_order(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").orderBy(
+        F.col("c_mktsegment").asc(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey"),
+    )
+
+
+@query(
+    "limit_n",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def limit_n(spark, sf_dir):
+    """orderBy().limit() plans TakeOrderedAndProject: each task keeps a
+    local top-10 heap, the driver merges — no global sort at scale.
+    Tie-break on the unique key keeps the result deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query("sample_frac")  # nondeterministic across engines -> rows-only check
+def sample_frac(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+# --- §2.8 set operations -------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_union(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Key-subset dedup, deterministic: keep the min-orderkey row per
+    customer (dropDuplicates keeps an arbitrary row — useless under a
+    value-hash oracle, and non-reproducible in production)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

@@ -9,6 +9,7 @@ prunes columns and pushes predicates into the parquet scan, so loading
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,6 +29,15 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read nanos as long (runtime-settable legacy
+        # conf) and rebuild a microsecond timestamp; the fixture has no
+        # sub-microsecond precision, so the integer div is lossless and
+        # matches DuckDB's ns->datetime truncation exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
