@@ -4,4 +4,11 @@ One module per SURVEY.md §2 section. Import order is irrelevant; each
 module only calls ``registry.query`` at import time.
 """
 
-from deltasink_spark.queries import aggregates, joins, relational  # noqa: F401
+from deltasink_spark.queries import (  # noqa: F401
+    aggregates,
+    ingest,
+    joins,
+    relational,
+    scalarfns,
+    windows,
+)

@@ -96,3 +96,221 @@ query(
     ORDER BY l_returnflag, l_linestatus
     """,
 )(pricing_summary)
+
+
+# --- §2.5 the rest of the aggregation surface ---------------------------
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           {sql_dsum('l_quantity')} AS total_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_extendedprice"), 2, "total_price"),
+        dsum(F.col("l_quantity"), 2, "total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_dist_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("sum_dist_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # HLL estimates differ across engines -> rows-only
+def agg_approx_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list(c_mktsegment)) AS segs,
+           list_sort(list(DISTINCT c_mktsegment)) AS seg_set
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_collect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_mktsegment")).alias("segs"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("seg_set"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Moment stats are merge-order-sensitive in the last ulp -> round
+    to a tolerance far above fp noise but far below data resolution."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal', 2)} AS total_bal,
+           CAST(GROUPING(r_name) AS INT) AS g_r,
+           CAST(GROUPING(n_name) AS INT) AS g_n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal"), 2, "total_bal"),
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_s
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity"), 2, "sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_f"),
+        F.grouping("l_linestatus").cast("int").alias("g_s"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           COALESCE({sql_dsum("CASE WHEN event_type = 'purchase' THEN value END", 6)}, 0.0) AS purchase_v,
+           COALESCE({sql_dsum("CASE WHEN event_type = 'click' THEN value END", 6)}, 0.0) AS click_v,
+           COALESCE({sql_dsum("CASE WHEN event_type = 'error' THEN value END", 6)}, 0.0) AS error_v
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["purchase", "click", "error"])
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double"))
+    )
+    return pv.select(
+        "user_id",
+        F.coalesce(F.col("purchase"), F.lit(0.0)).alias("purchase_v"),
+        F.coalesce(F.col("click"), F.lit(0.0)).alias("click_v"),
+        F.coalesce(F.col("error"), F.lit(0.0)).alias("error_v"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50.0) * 50 AS DOUBLE) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", (F.floor(F.col("value") / 50.0) * 50).cast("double"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

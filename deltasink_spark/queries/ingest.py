@@ -1,0 +1,147 @@
+"""Ingest transforms (SURVEY.md §2.2) — the connector's per-record
+pipeline, batch-emulated over events.props (the stand-in for a Kafka
+JSON payload; the streaming path in deltasink_spark/streaming reuses
+these same column expressions on the readStream DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+PROPS_SCHEMA = "k INT"
+
+
+@query(
+    "json_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           json_extract(props, '$.k') IS NOT NULL AS parse_ok
+    FROM events
+    """,
+)
+def json_parse(spark, sf_dir):
+    """bytes/string -> struct with declared schema; malformed -> null
+    (PERMISSIVE mode — the dead-letter filter keys off parse_ok)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), PROPS_SCHEMA)
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["k"].isNotNull().alias("parse_ok"),
+    )
+
+
+@query(
+    "json_extract_path",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_raw,
+           CAST(json_extract(props, '$.k') AS INT) + 1 AS k_next
+    FROM events
+    """,
+)
+def json_extract_path(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_raw"),
+        (F.get_json_object("props", "$.k").cast("int") + 1).alias("k_next"),
+    )
+
+
+@query("json_infer_schema")  # schema text differs across engines -> rows-only
+def json_infer_schema(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sample = ev.select("props").first()[0]
+    return ev.limit(1).select(
+        F.schema_of_json(F.lit(sample)).alias("inferred_schema")
+    )
+
+
+@query(
+    "flatten_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def flatten_struct(spark, sf_dir):
+    """Promote nested struct fields to top-level columns (select parsed.*)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("parsed", F.from_json(F.col("props"), PROPS_SCHEMA))
+        .select("event_id", "parsed.*")
+    )
+
+
+@query(
+    "meta_columns",
+    oracle="""
+    SELECT event_id,
+           'events' AS topic,
+           CAST(user_id % 8 AS INT) AS partition,
+           event_id AS offset,
+           ts AS ingest_ts
+    FROM events
+    """,
+)
+def meta_columns(spark, sf_dir):
+    """Attach ingest metadata columns. On the Kafka path these are the
+    real topic/partition/offset/timestamp columns of the source schema;
+    the batch emulation derives deterministic stand-ins."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("ingest_ts"),
+    )
+
+
+@query(
+    "ts_derive_partition",
+    oracle="""
+    SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS dt,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+    FROM events
+    """,
+)
+def ts_derive_partition(spark, sf_dir):
+    """Standard ingest partitioning column (dt) derived from event time;
+    sinks partitionBy(dt) so readers get partition pruning for free."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("dt"),
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+
+
+@query(
+    "cast_coerce",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value) AS BIGINT) AS value_int,
+           CAST(user_id AS VARCHAR) AS uid_str,
+           CAST(CAST(user_id AS SMALLINT) AS INT) AS uid_small,
+           CAST(value AS VARCHAR) AS value_str
+    FROM events
+    """,
+)
+def cast_coerce(spark, sf_dir):
+    """Schema coercion to the sink schema. Spark casts double->int by
+    truncation while DuckDB rounds, so coercion goes through FLOOR;
+    double->string uses the shortest-roundtrip repr in both engines."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.floor(F.col("value")).cast("bigint").alias("value_int"),
+        F.col("user_id").cast("string").alias("uid_str"),
+        F.col("user_id").cast("smallint").cast("int").alias("uid_small"),
+        F.col("value").cast("string").alias("value_str"),
+    )

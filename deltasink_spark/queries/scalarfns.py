@@ -1,0 +1,273 @@
+"""Scalar function families (SURVEY.md §2.9).
+
+Each op exercises one family end-to-end through Catalyst built-ins (all
+JVM-side, whole-stage-codegen'd — no Python in any of these paths).
+Engine-parity traps handled explicitly:
+- Spark floor/ceil(double) return LONG, DuckDB return DOUBLE -> cast.
+- Spark cast(double AS int) truncates, DuckDB rounds -> floor first.
+- Spark dayofweek is Sunday=1; use weekday() (Monday=0) == isodow-1.
+- DuckDB lacks initcap/months_between; families test the common core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lc,
+           upper(c_mktsegment) AS seg_uc,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_pfx,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           replace(c_name, '#', '_') AS name_repl,
+           instr(c_name, '#') AS hash_pos,
+           trim('  pad  ') AS trimmed
+    FROM customer
+    """,
+)
+def fn_string(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("name_repl"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+    FROM part
+    """,
+)
+def fn_regex(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT)
+               AS days_to_99,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+    """,
+)
+def fn_date(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.weekday("o_orderdate").cast("int").alias("wd"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_99"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_up,
+           ABS(l_quantity - 25.0) AS dist25,
+           POW(l_discount, 2) AS disc_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           CAST(SIGN(l_quantity - 25.0) AS INT) AS sgn,
+           MOD(CAST(l_orderkey AS BIGINT), 7) AS key_mod,
+           GREATEST(l_quantity, 25.0) AS hi,
+           LEAST(l_quantity, 25.0) AS lo
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q, d, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("price_r1"),
+        F.floor(d * 100).cast("bigint").alias("disc_pct"),
+        F.ceil(q).cast("bigint").alias("qty_up"),
+        F.abs(q - 25.0).alias("dist25"),
+        F.pow(d, 2).alias("disc_sq"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.round(F.exp(d), 6).alias("disc_exp"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.signum(q - 25.0).cast("int").alias("sgn"),
+        F.pmod(F.col("l_orderkey").cast("bigint"), F.lit(7)).alias("key_mod"),
+        F.greatest(q, F.lit(25.0)).alias("hi"),
+        F.least(q, F.lit(25.0)).alias("lo"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha_hex,
+           md5(text) AS md5_hex,
+           length(sha256(text)) AS sha_len
+    FROM documents
+    """,
+)
+def fn_hash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_hex"),
+        F.md5("text").alias("md5_hex"),
+        F.length(F.sha2("text", 256)).alias("sha_len"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           list_contains(toks, 'scan') AS has_scan,
+           len(list_distinct(toks)) AS n_uniq,
+           list_sort(toks)[1:3] AS first3_sorted,
+           list_transform(toks[1:5], x -> upper(x)) AS head_uc,
+           len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           list_sum(list_transform(toks, x -> length(x))) AS total_chars
+    FROM t
+    """,
+)
+def fn_array(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "scan").alias("has_scan"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("head_uc"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    WITH t AS (SELECT event_id,
+                      MAP(['uid', 'eid'], [user_id, event_id]) AS m
+               FROM events)
+    SELECT event_id,
+           m['uid'][1] AS uid_val,
+           cardinality(m) AS m_size,
+           list_sort(map_keys(m)) AS keys_sorted,
+           list_sort(map_values(m)) AS vals_sorted
+    FROM t
+    """,
+)
+def fn_map(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("uid"), F.col("user_id"), F.lit("eid"), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "uid").alias("uid_val"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.sort_array(F.map_values(m)).alias("vals_sorted"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_valid(props) AS is_json
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.isNotNull().alias("is_json"),
+    )
+
+
+@query(
+    "fn_conv",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey AS VARCHAR) AS key_str,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS bal_int,
+           upper(to_hex(s_suppkey)) AS key_hex,
+           bin(s_suppkey) AS key_bin,
+           ascii(substr(s_name, 1, 1)) AS first_ascii,
+           chr(65 + CAST(s_suppkey % 26 AS INT)) AS letter
+    FROM supplier
+    """,
+)
+def fn_conv(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.col("s_suppkey").cast("string").alias("key_str"),
+        F.floor(F.col("s_acctbal")).cast("bigint").alias("bal_int"),
+        F.upper(F.hex(F.col("s_suppkey"))).alias("key_hex"),
+        F.bin(F.col("s_suppkey")).alias("key_bin"),
+        F.ascii(F.substring("s_name", 1, 1)).alias("first_ascii"),
+        F.chr(F.lit(65) + F.pmod(F.col("s_suppkey"), F.lit(26)).cast("int")).alias("letter"),
+    )

@@ -1,0 +1,174 @@
+"""Window functions (SURVEY.md §2.6).
+
+Scale notes: every window here partitions by a key (custkey / user_id),
+so WindowExec shuffles once on the partition key and sorts within
+partitions — the same cost shape as a groupBy. Unpartitioned windows
+(single global ordering) are avoided except via cheap pre-aggregated
+inputs, because a global window funnels all rows through one task.
+
+Determinism: ordering keys always end in a unique column, and every
+windowed SUM/AVG over doubles decimal-casts its operand (Spark rescans
+frames, DuckDB uses segment trees — different accumulation order, same
+exact decimal result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rk,
+           DENSE_RANK()   OVER w AS drk,
+           ROUND(PERCENT_RANK() OVER w, 8) AS prk,
+           NTILE(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 8).alias("prk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(value, 1, 0.0)  OVER w AS prev_value,
+           LEAD(value, 1)      OVER w AS next_value,
+           CAST(COALESCE(date_diff('second', LAG(ts) OVER w, ts), -1) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)), F.lit(-1)
+        ).cast("bigint").alias("gap_sec"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+    FROM events
+    """,
+)
+def win_frame_rows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(30,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double").alias("mov_sum3"),
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("run_sum"),
+    )
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+    FROM events
+    """,
+)
+def win_frame_range(spark, sf_dir):
+    """Trailing 1-hour sum per user: RANGE frame over unix seconds."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS last_v,
+           NTH_VALUE(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w_full).alias("last_v"),
+        F.nth_value("value", 2).over(w_full).alias("second_v"),
+    )
+
+
+@query(
+    "win_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 8) AS cd,
+           ROUND(o_totalprice /
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                      OVER (PARTITION BY o_custkey) AS DOUBLE), 8) AS share
+    FROM orders
+    """,
+)
+def win_cume(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w_all).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w_ord), 8).alias("cd"),
+        F.round(F.col("o_totalprice") / total, 8).alias("share"),
+    )
