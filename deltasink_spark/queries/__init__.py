@@ -6,9 +6,16 @@ module only calls ``registry.query`` at import time.
 
 from deltasink_spark.queries import (  # noqa: F401
     aggregates,
+    dedup,
     ingest,
     joins,
+    multimodal,
     relational,
     scalarfns,
+    similarity,
+    streaming_ops,
+    streamwin,
+    text,
+    udfs,
     windows,
 )

@@ -1,0 +1,153 @@
+"""Deduplication operators (SURVEY.md §2.11): exact hash dedup,
+MinHash+LSH near-dup, n-gram Jaccard baseline, SimHash, and
+embedding-cosine near-dup.
+
+Oracle policy: the MinHash op's OUTPUT (Jaccard-verified pairs) is
+exactly SQL-expressible — the oracle computes all-pairs exact Jaccard
+over pairs sharing >=1 shingle; LSH at b=32/r=2 misses a J>=0.6 pair
+with p < 1e-6, so the sets agree on the fixtures (verified). SimHash
+values hash differently per engine -> rows-only + property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.operators.minhash import minhash_dedup_pairs
+from deltasink_spark.operators.vectors import cosine, sql_cosine
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+_SHINGLE_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT doc_id, content_sha FROM (
+        SELECT doc_id, sha256(text) AS content_sha,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact content dedup: hash text, keep the min-doc_id row per hash.
+    At scale this is one hash-agg shuffle on the 32-byte digest."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_sha")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    j AS (
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+        FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard baseline: every pair sharing a shingle is
+    scored (no LSH pruning). Correctness reference for the MinHash op;
+    the shared-shingle equi-join keeps it sub-quadratic, but at 100 TB
+    the LSH variant is the one to run."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    from deltasink_spark.operators.minhash import jaccard_verify, shingle_table
+
+    sh = shingle_table(d, "doc_id", "text", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, "doc_id", threshold=0.3)
+
+
+@query("dedup_simhash")  # engine-specific 64-bit hashes -> rows-only + unit tests
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash from xxhash64 token hashes: per bit, sum +1/-1
+    over tokens, sign -> bit. Pure Catalyst (explode + 64 conditional
+    sums + bit reassembly); near-dups land within small Hamming radius.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           {sql_cosine('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force scoring; the LSH/IVF
+    pre-filter for 100 TB lives in sim_topk_join's banding pattern —
+    here every pair is scored so the oracle is exact)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("dup_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("keep_id") < F.col("dup_id"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return pairs.select("keep_id", "dup_id", cos.alias("cos")).filter(F.col("cos") >= 0.4)

@@ -1,0 +1,56 @@
+"""Multimodal column queries (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.operators.multimodal import decode_media, pack_media
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "multimodal_column",
+    oracle="""
+    SELECT doc_id,
+           'text/plain;doc' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           source
+    FROM documents
+    WHERE octet_length(encode(text)) > 200 AND source IN ('src0', 'src1', 'src2')
+    """,
+)
+def multimodal_column(spark, sf_dir):
+    """Build the media struct from fixture text payloads, then filter +
+    project on METADATA only — the payload column is pruned out of the
+    scan entirely (metadata predicates push down; check ReadSchema)."""
+    d = load(spark, sf_dir, "documents")
+    media = pack_media(
+        F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
+    )
+    packed = d.select("doc_id", media.alias("media"))
+    return (
+        packed.filter(
+            (F.col("media.meta.n_bytes") > 200)
+            & F.col("media.mime").startswith("text/")
+            & F.col("media.meta.source").isin("src0", "src1", "src2")
+        )
+        .select(
+            "doc_id",
+            F.col("media.mime").alias("mime"),
+            F.col("media.meta.n_bytes").alias("n_bytes"),
+            F.col("media.meta.source").alias("source"),
+        )
+    )
+
+
+@query("multimodal_decode")  # stub codec -> rows-only; plumbing is real
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched decode stage over the packed media column (STUB
+    codec, deterministic — see operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    media = pack_media(
+        F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
+    )
+    packed = d.select("doc_id", media.alias("media"))
+    return decode_media(packed, "media", "doc_id")

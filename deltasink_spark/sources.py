@@ -1,0 +1,106 @@
+"""Sources (SURVEY.md §2.1): batch scans + streaming sources.
+
+The Kafka source is a thin config wrapper — what matters is the fixed
+record schema (key/value/topic/partition/offset/timestamp/headers) that
+the ingest pipeline (streaming/pipeline.py) consumes; rate/file sources
+produce compatible frames for broker-less tests, exercising the same
+incremental engine (Structured Streaming planner/state/commit path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed Structured Streaming Kafka source schema (public contract).
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def scan_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def scan_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).csv(path, header=header)
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded Kafka record stream. `maxOffsetsPerTrigger` bounds
+    per-batch intake (backpressure); offsets are checkpoint-tracked by
+    the engine for exactly-once recovery."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Test stand-in stream: (timestamp, value) rows at a fixed rate."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def rate_as_kafka(spark: SparkSession, rows_per_second: int = 1000, topic: str = "t") -> DataFrame:
+    """Rate stream reshaped to the Kafka record schema so the full
+    ingest pipeline runs without a broker."""
+    r = rate_source(spark, rows_per_second)
+    payload = F.to_json(F.struct(F.col("value").alias("k")))
+    return r.select(
+        F.col("value").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("value"), F.lit(4)).cast("int").alias("partition"),
+        F.col("value").alias("offset"),
+        F.col("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def file_stream_source(spark: SparkSession, path: str, schema: str, fmt: str = "parquet") -> DataFrame:
+    """File-discovery stream (each new file = one micro-batch input)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events fixture as a bounded stream (batch stand-in for the
+    Kafka topic): nanosecond ts read as long, rebuilt to microseconds —
+    same convention as tables.load. The file source requires a
+    directory, so the fixture file is staged via symlink."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = os.path.join(tempfile.gettempdir(), "ds_stream_stage", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,106 @@
+"""The Kafka -> transform -> Delta ingest pipeline (SURVEY.md §3.1) and
+the §2.10 streaming operators, as composable stages.
+
+Each stage is a plain DataFrame -> DataFrame function, so the SAME code
+runs on a `readStream` Kafka frame in production and on a bounded file
+stream / batch frame in tests (Structured Streaming's core design
+point: one dialect for both — SIGMOD 2018).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def parse_kafka_json(records: DataFrame, payload_schema: str) -> DataFrame:
+    """Stage 2 of the ingest loop: deserialize value bytes -> JSON struct
+    (PERMISSIVE: malformed -> null struct, routed to dead-letter), keep
+    ingest metadata columns, derive the date partition column."""
+    parsed = F.from_json(F.col("value").cast("string"), payload_schema)
+    return records.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("ingest_ts"),
+        parsed.alias("payload"),
+        parsed.isNotNull().alias("parse_ok"),
+        F.to_date(F.date_trunc("day", F.col("timestamp"))).alias("dt"),
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(df: DataFrame, ts_col: str, key: str, width: str = "1 hour") -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("win_start"), key, "n", "total")
+    )
+
+
+def sliding_counts(
+    df: DataFrame, ts_col: str, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_aggregate(df: DataFrame, ts_col: str, key: str, gap: str = "30 minutes") -> DataFrame:
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sess.start").alias("session_start"), key, "n_events")
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """Exactly-once repair of an at-least-once source: drop key dupes
+    within the watermark horizon (state evicted past it — bounded)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+RUNNING_SCHEMA = "user_id bigint, n_events bigint, total double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def running_totals_stateful(df: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState: running
+    event count + value total per user, emitted once per batch."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [total]})
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, RUNNING_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded stream to completion synchronously into an
+    in-memory table (test harness for availableNow semantics)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,68 @@
+"""Property-style checks (SURVEY.md §5.5) — cheap invariants that hold
+regardless of fixture data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark import registry
+from deltasink_spark.operators.vectors import cosine
+from deltasink_spark.tables import load
+
+registry.load_all()
+
+
+def test_dedup_output_has_no_duplicate_keys(spark, sf_small):
+    out = registry.QUERIES["dedup_exact_hash"](spark, sf_small)
+    assert out.count() == out.select("content_sha").distinct().count()
+
+
+def test_topk_per_group_size_bounded(spark, sf_small):
+    out = registry.QUERIES["topk_per_group"](spark, sf_small)
+    sizes = out.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert sizes <= 3
+
+
+def test_cosine_self_is_one(spark, sf_small):
+    e = load(spark, sf_small, "embeddings").limit(20)
+    vals = e.select(cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-5 for r in vals)
+
+
+def test_union_distinct_cardinality(spark, sf_small):
+    out = registry.QUERIES["set_union"](spark, sf_small)
+    c = load(spark, sf_small, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    b = c.filter(F.col("c_acctbal") > 5000).count()
+    assert out.count() <= a + b
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_small):
+    """Pairs found by MinHash (J >= 0.6) must also be close in SimHash
+    space (Hamming <= 16 of 64 bits) — cross-validates both sketches."""
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small)
+    sims = registry.QUERIES["dedup_simhash"](spark, sf_small)
+    sa = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    ham = joined.select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d")
+    )
+    rows = ham.collect()
+    assert rows, "expected at least one near-dup pair in fixtures"
+    assert all(r["d"] <= 16 for r in rows)
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, sf_small):
+    out = registry.QUERIES["dedup_minhash_lsh"](spark, sf_small).collect()
+    assert len(out) > 0
+    assert all(r["jaccard"] >= 0.6 for r in out)
+
+
+def test_knn_join_k_bound_and_self_excluded(spark, sf_small):
+    out = registry.QUERIES["sim_topk_join"](spark, sf_small).collect()
+    per_q: dict[int, int] = {}
+    for r in out:
+        assert r["qid"] != r["vec_id"]
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert all(v <= 3 for v in per_q.values()) and len(per_q) == 5
