@@ -19,7 +19,20 @@ from deltasink_spark.session import get_spark
 # Headline set: one representative per operator family; bench runs these
 # plus everything else registered (cheaply, via count) if DS_BENCH_ALL=1.
 HEADLINE = [
-    "agg_hash",
+    "agg_hash",            # flagship Q1-shaped scan->filter->hash agg
+    "join_inner_hash",     # big fact-fact shuffle join
+    "join_asof",           # window-emulated as-of join
+    "topk_per_group",      # rank-filter top-k
+    "agg_rollup",          # hierarchical subtotals
+    "win_frame_range",     # 30-day trailing RANGE frame
+    "win_session",         # sessionization (gap windows)
+    "json_parse",          # events.props JSON payload parse
+    "fn_array",            # higher-order array functions
+    "text_tfidf",          # explode->agg->join tf-idf
+    "dedup_exact_hash",    # sha2 + row_number dedup
+    "dedup_minhash_lsh",   # shingle->minhash->band equi-join
+    "sim_topk_join",       # k-NN join over embeddings
+    "ts_similarity",       # per-user time-series similarity
 ]
 
 

@@ -13,6 +13,7 @@ from deltasink_spark.queries import (  # noqa: F401
     relational,
     scalarfns,
     similarity,
+    sources_sinks,
     streaming_ops,
     streamwin,
     text,

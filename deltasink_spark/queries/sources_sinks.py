@@ -1,0 +1,187 @@
+"""Source/sink operators (SURVEY.md §2.1) not covered by the streaming
+module: batch format scans (parquet/json/csv), the batch parquet sink,
+and the broker-less streaming sources (rate / in-memory / kafka-shaped).
+
+JSON and CSV inputs are staged FROM the driver fixtures (never
+synthesized): the query writes a fixture table out in the target format
+once per (sf_dir, format) into a temp dir, then reads it back through
+the format's real reader path — schema declaration, header handling,
+quoting — so the oracle is simply the same rows off the parquet view.
+
+The streaming sources run a real StreamingQuery (micro-batch planner,
+offset log, memory sink) and return the materialized sink table:
+rows-only checks, since wall-clock trigger cadence is nondeterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.queries.aggregates import dsum, sql_dsum
+from deltasink_spark.registry import query
+from deltasink_spark.sources import (
+    rate_as_kafka,
+    rate_source,
+    register_memory_rows_source,
+    scan_csv as read_csv,
+    scan_json as read_json,
+)
+from deltasink_spark.streaming.pipeline import parse_kafka_json
+from deltasink_spark.tables import load
+
+
+def _stage_dir(sf_dir: str, fmt: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), "ds_stage", f"{key}_{fmt}")
+
+
+def _run_until(spark, stream_df, min_rows: int, timeout_s: float = 90.0):
+    """Drive an unbounded stream with a fast processing-time trigger
+    until the memory sink holds >= min_rows, then stop. Returns the
+    materialized sink table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    try:
+        while time.time() < deadline and spark.table(name).count() < min_rows:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+# --- batch scans --------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_orderkey < 1000""",
+)
+def scan_parquet(spark, sf_dir):
+    """Projection + predicate reach the parquet reader: ReadSchema lists
+    3 of 16 columns, PushedFilters carries the orderkey bound, so
+    row-groups outside the range are skipped via footer min/max stats —
+    the scan pattern every other operator builds on."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "scan_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_json(spark, sf_dir):
+    """JSON-lines scan with declared schema (schema-on-read: no
+    inference pass over the files at plan time)."""
+    stage = _stage_dir(sf_dir, "json")
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    if not os.path.isdir(os.path.join(stage, "_SUCCESS_DIR")):
+        load(spark, sf_dir, "nation").select(*cols).write.mode("overwrite").json(stage)
+        os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+    return read_json(spark, stage, schema).select(*cols)
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer",
+)
+def scan_csv(spark, sf_dir):
+    """Header CSV scan with declared schema; quoting round-trips the
+    free-text name column, and the double column exercises CSV numeric
+    parsing."""
+    stage = _stage_dir(sf_dir, "csv")
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    if not os.path.isdir(os.path.join(stage, "_SUCCESS_DIR")):
+        load(spark, sf_dir, "customer").select(*cols).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(stage)
+        os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
+    schema = "c_custkey bigint, c_name string, c_mktsegment string, c_acctbal double"
+    return read_csv(spark, stage, schema).select(*cols)
+
+
+# --- batch sink ---------------------------------------------------------
+
+
+@query(
+    "sink_parquet_batch",
+    oracle="""SELECT o_orderpriority,
+                     COUNT(*) AS n_orders,
+                     {total} AS total_price
+              FROM orders GROUP BY o_orderpriority""".format(
+        total=sql_dsum("o_totalprice")
+    ),
+)
+def sink_parquet_batch(spark, sf_dir):
+    """Partitioned batch write + read-back: results land as one
+    directory per o_orderpriority (the layout that enables partition
+    pruning for downstream readers), then are re-read through the
+    partition-discovery path."""
+    out = os.path.join(tempfile.gettempdir(), "ds_sink_batch", uuid.uuid4().hex[:12])
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), alias="total_price"),
+        )
+    )
+    agg.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    return spark.read.parquet(out).select("o_orderpriority", "n_orders", "total_price")
+
+
+# --- streaming sources (rows-only: wall-clock cadence) ------------------
+
+
+@query("source_rate")
+def source_rate(spark, sf_dir):
+    """Rate source smoke: (timestamp, value) rows generated by the
+    micro-batch planner at a fixed rate; proves trigger cadence and
+    memory-sink plumbing without a broker."""
+    s = rate_source(spark, rows_per_second=2000).select(
+        "value", F.unix_timestamp("timestamp").alias("ts_sec")
+    )
+    return _run_until(spark, s, min_rows=1)
+
+
+@query("source_memory")
+def source_memory(spark, sf_dir):
+    """In-memory streaming source on the Spark 4 Python Data Source API
+    (sources.py::register_memory_rows_source): deterministic batches
+    with real offset tracking + replay via readBetweenOffsets — the
+    MemoryStream test stand-in."""
+    fmt = register_memory_rows_source(spark)
+    s = spark.readStream.format(fmt).option("nbatches", "3").load()
+    return _run_until(spark, s, min_rows=30)
+
+
+@query("source_kafka")
+def source_kafka(spark, sf_dir):
+    """The full Kafka ingest path minus the broker: a rate stream
+    reshaped to the exact Kafka record schema (key/value bytes, topic,
+    partition, offset, timestamp) fed through the stage-2 deserialize
+    pipeline (from_json payload parse, meta columns, date partition).
+    sources.py::kafka_source builds the identical frame off a real
+    broker; everything downstream is this same code."""
+    records = rate_as_kafka(spark, rows_per_second=2000, topic="events")
+    parsed = parse_kafka_json(records, "k bigint").select(
+        "topic", "partition", "offset", F.col("payload.k").alias("k"), "dt", "parse_ok"
+    )
+    return _run_until(spark, parsed, min_rows=1)

@@ -52,6 +52,59 @@ def kafka_source(
     return reader.load()
 
 
+class _MemoryRowsReader:
+    """SimpleDataSourceStreamReader emitting a fixed number of
+    deterministic batches — the broker-less MemoryStream stand-in,
+    implemented on the Spark 4 Python Data Source API so it runs the
+    real incremental engine (offset tracking, replay via
+    readBetweenOffsets)."""
+
+    ROWS_PER_BATCH = 10
+
+    def __init__(self, n_batches: int = 3):
+        self.n_batches = n_batches
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def _rows(self, b: int):
+        return [(b * self.ROWS_PER_BATCH + i, f"m{b}_{i}") for i in range(self.ROWS_PER_BATCH)]
+
+    def read(self, start):
+        b = start["batch"]
+        if b >= self.n_batches:
+            return (iter(()), {"batch": b})
+        return (iter(self._rows(b)), {"batch": b + 1})
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._rows(b))
+        return iter(rows)
+
+
+def register_memory_rows_source(spark: SparkSession) -> str:
+    """Register the in-memory streaming source; returns the format name."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _Reader(_MemoryRowsReader, SimpleDataSourceStreamReader):
+        pass
+
+    class MemoryRowsSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "memory_rows"
+
+        def schema(self):
+            return "id bigint, payload string"
+
+        def simpleStreamReader(self, schema):
+            return _Reader(int(self.options.get("nbatches", 3)))
+
+    spark.dataSource.register(MemoryRowsSource)
+    return "memory_rows"
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Test stand-in stream: (timestamp, value) rows at a fixed rate."""
     return (
