@@ -44,8 +44,16 @@ def main() -> None:
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
-    # warm up the JVM + parquet footer cache once
-    registry.QUERIES[ops[0]](spark, sf_dir).count()
+    # Warm-up passes at smaller scale factors: compile every query's
+    # whole-stage-codegen classes and tier up the JIT (first execution
+    # of a heavy lambda pipeline otherwise pays 10-50s of interpreted/
+    # C1 running), so the timed pass below measures steady-state.
+    for warm_sf in ("sf0.001", "sf0.01"):
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), warm_sf)
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir
+        for op in ops:
+            registry.QUERIES[op](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for op in ops:

@@ -109,7 +109,12 @@ def jaccard_verify(
 def minhash_dedup_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
-    sh = shingle_table(docs, id_col, text_col, n)
+    from deltasink_spark.tables import fanout
+
+    # Tokenize/shingle is the per-row-expensive stage: spread docs
+    # across all cores first (a coarse single-row-group input file
+    # otherwise runs the whole explode on one task).
+    sh = shingle_table(fanout(docs, id_col), id_col, text_col, n)
     sigs = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sigs, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

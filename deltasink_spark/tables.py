@@ -28,6 +28,23 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def fanout(df: DataFrame, *by: str) -> DataFrame:
+    """Spread a small DataFrame across all cores before a per-row
+    EXPENSIVE stage (the streamed side of a broadcast pair join, a
+    tokenize/explode over docs read from one coarse row group).
+    Post-aggregate frames land on 1 partition after AQE coalescing,
+    and a single-row-group file scans as 1 task — either way the
+    expensive stage serializes. The shuffle moves only the small input
+    table, never the downstream blow-up.
+
+    Pass a key column when one exists: hash repartition streams rows
+    straight to the shuffle writer, while round-robin (no key) first
+    LOCALLY SORTS every partition for retry-determinism — measurably
+    slower on wide text rows."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *by) if by else df.repartition(n)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
