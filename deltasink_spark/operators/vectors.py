@@ -87,6 +87,51 @@ def sql_qnorm(ia: str) -> str:
     return f"SQRT(CAST(list_sum(list_transform({ia}, x -> x * x)) AS DOUBLE))"
 
 
+# --- sign-LSH (random hyperplane) bucketing ------------------------------
+#
+# The ANN scale path: sign(plane . v) bits -> bucket id; vectors are
+# only compared within shared buckets, so the quadratic cross-join
+# becomes an equi-join on (table, bucket) that Catalyst shuffles once
+# (same 100 TB design move as MinHash banding). Hyperplanes are
+# DETERMINISTIC +/-1 vectors from a seeded PRNG, embedded as literals
+# in both the Spark expression and the DuckDB oracle SQL, so even the
+# approximate path is differentially testable bit-for-bit.
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 2024) -> list[list[int]]:
+    """n_planes deterministic Rademacher (+/-1) hyperplanes."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def bucket(iv: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id of a quantized vector: bit j = sign(plane_j . iv)."""
+    zero = F.lit(0).cast("long")
+    bits = []
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(iv, plane, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+        bits.append((dot >= 0).cast("int") * (1 << j))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sql_bucket(iv: str, planes: list[list[int]]) -> str:
+    """DuckDB mirror of bucket()."""
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in p) + "]"
+        dot = f"list_sum(list_transform(list_zip({iv}, {lit}), p -> p[1] * p[2]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 # --- DuckDB oracle SQL mirrors (same expression, same rounding) ---------
 
 

@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.vectors import (
+    bucket,
+    hyperplanes,
     qdot,
     qnorm,
     quantized,
+    sql_bucket,
     sql_qdot,
     sql_qnorm,
     sql_quantized,
@@ -143,6 +146,92 @@ def sim_topk_join(spark, sf_dir):
         .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "cos", "rk")
+    )
+
+
+# --- sim_ann_lsh: LSH-bucketed approximate nearest neighbors ------------
+
+_ANN_L = 2  # hash tables
+_ANN_K = 8  # bits (hyperplanes) per table
+_ANN_PLANES = hyperplanes(64, _ANN_L * _ANN_K, seed=2024)
+
+
+def _ann_oracle() -> str:
+    b0 = sql_bucket("iv", _ANN_PLANES[:_ANN_K])
+    b1 = sql_bucket("iv", _ANN_PLANES[_ANN_K:])
+    score = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
+    return f"""
+    WITH {_QN_CTE},
+    bk AS (SELECT vec_id, iv, nrm, {b0} AS b0, {b1} AS b1 FROM qn),
+    tall AS (
+        SELECT vec_id, 0 AS t, b0 AS bucket FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS t, b1 AS bucket FROM bk),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, d.vec_id AS vec_id
+        FROM tall q JOIN tall d ON q.t = d.t AND q.bucket = d.bucket
+                                AND d.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+    scored AS (
+        SELECT c.qid, c.vec_id, {score} AS cos
+        FROM cand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+        SELECT qid, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@query("sim_ann_lsh", oracle=_ann_oracle())
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate top-3 neighbors for 5 query vectors via sign-LSH:
+    L=2 hash tables x K=8 random-hyperplane bits bucket every vector;
+    only bucket-mates are scored exactly, then ranked per query.
+
+    This is the 100 TB similarity path: candidate generation is a plain
+    equi-join on (table, bucket) — one shuffle, prunable, skew-handled
+    by AQE — instead of a quadratic cross-join. The hyperplanes are
+    deterministic literals mirrored into the oracle SQL, so the
+    APPROXIMATE result is still differentially verified exactly."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    bk = qn.select(
+        "vec_id",
+        bucket(F.col("iv"), _ANN_PLANES[:_ANN_K]).alias("b0"),
+        bucket(F.col("iv"), _ANN_PLANES[_ANN_K:]).alias("b1"),
+    )
+    tall = bk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("t"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("t"), F.col("b1").alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    qside = tall.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "t", "bucket"
+    )
+    cand = (
+        tall.join(F.broadcast(qside), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    a = qn.select(F.col("vec_id").alias("qid"), F.col("iv").alias("qi"), F.col("nrm").alias("qnm"))
+    b = qn.select("vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn"))
+    scored = (
+        cand.join(F.broadcast(a), "qid")
+        .join(b, "vec_id")
+        .withColumn(
+            "cos", F.round(qdot(F.col("qi"), F.col("di")) / (F.col("qnm") * F.col("dn")), 6)
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
