@@ -51,6 +51,107 @@ def _fake_decode(payload: bytes) -> tuple[int, int, bool]:
     return (64 + n % 256, 64 + (n // 256) % 256, True)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, mime string, payload binary, width int, height int, n_bytes bigint"
+)
+
+FEATURES_SCHEMA = "doc_id bigint, mime string, features array<float>"
+
+FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame_payload binary, pts_ms bigint"
+
+
+def resize_media(df: DataFrame, media_col: str, id_col: str, w: int = 64, h: int = 64) -> DataFrame:
+    """Arrow-batched resize stage: payload -> resized payload + dims.
+    STUB codec: a real build decodes with PIL and re-encodes; here the
+    'resized' payload is a deterministic truncation to w*h bytes so the
+    bytes-in/bytes-out plumbing (binary columns through Arrow batches)
+    is exercised end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(p[: w * h]) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "mime": pdf["mime"],
+                    "payload": out,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": [len(o) for o in out],
+                }
+            )
+
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.mime").alias("mime"),
+    )
+    return flat.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction: payload -> fixed-dim float
+    vector. STUB model: a real build runs an ONNX/torch encoder per
+    batch; here features are a deterministic byte-histogram projection
+    (so downstream similarity ops have real input shapes to consume)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                feats.append((hist / max(len(arr), 1)).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"], "mime": pdf["mime"], "features": feats}
+            )
+
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.mime").alias("mime"),
+    )
+    return flat.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, media_col: str, id_col: str, every_n: int = 4, frame_bytes: int = 256
+) -> DataFrame:
+    """One row in -> many frame rows out (the video path's table
+    function shape). STUB demux: a real build pulls every Nth frame via
+    av; here the payload is chunked into fixed-size 'frames' and every
+    Nth is emitted with a synthetic presentation timestamp. Row
+    explosion happens INSIDE the Arrow batch, so output batches can be
+    larger than input batches — the shape that matters for memory
+    sizing at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames, pts = [], [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                if p is None:
+                    continue
+                n_frames = max(len(p) // frame_bytes, 1)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(i)
+                    nos.append(fno)
+                    frames.append(bytes(p[fno * frame_bytes : (fno + 1) * frame_bytes]))
+                    pts.append(fno * 40)  # 25 fps
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_payload": frames, "pts_ms": pts}
+            )
+
+    flat = df.select(
+        F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload")
+    )
+    return flat.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def decode_media(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
     """Arrow-batched decode stage: media struct -> typed features.
     Payload bytes stay inside the executor; only small features exit."""

@@ -4,7 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from deltasink_spark.operators.multimodal import decode_media, pack_media
+from deltasink_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    pack_media,
+    resize_media,
+)
 from deltasink_spark.registry import query
 from deltasink_spark.tables import load
 
@@ -54,3 +60,33 @@ def multimodal_decode(spark, sf_dir):
     )
     packed = d.select("doc_id", media.alias("media"))
     return decode_media(packed, "media", "doc_id")
+
+
+def _packed(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    media = pack_media(
+        F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
+    )
+    return d.select("doc_id", media.alias("media"))
+
+
+@query("multimodal_resize")  # stub codec -> rows-only; plumbing is real
+def multimodal_resize(spark, sf_dir):
+    """Arrow-batched resize stage (STUB codec, deterministic): binary
+    payloads in and out through mapInPandas."""
+    return resize_media(_packed(spark, sf_dir), "media", "doc_id")
+
+
+@query("multimodal_features")  # stub model -> rows-only; plumbing is real
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction (STUB model): payload ->
+    fixed-dim array<float>, the input shape for the similarity ops."""
+    return extract_features(_packed(spark, sf_dir), "media", "doc_id")
+
+
+@query("multimodal_frame_sample")  # stub demux -> rows-only; plumbing is real
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling (STUB demux): one media row explodes into every
+    4th fixed-size frame chunk with synthetic timestamps — the
+    row-amplifying table-function shape of the video path."""
+    return frame_sample(_packed(spark, sf_dir), "media", "doc_id")

@@ -159,3 +159,53 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     committed = sink.read_committed(spark)
     assert committed.count() == 25
     assert committed.select("event_id").distinct().count() == 25
+
+
+def test_throughput_and_flat_state(spark):
+    """BASELINE.md self-set target: sustained rate-source throughput
+    with a stateful aggregation whose state does NOT grow once the key
+    space is saturated (bounded-state design point: fixed keys -> fixed
+    state rows, no leak across batches)."""
+    from deltasink_spark.sources import rate_source
+
+    name = "tp_" + uuid.uuid4().hex[:8]
+    keyed = (
+        rate_source(spark, rows_per_second=50_000)
+        .select((F.col("value") % 100).alias("user_id"), F.lit(1.0).alias("value"))
+    )
+    out = running_totals_stateful(keyed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        deadline = t0 + 30
+        progresses = []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                progresses.append(p)
+            rows_in = sum(pr["numInputRows"] for pr in progresses)
+            if len(progresses) >= 6 and rows_in >= 100_000:
+                break
+        assert len(progresses) >= 4, "stream made too few batches"
+        rows_in = sum(pr["numInputRows"] for pr in progresses)
+        elapsed = time.time() - t0
+        throughput = rows_in / elapsed
+        # generous floor: target is 10k rows/s on an idle box; accept 5k
+        # here to tolerate CI contention, and report the real number.
+        print(f"throughput: {throughput:.0f} rows/s over {elapsed:.1f}s")
+        assert throughput >= 5_000, f"sustained only {throughput:.0f} rows/s"
+        # state must be flat at the key-space size (100 users), not
+        # growing with input rows
+        state_rows = [pr["stateOperators"][0]["numRowsTotal"] for pr in progresses[-3:]]
+        assert all(s <= 100 for s in state_rows), state_rows
+        assert state_rows[-1] == state_rows[-2], "state still growing after saturation"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
