@@ -14,6 +14,8 @@ Physical strategy notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from deltasink_spark.operators.asof import asof_join
@@ -226,4 +228,104 @@ def join_asof_q(spark, sf_dir):
         "ts",
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_orderdate").alias("asof_orderdate"),
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty,
+           MAX(o.o_orderpriority) AS priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND l.l_orderkey < 5000
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) fact-fact join: both tables are written
+    bucketBy(orderkey) + sortBy into the session catalog, so the join
+    needs NO shuffle on either side — the SortMergeJoin reads bucket i
+    of each table on the same task. At 100 TB this turns the biggest
+    recurring cost of a star-schema workload (re-shuffling the fact
+    table for every join) into a one-time layout decision, exactly like
+    the reference connector partitioning its Delta output for readers.
+    The plan is asserted shuffle-free in tests/test_plans.py."""
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "ds_bucketed")
+    lt, ot = f"b_lineitem_{key}", f"b_orders_{key}"
+    if not spark.catalog.tableExists(lt):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, lt))  # external: no ./spark-warehouse
+            .mode("overwrite")
+            .saveAsTable(lt)
+        )
+    if not spark.catalog.tableExists(ot):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, ot))
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+    li = spark.table(lt).filter(F.col("l_orderkey") < 5000)
+    od = spark.table(ot).filter(F.col("o_orderstatus") == "F")
+    joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("total_qty"),
+            F.max("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_type, d.weight, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (SELECT DISTINCT event_type,
+                 length(event_type) * 1.5 AS weight
+          FROM events) d ON e.event_type = d.event_type
+    GROUP BY 1, 2
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-safe join via explicit salting: events.event_type has a
+    handful of hot keys, so a plain equi-join shuffles every hot-key
+    row to ONE reducer. Salting fans each hot key across SALT reducers:
+    the fact side gets salt = pmod(hash(event_id), SALT); the dim side
+    is exploded SALT ways (tiny). Same result as the plain join —
+    verified by the unsalted oracle — but no reducer ever sees more
+    than 1/SALT of a hot key. (AQE skew-join handles moderate skew at
+    runtime; explicit salting is the deterministic-layout variant that
+    also works for stateful/streaming joins where AQE cannot replan.)"""
+    SALT = 16
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type") * 1.5)
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)).cast("int"))
+    joined = fact.join(dim_salted, ["event_type", "salt"])
+    return (
+        joined.groupBy("event_type", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
     )

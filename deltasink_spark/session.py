@@ -15,6 +15,7 @@ Design notes for 100 TB scale (tested on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -49,6 +50,8 @@ def get_spark(
         # core busy at test scale; a real cluster reading TB-scale
         # tables leaves this at default (files >> split size already).
         .config("spark.sql.files.maxPartitionBytes", "4m")
+        # keep catalog artifacts (bucketed-table metadata) out of CWD
+        .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "ds_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

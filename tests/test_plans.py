@@ -89,3 +89,16 @@ def test_wholestage_codegen_present(spark, sf_small):
 def test_asof_join_is_not_cartesian(spark, sf_small):
     p = plan(q("join_asof", spark, sf_small))
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_small):
+    """Both sides bucketed by the join key -> SortMergeJoin with no
+    Exchange on either input (the 100 TB co-location design point)."""
+    df = q("join_bucketed", spark, sf_small)
+    p = plan(df)
+    join_part = p.split("SortMergeJoin")[0]
+    assert "SortMergeJoin" in p
+    # no hash-partition shuffle feeds the join inputs; the only
+    # exchange allowed in the whole plan is the post-join aggregation's
+    assert "Exchange hashpartitioning(l_orderkey" not in join_part
+    assert "SelectedBucketsCount" in p
