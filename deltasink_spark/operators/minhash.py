@@ -115,6 +115,15 @@ def minhash_dedup_pairs(
     # across all cores first (a coarse single-row-group input file
     # otherwise runs the whole explode on one task).
     sh = shingle_table(fanout(docs, id_col), id_col, text_col, n)
+    # The shingle table feeds THREE consumers (signatures, verify-a,
+    # verify-b); Spark has no DAG-level common-subexpression reuse, so
+    # without materialization the tokenize+explode runs three times.
+    # localCheckpoint stores the computed partitions on the executors
+    # and truncates lineage; blocks are released when the plan is GC'd.
+    # (On a multi-tenant cluster prefer persist(MEMORY_AND_DISK) or a
+    # reliable checkpoint — localCheckpoint cannot recompute lost
+    # partitions after executor failure.)
+    sh = sh.localCheckpoint(eager=False)
     sigs = minhash_signatures(sh, id_col)
     cand = lsh_candidates(sigs, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

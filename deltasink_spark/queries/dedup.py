@@ -101,7 +101,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     from deltasink_spark.operators.minhash import jaccard_verify, shingle_table
 
-    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3)
+    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(eager=False)
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     cand = (
