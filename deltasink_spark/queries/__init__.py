@@ -12,6 +12,7 @@ from deltasink_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     scalarfns,
+    sketches,
     similarity,
     sources_sinks,
     streaming_ops,

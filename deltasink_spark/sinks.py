@@ -1,6 +1,13 @@
 """Sinks (SURVEY.md §2.1): batch parquet, streaming append, dead-letter
 routing, and the exactly-once transactional sink.
 
+Reference parity: transactional Delta output is the reference's entire
+sink surface ("Stream DeltaLake tables from Kafka",
+/root/reference/README.md:2); the snapshot ships no code, so the txn
+protocol below re-derives the public Delta `txn {appId, version}`
+idempotent-commit design on Structured Streaming's batch-id replay
+guarantees.
+
 Exactly-once design (the deltasink guarantee, re-expressed without the
 delta-spark package): Structured Streaming already gives us replayed
 micro-batches with stable `batch_id`s after recovery (WAL'd source

@@ -1,5 +1,11 @@
 """Sources (SURVEY.md §2.1): batch scans + streaming sources.
 
+Reference parity: the Kafka record stream is the reference's entire
+input surface ("Stream DeltaLake tables from Kafka",
+/root/reference/README.md:2); the reference snapshot ships no code, so
+the record schema below is the public Structured Streaming Kafka
+source contract any implementation of that line consumes.
+
 The Kafka source is a thin config wrapper — what matters is the fixed
 record schema (key/value/topic/partition/offset/timestamp/headers) that
 the ingest pipeline (streaming/pipeline.py) consumes; rate/file sources

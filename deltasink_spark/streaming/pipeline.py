@@ -1,5 +1,9 @@
 """The Kafka -> transform -> Delta ingest pipeline (SURVEY.md §3.1) and
-the §2.10 streaming operators, as composable stages.
+the §2.10 streaming operators, as composable stages — the per-record
+loop any implementation of the reference's one capability line
+("Stream DeltaLake tables from Kafka", /root/reference/README.md:2)
+must run: deserialize, transform, buffer by trigger, dedupe,
+transactionally commit.
 
 Each stage is a plain DataFrame -> DataFrame function, so the SAME code
 runs on a `readStream` Kafka frame in production and on a bounded file

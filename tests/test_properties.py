@@ -66,3 +66,22 @@ def test_knn_join_k_bound_and_self_excluded(spark, sf_small):
         assert r["qid"] != r["vec_id"]
         per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
     assert all(v <= 3 for v in per_q.values()) and len(per_q) == 5
+
+
+def test_hll_estimate_accuracy(spark, sf_small):
+    from deltasink_spark import registry
+
+    rows = registry.QUERIES["agg_hll_sketch"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
+        assert err < 0.05, (r["c_mktsegment"], r["approx_customers"], r["exact_customers"])
+
+
+def test_hll_partial_merge_matches_whole(spark, sf_small):
+    """Distributed-merge soundness: union of disjoint partial sketches
+    must estimate the same as one sketch over the whole table."""
+    from deltasink_spark import registry
+
+    r = registry.QUERIES["agg_hll_union"](spark, sf_small).collect()[0]
+    assert r["merged_estimate"] == r["whole_estimate"]
