@@ -195,3 +195,18 @@ def scan_delta(spark, sf_dir):
     sink.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
     sink.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)  # replay: no-op
     return sink.read_committed(spark)
+
+
+@query("stream_session")
+def stream_session(spark, sf_dir):
+    """Gap-based session windows on a REAL stream: watermark bounds the
+    open-session state, append mode emits only watermark-sealed
+    sessions (the batch-emulated twin with an exact oracle is
+    win_session in streamwin.py)."""
+    from deltasink_spark.streaming.pipeline import session_aggregate
+
+    s = with_watermark(events_stream(spark, sf_dir), "ts", "10 minutes")
+    agg = session_aggregate(s, "ts", "user_id", "30 minutes")
+    name = _mem_name()
+    run_to_memory(agg, name, output_mode="append")
+    return spark.table(name)

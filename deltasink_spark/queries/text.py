@@ -291,3 +291,63 @@ def text_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", F.md5(F.concat_ws(" ", toks)).alias("fingerprint")
     )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_QUALITY_SQL = """
+    ROUND((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) * 0.4
+    + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 * 1.0 / GREATEST(length(text), 1) > 0.6 THEN 1 ELSE 0 END) * 0.3
+    + (CASE WHEN len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a'))) > 0
+            THEN 1 ELSE 0 END) * 0.3, 4)
+"""
+
+
+@query(
+    "pipeline_llm_prep",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, text, {_NORM_SQL} AS norm FROM documents),
+    s AS (SELECT doc_id, lang, source, norm, string_split(norm, ' ') AS toks, text FROM t),
+    sc AS (SELECT doc_id, lang, source, norm, toks, {_QUALITY_SQL} AS quality FROM s),
+    f AS (SELECT * FROM sc WHERE quality >= 0.5),
+    dd AS (SELECT * FROM (
+              SELECT f.*, ROW_NUMBER() OVER (PARTITION BY sha256(norm)
+                                             ORDER BY doc_id) AS rn FROM f
+           ) WHERE rn = 1)
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_quality
+    FROM dd GROUP BY lang, source
+    """,
+)
+def pipeline_llm_prep(spark, sf_dir):
+    """End-to-end LLM training-data prep, composed from the catalogued
+    stages: normalize -> quality-score -> filter -> exact dedup (keep
+    min doc_id per normalized-content hash) -> per-(lang, source)
+    corpus summary. One registered op proving the stages COMPOSE into
+    the pipeline a 100 TB data-prep job actually runs: every stage is
+    Catalyst algebra, so the whole thing is scan -> codegen -> one
+    window shuffle (dedup) -> one agg shuffle (summary)."""
+    d = load(spark, sf_dir, "documents")
+    norm = normalize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm.alias("norm"),
+        F.split(norm, " ").alias("toks"),
+        F.round(quality_score(F.col("text"), tokenize(F.col("text"))), 4).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(30,4)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_quality"),
+    )
