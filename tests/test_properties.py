@@ -85,3 +85,24 @@ def test_hll_partial_merge_matches_whole(spark, sf_small):
 
     r = registry.QUERIES["agg_hll_union"](spark, sf_small).collect()[0]
     assert r["merged_estimate"] == r["whole_estimate"]
+
+
+def test_approx_distinct_accuracy(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from deltasink_spark import registry
+    from deltasink_spark.tables import load
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in registry.QUERIES["agg_approx_distinct"](spark, sf_small).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_orders"]
+        for r in load(spark, sf_small, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / max(ex, 1) < 0.05, (k, approx[k], ex)
