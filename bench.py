@@ -32,7 +32,11 @@ HEADLINE = [
     "dedup_exact_hash",    # sha2 + row_number dedup
     "dedup_minhash_lsh",   # shingle->minhash->band equi-join
     "sim_topk_join",       # k-NN join over embeddings
+    "sim_ann_lsh",         # LSH-bucketed approximate NN (the scale path)
     "ts_similarity",       # per-user time-series similarity
+    "join_bucketed",       # co-located bucketed join (zero-shuffle SMJ)
+    "join_skew_salted",    # hot-key-safe salted join
+    "pipeline_llm_prep",   # end-to-end LLM data-prep composite
 ]
 
 

@@ -26,10 +26,26 @@ def query(op_id: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]
     def deco(fn: QueryFn) -> QueryFn:
         if op_id in QUERIES:
             raise ValueError(f"duplicate op id: {op_id}")
-        QUERIES[op_id] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The harness may hand us a session we did not configure
+            # (deltasink_spark.session.get_spark sets these at build
+            # time). Both are runtime-settable; pin them so results are
+            # independent of the caller's session defaults:
+            # - UTC: fixtures hold naive timestamps, the DuckDB oracle
+            #   compares naive UTC values; hour()/date_trunc() must not
+            #   shift with a caller's local timezone.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # - Arrow: pandas-UDF ops ride vectorized batches.
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[op_id] = wrapped
         if oracle is not None:
             ORACLES[op_id] = oracle
-        return fn
+        return wrapped
 
     return deco
 
