@@ -59,3 +59,33 @@ def agg_hll_union(spark, sf_dir):
         )
     )
     return merged.crossJoin(whole).select("merged_estimate", "whole_estimate")
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap functions): keys are bucketed into 32k-bit bitmaps, each
+    bucket's bitmap ORs together with map-side combine, and the final
+    count sums per-bucket popcounts. Unlike count(DISTINCT x) this
+    never plans Expand or reshuffles raw keys — only fixed-size bitmap
+    binaries cross the wire — while staying exact (hence the exact
+    COUNT(DISTINCT) oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.groupBy(
+            "l_returnflag", F.bitmap_bucket_number(F.col("l_orderkey")).alias("bucket")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_orderkey"))).alias("bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_orders"))
+    )
