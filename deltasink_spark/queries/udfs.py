@@ -65,21 +65,35 @@ def udf_pandas(spark, sf_dir):
     "udaf_pandas",
     oracle="""
     SELECT user_id,
-           ROUND(SUM(value * epoch(ts)) / SUM(epoch(ts)), 6) AS tw_avg
+           ROUND(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT)
+                          * CAST(FLOOR(epoch(ts)) AS HUGEINT)) AS DOUBLE)
+                 / (1000000.0 * CAST(SUM(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS DOUBLE)),
+                 6) AS tw_avg
     FROM events GROUP BY user_id
     """,
 )
 def udaf_pandas(spark, sf_dir):
     """Grouped-agg pandas UDAF: time-weighted average value per user.
-    Rows are sorted by event time inside the function so the float
-    reduction order is deterministic; output rounded above fp noise."""
+
+    Determinism: values are quantized to 1e-6 fixed point and the
+    weighted sum runs in arbitrary-precision integers (Python ints /
+    DuckDB HUGEINT — int64 would overflow: ~1e9-scale products times
+    ~1.7e9-second weights), so the reduction is exact and order-free in
+    both engines; the single final double division is identical.
+    (A double accumulation rounded to 6 decimals still diverged on
+    1/1500 groups at sf0.1 — fp sum order is engine-dependent.)"""
 
     def tw_avg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        w = pdf["ts"].astype("int64") // 10**9
-        num = (pdf["value"] * w).sum()
-        den = w.sum()
-        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "tw_avg": [round(num / den, 6)]})
+        import math
+
+        # floor(x+0.5), NOT round(): Python rounds half-to-even, DuckDB
+        # half-away-from-zero — floor(+0.5) is identical in both.
+        w = (pdf["ts"].astype("int64") // 10**9).tolist()
+        v = pdf["value"].tolist()
+        num = sum(math.floor(x * 1_000_000 + 0.5) * int(s) for x, s in zip(v, w))
+        den = sum(int(s) for s in w)
+        tw = round(float(num) / (1_000_000.0 * float(den)), 6)
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "tw_avg": [tw]})
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return ev.groupBy("user_id").applyInPandas(tw_avg_fn, schema="user_id bigint, tw_avg double")

@@ -105,13 +105,16 @@ def win_frame_rows(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(30,6)))
-                OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
     FROM events
     """,
 )
 def win_frame_range(spark, sf_dir):
-    """Trailing 1-hour sum per user: RANGE frame over unix seconds."""
+    """Trailing 1-hour sum per user: RANGE frame over unix seconds.
+    The frame key is WHOLE seconds on both sides (Spark unix_timestamp
+    truncates; the oracle floors epoch()): with fractional seconds the
+    two engines disagree on rows sitting exactly at the 3600s boundary."""
     ev = load(spark, sf_dir, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
     return ev.select(

@@ -25,3 +25,18 @@ def test_rows_only_runs(spark, sf_oracle, op_id):
     df = registry.QUERIES[op_id](spark, sf_oracle)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DS_SF01_ORACLE"),
+    reason="10x-scale oracle sweep (~15 min); set DS_SF01_ORACLE=1 to run",
+)
+@pytest.mark.parametrize("op_id", WITH_ORACLE)
+def test_oracle_match_sf01(spark, op_id):
+    """Same differential gate at sf0.1 — 10x the driver's scale factor.
+    This sweep caught two latent fp-determinism bugs (fractional-second
+    RANGE frame boundaries; double-order-dependent UDAF sums) that were
+    invisible at sf0.01."""
+    from tests.diffcheck import compare
+
+    compare(spark, "/root/testdata/sf0.1", registry.QUERIES[op_id], registry.ORACLES[op_id], op_id)

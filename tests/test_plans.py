@@ -102,3 +102,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_small):
     # exchange allowed in the whole plan is the post-join aggregation's
     assert "Exchange hashpartitioning(l_orderkey" not in join_part
     assert "SelectedBucketsCount" in p
+
+
+def test_partition_pruning_on_partitioned_output(spark, sf_small, tmp_path):
+    """A dt-partitioned write read back with a partition predicate must
+    prune at planning time: PartitionFilters carries the predicate and
+    no data filter remains (the layout the streaming sink produces for
+    downstream readers)."""
+    from pyspark.sql import functions as F
+
+    from deltasink_spark.tables import load
+
+    out = str(tmp_path / "by_dt")
+    ev = load(spark, sf_small, "events").withColumn(
+        "dt", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+    one_day = spark.read.parquet(out).filter(F.col("dt") == "2024-01-03")
+    p = plan(one_day)
+    part = p.split("PartitionFilters")[1][:200]
+    assert "dt" in part and "2024-01-03" in part
