@@ -25,12 +25,19 @@ def tokenize(col: Column) -> Column:
 
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-grams via a generated index sequence — stays in Catalyst
-    (sequence + transform + element_at), no UDF/explode needed."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    (sequence + transform + element_at), no UDF/explode needed.
+
+    Short docs (size < n) must yield an EMPTY gram set, not a crash:
+    sequence(1, 0) auto-steps DOWN to [1, 0] in Spark, and element_at
+    at index 0 / past the end raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT,
+    so the sequence is gated behind a size check."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + k) for k in range(n)]
     )
-    return F.transform(idx, gram)
+    return F.when(F.size(tokens) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def token_count_bpe_ish(col: Column) -> Column:

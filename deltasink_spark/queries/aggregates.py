@@ -163,21 +163,26 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_collect",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list(c_mktsegment)) AS segs,
-           list_sort(list(DISTINCT c_mktsegment)) AS seg_set
+           list_aggregate(list_sort(list(c_mktsegment)), 'string_agg', ',') AS segs,
+           list_aggregate(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', ',') AS seg_set
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_nationkey
     """,
 )
 def agg_collect(spark, sf_dir):
+    """collect_list/collect_set per group. Driver-facing output is the
+    sorted list joined to one string: the harness canonicalizer
+    (pandas sort_values/factorize) cannot hash array cells, so arrays
+    are stringified identically on both engines. The raw
+    array-returning variant stays covered by tests/test_properties.py."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_mktsegment")).alias("segs"),
-            F.sort_array(F.collect_set("c_mktsegment")).alias("seg_set"),
+            F.concat_ws(",", F.sort_array(F.collect_list("c_mktsegment"))).alias("segs"),
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("seg_set"),
         )
     )
 

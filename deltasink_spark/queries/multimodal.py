@@ -80,8 +80,22 @@ def multimodal_resize(spark, sf_dir):
 @query("multimodal_features")  # stub model -> rows-only; plumbing is real
 def multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction (STUB model): payload ->
-    fixed-dim array<float>, the input shape for the similarity ops."""
-    return extract_features(_packed(spark, sf_dir), "media", "doc_id")
+    fixed-dim array<float>, the input shape for the similarity ops.
+    Driver-facing output digests the vector to scalars (n_dims + a
+    xxhash64 of its JSON form + rounded L1 norm): the harness
+    canonicalizer cannot hash array cells. The raw array<float>
+    output stays available via operators.multimodal.extract_features
+    and is unit-tested in tests/test_properties.py."""
+    feats = extract_features(_packed(spark, sf_dir), "media", "doc_id")
+    return feats.select(
+        "doc_id",
+        "mime",
+        F.size("features").alias("n_dims"),
+        F.xxhash64(F.to_json("features")).alias("feat_digest"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+    )
 
 
 @query("multimodal_frame_sample")  # stub demux -> rows-only; plumbing is real

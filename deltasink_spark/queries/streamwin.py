@@ -63,7 +63,7 @@ def win_sliding(spark, sf_dir):
     "win_session",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
@@ -71,7 +71,7 @@ def win_sliding(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked)
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events

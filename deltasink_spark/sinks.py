@@ -75,7 +75,14 @@ class ExactlyOnceParquetSink:
         out: set[int] = set()
         with open(self.ledger_path) as fh:
             for line in fh:
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    # A torn trailing line (crash mid-append, before the
+                    # fsync commit point) is by definition uncommitted
+                    # under the ledger protocol — skip it so recovery
+                    # can proceed and the batch replays.
+                    continue
                 if rec["app_id"] == self.app_id:
                     out.add(rec["batch_id"])
         return out
@@ -87,7 +94,11 @@ class ExactlyOnceParquetSink:
             return False
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(batch_dir)
-        n = df.count()
+        # Count the files actually written, not the input plan: re-running
+        # df.count() would execute the micro-batch a second time, and a
+        # nondeterministic upstream could make the ledgered n_rows
+        # disagree with the committed rows.
+        n = df.sparkSession.read.parquet(batch_dir).count()
         with open(self.ledger_path, "a") as fh:
             fh.write(json.dumps({"app_id": self.app_id, "batch_id": batch_id, "n_rows": n}) + "\n")
             fh.flush()

@@ -106,3 +106,50 @@ def test_approx_distinct_accuracy(spark, sf_small):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / max(ex, 1) < 0.05, (k, approx[k], ex)
+
+
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs with fewer than n tokens must produce an EMPTY gram array,
+    not an INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash (sequence(1, 0)
+    auto-steps DOWN in Spark). Regression for the r1 advisor finding."""
+    from deltasink_spark.operators.text import tokenize, word_ngrams
+
+    df = spark.createDataFrame(
+        [("one",), ("two words",), ("now three tokens",), ("",), (None,)],
+        ["text"],
+    )
+    rows = df.select(
+        word_ngrams(tokenize(F.col("text")), 3).alias("grams")
+    ).collect()
+    got = [r["grams"] for r in rows]
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["now three tokens"]
+    assert got[3] == [] and got[4] == []
+
+
+def test_agg_collect_and_features_outputs_are_scalar(spark, sf_small):
+    """Driver-harness compatibility: no array-typed cells in any
+    driver-facing output (the canonicalizer cannot hash ndarray cells).
+    Regression for the two r1 driver ERRs."""
+    for op in ("agg_collect", "multimodal_features"):
+        df = registry.QUERIES[op](spark, sf_small)
+        kinds = [f.dataType.typeName() for f in df.schema.fields]
+        assert not any(k in ("array", "map", "struct") for k in kinds), (op, kinds)
+        df.limit(5).collect()
+
+
+def test_extract_features_raw_arrays(spark, sf_small):
+    """The raw array<float> feature path (input shape for similarity
+    ops) still works under the digested driver-facing op."""
+    from deltasink_spark.operators.multimodal import extract_features, pack_media
+
+    d = load(spark, sf_small, "documents").limit(50)
+    packed = d.select(
+        "doc_id",
+        pack_media(
+            F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
+        ).alias("media"),
+    )
+    rows = extract_features(packed, "media", "doc_id").collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 16 for r in rows)

@@ -39,8 +39,6 @@ def _stage_batches(spark, tmp_path, batches, schema):
         os.rename(os.path.join(part, files[0]), dst)
         t = time.time() + i * 10
         os.utime(dst, (t, t))
-    for i in range(len(batches)):
-        pass
     # remove the temp write dirs, keep only the staged files
     import shutil
 
