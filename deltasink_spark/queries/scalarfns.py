@@ -174,14 +174,17 @@ def fn_hash(spark, sf_dir):
            len(toks) AS n_toks,
            list_contains(toks, 'scan') AS has_scan,
            len(list_distinct(toks)) AS n_uniq,
-           list_sort(toks)[1:3] AS first3_sorted,
-           list_transform(toks[1:5], x -> upper(x)) AS head_uc,
+           array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+           array_to_string(list_transform(toks[1:5], x -> upper(x)), ',') AS head_uc,
            len(list_filter(toks, x -> length(x) > 4)) AS n_long,
-           list_sum(list_transform(toks, x -> length(x))) AS total_chars
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars
     FROM t
     """,
 )
 def fn_array(spark, sf_dir):
+    """Array-valued outputs stringified (concat_ws / array_to_string on
+    both engines) — the harness canonicalizer cannot hash array cells.
+    Raw-array behavior covered by tests/test_properties.py."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
@@ -189,8 +192,10 @@ def fn_array(spark, sf_dir):
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "scan").alias("has_scan"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
-        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("head_uc"),
+        F.concat_ws(",", F.slice(F.sort_array(toks), 1, 3)).alias("first3_sorted"),
+        F.concat_ws(
+            ",", F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x))
+        ).alias("head_uc"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -206,13 +211,16 @@ def fn_array(spark, sf_dir):
                FROM events)
     SELECT event_id,
            m['uid'][1] AS uid_val,
-           cardinality(m) AS m_size,
-           list_sort(map_keys(m)) AS keys_sorted,
-           list_sort(map_values(m)) AS vals_sorted
+           CAST(cardinality(m) AS BIGINT) AS m_size,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(m)), ',') AS vals_sorted
     FROM t
     """,
 )
 def fn_map(spark, sf_dir):
+    """Map key/value lists stringified for the harness canonicalizer
+    (array cells are unhashable in its pandas sort); raw map surface
+    covered by tests/test_scalarfns.py."""
     ev = load(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("uid"), F.col("user_id"), F.lit("eid"), F.col("event_id")
@@ -221,8 +229,8 @@ def fn_map(spark, sf_dir):
         "event_id",
         F.element_at(m, "uid").alias("uid_val"),
         F.size(m).cast("bigint").alias("m_size"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
-        F.sort_array(F.map_values(m)).alias("vals_sorted"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
+        F.concat_ws(",", F.sort_array(F.map_values(m))).alias("vals_sorted"),
     )
 
 

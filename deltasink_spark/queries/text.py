@@ -42,17 +42,24 @@ def text_normalize(spark, sf_dir):
     "text_tokenize",
     oracle="""
     SELECT doc_id,
-           string_split(trim(regexp_replace(regexp_replace(lower(text),
-               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tokens,
+           array_to_string(string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), '|') AS tokens,
            len(string_split(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
     FROM documents
     """,
 )
 def text_tokenize(spark, sf_dir):
+    """Driver-facing token list is stringified (concat_ws, mirrored by
+    DuckDB array_to_string): the harness canonicalizer cannot hash array
+    cells. Raw-array tokenize stays covered by tests/test_text.py."""
     d = load(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    return d.select("doc_id", toks.alias("tokens"), F.size(toks).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", toks).alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )
 
 
 @query(
@@ -63,7 +70,7 @@ def text_tokenize(spark, sf_dir):
                FROM documents)
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars_real) AS DOUBLE) / COUNT(*) AS avg_chars,
            CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MIN(len(toks)) AS min_tokens, MAX(len(toks)) AS max_tokens
@@ -91,17 +98,23 @@ def text_stats(spark, sf_dir):
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_transform(range(1, GREATEST(len(toks), 1)),
-                          i -> toks[i] || ' ' || toks[i + 1]) AS bigrams,
+           array_to_string(list_transform(range(1, GREATEST(len(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i + 1]), '|') AS bigrams,
            GREATEST(len(toks) - 1, 0) AS n_bigrams
     FROM t
     """,
 )
 def text_ngrams(spark, sf_dir):
+    """Bigram list stringified with '|' (grams contain spaces) for the
+    harness canonicalizer; raw-array word_ngrams covered by pytest."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = word_ngrams(toks, 2)
-    return d.select("doc_id", grams.alias("bigrams"), F.size(grams).alias("n_bigrams"))
+    return d.select(
+        "doc_id",
+        F.concat_ws("|", grams).alias("bigrams"),
+        F.size(grams).alias("n_bigrams"),
+    )
 
 
 @query(
@@ -318,7 +331,7 @@ _QUALITY_SQL = """
                                              ORDER BY doc_id) AS rn FROM f
            ) WHERE rn = 1)
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
              AS avg_quality
     FROM dd GROUP BY lang, source

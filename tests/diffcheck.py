@@ -62,6 +62,55 @@ def _normalize(rows, cols) -> list[str]:
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def compare_driver_style(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?") -> None:
+    """Mirror the two driver-canonicalizer hazards the value-compare in
+    compare() cannot see (it goes through Python objects):
+
+    1. array/ndarray cells — the driver's pandas sort_values raises
+       ``TypeError: unhashable type: 'numpy.ndarray'`` (r2: fn_array,
+       fn_map, text_tokenize, text_ngrams);
+    2. pandas-dtype divergence — DuckDB SUM(BIGINT) returns HUGEINT which
+       lands as float64 while Spark emits int64, flipping the value hash
+       even when the values are equal (r2: text_stats, pipeline_llm_prep).
+    """
+    import numpy as np
+
+    spdf = spark_fn(spark, sf_dir).toPandas()
+    ddf = duck_conn(sf_dir).execute(sql).fetchdf()
+    spdf.columns = [c.lower() for c in spdf.columns]
+    ddf.columns = [c.lower() for c in ddf.columns]
+    for name, frame in (("spark", spdf), ("duckdb", ddf)):
+        for c in frame.columns:
+            if frame[c].dtype == object and len(frame):
+                bad = frame[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+                assert not bad, (
+                    f"[{op_id}] {name} column {c!r} holds array cells — "
+                    "would crash the driver canonicalizer (stringify it)"
+                )
+    for c in sorted(spdf.columns):
+        sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+        # pandas nullable quirk: an int column with NULLs arrives as float
+        # on both engines only if BOTH have nulls; treat i-vs-f with
+        # actual-null presence as the known benign case, flag the rest.
+        if sk != dk and {sk, dk} == {"i", "f"}:
+            has_null = ddf[c].isna().any() or spdf[c].isna().any()
+            assert has_null, (
+                f"[{op_id}] dtype divergence on {c!r}: spark={spdf[c].dtype} "
+                f"duckdb={ddf[c].dtype} with no NULLs — value-hash will "
+                "mismatch (cast the oracle, e.g. CAST(... AS BIGINT))"
+            )
+        elif sk != dk and {sk, dk} == {"O", "M"}:
+            # Spark DATE -> object(datetime.date) vs DuckDB DATE ->
+            # datetime64[us]: proven benign (fn_date r2 pass,
+            # ts_derive_partition r1 pass — driver canon normalizes dates).
+            pass
+        elif sk != dk and {sk, dk} != {"O", "b"}:
+            assert sk == dk, (
+                f"[{op_id}] dtype kind mismatch on {c!r}: "
+                f"spark={spdf[c].dtype} duckdb={ddf[c].dtype}"
+            )
+
+
 def compare(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?") -> None:
     sdf = spark_fn(spark, sf_dir)
     srows = sdf.collect()

@@ -20,6 +20,18 @@ def test_oracle_match(spark, sf_oracle, op_id):
     compare(spark, sf_oracle, registry.QUERIES[op_id], registry.ORACLES[op_id], op_id)
 
 
+@pytest.mark.parametrize("op_id", WITH_ORACLE)
+def test_oracle_driver_canon(spark, sf_oracle, op_id):
+    """Driver-canonicalizer hazards invisible to the value compare:
+    array cells (pandas sort_values crash) and int64-vs-float64 dtype
+    divergence (DuckDB HUGEINT) — the two r2 failure classes."""
+    from tests.diffcheck import compare_driver_style
+
+    compare_driver_style(
+        spark, sf_oracle, registry.QUERIES[op_id], registry.ORACLES[op_id], op_id
+    )
+
+
 @pytest.mark.parametrize("op_id", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_oracle, op_id):
     df = registry.QUERIES[op_id](spark, sf_oracle)
