@@ -73,25 +73,51 @@ class ExactlyOnceParquetSink:
         if not os.path.exists(self.ledger_path):
             return set()
         out: set[int] = set()
-        with open(self.ledger_path) as fh:
-            for line in fh:
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
+        with open(self.ledger_path, "rb") as fh:
+            lines = fh.read().split(b"\n")
+        for i, line in enumerate(lines):
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
                     # A torn trailing line (crash mid-append, before the
                     # fsync commit point) is by definition uncommitted
-                    # under the ledger protocol — skip it so recovery
-                    # can proceed and the batch replays.
+                    # under the ledger protocol — the batch replays.
                     continue
-                if rec["app_id"] == self.app_id:
-                    out.add(rec["batch_id"])
+                # Mid-file corruption is NOT the torn-tail crash case:
+                # committed history is damaged, so fail loudly rather
+                # than silently dropping committed batches.
+                raise ValueError(
+                    f"ledger corrupted mid-file at line {i + 1}: {line[:80]!r}"
+                )
+            if rec["app_id"] == self.app_id:
+                out.add(rec["batch_id"])
         return out
+
+    def _truncate_torn_tail(self) -> None:
+        """Drop a torn trailing line before appending. The torn line is
+        uncommitted by protocol, so truncation loses nothing — but leaving
+        it would make the next append concatenate onto it, rendering BOTH
+        records unparseable and the replayed batch's data permanently
+        invisible to read_committed (silent exactly-once violation)."""
+        if not os.path.exists(self.ledger_path):
+            return
+        with open(self.ledger_path, "rb+") as fh:
+            data = fh.read()
+            if not data or data.endswith(b"\n"):
+                return
+            fh.truncate(data.rfind(b"\n") + 1)
+            fh.flush()
+            os.fsync(fh.fileno())
 
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
         """Returns True if the batch was written, False if skipped as a
         replay of an already-committed batch."""
         if batch_id in self.committed_batches():
             return False
+        self._truncate_torn_tail()
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(batch_dir)
         # Count the files actually written, not the input plan: re-running

@@ -136,6 +136,48 @@ def test_exactly_once_sink_replay_and_crash(spark, tmp_path):
     assert [r["batch_id"] for r in recs] == [0, 1]
 
 
+def test_exactly_once_sink_torn_tail_recovery(spark, tmp_path):
+    """Crash mid-append leaves a torn (newline-less) trailing ledger
+    line. The replayed batch's commit must NOT concatenate onto it —
+    that would make both records permanently unparseable and the batch
+    invisible to read_committed (silent exactly-once violation)."""
+    base = str(tmp_path / "eo_torn")
+    sink = ExactlyOnceParquetSink(base, app_id="t")
+    df = spark.range(50).select(F.col("id").alias("event_id"))
+    assert sink.write_batch(df, 0) is True
+
+    # simulate a crash mid-append of batch 1's commit record
+    with open(sink.ledger_path, "a") as fh:
+        fh.write('{"app_id": "t", "batch_id": 1, "n_ro')
+    assert sink.committed_batches() == {0}  # torn line is uncommitted
+
+    assert sink.write_batch(df, 1) is True  # replay commits cleanly
+    assert sink.committed_batches() == {0, 1}
+    assert sink.read_committed(spark).count() == 100
+    with open(sink.ledger_path, "rb") as fh:
+        raw = fh.read()
+    assert raw.endswith(b"\n")
+    recs = [json.loads(l) for l in raw.splitlines()]
+    assert [r["batch_id"] for r in recs] == [0, 1]
+
+
+def test_exactly_once_sink_midfile_corruption_fails_loudly(spark, tmp_path):
+    """Mid-file garbage is damaged committed history, not a torn tail —
+    committed_batches must raise, not silently drop batches."""
+    import pytest
+
+    base = str(tmp_path / "eo_mid")
+    sink = ExactlyOnceParquetSink(base, app_id="t")
+    df = spark.range(10).select(F.col("id").alias("event_id"))
+    assert sink.write_batch(df, 0) is True
+    assert sink.write_batch(df, 1) is True
+    with open(sink.ledger_path, "rb+") as fh:
+        fh.seek(3)
+        fh.write(b"\x00\x00")
+    with pytest.raises(ValueError, match="corrupted mid-file"):
+        sink.committed_batches()
+
+
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Full loop: checkpointed stream -> txn sink, restarted. The
     second run recovers from the checkpoint, replays nothing new, and
