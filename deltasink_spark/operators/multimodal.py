@@ -55,7 +55,7 @@ RESIZED_SCHEMA = (
     "doc_id bigint, mime string, payload binary, width int, height int, n_bytes bigint"
 )
 
-FEATURES_SCHEMA = "doc_id bigint, mime string, features array<float>"
+FEATURES_SCHEMA = "doc_id bigint, mime string, features array<float>, n_bytes bigint"
 
 FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame_payload binary, pts_ms bigint"
 
@@ -108,7 +108,12 @@ def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) 
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 feats.append((hist / max(len(arr), 1)).tolist())
             yield pd.DataFrame(
-                {"doc_id": pdf["id"], "mime": pdf["mime"], "features": feats}
+                {
+                    "doc_id": pdf["id"],
+                    "mime": pdf["mime"],
+                    "features": feats,
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
             )
 
     flat = df.select(

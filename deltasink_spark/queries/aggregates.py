@@ -145,17 +145,40 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # HLL estimates differ across engines -> rows-only
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """HLL++ cardinality, one partial-merged pass. Deliberately NOT
     combined with an exact countDistinct in the same agg: mixing
     distinct and non-distinct aggregates makes Spark plan the Expand
     path (input rows duplicated per aggregate family + an extra
-    shuffle, measured ~3x slower). Accuracy vs the exact count is
-    asserted separately in tests/test_properties.py."""
+    shuffle, measured ~3x slower) — the exact count runs as its own
+    agg and joins back on the 3-row key. The raw estimate is
+    engine-specific, so the driver-facing output is the exact count
+    plus a `within_band` proof that the estimate landed inside its
+    3-sigma rsd envelope (rsd 0.02 -> 6%); the oracle asserts TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.06
+        ).alias("within_band"),
     )
 
 

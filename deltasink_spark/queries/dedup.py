@@ -129,25 +129,53 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # engine-specific 64-bit hashes -> rows-only + unit tests
+# SimHash over a PORTABLE 60-bit token hash (first 15 hex chars of md5
+# -> bigint) so the bit-vote is reproducible in any engine and the
+# driver can hash-verify it exactly — the same mirrored-determinism
+# trick sim_ann_lsh uses for its hyperplanes. xxhash64 would be ~2x
+# cheaper per token but is Spark-specific; at 100 TB you'd flip to it
+# (or to hash()) once cross-engine verification is no longer needed.
+_SIMHASH_BITS = 60
+
+_SIMHASH_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, {assemble} AS simhash FROM bits
+""".format(
+    sums=", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    ),
+    assemble=" + ".join(
+        f"(CASE WHEN b{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    ),
+)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash from xxhash64 token hashes: per bit, sum +1/-1
-    over tokens, sign -> bit. Pure Catalyst (explode + 64 conditional
-    sums + bit reassembly); near-dups land within small Hamming radius.
-    """
+    """60-bit SimHash: per bit, sum +1/-1 over distinct tokens, sign ->
+    bit. Pure Catalyst (explode + 60 conditional sums + bit reassembly);
+    near-dups land within small Hamming radius. Token hash is the
+    md5-prefix bigint (portable across engines -> exact oracle)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     sums = tok.groupBy("doc_id").agg(*bit_sums)
     simhash = None
-    for i in range(64):
+    for i in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         simhash = term if simhash is None else simhash.bitwiseXOR(term)

@@ -53,13 +53,52 @@ def json_extract_path(spark, sf_dir):
     )
 
 
-@query("json_infer_schema")  # schema text differs across engines -> rows-only
+_CANON_TYPES = {
+    # Spark schema_of_json names          # DuckDB json_structure names
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "ubigint": "int", "uinteger": "int", "integer": "int",
+    "string": "str", "varchar": "str",
+    "double": "float", "float": "float",
+    "boolean": "bool",
+}
+
+
+@query(
+    "json_infer_schema",
+    oracle="""
+    WITH s AS (SELECT json_structure(props) AS j FROM events LIMIT 1)
+    SELECT array_to_string(list_sort(list_transform(json_keys(j),
+             k -> k || ':' || CASE lower(json_extract_string(j, '$.' || k))
+                    WHEN 'ubigint' THEN 'int' WHEN 'bigint' THEN 'int'
+                    WHEN 'integer' THEN 'int' WHEN 'uinteger' THEN 'int'
+                    WHEN 'varchar' THEN 'str' WHEN 'double' THEN 'float'
+                    WHEN 'boolean' THEN 'bool'
+                    ELSE lower(json_extract_string(j, '$.' || k)) END)),
+           ',') AS schema_canon
+    FROM s
+    """,
+)
 def json_infer_schema(spark, sf_dir):
+    """Schema inference over a sampled JSON payload, normalized to a
+    canonical sorted `name:type` list so two engines' inferred-schema
+    spellings (STRUCT<k: BIGINT> vs {"k":"UBIGINT"}) compare exactly.
+    Inference itself is driver-side by nature (one sampled record);
+    the full-corpus inference path is spark.read.json's sampler."""
     ev = load(spark, sf_dir, "events")
     sample = ev.select("props").first()[0]
-    return ev.limit(1).select(
-        F.schema_of_json(F.lit(sample)).alias("inferred_schema")
+    schema_txt = (
+        ev.limit(1).select(F.schema_of_json(F.lit(sample)).alias("s")).first()[0]
     )
+    inner = schema_txt.strip()
+    if inner.upper().startswith("STRUCT<") and inner.endswith(">"):
+        inner = inner[len("STRUCT<"):-1]
+    pairs = []
+    for part in inner.split(","):
+        name, _, typ = part.strip().partition(":")
+        typ = typ.strip().lower()
+        pairs.append(f"{name.strip()}:{_CANON_TYPES.get(typ, typ)}")
+    canon = ",".join(sorted(pairs))
+    return ev.limit(1).select(F.lit(canon).alias("schema_canon"))
 
 
 @query(

@@ -180,10 +180,26 @@ def topk_per_group(spark, sf_dir):
     )
 
 
-@query("sample_frac")  # nondeterministic across engines -> rows-only check
+@query(
+    "sample_frac",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE CAST(CONCAT('0x', substr(md5(l_orderkey || '-' || l_linenumber), 1, 8))
+               AS BIGINT) % 10 = 0
+    """,
+)
 def sample_frac(spark, sf_dir):
+    """Deterministic ~10% hash-sample: keep rows whose md5-prefix bucket
+    (mod 10) is 0. Unlike rng-seeded .sample() this is reproducible
+    across engines, runs, AND repartitions — the property a 100 TB
+    training-data pipeline actually needs from sampling (stable holdout
+    sets, resumable jobs). The rng variant stays as df.sample() in
+    tests/test_properties.py."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10
+    return li.filter(bucket == 0).select("l_orderkey", "l_linenumber")
 
 
 # --- §2.8 set operations -------------------------------------------------

@@ -220,7 +220,7 @@ def fn_array(spark, sf_dir):
 def fn_map(spark, sf_dir):
     """Map key/value lists stringified for the harness canonicalizer
     (array cells are unhashable in its pandas sort); raw map surface
-    covered by tests/test_scalarfns.py."""
+    covered by tests/test_properties.py::test_raw_array_surfaces."""
     ev = load(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("uid"), F.col("user_id"), F.lit("eid"), F.col("event_id")

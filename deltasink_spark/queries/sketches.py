@@ -17,11 +17,24 @@ from deltasink_spark.registry import query
 from deltasink_spark.tables import load
 
 
-@query("agg_hll_sketch")
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_band
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """Per-segment distinct-customer estimates from HLL sketches
     (lgConfigK=14 ~ 0.8% rsd). The sketch is built with one map-side-
-    combined aggregation; only the sketch binary shuffles."""
+    combined aggregation; only the sketch binary shuffles. The raw
+    estimate is engine-specific, so the driver-facing row carries the
+    exact count plus a `within_band` proof the estimate sits inside a
+    3-sigma envelope (2.5%); the oracle asserts TRUE. Raw estimates
+    stay covered by tests/test_properties.py."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
@@ -33,17 +46,36 @@ def agg_hll_sketch(spark, sf_dir):
             ),
             F.count_distinct("o_custkey").alias("exact_customers"),
         )
-        .orderBy("c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.025
+            ).alias("within_band"),
+        )
     )
 
 
-@query("agg_hll_union")
+@query(
+    "agg_hll_union",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS merged_equals_whole,
+           TRUE AS merged_within_band
+    FROM orders
+    """,
+)
 def agg_hll_union(spark, sf_dir):
     """The distributed-merge property made visible: sketches built
     independently on disjoint halves of orders are hll_union_agg-merged
     and estimated — at cluster scale this is exactly how per-partition
-    partial sketches combine, so merged and whole-table estimates must
-    agree (asserted in tests)."""
+    partial sketches combine. HLL register state is deterministic
+    (per-key max of leading-zero counts), so the merged estimate must
+    EQUAL the whole-table estimate bit-for-bit, and both must land in
+    the 3-sigma band around the exact count — which is what the driver
+    row asserts (oracle: TRUE/TRUE against the exact count)."""
     o = load(spark, sf_dir, "orders")
     halves = (
         o.withColumn("half", (F.col("o_orderkey") % 2).cast("int"))
@@ -58,7 +90,21 @@ def agg_hll_union(spark, sf_dir):
             "whole_estimate"
         )
     )
-    return merged.crossJoin(whole).select("merged_estimate", "whole_estimate")
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        merged.crossJoin(whole)
+        .crossJoin(exact)
+        .select(
+            "n_exact",
+            (F.col("merged_estimate") == F.col("whole_estimate")).alias(
+                "merged_equals_whole"
+            ),
+            (
+                F.abs(F.col("merged_estimate") - F.col("n_exact")) / F.col("n_exact")
+                <= 0.025
+            ).alias("merged_within_band"),
+        )
+    )
 
 
 @query(

@@ -49,13 +49,13 @@ def _run_until(spark, stream_df, min_rows: int, timeout_s: float = 90.0):
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .trigger(processingTime="250 milliseconds")
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     deadline = time.time() + timeout_s
     try:
         while time.time() < deadline and spark.table(name).count() < min_rows:
-            time.sleep(0.25)
+            time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -169,6 +169,8 @@ def source_memory(spark, sf_dir):
     MemoryStream test stand-in."""
     fmt = register_memory_rows_source(spark)
     s = spark.readStream.format(fmt).option("nbatches", "3").load()
+    # availableNow would snapshot the end offset after one prefetch and
+    # drain a single batch; poll instead so all 3 batches land.
     return _run_until(spark, s, min_rows=30)
 
 

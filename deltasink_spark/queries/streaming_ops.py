@@ -154,8 +154,11 @@ def sink_delta_append(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="ds_append_")
     s = events_stream(spark, sf_dir).select("event_id", "ts", "value")
-    q = delta_sink(s, f"{base}/table", f"{base}/ckpt", app_id="sink_delta_append")
-    q.awaitTermination(120)
+    q = delta_sink(
+        s, f"{base}/table", f"{base}/ckpt", app_id="sink_delta_append",
+        available_now=True,
+    )
+    q.awaitTermination()
     sink = ExactlyOnceParquetSink(f"{base}/table", app_id="sink_delta_append")
     return sink.read_committed(spark)
 

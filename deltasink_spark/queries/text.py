@@ -52,7 +52,8 @@ def text_normalize(spark, sf_dir):
 def text_tokenize(spark, sf_dir):
     """Driver-facing token list is stringified (concat_ws, mirrored by
     DuckDB array_to_string): the harness canonicalizer cannot hash array
-    cells. Raw-array tokenize stays covered by tests/test_text.py."""
+    cells. Raw-array tokenize stays covered by
+    tests/test_properties.py::test_raw_array_surfaces."""
     d = load(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     return d.select(

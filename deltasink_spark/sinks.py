@@ -146,20 +146,32 @@ class ExactlyOnceParquetSink:
         return spark.read.parquet(*paths)
 
 
-def delta_sink(df: DataFrame, path: str, checkpoint: str, app_id: str):
+def delta_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    available_now: bool = False,
+):
     """Streaming append sink with exactly-once txn semantics. Uses the
     real Delta sink when delta-spark is importable; otherwise the
-    ledgered parquet emulation (same guarantee, documented protocol)."""
+    ledgered parquet emulation (same guarantee, documented protocol).
+    `available_now=True` drains a bounded source and terminates (backfill
+    cadence); the default is a continuous micro-batch query."""
     if _has_delta():  # pragma: no cover
-        return (
+        w = (
             df.writeStream.format("delta")
             .option("checkpointLocation", checkpoint)
             .option("txnAppId", app_id)
-            .start(path)
         )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start(path)
     sink = ExactlyOnceParquetSink(path, app_id)
-    return (
+    w = (
         df.writeStream.foreachBatch(sink.foreach_batch())
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -37,6 +37,51 @@ def test_union_distinct_cardinality(spark, sf_small):
     assert out.count() <= a + b
 
 
+def test_rng_sample_seeded_and_bounded(spark, sf_small):
+    """The rng-seeded .sample() variant (the hash-based deterministic
+    sample is the registered sample_frac op): same seed -> same rows,
+    fraction roughly honored."""
+    li = load(spark, sf_small, "lineitem")
+    a = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    b = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    n, total = a.count(), li.count()
+    assert 0.04 * total < n < 0.2 * total
+
+
+def test_documents_fixture_is_ascii(spark, sf_small):
+    """multimodal_resize/frame_sample oracles rely on byte-truncation ==
+    char-truncation: every fixture doc must be pure ASCII."""
+    d = load(spark, sf_small, "documents")
+    n_bad = d.filter(F.octet_length("text") != F.length("text")).count()
+    assert n_bad == 0
+
+
+def test_raw_array_surfaces(spark, sf_small):
+    """The registered fn_array/fn_map/text_tokenize/text_ngrams ops
+    stringify their array outputs for the driver canonicalizer; the raw
+    array/map surfaces stay exercised here."""
+    from deltasink_spark.operators.text import tokenize, word_ngrams
+
+    d = load(spark, sf_small, "documents").limit(50)
+    toks = F.split(F.col("text"), " ")
+    rows = d.select(
+        F.slice(F.sort_array(toks), 1, 3).alias("first3"),
+        F.size(toks).alias("n_raw"),
+        tokenize(F.col("text")).alias("tokens"),
+        word_ngrams(toks, 2).alias("bigrams"),
+        F.map_keys(
+            F.create_map(F.lit("a"), F.col("doc_id"), F.lit("b"), F.col("doc_id"))
+        ).alias("mkeys"),
+    ).collect()
+    for r in rows:
+        assert isinstance(r["first3"], list) and len(r["first3"]) <= 3
+        assert r["first3"] == sorted(r["first3"])
+        assert isinstance(r["tokens"], list)
+        assert len(r["bigrams"]) == max(r["n_raw"] - 1, 0)
+        assert sorted(r["mkeys"]) == ["a", "b"]
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_small):
     """Pairs found by MinHash (J >= 0.6) must also be close in SimHash
     space (Hamming <= 16 of 64 bits) — cross-validates both sketches."""
@@ -69,13 +114,28 @@ def test_knn_join_k_bound_and_self_excluded(spark, sf_small):
 
 
 def test_hll_estimate_accuracy(spark, sf_small):
+    """The op self-asserts the 3-sigma envelope via within_band; the
+    raw-estimate accuracy is re-derived here independently."""
+    from pyspark.sql import functions as F
+
     from deltasink_spark import registry
+    from deltasink_spark.tables import load
 
     rows = registry.QUERIES["agg_hll_sketch"](spark, sf_small).collect()
-    assert rows
-    for r in rows:
-        err = abs(r["approx_customers"] - r["exact_customers"]) / max(r["exact_customers"], 1)
-        assert err < 0.05, (r["c_mktsegment"], r["approx_customers"], r["exact_customers"])
+    assert rows and all(r["within_band"] for r in rows)
+    o = load(spark, sf_small, "orders")
+    c = load(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    raw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(14))).alias("est"),
+            F.count_distinct("o_custkey").alias("ex"),
+        )
+        .collect()
+    )
+    for r in raw:
+        assert abs(r["est"] - r["ex"]) / max(r["ex"], 1) < 0.05, r
 
 
 def test_hll_partial_merge_matches_whole(spark, sf_small):
@@ -84,28 +144,14 @@ def test_hll_partial_merge_matches_whole(spark, sf_small):
     from deltasink_spark import registry
 
     r = registry.QUERIES["agg_hll_union"](spark, sf_small).collect()[0]
-    assert r["merged_estimate"] == r["whole_estimate"]
+    assert r["merged_equals_whole"] and r["merged_within_band"]
 
 
 def test_approx_distinct_accuracy(spark, sf_small):
-    from pyspark.sql import functions as F
-
     from deltasink_spark import registry
-    from deltasink_spark.tables import load
 
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in registry.QUERIES["agg_approx_distinct"](spark, sf_small).collect()
-    }
-    exact = {
-        r["l_returnflag"]: r["exact_orders"]
-        for r in load(spark, sf_small, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-        .collect()
-    }
-    for k, ex in exact.items():
-        assert abs(approx[k] - ex) / max(ex, 1) < 0.05, (k, approx[k], ex)
+    rows = registry.QUERIES["agg_approx_distinct"](spark, sf_small).collect()
+    assert rows and all(r["within_band"] for r in rows)
 
 
 def test_word_ngrams_short_docs_yield_empty(spark):
