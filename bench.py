@@ -2,12 +2,18 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {op: sec}, "sf": ...}.
+
+Each query is timed DS_BENCH_RUNS times (default 3) after warm-up and
+the per-query MEDIAN is reported: this shared VM shows +/-50%
+run-to-run variance (BASELINE.md), which single-shot timings can't
+distinguish from real regressions (the r2 ts_similarity lesson).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,12 +65,16 @@ def main() -> None:
         for op in ops:
             registry.QUERIES[op](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("DS_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for op in ops:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[op](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[op] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = registry.QUERIES[op](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[op] = round(statistics.median(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
