@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deltasink_spark.operators.minhash import minhash_dedup_pairs
 from deltasink_spark.operators.text import (
     normalize,
     quality_score,
@@ -330,22 +331,41 @@ _QUALITY_SQL = """
     dd AS (SELECT * FROM (
               SELECT f.*, ROW_NUMBER() OVER (PARTITION BY sha256(norm)
                                              ORDER BY doc_id) AS rn FROM f
-           ) WHERE rn = 1)
+           ) WHERE rn = 1),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM dd),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    dups AS (
+        SELECT DISTINCT id_b
+        FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.6),
+    kept AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT id_b FROM dups))
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6)
              AS avg_quality
-    FROM dd GROUP BY lang, source
+    FROM kept GROUP BY lang, source
     """,
 )
 def pipeline_llm_prep(spark, sf_dir):
     """End-to-end LLM training-data prep, composed from the catalogued
     stages: normalize -> quality-score -> filter -> exact dedup (keep
-    min doc_id per normalized-content hash) -> per-(lang, source)
-    corpus summary. One registered op proving the stages COMPOSE into
-    the pipeline a 100 TB data-prep job actually runs: every stage is
-    Catalyst algebra, so the whole thing is scan -> codegen -> one
-    window shuffle (dedup) -> one agg shuffle (summary)."""
+    min doc_id per normalized-content hash) -> MinHash+LSH near-dup
+    drop (any doc that is the higher-id member of a Jaccard>=0.6
+    trigram pair over normalized text is removed — the keep-first LSH
+    policy; operators/minhash.py) -> per-(lang, source) corpus summary.
+    One registered op proving the stages COMPOSE into the pipeline a
+    100 TB data-prep job actually runs: every stage is Catalyst
+    algebra — candidate generation is the banded equi-join, never a
+    cross join. The oracle replays the near-dup stage as all-pairs
+    exact Jaccard (LSH at b=32/r=2 misses a J>=0.6 pair with p<1e-6,
+    so the sets agree — same argument as dedup_minhash_lsh)."""
     d = load(spark, sf_dir, "documents")
     norm = normalize(F.col("text"))
     scored = d.select(
@@ -357,8 +377,19 @@ def pipeline_llm_prep(spark, sf_dir):
         F.round(quality_score(F.col("text"), tokenize(F.col("text"))), 4).alias("quality"),
     ).filter(F.col("quality") >= 0.5)
     w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
-    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return deduped.groupBy("lang", "source").agg(
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # feeds the minhash DAG (shingles) AND the final anti-join +
+        # summary: materialize once instead of re-running the window.
+        .localCheckpoint(eager=False)
+    )
+    near_pairs = minhash_dedup_pairs(
+        deduped.select("doc_id", "norm"), "doc_id", "norm", n=3, threshold=0.6
+    )
+    dup_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = deduped.join(dup_ids, "doc_id", "left_anti")
+    return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("total_tokens"),
         F.round(
