@@ -62,7 +62,7 @@ def agg_hll_sketch(spark, sf_dir):
     "agg_hll_union",
     oracle="""
     SELECT COUNT(DISTINCT o_custkey) AS n_exact,
-           TRUE AS merged_equals_whole,
+           TRUE AS merged_close_to_whole,
            TRUE AS merged_within_band
     FROM orders
     """,
@@ -71,11 +71,12 @@ def agg_hll_union(spark, sf_dir):
     """The distributed-merge property made visible: sketches built
     independently on disjoint halves of orders are hll_union_agg-merged
     and estimated — at cluster scale this is exactly how per-partition
-    partial sketches combine. HLL register state is deterministic
-    (per-key max of leading-zero counts), so the merged estimate must
-    EQUAL the whole-table estimate bit-for-bit, and both must land in
-    the 3-sigma band around the exact count — which is what the driver
-    row asserts (oracle: TRUE/TRUE against the exact count)."""
+    partial sketches combine. The union gadget does NOT guarantee
+    bit-identical registers to the single-pass sketch (mode/target-type
+    transitions; observed equal at sf0.01 but ~0.1% apart at sf0.1), so
+    the driver row asserts the merged estimate is within 1% of the
+    whole-table estimate AND within the 3-sigma band of the exact
+    count (oracle: TRUE/TRUE)."""
     o = load(spark, sf_dir, "orders")
     halves = (
         o.withColumn("half", (F.col("o_orderkey") % 2).cast("int"))
@@ -96,9 +97,11 @@ def agg_hll_union(spark, sf_dir):
         .crossJoin(exact)
         .select(
             "n_exact",
-            (F.col("merged_estimate") == F.col("whole_estimate")).alias(
-                "merged_equals_whole"
-            ),
+            (
+                F.abs(F.col("merged_estimate") - F.col("whole_estimate"))
+                / F.col("whole_estimate")
+                <= 0.01
+            ).alias("merged_close_to_whole"),
             (
                 F.abs(F.col("merged_estimate") - F.col("n_exact")) / F.col("n_exact")
                 <= 0.025
