@@ -51,6 +51,10 @@ _PRIORITY = [
     "multimodal_frame_sample",
     # cheap batch ops never driver-checked (2)
     "scan_csv", "sink_parquet_batch",
+    # r3 new ops: training-pipeline extensions, all exact-oracle (8)
+    "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
+    "sample_stratified", "dedup_cluster", "win_ntile", "unpivot_melt",
+    "agg_quantile",
 ]
 
 # Real-StreamingQuery ops (never driver-checked; now <3 s each) — right

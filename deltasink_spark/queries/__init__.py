@@ -9,6 +9,7 @@ from deltasink_spark.queries import (  # noqa: F401
     dedup,
     ingest,
     joins,
+    llmprep,
     multimodal,
     relational,
     scalarfns,

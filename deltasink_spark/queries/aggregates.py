@@ -347,3 +347,29 @@ def agg_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "agg_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS p75,
+           ROUND(CAST(quantile_cont(l_quantity, 0.99) AS DOUBLE), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantile(spark, sf_dir):
+    """EXACT continuous percentiles per group (linear interpolation —
+    both engines implement the same lower+frac*(upper-lower) rule, so
+    ROUND(_, 4) compares exactly). percentile() sorts per group; at
+    100 TB the skew-safe path is approx_percentile (t-digest partial
+    merge) — exact here because the oracle must be exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(q)), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )

@@ -1,0 +1,283 @@
+"""Training-data pipeline operators beyond the SURVEY.md §2 inventory
+(r3 extensions): context-window chunking, vocabulary building, PII
+scrubbing, stratified sampling, and near-dup clustering.
+
+These are the ops a 100 TB LLM data-prep job runs between the §2.11
+text/dedup stages and the trainer: chunk documents to the model's
+context window, build the tokenizer vocabulary, redact PII, draw
+reproducible stratified samples, and collapse near-dup PAIRS into
+connected-component clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.operators.minhash import minhash_dedup_pairs
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 GREATEST(1, CAST(CEIL((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                                  AS BIGINT) + 1) AS n_chunks
+          FROM t)
+    SELECT doc_id,
+           CAST(cid AS INT) AS chunk_id,
+           len(toks[cid * {CHUNK_STRIDE} + 1 : cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+             AS n_tokens,
+           array_to_string(
+             toks[cid * {CHUNK_STRIDE} + 1 : cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM n, UNNEST(range(0, n_chunks)) AS u(cid)
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Split documents into overlapping fixed-size token windows — the
+    context-window prep step before tokenization/packing. One row
+    explodes into ceil((len-W)/S)+1 chunk rows (always >=1); narrow
+    sequence+explode, no shuffle, so it streams at scan speed at any
+    scale. W=64 tokens, stride 48 (16-token overlap)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))) + 1,
+    )
+    rows = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return rows.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "tokenizer_vocab",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token HAVING COUNT(*) >= 5)
+    SELECT rank, token, n FROM (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+        FROM counts
+    ) WHERE rank <= 500
+    """,
+)
+def tokenizer_vocab(spark, sf_dir):
+    """Vocabulary building: token frequencies (one map-side-combined
+    hash agg over the exploded corpus), min-count filter, top-K by
+    (count DESC, token ASC — the deterministic tie-break). The final
+    ranking window runs over the vocabulary-sized aggregate, not the
+    corpus, so the single-partition window is bounded at any scale."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 500)
+        .select("rank", "token", "n")
+    )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{2,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               'contact user' || doc_id || '@example.com ph 555-01' ||
+               (doc_id % 100) || ' ' || text AS raw
+        FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: regexp scrub of emails/phone-shaped spans, with
+    per-doc match counts for audit. The fixture corpus contains no PII,
+    so a deterministic synthetic contact line is prepended first (both
+    engines identically) — the redaction path is then value-verified
+    rather than vacuously green. Pure codegen regexp, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+# Per-stratum keep-rates (percent): the high-value stratum is kept
+# whole, the bulk stratum is downsampled hard.
+_STRATA_PCT = {"purchase": 100, "click": 20, "error": 50}
+_DEFAULT_PCT = 10
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100
+          < CASE event_type
+              WHEN 'purchase' THEN {_STRATA_PCT["purchase"]}
+              WHEN 'click' THEN {_STRATA_PCT["click"]}
+              WHEN 'error' THEN {_STRATA_PCT["error"]}
+              ELSE {_DEFAULT_PCT} END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling with per-stratum rates, driven by the same
+    deterministic md5-bucket as sample_frac: reproducible across
+    engines, runs, and repartitions (rebalancing class distributions
+    for training without a seed-dependence on partitioning). Pure
+    filter — no shuffle, no rng state."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("event_type") == "purchase", _STRATA_PCT["purchase"])
+    for k, v in list(_STRATA_PCT.items())[1:]:
+        rate = rate.when(F.col("event_type") == k, v)
+    rate = rate.otherwise(_DEFAULT_PCT)
+    return ev.filter(bucket < rate).select("event_id", "event_type")
+
+
+# Near-dup pairs chain reused from dedup_minhash_lsh's oracle: trigram
+# shingles -> shared-shingle intersections -> exact Jaccard >= 0.6.
+_PAIRS_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.6)
+"""
+
+
+@query(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+             FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_cluster(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph:
+    every doc gets cluster_id = min doc_id reachable through
+    Jaccard>=0.6 edges (singletons cluster to themselves) — the step
+    that turns pairwise near-dup hits into keep-one-per-cluster
+    decisions (pair-based keep-first can drop extra docs on chains
+    a-b, b-c).
+
+    Spark side: iterative min-label propagation — per round each node
+    takes min(own, neighbors') label; converges in graph-diameter
+    rounds (near-dup components are tiny, so 2-3 here). Rounds are
+    localCheckpoint'd to keep lineage flat; the per-round driver-side
+    convergence count is a scalar, not a collect of data. At 100 TB
+    swap the loop body for the large-star/small-star variant (same
+    join shape, provably O(log n) rounds on pathological chains).
+    Oracle: DuckDB recursive reachability closure + min per node."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = und.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(16):  # diameter bound; fixture components converge in 2-3
+        nbr_min = (
+            und.join(
+                labels.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nmin"))
+            .select(F.col("u").alias("id"), "nmin")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    clustered = labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )

@@ -271,3 +271,29 @@ def dedup_exact(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Wide->long reshape (DataFrame.unpivot / melt): each row fans out
+    to one row per measure column — the inverse of agg_pivot. Narrow
+    Expand node, no shuffle; the oracle spells it as UNION ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

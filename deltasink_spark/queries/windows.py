@@ -175,3 +175,24 @@ def win_cume(spark, sf_dir):
         F.round(F.cume_dist().over(w_ord), 8).alias("cd"),
         F.round(F.col("o_totalprice") / total, 8).alias("share"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """Equal-frequency bucketing per partition (quartiles of customers
+    by balance within each nation). Both engines assign remainder rows
+    to the leading buckets; the (c_acctbal, c_custkey) order makes the
+    assignment fully deterministic."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("quartile")
+    )
