@@ -55,6 +55,13 @@ _PRIORITY = [
     "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
     "sample_stratified", "dedup_cluster", "win_ntile", "unpivot_melt",
     "agg_quantile",
+    # r3 new ops, second batch: packing/decontam/mixture/repetition,
+    # IVF ANN, ORC + partition-pruned layouts, sketch quantiles,
+    # z-order clustering (9) — head is now 35, +15 streaming tail = 50,
+    # exactly the driver's per-round budget; already-green ops yield.
+    "seq_pack", "contamination_check", "data_mixture",
+    "repetition_filter", "ann_ivf", "scan_orc", "write_partitioned",
+    "agg_approx_quantile", "zorder_cluster",
 ]
 
 # Real-StreamingQuery ops (never driver-checked; now <3 s each) — right

@@ -373,3 +373,32 @@ def agg_quantile(spark, sf_dir):
             for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
         ]
     )
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_disc(l_quantity, 0.25) AS q25,
+           quantile_disc(l_quantity, 0.50) AS q50,
+           quantile_disc(l_quantity, 0.75) AS q75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_approx_quantile(spark, sf_dir):
+    """approx_percentile — the DISTRIBUTED quantile path: per-partition
+    Greenwald-Khanna sketches merged at the reducer, never a per-group
+    sort. At the test scale the accuracy parameter (1e6) exceeds the
+    group sizes, so the rank error is < 1 row and the sketch answer
+    equals DuckDB's exact discrete quantile — the same
+    verify-the-approx-path-exactly trick as sim_ann_lsh. At 100 TB the
+    identical plan runs at accuracy 1e4 with bounded memory; contrast
+    agg_quantile, whose exact percentile() must sort each group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_quantity", F.lit(0.25), F.lit(1_000_000)).alias("q25"),
+        F.percentile_approx("l_quantity", F.lit(0.50), F.lit(1_000_000)).alias("q50"),
+        F.percentile_approx("l_quantity", F.lit(0.75), F.lit(1_000_000)).alias("q75"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import minhash_dedup_pairs
+from deltasink_spark.operators.text import word_ngrams
 from deltasink_spark.registry import query
 from deltasink_spark.tables import load
 
@@ -280,4 +281,223 @@ def dedup_cluster(spark, sf_dir):
         .select(
             "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
         )
+    )
+
+
+SEQ_BUDGET = 256  # training-sequence token budget
+
+
+@query(
+    "seq_pack",
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def seq_pack(spark, sf_dir):
+    """Concat-and-split sequence packing: documents are laid end-to-end
+    in (source, doc_id) order and cut every SEQ_BUDGET tokens; each doc
+    is assigned the training sequence its FIRST token lands in, plus
+    its offset inside that sequence (the GPT-style packing bookkeeping
+    a trainer's data loader consumes).
+
+    Scale shape: the running total is a window cumsum PARTITIONED BY
+    source — each source packs independently, so no global single-
+    partition sort exists at any scale; sources parallelize across the
+    cluster. Pure integer arithmetic, mirrored exactly in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return t.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / float(SEQ_BUDGET)).cast("long").alias("seq_id"),
+        (start % SEQ_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+_CONTAM_N = 5  # benchmark-overlap n-gram width
+_EVAL_MOD = 37  # doc_id % 37 == 0 -> held-out "benchmark" split
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, GREATEST(len(toks) - {_CONTAM_N - 2}, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                             toks[i+3] || ' ' || toks[i+4])) AS gram
+          FROM t),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+    hit AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+    SELECT tot.doc_id, n_grams, COALESCE(n_hits, 0) AS n_hits,
+           ROUND(COALESCE(n_hits, 0) * 1.0 / n_grams, 6) AS contam_ratio,
+           COALESCE(n_hits, 0) * 20 >= n_grams AS contaminated
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-decontamination sweep (GPT-3/PaLM style): flag training
+    documents sharing 5-gram spans with a held-out eval split (here
+    the deterministic doc_id % 37 == 0 docs stand in for the
+    benchmark). Per train doc: distinct 5-grams, how many also occur
+    anywhere in the eval split, and a >=5% overlap flag.
+
+    Scale shape: the eval n-gram set is benchmark-sized (small by
+    definition), so the membership probe is a BROADCAST semi-join
+    against the exploded train grams — no shuffle of the 100 TB train
+    side beyond its own per-doc count agg. The integer-ratio flag
+    (n_hits*20 >= n_grams) avoids float-threshold edge divergence."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g = (
+        d.select("doc_id", F.explode(word_ngrams(toks, _CONTAM_N)).alias("gram"))
+        .distinct()
+    )
+    ev = g.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gram").distinct()
+    tr = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    hit = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    j = tot.join(hit, "doc_id", "left").select(
+        "doc_id", "n_grams", F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits")
+    )
+    return j.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("contam_ratio"),
+        (F.col("n_hits") * 20 >= F.col("n_grams")).alias("contaminated"),
+    )
+
+
+@query(
+    "data_mixture",
+    oracle="""
+    WITH g AS (SELECT source, lang,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 8) AS token_share,
+           ROUND(SUM(n_tokens) OVER () * 1.0
+                 / (COUNT(*) OVER () * n_tokens), 6) AS mix_weight
+    FROM g
+    """,
+)
+def data_mixture(spark, sf_dir):
+    """Training-mixture accounting: per (source, lang) domain, doc and
+    token counts, the domain's share of all tokens, and the sampling
+    weight that would rebalance the corpus to a UNIFORM target mixture
+    (weight = target_share / actual_share — the number a weighted
+    sampler or epoch-repetition scheduler consumes).
+
+    Scale shape: one map-side-combined hash agg over the corpus; the
+    share/weight windows run over the DOMAIN-count-sized aggregate
+    (~#sources x #langs rows), not the corpus, so the unpartitioned
+    window is bounded at any scale."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 8).alias("token_share"),
+        F.round(
+            F.sum("n_tokens").over(w) / (F.count(F.lit(1)).over(w) * F.col("n_tokens")), 6
+        ).alias("mix_weight"),
+    )
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    wrd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+            FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+    bga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_bigram
+            FROM bgc GROUP BY doc_id)
+    SELECT w.doc_id,
+           ROUND(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+           ROUND(top_bigram * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+           (n_words - n_distinct) * 2 > n_words OR top_bigram * 10 > n_bigrams
+             AS flagged
+    FROM wrd w JOIN bga USING (doc_id)
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filters: per doc, the duplicate-word
+    fraction (1 - distinct/total) and the share of the most frequent
+    bigram; docs failing either threshold (>50% dup words or one bigram
+    >10% of all bigrams) are flagged as degenerate boilerplate.
+
+    Scale shape: two explode->hash-agg passes (words; bigrams) joined
+    on doc_id — all map-side combinable, no window over the corpus.
+    Thresholds compare integers (x*2 > n) so the flag cannot diverge
+    on float rounding between engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    wrd = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    bgc = (
+        t.select("doc_id", F.explode(word_ngrams(F.col("toks"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bga = bgc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram"),
+    )
+    return wrd.join(bga, "doc_id").select(
+        "doc_id",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_bigram") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        (
+            ((F.col("n_words") - F.col("n_distinct")) * 2 > F.col("n_words"))
+            | (F.col("top_bigram") * 10 > F.col("n_bigrams"))
+        ).alias("flagged"),
     )

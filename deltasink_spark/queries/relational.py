@@ -297,3 +297,60 @@ def unpivot_melt(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+def _z_spark(x: str, y: str, bits: int) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"(shiftleft(shiftright({x}, {j}) & 1, {2 * j}))")
+        terms.append(f"(shiftleft(shiftright({y}, {j}) & 1, {2 * j + 1}))")
+    return " + ".join(terms)
+
+
+def _z_duck(x: str, y: str, bits: int) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+_Z_BITS = 10
+
+
+@query(
+    "zorder_cluster",
+    oracle=f"""
+    WITH b AS (SELECT l_orderkey, l_linenumber,
+                      l_partkey % 1024 AS pk_bucket,
+                      l_suppkey % 1024 AS sk_bucket
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber, pk_bucket, sk_bucket,
+           CAST({_z_duck('pk_bucket', 'sk_bucket', _Z_BITS)} AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def zorder_cluster(spark, sf_dir):
+    """Z-order (Morton) clustering key: the bits of two join/filter
+    dimensions interleaved into one sort key, then a range-repartition
+    + in-partition sort on it — the layout step behind multi-dimension
+    data skipping (Delta OPTIMIZE ZORDER BY): after clustering, a range
+    predicate on EITHER dimension touches a small band of files instead
+    of all of them, because z-locality keeps both dimensions' nearby
+    values in nearby rows.
+
+    Scale shape: the z-key is pure codegen bit arithmetic; the
+    clustering itself is repartitionByRange (sampled range boundaries,
+    one shuffle) + sortWithinPartitions (no global sort). The oracle
+    verifies the interleave bit-for-bit; the physical ordering is
+    asserted in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).alias("pk_bucket"),
+        (F.col("l_suppkey") % 1024).alias("sk_bucket"),
+    ).withColumn(
+        "zkey", F.expr(_z_spark("pk_bucket", "sk_bucket", _Z_BITS)).cast("long")
+    )
+    return b.repartitionByRange(32, "zkey").sortWithinPartitions("zkey")

@@ -335,3 +335,109 @@ def ts_similarity(spark, sf_dir):
         pairs.select("user_a", "user_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.8)
     )
+
+
+# --- ann_ivf: inverted-file (IVF) approximate nearest neighbors ---------
+
+_IVF_K = 16  # centroids (inverted lists)
+_IVF_NPROBE = 4  # lists probed per query
+
+
+def _ivf_oracle() -> str:
+    score_ac = f"ROUND({sql_qdot('v.iv', 'c.iv')} / (v.nrm * c.nrm), 6)"
+    score_ab = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
+    return f"""
+    WITH {_QN_CTE},
+    cent AS (SELECT vec_id AS cid, iv, nrm FROM qn WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_ac} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN cent c
+        ) WHERE rk = 1),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT v.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_ac} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN cent c
+            WHERE v.vec_id < 5
+        ) WHERE rk <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT p.qid, a.vec_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.qid),
+    scored AS (
+        SELECT c.qid, c.vec_id, {score_ab} AS cos
+        FROM cand c JOIN qn a ON a.vec_id = c.qid JOIN qn b ON b.vec_id = c.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+        SELECT qid, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@query("ann_ivf", oracle=_ivf_oracle())
+def ann_ivf(spark, sf_dir):
+    """Approximate top-3 neighbors for 5 query vectors via an IVF
+    (inverted-file) index — the clustering-based counterpart to
+    sim_ann_lsh's hashing: every vector is assigned to its nearest of
+    K=16 deterministic centroids (the lowest-K vec_ids stand in for a
+    k-means codebook — the assignment/probe machinery is identical and
+    exactly replayable), queries probe their NPROBE=4 nearest lists,
+    and only vectors in probed lists are scored exactly.
+
+    Scale shape: centroid assignment is a broadcast join against the
+    K-row codebook (one linear pass, map-side only); candidate
+    generation is an equi-join on the list id — one shuffle, AQE-
+    skew-handled, no cross-join anywhere. Real k-means centroids would
+    drop in via Lloyd iterations (each = the same broadcast-assign +
+    hash-agg re-center) without touching the query path; the fixed
+    codebook keeps the op differentially verifiable bit-for-bit."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    cent = qn.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ"), F.col("nrm").alias("cnrm")
+    )
+    cscore = F.round(
+        qdot(F.col("iv"), F.col("civ")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        fanout(qn)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        qn.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    a = qn.select(F.col("vec_id").alias("qid"), F.col("iv").alias("qi"), F.col("nrm").alias("qnm"))
+    b = qn.select("vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn"))
+    scored = (
+        cand.join(F.broadcast(a), "qid")
+        .join(b, "vec_id")
+        .withColumn(
+            "cos", F.round(qdot(F.col("qi"), F.col("di")) / (F.col("qnm") * F.col("dn")), 6)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "cos", "rk")
+    )

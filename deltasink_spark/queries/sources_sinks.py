@@ -187,3 +187,50 @@ def source_kafka(spark, sf_dir):
         "topic", "partition", "offset", F.col("payload.k").alias("k"), "dt", "parse_ok"
     )
     return _run_until(spark, parsed, min_rows=1)
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_orc(spark, sf_dir):
+    """ORC scan through Spark's native vectorized ORC reader (the other
+    columnar format big estates carry alongside parquet): the fixture
+    is staged out as ORC once, then read back with projection pushdown
+    — ReadSchema lists 4 columns, and ORC stripe statistics serve the
+    same row-group-skip role as parquet footers. DuckDB has no ORC
+    reader, so the oracle reads the same rows off the parquet view —
+    the comparison checks the ORC round-trip end to end."""
+    stage = _stage_dir(sf_dir, "orc")
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    if not os.path.isdir(os.path.join(stage, "_SUCCESS_DIR")):
+        load(spark, sf_dir, "supplier").select(*cols).write.mode("overwrite").orc(stage)
+        os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
+    return spark.read.orc(stage).select(*cols)
+
+
+@query(
+    "write_partitioned",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderstatus = 'F'""",
+)
+def write_partitioned(spark, sf_dir):
+    """Hive-style partitioned layout end to end: orders written as one
+    directory per o_orderstatus, read back through partition discovery
+    with a filter ON the partition column. The filter resolves against
+    directory names alone (PartitionFilters in the scan node, asserted
+    in tests/test_plans.py) — non-matching partitions are never opened,
+    the 100 TB reason to lay data out this way. The status column comes
+    back from the directory key, not file contents."""
+    stage = _stage_dir(sf_dir, "part_orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    if not os.path.isdir(os.path.join(stage, "_SUCCESS_DIR")):
+        load(spark, sf_dir, "orders").select(*cols).write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(stage)
+        os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
+    return (
+        spark.read.parquet(stage)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(*cols)
+    )

@@ -122,3 +122,43 @@ def test_partition_pruning_on_partitioned_output(spark, sf_small, tmp_path):
     p = plan(one_day)
     part = p.split("PartitionFilters")[1][:200]
     assert "dt" in part and "2024-01-03" in part
+
+
+def test_write_partitioned_prunes(spark, sf_small):
+    """The write_partitioned op's read-back filter must resolve against
+    partition directories (PartitionFilters), not row data."""
+    p = plan(q("write_partitioned", spark, sf_small))
+    part = p.split("PartitionFilters")[1][:200]
+    assert "o_orderstatus" in part and "F" in part
+    # no residual data filter on the partition column: either no pushed
+    # data filters at all, or an empty list
+    assert "PushedFilters" not in p or "PushedFilters: []" in p
+
+
+def test_ann_ivf_no_cartesian_candidates(spark, sf_small):
+    """IVF candidate generation joins on the list id (equi-join); the
+    only nested-loop allowed is the K-row broadcast codebook assign."""
+    p = plan(q("ann_ivf", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_contamination_probe_is_broadcast(spark, sf_small):
+    """The eval-set n-gram membership probe must broadcast the
+    benchmark side, never shuffle the train grams for the join."""
+    p = plan(q("contamination_check", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+
+
+def test_zorder_is_range_partitioned_sorted(spark, sf_small):
+    p = plan(q("zorder_cluster", spark, sf_small), "simple")
+    assert "rangepartitioning(zkey" in p
+    # in-partition sort (global flag false), not a global sort
+    assert "Sort [zkey" in p and "], false, 0" in p
+
+
+def test_seq_pack_window_is_per_source(spark, sf_small):
+    """Packing cumsum must be partitioned by source — a global
+    single-partition window would serialize at scale."""
+    p = plan(q("seq_pack", spark, sf_small))
+    assert "partitionBy=[source" in p or "hashpartitioning(source" in p

@@ -200,3 +200,71 @@ def test_extract_features_raw_arrays(spark, sf_small):
     rows = extract_features(packed, "media", "doc_id").collect()
     assert len(rows) == 50
     assert all(len(r["features"]) == 16 for r in rows)
+
+
+def test_seq_pack_invariants(spark, sf_small):
+    """Packing bookkeeping must be internally consistent: offsets stay
+    inside the budget, seq ids start at 0 per source and never skip
+    (every sequence boundary is crossed by some doc), and the packed
+    token order reproduces the per-source cumsum."""
+    from deltasink_spark.queries.llmprep import SEQ_BUDGET
+
+    rows = registry.QUERIES["seq_pack"](spark, sf_small).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_seq = 0
+        for r in docs:
+            assert 0 <= r["seq_offset"] < SEQ_BUDGET, r
+            assert r["seq_id"] == cum // SEQ_BUDGET, r
+            assert r["seq_offset"] == cum % SEQ_BUDGET, r
+            assert r["seq_id"] - prev_seq <= (r["n_tokens"] // SEQ_BUDGET) + 1
+            prev_seq = r["seq_id"]
+            cum += r["n_tokens"]
+
+
+def test_dedup_cluster_is_transitive_and_minimal(spark, sf_small):
+    """Cluster labels must form proper connected components over the
+    near-dup pair graph: both endpoints of every pair share a label,
+    and every label is the minimum doc_id of its member set."""
+    from deltasink_spark.operators.minhash import minhash_dedup_pairs
+    from deltasink_spark.tables import load as _load
+
+    d = _load(spark, sf_small, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dedup_cluster"](spark, sf_small).collect()
+    }
+    for p in pairs:
+        assert labels[p["id_a"]] == labels[p["id_b"]], p
+    members = {}
+    for doc, lbl in labels.items():
+        members.setdefault(lbl, []).append(doc)
+    for lbl, docs in members.items():
+        assert lbl == min(docs), (lbl, docs)
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_small):
+    """The IVF approximation must stay useful: against brute-force
+    top-3 (sim_topk_join ground truth at k=3), pooled recall >= 0.5
+    on the fixture (sanity floor, not a tuning target)."""
+    ivf = registry.QUERIES["ann_ivf"](spark, sf_small).collect()
+    exact = registry.QUERIES["sim_topk_join"](spark, sf_small).collect()
+    ivf_set = {(r["qid"], r["vec_id"]) for r in ivf}
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    recall = len(ivf_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, recall
+
+
+def test_contamination_eval_docs_fully_contaminated(spark, sf_small):
+    """Sanity: a doc that IS in the eval split never appears in the
+    train-side output; and any train doc sharing >=5% of its grams is
+    flagged while zero-overlap docs are not."""
+    rows = registry.QUERIES["contamination_check"](spark, sf_small).collect()
+    for r in rows:
+        assert r["doc_id"] % 37 != 0
+        assert r["contaminated"] == (r["n_hits"] * 20 >= r["n_grams"])
