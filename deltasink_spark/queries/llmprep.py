@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from deltasink_spark.operators.minhash import minhash_dedup_pairs
 from deltasink_spark.operators.text import word_ngrams
 from deltasink_spark.registry import query
-from deltasink_spark.tables import load
+from deltasink_spark.tables import fanout, load
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
@@ -373,9 +373,17 @@ def contamination_check(spark, sf_dir):
     (n_hits*20 >= n_grams) avoids float-threshold edge divergence."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # the fixture file is a single row group -> one scan task; spread
+    # docs across cores BEFORE the tokenize+explode blow-up.
     g = (
-        d.select("doc_id", F.explode(word_ngrams(toks, _CONTAM_N)).alias("gram"))
+        fanout(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(word_ngrams(toks, _CONTAM_N)).alias("gram"))
         .distinct()
+        # three consumers (eval set, per-doc totals, hit probe):
+        # materialize the exploded-distinct gram table once instead of
+        # re-running tokenize+explode+distinct per consumer (measured
+        # 3x at sf0.1 — same pattern as the minhash shingle table).
+        .localCheckpoint(eager=False)
     )
     ev = g.filter(F.col("doc_id") % _EVAL_MOD == 0).select("gram").distinct()
     tr = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
