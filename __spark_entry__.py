@@ -62,6 +62,13 @@ _PRIORITY = [
     "seq_pack", "contamination_check", "data_mixture",
     "repetition_filter", "ann_ivf", "scan_orc", "write_partitioned",
     "agg_approx_quantile", "zorder_cluster",
+    # r3 third batch: bucketed interval join, single-agg argmax,
+    # decimal-exact correlation, bitwise family (4)
+    "join_range_bucketed", "agg_argmax", "agg_corr", "fn_bitwise",
+    # r3 fourth batch: SCD2 intervals, batch sessionization, null-safe
+    # join, posexplode, predicate aggregates, blocked fuzzy dedup (6)
+    "scd2_intervals", "event_sessionize", "join_null_safe",
+    "fn_posexplode", "agg_bool_family", "dedup_blocked_levenshtein",
 ]
 
 # Real-StreamingQuery ops (never driver-checked; now <3 s each) — right

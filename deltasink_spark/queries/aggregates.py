@@ -402,3 +402,121 @@ def agg_approx_quantile(spark, sf_dir):
         F.percentile_approx("l_quantity", F.lit(0.75), F.lit(1_000_000)).alias("q75"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey
+    FROM (
+        SELECT c_nationkey, c_acctbal, c_custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rk
+        FROM customer
+    ) WHERE rk = 1
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """Argmax as ONE aggregate: max over a (value, key) struct compares
+    lexicographically, so the group's top balance AND the customer
+    holding it come out of a single partial+final agg — no per-group
+    window, no second join; the custkey field doubles as the
+    deterministic tie-break. Spark plans a struct-typed max as
+    SortAggregate (structs have no mutable hash-agg buffer), which
+    still combines map-side; packing the pair into one primitive (e.g.
+    cents*2^40+key when value precision and key range allow) upgrades
+    it to a pure HashAggregate. Either way beats the window-rank idiom
+    the oracle spells — a window shuffles and sorts every group's full
+    row set, the agg merges one struct per group per partition."""
+    c = load(spark, sf_dir, "customer")
+    m = F.max(F.struct("c_acctbal", "c_custkey"))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(m.alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.c_acctbal").alias("top_acctbal"),
+            F.col("m.c_custkey").alias("top_custkey"),
+        )
+    )
+
+
+# Exact-decimal moment sums: corr from raw moments is deterministic
+# only if every sum is order-insensitive; doubles are not, DECIMAL is.
+_D = "DECIMAL(38,6)"
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS {_D})) AS sx,
+               SUM(CAST(l_extendedprice AS {_D})) AS sy,
+               SUM(CAST(l_quantity AS {_D}) * CAST(l_quantity AS {_D})) AS sxx,
+               SUM(CAST(l_extendedprice AS {_D}) * CAST(l_extendedprice AS {_D})) AS syy,
+               SUM(CAST(l_quantity AS {_D}) * CAST(l_extendedprice AS {_D})) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Pearson correlation per group WITHOUT the builtin corr(): the
+    builtin accumulates IEEE doubles, so its low bits depend on
+    partition merge order — rerun the same query, get a different 15th
+    decimal, and a value-hash differential test flips. Instead the five
+    raw moments are summed in exact DECIMAL (associative, order-
+    insensitive — the same dsum trick as the flagship agg), and the
+    correlation is assembled from them in one deterministic double
+    expression. Same single hash-agg shape and map-side combine as
+    corr(); bit-stable at any parallelism."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_D.lower())
+    y = F.col("l_extendedprice").cast(_D.lower())
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(num / den, 6).alias("corr_qty_price")
+    )
+
+
+@query(
+    "agg_bool_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_family(spark, sf_dir):
+    """Predicate-aggregate family: count_if / every / any — the
+    data-quality assertion shape (SLA checks, validation dashboards).
+    All fold to single-bit partial states, so the map-side combine
+    carries one boolean/long per group regardless of input size."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).cast("long").alias("n_big"),
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+    )

@@ -216,3 +216,41 @@ def dedup_embedding_cosine(spark, sf_dir):
     pairs = a.join(F.broadcast(b), F.col("keep_id") < F.col("dup_id"))
     cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("keep_id", "dup_id", cos.alias("cos")).filter(F.col("cos") >= 0.4)
+
+
+@query(
+    "dedup_blocked_levenshtein",
+    oracle="""
+    WITH k AS (SELECT p_partkey, p_name, substr(p_name, 1, 8) AS blk
+               FROM part),
+    cand AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                    a.p_name AS name_a, b.p_name AS name_b
+             FROM k a JOIN k b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+    SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 8
+    """,
+)
+def dedup_blocked_levenshtein(spark, sf_dir):
+    """Fuzzy (edit-distance) dedup with blocking — the record-linkage
+    archetype: candidate pairs come from an EQUI-join on a cheap
+    blocking key (8-char name prefix), then the quadratic-per-pair
+    levenshtein runs only inside blocks. The O(n²) comparison never
+    touches Catalyst — same candidate-generation discipline as
+    MinHash banding, with edit distance instead of Jaccard as the
+    verifier. Skewed blocks are AQE's problem, not a crossJoin."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.substring("p_name", 1, 8).alias("blk")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 8)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -7,6 +7,7 @@ these same column expressions on the readStream DataFrame).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from deltasink_spark.registry import query
 from deltasink_spark.tables import load
@@ -183,4 +184,79 @@ def cast_coerce(spark, sf_dir):
         F.col("user_id").cast("string").alias("uid_str"),
         F.col("user_id").cast("smallint").cast("int").alias("uid_small"),
         F.col("value").cast("string").alias("value_str"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: each customer's order
+    history becomes half-open validity intervals [valid_from, valid_to)
+    with the latest row flagged current — the standard warehouse shape
+    for as-of lookups (join_asof consumes exactly this layout). One
+    window per natural key, deterministic (orderdate, orderkey) order;
+    the per-key window shuffles once on the key, never globally."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "event_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM g
+    """,
+)
+def event_sessionize(spark, sf_dir):
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session; the session sequence number is the running count of gap
+    flags per user (lag + cumsum — the classic two-window idiom over
+    ONE per-user shuffle; both windows share the same partitioning so
+    Catalyst plans a single Exchange+Sort). The streaming counterpart
+    is win_session; this is the backfill/batch shape of the same
+    semantics."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # exact microsecond gap — a seconds cast would truncate and disagree
+    # with the oracle's full-precision interval comparison on fractional
+    # gaps (e.g. 1800.5 s)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    is_start = F.when(prev.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select("event_id", "user_id", "ts", is_start.alias("is_start"))
+        .withColumn("session_seq", F.sum("is_start").over(wc).cast("long"))
+        .select("event_id", "user_id", "ts", "session_seq")
     )

@@ -329,3 +329,86 @@ def join_skew_salted(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT e.event_id AS err_id, p.event_id AS purch_id, e.user_id,
+           date_diff('second', e.ts, p.ts) AS gap_s
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Interval join at scale: pair every error event with the same
+    user's purchases in the following hour. The naive plan is a theta
+    join (per-user cross product + range filter) — quadratic in events
+    per user. Instead both sides are bucketed to the hour; an error in
+    bucket b can only match purchases in buckets {b, b+1} (the window
+    spans at most one boundary), so candidates come from an EQUI-join
+    on (user_id, bucket) — one shuffle, prunable, AQE-skew-handled —
+    followed by the exact range predicate. The 2x explode on the
+    (smaller) error side is the whole overhead; the oracle runs the
+    plain range join, proving the rewrite lossless."""
+    ev = load(spark, sf_dir, "events")
+    bkt = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("ets"),
+            bkt.alias("b0"),
+        )
+        .withColumn("bkt", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        bkt.alias("bkt"),
+    )
+    cand = err.join(pur, ["user_id", "bkt"])
+    return cand.filter(
+        (F.col("pts") > F.col("ets"))
+        & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 1 HOUR"))
+    ).select(
+        "err_id",
+        "purch_id",
+        "user_id",
+        (F.unix_timestamp("pts") - F.unix_timestamp("ets")).alias("gap_s"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders
+               WHERE o_orderkey < 2000),
+    r AS (SELECT NULLIF(s, 'P') AS st, code FROM (VALUES ('F', 10), ('O', 20),
+               ('P', 30)) AS v(s, code))
+    SELECT l.o_orderkey, l.st, r.code
+    FROM l JOIN r ON l.st IS NOT DISTINCT FROM r.st
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    sync jobs need when 'unknown' is itself a join key. Catalyst still
+    plans a hash join (the null-safe comparison hashes NULL to a
+    bucket), so no fallback to nested-loop; nulls are synthesized
+    deterministically via NULLIF since the fixture has none."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st"))
+    )
+    r = spark.createDataFrame(
+        [("F", 10), ("O", 20), ("P", 30)], "s string, code int"
+    ).select(F.nullif("s", F.lit("P")).alias("st"), "code")
+    return o.join(F.broadcast(r), o.st.eqNullSafe(r.st)).select(
+        o.o_orderkey, o.st, r.code
+    )

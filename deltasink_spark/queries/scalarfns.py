@@ -279,3 +279,53 @@ def fn_conv(spark, sf_dir):
         F.ascii(F.substring("s_name", 1, 1)).alias("first_ascii"),
         F.chr(F.lit(65) + F.pmod(F.col("s_suppkey"), F.lit(26)).cast("int")).alias("letter"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS lo_byte,
+           l_orderkey | 15 AS with_flags,
+           xor(l_orderkey, l_partkey) AS key_mix,
+           CAST(l_linenumber AS BIGINT) << 3 AS shifted,
+           CAST(bit_count(l_orderkey) AS INT) AS popcount
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise scalar family: AND/OR/XOR, shifts, popcount — the
+    primitives behind bitmap indexes, bloom-filter probes, and the
+    z-order interleave. All pure codegen; note DuckDB's ^ is
+    exponentiation, so the oracle spells xor() explicitly."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("lo_byte"),
+        (F.col("l_orderkey").bitwiseOR(F.lit(15))).alias("with_flags"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_partkey"))).alias("key_mix"),
+        F.shiftleft(F.col("l_linenumber").cast("long"), 3).alias("shifted"),
+        F.bit_count("l_orderkey").alias("popcount"),
+    )
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(generate_subscripts(chars, 1) - 1 AS INT) AS pos,
+           unnest(chars) AS token
+    FROM (SELECT n_nationkey, string_split(n_name, '') AS chars FROM nation) t
+    """,
+)
+def fn_posexplode(spark, sf_dir):
+    """Ordinal-preserving explode (posexplode / UNNEST WITH
+    ORDINALITY): each array element carries its position — required
+    whenever downstream must reconstruct order after a shuffle
+    (chunk ids, token positions). Narrow generator, no shuffle."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.posexplode(F.split(F.col("n_name"), "")),
+    ).select("n_nationkey", "pos", F.col("col").alias("token"))

@@ -162,3 +162,21 @@ def test_seq_pack_window_is_per_source(spark, sf_small):
     single-partition window would serialize at scale."""
     p = plan(q("seq_pack", spark, sf_small))
     assert "partitionBy=[source" in p or "hashpartitioning(source" in p
+
+
+def test_range_join_is_equi_not_theta(spark, sf_small):
+    """The bucketed interval join must reach Catalyst as an equi-join
+    on (user_id, bucket) — no nested-loop / cartesian pair stage."""
+    p = plan(q("join_range_bucketed", spark, sf_small))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_argmax_is_single_agg_no_window(spark, sf_small):
+    p = plan(q("agg_argmax", spark, sf_small))
+    assert "Window" not in p
+    # struct-max plans as SortAggregate: still partial + final (map-side
+    # combined), never a per-group window over the full row set
+    assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
