@@ -28,17 +28,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops in
-# registration order per round; r1+r2 together hash-verified 82 ops, so
-# r3's first 50 are the ops still missing a green driver row:
+# registration order per round; r1+r2 together hash-verified 82 ops.
+# r3's first 50 are the ops still missing a green driver row, ranked by
+# the r2 verdict's priorities:
 #   1. the six r2 FAILs, fixed this round (array stringify / BIGINT
 #      casts);
 #   2. ten ops promoted from rows-only to exact oracles this round
 #      (portable-hash simhash, deterministic hash-sampling, canonical
 #      inferred schema, tolerance-band sketches, mirrored stub codecs);
 #   3. the two cheap batch ops never reached by a driver budget;
-#   4. the 15 real-StreamingQuery ops, never driver-checked — each was
-#      cut to <3 s this round (availableNow drains instead of trigger
-#      timeouts) precisely so a time-budgeted driver gets through them.
+#   4. the 15 real-StreamingQuery ops, never driver-checked (the r2
+#      verdict's #1 missing item) — each cut to <3 s this round
+#      (availableNow drains instead of trigger timeouts) precisely so a
+#      time-budgeted driver gets through them;
+#   5. the 27 ops ADDED in r3 (training-pipeline layer, IVF ANN,
+#      layout ops, relational/agg depth) — all exact-oracle; the first
+#      ~17 fit this round's budget, the rest lead r4's.
 # Already-green ops fill the remaining slots in registration order.
 _PRIORITY = [
     # r2 driver FAILs, fixed (6)
@@ -51,29 +56,10 @@ _PRIORITY = [
     "multimodal_frame_sample",
     # cheap batch ops never driver-checked (2)
     "scan_csv", "sink_parquet_batch",
-    # r3 new ops: training-pipeline extensions, all exact-oracle (8)
-    "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
-    "sample_stratified", "dedup_cluster", "win_ntile", "unpivot_melt",
-    "agg_quantile",
-    # r3 new ops, second batch: packing/decontam/mixture/repetition,
-    # IVF ANN, ORC + partition-pruned layouts, sketch quantiles,
-    # z-order clustering (9) — head is now 35, +15 streaming tail = 50,
-    # exactly the driver's per-round budget; already-green ops yield.
-    "seq_pack", "contamination_check", "data_mixture",
-    "repetition_filter", "ann_ivf", "scan_orc", "write_partitioned",
-    "agg_approx_quantile", "zorder_cluster",
-    # r3 third batch: bucketed interval join, single-agg argmax,
-    # decimal-exact correlation, bitwise family (4)
-    "join_range_bucketed", "agg_argmax", "agg_corr", "fn_bitwise",
-    # r3 fourth batch: SCD2 intervals, batch sessionization, null-safe
-    # join, posexplode, predicate aggregates, blocked fuzzy dedup (6)
-    "scd2_intervals", "event_sessionize", "join_null_safe",
-    "fn_posexplode", "agg_bool_family", "dedup_blocked_levenshtein",
 ]
 
 # Real-StreamingQuery ops (never driver-checked; now <3 s each) — right
-# after the head so they finally get driver rows, but after the exact
-# oracles above in case the driver is time-budgeted.
+# after the 18 must-recheck ops so they finally get driver rows.
 _STREAMING_TAIL = [
     "stream_trigger", "stream_backpressure", "sink_delta_append",
     "scan_delta", "stream_exactly_once", "join_stream_static",
@@ -82,13 +68,30 @@ _STREAMING_TAIL = [
     "join_stream_stream", "source_rate", "source_memory",
 ]
 
+# Ops added in r3 (SURVEY §2.14), all exact-oracle, pytest-verified at
+# sf0.01 and sf0.1; ordered roughly by user impact.
+_R3_NEW = [
+    # training-pipeline layer
+    "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
+    "sample_stratified", "dedup_cluster", "seq_pack",
+    "contamination_check", "data_mixture", "repetition_filter",
+    # similarity / layout
+    "ann_ivf", "scan_orc", "write_partitioned", "zorder_cluster",
+    # relational / aggregate depth
+    "agg_quantile", "agg_approx_quantile", "win_ntile", "unpivot_melt",
+    "join_range_bucketed", "agg_argmax", "agg_corr", "fn_bitwise",
+    "scd2_intervals", "event_sessionize", "join_null_safe",
+    "fn_posexplode", "agg_bool_family", "dedup_blocked_levenshtein",
+]
+
 
 def _ordered_ids() -> list[str]:
     head = [op for op in _PRIORITY if op in registry.QUERIES]
     tail = [op for op in _STREAMING_TAIL if op in registry.QUERIES]
-    placed = set(head) | set(tail)
+    new = [op for op in _R3_NEW if op in registry.QUERIES]
+    placed = set(head) | set(tail) | set(new)
     mid = [op for op in registry.QUERIES if op not in placed]
-    return head + tail + mid
+    return head + tail + new + mid
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
