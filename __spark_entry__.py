@@ -38,10 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      inferred schema, tolerance-band sketches, mirrored stub codecs);
 #   3. the two cheap batch ops never reached by a driver budget;
 #   4. the 15 real-StreamingQuery ops, never driver-checked (the r2
-#      verdict's #1 missing item) — each cut to <3 s this round
-#      (availableNow drains instead of trigger timeouts) precisely so a
+#      verdict's #1 missing item) — wall time cut this round
+#      (availableNow drains instead of trigger timeouts; ~1-3 s each
+#      warm, plus one-time streaming init on the first and ~2 s per
+#      Python DataSource batch in source_memory) precisely so a
 #      time-budgeted driver gets through them;
-#   5. the 27 ops ADDED in r3 (training-pipeline layer, IVF ANN,
+#   5. the 28 ops ADDED in r3 (training-pipeline layer + flagship
+#      composition, IVF ANN,
 #      layout ops, relational/agg depth) — all exact-oracle; the first
 #      ~17 fit this round's budget, the rest lead r4's.
 # Already-green ops fill the remaining slots in registration order.
@@ -58,8 +61,8 @@ _PRIORITY = [
     "scan_csv", "sink_parquet_batch",
 ]
 
-# Real-StreamingQuery ops (never driver-checked; now <3 s each) — right
-# after the 18 must-recheck ops so they finally get driver rows.
+# Real-StreamingQuery ops (never driver-checked) — right after the 18
+# must-recheck ops so they finally get driver rows.
 _STREAMING_TAIL = [
     "stream_trigger", "stream_backpressure", "sink_delta_append",
     "scan_delta", "stream_exactly_once", "join_stream_static",
@@ -71,7 +74,8 @@ _STREAMING_TAIL = [
 # Ops added in r3 (SURVEY §2.14), all exact-oracle, pytest-verified at
 # sf0.01 and sf0.1; ordered roughly by user impact.
 _R3_NEW = [
-    # training-pipeline layer
+    # training-pipeline layer (flagship composition first)
+    "pipeline_training_prep",
     "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
     "sample_stratified", "dedup_cluster", "seq_pack",
     "contamination_check", "data_mixture", "repetition_filter",

@@ -6,6 +6,7 @@ module only calls ``registry.query`` at import time.
 
 from deltasink_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     ingest,
     joins,

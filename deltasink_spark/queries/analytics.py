@@ -1,0 +1,578 @@
+"""Product/ops analytics + graph operators (r3 extensions, batch 4).
+
+The event-stream analytics a platform team runs next to the training
+pipeline: resample-and-interpolate gap-filled time series, integer-
+exact anomaly flags, per-key mode, funnel and retention-cohort
+analysis, batch CDC changelog apply, a Bloom-prefiltered join, and a
+fixed-point PageRank over the customer-supplier graph.
+
+Determinism contract (same rules as aggregates.py): every money/value
+double is converted to integer cents up front (ROUND(value*100) —
+identical in both engines), and every downstream formula is integer
+algebra (sums of BIGINT are order-independent, unlike doubles), so the
+DuckDB oracles match bit-for-bit at any parallelism. Where a floor
+division can see a negative numerator, ``_floordiv`` spells out
+floor-division from C-style ``%``/``pmod`` identically in both
+engines rather than trusting two engines' ``/`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import fanout, load
+
+# integer cents: exact in both engines for the 2-decimal fixture values
+_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def _floordiv(a, b):
+    """Floor division for possibly-negative BIGINT numerator, positive
+    denominator, written only with C-style modulo so Spark and DuckDB
+    agree: a - ((a % b + b) % b) is divisible by b, and the remaining
+    exact division equals floor(a / b)."""
+    return ((a - ((a % b + b) % b)) / b).cast("long")
+
+
+_FLOORDIV_SQL = "CAST((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) / ({b}) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# ts_resample_interp — hourly resample + linear gap interpolation
+# --------------------------------------------------------------------------
+
+@query(
+    "ts_resample_interp",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM({_CENTS}) AS BIGINT) AS sum_c
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT b.event_type, g.h
+        FROM bounds b, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+    joined AS (
+        SELECT g.event_type, g.h, hourly.sum_c
+        FROM grid g LEFT JOIN hourly USING (event_type, h)),
+    ctx AS (
+        SELECT event_type, h, sum_c,
+          LAST_VALUE(sum_c IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+          LAST_VALUE(CASE WHEN sum_c IS NOT NULL THEN h END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+          FIRST_VALUE(sum_c IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+          FIRST_VALUE(CASE WHEN sum_c IS NOT NULL THEN h END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        FROM joined)
+    SELECT event_type, h,
+           CASE
+             WHEN sum_c IS NOT NULL THEN sum_c
+             WHEN prev_c IS NULL THEN next_c
+             WHEN next_c IS NULL THEN prev_c
+             ELSE prev_c + {_FLOORDIV_SQL.format(
+                 a="(next_c - prev_c) * CAST(date_diff('hour', prev_h, h) AS BIGINT)",
+                 b="CAST(date_diff('hour', prev_h, next_h) AS BIGINT)")}
+           END AS value_c,
+           (sum_c IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def ts_resample_interp(spark, sf_dir):
+    """Resample events to a dense hourly grid per event_type and
+    linearly interpolate missing hours — the gap-fill step before any
+    time-series model consumes the feed. Real hours keep their exact
+    cent sum; gaps get integer linear interpolation between the
+    nearest real neighbors (leading/trailing gaps carry the nearest
+    value).
+
+    Spark shape: one hash agg to hourly sums, a per-type
+    sequence+explode to the dense grid (narrow — the grid is built
+    from each type's own min/max, no driver round-trip), a left
+    equi-join back, then TWO passes of one window spec each
+    (last-non-null forward, first-non-null backward). At 100 TB the
+    window partitions by series key, so state per partition is one
+    series — this is the classic gap-fill plan that scales with
+    #series, not #rows."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(_cents(F.col("value"))).alias("sum_c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_h = F.when(F.col("sum_c").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "sum_c",
+        F.last("sum_c", ignorenulls=True).over(fwd).alias("prev_c"),
+        F.last(real_h, ignorenulls=True).over(fwd).alias("prev_h"),
+        F.first("sum_c", ignorenulls=True).over(bwd).alias("next_c"),
+        F.first(real_h, ignorenulls=True).over(bwd).alias("next_h"),
+    )
+    hours_between = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    interp = F.col("prev_c") + _floordiv(
+        (F.col("next_c") - F.col("prev_c"))
+        * hours_between(F.col("prev_h"), F.col("h")),
+        hours_between(F.col("prev_h"), F.col("next_h")),
+    )
+    return ctx.select(
+        "event_type",
+        "h",
+        F.when(F.col("sum_c").isNotNull(), F.col("sum_c"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(interp)
+        .alias("value_c"),
+        F.col("sum_c").isNull().alias("interpolated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# anomaly_zscore — integer-exact 3-sigma outlier flags
+# --------------------------------------------------------------------------
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH c AS (SELECT event_id, event_type, {_CENTS} AS value_c FROM events),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(value_c) AS BIGINT) AS s1,
+                 CAST(SUM(value_c * value_c) AS BIGINT) AS s2
+          FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type, c.value_c
+    FROM c JOIN s USING (event_type)
+    WHERE (s.n * c.value_c - s.s1) * (s.n * c.value_c - s.s1)
+          > 9 * (s.n * s.s2 - s.s1 * s.s1)
+    """,
+)
+def anomaly_zscore(spark, sf_dir):
+    """Flag events whose value is >3 population standard deviations
+    from their event_type's mean. The test |x-mu| > 3*sigma is
+    rearranged into pure BIGINT algebra on cent values —
+    (n*x - sum)^2 > 9*(n*sumsq - sum^2) — so there is no float
+    anywhere: exact at any parallelism, and bit-identical to the
+    DuckDB oracle. Plan: one map-side-combined hash agg for the
+    per-type moments (5 groups), broadcast back onto the stream, one
+    codegen filter. At 100 TB the stats side is tiny by construction
+    (one row per series key), so the join is always broadcast."""
+    e = load(spark, sf_dir, "events")
+    c = e.select("event_id", "event_type", _cents(F.col("value")).alias("value_c"))
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("s1"),
+        F.sum(F.col("value_c") * F.col("value_c")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("value_c") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .filter(dev * dev > 9 * var_n2)
+        .select("event_id", "event_type", "value_c")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_mode — most frequent value per group, deterministic tie-break
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Statistical mode per key (most frequent event_type per user)
+    with a deterministic tie-break (higher count wins, then
+    lexicographically smallest value). Built-in ``mode()`` is
+    tie-nondeterministic in both engines, so this is the portable
+    idiom: hash agg to (key, value, count) — map-side combined, the
+    only full-data shuffle — then a tiny per-key window over the
+    #distinct-values-per-key rows. At 100 TB the window input is
+    |keys| x |value domain|, orders of magnitude smaller than the
+    event stream."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel_analysis — ordered view -> click -> purchase funnel
+# --------------------------------------------------------------------------
+
+@query(
+    "funnel_analysis",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id),
+    u AS (
+        SELECT v.user_id, cu.c_mktsegment AS segment,
+               c.user_id IS NOT NULL AS clicked,
+               p.user_id IS NOT NULL AS purchased
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+        JOIN customer cu ON cu.c_custkey = v.user_id)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_viewed,
+           CAST(COUNT(*) FILTER (clicked) AS BIGINT) AS n_clicked,
+           CAST(COUNT(*) FILTER (purchased) AS BIGINT) AS n_purchased
+    FROM u GROUP BY segment
+    """,
+)
+def funnel_analysis(spark, sf_dir):
+    """Ordered conversion funnel: first 'view', first 'click' strictly
+    AFTER that view, first 'purchase' strictly after that click, per
+    user, rolled up to per-segment stage counts. Order matters — a
+    click before the first view does not count, which is what
+    distinguishes a funnel from three independent filters.
+
+    Plan: three conditional hash aggs, each joined back to the event
+    stream on user_id (equi-joins; the per-user frames shrink at every
+    stage so stages 2-3 join a reduced build side), then a broadcast
+    join to the customer dim for segmentation. Scale: per-stage state
+    is one row per surviving user; the event stream is scanned three
+    times but each scan prunes to one event_type at the parquet level
+    (pushed filter)."""
+    e = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    u = (
+        v.join(c.select("user_id", F.lit(True).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(True).alias("purchased")), "user_id", "left")
+        .join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+            "user_id",
+        )
+    )
+    return u.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count(F.when(F.col("clicked"), 1)).alias("n_clicked"),
+        F.count(F.when(F.col("purchased"), 1)).alias("n_purchased"),
+    )
+
+
+# --------------------------------------------------------------------------
+# retention_cohort — weekly cohort retention triangle
+# --------------------------------------------------------------------------
+
+_WK = "CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) // 7"
+
+@query(
+    "retention_cohort",
+    oracle=f"""
+    WITH w AS (SELECT user_id, {_WK} AS wk FROM events),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+    SELECT fw.cohort_wk, w.wk - fw.cohort_wk AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN fw USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    """Weekly retention triangle: users cohorted by the week of their
+    first event; each cell counts distinct cohort users active
+    week_offset weeks later. Weeks are integer 7-day buckets from a
+    fixed epoch (portable — no engine week-start convention involved).
+    Plan: one per-user min agg, an equi-join back (broadcast when the
+    user dim fits, shuffle otherwise), one count-distinct agg whose
+    key space is O(weeks^2) — tiny. The event scan reads 2 columns
+    (pruned)."""
+    e = load(spark, sf_dir, "events")
+    w = e.select(
+        "user_id",
+        _floordiv(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast("long"),
+            F.lit(7),
+        ).alias("wk"),
+    )
+    fw = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(fw, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# cdc_apply_changelog — batch MERGE: last-writer-wins upsert/delete apply
+# --------------------------------------------------------------------------
+
+@query(
+    "cdc_apply_changelog",
+    oracle=f"""
+    SELECT user_id,
+           {_CENTS} AS last_value_c,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """Batch CDC apply (the MERGE INTO semantics a Delta upsert sink
+    runs): treat the event stream as a changelog where 'error' rows
+    are DELETE markers and everything else UPSERTs the user's value;
+    materialize the final snapshot under last-writer-wins ordered by
+    (ts, event_id) — the event_id tiebreak makes replays
+    deterministic. Users whose LAST change is a delete drop out of
+    the snapshot entirely (tombstone semantics).
+
+    Plan: one window over the changelog partitioned by key — exactly
+    how Delta/Hudi compact a changelog at scale: shuffle by key once,
+    keep max-version per key. n_changes rides the same window spec
+    for free (no second shuffle)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("n_changes", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            _cents(F.col("value")).alias("last_value_c"),
+            F.col("event_id").alias("last_event_id"),
+            "n_changes",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_bloom_prefilter — Bloom-filter semi-join pushdown, replayed exactly
+# --------------------------------------------------------------------------
+
+_BLOOM_HASH = "CAST(CONCAT('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    dh AS (SELECT s_suppkey, {_BLOOM_HASH.format(k='s_suppkey')} % 1024 AS bit
+           FROM dim),
+    words AS (SELECT bit // 64 AS word_idx,
+                     CAST(bit_or(1::BIGINT << CAST(bit % 64 AS INT)) AS BIGINT)
+                       AS word
+              FROM dh GROUP BY 1),
+    fact AS (SELECT l_orderkey, l_suppkey,
+                    {_BLOOM_HASH.format(k='l_suppkey')} % 1024 AS bit
+             FROM lineitem),
+    cand AS (SELECT f.l_orderkey, f.l_suppkey
+             FROM fact f JOIN words w ON f.bit // 64 = w.word_idx
+             WHERE ((w.word >> CAST(f.bit % 64 AS INT)) & 1) = 1),
+    exact AS (SELECT c.* FROM cand c JOIN dim d ON c.l_suppkey = d.s_suppkey)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fact) AS n_fact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_matched
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join pushdown, built by hand so the filter is
+    REPLAYABLE: hash the filtered dim keys (portable 60-bit md5 prefix,
+    same trick as dedup_simhash) into a 1024-bit / 16-word bitmap held
+    as a 16-ROW DataFrame, broadcast it, and pre-filter the fact scan
+    with two integer ops before the real join. This is what Spark's
+    own runtime row-group Bloom pushdown does internally; doing it as
+    dataframes makes the false-positive behavior observable — the op
+    returns (n_fact, n_candidates, n_matched), and n_candidates >
+    n_matched is the Bloom false-positive margin, exact in both
+    engines because the hash is portable.
+
+    Scale: the bitmap DF is O(bits/64) rows regardless of dim size;
+    the fact side never shuffles — candidate filtering is a broadcast
+    join plus codegen bit math, and only survivors reach the (also
+    broadcast) exact semi-join."""
+    li = load(spark, sf_dir, "lineitem")
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+
+    def bloom_bit(key):
+        h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        return h % 1024
+
+    words = (
+        dim.select(bloom_bit(F.col("s_suppkey")).alias("bit"))
+        .groupBy((F.col("bit") / 64).cast("long").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.shiftleft(F.lit(1).cast("long"), (F.col("bit") % 64).cast("int"))
+            ).alias("word")
+        )
+    )
+    fact = li.select("l_orderkey", "l_suppkey", bloom_bit(F.col("l_suppkey")).alias("bit"))
+    cand = fact.join(
+        F.broadcast(words),
+        (F.col("bit") / 64).cast("long") == F.col("word_idx"),
+    ).filter(
+        F.shiftright(F.col("word"), (F.col("bit") % 64).cast("int")).bitwiseAND(1) == 1
+    )
+    exact = cand.join(F.broadcast(dim), cand.l_suppkey == dim.s_suppkey, "left_semi")
+    n_fact = fact.groupBy().agg(F.count(F.lit(1)).alias("n_fact"))
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_match = exact.groupBy().agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_fact.crossJoin(n_cand).crossJoin(n_match)
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank — fixed-point integer PageRank, 3 unrolled iterations
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # rank fixed-point scale; 0.15 * SCALE = 150000 exactly
+
+_PR_EDGES_SQL = """
+    pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ed AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u)
+"""
+
+_PR_ITER_SQL = """
+    r{next} AS (
+        SELECT e.v AS node,
+               150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
+        FROM ed e JOIN r{cur} r ON r.node = e.u JOIN deg d ON d.u = e.u
+        GROUP BY e.v)
+"""
+
+@query(
+    "graph_pagerank",
+    oracle=(
+        "WITH "
+        + _PR_EDGES_SQL
+        + ", r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)"
+        + "".join(_PR_ITER_SQL.format(cur=i, next=i + 1) for i in range(3))
+        + " SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"
+    ),
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations) over the bipartite
+    customer-supplier trade graph, in FIXED-POINT integer arithmetic:
+    ranks are BIGINTs scaled by 1e6, each iteration computes
+    150000 + (85 * sum(rank_u // deg_u)) // 100. Integer division and
+    integer sums are order-independent, so a float-free PageRank is
+    bit-reproducible at any parallelism AND exactly replayable in the
+    DuckDB oracle (3 unrolled CTE iterations) — the standard
+    double-precision formulation is neither.
+
+    Spark shape per iteration: contributions = ranks join edges on
+    the source key (one shuffle-or-broadcast equi-join), hash agg by
+    destination. Lineage is flattened with localCheckpoint per
+    iteration — without it, iteration N replans all N-1 predecessors.
+    At 100 TB: pre-partition edges by source key once and every
+    iteration's join reuses that partitioning (document: for graphs
+    with power-law degree, AQE skew-split handles the hub keys)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    ed = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ed.u == ranks.node)
+            .join(deg, "u")
+            .select("v", F.expr("rank div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("85 * sum(c) div 100").cast("long")
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "rank")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import minhash_dedup_pairs
-from deltasink_spark.operators.text import word_ngrams
+from deltasink_spark.operators.text import normalize, quality_score, tokenize, word_ngrams
 from deltasink_spark.registry import query
 from deltasink_spark.tables import fanout, load
 
@@ -240,6 +240,25 @@ def dedup_cluster(spark, sf_dir):
     Oracle: DuckDB recursive reachability closure + min per node."""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clustered = min_label_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
+def min_label_components(pairs):
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: per round each node takes min(own,
+    neighbors') label; converges in graph-diameter rounds. Returns
+    (doc_id, cluster_id) for nodes that HAVE edges — callers treat
+    absent nodes as singletons. Rounds are localCheckpoint'd to keep
+    lineage flat; the per-round convergence check is a scalar count.
+    At 100 TB swap the loop body for large-star/small-star (same join
+    shape, O(log n) rounds on pathological chains)."""
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -272,16 +291,7 @@ def dedup_cluster(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    clustered = labels.select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
-    return (
-        d.select("doc_id")
-        .join(clustered, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-        )
-    )
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 SEQ_BUDGET = 256  # training-sequence token budget
@@ -508,4 +518,131 @@ def repetition_filter(spark, sf_dir):
             ((F.col("n_words") - F.col("n_distinct")) * 2 > F.col("n_words"))
             | (F.col("top_bigram") * 10 > F.col("n_bigrams"))
         ).alias("flagged"),
+    )
+
+
+def _training_prep_oracle() -> str:
+    from deltasink_spark.queries.text import _NORM_SQL, _QUALITY_SQL
+
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, source, text, {_NORM_SQL} AS norm FROM documents),
+    s AS (SELECT doc_id, lang, source, norm, text,
+                 string_split(norm, ' ') AS toks
+          FROM t),
+    f AS (SELECT doc_id, lang, source, norm, toks FROM (
+             SELECT s.*, {_QUALITY_SQL} AS quality FROM s
+          ) WHERE quality >= 0.5),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+           FROM f),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.6),
+    e AS (SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+             FROM reach GROUP BY u),
+    kept AS (SELECT f.* FROM f LEFT JOIN comp c USING (doc_id)
+             WHERE COALESCE(c.cluster_id, f.doc_id) = f.doc_id),
+    n AS (SELECT doc_id, lang, source, toks,
+                 GREATEST(1, CAST(CEIL((len(toks) - {CHUNK_TOKENS})
+                                       / {CHUNK_STRIDE}.0) AS BIGINT) + 1)
+                   AS n_chunks
+          FROM kept),
+    ch AS (SELECT source, lang, doc_id, CAST(cid AS INT) AS chunk_id,
+                  CAST(len(toks[cid * {CHUNK_STRIDE} + 1 :
+                             cid * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+                    AS n_tokens
+           FROM n, UNNEST(range(0, n_chunks)) AS u(cid)),
+    pk AS (SELECT source, lang, doc_id, chunk_id, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY doc_id, chunk_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM ch)
+    SELECT source, lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT CAST(FLOOR((cum - n_tokens) / {SEQ_BUDGET}.0)
+                                    AS BIGINT)) AS BIGINT) AS n_seqs
+    FROM pk GROUP BY source, lang
+    """
+
+
+@query("pipeline_training_prep", oracle=_training_prep_oracle())
+def pipeline_training_prep(spark, sf_dir):
+    """The round's flagship composition: the §2.14 training-data layer
+    run END TO END — quality filter -> MinHash near-dup pairs ->
+    connected-component clustering (keep the min-id doc per cluster,
+    which survives chains a-b-c that pairwise keep-first policies
+    over-delete) -> context-window chunking -> per-source sequence
+    packing -> per-(source, lang) corpus summary with doc/chunk/token/
+    sequence counts. Proves the new stages COMPOSE the way a real
+    100 TB prep job runs them, exactly as pipeline_llm_prep does for
+    the §2.11 layer.
+
+    Scale notes: the quality-filtered frame is localCheckpoint'd once
+    and feeds three consumers (pair generation, keep-join, chunking);
+    every candidate stage is an equi-join (LSH bands, cluster ids,
+    hour buckets of the packing cumsum are per-source windows). The
+    oracle replays everything — including the recursive component
+    closure — in one DuckDB statement."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        normalize(F.col("text")).alias("norm"),
+        toks.alias("toks"),
+        F.round(quality_score(F.col("text"), toks), 4).alias("quality"),
+    )
+    filt = scored.filter(F.col("quality") >= 0.5).localCheckpoint(eager=False)
+    pairs = minhash_dedup_pairs(
+        filt.select("doc_id", "norm"), "doc_id", "norm", n=3, threshold=0.6
+    )
+    comp = min_label_components(pairs)
+    kept = filt.join(comp, "doc_id", "left").filter(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("toks") - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))) + 1,
+    )
+    rows = kept.select(
+        "source",
+        "lang",
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    ch = rows.select(
+        "source", "lang", "doc_id", "chunk_id", F.size(chunk).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = ch.withColumn("cum", F.sum("n_tokens").over(w))
+    seq_id = F.floor((F.col("cum") - F.col("n_tokens")) / float(SEQ_BUDGET)).cast("long")
+    return pk.groupBy("source", "lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct(seq_id).cast("long").alias("n_seqs"),
     )
