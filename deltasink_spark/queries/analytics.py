@@ -474,8 +474,10 @@ def join_bloom_prefilter(spark, sf_dir):
         dim.select(bloom_bit(F.col("s_suppkey")).alias("bit"))
         .groupBy((F.col("bit") / 64).cast("long").alias("word_idx"))
         .agg(
+            # shiftleft() the *function* needs a literal shift count;
+            # the SQL form takes a column expression.
             F.bit_or(
-                F.shiftleft(F.lit(1).cast("long"), (F.col("bit") % 64).cast("int"))
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))")
             ).alias("word")
         )
     )
@@ -483,9 +485,7 @@ def join_bloom_prefilter(spark, sf_dir):
     cand = fact.join(
         F.broadcast(words),
         (F.col("bit") / 64).cast("long") == F.col("word_idx"),
-    ).filter(
-        F.shiftright(F.col("word"), (F.col("bit") % 64).cast("int")).bitwiseAND(1) == 1
-    )
+    ).filter(F.expr("(shiftright(word, CAST(bit % 64 AS INT)) & 1) = 1"))
     exact = cand.join(F.broadcast(dim), cand.l_suppkey == dim.s_suppkey, "left_semi")
     n_fact = fact.groupBy().agg(F.count(F.lit(1)).alias("n_fact"))
     n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -507,7 +507,7 @@ _PR_EDGES_SQL = """
     deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u)
 """
 
-_PR_ITER_SQL = """
+_PR_ITER_SQL = """,
     r{next} AS (
         SELECT e.v AS node,
                150000 + (85 * SUM(r.rank // d.d)) // 100 AS rank
