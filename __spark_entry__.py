@@ -88,14 +88,23 @@ _R3_NEW = [
     "fn_posexplode", "agg_bool_family", "dedup_blocked_levenshtein",
 ]
 
+# TPC-H-adapted composite suite (SURVEY §2.15), added late in r3 —
+# exact-oracle end-to-end plans; queue behind the single-op backlog.
+_TPCH = [
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22",
+]
+
 
 def _ordered_ids() -> list[str]:
     head = [op for op in _PRIORITY if op in registry.QUERIES]
     tail = [op for op in _STREAMING_TAIL if op in registry.QUERIES]
     new = [op for op in _R3_NEW if op in registry.QUERIES]
-    placed = set(head) | set(tail) | set(new)
+    tpch = [op for op in _TPCH if op in registry.QUERIES]
+    placed = set(head) | set(tail) | set(new) | set(tpch)
     mid = [op for op in registry.QUERIES if op not in placed]
-    return head + tail + new + mid
+    return head + tail + new + tpch + mid
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,12 +45,21 @@ HEADLINE = [
     "pipeline_llm_prep",   # end-to-end LLM data-prep composite
 ]
 
+# TPC-H-adapted composite suite (SURVEY §2.15) — reported as its own
+# group so the original 18-query subtotal stays comparable across
+# rounds (BASELINE.md r3 note).
+TPCH = [
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark(app_name="deltasink_bench")
-    ops = [op for op in HEADLINE if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -84,6 +93,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # r1-comparable subtotal: the original 18-query headline
+                # (the TPC-H group was added to the bench in r3).
+                "headline18": round(
+                    sum(t for op, t in timings.items() if op in HEADLINE), 4
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

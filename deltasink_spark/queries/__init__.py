@@ -20,6 +20,7 @@ from deltasink_spark.queries import (  # noqa: F401
     streaming_ops,
     streamwin,
     text,
+    tpch,
     udfs,
     windows,
 )

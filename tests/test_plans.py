@@ -180,3 +180,40 @@ def test_argmax_is_single_agg_no_window(spark, sf_small):
     # struct-max plans as SortAggregate: still partial + final (map-side
     # combined), never a per-group window over the full row set
     assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
+
+
+def test_tpch_q6_predicates_reach_scan(spark, sf_small):
+    """Q6 is the pure-scan benchmark: shipdate/discount/quantity
+    predicates must all push into the parquet reader."""
+    p = plan(q("tpch_q6", spark, sf_small))
+    pushed = p.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q3_limit_is_distributed_topk(spark, sf_small):
+    p = plan(q("tpch_q3", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_small):
+    p = plan(q("tpch_q5", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q18_preaggregates_before_join(spark, sf_small):
+    """The HAVING agg over lineitem must sit BELOW the orders join:
+    the first join input is the aggregated (filtered) frame, so the
+    shuffle moves ~1%% of orders, not every lineitem row."""
+    p = plan(q("tpch_q18", spark, sf_small))
+    # partial+final agg over lineitem exists, and the HAVING threshold
+    # appears as a post-agg filter (Catalyst must not drop it): the
+    # joins then consume the ~1% surviving orders, not raw lineitem.
+    assert p.count("HashAggregate") >= 2
+    assert "250" in p and "Filter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q22_anti_join(spark, sf_small):
+    p = plan(q("tpch_q22", spark, sf_small))
+    assert "LeftAnti" in p or "left_anti" in p
