@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.vectors import (
+    QSCALE,
     bucket,
     hyperplanes,
     qdot,
@@ -440,4 +441,161 @@ def ann_ivf(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "cos", "rk")
+    )
+
+
+# --- dedup_semantic: SemDeDup-style centroid-blocked embedding dedup ----
+
+_SEM_THRESH = 0.30  # ~p98 of the fixtures' within-cluster cosine
+
+
+def _sem_oracle() -> str:
+    score_vc = f"ROUND({sql_qdot('v.iv', 'c.civ')} / (v.nrm * c.cnrm), 6)"
+    return f"""
+    WITH {_QN_CTE},
+    cent AS (SELECT vec_id AS cid, iv AS civ, nrm AS cnrm FROM qn
+             WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_vc} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN cent c
+        ) WHERE rk = 1),
+    pairs AS (
+        SELECT x.cid, y.vec_id AS dup_id, {_QCOS_AB} AS cos
+        FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN qn a ON a.vec_id = x.vec_id
+        JOIN qn b ON b.vec_id = y.vec_id
+        WHERE {_QCOS_AB} >= {_SEM_THRESH})
+    SELECT dup_id, cid, MAX(cos) AS best_cos
+    FROM pairs GROUP BY dup_id, cid ORDER BY dup_id
+    """
+
+
+@query("dedup_semantic", oracle=_sem_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    embeddings are bucketed by nearest centroid, and a vector is a
+    removable duplicate iff some LOWER-id vector in the SAME cluster
+    has cosine >= threshold — the pair search never leaves a cluster.
+    Returns each removed vec with its cluster and best duplicate score.
+
+    This is the missing middle of the dedup ladder: cheaper than
+    dedup_embedding_cosine's all-pairs scan (pairs only form inside
+    clusters — with K balanced clusters that is ~1/K of all pairs) and
+    semantically stronger than MinHash (catches paraphrases with zero
+    n-gram overlap). The deterministic low-id codebook stands in for
+    k-means exactly as in ann_ivf, keeping the op bit-replayable; the
+    per-cluster pair join is an equi-join on cid, so 100 TB scaling is
+    the familiar blocked-join shape (skewed clusters are AQE's
+    problem, and ivf_train_step shows how the codebook would be
+    refined in place)."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    cent = qn.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ"), F.col("nrm").alias("cnrm")
+    )
+    cscore = F.round(
+        qdot(F.col("iv"), F.col("civ")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        fanout(qn)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "iv", "nrm")
+    )
+    lo = assign.select(
+        "cid", F.col("vec_id").alias("keep_id"),
+        F.col("iv").alias("ia"), F.col("nrm").alias("na"),
+    )
+    hi = assign.select(
+        "cid", F.col("vec_id").alias("dup_id"),
+        F.col("iv").alias("ib"), F.col("nrm").alias("nb"),
+    )
+    cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        lo.join(hi, "cid")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_THRESH)
+        .groupBy("dup_id", "cid")
+        .agg(F.max("cos").alias("best_cos"))
+        .orderBy("dup_id")
+    )
+
+
+# --- ivf_train_step: one Lloyd iteration over the IVF codebook ----------
+
+
+def _lloyd_oracle() -> str:
+    score_vc = f"ROUND({sql_qdot('v.iv', 'c.civ')} / (v.nrm * c.cnrm), 6)"
+    return f"""
+    WITH {_QN_CTE},
+    cent AS (SELECT vec_id AS cid, iv AS civ, nrm AS cnrm FROM qn
+             WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_vc} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN cent c
+        ) WHERE rk = 1),
+    flat AS (
+        SELECT a.cid, u.pos - 1 AS pos, u.val
+        FROM assign a JOIN qn v ON v.vec_id = a.vec_id,
+        UNNEST(v.iv) WITH ORDINALITY AS u(val, pos))
+    SELECT cid, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS member_dims,
+           ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*) / {QSCALE}, 6) AS new_val
+    FROM flat GROUP BY cid, pos ORDER BY cid, pos
+    """
+
+
+@query("ivf_train_step", oracle=_lloyd_oracle())
+def ivf_train_step(spark, sf_dir):
+    """One Lloyd (k-means) iteration over the IVF codebook: broadcast-
+    assign every vector to its nearest centroid, then re-center each
+    centroid as the elementwise mean of its members. This is the
+    training loop ann_ivf's docstring promises, materialized as a
+    DataFrame op: posexplode flattens (vector, dim) pairs, one hash
+    agg per (cluster, dim) computes the mean — exact BIGINT sums over
+    quantized components, one double division, so the refined codebook
+    is bit-identical at any parallelism (builtin fp means are not).
+
+    Per-iteration cost at 100 TB: one broadcast join (K rows) + one
+    map-side-combined agg whose shuffle carries K x dim rows total —
+    independent of corpus size. Iterating is a driver-side loop of
+    this op with localCheckpoint, exactly like graph_pagerank's."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    cent = qn.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ"), F.col("nrm").alias("cnrm")
+    )
+    cscore = F.round(
+        qdot(F.col("iv"), F.col("civ")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        fanout(qn)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("cid", "iv")
+    )
+    flat = assign.select("cid", F.posexplode("iv").alias("pos", "val"))
+    return (
+        flat.groupBy("cid", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("member_dims"),
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)) / F.lit(QSCALE), 6
+            ).alias("new_val"),
+        )
+        .select(
+            "cid", F.col("pos").cast("int").alias("pos"), "member_dims", "new_val"
+        )
+        .orderBy("cid", "pos")
     )
