@@ -544,9 +544,12 @@ def _lloyd_oracle() -> str:
             FROM qn v CROSS JOIN cent c
         ) WHERE rk = 1),
     flat AS (
-        SELECT a.cid, u.pos - 1 AS pos, u.val
+        -- WITH ORDINALITY is unimplemented in DuckDB 1.0; a lateral
+        -- generate_series over the array length + 1-based indexing is
+        -- the portable equivalent.
+        SELECT a.cid, u.pos - 1 AS pos, v.iv[u.pos] AS val
         FROM assign a JOIN qn v ON v.vec_id = a.vec_id,
-        UNNEST(v.iv) WITH ORDINALITY AS u(val, pos))
+        UNNEST(generate_series(1, len(v.iv))) AS u(pos))
     SELECT cid, CAST(pos AS INT) AS pos,
            CAST(COUNT(*) AS BIGINT) AS member_dims,
            ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*) / {QSCALE}, 6) AS new_val

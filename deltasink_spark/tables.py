@@ -47,15 +47,44 @@ def fanout(df: DataFrame, *by: str) -> DataFrame:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long (runtime-settable legacy
-        # conf) and rebuild a microsecond timestamp; the fixture has no
-        # sub-microsecond precision, so the integer div is lossless and
-        # matches DuckDB's ns->datetime truncation exactly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with a ``ts`` column that is always a (UTC-naive)
+    timestamp, whatever physical type the fixture was written with.
+
+    The fixture generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects unless
+    read as a raw long) and as plain TIMESTAMP(MICROS) (which reads
+    natively as TIMESTAMP_NTZ). Branch on the *loaded* dtype instead of
+    assuming either: schema inspection only, no per-row cost, and the
+    resulting values match DuckDB's ns->datetime truncation exactly in
+    both cases.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer with nanosAsLong unset: schema
+        # conversion fails at read time. Retry reading nanos as long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # nanos-as-long: rebuild a microsecond timestamp. The fixture
+        # has no sub-microsecond precision, so the integer div is
+        # lossless.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # Downstream ops (unix_micros, window RANGE frames, watermark
+        # emulation) expect the instant type; under the UTC session
+        # timezone this cast is value-identical to the NTZ reading and
+        # to DuckDB's naive-timestamp view of the same file.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
