@@ -28,83 +28,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops in
-# registration order per round; r1+r2 together hash-verified 82 ops.
-# r3's first 50 are the ops still missing a green driver row, ranked by
-# the r2 verdict's priorities:
-#   1. the six r2 FAILs, fixed this round (array stringify / BIGINT
-#      casts);
-#   2. ten ops promoted from rows-only to exact oracles this round
-#      (portable-hash simhash, deterministic hash-sampling, canonical
-#      inferred schema, tolerance-band sketches, mirrored stub codecs);
-#   3. the two cheap batch ops never reached by a driver budget;
-#   4. the 15 real-StreamingQuery ops, never driver-checked (the r2
-#      verdict's #1 missing item) — wall time cut this round
-#      (availableNow drains instead of trigger timeouts; ~1-3 s each
-#      warm, plus one-time streaming init on the first and ~2 s per
-#      Python DataSource batch in source_memory) precisely so a
-#      time-budgeted driver gets through them;
-#   5. the 28 ops ADDED in r3 (training-pipeline layer + flagship
-#      composition, IVF ANN,
-#      layout ops, relational/agg depth) — all exact-oracle; the first
-#      ~17 fit this round's budget, the rest lead r4's.
-# Already-green ops fill the remaining slots in registration order.
+# registration order per round; r1-r3 together hash-verified 114 ops.
+# r4's first ~51 are the ops whose driver rows are red, stale, or
+# absent, per the r3 verdict's priorities:
+#   1. the five r3 FAILs (all the same events-loader bug, fixed this
+#      round by branching on the fixture's actual ts dtype);
+#   2. the 23 formerly-green events-reading ops the same bug broke
+#      after their last green row — re-verify post-fix;
+#   3. the 13-query TPC-H composite suite (exact oracles, plan-tested,
+#      never driver-checked — the warehouse queries a user runs first);
+#   4. the analytics/vector depth ops never driver-checked
+#      (queries/analytics.py + dedup_semantic / ivf_train_step).
+# Then the remaining never-checked relational/agg ops, then everything
+# already green in registration order.
 _PRIORITY = [
-    # r2 driver FAILs, fixed (6)
-    "fn_array", "fn_map", "text_tokenize", "text_ngrams",
-    "text_stats", "pipeline_llm_prep",
-    # rows-only -> exact oracle promotions (10)
-    "dedup_simhash", "sample_frac", "json_infer_schema",
-    "agg_approx_distinct", "agg_hll_sketch", "agg_hll_union",
-    "multimodal_decode", "multimodal_resize", "multimodal_features",
-    "multimodal_frame_sample",
-    # cheap batch ops never driver-checked (2)
-    "scan_csv", "sink_parquet_batch",
+    # r3 driver FAILs, fixed (5)
+    "fn_map", "json_infer_schema", "scan_delta", "sink_delta_upsert",
+    "sample_stratified",
+    # formerly-green events ops broken by the r3 loader bug (23)
+    "json_parse", "json_extract_path", "flatten_struct", "meta_columns",
+    "ts_derive_partition", "cast_coerce", "join_asof", "agg_pivot",
+    "agg_histogram", "win_lag_lead", "win_frame_rows", "win_frame_range",
+    "win_first_last", "fn_json", "win_tumbling", "win_sliding",
+    "win_session", "stream_dedup", "sink_deadletter", "ts_similarity",
+    "udf_pandas", "udaf_pandas", "join_skew_salted",
 ]
 
-# Real-StreamingQuery ops (never driver-checked) — right after the 18
-# must-recheck ops so they finally get driver rows.
-_STREAMING_TAIL = [
-    "stream_trigger", "stream_backpressure", "sink_delta_append",
-    "scan_delta", "stream_exactly_once", "join_stream_static",
-    "stream_late_policy", "stream_session", "sink_delta_upsert",
-    "stream_watermark", "source_kafka", "stream_stateful",
-    "join_stream_stream", "source_rate", "source_memory",
-]
-
-# Ops added in r3 (SURVEY §2.14), all exact-oracle, pytest-verified at
-# sf0.01 and sf0.1; ordered roughly by user impact.
-_R3_NEW = [
-    # training-pipeline layer (flagship composition first)
-    "pipeline_training_prep",
-    "doc_chunking", "tokenizer_vocab", "text_pii_scrub",
-    "sample_stratified", "dedup_cluster", "seq_pack",
-    "contamination_check", "data_mixture", "repetition_filter",
-    # similarity / layout
-    "ann_ivf", "scan_orc", "write_partitioned", "zorder_cluster",
-    # relational / aggregate depth
-    "agg_quantile", "agg_approx_quantile", "win_ntile", "unpivot_melt",
-    "join_range_bucketed", "agg_argmax", "agg_corr", "fn_bitwise",
-    "scd2_intervals", "event_sessionize", "join_null_safe",
-    "fn_posexplode", "agg_bool_family", "dedup_blocked_levenshtein",
-]
-
-# TPC-H-adapted composite suite (SURVEY §2.15), added late in r3 —
-# exact-oracle end-to-end plans; queue behind the single-op backlog.
+# TPC-H-adapted composite suite (SURVEY §2.15) — exact-oracle
+# end-to-end plans, never driver-checked before r4.
 _TPCH = [
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",
 ]
 
+# Analytics + vector depth ops never driver-checked (10).
+_ANALYTICS = [
+    "ts_resample_interp", "anomaly_zscore", "agg_mode",
+    "funnel_analysis", "retention_cohort", "cdc_apply_changelog",
+    "join_bloom_prefilter", "graph_pagerank", "dedup_semantic",
+    "ivf_train_step",
+]
+
+# Remaining never-driver-checked relational/agg depth ops (11) — lead
+# the r5 budget if r4's 50 slots run out first.
+_NEVER_CHECKED_TAIL = [
+    "unpivot_melt", "join_range_bucketed", "event_sessionize",
+    "agg_argmax", "agg_corr", "fn_bitwise", "scd2_intervals",
+    "join_null_safe", "fn_posexplode", "agg_bool_family",
+    "dedup_blocked_levenshtein",
+]
+
 
 def _ordered_ids() -> list[str]:
-    head = [op for op in _PRIORITY if op in registry.QUERIES]
-    tail = [op for op in _STREAMING_TAIL if op in registry.QUERIES]
-    new = [op for op in _R3_NEW if op in registry.QUERIES]
-    tpch = [op for op in _TPCH if op in registry.QUERIES]
-    placed = set(head) | set(tail) | set(new) | set(tpch)
+    groups = (_PRIORITY, _TPCH, _ANALYTICS, _NEVER_CHECKED_TAIL)
+    head = [op for g in groups for op in g if op in registry.QUERIES]
+    placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]
-    return head + tail + new + tpch + mid
+    return head + mid
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

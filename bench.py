@@ -67,41 +67,51 @@ def main() -> None:
     # whole-stage-codegen classes and tier up the JIT (first execution
     # of a heavy lambda pipeline otherwise pays 10-50s of interpreted/
     # C1 running), so the timed pass below measures steady-state.
+    # A single broken op must never void the whole bench (the r3
+    # lesson: one AnalysisException -> rc 1 -> no perf signal at all).
+    # Broken ops are reported in "errors" and excluded from totals.
+    errors: dict[str, str] = {}
     for warm_sf in ("sf0.001", "sf0.01"):
         warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), warm_sf)
         if not os.path.isdir(warm_dir):
             warm_dir = sf_dir
         for op in ops:
-            registry.QUERIES[op](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            try:
+                registry.QUERIES[op](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                errors.setdefault(op, f"warmup: {type(exc).__name__}: {exc}"[:300])
 
     n_runs = int(os.environ.get("DS_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for op in ops:
         runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            df = registry.QUERIES[op](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = registry.QUERIES[op](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:
+            errors[op] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[op] = round(statistics.median(runs), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_headline_queries",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                # r1-comparable subtotal: the original 18-query headline
-                # (the TPC-H group was added to the bench in r3).
-                "headline18": round(
-                    sum(t for op, t in timings.items() if op in HEADLINE), 4
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        # r1-comparable subtotal: the original 18-query headline
+        # (the TPC-H group was added to the bench in r3).
+        "headline18": round(
+            sum(t for op, t in timings.items() if op in HEADLINE), 4
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

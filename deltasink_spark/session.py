@@ -20,6 +20,15 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def local_profile() -> bool:
+    """True when local-test-scale tunings should apply (small split
+    sizes, fanout repartitions of single-row-group fixture reads).
+    Default on — ``get_spark`` always builds a ``local[N]`` master.
+    Cluster deployments reusing this module set ``DS_LOCAL_PROFILE=0``
+    and get stock Spark behavior with no code change."""
+    return os.environ.get("DS_LOCAL_PROFILE", "1") != "0"
+
+
 def get_spark(
     app_name: str = "deltasink_spark",
     cores: int | None = None,
@@ -45,14 +54,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Fixture tables are single smallish parquet files; the default
-        # 128m split size would scan each on ONE task. 4m keeps every
-        # core busy at test scale; a real cluster reading TB-scale
-        # tables leaves this at default (files >> split size already).
-        .config("spark.sql.files.maxPartitionBytes", "4m")
         # keep catalog artifacts (bucketed-table metadata) out of CWD
         .config("spark.sql.warehouse.dir", os.path.join(tempfile.gettempdir(), "ds_warehouse"))
     )
+    if local_profile():
+        # Fixture tables are single smallish parquet files; the default
+        # 128m split size would scan each on ONE task. 4m keeps every
+        # core busy at test scale. On a cluster reading TB-scale tables
+        # this would explode task counts, so it only applies under the
+        # local profile (DS_LOCAL_PROFILE, default on — this factory
+        # always builds a local[N] master; set 0 when borrowing the
+        # module for a cluster deployment).
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

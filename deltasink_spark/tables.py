@@ -40,7 +40,16 @@ def fanout(df: DataFrame, *by: str) -> DataFrame:
     Pass a key column when one exists: hash repartition streams rows
     straight to the shuffle writer, while round-robin (no key) first
     LOCALLY SORTS every partition for retry-determinism — measurably
-    slower on wide text rows."""
+    slower on wide text rows.
+
+    This is a LOCAL-PROFILE tuning (single-row-group fixture files scan
+    as one task). On a cluster (``DS_LOCAL_PROFILE=0``) the scan is
+    already split across executors and AQE balances downstream stages,
+    so fanout becomes a no-op rather than an extra shuffle."""
+    from deltasink_spark.session import local_profile
+
+    if not local_profile():
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *by) if by else df.repartition(n)
 

@@ -268,3 +268,46 @@ def test_contamination_eval_docs_fully_contaminated(spark, sf_small):
     for r in rows:
         assert r["doc_id"] % 37 != 0
         assert r["contaminated"] == (r["n_hits"] * 20 >= r["n_grams"])
+
+
+def test_events_loader_handles_any_fixture_ts_encoding(spark, tmp_path):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    and as TIMESTAMP(MICROS) across rounds; the r3 bench crash was the
+    loader assuming one of them. load() must branch on the actual
+    footer and always yield an instant TimestampType with identical
+    values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from deltasink_spark.tables import load
+
+    rows = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        datetime.datetime(2024, 6, 15, 12, 30, 45, 654321),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+    }
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table({**base, "ts": pa.array(rows, pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), unit
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert got == rows, unit
+
+
+def test_fanout_is_identity_off_local_profile(spark, sf_small, monkeypatch):
+    from deltasink_spark.tables import fanout, load
+
+    monkeypatch.setenv("DS_LOCAL_PROFILE", "0")
+    df = load(spark, sf_small, "region")
+    assert fanout(df) is df
+    monkeypatch.delenv("DS_LOCAL_PROFILE")
+    assert fanout(df) is not df
