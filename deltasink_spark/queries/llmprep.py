@@ -230,13 +230,13 @@ def dedup_cluster(spark, sf_dir):
     decisions (pair-based keep-first can drop extra docs on chains
     a-b, b-c).
 
-    Spark side: iterative min-label propagation — per round each node
-    takes min(own, neighbors') label; converges in graph-diameter
-    rounds (near-dup components are tiny, so 2-3 here). Rounds are
-    localCheckpoint'd to keep lineage flat; the per-round driver-side
-    convergence count is a scalar, not a collect of data. At 100 TB
-    swap the loop body for the large-star/small-star variant (same
-    join shape, provably O(log n) rounds on pathological chains).
+    Spark side: alternating large-star/small-star rounds (Kiveris et
+    al. 2014) — each round is two self-equi-join + hash-agg passes
+    over the edge list, and the edge set contracts to component stars
+    in O(log n) rounds even on pathological chains (near-dup
+    components are tiny, so 2-3 here). Rounds are localCheckpoint'd to
+    keep lineage flat; the per-round driver-side convergence count is
+    a scalar, not a collect of data.
     Oracle: DuckDB recursive reachability closure + min per node."""
     d = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
@@ -251,47 +251,71 @@ def dedup_cluster(spark, sf_dir):
 
 
 def min_label_components(pairs):
-    """Connected components of an undirected pair graph by iterative
-    min-label propagation: per round each node takes min(own,
-    neighbors') label; converges in graph-diameter rounds. Returns
-    (doc_id, cluster_id) for nodes that HAVE edges — callers treat
-    absent nodes as singletons. Rounds are localCheckpoint'd to keep
-    lineage flat; the per-round convergence check is a scalar count.
-    At 100 TB swap the loop body for large-star/small-star (same join
-    shape, O(log n) rounds on pathological chains)."""
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    und = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    labels = und.select(F.col("u").alias("id")).distinct().withColumn(
-        "lbl", F.col("id")
+    """Connected components of an undirected pair graph via alternating
+    large-star / small-star rounds (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"). Returns (doc_id, cluster_id)
+    for nodes that HAVE edges — callers treat absent nodes as
+    singletons.
+
+    Each round is two self-equi-join + hash-agg passes over the edge
+    list — the same shuffle shape as plain min-label propagation, but
+    the edge set contracts toward stars in O(log n) rounds even on
+    pathological chains, instead of O(diameter). Rounds are
+    localCheckpoint'd to keep lineage flat; the per-round convergence
+    check is a scalar count, never a collect of data."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(16):  # diameter bound; fixture components converge in 2-3
-        nbr_min = (
-            und.join(
-                labels.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
-            )
-            .groupBy("u")
-            .agg(F.min("vlbl").alias("nmin"))
-            .select(F.col("u").alias("id"), "nmin")
+
+    def large_star(e):
+        # Symmetric adjacency; every node links its LARGER neighbors to
+        # the min of its closed neighborhood.
+        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl")
-            )
-            .localCheckpoint(eager=False)
+        return (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+
+    def small_star(e):
+        # Orient each edge larger->smaller; every node links its
+        # SMALLER neighbors (and itself) to the neighborhood min.
+        ori = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        relink = ori.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        selfl = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.unionByName(selfl)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        labels = new_labels
+
+    for _ in range(24):  # O(log n) bound; fixture graphs converge in 2-3
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # Converged when the edge set is a fixed point (a forest of
+        # stars centered on component minima).
+        changed = nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
+        edges = nxt
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    # In the star fixed point every non-center node has an edge to its
+    # component min; centers label themselves.
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return adj.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    ).select(F.col("u").alias("doc_id"), "cluster_id")
 
 
 SEQ_BUDGET = 256  # training-sequence token budget

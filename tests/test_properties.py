@@ -311,3 +311,40 @@ def test_fanout_is_identity_off_local_profile(spark, sf_small, monkeypatch):
     assert fanout(df) is df
     monkeypatch.delenv("DS_LOCAL_PROFILE")
     assert fanout(df) is not df
+
+
+def test_large_small_star_components_match_union_find(spark):
+    """large-star/small-star must agree with a driver-side union-find
+    on an adversarial mix: a long chain (worst case for plain label
+    propagation), a star, a cycle, and random edges."""
+    import random
+
+    from deltasink_spark.queries.llmprep import min_label_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    edges += [(500, x) for x in range(501, 511)]           # star
+    edges += [(200, 201), (201, 202), (202, 200)]          # cycle
+    nodes = list(range(1000, 1060))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(80)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.cluster_id for r in min_label_components(df).collect()
+    }
+    assert got == expect
