@@ -79,9 +79,16 @@ _NEVER_CHECKED_TAIL = [
     "dedup_blocked_levenshtein",
 ]
 
+# Ops ADDED in r4 (TPC-H suite completion to all 22 queries), queued
+# behind the existing never-checked backlog.
+_R4_NEW = [
+    "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
+]
+
 
 def _ordered_ids() -> list[str]:
-    groups = (_PRIORITY, _TPCH, _ANALYTICS, _NEVER_CHECKED_TAIL)
+    groups = (_PRIORITY, _TPCH, _ANALYTICS, _NEVER_CHECKED_TAIL, _R4_NEW)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]

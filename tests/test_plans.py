@@ -217,3 +217,42 @@ def test_tpch_q18_preaggregates_before_join(spark, sf_small):
 def test_tpch_q22_anti_join(spark, sf_small):
     p = plan(q("tpch_q22", spark, sf_small))
     assert "LeftAnti" in p or "left_anti" in p
+
+
+def test_tpch_q1_is_one_scan_one_agg(spark, sf_small):
+    """Q1 must be scan -> partial agg -> final agg: the shipdate filter
+    reaches the reader and no join/exchange beyond the 6-group agg."""
+    p = plan(q("tpch_q1", spark, sf_small))
+    assert "l_shipdate" in p.split("PushedFilters")[1][:300]
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_tpch_q9_broadcasts_dims_no_cartesian(spark, sf_small):
+    p = plan(q("tpch_q9", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark, sf_small):
+    """The global-total threshold must arrive as a broadcast 1-row
+    frame, never a CartesianProduct of two big sides."""
+    p = plan(q("tpch_q11", spark, sf_small))
+    assert "Broadcast" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # per-part + total, partial+final
+
+
+def test_tpch_q16_anti_join_and_distinct_agg(spark, sf_small):
+    p = plan(q("tpch_q16", spark, sf_small))
+    assert "LeftAnti" in p or "left_anti" in p
+    assert p.count("HashAggregate") >= 2  # COUNT(DISTINCT) two-level expansion
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q21_decorrelates_to_equi_joins(spark, sf_small):
+    """Canon Q21 is a triple theta self-join of lineitem; this variant
+    must compile to per-order hash aggs + equi-joins only."""
+    p = plan(q("tpch_q21", spark, sf_small))
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 4
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
