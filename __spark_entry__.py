@@ -79,11 +79,14 @@ _NEVER_CHECKED_TAIL = [
     "dedup_blocked_levenshtein",
 ]
 
-# Ops ADDED in r4 (TPC-H suite completion to all 22 queries), queued
-# behind the existing never-checked backlog.
+# Ops ADDED in r4 (TPC-H suite completion to all 22 queries + the
+# training-prep depth batch), queued behind the existing never-checked
+# backlog.
 _R4_NEW = [
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
+    "text_bm25", "text_unigram_logprob", "text_boilerplate_ngrams",
+    "dedup_containment", "embedding_quantize", "sample_temperature",
 ]
 
 

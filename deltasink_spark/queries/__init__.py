@@ -21,6 +21,7 @@ from deltasink_spark.queries import (  # noqa: F401
     streamwin,
     text,
     tpch,
+    trainprep,
     udfs,
     windows,
 )

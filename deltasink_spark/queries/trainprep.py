@@ -1,0 +1,445 @@
+"""Training-data preparation depth ops (r4 batch, beyond-survey).
+
+Six operators a 100 TB pretraining pipeline runs between raw corpus
+and tokenizer that the existing §2.11/§2.13/§2.14 inventory did not
+yet cover:
+
+- ``text_bm25``           — sparse retrieval scoring (quality probes,
+                            decontamination lookups)
+- ``text_unigram_logprob``— perplexity-proxy quality score from a
+                            corpus unigram LM (the public CCNet recipe
+                            uses a KenLM 5-gram; the unigram variant is
+                            the same shape with an exactly-SQL oracle)
+- ``text_boilerplate_ngrams`` — per-doc fraction of shingles shared
+                            with many other docs (header/footer and
+                            template detection)
+- ``dedup_containment``   — asymmetric near-dup: one doc (nearly)
+                            contained in another, which symmetric
+                            Jaccard under-scores for length-skewed
+                            pairs
+- ``embedding_quantize``  — per-vector int8 scalar quantization with
+                            reconstruction-error audit (the storage
+                            path for ANN at scale)
+- ``sample_temperature``  — temperature-based source re-weighting
+                            (multilingual-sampling alpha, as in public
+                            mBERT/XLM-R recipes) as a deterministic
+                            hash filter
+
+Every op is pure DataFrame algebra (no Python UDFs); global scalars
+(corpus size, average doc length, source minima) broadcast as 1-row
+frames, never driver collects; candidate generation is always an
+equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import fanout, load
+
+# --- text_bm25 ---------------------------------------------------------
+
+BM25_TERMS = ("spark", "query", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(30,2))) AS DOUBLE)
+                       / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs
+              FROM dl),
+    tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+           FROM tok WHERE tok IN ({_TERMS_SQL}) GROUP BY doc_id, tok),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1}
+                        * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)),
+                     6) AS term_score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats)
+    SELECT doc_id,
+           CAST(SUM(CAST(term_score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) of every document against a fixed query
+    term set, top-50. The pipeline is the production retrieval-scoring
+    shape: one tokenize pass feeds doc lengths and term frequencies,
+    the df/idf table is vocabulary-sized and broadcasts, the (avgdl,
+    N) scalars broadcast as a 1-row frame, and per-term scores sum in
+    exact decimal so partial-agg order can't flip a ulp. At 100 TB the
+    only corpus-sized shuffles are the two token hash-aggs."""
+    d = load(spark, sf_dir, "documents")
+    tok = fanout(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.groupBy().agg(
+        (
+            F.sum(F.col("dl").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    )
+    term_score = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+    )
+
+
+# --- text_unigram_logprob ---------------------------------------------
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    lm AS (SELECT tok, ROUND(-LOG2(COUNT(*) * 1.0 / ANY_VALUE(n_total)), 6)
+                         AS bits
+           FROM tok CROSS JOIN tot GROUP BY tok)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS bits_per_token
+    FROM tok JOIN lm USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: average -log2 p(token) under
+    the corpus's own unigram LM. The public CCNet recipe scores docs
+    with a KenLM 5-gram; the unigram variant keeps the identical
+    pipeline shape — train (one token hash-agg -> vocab-sized model,
+    broadcast), score (join model onto doc tokens, per-doc mean) —
+    with an exactly-SQL-checkable result. High bits_per_token = rare-
+    token soup (drop candidates); low = repetitive boilerplate.
+
+    100 TB: the LM table is |vocab| rows (tiny, broadcast); the corpus
+    is touched by exactly two token-level hash aggs; the per-token
+    cost rounds before the exact-decimal mean so the score is
+    engine-independent."""
+    d = load(spark, sf_dir, "documents")
+    tok = fanout(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).localCheckpoint(eager=False)
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        tok.join(F.broadcast(tot))
+        .groupBy("tok")
+        .agg(
+            F.round(
+                -F.log2(F.count(F.lit(1)) / F.first("n_total")), 6
+            ).alias("bits")
+        )
+    )
+    return (
+        tok.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- text_boilerplate_ngrams ------------------------------------------
+
+BOILER_DF = 5  # a shingle in >= this many docs is "boilerplate"
+
+_SHINGLE_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+           FROM t)
+"""
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    gdf AS (SELECT shingle, COUNT(*) AS gdf FROM sh GROUP BY shingle)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(CASE WHEN gdf >= {BOILER_DF} THEN 1 END) AS n_boiler,
+           ROUND(COUNT(CASE WHEN gdf >= {BOILER_DF} THEN 1 END) * 1.0
+                   / COUNT(*), 6) AS boiler_frac
+    FROM sh JOIN gdf USING (shingle)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Template/boilerplate detection: per doc, the fraction of its
+    distinct trigram shingles that appear in >= BOILER_DF documents
+    (headers, footers, nav chrome repeat across a crawl; prose does
+    not). The shingle document-frequency table plays the role the line
+    -frequency table plays in the public CCNet/Gopher recipes — the
+    fixtures' docs are single-line, so the shingle is the dedup unit.
+
+    Shape: one explode -> distinct, one shingle-level hash agg
+    (vocabulary-sized result, broadcast back), one per-doc agg — no
+    self-join, so unlike pairwise dedup this stays strictly linear in
+    corpus size."""
+    from deltasink_spark.operators.minhash import shingle_table
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    is_boiler = F.col("gdf") >= BOILER_DF
+    return (
+        sh.join(gdf, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(is_boiler, 1)).alias("n_boiler"),
+            F.round(
+                F.count(F.when(is_boiler, 1)) / F.count(F.lit(1)), 6
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- dedup_containment -------------------------------------------------
+
+CONTAIN_THRESH = 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(n_inter * 1.0 / LEAST(x.n_sh, y.n_sh), 6) AS containment
+    FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    WHERE n_inter * 1.0 / LEAST(x.n_sh, y.n_sh) >= {CONTAIN_THRESH}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup detection: max-containment |A∩B| /
+    min(|A|, |B|) over pairs sharing a shingle. A 50-line doc pasted
+    into a 5000-line doc scores Jaccard ~0.01 (invisible to
+    dedup_ngram_jaccard / MinHash) but containment 1.0 — the quote/
+    excerpt/aggregator-page case every crawl dedup needs (Broder's
+    original resemblance-vs-containment distinction).
+
+    Same bucketed shape as the Jaccard baseline: intersections come
+    straight off the shared-shingle self equi-join; at 100 TB the LSH
+    front-end would bound candidates exactly as in dedup_minhash_lsh
+    (containment needs min-size, not symmetric-sum, so the same band
+    join serves both)."""
+    from deltasink_spark.operators.minhash import shingle_table
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    containment = F.round(
+        F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+    )
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESH)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- embedding_quantize ------------------------------------------------
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                        x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+               embedding
+        FROM embeddings)
+    SELECT vec_id, ROUND(scale, 9) AS q_scale,
+           ROUND(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(ROUND(CASE WHEN scale = 0 THEN 0
+                           ELSE ABS(CAST(x AS DOUBLE)
+                                    - ROUND(CAST(x AS DOUBLE) / scale)
+                                      * scale) END, 12)
+                           AS DECIMAL(30,12))))
+                 AS DOUBLE) / len(embedding), 9) AS mean_abs_err
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization audit: symmetric scale
+    max|x|/127, elementwise q = round(x/scale), and the mean absolute
+    reconstruction error — the storage/transport codec every
+    billion-vector ANN index uses (4x smaller than fp32, dot products
+    in integer SIMD). The op returns the audit columns a pipeline
+    gates on before switching its index to int8.
+
+    Pure higher-order-function codegen (transform/aggregate), one row
+    in -> one row out, no shuffle at all; per-element errors round to
+    fixed decimals before the exact-decimal mean so both engines
+    agree bit-for-bit. The zero-vector guard keeps the codec total."""
+    e = load(spark, sf_dir, "embeddings")
+    x = lambda c: c.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda v: F.abs(x(v)))) / 127.0
+    )
+    err_elem = lambda v: F.round(  # noqa: E731
+        F.when(F.col("scale") == 0, 0.0).otherwise(
+            F.abs(x(v) - F.round(x(v) / F.col("scale")) * F.col("scale"))
+        ),
+        12,
+    ).cast("decimal(30,12)")
+    mean_err = (
+        F.aggregate(
+            F.transform(F.col("embedding"), err_elem),
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, v: (acc + v).cast("decimal(30,12)"),
+        ).cast("double")
+        / F.size("embedding")
+    )
+    return (
+        e.withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.round(F.col("scale"), 9).alias("q_scale"),
+            F.round(mean_err, 9).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- sample_temperature ------------------------------------------------
+
+TEMP_ALPHA = 0.7  # multilingual-sampling temperature exponent
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents
+                    GROUP BY source),
+    mn AS (SELECT MIN(n_s) AS n_min FROM counts),
+    rates AS (SELECT source,
+                     ROUND(POW(n_s * 1.0 / n_min, {TEMP_ALPHA} - 1.0), 6)
+                       AS keep_rate
+              FROM counts CROSS JOIN mn)
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < keep_rate * 1000000
+    ORDER BY d.doc_id
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-based source re-balancing: keep rate (n_s/n_min)^
+    (alpha-1) per source — alpha<1 keeps all of the smallest source
+    and down-samples large ones toward uniform, the multilingual
+    sampling rule published with mBERT/XLM-R and standard for mixing
+    pretraining sources. Selection is the same deterministic md5
+    bucket as sample_stratified: reproducible across engines, runs,
+    and repartitions, no RNG state.
+
+    100 TB: per-source counts are a tiny agg broadcast back; the keep
+    decision is a pure filter computed row-local — the op adds zero
+    shuffles to a pipeline that scans anyway."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    mn = counts.groupBy().agg(F.min("n_s").alias("n_min"))
+    rates = (
+        counts.join(F.broadcast(mn))
+        .select(
+            "source",
+            F.round(
+                F.pow(F.col("n_s") / F.col("n_min"), TEMP_ALPHA - 1.0), 6
+            ).alias("keep_rate"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_rate") * 1000000)
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id")
+    )

@@ -256,3 +256,28 @@ def test_tpch_q21_decorrelates_to_equi_joins(spark, sf_small):
     p = plan(q("tpch_q21", spark, sf_small))
     assert p.count("HashAggregate") + p.count("SortAggregate") >= 4
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_trainprep_ops_no_cartesian_no_python_udf(spark, sf_small):
+    """The r4 training-prep batch must stay pure codegen DataFrame
+    algebra: no cartesian blow-ups, no Python row UDFs."""
+    for op in (
+        "text_bm25", "text_unigram_logprob", "text_boilerplate_ngrams",
+        "dedup_containment", "embedding_quantize", "sample_temperature",
+    ):
+        p = plan(q(op, spark, sf_small))
+        assert "CartesianProduct" not in p, op
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, op
+
+
+def test_sample_temperature_is_pure_filter_after_broadcast(spark, sf_small):
+    """The keep decision must be row-local: the rate table broadcasts
+    onto the documents scan, and the corpus-sized side never hash-
+    shuffles (the only hash exchanges carry the ~|sources|-row count
+    aggregates; the final orderBy range-partitions the survivors)."""
+    import re
+
+    p = plan(q("sample_temperature", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    hash_shuffles = re.findall(r"hashpartitioning\((\w+)", p)
+    assert all(col.startswith("source") for col in hash_shuffles), hash_shuffles
