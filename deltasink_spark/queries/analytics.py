@@ -428,8 +428,14 @@ _BLOOM_HASH = "CAST(CONCAT('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BI
     dh AS (SELECT s_suppkey, {_BLOOM_HASH.format(k='s_suppkey')} % 1024 AS bit
            FROM dim),
     words AS (SELECT bit // 64 AS word_idx,
-                     CAST(bit_or(1::BIGINT << CAST(bit % 64 AS INT)) AS BIGINT)
-                       AS word
+                     -- bit 63 special-cased: DuckDB raises on the
+                     -- signed overflow of 1 << 63, while Spark's
+                     -- shiftleft wraps to Long.MIN_VALUE; emit that
+                     -- exact value so the words match bit-for-bit.
+                     CAST(bit_or(CASE WHEN bit % 64 = 63
+                                 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                                 ELSE 1::BIGINT << CAST(bit % 64 AS INT) END)
+                          AS BIGINT) AS word
               FROM dh GROUP BY 1),
     fact AS (SELECT l_orderkey, l_suppkey,
                     {_BLOOM_HASH.format(k='l_suppkey')} % 1024 AS bit

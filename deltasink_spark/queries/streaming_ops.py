@@ -205,10 +205,17 @@ def stream_session(spark, sf_dir):
     """Gap-based session windows on a REAL stream: watermark bounds the
     open-session state, append mode emits only watermark-sealed
     sessions (the batch-emulated twin with an exact oracle is
-    win_session in streamwin.py)."""
+    win_session in streamwin.py).
+
+    The source arrives in 4 event-time-ordered micro-batches
+    (events_stream_batched): append mode emits a session only when the
+    watermark passes its end, and the watermark only advances between
+    batches — a single-batch drain would seal nothing and emit zero
+    rows (the r3 driver row)."""
+    from deltasink_spark.sources import events_stream_batched
     from deltasink_spark.streaming.pipeline import session_aggregate
 
-    s = with_watermark(events_stream(spark, sf_dir), "ts", "10 minutes")
+    s = with_watermark(events_stream_batched(spark, sf_dir), "ts", "10 minutes")
     agg = session_aggregate(s, "ts", "user_id", "30 minutes")
     name = _mem_name()
     run_to_memory(agg, name, output_mode="append")

@@ -146,8 +146,8 @@ def text_bm25(spark, sf_dir):
                          AS bits
            FROM tok CROSS JOIN tot GROUP BY tok)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS bits_per_token
+           CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*) AS bits_per_token
     FROM tok JOIN lm USING (tok)
     GROUP BY doc_id
     ORDER BY doc_id
@@ -185,10 +185,13 @@ def text_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            # exact decimal sum -> one IEEE division; NOT re-rounded:
+            # round-after-divide can land on a .5e-7 tie that Spark
+            # (BigDecimal HALF_UP) and DuckDB (scaled nearbyint)
+            # resolve differently — 3/5000 docs flipped at sf0.1.
+            (
                 F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("bits_per_token"),
         )
         .orderBy("doc_id")

@@ -145,21 +145,90 @@ def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """The events fixture as a bounded stream (batch stand-in for the
-    Kafka topic): nanosecond ts read as long, rebuilt to microseconds —
-    same convention as tables.load. The file source requires a
-    directory, so the fixture file is staged via symlink."""
+    Kafka topic). The file source requires a directory, so the fixture
+    file is staged via symlink.
+
+    The declared ``ts`` schema must match the fixture's physical
+    encoding (the generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS)); a streaming reader can't introspect like
+    tables._load_events, so the parquet footer is checked once at plan
+    time. Declaring bigint over the micros fixture would silently read
+    timestamps 1000x too small — the bug class the footer check
+    prevents."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.parquet as pq
+
     stage = os.path.join(tempfile.gettempdir(), "ds_stream_stage", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    ts_phys = str(pq.ParquetFile(link).schema_arrow.field("ts").type)
+    nanos = ts_phys in ("timestamp[ns]", "int64")
+    ts_decl = "ts bigint" if nanos else "ts timestamp"
+    schema = (
+        f"event_id bigint, {ts_decl}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> DataFrame:
+    """The events fixture as a stream that arrives in ``n_batches``
+    event-time-ordered micro-batches (one file per trigger).
+
+    Why this exists: an append-mode windowed/session aggregation emits
+    a group only when the watermark passes its end, and the watermark
+    only advances BETWEEN micro-batches. A single-file fixture drains
+    in one batch, so nothing is ever sealed and the query yields zero
+    rows — this staging is how the bounded fixture exercises the real
+    multi-trigger emission path. Files are ts-range partitions with
+    ascending modification times, which is the order FileStreamSource
+    discovers them in."""
+    import os
+    import tempfile
+
+    from deltasink_spark.tables import load as load_table
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "ds_stream_stage_split",
+        f"{sf_dir.strip('/').replace('/', '_')}_{n_batches}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(n_batches, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        # part-0000k order == ascending ts ranges; make discovery order
+        # (modification time) match.
+        parts = sorted(
+            f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        base = int(os.path.getmtime(os.path.join(stage, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(stage, f), (base + i, base + i))
+        open(done, "w").close()
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
