@@ -1,0 +1,115 @@
+"""Hypothesis property tests for the determinism-critical cores.
+
+These fuzz the pieces every oracle match silently depends on: the
+connected-components contraction, the fixed-point vector arithmetic,
+and the portable md5 bucket used by all deterministic samplers.
+Spark round-trips are slow, so example counts are small and deadlines
+disabled — the value is in the generator shrinking a failing graph or
+vector to a minimal counterexample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    """large-star/small-star must equal a union-find on ANY graph —
+    self-loops, parallel edges, disconnected singletons included."""
+    from deltasink_spark.queries.llmprep import min_label_components
+
+    real_edges = [(a, b) for a, b in edges if a != b]
+    expect = _union_find(real_edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id for r in min_label_components(df).collect()}
+    assert got == expect
+
+
+@SLOW
+@given(
+    vec=st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=2, max_size=32
+    )
+)
+def test_qdot_matches_python_exact(spark, vec):
+    """The fixed-point dot product (the pairwise-similarity hot path)
+    must equal an exact Python computation on the same quantization —
+    any drift breaks every cosine oracle at once."""
+    from deltasink_spark.operators.vectors import QSCALE, qdot, quantized
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(vec,)], "v: array<float>")
+    got = df.select(
+        qdot(quantized(F.col("v")), quantized(F.col("v"))).alias("d")
+    ).collect()[0].d
+    # mirror the engine's quantization from the float32 values Spark read
+    f32 = [r.v for r in df.select("v").collect()][0]
+    q = [round(float(x) * QSCALE) for x in f32]
+    assert got == float(sum(a * a for a in q))
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(0, 10**12), min_size=1, max_size=50, unique=True))
+def test_md5_bucket_matches_hashlib(spark, ids):
+    """The deterministic sampler bucket (conv(substr(md5(id),1,8)) %
+    100) must equal Python's hashlib on the same decimal string — this
+    is the exact expression the DuckDB oracles mirror, so any skew
+    here silently biases every sampling op."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in ids], "id: bigint")
+    got = {
+        r.id: r.b
+        for r in df.select(
+            "id",
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 100
+            ).alias("b"),
+        ).collect()
+    }
+    expect = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids
+    }
+    assert got == expect
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
