@@ -1,7 +1,17 @@
-"""Genuinely-streaming operators (SURVEY.md §2.1 + §2.10), registered
-as rows-only checks: each runs a real Structured Streaming job (bounded
-file stream over the sf_dir fixtures, availableNow trigger) inside the
-query callable and returns the materialized result.
+"""Genuinely-streaming operators (SURVEY.md §2.1 + §2.10): each runs a
+real Structured Streaming job (bounded file stream over the sf_dir
+fixtures, availableNow trigger) inside the query callable and returns
+the materialized result.
+
+Oracle policy (r4): a bounded availableNow drain of a FIXED input is
+deterministic, so most of these carry exact DuckDB oracles — the drain
+must produce exactly the batch-equivalent answer (no row dropped,
+duplicated, or mis-windowed by the incremental engine). Money totals
+sum in exact decimal (pipeline.tumbling_counts) so state-store merge
+order cannot flip a ulp. Rows-only exceptions, with reasons:
+``stream_session`` (emission set depends on repartitionByRange file
+boundaries), ``stream_stateful`` (float accumulation order inside
+pandas state), and the rate/memory/kafka sources (wall-clock input).
 
 Kafka itself needs a broker (none in this environment) — kafka_source
 in sources.py is the production entry; these ops drive the identical
@@ -32,7 +42,14 @@ def _mem_name() -> str:
     return "m" + uuid.uuid4().hex[:12]
 
 
-@query("stream_watermark")
+@query(
+    "stream_watermark",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_watermark(spark, sf_dir):
     """Watermarked tumbling aggregation on a real stream (complete mode
     so the bounded run emits final window rows)."""
@@ -53,7 +70,10 @@ def stream_stateful(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_trigger")
+@query(
+    "stream_trigger",
+    oracle="SELECT event_id, user_id, ts FROM events",
+)
 def stream_trigger(spark, sf_dir):
     """availableNow backfill trigger: bounded drain of the source, then
     stop — the cadence used for catch-up runs of the ingest daemon."""
@@ -63,7 +83,10 @@ def stream_trigger(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_backpressure")
+@query(
+    "stream_backpressure",
+    oracle="SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec FROM events",
+)
 def stream_backpressure(spark, sf_dir):
     """maxFilesPerTrigger bounds per-batch intake (the file-source
     analogue of Kafka maxOffsetsPerTrigger)."""
@@ -76,7 +99,17 @@ def stream_backpressure(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_late_policy")
+@query(
+    "stream_late_policy",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events CROSS JOIN wm
+    GROUP BY 1, 2, w
+    HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= w
+    """,
+)
 def stream_late_policy(spark, sf_dir):
     """Append output mode + watermark: only windows sealed by the final
     watermark are emitted; an unbounded run would hold the tail open."""
@@ -87,7 +120,13 @@ def stream_late_policy(spark, sf_dir):
     return spark.table(name)
 
 
-@query("join_stream_static")
+@query(
+    "join_stream_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
 def join_stream_static(spark, sf_dir):
     """Micro-batch enrichment: stream joined to a broadcast static dim
     (no state, no watermark needed)."""
@@ -103,7 +142,15 @@ def join_stream_static(spark, sf_dir):
     return spark.table(name)
 
 
-@query("join_stream_stream")
+@query(
+    "join_stream_stream",
+    oracle="""
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id AS uid
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
 def join_stream_stream(spark, sf_dir):
     """Stream-stream inner join bounded by watermarks + time-range
     condition (symmetric stateful hash join, state evicted past the
@@ -126,7 +173,10 @@ def join_stream_stream(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_exactly_once")
+@query(
+    "stream_exactly_once",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
 def stream_exactly_once(spark, sf_dir):
     """End-to-end exactly-once: checkpointed bounded stream into the
     ledgered txn sink, run TWICE (second run = recovery/replay). The
@@ -146,7 +196,10 @@ def stream_exactly_once(spark, sf_dir):
     return sink.read_committed(spark)
 
 
-@query("sink_delta_append")
+@query(
+    "sink_delta_append",
+    oracle="SELECT event_id, ts, value FROM events",
+)
 def sink_delta_append(spark, sf_dir):
     """Transactional streaming append (Delta sink when delta-spark is
     present; ledgered-parquet txn emulation here — same protocol)."""
@@ -163,7 +216,10 @@ def sink_delta_append(spark, sf_dir):
     return sink.read_committed(spark)
 
 
-@query("sink_delta_upsert")
+@query(
+    "sink_delta_upsert",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
 def sink_delta_upsert(spark, sf_dir):
     """Exactly-once upsert per micro-batch (MERGE INTO emulation:
     anti-join existing keys + union — the delta-less equivalent of
@@ -186,7 +242,10 @@ def sink_delta_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
-@query("scan_delta")
+@query(
+    "scan_delta",
+    oracle="SELECT event_id, value FROM events",
+)
 def scan_delta(spark, sf_dir):
     """Versioned scan of the transactional table format: only
     ledger-committed batches are visible (time travel = ledger prefix).

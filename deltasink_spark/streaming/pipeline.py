@@ -42,9 +42,15 @@ def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes")
 
 
 def tumbling_counts(df: DataFrame, ts_col: str, key: str, width: str = "1 hour") -> DataFrame:
+    # total sums in exact decimal (same convention as aggregates.dsum):
+    # state-store merge order across micro-batches must not be able to
+    # flip a ulp, so the streamed result is oracle-checkable.
     return (
         df.groupBy(F.window(F.col(ts_col), width).alias("win"), F.col(key))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
         .select(F.col("win.start").alias("win_start"), key, "n", "total")
     )
 
