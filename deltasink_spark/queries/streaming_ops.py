@@ -8,10 +8,10 @@ deterministic, so most of these carry exact DuckDB oracles — the drain
 must produce exactly the batch-equivalent answer (no row dropped,
 duplicated, or mis-windowed by the incremental engine). Money totals
 sum in exact decimal (pipeline.tumbling_counts) so state-store merge
-order cannot flip a ulp. Rows-only exceptions, with reasons:
+order cannot flip a ulp, and the pandas state accumulates integer
+micro-units for the same reason. Rows-only exceptions, with reasons:
 ``stream_session`` (emission set depends on repartitionByRange file
-boundaries), ``stream_stateful`` (float accumulation order inside
-pandas state), and the rate/memory/kafka sources (wall-clock input).
+boundaries) and the rate/memory/kafka sources (wall-clock input).
 
 Kafka itself needs a broker (none in this environment) — kafka_source
 in sources.py is the production entry; these ops drive the identical
@@ -60,9 +60,19 @@ def stream_watermark(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_stateful")
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark, sf_dir):
-    """applyInPandasWithState running per-user totals on a real stream."""
+    """applyInPandasWithState running per-user totals on a real stream.
+    Exact-oracle since r4: the state accumulates integer micro-units
+    (see pipeline.running_totals_stateful), so the bounded drain's
+    final update rows equal the batch groupBy bit-for-bit."""
     s = events_stream(spark, sf_dir).select("user_id", "value")
     out = running_totals_stateful(s)
     name = _mem_name()

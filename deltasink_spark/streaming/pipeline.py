@@ -80,24 +80,37 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, delay: s
 
 
 RUNNING_SCHEMA = "user_id bigint, n_events bigint, total double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, total_micros bigint"
 
 
 def running_totals_stateful(df: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Arbitrary per-key state via applyInPandasWithState: running
-    event count + value total per user, emitted once per batch."""
+    event count + value total per user, emitted once per batch.
+
+    The state accumulates exact integer micro-units (value decimal-cast
+    to 6 places in Spark, BEFORE the Python boundary), not floats:
+    integer addition is associative, so the running total is identical
+    whatever order rows reach the state function in — which is what
+    lets the op carry an exact DuckDB oracle. The emitted double is one
+    final division."""
 
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (n, total) = state.get if state.exists else (0, 0.0)
+        (n, micros) = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [total]})
+            micros += int(pdf["v_micros"].sum())
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [micros / 1_000_000]}
+        )
 
-    return df.groupBy("user_id").applyInPandasWithState(
+    prepped = df.withColumn(
+        "v_micros",
+        (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
         fn, RUNNING_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
 
