@@ -9,9 +9,10 @@ must produce exactly the batch-equivalent answer (no row dropped,
 duplicated, or mis-windowed by the incremental engine). Money totals
 sum in exact decimal (pipeline.tumbling_counts) so state-store merge
 order cannot flip a ulp, and the pandas state accumulates integer
-micro-units for the same reason. Rows-only exceptions, with reasons:
-``stream_session`` (emission set depends on repartitionByRange file
-boundaries) and the rate/memory/kafka sources (wall-clock input).
+micro-units for the same reason; ``stream_session``'s emitted set is
+the gap-island sessions sealed by the final watermark. The only
+rows-only ops left are the rate/memory/kafka sources (wall-clock
+input).
 
 Kafka itself needs a broker (none in this environment) — kafka_source
 in sources.py is the production entry; these ops drive the identical
@@ -269,18 +270,45 @@ def scan_delta(spark, sf_dir):
     return sink.read_committed(spark)
 
 
-@query("stream_session")
+@query(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+    isl AS (SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM gaps),
+    sess AS (SELECT user_id, MIN(ts) AS session_start,
+                    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                    CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM isl GROUP BY user_id, sid),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT session_start, user_id, n_events FROM sess, wm
+    WHERE session_end < w
+    """,
+)
 def stream_session(spark, sf_dir):
     """Gap-based session windows on a REAL stream: watermark bounds the
     open-session state, append mode emits only watermark-sealed
-    sessions (the batch-emulated twin with an exact oracle is
-    win_session in streamwin.py).
+    sessions (the batch-emulated twin is win_session in streamwin.py).
 
     The source arrives in 4 event-time-ordered micro-batches
     (events_stream_batched): append mode emits a session only when the
     watermark passes its end, and the watermark only advances between
     batches — a single-batch drain would seal nothing and emit zero
-    rows (the r3 driver row)."""
+    rows (the r3 driver row).
+
+    Exact-oracle since r4: the EMITTED SET is deterministic whatever
+    the intermediate batch boundaries, because sessions merge in state
+    until sealed and the final no-data batch seals against the global
+    watermark max(ts) - 10min — so the answer is exactly "batch gap
+    sessions whose end precedes that watermark", which is what the
+    gap-island oracle computes."""
     from deltasink_spark.sources import events_stream_batched
     from deltasink_spark.streaming.pipeline import session_aggregate
 
