@@ -87,6 +87,7 @@ _R4_NEW = [
     "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "text_bm25", "text_unigram_logprob", "text_boilerplate_ngrams",
     "dedup_containment", "embedding_quantize", "sample_temperature",
+    "agg_count_min", "ts_ewma", "sql_interface",
 ]
 
 

@@ -582,3 +582,67 @@ def graph_pagerank(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
+
+
+# --------------------------------------------------------------------------
+# ts_ewma — exponentially weighted moving average (r4)
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 16  # truncation depth; tail weight 2^-16 ~ 1.5e-5
+
+
+def _ewma_sql() -> str:
+    # alpha = 1/2: weight of lag k is 2^(EWMA_LAGS-1-k) in the
+    # numerator against a denominator of the surviving weights — all
+    # integer until the single final division.
+    num = " + ".join(
+        f"COALESCE(LAG({_CENTS}, {k}) OVER w, 0) * {1 << (EWMA_LAGS - 1 - k)}"
+        for k in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG({_CENTS}, {k}) OVER w IS NULL THEN 0 ELSE {1 << (EWMA_LAGS - 1 - k)} END)"
+        for k in range(EWMA_LAGS)
+    )
+    return f"""
+    SELECT event_id, user_id, ts, value,
+           CAST({num} AS DOUBLE) / ({den}) / 100.0 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """
+
+
+@query("ts_ewma", oracle=_ewma_sql())
+def ts_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (alpha = 1/2, truncated at 16 lags — tail weight 2^-16). The
+    standard smoothing pass monitoring/feature pipelines run over
+    event streams.
+
+    Determinism is the design point: alpha = 1/2 makes every weight a
+    power of two, values are integer cents, so numerator and
+    denominator are exact BIGINTs and only ONE final division touches
+    floating point — bit-identical at any parallelism and in both
+    engines. (True recursive EWMA needs a sequential scan; at scale
+    that is applyInPandas per user-partition, but the truncated form
+    is one window pass in codegen, and the 2^-16 tail is far below
+    the fixtures' value noise.)"""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = _cents(F.col("value"))
+    num = None
+    den = None
+    for k in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - k)
+        lagged = F.lag(cents, k).over(w)
+        term = F.coalesce(lagged, F.lit(0)) * wt
+        avail = F.when(lagged.isNull(), 0).otherwise(wt)
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", "value",
+            (num.cast("double") / den / 100.0).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -354,3 +354,43 @@ def zorder_cluster(spark, sf_dir):
         "zkey", F.expr(_z_spark("pk_bucket", "sk_bucket", _Z_BITS)).cast("long")
     )
     return b.repartitionByRange(32, "zkey").sortWithinPartitions("zkey")
+
+
+# --- sql_interface (r4): the same SQL text on both engines ------------
+
+# Written in the ANSI intersection of Spark SQL and DuckDB SQL: the
+# ONE string below is what spark.sql() executes AND what the oracle
+# hands DuckDB — dialect-portability proof for SQL-first users of the
+# engine (every other op pairs DataFrame code with mirrored SQL; this
+# one has nothing to mirror).
+_SQL_INTERFACE = """
+SELECT r.r_name AS region,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY region, o_year
+"""
+
+
+@query("sql_interface", oracle=_SQL_INTERFACE)
+def sql_interface(spark, sf_dir):
+    """spark.sql() entry point over the registered fixture views: the
+    IDENTICAL SQL string runs on Spark and on DuckDB, so a SQL-first
+    user can bring their text queries unchanged. Catalyst receives the
+    same logical plan as the DataFrame API would (views are lazy scans
+    with pushdown intact; EXTRACT stays in codegen; the revenue sum is
+    the exact-decimal convention)."""
+    from deltasink_spark.tables import register_views
+
+    register_views(
+        spark, sf_dir, ("lineitem", "orders", "supplier", "nation", "region")
+    )
+    return spark.sql(_SQL_INTERFACE)

@@ -138,3 +138,103 @@ def agg_bitmap_distinct(spark, sf_dir):
         per_bucket.groupBy("l_returnflag")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_orders"))
     )
+
+
+# --- count-min sketch (r4) --------------------------------------------
+
+CM_DEPTH = 4     # hash rows
+CM_WIDTH = 256   # buckets per row
+CM_QUERY_KEYS = 20  # frequencies estimated for user_id < this
+
+_CM_HASH = (
+    "CAST(CONCAT('0x', substr(md5(CONCAT(CAST({i} AS VARCHAR), ':', "
+    "CAST({k} AS VARCHAR))), 1, 8)) AS BIGINT) % {w}"
+)
+
+
+def _cm_hash_sql(i: str, k: str) -> str:
+    return _CM_HASH.format(i=i, k=k, w=CM_WIDTH)
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(range({CM_DEPTH})) AS i),
+    cms AS (
+        SELECT i, {_cm_hash_sql('i', 'user_id')} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN rows_
+        GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id < {CM_QUERY_KEYS}),
+    est AS (
+        SELECT k.user_id, MIN(c.cnt) AS cm_est
+        FROM keys k CROSS JOIN rows_ r
+        JOIN cms c ON c.i = r.i
+                  AND c.bucket = {_cm_hash_sql('r.i', 'k.user_id')}
+        GROUP BY k.user_id),
+    truth AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM events GROUP BY user_id)
+    SELECT e.user_id, e.cm_est, t.true_cnt,
+           e.cm_est >= t.true_cnt AS never_undercounts
+    FROM est e JOIN truth t USING (user_id)
+    ORDER BY e.user_id
+    """,
+)
+def agg_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): d=4 portable md5 hash rows x w=256 buckets over
+    events.user_id, queried for the first 20 keys. Unlike the HLL ops
+    the whole sketch is REPLAYABLE (same md5 trick as dedup_simhash),
+    so the driver hash-verifies the sketch itself, the estimates, and
+    the canonical CMS invariant est >= true per key.
+
+    Scale shape: the sketch build is one hash agg whose result is
+    d x w = 1024 rows whatever the corpus size — the textbook
+    mergeable-summary contract (per-partition partial counters merge
+    by +). Estimation joins the broadcast sketch; nothing corpus-sized
+    shuffles."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    rows_ = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("i")
+
+    def cm_bucket(i_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", i_col.cast("string"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        )
+
+    cms = (
+        ev.select("user_id", rows_)
+        .select("i", cm_bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = (
+        ev.filter(F.col("user_id") < CM_QUERY_KEYS)
+        .select("user_id")
+        .distinct()
+        .select("user_id", rows_)
+        .withColumn("bucket", cm_bucket(F.col("i"), F.col("user_id")))
+    )
+    est = (
+        keys.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id", "cm_est", "true_cnt",
+            (F.col("cm_est") >= F.col("true_cnt")).alias("never_undercounts"),
+        )
+        .orderBy("user_id")
+    )
