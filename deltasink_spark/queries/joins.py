@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from deltasink_spark.operators.asof import asof_join
 from deltasink_spark.registry import query
@@ -412,3 +413,83 @@ def join_null_safe(spark, sf_dir):
     return o.join(F.broadcast(r), o.st.eqNullSafe(r.st)).select(
         o.o_orderkey, o.st, r.code
     )
+
+
+# --- join_temporal_lookup (r4): point-in-interval dimension lookup ----
+
+
+@query(
+    "join_temporal_lookup",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                 AS valid_to
+        FROM orders)
+    SELECT e.event_id, e.user_id, e.ts, iv.o_orderkey, iv.valid_from
+    FROM events e JOIN iv
+      ON iv.o_custkey = e.user_id
+     AND iv.valid_from <= e.ts
+     AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    """,
+)
+def join_temporal_lookup(spark, sf_dir):
+    """Point-in-interval lookup: each event fetches the SCD2 interval
+    (scd2_intervals shape over orders) valid at its timestamp — the
+    "which version of the dimension row governed this fact" join every
+    warehouse backfill runs.
+
+    The naive plan is a theta join (per-key cross product + range
+    filter). Instead the interval set splits by openness: CLOSED
+    intervals explode to the months they cover and events join on
+    (key, month) — an equi-join Catalyst hash-partitions — with the
+    exact validity predicate as a post-filter; the OPEN (current)
+    interval is one row per key, so events join it directly on the
+    key. Same rewrite family as join_range_bucketed, but for point-
+    in-INTERVAL rather than point-in-window; the oracle runs the
+    plain theta join, proving the rewrite lossless. At 100 TB pick
+    the bucket granularity so the per-interval explode factor stays
+    O(expected validity span / bucket)."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    month = lambda c: F.date_trunc("month", c)  # noqa: E731
+    pts = ev.select("event_id", "user_id", "ts", month(F.col("ts")).alias("em"))
+    out_cols = ["event_id", "user_id", "ts", "o_orderkey", "valid_from"]
+    closed_m = (
+        iv.filter(F.col("valid_to").isNotNull())
+        .withColumn(
+            "m",
+            F.explode(
+                F.sequence(
+                    month(F.col("valid_from")),
+                    month(F.col("valid_to")),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ),
+        )
+    )
+    closed_hits = (
+        pts.join(
+            closed_m,
+            (F.col("user_id") == F.col("o_custkey")) & (F.col("em") == F.col("m")),
+        )
+        .filter(
+            (F.col("valid_from") <= F.col("ts")) & (F.col("ts") < F.col("valid_to"))
+        )
+        .select(*out_cols)
+    )
+    current = iv.filter(F.col("valid_to").isNull())
+    open_hits = (
+        pts.join(current, F.col("user_id") == F.col("o_custkey"))
+        .filter(F.col("valid_from") <= F.col("ts"))
+        .select(*out_cols)
+    )
+    return closed_hits.unionByName(open_hits)

@@ -394,3 +394,44 @@ def sql_interface(spark, sf_dir):
         spark, sf_dir, ("lineitem", "orders", "supplier", "nation", "region")
     )
     return spark.sql(_SQL_INTERFACE)
+
+
+# --- sample_bottom_k (r4): deterministic distributed uniform sample ----
+
+BOTTOM_K = 200
+
+
+@query(
+    "sample_bottom_k",
+    oracle=f"""
+    SELECT o_orderkey FROM (
+        SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS hk
+        FROM orders ORDER BY hk, o_orderkey LIMIT {BOTTOM_K})
+    ORDER BY o_orderkey
+    """,
+)
+def sample_bottom_k(spark, sf_dir):
+    """Uniform sample without replacement as bottom-k-by-hash: keep the
+    k keys with the smallest md5(key). This is the distributed,
+    deterministic stand-in for reservoir sampling — each partition
+    keeps a local bottom-k heap and the driver merges k-sized heaps
+    (TakeOrderedAndProject), so one pass, no RNG state, no shuffle of
+    the data, and the SAME sample whatever the partitioning or engine.
+    Bottom-k hash sketches also compose: the union of two tables'
+    samples is the sample of the union (merge + re-truncate), which
+    true reservoirs don't do without weights.
+
+    Scale: the only cross-partition traffic is k rows per partition;
+    at 100 TB this is the primitive behind "give me 1M uniformly
+    random documents" without a full shuffle or a seed-vs-partitioning
+    dependence (df.sample changes with partition layout; this never
+    does)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    hk = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        o.withColumn("hk", hk)
+        .orderBy("hk", "o_orderkey")
+        .limit(BOTTOM_K)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
