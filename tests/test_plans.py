@@ -281,3 +281,32 @@ def test_sample_temperature_is_pure_filter_after_broadcast(spark, sf_small):
     assert "BroadcastHashJoin" in p
     hash_shuffles = re.findall(r"hashpartitioning\((\w+)", p)
     assert all(col.startswith("source") for col in hash_shuffles), hash_shuffles
+
+
+def test_count_min_sketch_is_broadcast_and_bounded(spark, sf_small):
+    """The CMS must reach estimation as a broadcast (d x w rows); the
+    corpus side contributes hash aggs only, never a cartesian."""
+    p = plan(q("agg_count_min", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_temporal_lookup_is_equi_join_union(spark, sf_small):
+    """Both interval branches must be equi-joins (month-bucketed for
+    closed, key for open) — the theta join only exists in the oracle."""
+    p = plan(q("join_temporal_lookup", spark, sf_small))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Union" in p
+
+
+def test_bottom_k_sample_is_distributed_topk(spark, sf_small):
+    p = plan(q("sample_bottom_k", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ewma_is_single_window_pass(spark, sf_small):
+    """All 16 lags share one window spec: exactly one per-user sort
+    below the window, no joins at all."""
+    p = plan(q("ts_ewma", spark, sf_small))
+    assert "Join" not in p
+    assert p.count("Window") >= 1
