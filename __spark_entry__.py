@@ -88,7 +88,7 @@ _R4_NEW = [
     "text_bm25", "text_unigram_logprob", "text_boilerplate_ngrams",
     "dedup_containment", "embedding_quantize", "sample_temperature",
     "agg_count_min", "ts_ewma", "sql_interface",
-    "sample_bottom_k", "join_temporal_lookup",
+    "sample_bottom_k", "join_temporal_lookup", "sink_schema_evolution",
 ]
 
 

@@ -317,3 +317,31 @@ def stream_session(spark, sf_dir):
     name = _mem_name()
     run_to_memory(agg, name, output_mode="append")
     return spark.table(name)
+
+
+@query(
+    "sink_schema_evolution",
+    oracle="""
+    SELECT event_id, value,
+           CASE WHEN event_id % 2 = 1 THEN user_id END AS user_id
+    FROM events
+    """,
+)
+def sink_schema_evolution(spark, sf_dir):
+    """Schema evolution on the transactional sink (Delta's mergeSchema
+    contract): batch 0 commits (event_id, value), batch 1 commits the
+    WIDENED schema (event_id, value, user_id), and reading the table
+    back with merge_schema=True unions both into one schema with nulls
+    where the early batch predates the column — exactly how a Delta
+    table absorbs an upstream producer adding a field without
+    rewriting committed history."""
+    base = tempfile.mkdtemp(prefix="ds_evolve_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="sink_schema_evolution")
+    ev = load(spark, sf_dir, "events")
+    sink.write_batch(
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value"), 0
+    )
+    sink.write_batch(
+        ev.filter(F.col("event_id") % 2 == 1).select("event_id", "value", "user_id"), 1
+    )
+    return sink.read_committed(spark, merge_schema=True)

@@ -137,13 +137,23 @@ class ExactlyOnceParquetSink:
 
         return fn
 
-    def read_committed(self, spark) -> DataFrame:
-        """Read back only ledger-committed batch directories."""
+    def read_committed(self, spark, merge_schema: bool = False) -> DataFrame:
+        """Read back only ledger-committed batch directories.
+
+        ``merge_schema=True`` mirrors Delta's ``mergeSchema`` write
+        option: batches committed with additional columns union into
+        one widened schema (missing columns read as null) — the
+        schema-evolution half of the sink contract. Off by default
+        because schema merging reads every file's footer at planning
+        time; homogeneous tables skip that cost."""
         committed = sorted(self.committed_batches())
         if not committed:
             raise ValueError("no committed batches")
         paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
 
 def delta_sink(
