@@ -1,6 +1,6 @@
 """Training-data preparation depth ops (r4 batch, beyond-survey).
 
-Six operators a 100 TB pretraining pipeline runs between raw corpus
+Operators a 100 TB pretraining pipeline runs between raw corpus
 and tokenizer that the existing §2.11/§2.13/§2.14 inventory did not
 yet cover:
 
@@ -24,6 +24,8 @@ yet cover:
                             (multilingual-sampling alpha, as in public
                             mBERT/XLM-R recipes) as a deterministic
                             hash filter
+- ``embedding_standardize``— per-dimension z-score scaling ahead of
+                            k-means/IVF training, integer-exact
 
 Every op is pure DataFrame algebra (no Python UDFs); global scalars
 (corpus size, average doc length, source minima) broadcast as 1-row
@@ -445,4 +447,91 @@ def sample_temperature(spark, sf_dir):
         .filter(bucket < F.col("keep_rate") * 1000000)
         .select("doc_id", "source", "keep_rate")
         .orderBy("doc_id")
+    )
+
+
+# --- embedding_standardize --------------------------------------------
+
+
+def _std_oracle() -> str:
+    from deltasink_spark.operators.vectors import QSCALE
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id, u.pos - 1 AS pos,
+               CAST(ROUND(CAST(embedding[u.pos] AS DOUBLE) * {QSCALE})
+                    AS BIGINT) AS iv
+        FROM embeddings,
+        UNNEST(generate_series(1, len(embedding))) AS u(pos)),
+    stats AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(iv) AS BIGINT) AS s1,
+               SUM(CAST(iv AS HUGEINT) * iv) AS s2
+        FROM q GROUP BY pos),
+    z AS (
+        SELECT q.vec_id, q.pos,
+               CAST(ROUND(CAST(n * q.iv - s1 AS DOUBLE)
+                     / SQRT(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                     * 1000000) AS BIGINT) AS z_micro
+        FROM q JOIN stats USING (pos))
+    SELECT vec_id,
+           list_aggregate(list(CAST(z_micro AS VARCHAR) ORDER BY pos),
+                          'string_agg', ',') AS zvec
+    FROM z GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@query("embedding_standardize", oracle=_std_oracle())
+def embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass before k-means/IVF training or distance
+    comparisons across dimensions of different variance.
+
+    Integer-exact to the last step: values quantize once to longs,
+    per-dimension count/sum/sum-of-squares accumulate exactly (the
+    square sums in decimal — long would overflow past ~1e3 vectors),
+    and z = (n*x - S1) / sqrt(n*S2 - S1^2) algebraically avoids ever
+    materializing mean or sigma as intermediate doubles: one division
+    against one sqrt of exactly-computed integers, identical in both
+    engines. The 64-row stats table broadcasts; the corpus is touched
+    by one posexplode + one hash agg, and arrays reassemble with an
+    order-insensitive struct sort (never a collect_list order
+    assumption)."""
+    from deltasink_spark.operators.vectors import quantized
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode(quantized(F.col("embedding"))).alias("pos", "iv")
+    )
+    stats = q.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("s1"),
+        F.sum((F.col("iv") * F.col("iv")).cast("decimal(38,0)")).alias("s2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z_micro = F.round(
+        (F.col("n") * F.col("iv") - F.col("s1")).cast("double")
+        / F.sqrt(
+            (dec(F.col("n")) * F.col("s2") - dec(F.col("s1")) * dec(F.col("s1")))
+            .cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    # z values ship as comma-joined micro-z integers: the driver
+    # canonicalizer can't sort array cells, and double stringification
+    # differs between engines — integer strings are exact in both.
+    return (
+        q.join(F.broadcast(stats), "pos")
+        .select("vec_id", F.struct("pos", z_micro.alias("zm")).alias("pz"))
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("pz")),
+                    lambda s: s.zm.cast("string"),
+                ),
+            ).alias("zvec")
+        )
+        .orderBy("vec_id")
     )
