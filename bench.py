@@ -55,12 +55,27 @@ TPCH = [
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 ]
 
+# r4 training-prep / sketch / temporal additions — own group so the
+# 18-query headline and the TPC-H group stay comparable across rounds.
+R4OPS = [
+    "text_bm25",             # retrieval scoring (2 token aggs + broadcasts)
+    "text_unigram_logprob",  # corpus LM quality scoring
+    "text_boilerplate_ngrams",  # shingle-df template detection
+    "dedup_containment",     # asymmetric near-dup self-join
+    "embedding_standardize", # per-dim z-score (posexplode + 64-row stats)
+    "agg_count_min",         # mergeable CMS build + probe
+    "ts_ewma",               # 16-lag window smoothing
+    "sample_temperature",    # source-rebalance hash filter
+    "join_temporal_lookup",  # SCD2 point-in-interval equi-join
+    "sample_bottom_k",       # distributed bottom-k-by-hash sample
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark(app_name="deltasink_bench")
-    ops = [op for op in HEADLINE + TPCH if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -107,6 +122,12 @@ def main() -> None:
         # (the TPC-H group was added to the bench in r3).
         "headline18": round(
             sum(t for op, t in timings.items() if op in HEADLINE), 4
+        ),
+        "tpch22": round(
+            sum(t for op, t in timings.items() if op in TPCH), 4
+        ),
+        "r4ops": round(
+            sum(t for op, t in timings.items() if op in R4OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
