@@ -89,7 +89,7 @@ _R4_NEW = [
     "dedup_containment", "embedding_quantize", "sample_temperature",
     "agg_count_min", "ts_ewma", "sql_interface",
     "sample_bottom_k", "join_temporal_lookup", "sink_schema_evolution",
-    "embedding_standardize",
+    "embedding_standardize", "agg_moments", "text_entropy",
 ]
 
 

@@ -646,3 +646,71 @@ def ts_ewma(spark, sf_dir):
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_moments — skewness/kurtosis from exact integer moments (r4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_moments",
+    oracle=f"""
+    WITH c AS (SELECT event_type, CAST({_CENTS} AS HUGEINT) AS v FROM events),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(v) AS s1, SUM(v*v) AS s2,
+                 SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+          FROM c GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+           ROUND(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+             / POW(CAST(n*s2 - s1*s1 AS DOUBLE), 1.5), 6) AS skewness
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Population skewness per event_type from EXACT integer power
+    sums — the distribution-shape statistic monitoring pipelines track
+    next to mean/stddev. Built-in skewness() accumulates doubles
+    (merge-order-dependent, engine-specific); here S1..S3 accumulate
+    in exact decimal over integer cents, and the final statistic is a
+    fixed sequence of IEEE ops on identical operands — deterministic
+    at any parallelism and hash-verifiable cross-engine.
+
+    (The same S4 extension gives kurtosis; the oracle keeps the columns
+    it can mirror exactly.) One map-side-combined hash agg; the power
+    sums are the textbook mergeable summary, so 100 TB costs one
+    shuffle of |groups| rows."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ev = load(spark, sf_dir, "events")
+    v = dec(_cents(F.col("value")))
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,0)")).alias("s3"),
+    )
+    n, s1, s2, s3 = (F.col(x) for x in ("n", "s1", "s2", "s3"))
+    nd = n.cast("double")
+    # g1 = (n²·S3 - 3n·S1·S2 + 2·S1³) / (n·S2 - S1²)^1.5 — the n powers
+    # cancel so NO intermediate division ever happens: both operands
+    # are exact integers, and the statistic is one cast + one pow + one
+    # division on identical values in both engines.
+    a = (dec(n) * dec(n) * s3 - 3 * dec(n) * s1 * s2 + 2 * s1 * s1 * s1).cast(
+        "double"
+    )
+    b = (dec(n) * s2 - s1 * s1).cast("double")
+    # rounded to 6: HUGEINT->double casts and pow() differ by one ulp
+    # between engines; the statistic is irrational so a rounding tie is
+    # measure-zero, unlike the divide-then-round hazard on rationals.
+    skew = F.round(a / F.pow(b, 1.5), 6)
+    return (
+        m.select(
+            "event_type",
+            n.cast("long").alias("n"),
+            (s1.cast("double") / nd / 100.0).alias("mean_value"),
+            skew.alias("skewness"),
+        )
+        .orderBy("event_type")
+    )

@@ -26,6 +26,8 @@ yet cover:
                             hash filter
 - ``embedding_standardize``— per-dimension z-score scaling ahead of
                             k-means/IVF training, integer-exact
+- ``text_entropy``        — per-doc token Shannon entropy (low =
+                            templated text, a Gopher-style signal)
 
 Every op is pure DataFrame algebra (no Python UDFs); global scalars
 (corpus size, average doc length, source minima) broadcast as 1-row
@@ -534,4 +536,62 @@ def embedding_standardize(spark, sf_dir):
             ).alias("zvec")
         )
         .orderBy("vec_id")
+    )
+
+
+# --- text_entropy ------------------------------------------------------
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+           GROUP BY doc_id),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+           GROUP BY doc_id, tok),
+    terms AS (
+        SELECT tf.doc_id,
+               cnt * ROUND(-LOG2(cnt * 1.0 / n), 6) AS plogp
+        FROM tf JOIN dl USING (doc_id))
+    SELECT t.doc_id, dl.n AS n_tokens,
+           CAST(SUM(CAST(plogp AS DECIMAL(30,6))) AS DOUBLE) / dl.n
+             AS entropy_bits
+    FROM terms t JOIN dl ON dl.doc_id = t.doc_id
+    GROUP BY t.doc_id, dl.n
+    ORDER BY t.doc_id
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Per-document token-level Shannon entropy, H = Σ (c/n)·(-log2
+    c/n) — low entropy = repetitive/templated text, high = diverse
+    vocabulary; a standard Gopher-style quality-filter signal next to
+    repetition_filter's explicit ratios.
+
+    Determinism follows text_unigram_logprob's recipe: each term's
+    -log2(c/n) rounds to 6 places (an irrational, so a rounding tie is
+    measure-zero), the per-doc sum runs in exact decimal, and the
+    final division is one IEEE op. Two per-doc hash aggs, no joins
+    beyond the doc-keyed broadcast-sized merges — strictly linear in
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = fanout(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    plogp = F.col("cnt") * F.round(-F.log2(F.col("cnt") / F.col("n")), 6)
+    return (
+        tf.join(dl, "doc_id")
+        .select("doc_id", "n", plogp.alias("plogp"))
+        .groupBy("doc_id", "n")
+        .agg(
+            (
+                F.sum(F.col("plogp").cast("decimal(30,6)")).cast("double")
+                / F.col("n")
+            ).alias("entropy_bits")
+        )
+        .select("doc_id", F.col("n").alias("n_tokens"), "entropy_bits")
+        .orderBy("doc_id")
     )
