@@ -206,7 +206,23 @@ def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
         f"{sf_dir.strip('/').replace('/', '_')}_{n_batches}",
     )
     done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
+    # The stage holds COPIES, so it must be invalidated when the
+    # fixture regenerates (the driver does this between rounds — the
+    # r3 bench crash was exactly a stale-encoding assumption). The
+    # marker records the source's (mtime, size) fingerprint; any
+    # mismatch rebuilds.
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    stale = True
+    if os.path.exists(done):
+        with open(done) as fh:
+            stale = fh.read() != fingerprint
+    if stale:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
         (
             load_table(spark, sf_dir, "events")
             .repartitionByRange(n_batches, "ts")
@@ -222,7 +238,8 @@ def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
         base = int(os.path.getmtime(os.path.join(stage, parts[0])))
         for i, f in enumerate(parts):
             os.utime(os.path.join(stage, f), (base + i, base + i))
-        open(done, "w").close()
+        with open(done, "w") as fh:
+            fh.write(fingerprint)
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"

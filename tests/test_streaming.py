@@ -249,3 +249,39 @@ def test_throughput_and_flat_state(spark):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_batched_stage_rebuilds_on_fixture_change(spark, tmp_path):
+    """The ts-range stage holds COPIES of the fixture; a regenerated
+    fixture (new mtime/size) must invalidate it, or streaming ops
+    silently serve stale data (the r3 bug class)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from deltasink_spark.sources import events_stream_batched
+    from deltasink_spark.streaming.pipeline import run_to_memory
+    from deltasink_spark.tables import load
+
+    src_dir = str(tmp_path / "sf")
+    os.makedirs(src_dir)
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.limit(100).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp1"))
+    shutil.copy(
+        next((tmp_path / "tmp1").glob("part-*.parquet")), f"{src_dir}/events.parquet"
+    )
+
+    def drain_count():
+        s = events_stream_batched(spark, src_dir, n_batches=2)
+        name = "m_stage_" + os.urandom(4).hex()
+        run_to_memory(s.select("event_id"), name)
+        return spark.table(name).count()
+
+    assert drain_count() == 100
+    # "regenerate" the fixture with different content
+    ev.limit(250).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp2"))
+    shutil.copy(
+        next((tmp_path / "tmp2").glob("part-*.parquet")), f"{src_dir}/events.parquet"
+    )
+    assert drain_count() == 250  # stale stage would still return 100
