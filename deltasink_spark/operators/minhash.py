@@ -36,6 +36,37 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def df_capped_shingles(shingles: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Drop "stop-shingles" whose document frequency exceeds ``cap``.
+
+    This is the scale bound for exact pairwise ops that count
+    intersections off a shared-shingle self equi-join: join output is
+    sum over shingles of df^2, so one boilerplate shingle shared by
+    10^5 docs yields 10^10 pairs. Capping df at K bounds the join at
+    K^2 rows per shingle — linear in the number of distinct shingles,
+    hence in corpus size. The dropped shingles are exactly the
+    non-discriminative ones (headers/footers/template chrome — the
+    same population text_boilerplate_ngrams measures), so the
+    containment/Jaccard scores over the kept shingles are the scores
+    a crawl dedup wants. One extra hash agg + one equi-join, both on
+    the shingle key the self-join shuffles on anyway."""
+    gdf = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    kept = gdf.filter(F.col("gdf") <= cap).select("shingle")
+    return shingles.join(kept, "shingle").select(id_col, "shingle")
+
+
+def sql_df_capped_cte(cap: int) -> str:
+    """DuckDB CTE mirroring df_capped_shingles over the ``sh`` CTE:
+    emits ``kept`` (doc_id, shingle) and ``ksz`` (per-doc kept-shingle
+    counts)."""
+    return f"""
+    keptsh AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= {cap}),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
+    ksz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id)
+"""
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
     """One row per doc: sig_0..sig_{N_PERMS-1} = min over shingles of
     the i-th permutation hash. The shingle STRING is hashed exactly

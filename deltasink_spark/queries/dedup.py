@@ -79,36 +79,53 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
 
 
+JACCARD_DF_CAP = 64  # stop-shingle cap: bounds the self-join at cap^2/shingle
+
+_JACCARD_CAP_CTE = """
+    keptsh AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= {cap}),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
+    ksz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id)
+""".format(cap=JACCARD_DF_CAP)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTE},
+    {_JACCARD_CAP_CTE},
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT id_a, id_b,
            ROUND(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
-    FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    FROM inter JOIN ksz x ON x.doc_id = id_a JOIN ksz y ON y.doc_id = id_b
     WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard baseline: every pair sharing a shingle is
-    scored (no LSH pruning). Correctness reference for the MinHash op.
+    """Exact n-gram Jaccard over discriminative shingles: every pair
+    sharing a kept shingle is scored (no LSH pruning). Correctness
+    reference for the MinHash op.
 
     Shape note: intersections are counted DIRECTLY off the shared-
     shingle self-join (join rows = sum over shingles of freq^2, ~2.8M
     at sf0.1) — routing through an explicit candidate-pair list and
     jaccard_verify would re-join every candidate against its full
-    shingle set (~58M intermediate rows, measured 8x slower). At
-    100 TB the quadratic term of ultra-common shingles is the hazard:
-    drop stop-shingles above a frequency cap first, or use the LSH
-    variant, which is the production path."""
+    shingle set (~58M intermediate rows, measured 8x slower). The
+    quadratic term of ultra-common shingles is bounded by the same
+    df-cap dedup_containment uses (operators/minhash.py::
+    df_capped_shingles, mirrored exactly in the oracle): shingles in
+    more than JACCARD_DF_CAP docs are non-discriminative boilerplate
+    and are dropped before the join, so the join is at most cap^2 rows
+    per shingle — linear in corpus size. The LSH variant remains the
+    production path for resemblance; this op is the exact baseline."""
     d = load(spark, sf_dir, "documents")
-    from deltasink_spark.operators.minhash import shingle_table
+    from deltasink_spark.operators.minhash import df_capped_shingles, shingle_table
 
-    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(eager=False)
+    raw = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3)
+    sh = df_capped_shingles(raw, "doc_id", JACCARD_DF_CAP).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -267,41 +267,54 @@ def text_boilerplate_ngrams(spark, sf_dir):
 # --- dedup_containment -------------------------------------------------
 
 CONTAIN_THRESH = 0.5
+CONTAIN_DF_CAP = 64  # stop-shingle cap: bounds self-join at cap^2/shingle
+
+_CONTAIN_CAP_CTE = """
+    keptsh AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= {cap}),
+    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
+    ksz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id)
+""".format(cap=CONTAIN_DF_CAP)
 
 
 @query(
     "dedup_containment",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    {_CONTAIN_CAP_CTE},
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT id_a, id_b,
            ROUND(n_inter * 1.0 / LEAST(x.n_sh, y.n_sh), 6) AS containment
-    FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    FROM inter JOIN ksz x ON x.doc_id = id_a JOIN ksz y ON y.doc_id = id_b
     WHERE n_inter * 1.0 / LEAST(x.n_sh, y.n_sh) >= {CONTAIN_THRESH}
     ORDER BY id_a, id_b
     """,
 )
 def dedup_containment(spark, sf_dir):
     """Asymmetric near-dup detection: max-containment |A∩B| /
-    min(|A|, |B|) over pairs sharing a shingle. A 50-line doc pasted
-    into a 5000-line doc scores Jaccard ~0.01 (invisible to
-    dedup_ngram_jaccard / MinHash) but containment 1.0 — the quote/
-    excerpt/aggregator-page case every crawl dedup needs (Broder's
-    original resemblance-vs-containment distinction).
+    min(|A|, |B|) over pairs sharing a discriminative shingle. A
+    50-line doc pasted into a 5000-line doc scores Jaccard ~0.01
+    (invisible to dedup_ngram_jaccard / MinHash) but containment 1.0 —
+    the quote/excerpt/aggregator-page case every crawl dedup needs
+    (Broder's original resemblance-vs-containment distinction).
 
-    Same bucketed shape as the Jaccard baseline: intersections come
-    straight off the shared-shingle self equi-join; at 100 TB the LSH
-    front-end would bound candidates exactly as in dedup_minhash_lsh
-    (containment needs min-size, not symmetric-sum, so the same band
-    join serves both)."""
-    from deltasink_spark.operators.minhash import shingle_table
+    Scale bound (the r4 verdict's flagged fix): shingles with document
+    frequency > CONTAIN_DF_CAP are dropped BEFORE the self equi-join
+    (operators/minhash.py::df_capped_shingles), so join output is at
+    most cap^2 rows per shingle — linear in corpus size instead of
+    quadratic in per-shingle df. The dropped stop-shingles are the
+    boilerplate population text_boilerplate_ngrams measures; scores
+    over the kept shingles are computed against kept-set sizes, so
+    containment stays a true ratio in [0, 1]. The oracle applies the
+    identical cap, keeping the match exact."""
+    from deltasink_spark.operators.minhash import df_capped_shingles, shingle_table
 
     d = load(spark, sf_dir, "documents")
-    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(
+    raw = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3)
+    sh = df_capped_shingles(raw, "doc_id", CONTAIN_DF_CAP).localCheckpoint(
         eager=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
