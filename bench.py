@@ -71,11 +71,23 @@ R4OPS = [
 ]
 
 
+# r5 additions — own group (BASELINE.md r3 note on group comparability).
+R5OPS = [
+    "avro_parse",            # Arrow-batched Avro payload decode
+    "avro_confluent_envelope",  # registry envelope + schema dispatch
+    "protobuf_parse",        # protobuf wire-format decode
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark(app_name="deltasink_bench")
-    ops = [op for op in HEADLINE + TPCH + R4OPS if op in registry.QUERIES]
+    # Keep the captured output clean: WARN-level shutdown noise
+    # (e.g. DAGScheduler job-group cancellation races) otherwise lands
+    # in the recorded tail next to the JSON metric line.
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -111,6 +123,9 @@ def main() -> None:
             errors[op] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         timings[op] = round(statistics.median(runs), 4)
+        # A warmup-only hiccup that the timed pass survived is not an
+        # error: ops in "errors" are excluded from totals by contract.
+        errors.pop(op, None)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -128,6 +143,9 @@ def main() -> None:
         ),
         "r4ops": round(
             sum(t for op, t in timings.items() if op in R4OPS), 4
+        ),
+        "r5ops": round(
+            sum(t for op, t in timings.items() if op in R5OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

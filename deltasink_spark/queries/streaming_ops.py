@@ -273,14 +273,14 @@ def scan_delta(spark, sf_dir):
 @query(
     "stream_session",
     oracle="""
-    WITH gaps AS (SELECT user_id, ts,
+    WITH gaps AS (SELECT user_id, ts, event_id,
            CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_s
          FROM events),
     isl AS (SELECT user_id, ts,
-                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM gaps),
     sess AS (SELECT user_id, MIN(ts) AS session_start,

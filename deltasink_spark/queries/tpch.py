@@ -792,9 +792,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), 6, "sum_base_price"),
             dsum(_rev(), 6, "sum_disc_price"),
             dsum(charge, 6, "sum_charge"),
-            davg(F.col("l_quantity"), scale=2).alias("avg_qty"),
-            davg(F.col("l_extendedprice"), scale=2).alias("avg_price"),
-            davg(F.col("l_discount"), scale=2).alias("avg_disc"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
