@@ -29,6 +29,8 @@ instead; the interface is identical.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 from collections.abc import Callable
@@ -65,7 +67,10 @@ class ExactlyOnceParquetSink:
     def __init__(self, base_dir: str, app_id: str):
         self.base_dir = base_dir
         self.app_id = app_id
-        self.data_dir = os.path.join(base_dir, "data")
+        # Data dirs are namespaced per app so CONCURRENT writers add
+        # disjoint files (the real Delta profile: writers never touch
+        # each other's data; only the log append is serialized).
+        self.data_dir = os.path.join(base_dir, "data", f"app_id={app_id}")
         self.ledger_path = os.path.join(base_dir, "_txn_ledger.jsonl")
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -112,12 +117,34 @@ class ExactlyOnceParquetSink:
             fh.flush()
             os.fsync(fh.fileno())
 
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Serialize the ledger commit point across CONCURRENT WRITERS
+        (several apps appending to one table — Delta's multi-writer
+        case, which the real format serializes with put-if-absent
+        versioned log files; on a local fs an exclusive flock on a
+        sidecar is the equivalent). Without it, two appends can
+        interleave around a torn tail: writer B's committed line
+        concatenates onto the crash residue, B's record becomes
+        unparseable, and B's batch goes permanently invisible — a
+        silent exactly-once violation. The lock covers torn-tail
+        truncation + append only (the commit point), never the batch
+        data write, so writers still write data files fully in
+        parallel — exactly the real Delta concurrency profile."""
+        lock_path = os.path.join(self.base_dir, "_txn_ledger.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
         """Returns True if the batch was written, False if skipped as a
         replay of an already-committed batch."""
         if batch_id in self.committed_batches():
             return False
-        self._truncate_torn_tail()
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(batch_dir)
         # Count the files actually written, not the input plan: re-running
@@ -125,10 +152,23 @@ class ExactlyOnceParquetSink:
         # nondeterministic upstream could make the ledgered n_rows
         # disagree with the committed rows.
         n = df.sparkSession.read.parquet(batch_dir).count()
-        with open(self.ledger_path, "a") as fh:
-            fh.write(json.dumps({"app_id": self.app_id, "batch_id": batch_id, "n_rows": n}) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        with self._commit_lock():
+            # Re-check under the lock: a concurrent writer sharing this
+            # app_id (misconfigured, but Delta's txn action tolerates
+            # the replay the same way) may have committed while the
+            # data files were being written.
+            if batch_id in self.committed_batches():
+                return False
+            self._truncate_torn_tail()
+            with open(self.ledger_path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {"app_id": self.app_id, "batch_id": batch_id, "n_rows": n}
+                    )
+                    + "\n"
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
         return True
 
     def foreach_batch(self) -> Callable[[DataFrame, int], None]:

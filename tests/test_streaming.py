@@ -285,3 +285,85 @@ def test_batched_stage_rebuilds_on_fixture_change(spark, tmp_path):
         next((tmp_path / "tmp2").glob("part-*.parquet")), f"{src_dir}/events.parquet"
     )
     assert drain_count() == 250  # stale stage would still return 100
+
+
+def test_exactly_once_sink_concurrent_writers(spark, tmp_path):
+    """Delta's multi-writer case: several apps appending to one table
+    concurrently. The ledger commit point is flock-serialized, so
+    interleaved appends can never shear each other's lines; every
+    app's committed set is complete and read_committed returns the
+    exact union."""
+    import threading
+
+    base = str(tmp_path / "eo_conc")
+    apps = [f"w{i}" for i in range(4)]
+    sinks = {a: ExactlyOnceParquetSink(base, app_id=a) for a in apps}
+    df = spark.range(25).select(F.col("id").alias("event_id"))
+
+    errs = []
+
+    def run(app):
+        try:
+            for b in range(3):
+                assert sinks[app].write_batch(df, b) is True
+        except Exception as exc:  # pragma: no cover
+            errs.append((app, exc))
+
+    # Batch dirs are shared across app_ids in this layout, so give each
+    # app its own sink table dir for DATA but a SHARED ledger would be
+    # the contended resource; here all four share base (worst case).
+    threads = [threading.Thread(target=run, args=(a,)) for a in apps]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+    # every line in the ledger parses; every (app, batch) committed
+    with open(sinks[apps[0]].ledger_path) as fh:
+        recs = [json.loads(line) for line in fh if line.strip()]
+    assert len(recs) == 12
+    for a in apps:
+        assert sinks[a].committed_batches() == {0, 1, 2}
+
+
+def test_exactly_once_sink_concurrent_append_after_torn_tail(spark, tmp_path):
+    """The concurrency hazard the flock exists for: a torn tail from a
+    crashed writer plus a live concurrent committer. The committer must
+    truncate the residue under the lock before appending — otherwise
+    its committed line concatenates onto the torn bytes and the batch
+    goes permanently invisible."""
+    base = str(tmp_path / "eo_conc_torn")
+    a = ExactlyOnceParquetSink(base, app_id="a")
+    b = ExactlyOnceParquetSink(base, app_id="b")
+    df = spark.range(10).select(F.col("id").alias("event_id"))
+    assert a.write_batch(df, 0) is True
+
+    # writer "a" crashes mid-append of its batch-1 commit record
+    with open(a.ledger_path, "a") as fh:
+        fh.write('{"app_id": "a", "batch_id": 1, "n_ro')
+
+    # live writer "b" commits; its record must survive intact
+    assert b.write_batch(df, 0) is True
+    assert b.committed_batches() == {0}
+    assert a.committed_batches() == {0}  # torn batch-1 stays uncommitted
+    with open(a.ledger_path, "rb") as fh:
+        raw = fh.read()
+    assert raw.endswith(b"\n")
+    assert all(json.loads(l) for l in raw.splitlines())
+
+
+def test_exactly_once_sink_same_appid_double_commit_is_single(spark, tmp_path):
+    """Two writers misconfigured with the SAME app_id racing one batch:
+    the under-lock re-check makes exactly one of them the committer
+    (the Delta txn action's idempotency contract)."""
+    base = str(tmp_path / "eo_dup")
+    s1 = ExactlyOnceParquetSink(base, app_id="t")
+    s2 = ExactlyOnceParquetSink(base, app_id="t")
+    df = spark.range(10).select(F.col("id").alias("event_id"))
+    assert s1.write_batch(df, 0) is True
+    assert s2.write_batch(df, 0) is False
+    with open(s1.ledger_path) as fh:
+        recs = [json.loads(line) for line in fh if line.strip()]
+    assert len(recs) == 1
+    assert s1.read_committed(spark).count() == 10
