@@ -40,6 +40,26 @@ def _stage_dir(sf_dir: str, fmt: str) -> str:
     return os.path.join(tempfile.gettempdir(), "ds_stage", f"{key}_{fmt}")
 
 
+def _stage_fresh(stage: str, sf_dir: str, table: str) -> bool:
+    """True when the stage was built from the CURRENT fixture file.
+    Stages hold COPIES, so they must be invalidated when the driver
+    regenerates the fixture between rounds (the r4 streaming-stage
+    lesson, sources.py::events_stream_batched): the marker records the
+    source's (mtime, size) fingerprint and any mismatch rebuilds."""
+    marker = os.path.join(stage, "_FINGERPRINT")
+    if not os.path.exists(marker):
+        return False
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    with open(marker) as fh:
+        return fh.read() == f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _stage_mark(stage: str, sf_dir: str, table: str) -> None:
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    with open(os.path.join(stage, "_FINGERPRINT"), "w") as fh:
+        fh.write(f"{st.st_mtime_ns}:{st.st_size}")
+
+
 def _run_until(spark, stream_df, min_rows: int, timeout_s: float = 90.0):
     """Drive an unbounded stream with a fast processing-time trigger
     until the memory sink holds >= min_rows, then stop. Returns the
@@ -115,6 +135,159 @@ def scan_csv(spark, sf_dir):
         os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
     schema = "c_custkey bigint, c_name string, c_mktsegment string, c_acctbal double"
     return read_csv(spark, stage, schema).select(*cols)
+
+
+_AVRO_FIELDS = [
+    ("event_id", "long"),
+    ("user_id", "long"),
+    ("event_type", "string"),
+    ("value", "double"),
+]
+
+
+@query(
+    "avro_parse",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def avro_parse(spark, sf_dir):
+    """Avro binary payload parse — the `json_parse` sibling for the
+    other wire format a Kafka estate carries (the r4 verdict's one
+    named connector-envelope gap). The stage writes each events row as
+    a spec-encoded Avro record payload (operators/avro.py: zigzag
+    varint longs, length-prefixed UTF-8 strings, little-endian
+    doubles — the registry-less Kafka wire shape, one record per
+    message, no container file); the op then decodes the binary
+    column back into typed columns.
+
+    Both directions are Arrow-batched mapInPandas (per-batch Python
+    over columnar buffers, no shuffle, no driver collect) because the
+    external spark-avro JVM module is not shipped in this sandbox;
+    operators/avro.py::jvm_avro_available probes for it so a cluster
+    that loads the package can flip this op to from_avro/to_avro with
+    the schema document avro_schema_json emits. Scale: encode/decode
+    are narrow per-partition transforms — the plan is scan ->
+    mapInPandas -> result, and the payload fixture partitioning is
+    inherited end to end."""
+    from deltasink_spark.operators.avro import (
+        decode_partition,
+        encode_partition,
+        spark_type,
+    )
+
+    stage = _stage_dir(sf_dir, "avro")
+    if not _stage_fresh(stage, sf_dir, "events"):
+        src = load(spark, sf_dir, "events").select(*[n for n, _ in _AVRO_FIELDS])
+        src.mapInPandas(encode_partition(_AVRO_FIELDS), "payload binary").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        _stage_mark(stage, sf_dir, "events")
+    out_schema = ", ".join(f"{n} {spark_type(t)}" for n, t in _AVRO_FIELDS)
+    return spark.read.parquet(stage).mapInPandas(
+        decode_partition(_AVRO_FIELDS), out_schema
+    )
+
+
+# Confluent-envelope registry: v1 producers wrote (event_id, user_id,
+# value); v2 added event_type. Odd event_ids are "newer" v2 records —
+# a live topic's producer-version mix.
+_REG = {
+    1: [("event_id", "long"), ("user_id", "long"), ("value", "double")],
+    2: [
+        ("event_id", "long"),
+        ("user_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ],
+}
+_REG_OUT = _REG[2]
+
+
+@query(
+    "avro_confluent_envelope",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+           value
+    FROM events
+    """,
+)
+def avro_confluent_envelope(spark, sf_dir):
+    """Schema-registry wire envelope decode (the Confluent format every
+    registry-aware Kafka client writes: magic 0x00 + big-endian int32
+    schema id + Avro body), with PER-RECORD schema dispatch: the topic
+    carries a mix of v1 payloads (no event_type) and v2 payloads, the
+    decoder looks each record's id up in the registry snapshot and
+    projects onto the unified reader schema — v1 rows surface
+    event_type as null, Avro's standard added-field promotion.
+
+    Scale: the registry snapshot is a tiny dict captured by the UDF
+    closure (broadcast once per executor, the same shape a cached
+    registry client has); decode is a narrow Arrow-batched
+    mapInPandas, no shuffle. Staging writes the envelope fixture once
+    per (sf_dir, fixture-fingerprint)."""
+    from deltasink_spark.operators.avro import (
+        decode_confluent_partition,
+        encode_confluent_partition,
+        spark_type,
+    )
+
+    stage = _stage_dir(sf_dir, "avro_confluent")
+    if not _stage_fresh(stage, sf_dir, "events"):
+        src = (
+            load(spark, sf_dir, "events")
+            .select(*[n for n, _ in _REG_OUT])
+            .withColumn(
+                "sid", F.when(F.col("event_id") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+            )
+        )
+        src.mapInPandas(
+            encode_confluent_partition(_REG, "sid"), "payload binary"
+        ).write.mode("overwrite").parquet(stage)
+        _stage_mark(stage, sf_dir, "events")
+    out_schema = ", ".join(f"{n} {spark_type(t)}" for n, t in _REG_OUT)
+    return spark.read.parquet(stage).mapInPandas(
+        decode_confluent_partition(_REG, _REG_OUT), out_schema
+    )
+
+
+_PROTO_FIELDS = [
+    ("event_id", 1, "int64"),
+    ("user_id", 2, "int64"),
+    ("event_type", 3, "string"),
+    ("value", 4, "double"),
+]
+
+
+@query(
+    "protobuf_parse",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def protobuf_parse(spark, sf_dir):
+    """Protobuf payload parse — the third Kafka wire format
+    (operators/protowire.py implements the public wire encoding:
+    varint field keys, base-128 varints, little-endian doubles,
+    length-delimited strings, proto3 zero-omission). The JVM
+    spark-protobuf + descriptor-set path isn't shipped here; the codec
+    is spec-pinned by byte-vector tests (tests/test_protowire.py) and
+    both directions are narrow Arrow-batched mapInPandas transforms —
+    same plan shape as avro_parse: scan -> mapInPandas, no shuffle."""
+    from deltasink_spark.operators.protowire import (
+        decode_partition,
+        encode_partition,
+        spark_type,
+    )
+
+    stage = _stage_dir(sf_dir, "protobuf")
+    if not _stage_fresh(stage, sf_dir, "events"):
+        src = load(spark, sf_dir, "events").select(*[n for n, _, _ in _PROTO_FIELDS])
+        src.mapInPandas(encode_partition(_PROTO_FIELDS), "payload binary").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        _stage_mark(stage, sf_dir, "events")
+    out_schema = ", ".join(f"{n} {spark_type(t)}" for n, _, t in _PROTO_FIELDS)
+    return spark.read.parquet(stage).mapInPandas(
+        decode_partition(_PROTO_FIELDS), out_schema
+    )
 
 
 # --- batch sink ---------------------------------------------------------
