@@ -70,6 +70,8 @@ _R5_NEW = [
     "avro_parse",
     "avro_confluent_envelope",
     "protobuf_parse",
+    "scan_delta_time_travel",
+    "sink_compact",
 ]
 
 

@@ -76,6 +76,8 @@ R5OPS = [
     "avro_parse",            # Arrow-batched Avro payload decode
     "avro_confluent_envelope",  # registry envelope + schema dispatch
     "protobuf_parse",        # protobuf wire-format decode
+    "scan_delta_time_travel",   # version-as-of ledger-prefix read
+    "sink_compact",          # OPTIMIZE-style small-file compaction
 ]
 
 

@@ -271,6 +271,57 @@ def scan_delta(spark, sf_dir):
 
 
 @query(
+    "scan_delta_time_travel",
+    oracle="SELECT event_id, value FROM events",
+)
+def scan_delta_time_travel(spark, sf_dir):
+    """Version-as-of read of the transactional table (Delta's
+    ``option("versionAsOf", N)``): version = ledger prefix, a pure
+    metadata operation — old versions stay readable because commits
+    only ever ADD data directories; nothing is copied or rewritten.
+    The table gets three commits (even rows, odd rows, then a later
+    batch of shifted garbage); reading as of version 1 returns exactly
+    the first two — the garbage committed at version 2 must be
+    invisible."""
+    base = tempfile.mkdtemp(prefix="ds_tt_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="scan_delta_time_travel")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    sink.write_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
+    garbage = ev.select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    sink.write_batch(garbage, 2)
+    return sink.read_committed(spark, as_of_version=1)
+
+
+@query(
+    "sink_compact",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def sink_compact(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction: six tiny streaming batches
+    (the small-file problem every continuously-appending table
+    develops — at 100 TB, thousands of sub-megabyte files turn every
+    scan's file listing and task scheduling into the bottleneck) are
+    rewritten as a handful of right-sized files and committed as ONE
+    atomic ledger action that supersedes all six (Delta's OPTIMIZE
+    add+remove). Rows are bit-identical before and after — the oracle
+    reads the same events — and a post-compaction replay of an old
+    batch stays a no-op because idempotence is keyed on ever-ledgered
+    batch ids, not live file membership."""
+    base = tempfile.mkdtemp(prefix="ds_compact_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="sink_compact")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for b in range(6):
+        sink.write_batch(ev.filter(F.col("event_id") % 6 == b), b)
+    sink.compact(spark, target_files=4)
+    assert sink.write_batch(ev.limit(1), 3) is False  # replay stays no-op
+    return sink.read_committed(spark)
+
+
+@query(
     "stream_session",
     oracle="""
     WITH gaps AS (SELECT user_id, ts, event_id,

@@ -74,10 +74,11 @@ class ExactlyOnceParquetSink:
         self.ledger_path = os.path.join(base_dir, "_txn_ledger.jsonl")
         os.makedirs(self.data_dir, exist_ok=True)
 
-    def committed_batches(self) -> set[int]:
+    def _ledger_records(self) -> list[dict]:
+        """This app's committed ledger records, in commit order."""
         if not os.path.exists(self.ledger_path):
-            return set()
-        out: set[int] = set()
+            return []
+        out: list[dict] = []
         with open(self.ledger_path, "rb") as fh:
             lines = fh.read().split(b"\n")
         for i, line in enumerate(lines):
@@ -98,8 +99,44 @@ class ExactlyOnceParquetSink:
                     f"ledger corrupted mid-file at line {i + 1}: {line[:80]!r}"
                 )
             if rec["app_id"] == self.app_id:
-                out.add(rec["batch_id"])
+                out.append(rec)
         return out
+
+    def committed_batches(self) -> set[int]:
+        """Every batch id EVER ledgered, including batches later
+        superseded by a compaction. This is deliberately the replay-
+        idempotence key: a micro-batch replayed after its data was
+        compacted away must still be skipped, or its rows would be
+        resurrected next to the compacted copy (the reason Delta keys
+        txn idempotence on the appId version watermark, not on live
+        file membership)."""
+        return {r["batch_id"] for r in self._ledger_records() if "batch_id" in r}
+
+    def _visible_entries(self, as_of_version: int | None = None) -> list[tuple[str, int]]:
+        """Fold the ledger into the set of LIVE data directories:
+        batch records add themselves; a compaction record removes the
+        entries it replaces and adds its own directory (add-and-remove
+        in one commit — Delta's OPTIMIZE action). ``as_of_version``
+        replays only the first N+1 records: time travel is a ledger
+        prefix, exactly Delta's version-as-of read."""
+        vis: list[tuple[str, int]] = []
+        for i, rec in enumerate(self._ledger_records()):
+            if as_of_version is not None and i > as_of_version:
+                break
+            if "batch_id" in rec:
+                entry = ("b", rec["batch_id"])
+                if entry not in vis:
+                    vis.append(entry)
+            else:
+                replaced = {tuple(e) for e in rec["replaces"]}
+                vis = [e for e in vis if e not in replaced]
+                vis.append(("c", rec["compact_id"]))
+        return vis
+
+    def _entry_dir(self, entry: tuple[str, int]) -> str:
+        kind, n = entry
+        prefix = "batch_id" if kind == "b" else "compact_id"
+        return os.path.join(self.data_dir, f"{prefix}={n}")
 
     def _truncate_torn_tail(self) -> None:
         """Drop a torn trailing line before appending. The torn line is
@@ -177,23 +214,76 @@ class ExactlyOnceParquetSink:
 
         return fn
 
-    def read_committed(self, spark, merge_schema: bool = False) -> DataFrame:
-        """Read back only ledger-committed batch directories.
+    def read_committed(
+        self,
+        spark,
+        merge_schema: bool = False,
+        as_of_version: int | None = None,
+    ) -> DataFrame:
+        """Read back only ledger-committed, non-superseded data
+        directories.
 
         ``merge_schema=True`` mirrors Delta's ``mergeSchema`` write
         option: batches committed with additional columns union into
         one widened schema (missing columns read as null) — the
         schema-evolution half of the sink contract. Off by default
         because schema merging reads every file's footer at planning
-        time; homogeneous tables skip that cost."""
-        committed = sorted(self.committed_batches())
-        if not committed:
+        time; homogeneous tables skip that cost.
+
+        ``as_of_version=N`` is time travel: the table state after the
+        N-th ledger commit (0-based), i.e. Delta's
+        ``option("versionAsOf", N)`` — a pure metadata operation, no
+        data is copied to keep old versions readable."""
+        entries = self._visible_entries(as_of_version)
+        if not entries:
             raise ValueError("no committed batches")
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
+        paths = [self._entry_dir(e) for e in entries]
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
+
+    def compact(self, spark, target_files: int = 4) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the currently
+        visible data as ``target_files`` right-sized files, then commit
+        ONE ledger record that atomically removes the replaced entries
+        and adds the compacted directory (Delta's OPTIMIZE =
+        add-files + remove-files in a single log action; readers see
+        either the old layout or the new one, never both). A crash
+        before the ledger append leaves an unledgered directory the
+        next compaction overwrites — same recovery as a torn batch.
+
+        Streaming appends racing the compaction are safe: the replaced
+        set is snapshotted first, so a batch committed in between is
+        simply not replaced and stays visible. The rewrite itself is a
+        distributed repartition — the driver only moves metadata.
+        Returns the compaction id."""
+        replaced = self._visible_entries()
+        if not replaced:
+            raise ValueError("nothing to compact")
+        prior = [r["compact_id"] for r in self._ledger_records() if "compact_id" in r]
+        cid = max(prior) + 1 if prior else 0
+        df = spark.read.parquet(*[self._entry_dir(e) for e in replaced])
+        out_dir = os.path.join(self.data_dir, f"compact_id={cid}")
+        df.repartition(target_files).write.mode("overwrite").parquet(out_dir)
+        n = spark.read.parquet(out_dir).count()
+        with self._commit_lock():
+            self._truncate_torn_tail()
+            with open(self.ledger_path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "app_id": self.app_id,
+                            "compact_id": cid,
+                            "n_rows": n,
+                            "replaces": [list(e) for e in replaced],
+                        }
+                    )
+                    + "\n"
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+        return cid
 
 
 def delta_sink(

@@ -367,3 +367,60 @@ def test_exactly_once_sink_same_appid_double_commit_is_single(spark, tmp_path):
         recs = [json.loads(line) for line in fh if line.strip()]
     assert len(recs) == 1
     assert s1.read_committed(spark).count() == 10
+
+
+def test_compaction_reduces_files_keeps_rows_atomically(spark, tmp_path):
+    """OPTIMIZE emulation: compaction must shrink the file count,
+    preserve rows exactly, supersede the replaced batches in one
+    ledger action, and leave replay idempotence intact (a replayed
+    batch whose data was compacted away must NOT resurrect)."""
+    base = str(tmp_path / "opt")
+    sink = ExactlyOnceParquetSink(base, app_id="t")
+    df = spark.range(600).select(F.col("id").alias("event_id"))
+    for b in range(6):
+        assert sink.write_batch(df.filter(F.col("event_id") % 6 == b).repartition(4), b)
+
+    def parquet_files():
+        n = 0
+        for _, _, files in os.walk(sink.data_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = parquet_files()
+    pre_rows = sorted(r.event_id for r in sink.read_committed(spark).collect())
+    cid = sink.compact(spark, target_files=2)
+    assert cid == 0
+    # visible set is now just the compacted dir
+    assert sink._visible_entries() == [("c", 0)]
+    post = sorted(r.event_id for r in sink.read_committed(spark).collect())
+    assert post == pre_rows == list(range(600))
+    # compacted layout has 2 files; the old 24 are superseded (they
+    # remain on disk for time travel, but the LIVE set shrank)
+    live_files = 2
+    assert before >= 24
+    import glob
+
+    assert len(glob.glob(os.path.join(sink.data_dir, "compact_id=0", "*.parquet"))) == live_files
+    # replay of a compacted-away batch is still a no-op
+    assert sink.write_batch(df.limit(5), 3) is False
+    assert sorted(r.event_id for r in sink.read_committed(spark).collect()) == pre_rows
+    # a NEW batch after compaction lands next to the compacted dir
+    extra = spark.range(600, 650).select(F.col("id").alias("event_id"))
+    assert sink.write_batch(extra, 6) is True
+    assert sink.read_committed(spark).count() == 650
+
+
+def test_time_travel_reads_ledger_prefix(spark, tmp_path):
+    base = str(tmp_path / "tt")
+    sink = ExactlyOnceParquetSink(base, app_id="t")
+    df = spark.range(30).select(F.col("id").alias("event_id"))
+    sink.write_batch(df.filter("event_id < 10"), 0)
+    sink.write_batch(df.filter("event_id >= 10 and event_id < 20"), 1)
+    sink.compact(spark, target_files=1)  # version 2
+    sink.write_batch(df.filter("event_id >= 20"), 2)  # version 3
+
+    assert sink.read_committed(spark, as_of_version=0).count() == 10
+    assert sink.read_committed(spark, as_of_version=1).count() == 20
+    # version 2 is the compaction: same rows, new layout
+    assert sink.read_committed(spark, as_of_version=2).count() == 20
+    assert sink.read_committed(spark).count() == 30
