@@ -51,8 +51,13 @@ def df_capped_shingles(shingles: DataFrame, id_col: str, cap: int) -> DataFrame:
     a crawl dedup wants. One extra hash agg + one equi-join, both on
     the shingle key the self-join shuffles on anyway."""
     gdf = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
-    kept = gdf.filter(F.col("gdf") <= cap).select("shingle")
-    return shingles.join(kept, "shingle").select(id_col, "shingle")
+    # Anti-join against the DROPPED set, not inner-join against the
+    # kept set: the stop-shingle list is at most 1/cap of the shingle
+    # rows (usually far smaller — boilerplate is a thin head), so AQE
+    # turns this into a broadcast anti-join and the big shingle table
+    # avoids a second shuffle on the shingle key.
+    dropped = gdf.filter(F.col("gdf") > cap).select("shingle")
+    return shingles.join(dropped, "shingle", "left_anti").select(id_col, "shingle")
 
 
 def sql_df_capped_cte(cap: int) -> str:

@@ -335,4 +335,7 @@ def test_df_capped_shingles_filter_reaches_plan(spark, sf_small):
         shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3), "doc_id", 64
     )
     p = plan(sh)
-    assert "<= 64" in p, "df-cap filter missing from capped-shingle plan"
+    # the cap reaches the plan as a stop-shingle filter (gdf > 64)
+    # feeding a LEFT ANTI join against the big shingle table
+    assert "> 64" in p, "df-cap filter missing from capped-shingle plan"
+    assert "LeftAnti" in p, "stop-shingle exclusion is not an anti-join"

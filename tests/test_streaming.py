@@ -424,3 +424,45 @@ def test_time_travel_reads_ledger_prefix(spark, tmp_path):
     # version 2 is the compaction: same rows, new layout
     assert sink.read_committed(spark, as_of_version=2).count() == 20
     assert sink.read_committed(spark).count() == 30
+
+
+def test_visibility_fold_random_histories(tmp_path):
+    """Property check of the ledger -> live-directory fold at the
+    metadata level (no Spark): random interleavings of batch commits
+    and compactions must match a reference model where a compaction
+    atomically swaps its replaced entries for itself, and
+    committed_batches() (the replay-idempotence key) must keep every
+    batch id ever ledgered, including superseded ones."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(50):
+        base = str(tmp_path / f"h{trial}")
+        os.makedirs(base, exist_ok=True)
+        sink = ExactlyOnceParquetSink(base, app_id="t")
+        model_vis: list[tuple[str, int]] = []
+        model_batches: set[int] = set()
+        next_b, next_c = 0, 0
+        with open(sink.ledger_path, "w") as fh:
+            for _ in range(rng.randrange(1, 12)):
+                if model_vis and rng.random() < 0.3:
+                    rec = {
+                        "app_id": "t",
+                        "compact_id": next_c,
+                        "n_rows": 0,
+                        "replaces": [list(e) for e in model_vis],
+                    }
+                    model_vis = [("c", next_c)]
+                    next_c += 1
+                else:
+                    rec = {"app_id": "t", "batch_id": next_b, "n_rows": 0}
+                    model_vis.append(("b", next_b))
+                    model_batches.add(next_b)
+                    next_b += 1
+                fh.write(json.dumps(rec) + "\n")
+        assert sink._visible_entries() == model_vis
+        assert sink.committed_batches() == model_batches
+        # time travel at every version is a prefix replay
+        n_recs = len(sink._ledger_records())
+        assert sink._visible_entries(as_of_version=n_recs - 1) == model_vis
+        assert sink._visible_entries(as_of_version=0) != [] or n_recs == 0
