@@ -72,6 +72,8 @@ _R5_NEW = [
     "protobuf_parse",
     "scan_delta_time_travel",
     "sink_compact",
+    "embedding_pq",
+    "sim_pq_adc",
 ]
 
 

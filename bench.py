@@ -72,12 +72,16 @@ R4OPS = [
 
 
 # r5 additions — own group (BASELINE.md r3 note on group comparability).
+# Query-shaped ops only, matching the other groups: the r5 delta
+# table-maintenance ops (scan_delta_time_travel, sink_compact) are
+# sink/IO fixtures like the sink_delta_* family, which the bench has
+# never timed — their cost is the staged writes, not a query plan.
 R5OPS = [
     "avro_parse",            # Arrow-batched Avro payload decode
     "avro_confluent_envelope",  # registry envelope + schema dispatch
     "protobuf_parse",        # protobuf wire-format decode
-    "scan_delta_time_travel",   # version-as-of ledger-prefix read
-    "sink_compact",          # OPTIMIZE-style small-file compaction
+    "embedding_pq",          # product-quantization coding pass
+    "sim_pq_adc",            # ADC top-k over PQ codes
 ]
 
 

@@ -602,3 +602,204 @@ def ivf_train_step(spark, sf_dir):
         )
         .orderBy("cid", "pos")
     )
+
+
+# --- product quantization (PQ) ------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_K = 4  # centroids per subspace codebook
+
+
+def _pq_key_sql(m: int) -> str:
+    """BIGINT key = subspace-m squared distance * K + cid. MIN over the
+    key is simultaneously the argmin (key % K, ties to smaller cid)
+    and the min distance (key // K) — one plain MIN agg per subspace
+    instead of a window per subspace, identical in both engines."""
+    lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+    d = (
+        f"CAST(list_sum(list_transform("
+        f"list_zip(list_slice(v.iv, {lo}, {hi}), list_slice(c.iv, {lo}, {hi})),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"({d} * {_PQ_K} + c.cid)"
+
+
+def _pq_codes_cte() -> str:
+    keys = ", ".join(f"MIN({_pq_key_sql(m)}) AS k{m}" for m in range(_PQ_M))
+    codes = ", ".join(f"k{m} % {_PQ_K} AS code_{m}" for m in range(_PQ_M))
+    err = " + ".join(f"k{m} // {_PQ_K}" for m in range(_PQ_M))
+    return f"""
+    qv AS (SELECT vec_id, {sql_quantized('embedding')} AS iv FROM embeddings),
+    cent AS (SELECT vec_id AS cid, iv FROM qv WHERE vec_id < {_PQ_K}),
+    keys AS (SELECT v.vec_id, {keys} FROM qv v CROSS JOIN cent c GROUP BY v.vec_id),
+    codes AS (SELECT vec_id, {codes}, {err} AS recon_err FROM keys)
+"""
+
+
+def _pq_codes_frame(spark, sf_dir):
+    """(vec_id, code_0..code_{{M-1}}, recon_err): each subspace coded as
+    the argmin-distance centroid of a K-entry codebook (the lowest-K
+    vec_ids' sub-vectors stand in for a trained codebook, as in
+    ann_ivf). All arithmetic is exact longs over quantized vectors, so
+    codes AND total squared reconstruction error replay bit-for-bit in
+    the oracle. Plan: one broadcast cross-join against the K-row
+    codebook, 8 min-keyed aggs in ONE map-side-combined hash agg."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantized(F.col("embedding")).alias("iv"))
+    cent = qv.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    zero = F.lit(0).cast("long")
+
+    def key(m):
+        lo = m * _PQ_SUB + 1
+        sub_v = F.slice(F.col("iv"), lo, _PQ_SUB)
+        sub_c = F.slice(F.col("civ"), lo, _PQ_SUB)
+        d = F.aggregate(
+            F.zip_with(sub_v, sub_c, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        return d * _PQ_K + F.col("cid")
+
+    keys = (
+        fanout(qv)
+        .crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(*[F.min(key(m)).alias(f"k{m}") for m in range(_PQ_M)])
+    )
+    err = None
+    for m in range(_PQ_M):
+        term = F.shiftright(F.col(f"k{m}"), 2)  # // K, K = 4
+        err = term if err is None else err + term
+    return keys.select(
+        "vec_id",
+        *[(F.col(f"k{m}") % _PQ_K).alias(f"code_{m}") for m in range(_PQ_M)],
+        err.alias("recon_err"),
+    )
+
+
+@query(
+    "embedding_pq",
+    oracle=f"""
+    WITH {_pq_codes_cte()}
+    SELECT * FROM codes ORDER BY vec_id
+    """,
+)
+def embedding_pq(spark, sf_dir):
+    """Product quantization — the ANN storage path at scale (Jégou et
+    al.'s PQ: split the 64-dim vector into M=8 subspaces, code each
+    against a K=4-entry subspace codebook): 64 floats compress to 8
+    2-bit codes, and the total squared reconstruction error is
+    reported per vector for quantization audits (the same role
+    embedding_quantize's int8 path plays, one compression tier down).
+
+    100 TB shape: the codebook is K rows broadcast once; coding is a
+    single linear pass (cross join against the broadcast + one
+    map-side-combined 8-aggregate hash agg keyed on vec_id) — no
+    all-pairs stage anywhere. Integer-exact: quantized longs in,
+    min-keyed (dist * K + cid) BIGINT aggs out, so the oracle matches
+    bit-for-bit including tie-breaks (smaller cid wins)."""
+    return _pq_codes_frame(spark, sf_dir).orderBy("vec_id")
+
+
+def _pq_adc_oracle() -> str:
+    tall_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+        for m in range(_PQ_M)
+    )
+    lut_dist = ", ".join(f"{_pq_key_sql(m)} // {_PQ_K} AS d{m}" for m in range(_PQ_M))
+    tall_lut = " UNION ALL ".join(
+        f"SELECT qid, cid, {m} AS m, d{m} AS pd FROM lut" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH {_pq_codes_cte()},
+    lut AS (SELECT v.vec_id AS qid, c.cid, {lut_dist}
+            FROM qv v CROSS JOIN cent c WHERE v.vec_id < 5),
+    tcodes AS ({tall_codes}),
+    tlut AS ({tall_lut}),
+    adc AS (SELECT t.qid, x.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc
+            FROM tcodes x JOIN tlut t ON t.m = x.m AND t.cid = x.code
+            WHERE x.vec_id <> t.qid
+            GROUP BY t.qid, x.vec_id)
+    SELECT qid, vec_id, adc, rk FROM (
+        SELECT qid, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+        FROM adc
+    ) WHERE rk <= 3
+    """
+
+
+@query("sim_pq_adc", oracle=_pq_adc_oracle())
+def sim_pq_adc(spark, sf_dir):
+    """Asymmetric distance computation (ADC) top-3 over PQ codes: each
+    of 5 query vectors precomputes a (subspace, centroid) -> partial-
+    distance lookup table against the codebook (5 x 8 x 4 = 160 tiny
+    rows), and every database vector's approximate distance is the sum
+    of 8 LUT entries selected by its stored codes — the scan never
+    touches the original vectors, which is the entire point of PQ at
+    100 TB: the index is 2 bits per subspace per vector.
+
+    Plan: codes melt to (vec_id, m, code) via posexplode (narrow), the
+    LUT broadcasts, the per-pair partial distances hash-agg on
+    (qid, vec_id), and the top-3 is a per-query window — broadcast
+    equi-joins and aggs only, no cross join on the scan side, all
+    arithmetic exact longs."""
+    codes = _pq_codes_frame(spark, sf_dir)
+    tcodes = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(_PQ_M)])).alias(
+            "m", "code"
+        ),
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantized(F.col("embedding")).alias("iv"))
+    cent = qv.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    zero = F.lit(0).cast("long")
+
+    def pdist(m):
+        lo = m * _PQ_SUB + 1
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("iv"), lo, _PQ_SUB),
+                F.slice(F.col("civ"), lo, _PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    lut_wide = (
+        qv.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cid",
+            *[pdist(m).alias(f"d{m}") for m in range(_PQ_M)],
+        )
+    )
+    tlut = lut_wide.select(
+        "qid",
+        "cid",
+        F.posexplode(F.array(*[F.col(f"d{m}") for m in range(_PQ_M)])).alias("m", "pd"),
+    )
+    adc = (
+        tcodes.alias("x")
+        .join(
+            F.broadcast(tlut.alias("t")),
+            (F.col("x.m") == F.col("t.m")) & (F.col("x.code") == F.col("t.cid")),
+        )
+        .filter(F.col("x.vec_id") != F.col("t.qid"))
+        .groupBy(F.col("t.qid").alias("qid"), F.col("x.vec_id").alias("vec_id"))
+        .agg(F.sum("t.pd").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "adc", "rk")
+    )

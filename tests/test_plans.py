@@ -339,3 +339,22 @@ def test_df_capped_shingles_filter_reaches_plan(spark, sf_small):
     # feeding a LEFT ANTI join against the big shingle table
     assert "> 64" in p, "df-cap filter missing from capped-shingle plan"
     assert "LeftAnti" in p, "stop-shingle exclusion is not an anti-join"
+
+
+def test_embedding_pq_single_agg_no_window(spark, sf_small):
+    """PQ coding must be one broadcast codebook cross-join + ONE hash
+    agg: the per-subspace argmin is folded into MIN over (dist*K+cid)
+    keys, so no window (per-vector sort) appears anywhere."""
+    p = plan(q("embedding_pq", spark, sf_small))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("HashAggregate") >= 2  # partial + final of the one agg
+
+
+def test_sim_pq_adc_scan_side_no_cartesian(spark, sf_small):
+    """The ADC scan joins melted codes against the broadcast LUT on
+    (m, code) — an equi-join. The only nested-loop allowed is the
+    160-row LUT build (queries x codebook); the code-melt side must
+    join by hash."""
+    p = plan(q("sim_pq_adc", spark, sf_small))
+    assert "BroadcastHashJoin" in p
