@@ -74,6 +74,11 @@ _R5_NEW = [
     "sink_compact",
     "embedding_pq",
     "sim_pq_adc",
+    "fn_url",
+    "xml_parse",
+    "scan_xml",
+    "scan_text",
+    "scan_binaryfile",
 ]
 
 

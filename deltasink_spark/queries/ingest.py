@@ -260,3 +260,41 @@ def event_sessionize(spark, sf_dir):
         .withColumn("session_seq", F.sum("is_start").over(wc).cast("long"))
         .select("event_id", "user_id", "ts", "session_seq")
     )
+
+
+@query(
+    "xml_parse",
+    oracle="""
+    SELECT event_id,
+           event_id AS id_attr,
+           event_type AS ty,
+           user_id AS uid
+    FROM events
+    """,
+)
+def xml_parse(spark, sf_dir):
+    """XML payload -> struct with declared schema (from_xml, the
+    json_parse sibling for XML-bearing feeds; native in Spark 4's
+    StaxXmlParser — JVM-side, no Python). The document is composed
+    deterministically from the events fixture (attribute + two child
+    elements), then parsed back through the real XML parse path:
+    attribute `id` surfaces under the default `_` attribute prefix,
+    typed element extraction casts ty/uid. The oracle verifies the
+    round-trip against the fixture columns directly."""
+    ev = load(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<ev id="'),
+        F.col("event_id").cast("string"),
+        F.lit('"><ty>'),
+        F.col("event_type"),
+        F.lit("</ty><uid>"),
+        F.col("user_id").cast("string"),
+        F.lit("</uid></ev>"),
+    )
+    parsed = F.from_xml(xml, "`_id` BIGINT, ty STRING, uid BIGINT")
+    return ev.select(
+        "event_id",
+        parsed["_id"].alias("id_attr"),
+        parsed["ty"].alias("ty"),
+        parsed["uid"].alias("uid"),
+    )

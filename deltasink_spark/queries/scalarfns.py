@@ -329,3 +329,51 @@ def fn_posexplode(spark, sf_dir):
         "n_nationkey",
         F.posexplode(F.split(F.col("n_name"), "")),
     ).select("n_nationkey", "pos", F.col("col").alias("token"))
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               'https://ex-' || lower(c_mktsegment) || '.example.com/seg/'
+                   || c_custkey || '?id=' || c_custkey || '&lim=10#frag' AS url
+        FROM customer)
+    SELECT c_custkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qry,
+           regexp_extract(url, '#(.*)$', 1) AS ref,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM u
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL component extraction (parse_url family): protocol, host,
+    path, query string, fragment, and a named query parameter — the
+    scalar surface behind web-corpus ingest (host-level dedup, URL
+    canonicalization, robots filtering). The URL is composed
+    deterministically from the customer fixture so the DuckDB oracle
+    (which lacks parse_url) can verify the SAME components via regex
+    over the same composed string. All JVM codegen, no Python."""
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://ex-"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/seg/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&lim=10#frag"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("qry"),
+        F.parse_url("url", F.lit("REF")).alias("ref"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -410,3 +410,108 @@ def write_partitioned(spark, sf_dir):
         .filter(F.col("o_orderstatus") == "F")
         .select(*cols)
     )
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_xml(spark, sf_dir):
+    """XML file scan through Spark 4's native XML source (StaxXmlParser
+    with declared schema — no inference pass, no Python): the stage
+    writes the supplier table as row-tagged XML documents once per
+    (sf_dir, fixture-fingerprint), the op reads it back through the
+    real reader path including entity escaping and numeric text
+    parsing. Scale: splittable by file; schema-on-read keeps the plan
+    a plain FileScan."""
+    stage = _stage_dir(sf_dir, "xml")
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    if not _stage_fresh(stage, sf_dir, "supplier"):
+        load(spark, sf_dir, "supplier").select(*cols).write.mode("overwrite").option(
+            "rowTag", "supplier"
+        ).format("xml").save(stage)
+        _stage_mark(stage, sf_dir, "supplier")
+    schema = "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(stage)
+        .select(*cols)
+    )
+
+
+@query(
+    "scan_text",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def scan_text(spark, sf_dir):
+    """Line-oriented text scan (spark.read.text): the stage serializes
+    each document as one `doc_id<TAB>hex(utf8(text))` line (hex makes
+    arbitrary text — including newlines — newline-safe), the op reads
+    the lines back and decodes. This is the raw-corpus ingest shape:
+    a text source whose parsing happens in DataFrame expressions
+    (split/unhex/decode — all codegen), not in the reader. Splittable
+    by line; no shuffle."""
+    stage = _stage_dir(sf_dir, "text")
+    if not _stage_fresh(stage, sf_dir, "documents"):
+        load(spark, sf_dir, "documents").select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.hex(F.encode(F.col("text"), "UTF-8")),
+            ).alias("value")
+        ).write.mode("overwrite").text(stage)
+        _stage_mark(stage, sf_dir, "documents")
+    lines = spark.read.text(stage)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        F.decode(F.unhex(parts.getItem(1)), "UTF-8").alias("text"),
+    )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) + 1 AS n_bytes,
+           md5(text || chr(10)) AS digest
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scan_binaryfile(spark, sf_dir):
+    """Opaque-blob ingest through the binaryFile source — the entry
+    path for image/audio/video corpora (SURVEY §2.13 multimodal ops
+    consume exactly this shape). The stage writes one file per
+    document (a distributed partitionBy write — no driver loop), the
+    op lists + reads them as (path, content) and derives typed
+    metadata: the id parsed from the partition path, byte length, and
+    content digest. Writers append one newline per text line, so the
+    oracle hashes text||chr(10). Scale: file listing is distributed,
+    content never crosses a shuffle, and per-file rows carry only
+    digest+length (the multimodal decode ops stream `content` through
+    Arrow batches instead of collecting it)."""
+    stage = _stage_dir(sf_dir, "binfiles")
+    if not _stage_fresh(stage, sf_dir, "documents"):
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .repartition(8, "doc_id")
+            .select("doc_id", F.col("text").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("doc_id")
+            .text(stage)
+        )
+        _stage_mark(stage, sf_dir, "documents")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(stage)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
