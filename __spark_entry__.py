@@ -79,6 +79,9 @@ _R5_NEW = [
     "scan_xml",
     "scan_text",
     "scan_binaryfile",
+    "dedup_paragraph",
+    "ts_rollup_multi",
+    "knn_graph",
 ]
 
 

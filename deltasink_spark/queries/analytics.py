@@ -714,3 +714,58 @@ def agg_moments(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_rollup_multi",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(30,6))) AS sv
+        FROM events GROUP BY 1),
+    h AS (SELECT date_trunc('hour', bucket_ts) AS bucket_ts,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+          FROM m GROUP BY 1),
+    d AS (SELECT date_trunc('day', bucket_ts) AS bucket_ts,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+          FROM h GROUP BY 1)
+    SELECT 'minute' AS resolution, bucket_ts, n, CAST(sv AS DOUBLE) AS sum_v FROM m
+    UNION ALL
+    SELECT 'hour' AS resolution, bucket_ts, n, CAST(sv AS DOUBLE) AS sum_v FROM h
+    UNION ALL
+    SELECT 'day' AS resolution, bucket_ts, n, CAST(sv AS DOUBLE) AS sum_v FROM d
+    """,
+)
+def ts_rollup_multi(spark, sf_dir):
+    """Hypertable-style multi-resolution continuous aggregate: one
+    minute/hour/day rollup pyramid over the event stream, where each
+    coarser resolution is RE-AGGREGATED FROM THE NEXT FINER ONE — the
+    raw table is scanned exactly once, and the hour/day levels reduce
+    ~60x/~24x smaller inputs (the incremental-rollup shape a
+    timeseries store maintains continuously). Sums stay in exact
+    decimal until the final projection, so the re-aggregation is
+    associative and bit-stable regardless of partitioning; the
+    minute-level hash agg combines map-side, and the two re-aggs are
+    trivial shuffles over already-reduced data."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    h = m.groupBy(F.date_trunc("hour", "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+    d = h.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts")).agg(
+        F.sum("n").alias("n"), F.sum("sv").alias("sv")
+    )
+
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("resolution"),
+            "bucket_ts",
+            F.col("n").cast("long").alias("n"),
+            F.col("sv").cast("double").alias("sum_v"),
+        )
+
+    return lvl(m, "minute").unionAll(lvl(h, "hour")).unionAll(lvl(d, "day"))

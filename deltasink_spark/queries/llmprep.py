@@ -670,3 +670,93 @@ def pipeline_training_prep(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.countDistinct(seq_id).cast("long").alias("n_seqs"),
     )
+
+
+_PARA_W = 8  # words per block: stands in for a paragraph on the fixture
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(CEIL(len(toks) / {_PARA_W}.0) AS BIGINT) AS nb
+          FROM t),
+    seg AS (SELECT doc_id, u.i AS pos,
+                   array_to_string(toks[u.i * {_PARA_W} + 1 : u.i * {_PARA_W} + {_PARA_W}], ' ') AS seg
+            FROM n, UNNEST(range(0, nb)) AS u(i)),
+    keeper AS (SELECT seg,
+                      MIN(struct_pack(doc_id := doc_id, pos := pos)) AS k
+               FROM seg GROUP BY seg),
+    kept AS (SELECT s.doc_id, s.pos, s.seg
+             FROM seg s JOIN keeper x
+               ON s.seg = x.seg AND s.doc_id = x.k.doc_id AND s.pos = x.k.pos),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT n.doc_id, n.nb AS n_blocks,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM n LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_paragraph(spark, sf_dir):
+    """Cross-corpus paragraph-level dedup — the CC-pipeline pass that
+    removes REPEATED PARAGRAPHS (boilerplate, licenses, navigation)
+    across documents while keeping each document's first occurrence,
+    then reassembles the cleaned text in order. On the synthetic
+    fixture a "paragraph" is a fixed 8-word block.
+
+    Scale shape (the part that matters at 100 TB): first-occurrence
+    selection is a hash AGGREGATION — MIN(struct(doc_id, pos)) per
+    paragraph — followed by an equi-join back on the paragraph text,
+    NOT a row_number window over a global sort: the agg combines
+    map-side, so a paragraph repeated 10^6 times costs one partial per
+    partition instead of a 10^6-row sorted partition (the skew shape
+    boilerplate always produces). Reassembly is the standard
+    array_sort(collect_list(struct(pos, seg))) trick — shuffle-once,
+    order restored without a sorted shuffle. Documents whose every
+    paragraph was seen earlier survive with empty clean_text via the
+    left join from the doc spine."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.ceil(F.size(toks) / float(_PARA_W)).cast("long").alias("nb"),
+    )
+    seg = fanout(n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("nb") - 1).cast("int")),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * _PARA_W + 1, _PARA_W), " "),
+            )
+        ).alias("pos", "seg"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "seg")
+    keeper = seg.groupBy("seg").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    kept = (
+        seg.join(keeper, "seg")
+        .filter((F.col("doc_id") == F.col("k.doc_id")) & (F.col("pos") == F.col("k.pos")))
+        .select("doc_id", "pos", "seg")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        n.select("doc_id", F.col("nb").alias("n_blocks"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -803,3 +803,83 @@ def sim_pq_adc(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "adc", "rk")
     )
+
+
+def _knn_graph_oracle() -> str:
+    b0 = sql_bucket("iv", _ANN_PLANES[:_ANN_K])
+    b1 = sql_bucket("iv", _ANN_PLANES[_ANN_K:])
+    score = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
+    return f"""
+    WITH {_QN_CTE},
+    bk AS (SELECT vec_id, iv, nrm, {b0} AS b0, {b1} AS b1 FROM qn),
+    tall AS (
+        SELECT vec_id, 0 AS t, b0 AS bucket FROM bk
+        UNION ALL
+        SELECT vec_id, 1 AS t, b1 AS bucket FROM bk),
+    cand AS (
+        SELECT DISTINCT s.vec_id AS src, d.vec_id AS dst
+        FROM tall s JOIN tall d ON s.t = d.t AND s.bucket = d.bucket
+                                AND d.vec_id <> s.vec_id),
+    scored AS (
+        SELECT c.src, c.dst, {score} AS cos
+        FROM cand c JOIN qn a ON a.vec_id = c.src JOIN qn b ON b.vec_id = c.dst)
+    SELECT src, dst, cos, rk FROM (
+        SELECT src, dst, cos,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@query("knn_graph", oracle=_knn_graph_oracle())
+def knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH over the whole embedding table (every
+    node gets its top-3 bucket-mate neighbors) — the backbone of
+    graph-based semantic dedup, SemDeDup-style cluster refinement,
+    and kNN-graph ANN indexes. Unlike sim_ann_lsh (5 broadcast query
+    vectors), BOTH sides here are the full table, so candidate
+    generation is a plain shuffled self-equi-join on (table, bucket):
+    no broadcast, no cross join, AQE splits skewed buckets. Scoring
+    joins the candidate edge list back to the quantized vectors by id
+    (two shuffled equi-joins at 100 TB; sort-merge-friendly), and
+    ranking is a per-source window over ≤ bucket-size candidates.
+    The deterministic hyperplane literals are mirrored into the
+    oracle, so the approximate result is verified exactly."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    bk = qn.select(
+        "vec_id",
+        bucket(F.col("iv"), _ANN_PLANES[:_ANN_K]).alias("b0"),
+        bucket(F.col("iv"), _ANN_PLANES[_ANN_K:]).alias("b1"),
+    )
+    tall = bk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("t"), F.col("b0").alias("bucket")),
+                F.struct(F.lit(1).alias("t"), F.col("b1").alias("bucket")),
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    dst = tall.select(F.col("vec_id").alias("dst"), "t", "bucket")
+    cand = (
+        tall.select(F.col("vec_id").alias("src"), "t", "bucket")
+        .join(dst, ["t", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    a = qn.select(F.col("vec_id").alias("src"), F.col("iv").alias("si"), F.col("nrm").alias("sn"))
+    b = qn.select(F.col("vec_id").alias("dst"), F.col("iv").alias("di"), F.col("nrm").alias("dn"))
+    scored = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .withColumn(
+            "cos", F.round(qdot(F.col("si"), F.col("di")) / (F.col("sn") * F.col("dn")), 6)
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "cos", "rk")
+    )
