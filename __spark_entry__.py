@@ -82,6 +82,8 @@ _R5_NEW = [
     "dedup_paragraph",
     "ts_rollup_multi",
     "knn_graph",
+    "dedup_substring_span",
+    "rollup_incremental",
 ]
 
 

@@ -747,11 +747,20 @@ def ts_rollup_multi(spark, sf_dir):
     decimal until the final projection, so the re-aggregation is
     associative and bit-stable regardless of partitioning; the
     minute-level hash agg combines map-side, and the two re-aggs are
-    trivial shuffles over already-reduced data."""
+    trivial shuffles over already-reduced data. The minute level is
+    localCheckpoint'd: it feeds three consumers (its own output branch
+    plus the hour re-agg chain), and without materialization each
+    union branch would re-derive from the raw scan — the checkpoint is
+    what makes "one raw scan" true in the physical plan, exactly as a
+    timeseries store persists the finest rollup and derives the rest."""
     ev = load(spark, sf_dir, "events")
-    m = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    m = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        .localCheckpoint(eager=False)
     )
     h = m.groupBy(F.date_trunc("hour", "bucket_ts").alias("bucket_ts")).agg(
         F.sum("n").alias("n"), F.sum("sv").alias("sv")
@@ -769,3 +778,51 @@ def ts_rollup_multi(spark, sf_dir):
         )
 
     return lvl(m, "minute").unionAll(lvl(h, "hour")).unionAll(lvl(d, "day"))
+
+
+@query(
+    "rollup_incremental",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance: an EXISTING hourly
+    rollup absorbs a NEW micro-batch by aggregating only the delta and
+    merging partials — the raw history is never rescanned (here the
+    fixture is split deterministically into history [3/4] and delta
+    [1/4] to exercise the merge; in production the delta is the
+    incoming micro-batch). Correctness hinges on the aggregate state
+    being MERGEABLE: counts add, and sums kept in exact decimal are
+    associative, so merge order / partitioning cannot change a bit.
+    The oracle is the full-table rollup — merged partials must equal
+    the from-scratch answer exactly.
+
+    Scale shape: two hash aggs (one over each slice — at 100 TB the
+    history agg is the stored rollup, so only the delta agg runs) and
+    one merge agg over pre-reduced rows keyed by (bucket, type):
+    thousands of rows per hour regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("psv"),
+        )
+
+    history = partial(ev.filter(F.col("event_id") % 4 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 4 == 0))
+    return (
+        history.unionAll(delta)
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.sum("psv").cast("double").alias("sum_v"),
+        )
+    )

@@ -608,3 +608,108 @@ def text_entropy(spark, sf_dir):
         .select("doc_id", F.col("n").alias("n_tokens"), "entropy_bits")
         .orderBy("doc_id")
     )
+
+
+_SPAN_G = 16  # tokens per duplicated-substring probe gram
+
+
+@query(
+    "dedup_substring_span",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i + 1 : u.i + {_SPAN_G}], ' ') AS gram
+          FROM n, UNNEST(range(0, GREATEST(nt - {_SPAN_G} + 1, 0))) AS u(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > {_SPAN_G}
+                        THEN 1 ELSE 0 END AS ns
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    iid AS (SELECT doc_id, pos,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl),
+    sp AS (SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1
+           FROM iid GROUP BY doc_id, island),
+    agg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(p1 - p0 + {_SPAN_G}) AS BIGINT) AS dup_tokens
+            FROM sp GROUP BY doc_id)
+    SELECT n.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           COALESCE(agg.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(agg.dup_tokens, 0) / CAST(nt AS DOUBLE), 6) AS dup_frac
+    FROM n LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_substring_span(spark, sf_dir):
+    """Duplicated-SUBSTRING detection (the suffix-array dedup result of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", approximated with fixed 16-token probe grams):
+    every 16-token window repeated ANYWHERE in the corpus (including
+    within the same document) marks its tokens as duplicated; per
+    document, overlapping marked windows merge into maximal spans and
+    the op reports span count, duplicated-token count, and the
+    duplicated fraction — the signal used to clip or drop documents.
+
+    Scale shape: gram frequency is one hash agg (map-side combinable);
+    marking is a semi-join of the positioned grams against the
+    frequent-gram set (equi-join on the gram, AQE-skew-safe even for
+    mega-df boilerplate grams because the semi-join never multiplies
+    rows). Span merge exploits fixed-length intervals: sorted by
+    start, a span breaks exactly when the gap exceeds the gram length,
+    so it is one per-document window pass (LAG + running sum), no
+    interval tree. Every document returns via the left-join spine."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("nt"))
+    g = (
+        fanout(n)
+        .filter(F.col("nt") >= _SPAN_G)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("nt") - _SPAN_G).cast("int")),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, _SPAN_G), " "),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    )
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("ct")).filter(F.col("ct") >= 2)
+    d = g.join(freq.select("gram"), "gram", "left_semi").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ns = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > _SPAN_G),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    iid = d.withColumn("ns", ns).withColumn(
+        "island",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sp = iid.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("p0"), F.max("pos").alias("p1")
+    )
+    agg = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("p1") - F.col("p0") + _SPAN_G).alias("dup_tokens"),
+    )
+    return (
+        n.select("doc_id", F.col("nt").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

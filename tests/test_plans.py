@@ -358,3 +358,68 @@ def test_sim_pq_adc_scan_side_no_cartesian(spark, sf_small):
     join by hash."""
     p = plan(q("sim_pq_adc", spark, sf_small))
     assert "BroadcastHashJoin" in p
+
+
+def test_knn_graph_no_cartesian_no_broadcast_of_table_side(spark, sf_small):
+    """knn_graph's candidate stage must be a shuffled self-equi-join on
+    (table, bucket) — with BOTH sides the full table, neither a
+    cartesian nor a broadcast of the table side survives 100 TB."""
+    p = plan(q("knn_graph", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_dedup_paragraph_keeper_is_agg_not_window(spark, sf_small):
+    """First-occurrence selection must be the map-side-combinable
+    MIN(struct) hash agg, not a row_number sort-window over the
+    paragraph partition (boilerplate paragraphs skew those sorts)."""
+    p = plan(q("dedup_paragraph", spark, sf_small))
+    assert "CartesianProduct" not in p
+    # windows appear once for the ordered reassembly? no — reassembly is
+    # array_sort(collect_list); the only acceptable Window count is 0.
+    assert p.count("Window") == 0
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_ts_rollup_multi_single_raw_scan(spark, sf_small):
+    """The rollup pyramid re-aggregates finer levels: exactly one scan
+    of the events file may appear per union branch ancestry, and the
+    hour/day levels must hang off the minute agg, not re-scan raw.
+    The minute level is localCheckpoint-materialized, so the physical
+    plan holds exactly one scan of the raw events file."""
+    p = plan(q("ts_rollup_multi", spark, sf_small))
+    assert p.count("events.parquet") <= 1
+
+
+def test_scan_text_binaryfile_xml_no_python(spark, sf_small):
+    """The r5 scan surface parses in codegen expressions, not Python."""
+    for op in ("scan_text", "scan_xml", "scan_binaryfile"):
+        p = plan(q(op, spark, sf_small))
+        assert "PythonUDF" not in p, op
+        assert "CartesianProduct" not in p, op
+
+
+def test_fn_url_is_pure_project(spark, sf_small):
+    p = plan(q("fn_url", spark, sf_small))
+    assert "Exchange" not in p
+    assert "PythonUDF" not in p
+
+
+def test_dedup_substring_span_semi_join_no_cartesian(spark, sf_small):
+    """Gram marking must be a semi-join (never multiplies rows even on
+    mega-df boilerplate grams) and no cartesian anywhere."""
+    p = plan(q("dedup_substring_span", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p or "Semi" in p
+    assert "PythonUDF" not in p
+
+
+def test_rollup_incremental_merges_partials(spark, sf_small):
+    """The merge agg must consume two pre-reduced branches: three
+    HashAggregate pairs (history partial, delta partial, merge), no
+    join, no window."""
+    p = plan(q("rollup_incremental", spark, sf_small))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 4
