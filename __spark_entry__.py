@@ -84,6 +84,9 @@ _R5_NEW = [
     "knn_graph",
     "dedup_substring_span",
     "rollup_incremental",
+    "table_stats",
+    "dq_checks",
+    "source_python_ds",
 ]
 
 

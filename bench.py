@@ -82,6 +82,11 @@ R5OPS = [
     "protobuf_parse",        # protobuf wire-format decode
     "embedding_pq",          # product-quantization coding pass
     "sim_pq_adc",            # ADC top-k over PQ codes
+    "dedup_paragraph",       # cross-corpus paragraph dedup + reassembly
+    "dedup_substring_span",  # duplicated-substring span marking
+    "knn_graph",             # full-table LSH k-NN graph
+    "ts_rollup_multi",       # minute/hour/day rollup pyramid
+    "rollup_incremental",    # partial-merge view maintenance
 ]
 
 

@@ -12,6 +12,7 @@ from deltasink_spark.queries import (  # noqa: F401
     joins,
     llmprep,
     multimodal,
+    quality,
     relational,
     scalarfns,
     sketches,

@@ -1,0 +1,184 @@
+"""Engine maintenance & data-quality surface (r5).
+
+Two operator families every production table pipeline runs besides
+queries:
+
+- ``table_stats``: ANALYZE-style column statistics (row/null counts,
+  exact NDV, min/max) — the numbers a cost-based optimizer and a data
+  catalog feed on. One scan, one hash agg, constant-size output.
+- ``dq_checks``: declarative data-quality expectations (referential
+  integrity, uniqueness, range, ordering invariants) evaluated into a
+  violations report — the circuit-breaker stage in front of a sink.
+
+Determinism: counts are BIGINT, min/max are taken over BIGINT/STRING
+columns only (double/timestamp rendering differs between engines), so
+every value is bit-stable at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltasink_spark.registry import query
+from deltasink_spark.tables import load
+
+_STAT_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+
+
+@query(
+    "table_stats",
+    oracle=f"""
+    WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    {' UNION ALL '.join(
+        f'''SELECT '{c}' AS col_name, a.n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               CAST(MIN({c}) AS VARCHAR) AS min_s,
+               CAST(MAX({c}) AS VARCHAR) AS max_s
+           FROM lineitem, a GROUP BY a.n_rows'''
+        for c in _STAT_COLS
+    )}
+    """,
+)
+def table_stats(spark, sf_dir):
+    """ANALYZE TABLE-style column statistics: per column, row count,
+    null count, exact distinct count, and min/max — the inputs to
+    cost-based join reordering, broadcast decisions, and catalog
+    search. All four columns' statistics come from ONE scan and ONE
+    hash-agg row (count_distinct plans as partial distinct aggs that
+    merge map-side); the long-form report is an explode of that single
+    row, so output size is O(columns) whatever the table size."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STAT_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in _STAT_COLS
+        ]
+    )
+    return row.select("n_rows", F.explode(per_col).alias("s")).select(
+        F.col("s.col_name").alias("col_name"),
+        "n_rows",
+        F.col("s.n_null").alias("n_null"),
+        F.col("s.ndv").alias("ndv"),
+        F.col("s.min_s").alias("min_s"),
+        F.col("s.max_s").alias("max_s"),
+    )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity <= 0 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COALESCE(SUM(ct - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS ct FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+            FROM customer)
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Declarative data-quality expectation suite evaluated into a
+    violations report (check_name, n_checked, n_violations) — the
+    gate a pipeline runs before committing a batch to its sink:
+
+    - referential integrity orders.o_custkey -> customer (anti-join
+      orphan count; the FK check a lakehouse can't enforce on write),
+    - value-range invariant on l_quantity,
+    - key uniqueness on o_orderkey (excess-row count),
+    - non-null expectation on c_name,
+    - cross-table ordering invariant ship >= order date.
+
+    Scale shape: every check is a count aggregate — conditional counts
+    are filter+count on a single scan; the FK check is a broadcast
+    anti-join (customer keys projected to one column) feeding a
+    count; uniqueness is a hash agg over the key. Each result is one
+    row; the report is a 5-row union of scalars, so the only data
+    moved is the counts themselves."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def one(name, n_checked_df, viol_df):
+        n = n_checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
+        v = viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
+        return n.crossJoin(v).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    fk = one(
+        "orders_custkey_fk",
+        orders,
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ),
+    )
+    rng = one(
+        "lineitem_quantity_range",
+        lineitem,
+        lineitem.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)),
+    )
+    dup_excess = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") > 1)
+        .agg(F.coalesce(F.sum(F.col("ct") - 1), F.lit(0)).alias("n_violations"))
+    )
+    uniq = (
+        orders.agg(F.count(F.lit(1)).alias("n_checked"))
+        .crossJoin(dup_excess)
+        .select(F.lit("orders_orderkey_unique").alias("check_name"), "n_checked", "n_violations")
+    )
+    nn = one(
+        "customer_name_not_null",
+        customer,
+        customer.filter(F.col("c_name").isNull()),
+    )
+    li_ord = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    )
+    order_inv = one(
+        "lineitem_ship_after_order",
+        li_ord,
+        li_ord.filter(F.col("l_shipdate") < F.col("o_orderdate")),
+    )
+    return fk.unionAll(rng).unionAll(uniq).unionAll(nn).unionAll(order_inv)

@@ -515,3 +515,33 @@ def scan_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+@query(
+    "source_python_ds",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 100
+    """,
+)
+def source_python_ds(spark, sf_dir):
+    """Custom Python data source (Spark 4 pyspark.sql.datasource) —
+    the connector-author extension point when no JVM DataSourceV2
+    exists for a system. The source (operators/pyds.py) exposes one
+    InputPartition per parquet row group (the scan parallelizes like
+    a native file source), emits Arrow RecordBatches (columnar
+    transfer, no per-row Python), and implements pushFilters: the
+    `doc_id >= 100` predicate below is accepted by the source and
+    evaluated inside pyarrow at the batch level, never reaching a
+    Spark Filter over unfiltered rows. The fixture parquet stands in
+    for any range-served external system (REST cursor, KV scan
+    range, feature service)."""
+    from deltasink_spark.operators.pyds import FixtureDocsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FixtureDocsDataSource)
+    return (
+        spark.read.format("fixture_docs")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+        .filter(F.col("doc_id") >= 100)
+    )

@@ -423,3 +423,29 @@ def test_rollup_incremental_merges_partials(spark, sf_small):
     assert "Join" not in p
     assert "Window" not in p
     assert p.count("HashAggregate") >= 4
+
+
+def test_table_stats_single_scan(spark, sf_small):
+    """All four columns' statistics must come from one scan of the
+    table (one agg with multiple distinct aggregates), not a
+    scan-per-column union."""
+    p = plan(q("table_stats", spark, sf_small))
+    assert p.count("lineitem.parquet") == 1
+    assert "Join" not in p
+
+
+def test_dq_checks_fk_is_broadcast_anti_join(spark, sf_small):
+    p = plan(q("dq_checks", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_python_datasource_filter_pushed_into_source(spark, sf_small):
+    """The custom Python data source must accept the doc_id bound via
+    pushFilters — the plan shows it in the BatchScan's PushedFilters,
+    so no full-table Filter runs Spark-side."""
+    p = plan(q("source_python_ds", spark, sf_small))
+    assert "BatchScan fixture_docs" in p
+    pushed = p.split("PushedFilters")[1][:120]
+    assert "GreaterThanOrEqual(doc_id,100)" in pushed
