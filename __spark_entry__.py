@@ -87,6 +87,8 @@ _R5_NEW = [
     "table_stats",
     "dq_checks",
     "source_python_ds",
+    "stream_python_ds",
+    "json_variant",
 ]
 
 

@@ -83,3 +83,91 @@ class FixtureDocsDataSource(DataSource):
 
     def reader(self, schema):
         return _FixtureDocsReader(self.options)
+
+
+# --- streaming variant ----------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+_CHUNK = 250  # rows admitted per micro-batch (rate limiting)
+_SPLITS = 4  # partitions per micro-batch (executor parallelism)
+
+
+class _RowRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int) -> None:
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class _FixtureDocsStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming read over a fixture file standing in
+    for any offset-addressable system (a Kafka topic, a cursorable
+    API). Offsets are row positions; each micro-batch admits at most
+    _CHUNK rows (latestOffset is where rate limiting lives) and is
+    split into _SPLITS row-range partitions read executor-side as
+    Arrow batches. commit() is the ack hook a real connector uses to
+    trim its upstream cursor."""
+
+    _COLS = ["doc_id", "n_chars"]
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        self._total: int | None = None
+        self._admitted = 0
+
+    def _rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        if self._total is None:
+            self._total = pq.ParquetFile(self.path).metadata.num_rows
+        return self._total
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # Rate limiting lives HERE (the planned range [start, end) must
+        # then be served completely — clamping in partitions() would
+        # silently drop rows the offset log marks consumed). A real
+        # connector polls the upstream head; this one walks toward the
+        # file's row count _CHUNK rows per micro-batch.
+        self._admitted = min(self._rows(), self._admitted + _CHUNK)
+        return {"pos": self._admitted}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_RowRange(self.path, lo, lo)]
+        step = max(1, (hi - lo + _SPLITS - 1) // _SPLITS)
+        return [
+            _RowRange(self.path, s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        if partition.end <= partition.start:
+            return
+        table = pq.read_table(partition.path, columns=self._COLS)
+        yield from table.slice(
+            partition.start, partition.end - partition.start
+        ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # ack to upstream; nothing to trim for a file
+
+
+class FixtureDocsStreamDataSource(DataSource):
+    """``spark.readStream.format("fixture_docs_stream")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fixture_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, n_chars bigint"
+
+    def streamReader(self, schema):
+        return _FixtureDocsStreamReader(self.options)

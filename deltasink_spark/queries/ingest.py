@@ -298,3 +298,31 @@ def xml_parse(spark, sf_dir):
         parsed["ty"].alias("ty"),
         parsed["uid"].alias("uid"),
     )
+
+
+@query(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def json_variant(spark, sf_dir):
+    """Semi-structured ingest through the VARIANT type (Spark 4's
+    binary JSON encoding — the open-format answer to schemaless
+    columns): parse_json lands the payload as VARIANT once, then
+    typed paths are extracted with variant_get (shredded access into
+    the binary encoding, no re-parse per field) and absent paths probe
+    as null via try_variant_get. At scale this is the point: one
+    parse, many cheap typed extractions, columnar-friendly storage."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.try_variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    )

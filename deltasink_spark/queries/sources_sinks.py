@@ -545,3 +545,31 @@ def source_python_ds(spark, sf_dir):
         .load()
         .filter(F.col("doc_id") >= 100)
     )
+
+
+@query(
+    "stream_python_ds",
+    oracle="SELECT doc_id, n_chars FROM documents",
+)
+def stream_python_ds(spark, sf_dir):
+    """Custom STREAMING Python data source (DataSourceStreamReader) —
+    the connector-author path for an offset-addressable system with
+    no JVM connector: offsets are row positions checkpointed by the
+    engine's offset log, latestOffset rate-limits each micro-batch to
+    250 rows (so the fixture drains across multiple real
+    micro-batches), partitions() splits every admitted range into 4
+    row-slices read EXECUTOR-side as Arrow batches, and commit() is
+    the upstream-ack hook. The drain is deterministic — every fixture
+    row exactly once across the batch sequence — so the materialized
+    sink carries an exact oracle, same policy as the other bounded
+    streaming ops."""
+    from deltasink_spark.operators.pyds import FixtureDocsStreamDataSource
+
+    spark.dataSource.register(FixtureDocsStreamDataSource)
+    expected = load(spark, sf_dir, "documents").count()
+    stream = (
+        spark.readStream.format("fixture_docs_stream")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return _run_until(spark, stream, min_rows=expected)
