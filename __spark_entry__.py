@@ -89,6 +89,9 @@ _R5_NEW = [
     "source_python_ds",
     "stream_python_ds",
     "json_variant",
+    "sink_python_ds",
+    "udf_arrow",
+    "stream_transform_with_state",
 ]
 
 

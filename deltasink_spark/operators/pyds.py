@@ -171,3 +171,87 @@ class FixtureDocsStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         return _FixtureDocsStreamReader(self.options)
+
+
+# --- writer variant -------------------------------------------------------
+
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import uuid as _uuid  # noqa: E402
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _ManifestJsonWriter(DataSourceWriter):
+    """Two-phase commit writer: each task streams its rows to a
+    UNIQUELY-NAMED json-lines part file (never visible to readers on
+    its own) and returns a WriterCommitMessage naming it; the driver's
+    commit() makes ALL parts visible in one atomic rename of a
+    manifest listing them — the same visibility protocol as this
+    repo's ledgered-parquet sink (sinks.py) and Delta's _delta_log: a
+    crashed/duplicated task's orphan part is simply never referenced,
+    and abort() removes the debris. Readers resolve the manifest, so
+    a write is all-or-nothing."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _PartFile:
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        full = _os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path=name, rows=n)
+
+    def commit(self, messages) -> None:
+        parts = [m for m in messages if m is not None]
+        manifest = {
+            "parts": sorted(p.path for p in parts),
+            "rows": sum(p.rows for p in parts),
+        }
+        tmp = _os.path.join(self.path, f"_manifest.{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(manifest))
+        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+
+class ManifestJsonDataSource(DataSource):
+    """``df.write.format("manifest_json").option("path", ...)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_json"
+
+    def schema(self) -> str:  # writer-only; schema comes from the frame
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def writer(self, schema, overwrite: bool):
+        return _ManifestJsonWriter(self.options)
+
+
+def read_manifest_json(spark, path: str, schema: str):
+    """Read back ONLY the parts the committed manifest references
+    (orphan parts from failed/speculative tasks are invisible)."""
+    with open(_os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [_os.path.join(path, p) for p in manifest["parts"]]
+    return spark.read.schema(schema).json(files)

@@ -573,3 +573,41 @@ def stream_python_ds(spark, sf_dir):
         .load()
     )
     return _run_until(spark, stream, min_rows=expected)
+
+
+@query(
+    "sink_python_ds",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def sink_python_ds(spark, sf_dir):
+    """Custom Python data source WRITER (DataSourceWriter) with the
+    two-phase commit protocol: each task writes a uniquely-named part
+    and returns a WriterCommitMessage; the driver's commit() publishes
+    all parts atomically via a manifest rename, abort() removes
+    debris — the same all-or-nothing visibility protocol as this
+    repo's ledgered-parquet sink and Delta's log, expressed through
+    the engine's writer-commit hooks instead of a hand-rolled ledger.
+    The op round-trips documents through the writer, then reads back
+    ONLY manifest-referenced parts; the exact oracle proves no row
+    was lost, duplicated, or read from an uncommitted part."""
+    from deltasink_spark.operators.pyds import (
+        ManifestJsonDataSource,
+        read_manifest_json,
+    )
+
+    spark.dataSource.register(ManifestJsonDataSource)
+    stage = _stage_dir(sf_dir, "pyds_sink")
+    cols = ["doc_id", "lang", "n_chars"]
+    if not _stage_fresh(stage, sf_dir, "documents"):
+        (
+            load(spark, sf_dir, "documents")
+            .select(*cols)
+            .write.format("manifest_json")
+            .mode("append")
+            .option("path", stage)
+            .save()
+        )
+        _stage_mark(stage, sf_dir, "documents")
+    return read_manifest_json(
+        spark, stage, "doc_id bigint, lang string, n_chars bigint"
+    ).select(*cols)

@@ -396,3 +396,42 @@ def sink_schema_evolution(spark, sf_dir):
         ev.filter(F.col("event_id") % 2 == 1).select("event_id", "value", "user_id"), 1
     )
     return sink.read_committed(spark, merge_schema=True)
+
+
+@query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_transform_with_state(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4's typed-state streaming
+    API) running per-event_type totals on a real stream: state lives
+    in a named ValueState handle inside a StatefulProcessor
+    (init/handleInputRows/close lifecycle) — the successor surface to
+    stream_stateful's applyInPandasWithState, supporting multiple
+    named state variables, timers, and state schema evolution. Exact
+    oracle for the same reason as stream_stateful: integer micro-unit
+    state (pipeline.type_totals_tws), so the bounded drain equals the
+    batch groupBy bit-for-bit.
+
+    Availability gate (pipeline.tws_available, same pattern as
+    jvm_avro_available / sinks._has_delta): TWS ships its state
+    protocol over protobuf, which this sandbox image lacks, so here
+    the op runs pipeline.type_totals_apiws — the applyInPandasWithState
+    expression of the IDENTICAL semantics (same keys, same integer
+    state, same output schema). A cluster with google.protobuf runs
+    the real StatefulProcessor path."""
+    from deltasink_spark.streaming.pipeline import (
+        tws_available,
+        type_totals_apiws,
+        type_totals_tws,
+    )
+
+    s = events_stream(spark, sf_dir).select("event_type", "value")
+    out = type_totals_tws(s) if tws_available() else type_totals_apiws(s)
+    name = _mem_name()
+    run_to_memory(out, name, output_mode="update")
+    return spark.table(name)

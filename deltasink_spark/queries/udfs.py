@@ -125,3 +125,28 @@ def udtf_py(spark, sf_dir):
         "SELECT t.doc_id, t.token FROM docs_for_udtf d, "
         "LATERAL tokenize_udtf(d.doc_id, d.text) t"
     )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT s_suppkey,
+           concat(upper(substr(s_name, 1, 4)), '-',
+                  CAST(s_nationkey * 7 + 3 AS VARCHAR)) AS tag
+    FROM supplier
+    """,
+)
+def udf_arrow(spark, sf_dir):
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): the
+    scalar-UDF API with the row-pickle serialization swapped for
+    Arrow batches — same author experience as udf_scalar_py, ~2-5x
+    the throughput, the recommended form when a true pandas_udf
+    rewrite isn't worth it. Kept trivially pure/deterministic so the
+    exact oracle holds."""
+
+    @F.udf(T.StringType(), useArrow=True)
+    def tag(name: str, nk: int) -> str:
+        return f"{name[:4].upper()}-{nk * 7 + 3}"
+
+    s = load(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", tag("s_name", "s_nationkey").alias("tag"))

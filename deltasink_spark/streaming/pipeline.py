@@ -127,3 +127,96 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over
+    protobuf; the sandbox image lacks the google.protobuf package, so
+    the TWS path is gated the same way as jvm_avro_available /
+    sinks._has_delta: probe, use when present."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def type_totals_tws(df: DataFrame) -> DataFrame:
+    """Per-event_type running counts via transformWithStateInPandas —
+    Spark 4's typed-state successor to applyInPandasWithState: state
+    lives in NAMED handles (here one ValueState) managed by the
+    StatefulProcessor lifecycle (init/handleInputRows/close) instead
+    of one opaque tuple, which is what makes state schema evolution
+    and multiple state variables per key possible.
+
+    Same exactness contract as running_totals_stateful: the state
+    accumulates integer micro-units computed BEFORE the Python
+    boundary, so the drain's final emission per key equals the batch
+    groupBy bit-for-bit."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("micros", LongType())]
+    )
+
+    class TypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, micros = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(pdf["v_micros"].sum())
+            self._state.update((n, micros))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n_events": [n], "total": [micros / 1_000_000]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = df.withColumn(
+        "v_micros",
+        (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long"),
+    )
+    return prepped.groupBy("event_type").transformWithStateInPandas(
+        TypeTotals(),
+        "event_type string, n_events bigint, total double",
+        "Update",
+        "None",
+    )
+
+
+def type_totals_apiws(df: DataFrame) -> DataFrame:
+    """applyInPandasWithState fallback with semantics identical to
+    type_totals_tws (same keys, same integer micro-unit state, same
+    output schema) — runs where the TWS protobuf dependency is absent."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n, micros) = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            micros += int(pdf["v_micros"].sum())
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "total": [micros / 1_000_000]}
+        )
+
+    prepped = df.withColumn(
+        "v_micros",
+        (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long"),
+    )
+    return prepped.groupBy("event_type").applyInPandasWithState(
+        fn,
+        "event_type string, n_events bigint, total double",
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
