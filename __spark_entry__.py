@@ -92,6 +92,8 @@ _R5_NEW = [
     "sink_python_ds",
     "udf_arrow",
     "stream_transform_with_state",
+    "dataset_split",
+    "bpe_merge_step",
 ]
 
 

@@ -760,3 +760,48 @@ def dedup_paragraph(spark, sf_dir):
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+        FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/validation/test assignment — the canonical
+    80/10/10 split every training pipeline makes, driven by the same
+    portable md5-bucket as sample_frac/sample_stratified rather than a
+    seeded rng: the split a document lands in depends only on its id,
+    never on partitioning, row order, cluster size, or Spark version,
+    so reshuffling 100 TB or re-running next year yields the identical
+    split (and the DuckDB oracle replays it exactly). Assignment is a
+    pure projection; the per-(source, split) accounting is one hash
+    agg."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

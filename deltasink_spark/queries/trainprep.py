@@ -713,3 +713,88 @@ def dedup_substring_span(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "bpe_merge_step",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM w
+           WHERE word <> '' GROUP BY word),
+    ch AS (SELECT word, wf, string_split(word, '') AS chars FROM wf),
+    p AS (SELECT chars[u.i] || ' ' || chars[u.i + 1] AS pair, wf
+          FROM ch, UNNEST(range(1, len(chars))) AS u(i)),
+    pc AS (SELECT pair, SUM(wf) AS cnt FROM p GROUP BY pair),
+    top AS (SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+            FROM pc ORDER BY cnt DESC, pair LIMIT 1),
+    s AS (SELECT word, wf, array_to_string(string_split(word, ''), ' ') AS sym
+          FROM wf)
+    SELECT s.word, s.wf,
+           top.pair AS merged_pair, top.pair_count,
+           replace(s.sym, top.pair, replace(top.pair, ' ', '')) AS merged,
+           CAST(len(string_split(replace(s.sym, top.pair, replace(top.pair, ' ', '')),
+                                 ' ')) AS BIGINT) AS n_syms
+    FROM s, top
+    """,
+)
+def bpe_merge_step(spark, sf_dir):
+    """One BPE tokenizer-training iteration (Sennrich et al. 2016),
+    corpus-wide and fully distributed: count adjacent symbol pairs
+    weighted by word frequency, pick the most frequent pair
+    (deterministic count-then-lexicographic tie-break), and merge it
+    in every word. This is the inner loop a tokenizer trainer runs
+    ~50k times; expressing one step in DataFrame algebra is what lets
+    vocabulary training run where the corpus lives instead of
+    sampling it down to one machine.
+
+    Scale shape: pair counting is explode + ONE map-side-combinable
+    hash agg over the vocabulary (distinct words, not corpus
+    positions — the groupBy(word) front-end collapses a 100 TB corpus
+    to its vocabulary first, exactly like the real algorithm's word
+    -frequency preprocessing). The winning pair is a 1-row broadcast;
+    the merge is a codegen string replace per vocabulary entry.
+    Left-to-right non-overlapping replace() matches BPE's standard
+    merge semantics and is identical in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    chars = F.split(F.col("word"), "")
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.size(chars) - 1),
+                F.slice(chars, 2, F.size(chars) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.col("pair").alias("merged_pair"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+    )
+    sym = F.array_join(F.split(F.col("word"), ""), " ")
+    merged = F.replace(
+        sym, F.col("merged_pair"), F.replace(F.col("merged_pair"), F.lit(" "), F.lit(""))
+    )
+    return (
+        wf.crossJoin(F.broadcast(top))
+        .select(
+            "word",
+            "wf",
+            "merged_pair",
+            "pair_count",
+            merged.alias("merged"),
+            F.size(F.split(merged, " ")).cast("long").alias("n_syms"),
+        )
+    )

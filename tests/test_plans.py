@@ -449,3 +449,18 @@ def test_python_datasource_filter_pushed_into_source(spark, sf_small):
     assert "BatchScan fixture_docs" in p
     pushed = p.split("PushedFilters")[1][:120]
     assert "GreaterThanOrEqual(doc_id,100)" in pushed
+
+
+def test_bpe_merge_step_vocab_collapse_and_broadcast_pair(spark, sf_small):
+    """Pair counting must run over the vocabulary (groupBy(word) agg
+    first), and the winning pair must broadcast — never a shuffle join
+    of the vocabulary against a 1-row frame."""
+    p = plan(q("bpe_merge_step", spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dataset_split_is_projection_plus_one_agg(spark, sf_small):
+    p = plan(q("dataset_split", spark, sf_small))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
