@@ -94,6 +94,8 @@ _R5_NEW = [
     "stream_transform_with_state",
     "dataset_split",
     "bpe_merge_step",
+    "agg_listagg",
+    "join_lateral",
 ]
 
 

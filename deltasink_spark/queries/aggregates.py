@@ -530,3 +530,30 @@ def agg_bool_family(spark, sf_dir):
         F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           string_agg(DISTINCT substr(n_name, 1, 1), ',' ORDER BY substr(n_name, 1, 1))
+             AS initials
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) — ordered string
+    aggregation with an explicit in-group sort (the deterministic form;
+    bare listagg order is undefined), plus the DISTINCT variant. The
+    within-group ordering is what makes the result hashable by the
+    oracle at any parallelism."""
+    n = load(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("v_nation_listagg")
+    return spark.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+               listagg(DISTINCT substr(n_name, 1, 1), ',')
+                 WITHIN GROUP (ORDER BY substr(n_name, 1, 1)) AS initials
+        FROM v_nation_listagg GROUP BY n_regionkey
+    """)

@@ -493,3 +493,34 @@ def join_temporal_lookup(spark, sf_dir):
         .select(*out_cols)
     )
     return closed_hits.unionByName(open_hits)
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r, LATERAL (
+        SELECT n_name, n_nationkey FROM nation n
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY n_nationkey LIMIT 2
+    ) t
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """LATERAL correlated subquery (ANSI lateral join): for each outer
+    row, a per-row subquery with its own ORDER BY ... LIMIT — the SQL
+    spelling of top-k-per-group that Catalyst de-correlates into a
+    window/rank plan rather than executing per-row. Exercises the SQL
+    surface; the DataFrame equivalent is topk_per_group."""
+    from deltasink_spark.tables import load as _load
+
+    _load(spark, sf_dir, "region").createOrReplaceTempView("v_lat_region")
+    _load(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    return spark.sql("""
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM v_lat_region r, LATERAL (
+            SELECT n_name, n_nationkey FROM v_lat_nation n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 2
+        ) t
+    """)
