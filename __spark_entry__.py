@@ -96,6 +96,9 @@ _R5_NEW = [
     "bpe_merge_step",
     "agg_listagg",
     "join_lateral",
+    "fn_try",
+    "fn_collate",
+    "sql_parameterized",
 ]
 
 

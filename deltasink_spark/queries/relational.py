@@ -435,3 +435,33 @@ def sample_bottom_k(spark, sf_dir):
         .select("o_orderkey")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (named-marker binding): values bind as typed
+    literals through the engine, never by string concatenation — the
+    injection-safe form every SQL-facing service should use, and
+    parameter markers keep the plan cache keyed on the template. The
+    Catalyst plan is identical to the literal query's (constant
+    folding sees the bound literal), so pushdown still works."""
+    from deltasink_spark.tables import load as _load
+
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("v_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM v_param_orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        ORDER BY o_orderkey LIMIT 50
+        """,
+        args={"min_price": 150000, "status": "O"},
+    )

@@ -377,3 +377,65 @@ def fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("REF")).alias("ref"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE l_orderkey / (l_linenumber - 1) END AS safe_div,
+           TRY_CAST(CASE WHEN l_orderkey % 3 = 0 THEN 'x' ELSE CAST(l_orderkey AS VARCHAR) END
+                    AS BIGINT) AS maybe_int,
+           CASE WHEN l_linenumber >= 3 THEN NULL ELSE l_linenumber END AS maybe_elem
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def fn_try(spark, sf_dir):
+    """ANSI-safe error-handling family (try_divide / try_cast /
+    try_element_at): under ANSI SQL mode these return NULL where the
+    strict form would raise (divide-by-zero, malformed cast,
+    out-of-bounds index) — the difference between a 100 TB job dying
+    at hour 9 on one bad record and a null routed to the dead-letter
+    filter. All codegen; oracle replays each null-producing condition
+    explicitly."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    arr = F.array(F.lit(1), F.lit(2))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_orderkey"), F.col("l_linenumber") - 1).alias("safe_div"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("x"))
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .try_cast("bigint")
+        .alias("maybe_int"),
+        F.try_element_at(arr, F.col("l_linenumber").cast("int")).alias("maybe_elem"),
+    )
+
+
+@query(
+    "fn_collate",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) = lower('BUILDING') AS seg_ci_eq,
+           CASE WHEN lower(c_name) < lower(c_mktsegment)
+                THEN c_name ELSE c_mktsegment END AS ci_min
+    FROM customer
+    """,
+)
+def fn_collate(spark, sf_dir):
+    """Collation-aware comparison (Spark 4 collations): strings cast
+    to UTF8_LCASE compare case-insensitively IN THE OPERATOR — no
+    lower() rewrite at every call site, and the collation travels
+    with the column through joins/groupBys. The oracle replays the
+    semantics with explicit lower() (DuckDB has no collation cast)."""
+    c = load(spark, sf_dir, "customer")
+    seg_ci = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    name_ci = F.collate(F.col("c_name"), "UTF8_LCASE")
+    return c.select(
+        "c_custkey",
+        (seg_ci == F.collate(F.lit("BUILDING"), "UTF8_LCASE")).alias("seg_ci_eq"),
+        F.when(name_ci < seg_ci, F.col("c_name"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("ci_min"),
+    )
