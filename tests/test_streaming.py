@@ -466,3 +466,66 @@ def test_visibility_fold_random_histories(tmp_path):
         n_recs = len(sink._ledger_records())
         assert sink._visible_entries(as_of_version=n_recs - 1) == model_vis
         assert sink._visible_entries(as_of_version=0) != [] or n_recs == 0
+
+
+def test_python_stream_source_multi_batch_rate_limit(spark, tmp_path):
+    """The Python streaming source must actually rate-limit: draining
+    500 fixture rows at 250/batch takes >= 2 micro-batches, the offset
+    log advances monotonically, and no row is lost or duplicated."""
+    import uuid
+
+    from deltasink_spark.operators.pyds import FixtureDocsStreamDataSource
+
+    spark.dataSource.register(FixtureDocsStreamDataSource)
+    src = "/root/testdata/sf0.01/documents.parquet"
+    name = "pysrc" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("fixture_docs_stream")
+        .option("path", src)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    expected = spark.read.parquet(src).count()
+    try:
+        while time.time() < deadline and spark.table(name).count() < expected:
+            time.sleep(0.1)
+        batches = [p.numInputRows for p in q.recentProgress if p.numInputRows > 0]
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = spark.table(name)
+    assert got.count() == expected
+    assert got.select("doc_id").distinct().count() == expected  # no dupes
+    assert len(batches) >= 2, f"expected a multi-batch drain, got {batches}"
+    assert all(b <= 250 for b in batches), f"rate limit violated: {batches}"
+
+
+def test_python_sink_orphan_parts_invisible(spark, tmp_path):
+    """Two-phase commit contract of the manifest writer: a part file
+    that exists on disk but is NOT referenced by the committed manifest
+    (a crashed/speculative task's debris) must be invisible to
+    read-back."""
+    from deltasink_spark.operators.pyds import (
+        ManifestJsonDataSource,
+        read_manifest_json,
+    )
+
+    spark.dataSource.register(ManifestJsonDataSource)
+    out = str(tmp_path / "msink")
+    df = spark.range(10).selectExpr(
+        "id AS doc_id", "concat('l', id) AS lang", "id * 3 AS n_chars"
+    )
+    df.write.format("manifest_json").mode("append").option("path", out).save()
+    # plant an orphan part (valid jsonl, never committed)
+    with open(f"{out}/part-orphanorphanorphan.jsonl", "w") as fh:
+        fh.write('{"doc_id": 999, "lang": "zz", "n_chars": 1}\n')
+    back = read_manifest_json(spark, out, "doc_id bigint, lang string, n_chars bigint")
+    assert back.count() == 10
+    assert back.filter("doc_id = 999").count() == 0
