@@ -113,3 +113,66 @@ def test_md5_bucket_matches_hashlib(spark, ids):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def _merge_intervals(intervals):
+    """Reference union of [s, e) intervals, merging touching ranges."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    positions=st.lists(st.integers(0, 200), min_size=1, max_size=40, unique=True),
+    gram=st.integers(1, 32),
+)
+def test_span_gap_rule_equals_interval_union(positions, gram):
+    """dedup_substring_span's core claim: for FIXED-length intervals
+    [p, p+G) sorted by start, (a) a new island starts exactly when the
+    gap to the previous start exceeds G, and (b) each island's token
+    coverage is (last - first + G). Both must equal brute-force
+    interval union — the property both engine implementations silently
+    share, so the oracle match would be vacuous if it were wrong."""
+    ref = _merge_intervals([(p, p + gram) for p in positions])
+    ps = sorted(positions)
+    islands = []
+    for p in ps:
+        if islands and p - islands[-1][-1] <= gram:
+            islands[-1].append(p)
+        else:
+            islands.append([p])
+    assert len(islands) == len(ref)
+    assert sum(isl[-1] - isl[0] + gram for isl in islands) == sum(
+        e - s for s, e in ref
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    chars=st.lists(st.sampled_from("abcd"), min_size=1, max_size=24),
+    pair=st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+)
+def test_bpe_string_replace_equals_greedy_merge(chars, pair):
+    """bpe_merge_step's core claim: on a SINGLE-CHARACTER symbol
+    sequence, plain left-to-right non-overlapping string replace of
+    'a b' -> 'ab' over the space-joined form equals the standard BPE
+    greedy merge walk (merge at the leftmost match, skip past the
+    merged token, never rescan it). Token boundaries cannot be crossed
+    because every symbol is one char."""
+    a, b = pair
+    joined = " ".join(chars)
+    via_replace = joined.replace(f"{a} {b}", f"{a}{b}")
+    out, i = [], 0
+    while i < len(chars):
+        if i + 1 < len(chars) and chars[i] == a and chars[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(chars[i])
+            i += 1
+    assert via_replace == " ".join(out)
