@@ -99,6 +99,7 @@ _R5_NEW = [
     "fn_try",
     "fn_collate",
     "sql_parameterized",
+    "dedup_url_canonical",
 ]
 
 

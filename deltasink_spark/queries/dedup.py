@@ -271,3 +271,78 @@ def dedup_blocked_levenshtein(spark, sf_dir):
         .filter(F.col("edit_dist") <= 8)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, source, u.vid,
+               CASE u.vid
+                 WHEN 0 THEN 'https://Ex-' || source || '.Example.COM:443/d/' || doc_id
+                 WHEN 1 THEN 'https://ex-' || source || '.example.com/d/' || doc_id
+                             || '?utm_source=feed&utm_campaign=x'
+                 ELSE 'https://ex-' || source || '.example.com/d/' || doc_id
+                      || '#section'
+               END AS url
+        FROM documents, UNNEST(range(0, 3)) AS u(vid)),
+    c AS (
+        SELECT doc_id, vid,
+               lower(replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                            '[?&]utm_[^&#]*', '', 'g'),
+                             ':443/', '/')) AS canonical
+        FROM v)
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(MIN(vid) AS BIGINT) AS kept_variant
+    FROM c GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup — the first pass of every web-corpus
+    pipeline: the same page arrives under tracking-parameter, default-
+    port, host-case, and fragment variants, and naive exact-URL dedup
+    misses all of them. Three deterministic variants per document are
+    composed from the fixture (mixed-case host + :443, utm_* params,
+    #fragment), canonicalized (strip fragment, strip utm_* params,
+    drop the default port, case-fold — production canonicalizers fold
+    scheme+host only; this corpus's paths are already lowercase), and
+    collapsed by canonical form keeping the lowest variant. Every
+    group must collapse 3 -> 1. Pure codegen regexp projection + one
+    hash agg; no shuffle beyond the groupBy."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id").cast("string")
+    variants = F.array(
+        F.concat(F.lit("https://Ex-"), F.col("source"), F.lit(".Example.COM:443/d/"), d),
+        F.concat(
+            F.lit("https://ex-"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            d,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ),
+        F.concat(
+            F.lit("https://ex-"), F.col("source"), F.lit(".example.com/d/"), d,
+            F.lit("#section"),
+        ),
+    )
+    v = docs.select("doc_id", F.posexplode(variants).alias("vid", "url"))
+    canonical = F.lower(
+        F.replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), "#.*$", ""), r"[?&]utm_[^&#]*", ""
+            ),
+            F.lit(":443/"),
+            F.lit("/"),
+        )
+    )
+    return (
+        v.select("doc_id", "vid", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("doc_id"),
+            F.min("vid").cast("long").alias("kept_variant"),
+        )
+    )
