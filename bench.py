@@ -89,6 +89,21 @@ R5OPS = [
     "rollup_incremental",    # partial-merge view maintenance
 ]
 
+# Late-r5 additions — separate group so the r5ops baseline recorded
+# mid-round stays comparable.
+R5BOPS = [
+    "dedup_url_canonical",   # web-corpus URL canonicalization dedup
+    "bpe_merge_step",        # one distributed BPE training iteration
+    "dataset_split",         # deterministic train/val/test assignment
+    "table_stats",           # ANALYZE-style column statistics
+    "dq_checks",             # data-quality expectation suite
+    "xml_parse",             # from_xml payload parse
+    "json_variant",          # VARIANT-type semi-structured access
+    "fn_url",                # parse_url component extraction
+    "scan_text",             # raw-text line scan + decode
+    "source_python_ds",      # Python DataSource batch scan w/ pushdown
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,7 +113,7 @@ def main() -> None:
     # (e.g. DAGScheduler job-group cancellation races) otherwise lands
     # in the recorded tail next to the JSON metric line.
     spark.sparkContext.setLogLevel("ERROR")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -157,6 +172,9 @@ def main() -> None:
         ),
         "r5ops": round(
             sum(t for op, t in timings.items() if op in R5OPS), 4
+        ),
+        "r5bops": round(
+            sum(t for op, t in timings.items() if op in R5BOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -23,6 +23,7 @@ from deltasink_spark.registry import query
 from deltasink_spark.tables import load
 
 _STAT_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+_NUM_STAT_COLS = {"l_orderkey", "l_suppkey"}
 
 
 @query(
@@ -44,39 +45,69 @@ def table_stats(spark, sf_dir):
     """ANALYZE TABLE-style column statistics: per column, row count,
     null count, exact distinct count, and min/max — the inputs to
     cost-based join reordering, broadcast decisions, and catalog
-    search. All four columns' statistics come from ONE scan and ONE
-    hash-agg row (count_distinct plans as partial distinct aggs that
-    merge map-side); the long-form report is an explode of that single
-    row, so output size is O(columns) whatever the table size."""
+    search.
+
+    Plan shape (the part that matters): N exact count_distincts in a
+    single agg make Catalyst plan an Expand that multiplies every row
+    N-fold before the shuffle — the blow-up that cost agg_approx_
+    distinct 4x in r1 (BASELINE.md) and cost this op 5.7 s in its
+    first form. Instead the table is melted ONCE to (col_name, value)
+    pairs and aggregated in two map-side-combinable phases: phase 1
+    collapses to one row per (column, distinct value) — partition-
+    local partials shrink to the local NDV before anything shuffles —
+    and phase 2 reduces that NDV-sized frame to one row per column
+    (ndv = non-null group count, n_rows/n_null from summed counts,
+    typed min/max via the numeric companion field so BIGINT columns
+    don't compare lexicographically). One scan, two bounded shuffles,
+    no Expand."""
     li = load(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _STAT_COLS:
-        aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    row = li.agg(*aggs)
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__null").alias("n_null"),
-                F.col(f"{c}__ndv").alias("ndv"),
-                F.col(f"{c}__min").alias("min_s"),
-                F.col(f"{c}__max").alias("max_s"),
+    melted = li.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v_str"),
+                        (
+                            F.col(c).cast("long")
+                            if c in _NUM_STAT_COLS
+                            else F.lit(None).cast("long")
+                        ).alias("v_num"),
+                    )
+                    for c in _STAT_COLS
+                ]
             )
-            for c in _STAT_COLS
-        ]
+        ).alias("i", "s")
+    ).select("s.col_name", "s.v_str", "s.v_num")
+    per_value = melted.groupBy("col_name", "v_str").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("v_num").alias("v_num")
     )
-    return row.select("n_rows", F.explode(per_col).alias("s")).select(
-        F.col("s.col_name").alias("col_name"),
-        "n_rows",
-        F.col("s.n_null").alias("n_null"),
-        F.col("s.ndv").alias("ndv"),
-        F.col("s.min_s").alias("min_s"),
-        F.col("s.max_s").alias("max_s"),
+    numeric = F.col("col_name").isin(*sorted(_NUM_STAT_COLS))
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v_str").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.col("v_str")).alias("ndv"),
+            F.min("v_num").alias("min_num"),
+            F.max("v_num").alias("max_num"),
+            F.min("v_str").alias("min_str"),
+            F.max("v_str").alias("max_str"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "ndv",
+            F.when(numeric, F.col("min_num").cast("string"))
+            .otherwise(F.col("min_str"))
+            .alias("min_s"),
+            F.when(numeric, F.col("max_num").cast("string"))
+            .otherwise(F.col("max_str"))
+            .alias("max_s"),
+        )
     )
 
 

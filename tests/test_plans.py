@@ -425,13 +425,16 @@ def test_rollup_incremental_merges_partials(spark, sf_small):
     assert p.count("HashAggregate") >= 4
 
 
-def test_table_stats_single_scan(spark, sf_small):
+def test_table_stats_single_scan_no_expand(spark, sf_small):
     """All four columns' statistics must come from one scan of the
-    table (one agg with multiple distinct aggregates), not a
-    scan-per-column union."""
+    table, and NEVER via N count_distincts in one agg — that plans an
+    Expand multiplying every row N-fold before the shuffle (the r1
+    agg_approx_distinct lesson; cost this op 5.7 s in its first
+    form). The melt + two-phase agg keeps both shuffles bounded."""
     p = plan(q("table_stats", spark, sf_small))
     assert p.count("lineitem.parquet") == 1
     assert "Join" not in p
+    assert "Expand" not in p
 
 
 def test_dq_checks_fk_is_broadcast_anti_join(spark, sf_small):
