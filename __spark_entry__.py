@@ -100,6 +100,8 @@ _R5_NEW = [
     "fn_collate",
     "sql_parameterized",
     "dedup_url_canonical",
+    "agg_bitmap_native",
+    "pipeline_web_prep",
 ]
 
 

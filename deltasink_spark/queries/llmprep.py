@@ -719,6 +719,13 @@ def dedup_paragraph(spark, sf_dir):
     paragraph was seen earlier survive with empty clean_text via the
     left join from the doc spine."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup_frame(docs)
+
+
+def paragraph_dedup_frame(docs):
+    """Core of dedup_paragraph over any (doc_id, text) frame — also the
+    paragraph stage of pipeline_web_prep. First occurrence is relative
+    to the frame passed in (a filtered corpus dedups among itself)."""
     toks = F.split(F.col("text"), " ")
     n = docs.select(
         "doc_id",
@@ -803,5 +810,122 @@ def dataset_split(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def _web_prep_oracle() -> str:
+    from deltasink_spark.queries.trainprep import _SPAN_G
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+               FROM documents),
+    n0 AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(toks[u.i + 1 : u.i + {_SPAN_G}], ' ') AS gram
+          FROM n0, UNNEST(range(0, GREATEST(nt - {_SPAN_G} + 1, 0))) AS u(i)),
+    f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > {_SPAN_G}
+                        THEN 1 ELSE 0 END AS ns
+            FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    iid AS (SELECT doc_id, pos,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl),
+    sp AS (SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1
+           FROM iid GROUP BY doc_id, island),
+    sagg AS (SELECT doc_id, CAST(SUM(p1 - p0 + {_SPAN_G}) AS BIGINT) AS dup_tokens
+             FROM sp GROUP BY doc_id),
+    frac AS (SELECT n0.doc_id,
+                    ROUND(COALESCE(sagg.dup_tokens, 0) / CAST(nt AS DOUBLE), 6)
+                      AS dup_frac
+             FROM n0 LEFT JOIN sagg USING (doc_id)),
+    kd AS (SELECT t.doc_id, t.source, t.text FROM t
+           JOIN frac USING (doc_id) WHERE dup_frac <= 0.5),
+    kt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kd),
+    pn AS (SELECT doc_id, toks,
+                  CAST(CEIL(len(toks) / {_PARA_W}.0) AS BIGINT) AS nb
+           FROM kt),
+    pseg AS (SELECT doc_id, u.i AS pos,
+                    array_to_string(toks[u.i * {_PARA_W} + 1 : u.i * {_PARA_W} + {_PARA_W}], ' ')
+                      AS seg
+             FROM pn, UNNEST(range(0, nb)) AS u(i)),
+    keeper AS (SELECT seg, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS k
+               FROM pseg GROUP BY seg),
+    pkept AS (SELECT s.doc_id, s.pos, s.seg
+              FROM pseg s JOIN keeper x
+                ON s.seg = x.seg AND s.doc_id = x.k.doc_id AND s.pos = x.k.pos),
+    pagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    string_agg(seg, ' ' ORDER BY pos) AS clean_text
+             FROM pkept GROUP BY doc_id),
+    para AS (SELECT pn.doc_id,
+                    COALESCE(pagg.n_kept, 0) AS n_kept,
+                    COALESCE(pagg.clean_text, '') AS clean_text
+             FROM pn LEFT JOIN pagg USING (doc_id))
+    SELECT kd.source,
+           CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(CONCAT('0x', substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(para.n_kept) AS BIGINT) AS kept_paragraphs,
+           CAST(SUM(len(para.clean_text)) AS BIGINT) AS clean_chars
+    FROM kd JOIN para USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query("pipeline_web_prep", oracle=_web_prep_oracle())
+def pipeline_web_prep(spark, sf_dir):
+    """End-to-end web-corpus preparation composite — the r5 dedup
+    stages chained the way a CC-style pipeline runs them:
+
+    1. duplicated-substring marking (substring_span_frame) and a
+       dup_frac <= 0.5 document filter (drop mostly-duplicated docs);
+    2. cross-corpus paragraph dedup over the SURVIVING corpus
+       (paragraph_dedup_frame — first-occurrence is computed among
+       kept docs, as a staged pipeline would see it);
+    3. deterministic md5-bucket train/validation/test assignment;
+    4. per-(source, split) accounting: docs, kept paragraphs,
+       cleaned characters.
+
+    Scale notes: the filtered doc set feeds two downstream consumers
+    (paragraph dedup + the final join), so it is localCheckpoint'd to
+    keep the expensive span stage from recomputing per consumer; every
+    stage is the same hash-agg/semi-join algebra as its standalone op;
+    the only new shuffles are the final doc-id join and the 6-row
+    summary agg."""
+    from deltasink_spark.queries.trainprep import substring_span_frame
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    spans = substring_span_frame(docs.select("doc_id", "text")).select(
+        "doc_id", "dup_frac"
+    )
+    kept = (
+        docs.join(spans, "doc_id")
+        .filter(F.col("dup_frac") <= 0.5)
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
+    paras = paragraph_dedup_frame(kept.select("doc_id", "text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return (
+        kept.select("doc_id", "source", split.alias("split"))
+        .join(paras.select("doc_id", "n_kept", "clean_text"), "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").cast("long").alias("kept_paragraphs"),
+            F.sum(F.length("clean_text")).cast("long").alias("clean_chars"),
         )
     )

@@ -238,3 +238,52 @@ def agg_count_min(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_bitmap_native",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_custkey % 4096) AS BIGINT) AS n_buckets
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_native(spark, sf_dir):
+    """Exact distinct counting through Spark's NATIVE bitmap aggregate
+    family (bitmap_bit_position -> bitmap_construct_agg ->
+    bitmap_count) — the engine-provided form of what
+    agg_bitmap_distinct hand-builds from 64-bit words: per-partition
+    partial bitmaps OR-merge (mergeable-summary contract, constant
+    state per group per 32k-value segment), so exact NDV costs one
+    map-side-combinable agg instead of an Expand or a two-level
+    shuffle. The second measure counts distinct hash buckets (the
+    segment-local form a rollup store persists). Both replay as plain
+    COUNT(DISTINCT ...) in the oracle."""
+    o = load(spark, sf_dir, "orders")
+    # bitmap_construct_agg covers one 32k-position segment; fixture
+    # custkeys exceed that, so segment with the MATCHING
+    # bitmap_bucket_number (bit_position is (x-1) % 32768, so a
+    # hand-rolled x/32768 segment would collide across boundaries):
+    # distinct = sum over segments of per-segment counts.
+    seg = F.bitmap_bucket_number(F.col("o_custkey"))
+    per_seg = (
+        o.select(
+            "o_orderstatus",
+            seg.alias("seg"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+            # +1 keeps the bucket-hash values inside ONE 32k segment
+            # (bit_position is (x-1) % 32768 with bucket ceil(x/32768),
+            # so 0 and 1 both land at position 0 of different buckets)
+            F.bitmap_bit_position(F.col("o_custkey") % 4096 + 1).alias("bpos"),
+        )
+        .groupBy("o_orderstatus", "seg")
+        .agg(
+            F.bitmap_count(F.bitmap_construct_agg(F.col("pos"))).alias("n_in_seg"),
+            F.bitmap_construct_agg(F.col("bpos")).alias("bucket_bm"),
+        )
+    )
+    return per_seg.groupBy("o_orderstatus").agg(
+        F.sum("n_in_seg").cast("long").alias("n_customers"),
+        F.bitmap_count(F.bitmap_or_agg(F.col("bucket_bm"))).cast("long").alias("n_buckets"),
+    )

@@ -664,6 +664,12 @@ def dedup_substring_span(spark, sf_dir):
     so it is one per-document window pass (LAG + running sum), no
     interval tree. Every document returns via the left-join spine."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_span_frame(docs)
+
+
+def substring_span_frame(docs):
+    """Core of dedup_substring_span over any (doc_id, text) frame —
+    also the dup-span filter stage of pipeline_web_prep."""
     toks = F.split(F.col("text"), " ")
     n = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("nt"))
     g = (
