@@ -102,6 +102,7 @@ _R5_NEW = [
     "dedup_url_canonical",
     "agg_bitmap_native",
     "pipeline_web_prep",
+    "attribution_last_touch",
 ]
 
 

@@ -826,3 +826,80 @@ def rollup_incremental(spark, sf_dir):
             F.sum("psv").cast("double").alias("sum_v"),
         )
     )
+
+
+_ATTR_WINDOW_S = 7 * 24 * 3600  # attribution lookback: 7 days
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events WHERE event_type IN ('click', 'purchase')),
+    carried AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(click_id IGNORE NULLS) OVER w AS last_click_id,
+               LAST_VALUE(click_ts IGNORE NULLS) OVER w AS last_click_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                              event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN date_diff('second', last_click_ts, ts) <= {_ATTR_WINDOW_S}
+                THEN last_click_id END AS attributed_click_id,
+           CASE WHEN date_diff('second', last_click_ts, ts) <= {_ATTR_WINDOW_S}
+                THEN CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+           END AS gap_seconds
+    FROM carried WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is attributed
+    to the user's most recent click no older than 7 days (NULL when no
+    qualifying click exists). Implemented with the same union-window
+    trick as operators/asof.py — clicks and purchases interleave in
+    ONE per-user ordered stream and the last click is carried forward
+    with LAST_VALUE(... IGNORE NULLS), so there is NO range join and
+    no per-purchase subquery: one shuffle by user, one window pass,
+    linear in events per user at any scale. Same-timestamp ties order
+    clicks before purchases (a click at the purchase instant
+    attributes), then by event_id — deterministic in both engines."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    kind = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), kind, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+    in_window = gap <= _ATTR_WINDOW_S
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
+        F.when(in_window, gap).alias("gap_seconds"),
+    )

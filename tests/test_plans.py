@@ -467,3 +467,11 @@ def test_dataset_split_is_projection_plus_one_agg(spark, sf_small):
     p = plan(q("dataset_split", spark, sf_small))
     assert "Join" not in p and "Window" not in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_attribution_no_range_join(spark, sf_small):
+    """Attribution must be the union-window carry-forward — a range
+    join (purchase x clicks-in-window) would be quadratic per user."""
+    p = plan(q("attribution_last_touch", spark, sf_small))
+    assert "Join" not in p
+    assert p.count("Window") >= 1
