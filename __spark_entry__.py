@@ -103,6 +103,7 @@ _R5_NEW = [
     "agg_bitmap_native",
     "pipeline_web_prep",
     "attribution_last_touch",
+    "win_running_distinct",
 ]
 
 

@@ -196,3 +196,47 @@ def win_ntile(spark, sf_dir):
     return c.select(
         "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+    SELECT user_id, ts, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an ordered stream — the classic
+    "how many distinct event types has this user produced so far"
+    measure. A naive collect_set-over-window holds every seen value in
+    window state (unbounded memory per row at 100 TB); instead the
+    first occurrence of each (user, value) is flagged with one
+    row_number window and the running distinct count is a running SUM
+    of flags — two window passes, state bounded to a counter, exact.
+    Ties order by (ts, event_id) so both engines agree row-for-row."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
