@@ -104,6 +104,7 @@ _R5_NEW = [
     "pipeline_web_prep",
     "attribution_last_touch",
     "win_running_distinct",
+    "sink_vacuum",
 ]
 
 

@@ -435,3 +435,29 @@ def stream_transform_with_state(spark, sf_dir):
     name = _mem_name()
     run_to_memory(out, name, output_mode="update")
     return spark.table(name)
+
+
+@query(
+    "sink_vacuum",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def sink_vacuum(spark, sf_dir):
+    """VACUUM after OPTIMIZE: six appended batches are compacted, then
+    the superseded batch directories are physically deleted with a
+    0-version retention (sinks.py::vacuum). The current version's rows
+    must be bit-identical after storage is reclaimed — the oracle
+    reads the same events — while a replay of a vacuumed-away batch
+    STILL commits as a no-op (idempotence keys on ever-ledgered batch
+    ids, so physical deletion cannot resurrect rows). Deletion only
+    ever touches directories a compaction record provably replaced,
+    so concurrent not-yet-ledgered writers are safe by construction."""
+    base = tempfile.mkdtemp(prefix="ds_vacuum_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="sink_vacuum")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for b in range(6):
+        sink.write_batch(ev.filter(F.col("event_id") % 6 == b), b)
+    sink.compact(spark, target_files=4)
+    removed = sink.vacuum(retain_versions=0)
+    assert removed == 6, f"expected 6 superseded dirs removed, got {removed}"
+    assert sink.write_batch(ev.limit(1), 2) is False  # replay stays no-op
+    return sink.read_committed(spark)

@@ -285,6 +285,43 @@ class ExactlyOnceParquetSink:
                 os.fsync(fh.fileno())
         return cid
 
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """VACUUM: physically delete data directories that compaction
+        superseded, keeping every directory referenced by the last
+        ``retain_versions + 1`` ledger versions (retention = how far
+        back time travel keeps working — Delta's VACUUM retention
+        window expressed in versions instead of hours). Deletion is
+        DELIBERATELY conservative: only directories that provably
+        appear in some compaction's ``replaces`` list and are outside
+        the retained window are removed — an unrecognized directory is
+        never touched, so an in-flight writer's not-yet-ledgered batch
+        (which a wall-clock retention window protects in Delta) cannot
+        be deleted. The ledger itself is not rewritten: vacuum frees
+        storage, it does not change any version's logical content —
+        time travel PAST the retained window now raises on the missing
+        files, which is exactly Delta's documented behavior. Returns
+        the number of directories removed."""
+        import shutil
+
+        records = self._ledger_records()
+        n = len(records)
+        keep: set[tuple[str, int]] = set()
+        newest = max(n - 1 - retain_versions, 0)
+        for v in range(newest, n):
+            keep.update(self._visible_entries(as_of_version=v))
+        ever_replaced: set[tuple[str, int]] = set()
+        for rec in records:
+            if "replaces" in rec:
+                ever_replaced.update(tuple(e) for e in rec["replaces"])
+        removed = 0
+        with self._commit_lock():
+            for entry in sorted(ever_replaced - keep):
+                d = self._entry_dir(entry)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        return removed
+
 
 def delta_sink(
     df: DataFrame,

@@ -529,3 +529,36 @@ def test_python_sink_orphan_parts_invisible(spark, tmp_path):
     back = read_manifest_json(spark, out, "doc_id bigint, lang string, n_chars bigint")
     assert back.count() == 10
     assert back.filter("doc_id = 999").count() == 0
+
+
+def test_vacuum_retention_and_time_travel(spark, tmp_path):
+    """vacuum(retain_versions=k) must keep every directory the last
+    k+1 versions reference (time travel inside the window still works)
+    and delete everything a compaction superseded beyond it (time
+    travel past the window raises on missing files). Current-version
+    reads are bit-identical before/after."""
+    import pytest as _pytest
+
+    from deltasink_spark.sinks import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"), app_id="vac")
+    df = spark.range(0, 60).selectExpr("id", "id * 2 AS v")
+    for b in range(3):
+        sink.write_batch(df.filter(f"id % 3 = {b}"), b)
+    sink.compact(spark, target_files=2)  # version 3 supersedes 0..2
+    before = sorted(r["id"] for r in sink.read_committed(spark).collect())
+
+    # retain the last 2 versions (v2 still references batch dirs 0-2,
+    # so nothing is deletable yet)
+    assert sink.vacuum(retain_versions=2) == 0
+    assert sorted(r["id"] for r in sink.read_committed(spark, as_of_version=2).collect())
+
+    # retention 0: only the compacted layout survives
+    assert sink.vacuum(retain_versions=0) == 3
+    after = sorted(r["id"] for r in sink.read_committed(spark).collect())
+    assert after == before
+    # time travel past the retained window now fails on missing files
+    with _pytest.raises(Exception):
+        sink.read_committed(spark, as_of_version=1).collect()
+    # replay of a vacuumed batch remains a no-op
+    assert sink.write_batch(df.limit(1), 1) is False
