@@ -105,6 +105,7 @@ _R5_NEW = [
     "attribution_last_touch",
     "win_running_distinct",
     "sink_vacuum",
+    "join_asof_forward",
 ]
 
 

@@ -68,3 +68,52 @@ def asof_join(
         *l_cols, *[F.col("__match")[c].alias(c) for c in payload_cols]
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Forward as-of (pandas merge_asof direction='forward'): for each
+    left row, attach the right row with the SMALLEST ``right_ts`` >=
+    ``left_ts`` within the key (ties on ``right_ts`` broken by
+    smallest ``tiebreak``). Same union + one-window shape as the
+    backward join, mirrored: right rows sort AFTER left rows at equal
+    ts (so '>=' holds) and the first following right payload is pulled
+    back with FIRST(... IGNORE NULLS) over (current row, unbounded
+    following)."""
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(0))
+        .withColumn(
+            "__payload", F.lit(None).cast(right.select(payload).schema[0].dataType)
+        )
+        .withColumn("__tb", F.lit(None).cast("long"))
+    )
+    r_tagged = right.select(
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        payload.alias("__payload"),
+        F.col(tiebreak).cast("long").alias("__tb"),
+        F.col(on),
+    )
+    l_cols = [c for c in left.columns]
+    tall = l_tagged.select(
+        on, "__ts", "__side", "__payload", "__tb", *[c for c in l_cols if c != on]
+    ).unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tall.withColumn("__match", F.first("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 0).select(
+        *l_cols, *[F.col("__match")[c].alias(c) for c in payload_cols]
+    )
+    return out

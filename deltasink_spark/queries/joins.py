@@ -524,3 +524,48 @@ def join_lateral(spark, sf_dir):
             ORDER BY n_nationkey LIMIT 2
         ) t
     """)
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS next_orderkey,
+           o.o_orderdate AS next_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_forward_q(spark, sf_dir):
+    """Forward as-of join (merge_asof direction='forward'): each event
+    gets the user's NEXT order at-or-after the event — the "time to
+    next action" primitive behind conversion-lag and lead-time
+    analyses. Same union + single-window shape as join_asof
+    (operators/asof.py::asof_join_forward, mirrored window frame), so
+    no inequality-pair explosion: one shuffle by key, linear per
+    partition, AQE-skew-safe."""
+    from deltasink_spark.operators.asof import asof_join_forward
+
+    ev = load(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = asof_join_forward(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
