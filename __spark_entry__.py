@@ -106,6 +106,7 @@ _R5_NEW = [
     "win_running_distinct",
     "sink_vacuum",
     "join_asof_forward",
+    "attribution_first_touch",
 ]
 
 

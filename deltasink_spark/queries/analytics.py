@@ -903,3 +903,55 @@ def attribution_last_touch(spark, sf_dir):
         F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
         F.when(in_window, gap).alias("gap_seconds"),
     )
+
+
+@query(
+    "attribution_first_touch",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS attributed_click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+    FROM events p
+    LEFT JOIN LATERAL (
+        SELECT event_id, ts FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {_ATTR_WINDOW_S} SECOND
+        ORDER BY ts ASC, event_id ASC LIMIT 1
+    ) c ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def attribution_first_touch(spark, sf_dir):
+    """First-touch attribution: every purchase is credited to the
+    EARLIEST click inside the 7-day lookback (the other standard
+    attribution model; last-touch is attribution_last_touch). Carry-
+    forward can't express "earliest within a sliding window", so this
+    uses ONE range-frame window instead: clicks carry a
+    (ts, event_id) struct, purchases read MIN(struct) over RANGE
+    [now - 7d, now] ordered by epoch seconds — nulls (non-clicks) are
+    skipped by MIN, the struct ordering gives the (earliest ts,
+    smallest id) click, and window state holds only the frame's
+    clicks. Still no range join and no per-purchase subquery; the
+    oracle replays it as a LATERAL top-1."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("ts_sec", F.unix_timestamp("ts"))
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_sec").alias("cts"), F.col("event_id").alias("cid")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-_ATTR_WINDOW_S, 0)
+    )
+    carried = ev.withColumn("first_click", F.min(click).over(w))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("first_click.cid").alias("attributed_click_id"),
+        (F.col("ts_sec") - F.col("first_click.cts")).cast("long").alias("gap_seconds"),
+    )
