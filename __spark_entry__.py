@@ -64,8 +64,11 @@ _NEVER_CHECKED = [
     "embedding_standardize", "agg_moments", "text_entropy",
 ]
 
-# Ops ADDED in r5 (connector-envelope surfaces) — slot 50 onward;
-# slots 51+ spill past the driver's 50-check budget and lead r6.
+# Ops ADDED in r5 — slot 50 onward; slots 51+ spill past the driver's
+# 50-check budget and are the natural head of the r6 ordering (r6
+# should promote whatever CORRECTNESS_r05.json leaves without a green
+# row into the first 50 slots, exactly as r5 did for the r4 verdict's
+# list).
 _R5_NEW = [
     "avro_parse",
     "avro_confluent_envelope",
@@ -107,6 +110,7 @@ _R5_NEW = [
     "sink_vacuum",
     "join_asof_forward",
     "attribution_first_touch",
+    "fn_struct",
 ]
 
 

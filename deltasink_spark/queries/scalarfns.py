@@ -439,3 +439,48 @@ def fn_collate(spark, sf_dir):
         .otherwise(F.col("c_mktsegment"))
         .alias("ci_min"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS s_name,
+           n_regionkey * 10 AS s_scaled,
+           'tagged' AS s_tag,
+           n_regionkey = 2 AS in_region_2
+    FROM nation
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """Struct-column manipulation family: build a struct, evolve it
+    with withField (update an existing field + add a new one), prune
+    with dropFields, then project the result — the column-level
+    mirror of schema evolution, used wherever nested payloads are
+    massaged without exploding them. All codegen; the oracle verifies
+    the flattened end state (struct cells themselves render
+    differently across engines, so the contract is on extracted
+    fields)."""
+    n = load(spark, sf_dir, "nation")
+    s = F.struct(
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("rk"),
+        F.lit("drop-me").alias("scratch"),
+    )
+    evolved = (
+        F.col("s")
+        .withField("rk", F.col("s.rk") * 10)
+        .withField("tag", F.lit("tagged"))
+        .dropFields("scratch")
+    )
+    return (
+        n.select("n_nationkey", "n_regionkey", s.alias("s"))
+        .select("n_nationkey", "n_regionkey", evolved.alias("s"))
+        .select(
+            "n_nationkey",
+            F.col("s.name").alias("s_name"),
+            F.col("s.rk").alias("s_scaled"),
+            F.col("s.tag").alias("s_tag"),
+            (F.col("n_regionkey") == 2).alias("in_region_2"),
+        )
+    )
