@@ -108,7 +108,19 @@ def decode_message(buf: bytes, fields: list[tuple[str, int, str]]) -> dict:
             n, pos = read_varint(buf, pos)
             v = buf[pos : pos + n]
             pos += n
+        elif wire == 5:
+            # fixed32 — only reachable for UNKNOWN fields (no declared
+            # type maps to it), but an unknown-field-tolerant reader
+            # must still skip over its 4 payload bytes, not die: the
+            # whole point of proto schema evolution is that a v2
+            # producer may add e.g. a `float` field a v1 reader never
+            # heard of.
+            (v,) = struct.unpack_from("<f", buf, pos)
+            pos += 4
         else:
+            # wire types 3/4 (groups) are deprecated-since-proto2
+            # nesting markers; skipping them requires recursive
+            # bracket matching no modern producer emits.
             raise ValueError(f"unsupported wire type {wire}")
         if num not in by_num:
             continue  # unknown field: skipped, per spec

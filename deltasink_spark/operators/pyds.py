@@ -48,7 +48,15 @@ class _FixtureDocsReader(DataSourceReader):
                 and tuple(f.attribute) == ("doc_id",)
                 and isinstance(f.value, int)
             ):
-                self.min_doc_id = f.value
+                # several pushed bounds must INTERSECT (keep the
+                # strictest) — accepting both while enforcing only the
+                # last would silently widen the result, and Spark does
+                # not re-check accepted filters.
+                self.min_doc_id = (
+                    f.value
+                    if self.min_doc_id is None
+                    else max(self.min_doc_id, f.value)
+                )
             else:
                 unsupported.append(f)
         return iter(unsupported)
@@ -136,6 +144,14 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
         return {"pos": self._admitted}
 
     def partitions(self, start: dict, end: dict):
+        # Restart safety: after recovery from a checkpoint the reader
+        # is a fresh instance with _admitted=0, but `start` is the
+        # COMMITTED offset — an offset source must never regress below
+        # it (re-planning already-delivered ranges would duplicate
+        # rows). Fast-forward the admission counter to the committed
+        # frontier; a first post-restart batch whose stale end < start
+        # degrades to one empty batch, never to re-emission.
+        self._admitted = max(self._admitted, start["pos"], end["pos"])
         lo, hi = start["pos"], end["pos"]
         if hi <= lo:
             return [_RowRange(self.path, lo, lo)]
@@ -200,8 +216,9 @@ class _ManifestJsonWriter(DataSourceWriter):
     and abort() removes the debris. Readers resolve the manifest, so
     a write is all-or-nothing."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _PartFile:
         _os.makedirs(self.path, exist_ok=True)
@@ -216,14 +233,22 @@ class _ManifestJsonWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         parts = [m for m in messages if m is not None]
-        manifest = {
-            "parts": sorted(p.path for p in parts),
-            "rows": sum(p.rows for p in parts),
-        }
+        new_parts = sorted(p.path for p in parts)
+        new_rows = sum(p.rows for p in parts)
+        manifest_path = _os.path.join(self.path, "_MANIFEST.json")
+        # append mode UNIONS with the committed manifest — replacing it
+        # with only this job's parts would silently turn append into
+        # overwrite, orphaning every previously committed row.
+        if not self.overwrite and _os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = _json.load(fh)
+            new_parts = sorted(set(prior["parts"]) | set(new_parts))
+            new_rows += prior["rows"]
+        manifest = {"parts": new_parts, "rows": new_rows}
         tmp = _os.path.join(self.path, f"_manifest.{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             fh.write(_json.dumps(manifest))
-        _os.replace(tmp, _os.path.join(self.path, "_MANIFEST.json"))
+        _os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -245,7 +270,7 @@ class ManifestJsonDataSource(DataSource):
         return "doc_id bigint, lang string, n_chars bigint"
 
     def writer(self, schema, overwrite: bool):
-        return _ManifestJsonWriter(self.options)
+        return _ManifestJsonWriter(self.options, overwrite=overwrite)
 
 
 def read_manifest_json(spark, path: str, schema: str):

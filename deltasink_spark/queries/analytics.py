@@ -910,7 +910,7 @@ def attribution_last_touch(spark, sf_dir):
     oracle=f"""
     SELECT p.event_id AS purchase_id, p.user_id,
            c.event_id AS attributed_click_id,
-           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_seconds
+           CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
     FROM events p
     LEFT JOIN LATERAL (
         SELECT event_id, ts FROM events c
@@ -928,30 +928,34 @@ def attribution_first_touch(spark, sf_dir):
     forward can't express "earliest within a sliding window", so this
     uses ONE range-frame window instead: clicks carry a
     (ts, event_id) struct, purchases read MIN(struct) over RANGE
-    [now - 7d, now] ordered by epoch seconds — nulls (non-clicks) are
-    skipped by MIN, the struct ordering gives the (earliest ts,
-    smallest id) click, and window state holds only the frame's
-    clicks. Still no range join and no per-purchase subquery; the
-    oracle replays it as a LATERAL top-1."""
+    [now - 7d, now] — nulls (non-clicks) are skipped by MIN, the
+    struct ordering gives the (earliest ts, smallest id) click, and
+    window state holds only the frame's clicks. The range key is
+    MICROSECONDS since epoch (unix_micros): ordering by truncated
+    seconds would let a click from later in the purchase's second win
+    attribution, diverging from the oracle's full-precision `c.ts <=
+    p.ts` (fixture timestamps are sub-second). Still no range join
+    and no per-purchase subquery; the oracle replays it as a LATERAL
+    top-1."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_id", "user_id", "ts", "event_type")
-        .withColumn("ts_sec", F.unix_timestamp("ts"))
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
     click = F.when(
         F.col("event_type") == "click",
-        F.struct(F.col("ts_sec").alias("cts"), F.col("event_id").alias("cid")),
+        F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_sec")
-        .rangeBetween(-_ATTR_WINDOW_S, 0)
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_S * 1_000_000, 0)
     )
     carried = ev.withColumn("first_click", F.min(click).over(w))
     return carried.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("first_click.cid").alias("attributed_click_id"),
-        (F.col("ts_sec") - F.col("first_click.cts")).cast("long").alias("gap_seconds"),
+        (F.col("ts_us") - F.col("first_click.cts")).cast("long").alias("gap_us"),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deltasink_spark.operators.minhash import minhash_dedup_pairs
+from deltasink_spark.operators.minhash import minhash_dedup_pairs, sql_df_capped_cte
 from deltasink_spark.operators.vectors import (
     qdot,
     qnorm,
@@ -81,12 +81,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 JACCARD_DF_CAP = 64  # stop-shingle cap: bounds the self-join at cap^2/shingle
 
-_JACCARD_CAP_CTE = """
-    keptsh AS (SELECT shingle FROM sh GROUP BY shingle
-               HAVING COUNT(*) <= {cap}),
-    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
-    ksz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id)
-""".format(cap=JACCARD_DF_CAP)
+# single source of truth for the cap CTE: operators/minhash.py, the
+# same module whose df_capped_shingles the Spark side runs — the SQL
+# and Spark shapes must never drift apart independently.
+_JACCARD_CAP_CTE = sql_df_capped_cte(JACCARD_DF_CAP)
 
 
 @query(

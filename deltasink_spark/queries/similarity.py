@@ -669,9 +669,15 @@ def _pq_codes_frame(spark, sf_dir):
         .groupBy("vec_id")
         .agg(*[F.min(key(m)).alias(f"k{m}") for m in range(_PQ_M)])
     )
+    # exact floor-div by _PQ_K via bit shift: `/` would round-trip
+    # through double and corrupt keys past 2^53 (squared quantized
+    # distances get there). The shift is DERIVED from _PQ_K — a
+    # hardcoded `2` would silently break recon_err if K changed.
+    assert _PQ_K & (_PQ_K - 1) == 0, "_PQ_K must stay a power of two"
+    k_bits = _PQ_K.bit_length() - 1
     err = None
     for m in range(_PQ_M):
-        term = F.shiftright(F.col(f"k{m}"), 2)  # // K, K = 4
+        term = F.shiftright(F.col(f"k{m}"), k_bits)
         err = term if err is None else err + term
     return keys.select(
         "vec_id",

@@ -603,7 +603,7 @@ def sink_python_ds(spark, sf_dir):
             load(spark, sf_dir, "documents")
             .select(*cols)
             .write.format("manifest_json")
-            .mode("append")
+            .mode("overwrite")  # re-staging must REPLACE a stale manifest
             .option("path", stage)
             .save()
         )

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from deltasink_spark.operators.minhash import sql_df_capped_cte
 from deltasink_spark.registry import query
 from deltasink_spark.tables import fanout, load
 
@@ -269,12 +270,9 @@ def text_boilerplate_ngrams(spark, sf_dir):
 CONTAIN_THRESH = 0.5
 CONTAIN_DF_CAP = 64  # stop-shingle cap: bounds self-join at cap^2/shingle
 
-_CONTAIN_CAP_CTE = """
-    keptsh AS (SELECT shingle FROM sh GROUP BY shingle
-               HAVING COUNT(*) <= {cap}),
-    kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keptsh USING (shingle)),
-    ksz AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id)
-""".format(cap=CONTAIN_DF_CAP)
+# single source of truth for the cap CTE: operators/minhash.py (see
+# dedup.py note) — SQL and Spark shapes must not drift independently.
+_CONTAIN_CAP_CTE = sql_df_capped_cte(CONTAIN_DF_CAP)
 
 
 @query(

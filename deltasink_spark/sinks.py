@@ -60,6 +60,11 @@ def _has_delta() -> bool:
         return False
 
 
+class ConcurrentCompactionError(RuntimeError):
+    """A concurrent compaction replaced part of this one's snapshot
+    between planning and commit; the caller should retry."""
+
+
 class ExactlyOnceParquetSink:
     """Idempotent, ledgered parquet sink for foreachBatch (see module
     docstring for the protocol)."""
@@ -257,7 +262,15 @@ class ExactlyOnceParquetSink:
         set is snapshotted first, so a batch committed in between is
         simply not replaced and stays visible. The rewrite itself is a
         distributed repartition — the driver only moves metadata.
-        Returns the compaction id."""
+
+        CONCURRENT compactions are resolved optimistically at the
+        commit point (the write_batch discipline applied here too):
+        under the commit lock the ledger is re-read; if another
+        compaction claimed this cid the output directory is renamed to
+        a fresh id, and if any snapshotted entry was already replaced
+        by someone else the commit ABORTS (deleting its directory) and
+        raises ConcurrentCompactionError — committing anyway would
+        ledger the same source rows twice. Returns the compaction id."""
         replaced = self._visible_entries()
         if not replaced:
             raise ValueError("nothing to compact")
@@ -269,6 +282,22 @@ class ExactlyOnceParquetSink:
         n = spark.read.parquet(out_dir).count()
         with self._commit_lock():
             self._truncate_torn_tail()
+            # commit-time re-validation against the CURRENT ledger
+            records = self._ledger_records()
+            taken = {r["compact_id"] for r in records if "compact_id" in r}
+            if cid in taken:
+                new_cid = max(taken) + 1
+                new_dir = os.path.join(self.data_dir, f"compact_id={new_cid}")
+                os.rename(out_dir, new_dir)
+                cid, out_dir = new_cid, new_dir
+            visible_now = set(self._visible_entries())
+            if not set(replaced) <= visible_now:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConcurrentCompactionError(
+                    "another compaction replaced part of this snapshot; retry"
+                )
             with open(self.ledger_path, "a") as fh:
                 fh.write(
                     json.dumps(

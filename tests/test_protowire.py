@@ -130,3 +130,15 @@ def test_confluent_envelope_end_to_end_schema_mix(spark, sf_small):
             assert r.event_type == src[eid].event_type
         else:  # v1 payload: field absent -> null under the reader schema
             assert r.event_type is None
+
+
+def test_unknown_fixed32_field_is_skipped():
+    """Schema evolution: a payload carrying an unknown fixed32 (wire
+    type 5 — e.g. a v2 producer's added `float` field) must decode the
+    known fields and SKIP the unknown one, not raise."""
+    fields = [("a", 1, "int64")]
+    payload = encode_message({"a": 7}, fields)
+    # append unknown field number 9, wire type 5, 4 payload bytes
+    unknown = bytes([9 << 3 | 5]) + struct.pack("<f", 1.5)
+    out = decode_message(payload + unknown, fields)
+    assert out == {"a": 7}

@@ -562,3 +562,79 @@ def test_vacuum_retention_and_time_travel(spark, tmp_path):
         sink.read_committed(spark, as_of_version=1).collect()
     # replay of a vacuumed batch remains a no-op
     assert sink.write_batch(df.limit(1), 1) is False
+
+
+def test_python_sink_append_merges_manifest(spark, tmp_path):
+    """A second mode('append') write must UNION with the committed
+    manifest (not silently overwrite it), while mode('overwrite')
+    replaces it."""
+    from deltasink_spark.operators.pyds import (
+        ManifestJsonDataSource,
+        read_manifest_json,
+    )
+
+    spark.dataSource.register(ManifestJsonDataSource)
+    out = str(tmp_path / "msink2")
+    schema = "doc_id bigint, lang string, n_chars bigint"
+
+    def w(lo, hi, mode):
+        spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "concat('l', id) AS lang", "id * 3 AS n_chars"
+        ).write.format("manifest_json").mode(mode).option("path", out).save()
+
+    w(0, 10, "append")
+    w(10, 15, "append")
+    back = read_manifest_json(spark, out, schema)
+    assert back.count() == 15
+    assert back.agg({"doc_id": "max"}).first()[0] == 14
+    w(100, 103, "overwrite")
+    back = read_manifest_json(spark, out, schema)
+    assert sorted(r["doc_id"] for r in back.collect()) == [100, 101, 102]
+
+
+def test_compact_concurrent_conflict_detected(spark, tmp_path):
+    """Optimistic-concurrency check: a compaction whose snapshot was
+    invalidated by another compaction must ABORT at commit time (its
+    directory removed), never ledger the same source rows twice."""
+    import pytest as _pytest
+
+    from deltasink_spark.sinks import ConcurrentCompactionError, ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"), app_id="cc")
+    df = spark.range(0, 30).selectExpr("id", "id * 2 AS v")
+    for b in range(2):
+        sink.write_batch(df.filter(f"id % 2 = {b}"), b)
+
+    # simulate a racer: capture this compaction's snapshot, then let a
+    # full compaction commit before our commit point re-validates
+    stale_replaced = sink._visible_entries()
+    sink.compact(spark, target_files=2)  # the racer wins
+
+    import json as _json
+    import os as _os
+
+    # replay the loser's commit path manually: cid collision + stale set
+    records = sink._ledger_records()
+    taken = {r["compact_id"] for r in records if "compact_id" in r}
+    assert 0 in taken
+    visible_now = set(sink._visible_entries())
+    assert not set(stale_replaced) <= visible_now  # snapshot invalidated
+
+    # and the public API path: a second compact over the NEW state is
+    # legal (compacts the compacted dir), while a hand-built stale one
+    # via the same validation logic raises
+    class _StaleSink(ExactlyOnceParquetSink):
+        def _visible_entries(self, as_of_version=None):
+            # pretend planning saw the pre-compaction state, but let the
+            # under-lock re-validation (which passes as_of_version=None
+            # the second time on the SAME instance) see reality.
+            if not hasattr(self, "_called"):
+                self._called = True
+                return stale_replaced
+            return super()._visible_entries(as_of_version)
+
+    stale = _StaleSink(str(tmp_path / "t"), app_id="cc")
+    with _pytest.raises(ConcurrentCompactionError):
+        stale.compact(spark, target_files=2)
+    # no partial debris: rows unchanged, single consistent read
+    assert sink.read_committed(spark).count() == 30
