@@ -638,3 +638,24 @@ def test_compact_concurrent_conflict_detected(spark, tmp_path):
         stale.compact(spark, target_files=2)
     # no partial debris: rows unchanged, single consistent read
     assert sink.read_committed(spark).count() == 30
+
+
+def test_python_stream_reader_restart_never_regresses():
+    """Restart protocol (pure reader-level test): after recovery the
+    reader instance is fresh (_admitted=0) but partitions() receives
+    the COMMITTED start offset — it must fast-forward its admission
+    counter instead of re-planning delivered ranges, and a stale
+    end < start must degrade to an empty partition set, never a
+    re-emission."""
+    from deltasink_spark.operators.pyds import _FixtureDocsStreamReader
+
+    r = _FixtureDocsStreamReader({"path": "/root/testdata/sf0.01/documents.parquet"})
+    # recovery: committed offset 400, stale post-restart latestOffset 250
+    parts = r.partitions({"pos": 400}, {"pos": 250})
+    assert all(p.end <= p.start for p in parts)  # nothing served
+    assert r._admitted >= 400  # fast-forwarded to the committed frontier
+    nxt = r.latestOffset()
+    assert nxt["pos"] > 400  # progress resumes past the frontier, no regression
+    parts2 = r.partitions({"pos": 400}, nxt)
+    served = sorted((p.start, p.end) for p in parts2 if p.end > p.start)
+    assert served and served[0][0] == 400  # continues exactly at the frontier
