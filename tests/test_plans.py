@@ -475,3 +475,39 @@ def test_attribution_no_range_join(spark, sf_small):
     p = plan(q("attribution_last_touch", spark, sf_small))
     assert "Join" not in p
     assert p.count("Window") >= 1
+
+
+def test_join_lateral_decorrelates(spark, sf_small):
+    """The LATERAL per-row subquery must reach Catalyst de-correlated
+    (rank/window or equi-join plan) — never a per-outer-row nested
+    loop over the inner table."""
+    p = plan(q("join_lateral", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert ("Window" in p) or ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_attribution_first_touch_single_window_no_join(spark, sf_small):
+    p = plan(q("attribution_first_touch", spark, sf_small))
+    assert "Join" not in p
+    assert p.count("Window") >= 1
+
+
+def test_win_running_distinct_two_window_passes_no_collect_set(spark, sf_small):
+    """The scalable form: two window passes over flags — never a
+    collect_set whose per-row state grows with seen values."""
+    p = plan(q("win_running_distinct", spark, sf_small))
+    assert "collect_set" not in p
+    assert p.count("Window") >= 2 or "row_number" in p
+
+
+def test_pipeline_web_prep_no_cartesian_no_python(spark, sf_small):
+    p = plan(q("pipeline_web_prep", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "PythonUDF" not in p
+
+
+def test_variant_and_try_families_pure_projection(spark, sf_small):
+    for op in ("json_variant", "fn_try", "fn_collate", "xml_parse"):
+        p = plan(q(op, spark, sf_small))
+        assert "Exchange" not in p, op
+        assert "PythonUDF" not in p, op
