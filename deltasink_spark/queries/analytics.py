@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.registry import query
-from deltasink_spark.tables import fanout, load
+from deltasink_spark.tables import load
 
 # integer cents: exact in both engines for the 2-decimal fixture values
 _CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
