@@ -111,6 +111,8 @@ _R5_NEW = [
     "join_asof_forward",
     "attribution_first_touch",
     "fn_struct",
+    "udaf_arrow_grouped",
+    "fn_crypto",
 ]
 
 

@@ -484,3 +484,36 @@ def fn_struct(spark, sf_dir):
             (F.col("n_regionkey") == 2).alias("in_region_2"),
         )
     )
+
+
+_AES_KEY = "0123456789abcdef"  # 16-byte test key (AES-128)
+
+
+@query(
+    "fn_crypto",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name_rt,
+           CAST((octet_length(encode(c_name)) // 16 + 1) * 16 AS BIGINT) AS ct_len
+    FROM customer
+    """,
+)
+def fn_crypto(spark, sf_dir):
+    """Column-level AES encryption (aes_encrypt/aes_decrypt) — the
+    governance surface for PII columns at rest. ECB mode here because
+    it is DETERMINISTIC (verifiable ciphertext length + exact
+    round-trip in the oracle); production uses the default GCM whose
+    random IV breaks replay-verification by design. The oracle proves
+    (a) decrypt(encrypt(x)) == x exactly and (b) the PKCS#7-padded
+    ciphertext length is 16*(floor(len/16)+1). JVM codegen; the key
+    would come from a KMS-backed secret in production, never a
+    literal."""
+    c = load(spark, sf_dir, "customer")
+    ct = F.aes_encrypt(F.col("c_name"), F.lit(_AES_KEY), F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(ct, F.lit(_AES_KEY), F.lit("ECB"))
+        .cast("string")
+        .alias("name_rt"),
+        F.length(ct).cast("long").alias("ct_len"),
+    )

@@ -150,3 +150,41 @@ def udf_arrow(spark, sf_dir):
 
     s = load(spark, sf_dir, "supplier")
     return s.select("s_suppkey", tag("s_name", "s_nationkey").alias("tag"))
+
+
+@query(
+    "udaf_arrow_grouped",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_arrow_grouped(spark, sf_dir):
+    """Grouped-map over RAW ARROW tables (Spark 4 applyInArrow) — the
+    zero-copy tier below applyInPandas: each group arrives as a
+    pyarrow.Table and pyarrow.compute reduces it without ever
+    materializing pandas objects (no block manager, no object dtype
+    churn — the fast path for columnar group logic). State discipline
+    matches the engine-wide convention: cents as int64 via
+    pyarrow.compute so the reduction is exact and order-free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def reduce_group(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": [table["event_type"][0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "total_cents": pa.array(
+                    [pc.sum(cents).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        reduce_group, "event_type string, n bigint, total_cents bigint"
+    )
