@@ -166,10 +166,26 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
 
         if partition.end <= partition.start:
             return
-        table = pq.read_table(partition.path, columns=self._COLS)
-        yield from table.slice(
-            partition.start, partition.end - partition.start
-        ).to_batches()
+        # Map the row range onto row groups via footer metadata and
+        # read ONLY the overlapping groups — reading the whole file
+        # per partition would cost _SPLITS full-table scans per
+        # micro-batch (the amplification the batch reader's
+        # read_row_group shape already avoids).
+        pf = pq.ParquetFile(partition.path)
+        first = 0
+        pieces = []
+        for rg in range(pf.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            lo, hi = first, first + n
+            first = hi
+            if hi <= partition.start or lo >= partition.end:
+                continue
+            t = pf.read_row_group(rg, columns=self._COLS)
+            s = max(partition.start - lo, 0)
+            e = min(partition.end, hi) - lo
+            pieces.append(t.slice(s, e - s))
+        for piece in pieces:
+            yield from piece.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # ack to upstream; nothing to trim for a file

@@ -769,21 +769,50 @@ def paragraph_dedup_frame(docs):
     )
 
 
+
+# Shared 80/10/10 split rule: ONE definition feeds dataset_split,
+# pipeline_web_prep, and both oracles — the split thresholds and the
+# portable md5 bucket must never be edited in one place only.
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 90  # upper bound of validation bucket range
+
+
+def _split_bucket_expr(id_col: str):
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def _split_expr(id_col: str):
+    b = _split_bucket_expr(id_col)
+    return (
+        F.when(b < _SPLIT_TRAIN_PCT, "train")
+        .when(b < _SPLIT_VAL_PCT, "validation")
+        .otherwise("test")
+    )
+
+
+def _split_sql(id_expr: str) -> str:
+    bucket = (
+        f"CAST(CONCAT('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {bucket} < {_SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {_SPLIT_VAL_PCT} THEN 'validation' "
+        f"ELSE 'test' END"
+    )
+
+
 @query(
     "dataset_split",
-    oracle="""
-    WITH b AS (
-        SELECT doc_id, source,
-               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 100 AS bucket
-        FROM documents)
+    oracle=f"""
     SELECT source,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'validation'
-                ELSE 'test' END AS split,
+           {_split_sql('doc_id')} AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-    FROM b GROUP BY 1, 2
+    FROM documents GROUP BY 1, 2
     """,
 )
 def dataset_split(spark, sf_dir):
@@ -797,15 +826,8 @@ def dataset_split(spark, sf_dir):
     pure projection; the per-(source, split) accounting is one hash
     agg."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
-    )
     return (
-        docs.select("doc_id", "source", split.alias("split"))
+        docs.select("doc_id", "source", _split_expr("doc_id").alias("split"))
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -817,6 +839,7 @@ def dataset_split(spark, sf_dir):
 def _web_prep_oracle() -> str:
     from deltasink_spark.queries.trainprep import _SPAN_G
 
+    split_case = _split_sql("kd.doc_id")
     return f"""
     WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
                FROM documents),
@@ -866,11 +889,7 @@ def _web_prep_oracle() -> str:
                     COALESCE(pagg.clean_text, '') AS clean_text
              FROM pn LEFT JOIN pagg USING (doc_id))
     SELECT kd.source,
-           CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 80 THEN 'train'
-                WHEN CAST(CONCAT('0x', substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8))
-                     AS BIGINT) % 100 < 90 THEN 'validation'
-                ELSE 'test' END AS split,
+           {split_case} AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(para.n_kept) AS BIGINT) AS kept_paragraphs,
            CAST(SUM(len(para.clean_text)) AS BIGINT) AS clean_chars
@@ -912,15 +931,8 @@ def pipeline_web_prep(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     paras = paragraph_dedup_frame(kept.select("doc_id", "text"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
-    )
     return (
-        kept.select("doc_id", "source", split.alias("split"))
+        kept.select("doc_id", "source", _split_expr("doc_id").alias("split"))
         .join(paras.select("doc_id", "n_kept", "clean_text"), "doc_id")
         .groupBy("source", "split")
         .agg(

@@ -173,7 +173,16 @@ def udaf_arrow_grouped(spark, sf_dir):
     import pyarrow.compute as pc
 
     def reduce_group(table: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(table["value"], 100.0)), pa.int64())
+        # half_towards_infinity pins pyarrow to the ROUND convention
+        # Spark/DuckDB use (pc.round defaults to half_to_even, which
+        # would diverge on any exact .5 cent value)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table["value"], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "event_type": [table["event_type"][0].as_py()],

@@ -188,19 +188,36 @@ class ExactlyOnceParquetSink:
         if batch_id in self.committed_batches():
             return False
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        df.write.mode("overwrite").parquet(batch_dir)
+        # Stage into a UNIQUELY-NAMED directory and publish by rename
+        # under the commit lock. Writing batch_dir directly would let a
+        # same-(app_id, batch_id) racer's mode("overwrite") DELETE the
+        # winner's already-committed files after the winner's ledger
+        # append (Delta avoids the same hazard with uniquely-named data
+        # files). A crash leaves an unreferenced tmp dir — invisible
+        # garbage, same recovery class as a torn ledger line.
+        import shutil
+        import uuid as _uuid
+
+        tmp_dir = os.path.join(self.data_dir, f"tmp_batch_{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp_dir)
         # Count the files actually written, not the input plan: re-running
         # df.count() would execute the micro-batch a second time, and a
         # nondeterministic upstream could make the ledgered n_rows
         # disagree with the committed rows.
-        n = df.sparkSession.read.parquet(batch_dir).count()
+        n = df.sparkSession.read.parquet(tmp_dir).count()
         with self._commit_lock():
             # Re-check under the lock: a concurrent writer sharing this
             # app_id (misconfigured, but Delta's txn action tolerates
             # the replay the same way) may have committed while the
             # data files were being written.
             if batch_id in self.committed_batches():
+                shutil.rmtree(tmp_dir, ignore_errors=True)
                 return False
+            if os.path.isdir(batch_dir):
+                # torn remnant of an earlier uncommitted attempt —
+                # uncommitted by protocol, safe to clear for the rename
+                shutil.rmtree(batch_dir)
+            os.rename(tmp_dir, batch_dir)
             self._truncate_torn_tail()
             with open(self.ledger_path, "a") as fh:
                 fh.write(
@@ -255,8 +272,9 @@ class ExactlyOnceParquetSink:
         and adds the compacted directory (Delta's OPTIMIZE =
         add-files + remove-files in a single log action; readers see
         either the old layout or the new one, never both). A crash
-        before the ledger append leaves an unledgered directory the
-        next compaction overwrites — same recovery as a torn batch.
+        before the ledger append leaves an unreferenced tmp_compact_*
+        staging directory — invisible garbage, same recovery class as
+        a torn ledger line.
 
         Streaming appends racing the compaction are safe: the replaced
         set is snapshotted first, so a batch committed in between is
@@ -265,39 +283,43 @@ class ExactlyOnceParquetSink:
 
         CONCURRENT compactions are resolved optimistically at the
         commit point (the write_batch discipline applied here too):
-        under the commit lock the ledger is re-read; if another
-        compaction claimed this cid the output directory is renamed to
-        a fresh id, and if any snapshotted entry was already replaced
-        by someone else the commit ABORTS (deleting its directory) and
-        raises ConcurrentCompactionError — committing anyway would
-        ledger the same source rows twice. Returns the compaction id."""
+        the rewrite lands in a uniquely-named staging dir, and the
+        compact_id is chosen — and the dir renamed to its final name —
+        only under the commit lock against the CURRENT ledger, so two
+        racers can never touch the same directory. If any snapshotted
+        entry was already replaced by someone else the commit ABORTS
+        (deleting its staging dir) and raises
+        ConcurrentCompactionError — committing anyway would ledger the
+        same source rows twice. Returns the compaction id."""
+        import shutil
+        import uuid as _uuid
+
         replaced = self._visible_entries()
         if not replaced:
             raise ValueError("nothing to compact")
-        prior = [r["compact_id"] for r in self._ledger_records() if "compact_id" in r]
-        cid = max(prior) + 1 if prior else 0
+        # Rewrite into a UNIQUELY-NAMED staging dir; the compact_id is
+        # only chosen — and the dir only renamed to its final name —
+        # UNDER the commit lock. Pre-computing the cid would make two
+        # concurrent compactors write (and mode-overwrite-delete!) the
+        # same shared directory before either commits.
         df = spark.read.parquet(*[self._entry_dir(e) for e in replaced])
-        out_dir = os.path.join(self.data_dir, f"compact_id={cid}")
-        df.repartition(target_files).write.mode("overwrite").parquet(out_dir)
-        n = spark.read.parquet(out_dir).count()
+        tmp_dir = os.path.join(self.data_dir, f"tmp_compact_{_uuid.uuid4().hex}")
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp_dir)
+        n = spark.read.parquet(tmp_dir).count()
         with self._commit_lock():
             self._truncate_torn_tail()
             # commit-time re-validation against the CURRENT ledger
             records = self._ledger_records()
-            taken = {r["compact_id"] for r in records if "compact_id" in r}
-            if cid in taken:
-                new_cid = max(taken) + 1
-                new_dir = os.path.join(self.data_dir, f"compact_id={new_cid}")
-                os.rename(out_dir, new_dir)
-                cid, out_dir = new_cid, new_dir
             visible_now = set(self._visible_entries())
             if not set(replaced) <= visible_now:
-                import shutil
-
-                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(tmp_dir, ignore_errors=True)
                 raise ConcurrentCompactionError(
                     "another compaction replaced part of this snapshot; retry"
                 )
+            taken = {r["compact_id"] for r in records if "compact_id" in r}
+            cid = max(taken) + 1 if taken else 0
+            out_dir = os.path.join(self.data_dir, f"compact_id={cid}")
+            os.rename(tmp_dir, out_dir)
             with open(self.ledger_path, "a") as fh:
                 fh.write(
                     json.dumps(
