@@ -95,6 +95,10 @@ class FixtureDocsDataSource(DataSource):
 
 # --- streaming variant ----------------------------------------------------
 
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
 from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 _CHUNK = 250  # rows admitted per micro-batch (rate limiting)
@@ -115,14 +119,35 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
     _CHUNK rows (latestOffset is where rate limiting lives) and is
     split into _SPLITS row-range partitions read executor-side as
     Arrow batches. commit() is the ack hook a real connector uses to
-    trim its upstream cursor."""
+    trim its upstream cursor — here it also persists the acked
+    frontier to a sidecar under ``ack_dir`` so that a POST-RESTART
+    fresh instance (``_admitted`` would otherwise be 0) can never
+    return a ``latestOffset`` below what the engine already committed.
+    That matters because MicroBatchExecution logs whatever
+    latestOffset returns as the next batch end and starts the batch
+    AFTER it from that logged end — a regressed offset would make the
+    engine re-plan already-delivered ranges. Without ``ack_dir``,
+    rate-limited restart exactly-once is NOT guaranteed (same as a
+    Kafka consumer with no committed group offsets); pass a per-query
+    directory alongside the checkpoint."""
 
     _COLS = ["doc_id", "n_chars"]
 
     def __init__(self, options) -> None:
         self.path = options["path"]
         self._total: int | None = None
-        self._admitted = 0
+        self._ack_file: str | None = None
+        ack_dir = options.get("ack_dir")
+        if ack_dir:
+            _os.makedirs(ack_dir, exist_ok=True)
+            self._ack_file = _os.path.join(ack_dir, "acked-offset.json")
+        self._admitted = self._load_acked()
+
+    def _load_acked(self) -> int:
+        if self._ack_file is not None and _os.path.exists(self._ack_file):
+            with open(self._ack_file) as fh:
+                return int(_json.load(fh)["pos"])
+        return 0
 
     def _rows(self) -> int:
         import pyarrow.parquet as pq
@@ -144,13 +169,14 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
         return {"pos": self._admitted}
 
     def partitions(self, start: dict, end: dict):
-        # Restart safety: after recovery from a checkpoint the reader
-        # is a fresh instance with _admitted=0, but `start` is the
-        # COMMITTED offset — an offset source must never regress below
-        # it (re-planning already-delivered ranges would duplicate
-        # rows). Fast-forward the admission counter to the committed
-        # frontier; a first post-restart batch whose stale end < start
-        # degrades to one empty batch, never to re-emission.
+        # Defense-in-depth: the sidecar in commit()/_load_acked() is
+        # what actually prevents a fresh post-restart instance from
+        # regressing latestOffset below the committed frontier (the
+        # engine logs latestOffset's return as the batch end and
+        # starts the NEXT batch from that logged end, so a regressed
+        # return re-plans delivered ranges). This fast-forward only
+        # covers the no-ack_dir case, where the best it can do is turn
+        # a stale planned range into one empty batch.
         self._admitted = max(self._admitted, start["pos"], end["pos"])
         lo, hi = start["pos"], end["pos"]
         if hi <= lo:
@@ -188,7 +214,17 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
             yield from piece.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # ack to upstream; nothing to trim for a file
+        # Upstream ack: persist the committed frontier (monotonic, via
+        # tmp-write + atomic rename) so a restart constructs the next
+        # reader at the acked position instead of 0. A real connector
+        # would commit its consumer-group / cursor position here.
+        if self._ack_file is None:
+            return
+        pos = max(int(end["pos"]), self._load_acked())
+        tmp = f"{self._ack_file}.{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps({"pos": pos}))
+        _os.replace(tmp, self._ack_file)
 
 
 class FixtureDocsStreamDataSource(DataSource):
@@ -207,9 +243,7 @@ class FixtureDocsStreamDataSource(DataSource):
 
 # --- writer variant -------------------------------------------------------
 
-import json as _json  # noqa: E402
-import os as _os  # noqa: E402
-import uuid as _uuid  # noqa: E402
+import fcntl as _fcntl  # noqa: E402
 from dataclasses import dataclass  # noqa: E402
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
@@ -249,22 +283,41 @@ class _ManifestJsonWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         parts = [m for m in messages if m is not None]
-        new_parts = sorted(p.path for p in parts)
-        new_rows = sum(p.rows for p in parts)
+        job_parts = sorted(p.path for p in parts)
+        job_rows = sum(p.rows for p in parts)
         manifest_path = _os.path.join(self.path, "_MANIFEST.json")
-        # append mode UNIONS with the committed manifest — replacing it
-        # with only this job's parts would silently turn append into
-        # overwrite, orphaning every previously committed row.
-        if not self.overwrite and _os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = _json.load(fh)
-            new_parts = sorted(set(prior["parts"]) | set(new_parts))
-            new_rows += prior["rows"]
-        manifest = {"parts": new_parts, "rows": new_rows}
-        tmp = _os.path.join(self.path, f"_manifest.{_uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(_json.dumps(manifest))
-        _os.replace(tmp, manifest_path)
+        # The append-mode merge is a read-modify-write of the committed
+        # manifest; two concurrent append jobs to the same path would
+        # otherwise both read the prior manifest and the last rename
+        # would win, silently orphaning the other job's parts. An
+        # exclusive flock on a sidecar serializes ONLY this commit
+        # point (part-file writes still run fully in parallel) — the
+        # same multi-writer protocol as the ledgered sink's
+        # _commit_lock (sinks.py).
+        lock_fd = _os.open(
+            _os.path.join(self.path, "_manifest.lock"),
+            _os.O_CREAT | _os.O_WRONLY,
+            0o644,
+        )
+        try:
+            _fcntl.flock(lock_fd, _fcntl.LOCK_EX)
+            new_parts, new_rows = job_parts, job_rows
+            # append mode UNIONS with the committed manifest — replacing
+            # it with only this job's parts would silently turn append
+            # into overwrite, orphaning every previously committed row.
+            if not self.overwrite and _os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = _json.load(fh)
+                new_parts = sorted(set(prior["parts"]) | set(new_parts))
+                new_rows += prior["rows"]
+            manifest = {"parts": new_parts, "rows": new_rows}
+            tmp = _os.path.join(self.path, f"_manifest.{_uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(_json.dumps(manifest))
+            _os.replace(tmp, manifest_path)
+        finally:
+            _fcntl.flock(lock_fd, _fcntl.LOCK_UN)
+            _os.close(lock_fd)
 
     def abort(self, messages) -> None:
         for m in messages:

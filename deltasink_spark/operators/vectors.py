@@ -106,6 +106,33 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 2024) -> list[list[int]]:
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
 
 
+# Target expected rows per LSH bucket. Sign-LSH bucket-mate candidate
+# pairs grow as O(N^2 / 2^K) per table, so K must scale with the
+# corpus: fixing K (the r5 geometry) keeps bucket occupancy — and with
+# it the candidate-pair count per bucket — growing linearly with N.
+TARGET_BUCKET_ROWS = 64
+FLOOR_BITS = 8
+
+
+def lsh_bits(expected_rows: int, floor_bits: int = FLOOR_BITS) -> int:
+    """Bits (hyperplanes) per LSH table for an expected corpus size.
+
+    Chosen so expected bucket occupancy N / 2^K stays <=
+    TARGET_BUCKET_ROWS: K = max(floor, ceil(log2(N / target))). At the
+    fixture scales (<= 16384 rows) this returns the floor of 8 bits —
+    exactly the r5 constants — so every registered oracle stays
+    bit-identical; at a 100x blow-up it grows to 12+ bits and expected
+    occupancy stays bounded (property-tested in tests/test_plans.py).
+    Callers registering a driver oracle must pass a FIXED expected size
+    (the oracle SQL embeds the plane literals at import time); a
+    production deployment passes its real corpus estimate."""
+    import math
+
+    if expected_rows <= TARGET_BUCKET_ROWS:
+        return floor_bits
+    return max(floor_bits, math.ceil(math.log2(expected_rows / TARGET_BUCKET_ROWS)))
+
+
 def bucket(iv: Column, planes: list[list[int]]) -> Column:
     """LSH bucket id of a quantized vector: bit j = sign(plane_j . iv)."""
     zero = F.lit(0).cast("long")
@@ -130,6 +157,53 @@ def sql_bucket(iv: str, planes: list[list[int]]) -> str:
         dot = f"list_sum(list_transform(list_zip({iv}, {lit}), p -> p[1] * p[2]))"
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def lsh_candidate_pairs(df, id_col: str, vec_col: str, planes: list[list[int]], tables: int):
+    """Distinct bucket-mate (id_a < id_b) candidate pairs via sign-LSH.
+
+    The scale path for full-table pairwise similarity: each row is
+    bucketed into `tables` hash tables of len(planes)/tables bits, and
+    candidates reach Catalyst as a shuffled self-EQUI-join on
+    (table, bucket) — one shuffle, AQE-skew-handled, never a cross
+    join or a full-table broadcast — so the pair count is
+    O(tables * N^2 / 2^K) instead of O(N^2). Pair K with lsh_bits()
+    to keep expected bucket occupancy bounded as the corpus grows."""
+    k = len(planes) // tables
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    bucket(F.col(vec_col), planes[t * k : (t + 1) * k]).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+    ).alias("tb")
+    tall = df.select(F.col(id_col), tb).select(
+        id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    a = tall.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    b = tall.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def sql_lsh_tall(relation: str, id_col: str, vec_col: str, planes: list[list[int]], tables: int) -> str:
+    """DuckDB mirror of the tall (pid, t, bucket) frame: a UNION ALL
+    body to splice into a WITH clause; pair it with a self-join
+    `ta.t = tb.t AND ta.bucket = tb.bucket AND ta.pid < tb.pid`."""
+    k = len(planes) // tables
+    return " UNION ALL ".join(
+        f"SELECT {id_col} AS pid, {t} AS t, "
+        f"{sql_bucket(vec_col, planes[t * k : (t + 1) * k])} AS bucket FROM {relation}"
+        for t in range(tables)
+    )
 
 
 # --- DuckDB oracle SQL mirrors (same expression, same rounding) ---------

@@ -16,13 +16,16 @@ from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import minhash_dedup_pairs, sql_df_capped_cte
 from deltasink_spark.operators.vectors import (
+    lsh_candidate_pairs,
     qdot,
     qnorm,
     quantized,
+    sql_lsh_tall,
     sql_qdot,
     sql_qnorm,
     sql_quantized,
 )
+from deltasink_spark.queries.similarity import _PAIR_L, _PAIR_PLANES
 from deltasink_spark.registry import query
 from deltasink_spark.tables import fanout, load
 
@@ -204,31 +207,40 @@ _QCOS = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
     "dedup_embedding_cosine",
     oracle=f"""
     WITH qv AS (SELECT vec_id, {sql_quantized('embedding')} AS iv FROM embeddings),
-    qn AS (SELECT vec_id, iv, {sql_qnorm('iv')} AS nrm FROM qv)
-    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, {_QCOS} AS cos
-    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    qn AS (SELECT vec_id, iv, {sql_qnorm('iv')} AS nrm FROM qv),
+    tall AS ({sql_lsh_tall('qn', 'vec_id', 'iv', _PAIR_PLANES, _PAIR_L)}),
+    cand AS (
+        SELECT DISTINCT ta.pid AS keep_id, tb.pid AS dup_id
+        FROM tall ta JOIN tall tb
+          ON ta.t = tb.t AND ta.bucket = tb.bucket AND ta.pid < tb.pid)
+    SELECT c.keep_id, c.dup_id, {_QCOS} AS cos
+    FROM cand c JOIN qn a ON a.vec_id = c.keep_id JOIN qn b ON b.vec_id = c.dup_id
     WHERE {_QCOS} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force scoring; the LSH/IVF
-    pre-filter for 100 TB lives in sim_topk_join's banding pattern —
-    here every pair is scored so the oracle is exact). Vectors are
-    quantized to longs once per row (operators/vectors.py), the
-    streamed side fans across cores, the other side broadcasts."""
+    """Embedding-cosine near-dup pairs over sign-LSH bucket-mate
+    candidates (same L=4 x K=8 geometry as sim_cosine_pairs, K from
+    lsh_bits()). The r5 full-table broadcast all-pairs join is gone:
+    candidates reach Catalyst as a shuffled self-equi-join on
+    (table, bucket), then only candidates are scored exactly with the
+    fused long dot — the deterministic plane literals are mirrored
+    into the oracle SQL so the bucketed semantics stay differentially
+    verified bit-for-bit."""
     e = load(spark, sf_dir, "embeddings")
     qn = e.select("vec_id", quantized(F.col("embedding")).alias("iv")).withColumn(
         "nrm", qnorm(F.col("iv"))
     )
-    a = fanout(
-        qn.select(
-            F.col("vec_id").alias("keep_id"), F.col("iv").alias("ia"), F.col("nrm").alias("na")
-        )
+    cand = lsh_candidate_pairs(qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L).select(
+        F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id")
+    )
+    a = qn.select(
+        F.col("vec_id").alias("keep_id"), F.col("iv").alias("ia"), F.col("nrm").alias("na")
     )
     b = qn.select(
         F.col("vec_id").alias("dup_id"), F.col("iv").alias("ib"), F.col("nrm").alias("nb")
     )
-    pairs = a.join(F.broadcast(b), F.col("keep_id") < F.col("dup_id"))
+    pairs = cand.join(a, "keep_id").join(b, "dup_id")
     cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return pairs.select("keep_id", "dup_id", cos.alias("cos")).filter(F.col("cos") >= 0.4)
 

@@ -303,8 +303,20 @@ def min_label_components(pairs):
     for _ in range(24):  # O(log n) bound; fixture graphs converge in 2-3
         nxt = small_star(large_star(edges)).localCheckpoint(eager=False)
         # Converged when the edge set is a fixed point (a forest of
-        # stars centered on component minima).
-        changed = nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
+        # stars centered on component minima). Both sides are distinct
+        # sets, so set equality == no (u,v) group with a nonzero signed
+        # weight; one signed-union aggregation is ONE distributed job
+        # per round (vs two exceptAll().count() jobs), and limit(1)
+        # lets it stop at the first difference.
+        changed = (
+            nxt.select("u", "v", F.lit(1).alias("w"))
+            .unionByName(edges.select("u", "v", F.lit(-1).alias("w")))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+            .limit(1)
+            .count()
+        )
         edges = nxt
         if changed == 0:
             break

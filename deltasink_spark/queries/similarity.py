@@ -8,8 +8,10 @@ Scale shapes:
 - sim_topk_join: broadcast the (small) query set, score, per-query
   window top-k. At 100 TB the band-bucket equi-join of
   operators/minhash.py replaces the broadcast crossJoin as pre-filter.
-- ts_similarity: users become dense fixed-point hour-profile vectors;
-  the pair stage is a broadcast nested-loop join over tiny rows.
+- ts_similarity / sim_cosine_pairs: full-table pairwise stages run on
+  sign-LSH bucket-mate candidates (shuffled equi-join on
+  (table, bucket), lsh_bits()-parameterized geometry), never a
+  full-table broadcast or cross join.
 
 All pairwise scoring runs on vectors quantized once per row to longs
 (operators/vectors.py QSCALE): the per-pair dot is exact long
@@ -26,10 +28,13 @@ from deltasink_spark.operators.vectors import (
     QSCALE,
     bucket,
     hyperplanes,
+    lsh_bits,
+    lsh_candidate_pairs,
     qdot,
     qnorm,
     quantized,
     sql_bucket,
+    sql_lsh_tall,
     sql_qdot,
     sql_qnorm,
     sql_quantized,
@@ -53,28 +58,55 @@ def _qn_frame(spark, sf_dir):
     ).withColumn("nrm", qnorm(F.col("iv")))
 
 
+# Full-table pairwise candidate geometry (shared with
+# dedup_embedding_cosine in queries/dedup.py): L hash tables x K
+# random-hyperplane bits over the 64-dim embeddings. K comes from
+# lsh_bits() pinned at the fixture corpus estimate so the oracle plane
+# literals are import-time constants (= the 8-bit r5 geometry); a
+# production deployment passes its real corpus size and K grows to
+# keep expected bucket occupancy bounded.
+_PAIR_L = 4
+_PAIR_K = lsh_bits(2_000)
+_PAIR_PLANES = hyperplanes(64, _PAIR_L * _PAIR_K, seed=777)
+_PAIR_TALL = sql_lsh_tall("qn", "vec_id", "iv", _PAIR_PLANES, _PAIR_L)
+_PAIR_CAND = """
+    cand AS (
+        SELECT DISTINCT ta.pid AS id_a, tb.pid AS id_b
+        FROM tall ta JOIN tall tb
+          ON ta.t = tb.t AND ta.bucket = tb.bucket AND ta.pid < tb.pid)
+"""
+
+
 @query(
     "sim_cosine_pairs",
     oracle=f"""
-    WITH {_QN_CTE}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+    WITH {_QN_CTE},
+    tall AS ({_PAIR_TALL}),
+    {_PAIR_CAND}
+    SELECT c.id_a, c.id_b, a.label AS label_a, b.label AS label_b,
            {_QCOS_AB} AS cos
-    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    FROM cand c JOIN qn a ON a.vec_id = c.id_a JOIN qn b ON b.vec_id = c.id_b
     WHERE {_QCOS_AB} >= 0.35
     """,
 )
 def sim_cosine_pairs(spark, sf_dir):
-    """All-pairs cosine scoring: quantize + norm once per row, fan the
-    streamed side across cores, broadcast the other; the pair loop is
-    a fused long dot in whole-stage codegen."""
+    """Pairwise cosine scoring over sign-LSH bucket-mate candidates.
+
+    The 100 TB shape (the r5 all-pairs broadcast is gone): candidate
+    generation is a shuffled self-EQUI-join on (table, bucket) — L=4
+    tables x K=8 hyperplane bits, K parameterized by lsh_bits() so
+    expected bucket occupancy stays bounded as the corpus grows — and
+    only candidates are scored, exactly, with the fused long dot. The
+    hyperplanes are deterministic literals mirrored into the oracle
+    SQL, so the bucketed (approximate-recall) semantics are still
+    differentially verified bit-for-bit."""
     qn = _qn_frame(spark, sf_dir)
-    a = fanout(
-        qn.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("label").alias("label_a"),
-            F.col("iv").alias("ia"),
-            F.col("nrm").alias("na"),
-        )
+    cand = lsh_candidate_pairs(qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L)
+    a = qn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("iv").alias("ia"),
+        F.col("nrm").alias("na"),
     )
     b = qn.select(
         F.col("vec_id").alias("id_b"),
@@ -82,7 +114,7 @@ def sim_cosine_pairs(spark, sf_dir):
         F.col("iv").alias("ib"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.withColumn("cos", cos)
@@ -159,7 +191,12 @@ def sim_topk_join(spark, sf_dir):
 # --- sim_ann_lsh: LSH-bucketed approximate nearest neighbors ------------
 
 _ANN_L = 2  # hash tables
-_ANN_K = 8  # bits (hyperplanes) per table
+# Bits per table from lsh_bits() pinned at the fixture corpus estimate
+# (2k embeddings -> the floor of 8 bits, identical to the r5 geometry,
+# so the oracle plane literals are unchanged). At a 100x corpus the
+# same call returns 12+ bits, keeping expected bucket occupancy — and
+# with it bucket-mate candidate growth — bounded instead of O(N).
+_ANN_K = lsh_bits(2_000)
 _ANN_PLANES = hyperplanes(64, _ANN_L * _ANN_K, seed=2024)
 
 
@@ -246,6 +283,14 @@ _TS_SCALE = 100_000  # fixed-point scale: max |v| ~1e3 -> products ~1e16, x24 te
 _TS_DOT = "CAST(list_sum(list_transform(list_zip(a.ivec, b.ivec), p -> p[1] * p[2])) AS DOUBLE)"
 
 
+# ts_similarity pair geometry: 24-dim hour profiles, L=4 tables x
+# K=lsh_bits(1_500)=8 bits (fixture user-count estimate; a production
+# deployment passes its real user count and K grows).
+_TS_L = 4
+_TS_K = lsh_bits(1_500)
+_TS_PLANES = hyperplanes(24, _TS_L * _TS_K, seed=424)
+
+
 @query(
     "ts_similarity",
     oracle=f"""
@@ -266,10 +311,15 @@ _TS_DOT = "CAST(list_sum(list_transform(list_zip(a.ivec, b.ivec), p -> p[1] * p[
     nrms AS (
         SELECT user_id, ivec,
                SQRT(CAST(list_sum(list_transform(ivec, x -> x * x)) AS DOUBLE)) AS nrm
-        FROM vecs)
-    SELECT a.user_id AS user_a, b.user_id AS user_b,
+        FROM vecs),
+    tall AS ({sql_lsh_tall('nrms', 'user_id', 'ivec', _TS_PLANES, _TS_L)}),
+    cand AS (
+        SELECT DISTINCT ta.pid AS user_a, tb.pid AS user_b
+        FROM tall ta JOIN tall tb
+          ON ta.t = tb.t AND ta.bucket = tb.bucket AND ta.pid < tb.pid)
+    SELECT c.user_a, c.user_b,
            ROUND({_TS_DOT} / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM nrms a JOIN nrms b ON a.user_id < b.user_id
+    FROM cand c JOIN nrms a ON a.user_id = c.user_a JOIN nrms b ON b.user_id = c.user_b
     WHERE ROUND({_TS_DOT} / (a.nrm * b.nrm), 6) >= 0.8
     """,
 )
@@ -278,15 +328,16 @@ def ts_similarity(spark, sf_dir):
     cosine (EDBT-2019 time-series-similarity shape).
 
     Scale design: each user's sparse (hour, value) profile is densified
-    into a fixed 24-slot double array FIRST (one hash-agg shuffle), so
-    the pairwise stage is a broadcast nested-loop join over tiny
-    profile rows with the whole dot product fused into whole-stage
-    codegen. The naive alternative — equi-joining the sparse profiles
-    on the hour key — has only 24 distinct join keys, so at any scale
-    it degenerates to ~U^2 x 24 shuffled rows on 24-way parallelism
-    (measured 16x slower at sf0.1). When U outgrows a broadcast, the
-    pair stage swaps to LSH banding (operators/minhash.py pattern);
-    the profile build is unchanged.
+    into a fixed 24-slot fixed-point array FIRST (one hash-agg
+    shuffle). The pairwise stage is sign-LSH bucketed (L=4 tables x
+    K=8 bits over the 24-dim profiles, K from lsh_bits()): candidates
+    reach Catalyst as a shuffled self-equi-join on (table, bucket),
+    never a full-table broadcast — the r5 broadcast all-pairs shape is
+    gone, so the op survives a user count that outgrows a broadcast.
+    The naive alternative — equi-joining the sparse profiles on the
+    hour key — has only 24 distinct join keys, so at any scale it
+    degenerates to ~U^2 x 24 shuffled rows on 24-way parallelism
+    (measured 16x slower at sf0.1).
 
     Determinism: profiles are quantized once per user to fixed-point
     longs (scale 1e5 — exact, identical in both engines), so the
@@ -319,15 +370,16 @@ def ts_similarity(spark, sf_dir):
             ),
         )
     )
-    a = fanout(
-        vecs.select(
-            F.col("user_id").alias("user_a"), F.col("ivec").alias("va"), F.col("nrm").alias("na")
-        )
+    cand = lsh_candidate_pairs(vecs, "user_id", "ivec", _TS_PLANES, _TS_L).select(
+        F.col("id_a").alias("user_a"), F.col("id_b").alias("user_b")
+    )
+    a = vecs.select(
+        F.col("user_id").alias("user_a"), F.col("ivec").alias("va"), F.col("nrm").alias("na")
     )
     b = vecs.select(
         F.col("user_id").alias("user_b"), F.col("ivec").alias("vb"), F.col("nrm").alias("nb")
     )
-    pairs = a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+    pairs = cand.join(a, "user_a").join(b, "user_b")
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), zero_l, lambda acc, x: acc + x
     ).cast("double")

@@ -567,9 +567,14 @@ def stream_python_ds(spark, sf_dir):
 
     spark.dataSource.register(FixtureDocsStreamDataSource)
     expected = load(spark, sf_dir, "documents").count()
+    # ack_dir is per-run (like the checkpoint): it persists the acked
+    # frontier so a restarted reader can never regress latestOffset
+    # below what the engine committed (see pyds.py commit()).
+    ack_dir = tempfile.mkdtemp(prefix="pyds_ack_")
     stream = (
         spark.readStream.format("fixture_docs_stream")
         .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("ack_dir", ack_dir)
         .load()
     )
     return _run_until(spark, stream, min_rows=expected)

@@ -640,22 +640,74 @@ def test_compact_concurrent_conflict_detected(spark, tmp_path):
     assert sink.read_committed(spark).count() == 30
 
 
-def test_python_stream_reader_restart_never_regresses():
-    """Restart protocol (pure reader-level test): after recovery the
-    reader instance is fresh (_admitted=0) but partitions() receives
-    the COMMITTED start offset — it must fast-forward its admission
-    counter instead of re-planning delivered ranges, and a stale
-    end < start must degrade to an empty partition set, never a
-    re-emission."""
-    from deltasink_spark.operators.pyds import _FixtureDocsStreamReader
+def test_python_stream_reader_restart_never_regresses(tmp_path):
+    """Restart protocol, driven as MicroBatchExecution actually drives
+    it: the engine logs whatever latestOffset() returns as the batch
+    end and starts the NEXT batch from that logged end. So the unsafe
+    moment is the FIRST latestOffset() on a fresh post-recovery
+    instance — if it regressed below the committed frontier (stale
+    _admitted=0 + one _CHUNK step = 250 while 400 is committed), the
+    regressed value would enter the offset log and the following batch
+    would re-plan rows 250-400. The fix: commit(end) persists the
+    acked frontier to an ack_dir sidecar and a fresh reader
+    initializes from it, so no offset below the frontier can ever be
+    returned."""
+    from deltasink_spark.operators.pyds import _CHUNK, _FixtureDocsStreamReader
 
-    r = _FixtureDocsStreamReader({"path": "/root/testdata/sf0.01/documents.parquet"})
-    # recovery: committed offset 400, stale post-restart latestOffset 250
-    parts = r.partitions({"pos": 400}, {"pos": 250})
-    assert all(p.end <= p.start for p in parts)  # nothing served
-    assert r._admitted >= 400  # fast-forwarded to the committed frontier
-    nxt = r.latestOffset()
-    assert nxt["pos"] > 400  # progress resumes past the frontier, no regression
-    parts2 = r.partitions({"pos": 400}, nxt)
-    served = sorted((p.start, p.end) for p in parts2 if p.end > p.start)
+    opts = {
+        "path": "/root/testdata/sf0.01/documents.parquet",
+        "ack_dir": str(tmp_path / "ack"),
+    }
+    r = _FixtureDocsStreamReader(opts)
+    # engine ran some batches and committed through offset 400
+    r.commit({"pos": 400})
+    r.commit({"pos": 250})  # late/duplicate ack must not regress the sidecar
+
+    # recovery: reader is reconstructed from scratch (same options)
+    r2 = _FixtureDocsStreamReader(opts)
+    assert r2._admitted == 400  # initialized from the acked sidecar
+    nxt = r2.latestOffset()  # the FIRST post-restart offset the engine logs
+    assert nxt["pos"] == min(r2._rows(), 400 + _CHUNK)  # past the frontier
+    assert nxt["pos"] > 400  # never the stale 250
+    parts = r2.partitions({"pos": 400}, nxt)
+    served = sorted((p.start, p.end) for p in parts if p.end > p.start)
     assert served and served[0][0] == 400  # continues exactly at the frontier
+    assert all(s >= 400 for s, _ in served)  # nothing below is ever re-served
+
+    # degraded path (no ack_dir): a stale logged range end < start must
+    # collapse to an empty partition set, never a re-emission
+    r3 = _FixtureDocsStreamReader({"path": opts["path"]})
+    parts3 = r3.partitions({"pos": 400}, {"pos": 250})
+    assert all(p.end <= p.start for p in parts3)
+    assert r3._admitted >= 400  # fast-forwarded for subsequent planning
+
+
+def test_python_manifest_writer_append_commits_union_under_lock(tmp_path):
+    """Two sequential append jobs to one manifest path must UNION
+    their parts in the committed manifest (the flock-serialized
+    read-modify-write), and readers must see every committed row
+    exactly once."""
+    import json
+
+    from deltasink_spark.operators.pyds import _ManifestJsonWriter, _PartFile
+
+    path = str(tmp_path / "t")
+    w1 = _ManifestJsonWriter({"path": path})
+    w2 = _ManifestJsonWriter({"path": path})
+
+    class _Row:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self):
+            return {"doc_id": self.i, "lang": "en", "n_chars": self.i}
+
+    m1 = w1.write(iter([_Row(1), _Row(2)]))
+    m2 = w2.write(iter([_Row(3)]))
+    w1.commit([m1])
+    w2.commit([m2])
+    with open(tmp_path / "t" / "_MANIFEST.json") as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == 3
+    assert sorted(manifest["parts"]) == sorted({m1.path, m2.path})
+    assert isinstance(m1, _PartFile)
