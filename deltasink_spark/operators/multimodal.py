@@ -7,20 +7,34 @@ batching) is Catalyst-native: predicates on struct fields push down to
 parquet without touching payload bytes.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` stages. The image/audio codecs are NOT in this
-environment, so `decode_payload` ships a deterministic structural fake
-(documented below) behind the same signature a real codec plugs into;
-the Spark-side plumbing — schema, batch iteration, partition layout —
-is real and tested.
+`mapInPandas` stages. Codecs are REAL WHEN AVAILABLE: each stage
+import-gates PIL (images) / av (video) and tries the real codec per
+payload, falling back to a deterministic structural fake when the
+library is absent OR the payload isn't decodable media. The fixture
+payloads are synthetic random bytes — never decodable — so every
+registered oracle runs the deterministic path in every environment,
+while a codec-capable image on real media gets real decode through the
+identical Arrow plumbing (schema, batch iteration, partition layout).
 """
 
 from __future__ import annotations
 
+import io as _io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # real image codec when the environment has it
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - absent in this sandbox
+    _PIL_Image = None
+
+try:  # real video demuxer when the environment has it
+    import av as _av  # type: ignore
+except ImportError:  # pragma: no cover - absent in this sandbox
+    _av = None
 
 MEDIA_SCHEMA = "struct<payload:binary,mime:string,meta:struct<source:string,n_bytes:bigint>>"
 
@@ -41,12 +55,20 @@ def pack_media(payload: Column, mime: Column, source: Column) -> Column:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, bool]:
-    """STUB codec: a real build imports PIL/av here. NotImplementedError
-    is deliberately NOT raised — instead a deterministic structural fake
-    (dimensions derived from payload length) keeps the full pipeline
-    executable end-to-end in codec-less environments."""
+    """Decode a payload's (width, height, ok). Real path first: when
+    PIL is importable AND the bytes are an actual image, the true
+    dimensions are returned. Otherwise (library absent, or payload not
+    decodable media — e.g. the synthetic fixture bytes) a deterministic
+    structural fake derived from payload length keeps the pipeline
+    executable end-to-end and the oracles environment-independent."""
     if payload is None:
         return (0, 0, False)
+    if _PIL_Image is not None:
+        try:
+            with _PIL_Image.open(_io.BytesIO(payload)) as im:
+                return (im.width, im.height, True)
+        except Exception:
+            pass  # not real image bytes -> structural fake below
     n = len(payload)
     return (64 + n % 256, 64 + (n // 256) % 256, True)
 
@@ -60,16 +82,33 @@ FEATURES_SCHEMA = "doc_id bigint, mime string, features array<float>, n_bytes bi
 FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame_payload binary, pts_ms bigint"
 
 
+def _resize_payload(p: bytes | None, w: int, h: int) -> bytes:
+    """Real PIL decode->resize->re-encode when possible; deterministic
+    truncation to w*h bytes otherwise (library absent or payload not
+    decodable media), so fixture oracles are environment-independent."""
+    if p is None:
+        return b""
+    if _PIL_Image is not None:
+        try:
+            with _PIL_Image.open(_io.BytesIO(p)) as im:
+                fmt = im.format or "PNG"
+                buf = _io.BytesIO()
+                im.resize((w, h)).save(buf, format=fmt)
+                return buf.getvalue()
+        except Exception:
+            pass  # not real image bytes -> structural fallback below
+    return bytes(p[: w * h])
+
+
 def resize_media(df: DataFrame, media_col: str, id_col: str, w: int = 64, h: int = 64) -> DataFrame:
     """Arrow-batched resize stage: payload -> resized payload + dims.
-    STUB codec: a real build decodes with PIL and re-encodes; here the
-    'resized' payload is a deterministic truncation to w*h bytes so the
-    bytes-in/bytes-out plumbing (binary columns through Arrow batches)
-    is exercised end-to-end."""
+    Real codec when available (see _resize_payload); the bytes-in/
+    bytes-out plumbing (binary columns through Arrow batches) is
+    identical on both paths and exercised end-to-end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [bytes(p[: w * h]) if p is not None else b"" for p in pdf["payload"]]
+            out = [_resize_payload(p, w, h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["id"],
@@ -91,12 +130,24 @@ def resize_media(df: DataFrame, media_col: str, id_col: str, w: int = 64, h: int
 
 def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) -> DataFrame:
     """Arrow-batched feature extraction: payload -> fixed-dim float
-    vector. STUB model: a real build runs an ONNX/torch encoder per
-    batch; here features are a deterministic byte-histogram projection
-    (so downstream similarity ops have real input shapes to consume)."""
+    vector via a histogram projection. Real codec when available: a
+    decodable image contributes its LUMINANCE PIXELS to the histogram
+    (a real, if simple, visual feature — swap in an ONNX/torch encoder
+    behind the same batch signature for production); non-decodable
+    payloads (the fixtures) use raw bytes, keeping oracles
+    environment-independent."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        def values(p: bytes) -> "np.ndarray":
+            if _PIL_Image is not None:
+                try:
+                    with _PIL_Image.open(_io.BytesIO(p)) as im:
+                        return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+                except Exception:
+                    pass  # not real image bytes -> raw-byte fallback
+            return np.frombuffer(p, dtype=np.uint8)
 
         for pdf in batches:
             feats = []
@@ -104,7 +155,7 @@ def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) 
                 if p is None or len(p) == 0:
                     feats.append([0.0] * dim)
                     continue
-                arr = np.frombuffer(p, dtype=np.uint8)
+                arr = values(p)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 feats.append((hist / max(len(arr), 1)).tolist())
             yield pd.DataFrame(
@@ -124,16 +175,42 @@ def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) 
     return flat.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def _demux_frames(p: bytes, every_n: int, frame_bytes: int) -> list[tuple[int, bytes, int]]:
+    """(frame_no, frame_payload, pts_ms) for every Nth frame. Real av
+    demux when the payload is an actual container; fixed-size chunking
+    with synthetic 25fps timestamps otherwise (library absent or
+    payload not decodable — the fixtures), keeping oracles
+    environment-independent."""
+    if _av is not None:
+        try:
+            out = []
+            with _av.open(_io.BytesIO(p)) as container:
+                stream = container.streams.video[0]
+                tb = float(stream.time_base) if stream.time_base else 0.0
+                for fno, frame in enumerate(container.decode(stream)):
+                    if fno % every_n:
+                        continue
+                    pts_ms = int((frame.pts or 0) * tb * 1000) if tb else fno * 40
+                    out.append((fno, bytes(frame.planes[0])[:frame_bytes], pts_ms))
+            if out:
+                return out
+        except Exception:
+            pass  # not a real container -> chunk fallback below
+    n_frames = max(len(p) // frame_bytes, 1)
+    return [
+        (fno, bytes(p[fno * frame_bytes : (fno + 1) * frame_bytes]), fno * 40)  # 25 fps
+        for fno in range(0, n_frames, every_n)
+    ]
+
+
 def frame_sample(
     df: DataFrame, media_col: str, id_col: str, every_n: int = 4, frame_bytes: int = 256
 ) -> DataFrame:
     """One row in -> many frame rows out (the video path's table
-    function shape). STUB demux: a real build pulls every Nth frame via
-    av; here the payload is chunked into fixed-size 'frames' and every
-    Nth is emitted with a synthetic presentation timestamp. Row
-    explosion happens INSIDE the Arrow batch, so output batches can be
-    larger than input batches — the shape that matters for memory
-    sizing at scale."""
+    function shape), every Nth frame per _demux_frames (real av demux
+    when possible). Row explosion happens INSIDE the Arrow batch, so
+    output batches can be larger than input batches — the shape that
+    matters for memory sizing at scale."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,12 +218,11 @@ def frame_sample(
             for i, p in zip(pdf["id"], pdf["payload"]):
                 if p is None:
                     continue
-                n_frames = max(len(p) // frame_bytes, 1)
-                for fno in range(0, n_frames, every_n):
+                for fno, payload, pts_ms in _demux_frames(p, every_n, frame_bytes):
                     ids.append(i)
                     nos.append(fno)
-                    frames.append(bytes(p[fno * frame_bytes : (fno + 1) * frame_bytes]))
-                    pts.append(fno * 40)  # 25 fps
+                    frames.append(payload)
+                    pts.append(pts_ms)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": nos, "frame_payload": frames, "pts_ms": pts}
             )

@@ -348,3 +348,28 @@ def test_large_small_star_components_match_union_find(spark):
         r.doc_id: r.cluster_id for r in min_label_components(df).collect()
     }
     assert got == expect
+
+
+def test_multimodal_codec_gating_deterministic_fallback():
+    """The codec import-gate contract: non-media payloads (the fixture
+    bytes) must take the deterministic structural path in EVERY
+    environment — with or without PIL/av installed — so the registered
+    oracles never depend on codec availability; when PIL is present,
+    real image bytes get a real decode through the same functions."""
+    from deltasink_spark.operators import multimodal as mm
+
+    junk = bytes(range(256)) + b"\x00" * 44  # 300 bytes, not an image
+    assert mm._fake_decode(junk) == (64 + 300 % 256, 64 + (300 // 256) % 256, True)
+    assert mm._fake_decode(None) == (0, 0, False)
+    assert mm._resize_payload(junk, 4, 4) == junk[:16]
+    frames = mm._demux_frames(b"x" * 1024, every_n=4, frame_bytes=256)
+    assert [f[0] for f in frames] == [0]  # 4 chunks, every 4th -> frame 0
+    assert frames[0][1] == b"x" * 256 and frames[0][2] == 0
+
+    if mm._PIL_Image is not None:  # real-codec path, engaged only off-fixture
+        import io
+
+        im = mm._PIL_Image.new("RGB", (20, 10))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        assert mm._fake_decode(buf.getvalue()) == (20, 10, True)

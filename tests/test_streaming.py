@@ -251,6 +251,63 @@ def test_throughput_and_flat_state(spark):
         q.awaitTermination(30)
 
 
+def test_tws_fallback_throughput_flat_state_10x_keys(spark):
+    """State-scale proof for the transformWithStateInPandas surface
+    (via its applyInPandasWithState fallback where protobuf is absent,
+    the real StatefulProcessor otherwise — same selection as the
+    stream_transform_with_state op): a rate stream keyed at 10x the
+    baseline key cardinality (1000 keys vs the 100-key r1 test) must
+    sustain throughput with state rows flat AT the key-space size —
+    state growth tracks distinct keys, never input rows. Measured
+    rows/s is recorded in BASELINE.md next to the r1 44k figure."""
+    from deltasink_spark.sources import rate_source
+    from deltasink_spark.streaming.pipeline import (
+        tws_available,
+        type_totals_apiws,
+        type_totals_tws,
+    )
+
+    name = "tws10x_" + uuid.uuid4().hex[:8]
+    keyed = rate_source(spark, rows_per_second=50_000).select(
+        F.concat(F.lit("t"), (F.col("value") % 1000)).alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    out = type_totals_tws(keyed) if tws_available() else type_totals_apiws(keyed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        deadline = t0 + 45
+        progresses = []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                progresses.append(p)
+            rows_in = sum(pr["numInputRows"] for pr in progresses)
+            if len(progresses) >= 6 and rows_in >= 100_000:
+                break
+        assert len(progresses) >= 4, "stream made too few batches"
+        rows_in = sum(pr["numInputRows"] for pr in progresses)
+        elapsed = time.time() - t0
+        throughput = rows_in / elapsed
+        print(f"tws-fallback 1000-key throughput: {throughput:.0f} rows/s over {elapsed:.1f}s")
+        assert throughput >= 5_000, f"sustained only {throughput:.0f} rows/s"
+        # state flat at the 1000-key space — 10x keys, still bounded by
+        # cardinality, not by rows ingested
+        state_rows = [pr["stateOperators"][0]["numRowsTotal"] for pr in progresses[-3:]]
+        assert all(s <= 1000 for s in state_rows), state_rows
+        assert state_rows[-1] == state_rows[-2], "state still growing after saturation"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_batched_stage_rebuilds_on_fixture_change(spark, tmp_path):
     """The ts-range stage holds COPIES of the fixture; a regenerated
     fixture (new mtime/size) must invalidate it, or streaming ops
