@@ -65,6 +65,26 @@ def qdot(ia: Column, ib: Column) -> Column:
     ).cast("double")
 
 
+def qdot_arrow() -> "object":
+    """Arrow-vectorized exact long dot for PAIR-SCORING stages: same
+    int64 math as qdot() (bit-identical, oracle-compatible) but one
+    numpy einsum per batch instead of interpreted zip_with/aggregate
+    per row — higher-order functions never enter whole-stage codegen,
+    so at 10^5+ candidate pairs the HOF form costs ~1 s/100k pairs
+    while the Arrow form is memory-bandwidth-bound. Returns a UDF
+    (array<long>, array<long>) -> long; divide/round stays Catalyst."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    def _dot(va, vb):
+        a = np.vstack([np.asarray(v, dtype=np.int64) for v in va])
+        b = np.vstack([np.asarray(v, dtype=np.int64) for v in vb])
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    return pandas_udf(_dot, "long", PandasUDFType.SCALAR)
+
+
 def qnorm(ia: Column) -> Column:
     """L2 norm of a quantized vector -> double."""
     zero = F.lit(0).cast("long")
@@ -159,39 +179,101 @@ def sql_bucket(iv: str, planes: list[list[int]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def lsh_candidate_pairs(df, id_col: str, vec_col: str, planes: list[list[int]], tables: int):
+def _lsh_signatures(planes: list[list[int]], tables: int):
+    """Arrow-vectorized sign-LSH signature UDF: array<long> vector ->
+    array<int> of one bucket id per hash table. Each batch is one
+    int64 matmul (N x dim) @ (dim x planes) + a sign->bits fold in
+    numpy. This is deliberately NOT the Catalyst HOF expression: a
+    K-bit x L-table signature is ~2048 interpreted zip_with/aggregate
+    ops per row (higher-order functions never enter whole-stage
+    codegen) plus a multi-second analyzer cost for the 2k-literal
+    expression tree — measured 3-6 s of CONSTANT overhead per query at
+    any scale, vs ~0.1 s through Arrow. The math is identical exact
+    int64 arithmetic (plane dot >= 0 -> bit j), so results — and the
+    DuckDB oracle mirror (sql_bucket) — are unchanged bit-for-bit.
+    Overflow-safe: |iv_i| <= QSCALE=1e8, dim <= 64 -> |dot| <= 6.4e9,
+    far below 2^63."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    k = len(planes) // tables
+    mat = np.asarray(planes, dtype=np.int64).T  # dim x (tables*k)
+    weights = 1 << np.arange(k, dtype=np.int64)
+
+    def _signatures(vs):
+        m = np.vstack([np.asarray(v, dtype=np.int64) for v in vs])
+        bits = (m @ mat >= 0).astype(np.int64)  # n x (tables*k)
+        buckets = np.stack(
+            [bits[:, t * k : (t + 1) * k] @ weights for t in range(tables)], axis=1
+        ).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # type hints into strings pandas_udf cannot resolve
+    return pandas_udf(_signatures, "array<int>", PandasUDFType.SCALAR)
+
+
+def lsh_tall_frame(df, id_col: str, vec_col: str, planes: list[list[int]], tables: int):
+    """(id, t, bucket) sign-LSH signature frame, one row per hash
+    table (see _lsh_signatures for the Arrow-vectorized design)."""
+    return df.select(
+        F.col(id_col), _lsh_signatures(planes, tables)(F.col(vec_col)).alias("sig")
+    ).select(id_col, F.posexplode("sig").alias("t", "bucket"))
+
+
+def lsh_candidate_pairs(
+    df,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[int]],
+    tables: int,
+    carry: tuple[str, ...] = (),
+    distinct: bool = True,
+):
     """Distinct bucket-mate (id_a < id_b) candidate pairs via sign-LSH.
 
     The scale path for full-table pairwise similarity: each row is
-    bucketed into `tables` hash tables of len(planes)/tables bits, and
-    candidates reach Catalyst as a shuffled self-EQUI-join on
-    (table, bucket) — one shuffle, AQE-skew-handled, never a cross
-    join or a full-table broadcast — so the pair count is
-    O(tables * N^2 / 2^K) instead of O(N^2). Pair K with lsh_bits()
-    to keep expected bucket occupancy bounded as the corpus grows."""
-    k = len(planes) // tables
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    bucket(F.col(vec_col), planes[t * k : (t + 1) * k]).alias("bucket"),
-                )
-                for t in range(tables)
-            ]
-        )
-    ).alias("tb")
-    tall = df.select(F.col(id_col), tb).select(
-        id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    bucketed into `tables` hash tables of len(planes)/tables bits
+    (Arrow-vectorized, see lsh_tall_frame), and candidates reach
+    Catalyst as a shuffled self-EQUI-join on (table, bucket) — one
+    shuffle, AQE-skew-handled, never a cross join or a full-table
+    broadcast — so the pair count is O(tables * N^2 / 2^K) instead of
+    O(N^2). Pair K with lsh_bits() to keep expected bucket occupancy
+    bounded as the corpus grows.
+
+    `carry` columns ride THROUGH the self-join as <c>_a / <c>_b, so a
+    caller scoring the pairs needs no join-back onto the source frame:
+    the whole pipeline is tall-build -> one self-equi-join -> one
+    distinct (2 shuffles), instead of join + distinct + two more
+    scoring joins. With wide carry payloads (vectors), pass
+    distinct=False and dedup AFTER scoring instead: a pair that
+    collides in several tables is scored redundantly (cheap, Arrow)
+    but the distinct then shuffles narrow (id, id, score) rows, not
+    vector arrays."""
+    sel = [F.col(id_col)] + [F.col(c) for c in carry]
+    base = df.select(*sel, _lsh_signatures(planes, tables)(F.col(vec_col)).alias("sig")).select(
+        id_col, *carry, F.posexplode("sig").alias("t", "bucket")
     )
-    a = tall.select(F.col(id_col).alias("id_a"), "t", "bucket")
-    b = tall.select(F.col(id_col).alias("id_b"), "t", "bucket")
-    return (
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+        "t",
+        "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        "t",
+        "bucket",
+    )
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
+    pairs = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select(*out_cols)
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def sql_lsh_tall(relation: str, id_col: str, vec_col: str, planes: list[list[int]], tables: int) -> str:

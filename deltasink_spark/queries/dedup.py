@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from deltasink_spark.operators.minhash import minhash_dedup_pairs, sql_df_capped_cte
 from deltasink_spark.operators.vectors import (
     lsh_candidate_pairs,
+    qdot_arrow,
     qdot,
     qnorm,
     quantized,
@@ -231,18 +232,24 @@ def dedup_embedding_cosine(spark, sf_dir):
     qn = e.select("vec_id", quantized(F.col("embedding")).alias("iv")).withColumn(
         "nrm", qnorm(F.col("iv"))
     )
-    cand = lsh_candidate_pairs(qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L).select(
-        F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id")
+    # vectors/norms ride through the candidate self-join (carry=): no
+    # join-back; cross-table dedup runs AFTER the Arrow-dot scoring on
+    # narrow (id, id, cos) rows
+    pairs = lsh_candidate_pairs(
+        qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L, carry=("iv", "nrm"), distinct=False
     )
-    a = qn.select(
-        F.col("vec_id").alias("keep_id"), F.col("iv").alias("ia"), F.col("nrm").alias("na")
+    cos = F.round(
+        qdot_arrow()(F.col("iv_a"), F.col("iv_b")).cast("double")
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
     )
-    b = qn.select(
-        F.col("vec_id").alias("dup_id"), F.col("iv").alias("ib"), F.col("nrm").alias("nb")
+    return (
+        pairs.select(
+            F.col("id_a").alias("keep_id"), F.col("id_b").alias("dup_id"), cos.alias("cos")
+        )
+        .filter(F.col("cos") >= 0.4)
+        .distinct()
     )
-    pairs = cand.join(a, "keep_id").join(b, "dup_id")
-    cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
-    return pairs.select("keep_id", "dup_id", cos.alias("cos")).filter(F.col("cos") >= 0.4)
 
 
 @query(

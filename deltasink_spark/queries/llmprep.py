@@ -953,3 +953,75 @@ def pipeline_web_prep(spark, sf_dir):
             F.sum(F.length("clean_text")).cast("long").alias("clean_chars"),
         )
     )
+
+
+_C4_W = 8  # words per pseudo-line on the synthetic corpus
+_C4_STOPS = ("the", "a", "of", "to", "and", "in")
+_C4_STOPS_SQL = ", ".join(f"'{s}'" for s in _C4_STOPS)
+_C4_RULE_SQL = (
+    "len(string_split(b, ' ')) >= 5 "
+    f"AND len(list_filter(string_split(b, ' '), w -> w IN ({_C4_STOPS_SQL}))) >= 1 "
+    "AND len(list_distinct(string_split(b, ' '))) >= 5"
+)
+
+
+@query(
+    "text_c4_clean",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(CEIL(len(toks) / {_C4_W}.0) AS BIGINT) AS nb
+          FROM t),
+    seg AS (SELECT doc_id, nb, u.i AS pos,
+                   array_to_string(
+                       toks[u.i * {_C4_W} + 1 : u.i * {_C4_W} + {_C4_W}], ' ') AS b
+            FROM n, UNNEST(range(0, nb)) AS u(i)),
+    k AS (SELECT doc_id, nb, pos, b, ({_C4_RULE_SQL}) AS keep FROM seg)
+    SELECT doc_id, CAST(ANY_VALUE(nb) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN b END, ' ' ORDER BY pos), '')
+             AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def text_c4_clean(spark, sf_dir):
+    """C4-style per-document line cleaning (Raffel et al. 2020 §2.2
+    adapted to the synthetic corpus): the text is split into fixed
+    8-word pseudo-lines (the corpus has no newlines/punctuation) and a
+    line survives only if it has >= 5 words, >= 1 stop word, and >= 5
+    distinct words; survivors are rejoined in order.
+
+    Scale shape — the best possible: the ENTIRE op is whole-stage-
+    codegen higher-order functions (transform/filter/array_join) on
+    the token array. Zero shuffles, zero explodes, zero joins; a
+    100 TB corpus cleans at scan speed with perfect partition
+    parallelism. (Contrast dedup_paragraph, which must shuffle because
+    its keep-decision is cross-document.)"""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    stops = F.array(*[F.lit(s) for s in _C4_STOPS])
+
+    def rule(b):
+        ws = F.split(b, " ")
+        return (
+            (F.size(ws) >= 5)
+            & F.exists(ws, lambda w: F.array_contains(stops, w))
+            & (F.size(F.array_distinct(ws)) >= 5)
+        )
+
+    n = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.ceil(F.size(toks) / float(_C4_W)).cast("long").alias("n_blocks"),
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), (F.col("n_blocks") - 1).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * _C4_W + 1, _C4_W), " "),
+    )
+    k = n.select("doc_id", "n_blocks", F.filter(blocks, rule).alias("kept"))
+    return k.select(
+        "doc_id",
+        "n_blocks",
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )

@@ -213,3 +213,85 @@ def dq_checks(spark, sf_dir):
         li_ord.filter(F.col("l_shipdate") < F.col("o_orderdate")),
     )
     return fk.unionAll(rng).unionAll(uniq).unionAll(nn).unionAll(order_inv)
+
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in")
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@query(
+    "quality_gopher",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6) AS mean_wlen,
+                 CAST(len(list_filter(toks, x -> x IN ({_GOPHER_STOPS_SQL}))) AS BIGINT) AS stop_cnt
+          FROM t),
+    w AS (SELECT doc_id, MAX(c) AS topc FROM (
+              SELECT doc_id, u.w AS w, COUNT(*) AS c
+              FROM t, UNNEST(toks) AS u(w) GROUP BY 1, 2)
+          GROUP BY doc_id)
+    SELECT m.doc_id, m.n_words, m.mean_wlen, m.stop_cnt,
+           ROUND(CAST(w.topc AS DOUBLE) / m.n_words, 6) AS top_ratio,
+           (m.n_words BETWEEN 30 AND 50000) AS pass_words,
+           (m.mean_wlen BETWEEN 3 AND 10) AS pass_wlen,
+           (m.stop_cnt >= 2) AS pass_stop,
+           (ROUND(CAST(w.topc AS DOUBLE) / m.n_words, 6) <= 0.15) AS pass_rep,
+           ((m.n_words BETWEEN 30 AND 50000) AND (m.mean_wlen BETWEEN 3 AND 10)
+            AND (m.stop_cnt >= 2)
+            AND (ROUND(CAST(w.topc AS DOUBLE) / m.n_words, 6) <= 0.15)) AS pass_all
+    FROM m JOIN w ON m.doc_id = w.doc_id
+    """,
+)
+def quality_gopher(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    adapted to the synthetic corpus): word-count bounds, mean-word-
+    length bounds, a minimum stop-word count, and a maximum top-word
+    repetition ratio, emitted per document with the per-rule verdicts
+    a filtering pipeline gates on.
+
+    Scale shape: the scalar rules are pure whole-stage-codegen array
+    algebra on the token array (no explode). Only the repetition rule
+    needs per-(doc, word) counts — two map-side-combining hash aggs
+    over one explode, the same bounded shape as text_tf; everything
+    rejoins on doc_id equi-joins. No windows, no collects."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / F.size(toks), 6
+        ).alias("mean_wlen"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("bigint").alias(
+            "stop_cnt"
+        ),
+    )
+    topc = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"))
+    )
+    j = base.join(topc, "doc_id")
+    top_ratio = F.round(F.col("topc").cast("double") / F.col("n_words"), 6)
+    pass_words = F.col("n_words").between(30, 50000)
+    pass_wlen = F.col("mean_wlen").between(3, 10)
+    pass_stop = F.col("stop_cnt") >= 2
+    pass_rep = top_ratio <= 0.15
+    return j.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "stop_cnt",
+        top_ratio.alias("top_ratio"),
+        pass_words.alias("pass_words"),
+        pass_wlen.alias("pass_wlen"),
+        pass_stop.alias("pass_stop"),
+        pass_rep.alias("pass_rep"),
+        (pass_words & pass_wlen & pass_stop & pass_rep).alias("pass_all"),
+    )

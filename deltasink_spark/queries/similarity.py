@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from deltasink_spark.operators.vectors import (
     QSCALE,
+    qdot_arrow,
     bucket,
     hyperplanes,
     lsh_bits,
@@ -101,25 +102,23 @@ def sim_cosine_pairs(spark, sf_dir):
     SQL, so the bucketed (approximate-recall) semantics are still
     differentially verified bit-for-bit."""
     qn = _qn_frame(spark, sf_dir)
-    cand = lsh_candidate_pairs(qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L)
-    a = qn.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("iv").alias("ia"),
-        F.col("nrm").alias("na"),
+    # label/vector/norm ride THROUGH the candidate self-join (carry=),
+    # so scoring needs no join-back: tall-build -> self-equi-join ->
+    # distinct -> score, 2 shuffles total.
+    pairs = lsh_candidate_pairs(
+        qn, "vec_id", "iv", _PAIR_PLANES, _PAIR_L, carry=("label", "iv", "nrm"),
+        distinct=False,
     )
-    b = qn.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("iv").alias("ib"),
-        F.col("nrm").alias("nb"),
+    cos = F.round(
+        qdot_arrow()(F.col("iv_a"), F.col("iv_b")).cast("double")
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        6,
     )
-    pairs = cand.join(a, "id_a").join(b, "id_b")
-    cos = F.round(qdot(F.col("ia"), F.col("ib")) / (F.col("na") * F.col("nb")), 6)
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "label_a", "label_b", "cos")
+        .distinct()
     )
 
 
@@ -283,10 +282,14 @@ _TS_SCALE = 100_000  # fixed-point scale: max |v| ~1e3 -> products ~1e16, x24 te
 _TS_DOT = "CAST(list_sum(list_transform(list_zip(a.ivec, b.ivec), p -> p[1] * p[2])) AS DOUBLE)"
 
 
-# ts_similarity pair geometry: 24-dim hour profiles, L=4 tables x
+# ts_similarity pair geometry: 24-dim hour profiles, L=2 tables x
 # K=lsh_bits(1_500)=8 bits (fixture user-count estimate; a production
-# deployment passes its real user count and K grows).
-_TS_L = 4
+# deployment passes its real user count and K grows). L=2 because the
+# synthetic hour profiles cluster hard (few activity archetypes):
+# candidate volume is occupancy-bound, so extra tables buy little
+# recall per candidate here — L is the recall/cost dial, K the
+# occupancy dial.
+_TS_L = 2
 _TS_K = lsh_bits(1_500)
 _TS_PLANES = hyperplanes(24, _TS_L * _TS_K, seed=424)
 
@@ -370,23 +373,21 @@ def ts_similarity(spark, sf_dir):
             ),
         )
     )
-    cand = lsh_candidate_pairs(vecs, "user_id", "ivec", _TS_PLANES, _TS_L).select(
-        F.col("id_a").alias("user_a"), F.col("id_b").alias("user_b")
+    # profiles ride through the candidate self-join (carry=): no
+    # join-back, 2 shuffles beyond the profile build; pair scoring is
+    # the Arrow einsum dot (exact int64, see qdot_arrow), and the
+    # cross-table dedup runs AFTER scoring on narrow rows
+    pairs = lsh_candidate_pairs(
+        vecs, "user_id", "ivec", _TS_PLANES, _TS_L, carry=("ivec", "nrm"), distinct=False
     )
-    a = vecs.select(
-        F.col("user_id").alias("user_a"), F.col("ivec").alias("va"), F.col("nrm").alias("na")
-    )
-    b = vecs.select(
-        F.col("user_id").alias("user_b"), F.col("ivec").alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = cand.join(a, "user_a").join(b, "user_b")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), zero_l, lambda acc, x: acc + x
-    ).cast("double")
-    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    dot = qdot_arrow()(F.col("ivec_a"), F.col("ivec_b")).cast("double")
+    cos = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
     return (
-        pairs.select("user_a", "user_b", cos.alias("cos_sim"))
+        pairs.select(
+            F.col("id_a").alias("user_a"), F.col("id_b").alias("user_b"), cos.alias("cos_sim")
+        )
         .filter(F.col("cos_sim") >= 0.8)
+        .distinct()
     )
 
 

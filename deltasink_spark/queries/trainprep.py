@@ -38,6 +38,7 @@ equi-join.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import sql_df_capped_cte
 from deltasink_spark.registry import query
@@ -801,4 +802,173 @@ def bpe_merge_step(spark, sf_dir):
             merged.alias("merged"),
             F.size(F.split(merged, " ")).cast("long").alias("n_syms"),
         )
+    )
+
+
+# --- dsir_select: hashed n-gram importance sampling ----------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 50
+# portable bucket of a bigram string: first 8 md5 hex chars -> bigint % B
+_DSIR_BUCKET_SQL = (
+    f"CAST(CONCAT('0x', substr(md5(bg), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, GREATEST(len(toks), 2)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t),
+    hb AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM bg),
+    cnt AS (SELECT b,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS rc
+            FROM hb GROUP BY b),
+    tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM cnt),
+    lr AS (SELECT b,
+                  LN(((tc + 1.0) / (tt + {_DSIR_BUCKETS})) /
+                     ((rc + 1.0) / (rt + {_DSIR_BUCKETS}))) AS logratio
+           FROM cnt, tot),
+    w AS (SELECT hb.doc_id, ANY_VALUE(hb.lang) AS lang,
+                 ROUND(AVG(lr.logratio), 6) AS weight
+          FROM hb JOIN lr ON hb.b = lr.b GROUP BY hb.doc_id)
+    SELECT doc_id, lang, weight FROM w
+    ORDER BY weight DESC, doc_id LIMIT {_DSIR_TOPK}
+    """,
+)
+def dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): score every
+    document by the average log-ratio of hashed-bigram probabilities
+    under a target distribution (here: the lang='en' slice) vs the raw
+    corpus, then keep the top-K — the importance-resampling recipe for
+    steering a 100 TB crawl toward a target domain.
+
+    Scale shape: bigrams explode once; bucket stats collapse to a
+    {_DSIR_BUCKETS}-row frame (map-side-combining conditional-sum hash
+    agg) whose log-ratios BROADCAST back onto the bigram stream; the
+    per-doc score is another combining hash agg; the final top-K is
+    TakeOrderedAndProject (distributed heap), never a global sort.
+    Bucket hashing is the portable md5-prefix idiom, so both engines
+    select identical documents."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tk = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    hb = fanout(
+        d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("toks"))
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    cnt = hb.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("tc"),
+        F.count(F.lit(1)).cast("bigint").alias("rc"),
+    )
+    tot = cnt.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_BUCKETS))
+            / ((F.col("rc") + 1.0) / (F.col("rt") + _DSIR_BUCKETS))
+        ).alias("logratio"),
+    )
+    w = (
+        hb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.round(F.avg("logratio"), 6).alias("weight"),
+        )
+    )
+    return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(_DSIR_TOPK).select(
+        "doc_id", "lang", "weight"
+    )
+
+
+# --- cdc_chunk: content-defined chunking (FastCDC shape) -----------------
+
+_CDC_MOD = 16  # expected chunk length in tokens
+
+
+@query(
+    "cdc_chunk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+            FROM t, UNNEST(range(0, len(toks))) AS u(i)),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos = 0 OR
+                       CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       % {_CDC_MOD} = 0
+                       THEN 1 ELSE 0 END AS boundary
+           FROM tok),
+    ch AS (SELECT doc_id, pos, tok,
+                  SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+           FROM fl)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CONCAT('0x', substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))
+             AS chunk_fp
+    FROM ch GROUP BY doc_id, chunk_id
+    """,
+)
+def cdc_chunk(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync shape on token
+    streams): a chunk boundary falls wherever the rolling token hash
+    is 0 mod {_CDC_MOD}, so chunk boundaries are CONTENT-anchored —
+    insert one word at the head of a document and every fixed-size
+    chunk shifts, but CDC chunks re-align after the edit, which is
+    what makes chunk-fingerprint dedup robust to small edits at
+    100 TB. Emits each chunk's token count and md5 fingerprint.
+
+    Scale shape: one explode; the boundary flag is codegen md5
+    arithmetic; chunk assignment is a running sum windowed PER
+    DOCUMENT (bounded partitions — never a corpus-wide sort); chunk
+    reassembly is a combining hash agg with the ordered
+    array_sort(collect_list(struct(pos, tok))) trick."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = fanout(d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))).select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    boundary = F.when(
+        (F.col("pos") == 0)
+        | (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _CDC_MOD == 0),
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ch = tok.select(
+        "doc_id", "pos", "tok", F.sum(boundary).over(w).alias("chunk_id")
+    )
+    return ch.groupBy("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.concat(
+            F.lit("0x"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                            lambda x: x["tok"],
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                15,
+            ),
+        ).alias("chunk_fp"),
     )

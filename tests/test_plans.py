@@ -67,11 +67,20 @@ def test_lsh_candidates_are_equi_joins(spark, sf_small):
 
 def test_no_python_udf_on_builtin_paths(spark, sf_small):
     """Core operator families stay JVM-side (whole-stage codegen);
-    Python only appears in the explicitly-UDF ops."""
+    Python only appears in the explicitly-UDF ops and the
+    Arrow-vectorized LSH signature/dot stages (below)."""
     for op in ("agg_hash", "fn_array", "text_tfidf", "dedup_minhash_lsh",
-               "sim_cosine_pairs", "ts_similarity", "json_parse"):
+               "json_parse"):
         p = plan(q(op, spark, sf_small))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, op
+    # the pairwise-similarity family runs its signature matmul + pair
+    # dot through Arrow-vectorized pandas UDFs BY DESIGN (r6: the
+    # Catalyst HOF form is interpreted, ~2048 ops/row + multi-second
+    # analyzer cost); row-at-a-time Python must never appear
+    for op in ("sim_cosine_pairs", "ts_similarity", "dedup_embedding_cosine"):
+        p = plan(q(op, spark, sf_small))
+        assert "BatchEvalPython" not in p, op
+        assert "ArrowEvalPython" in p, op
 
 
 def test_wholestage_codegen_present(spark, sf_small):
@@ -572,3 +581,37 @@ def test_lsh_doubled_bits_shrinks_buckets(spark, sf_small):
             .collect()[0]["mx"]
         )
     assert sizes[12] < sizes[8]
+
+
+def test_text_c4_clean_zero_shuffle(spark, sf_small):
+    """C4 cleaning is per-document HOF algebra — the plan must contain
+    NO exchange, join, or Python UDF: it cleans at scan speed."""
+    p = plan(q("text_c4_clean", spark, sf_small))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "PythonUDF" not in p
+
+
+def test_quality_gopher_hash_aggs_no_window(spark, sf_small):
+    p = plan(q("quality_gopher", spark, sf_small))
+    assert "Window" not in p  # repetition rule is aggs, not a sort+window
+    assert p.count("HashAggregate") >= 2  # partial + final per agg stage
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_select_topk_and_broadcast_stats(spark, sf_small):
+    """Top-K must be a distributed heap (TakeOrderedAndProject), and
+    the 256-row bucket-stat frame must broadcast back onto the bigram
+    stream, never shuffle it."""
+    p = plan(q("dsir_select", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cdc_chunk_window_is_per_doc(spark, sf_small):
+    p = plan(q("cdc_chunk", spark, sf_small))
+    assert "CartesianProduct" not in p
+    # running-sum window partitioned by doc_id: bounded partitions,
+    # never a corpus-wide sort
+    assert "Window" in p
+    assert "doc_id" in p.split("Window", 1)[1][:400]
