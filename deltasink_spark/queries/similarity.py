@@ -31,6 +31,7 @@ from deltasink_spark.operators.vectors import (
     hyperplanes,
     lsh_bits,
     lsh_candidate_pairs,
+    lsh_tall_frame,
     qdot,
     qnorm,
     quantized,
@@ -238,20 +239,9 @@ def sim_ann_lsh(spark, sf_dir):
     deterministic literals mirrored into the oracle SQL, so the
     APPROXIMATE result is still differentially verified exactly."""
     qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
-    bk = qn.select(
-        "vec_id",
-        bucket(F.col("iv"), _ANN_PLANES[:_ANN_K]).alias("b0"),
-        bucket(F.col("iv"), _ANN_PLANES[_ANN_K:]).alias("b1"),
-    )
-    tall = bk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("t"), F.col("b0").alias("bucket")),
-                F.struct(F.lit(1).alias("t"), F.col("b1").alias("bucket")),
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # Arrow-vectorized signatures (identical int64 buckets, same
+    # oracle literals) — see operators/vectors.py::_lsh_signatures
+    tall = lsh_tall_frame(qn, "vec_id", "iv", _ANN_PLANES, _ANN_L)
     qside = tall.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "t", "bucket"
     )
@@ -905,20 +895,9 @@ def knn_graph(spark, sf_dir):
     The deterministic hyperplane literals are mirrored into the
     oracle, so the approximate result is verified exactly."""
     qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
-    bk = qn.select(
-        "vec_id",
-        bucket(F.col("iv"), _ANN_PLANES[:_ANN_K]).alias("b0"),
-        bucket(F.col("iv"), _ANN_PLANES[_ANN_K:]).alias("b1"),
-    )
-    tall = bk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("t"), F.col("b0").alias("bucket")),
-                F.struct(F.lit(1).alias("t"), F.col("b1").alias("bucket")),
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # Arrow-vectorized signatures (identical int64 buckets, same
+    # oracle literals) — see operators/vectors.py::_lsh_signatures
+    tall = lsh_tall_frame(qn, "vec_id", "iv", _ANN_PLANES, _ANN_L)
     dst = tall.select(F.col("vec_id").alias("dst"), "t", "bucket")
     cand = (
         tall.select(F.col("vec_id").alias("src"), "t", "bucket")
