@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops per
-# round. After CORRECTNESS_r05.json, exactly 42 registered ops have
-# never received a driver row: the r5-added batch minus avro_parse
-# (which took r5's slot 50 and went green). r6 slots 1-42 are those 42
-# ops; slots 43-50 re-verify the oldest r1-era green rows so the
+# round. After CORRECTNESS_r05.json, 42 registered ops had never
+# received a driver row (the r5-added batch minus avro_parse, which
+# took r5's slot 50 and went green); r6 added 4 more ops
+# (quality_gopher / text_c4_clean / dsir_select / cdc_chunk), listed
+# at the end of this group so all 46 never-checked ops occupy slots
+# 1-46. Slots 47-50 re-verify the oldest r1-era green rows so the
 # regenerated fixtures stay proven end-to-end. Everything else follows
 # in registration order.
 _R6_UNVERIFIED = [
@@ -77,13 +79,17 @@ _R6_UNVERIFIED = [
     "fn_struct",
     "udaf_arrow_grouped",
     "fn_crypto",
+    # r6-added training-pipeline ops
+    "quality_gopher",
+    "text_c4_clean",
+    "dsir_select",
+    "cdc_chunk",
 ]
 
-# Slots 43-50: oldest driver-green rows (all r1) re-checked so the
+# Slots 47-50: oldest driver-green rows (all r1) re-checked so the
 # post-regeneration fixture pipeline stays proven.
 _R6_RECHECK = [
     "agg_hash", "join_inner_hash", "project", "filter_pred",
-    "sort_order", "set_union", "fn_string", "win_rank",
 ]
 
 

@@ -36,6 +36,34 @@ try:  # real video demuxer when the environment has it
 except ImportError:  # pragma: no cover - absent in this sandbox
     _av = None
 
+
+def _looks_like_image(p: bytes) -> bool:
+    """Strong magic-byte gate before attempting a real decode. A bare
+    try/except PIL.open would make oracle determinism PROBABILISTIC:
+    formats with weak magics (BMP's 2-byte 'BM' ~ 2^-16 per random
+    payload) could parse on synthetic fixture bytes in a PIL-equipped
+    environment only, hashing differently across environments. Each
+    accepted signature here is >= 4 bytes (>= 2^-32 false-positive
+    rate per payload), so fixture payloads deterministically take the
+    structural-fake path everywhere."""
+    return (
+        p.startswith(b"\x89PNG\r\n\x1a\n")
+        or (p.startswith(b"\xff\xd8\xff") and len(p) > 3 and p[3] in (0xC0, 0xC4, 0xDB, 0xE0, 0xE1, 0xE2, 0xEE))
+        or p.startswith(b"GIF87a")
+        or p.startswith(b"GIF89a")
+        or (p.startswith(b"RIFF") and p[8:12] == b"WEBP")
+    )
+
+
+def _looks_like_video(p: bytes) -> bool:
+    """Same strong-magic policy as _looks_like_image for containers:
+    ISO-BMFF (ftyp at offset 4), Matroska/WebM EBML, RIFF/AVI."""
+    return (
+        p[4:8] == b"ftyp"
+        or p.startswith(b"\x1aE\xdf\xa3")
+        or (p.startswith(b"RIFF") and p[8:12] == b"AVI ")
+    )
+
 MEDIA_SCHEMA = "struct<payload:binary,mime:string,meta:struct<source:string,n_bytes:bigint>>"
 
 DECODED_SCHEMA = (
@@ -63,12 +91,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, bool]:
     executable end-to-end and the oracles environment-independent."""
     if payload is None:
         return (0, 0, False)
-    if _PIL_Image is not None:
+    if _PIL_Image is not None and _looks_like_image(payload):
         try:
             with _PIL_Image.open(_io.BytesIO(payload)) as im:
                 return (im.width, im.height, True)
         except Exception:
-            pass  # not real image bytes -> structural fake below
+            pass  # truncated/corrupt real image -> structural fake below
     n = len(payload)
     return (64 + n % 256, 64 + (n // 256) % 256, True)
 
@@ -88,7 +116,7 @@ def _resize_payload(p: bytes | None, w: int, h: int) -> bytes:
     decodable media), so fixture oracles are environment-independent."""
     if p is None:
         return b""
-    if _PIL_Image is not None:
+    if _PIL_Image is not None and _looks_like_image(p):
         try:
             with _PIL_Image.open(_io.BytesIO(p)) as im:
                 fmt = im.format or "PNG"
@@ -141,7 +169,7 @@ def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) 
         import numpy as np
 
         def values(p: bytes) -> "np.ndarray":
-            if _PIL_Image is not None:
+            if _PIL_Image is not None and _looks_like_image(p):
                 try:
                     with _PIL_Image.open(_io.BytesIO(p)) as im:
                         return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
@@ -181,7 +209,7 @@ def _demux_frames(p: bytes, every_n: int, frame_bytes: int) -> list[tuple[int, b
     with synthetic 25fps timestamps otherwise (library absent or
     payload not decodable — the fixtures), keeping oracles
     environment-independent."""
-    if _av is not None:
+    if _av is not None and _looks_like_video(p):
         try:
             out = []
             with _av.open(_io.BytesIO(p)) as container:

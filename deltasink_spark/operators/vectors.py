@@ -204,14 +204,17 @@ def _lsh_signatures(planes: list[list[int]], tables: int):
     def _signatures(vs):
         m = np.vstack([np.asarray(v, dtype=np.int64) for v in vs])
         bits = (m @ mat >= 0).astype(np.int64)  # n x (tables*k)
+        # bucket ids stay int64 end-to-end: lsh_bits() can return 32+
+        # bits for extreme corpora, and an int32 downcast would wrap
+        # negative there, silently diverging from the sql_bucket oracle
         buckets = np.stack(
             [bits[:, t * k : (t + 1) * k] @ weights for t in range(tables)], axis=1
-        ).astype(np.int32)
+        )
         return pd.Series(list(buckets))
 
     # explicit functionType: `from __future__ import annotations` turns
     # type hints into strings pandas_udf cannot resolve
-    return pandas_udf(_signatures, "array<int>", PandasUDFType.SCALAR)
+    return pandas_udf(_signatures, "array<long>", PandasUDFType.SCALAR)
 
 
 def lsh_tall_frame(df, id_col: str, vec_col: str, planes: list[list[int]], tables: int):

@@ -27,7 +27,6 @@ from pyspark.sql.window import Window
 from deltasink_spark.operators.vectors import (
     QSCALE,
     qdot_arrow,
-    bucket,
     hyperplanes,
     lsh_bits,
     lsh_candidate_pairs,
@@ -322,7 +321,7 @@ def ts_similarity(spark, sf_dir):
 
     Scale design: each user's sparse (hour, value) profile is densified
     into a fixed 24-slot fixed-point array FIRST (one hash-agg
-    shuffle). The pairwise stage is sign-LSH bucketed (L=4 tables x
+    shuffle). The pairwise stage is sign-LSH bucketed (L=2 tables x
     K=8 bits over the 24-dim profiles, K from lsh_bits()): candidates
     reach Catalyst as a shuffled self-equi-join on (table, bucket),
     never a full-table broadcast — the r5 broadcast all-pairs shape is

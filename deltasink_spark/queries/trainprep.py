@@ -820,7 +820,7 @@ _DSIR_BUCKET_SQL = (
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
     bg AS (SELECT doc_id, lang,
-                  unnest(list_transform(range(1, GREATEST(len(toks), 2)),
+                  unnest(list_transform(range(1, len(toks)),
                          i -> toks[i] || ' ' || toks[i+1])) AS bg
            FROM t),
     hb AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM bg),
@@ -856,10 +856,18 @@ def dsir_select(spark, sf_dir):
     select identical documents."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     tk = F.col("toks")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
-    )
+    # single-token docs emit NO bigrams (empty array -> explode drops
+    # the row) — mirrored by the oracle's range(1, len(toks)), which is
+    # empty for len < 2; a guard here because sequence(1, 0) would
+    # generate a DESCENDING range, and toks[i+1] past the end would be
+    # a null-hash divergence between engines
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     hb = fanout(
         d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("toks"))
     ).select(
@@ -873,7 +881,7 @@ def dsir_select(spark, sf_dir):
             F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
             % _DSIR_BUCKETS
         ).alias("b"),
-    )
+    ).localCheckpoint(eager=False)  # feeds bucket stats AND the probe side
     cnt = hb.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("tc"),
         F.count(F.lit(1)).cast("bigint").alias("rc"),

@@ -201,6 +201,27 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert committed.select("event_id").distinct().count() == 25
 
 
+def _poll_progress(q, max_seconds: float, min_batches: int, min_rows: int):
+    """Poll a streaming query's lastProgress once a second, DEDUPED BY
+    batchId — a batch slower than the poll interval would otherwise be
+    returned (and counted) twice, inflating throughput and letting the
+    'state stopped growing' check compare a progress entry to itself.
+    Returns (unique progress entries, elapsed seconds)."""
+    t0 = time.time()
+    progresses = []
+    seen = set()
+    while time.time() < t0 + max_seconds:
+        time.sleep(1.0)
+        p = q.lastProgress
+        if p and p.get("stateOperators") and p["batchId"] not in seen:
+            seen.add(p["batchId"])
+            progresses.append(p)
+        rows_in = sum(pr["numInputRows"] for pr in progresses)
+        if len(progresses) >= min_batches and rows_in >= min_rows:
+            break
+    return progresses, time.time() - t0
+
+
 def test_throughput_and_flat_state(spark):
     """BASELINE.md self-set target: sustained rate-source throughput
     with a stateful aggregation whose state does NOT grow once the key
@@ -222,20 +243,9 @@ def test_throughput_and_flat_state(spark):
         .start()
     )
     try:
-        t0 = time.time()
-        deadline = t0 + 30
-        progresses = []
-        while time.time() < deadline:
-            time.sleep(1.0)
-            p = q.lastProgress
-            if p and p.get("stateOperators"):
-                progresses.append(p)
-            rows_in = sum(pr["numInputRows"] for pr in progresses)
-            if len(progresses) >= 6 and rows_in >= 100_000:
-                break
+        progresses, elapsed = _poll_progress(q, 30, min_batches=6, min_rows=100_000)
         assert len(progresses) >= 4, "stream made too few batches"
         rows_in = sum(pr["numInputRows"] for pr in progresses)
-        elapsed = time.time() - t0
         throughput = rows_in / elapsed
         # generous floor: target is 10k rows/s on an idle box; accept 5k
         # here to tolerate CI contention, and report the real number.
@@ -281,20 +291,9 @@ def test_tws_fallback_throughput_flat_state_10x_keys(spark):
         .start()
     )
     try:
-        t0 = time.time()
-        deadline = t0 + 45
-        progresses = []
-        while time.time() < deadline:
-            time.sleep(1.0)
-            p = q.lastProgress
-            if p and p.get("stateOperators"):
-                progresses.append(p)
-            rows_in = sum(pr["numInputRows"] for pr in progresses)
-            if len(progresses) >= 6 and rows_in >= 100_000:
-                break
+        progresses, elapsed = _poll_progress(q, 45, min_batches=6, min_rows=100_000)
         assert len(progresses) >= 4, "stream made too few batches"
         rows_in = sum(pr["numInputRows"] for pr in progresses)
-        elapsed = time.time() - t0
         throughput = rows_in / elapsed
         print(f"tws-fallback 1000-key throughput: {throughput:.0f} rows/s over {elapsed:.1f}s")
         assert throughput >= 5_000, f"sustained only {throughput:.0f} rows/s"
