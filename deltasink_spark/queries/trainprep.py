@@ -980,3 +980,147 @@ def cdc_chunk(spark, sf_dir):
             ),
         ).alias("chunk_fp"),
     )
+
+
+# --- text_hashing_vectorizer: feature hashing (hashing trick) ------------
+
+_HV_DIM = 32
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    hb AS (SELECT doc_id,
+                  CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_HV_DIM} AS b
+           FROM tok),
+    cnt AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+    m AS (SELECT doc_id, map(list(b), list(c)) AS m FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(0, {_HV_DIM}),
+                              h -> COALESCE(map_extract(m, h)[1], CAST(0 AS BIGINT))),
+               ',') AS tf
+    FROM m
+    """,
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    each document becomes a fixed {_HV_DIM}-slot hashed term-frequency
+    vector — the vocabulary-free featurization a streaming classifier
+    or quality model consumes, immune to vocabulary growth because the
+    feature space is the hash range, not the term set.
+
+    Scale shape: one explode, two map-side-combining hash aggs
+    (per-(doc, slot) counts, then per-doc map assembly), dense vector
+    via codegen transform over a {_HV_DIM}-slot sequence — the same
+    sparse->dense pattern as ts_similarity's hour profiles. No windows,
+    no joins; the portable md5-prefix bucket makes both engines build
+    identical vectors."""
+    d = load(spark, sf_dir, "documents")
+    tok = fanout(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    hb = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _HV_DIM).alias("b"),
+    )
+    cnt = hb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    m = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    # driver-canonicalizer contract: vector serialized as a CSV string
+    # (array cells are not hashable by the compare layer)
+    return m.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HV_DIM - 1)),
+                lambda h: F.coalesce(F.element_at(F.col("m"), h.cast("long")), zero),
+            ),
+        ).alias("tf"),
+    )
+
+
+# --- quality_ccnet_bins: perplexity-tercile binning (CCNet) --------------
+
+# python repr of 1/3 and 2/3: both engines parse the identical double
+_CCNET_P1 = repr(1 / 3)
+_CCNET_P2 = repr(2 / 3)
+
+
+@query(
+    "quality_ccnet_bins",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok),
+    lm AS (SELECT tok, ROUND(-LOG2(COUNT(*) * 1.0 / ANY_VALUE(n_total)), 6)
+                         AS bits
+           FROM tok CROSS JOIN tot GROUP BY tok),
+    bpt AS (SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
+                         / COUNT(*), 4) AS bits_per_token
+            FROM tok JOIN lm USING (tok) GROUP BY doc_id),
+    th AS (SELECT ROUND(CAST(quantile_cont(bits_per_token, {_CCNET_P1}) AS DOUBLE), 4) AS t1,
+                  ROUND(CAST(quantile_cont(bits_per_token, {_CCNET_P2}) AS DOUBLE), 4) AS t2
+           FROM bpt)
+    SELECT doc_id, bits_per_token,
+           CASE WHEN bits_per_token < t1 THEN 'head'
+                WHEN bits_per_token < t2 THEN 'middle'
+                ELSE 'tail' END AS bin
+    FROM bpt CROSS JOIN th
+    """,
+)
+def quality_ccnet_bins(spark, sf_dir):
+    """CCNet-style head/middle/tail binning (Wenzek et al. 2020): score
+    every document with the corpus-unigram perplexity proxy
+    (text_unigram_logprob's pipeline), then split the corpus at its
+    own terciles — head = most fluent third, the slice CCNet keeps for
+    pretraining by default.
+
+    Determinism at the boundary: both the per-doc score and the two
+    tercile thresholds are rounded to 4 digits BEFORE comparing, so a
+    doc landing exactly on a threshold bins identically in both
+    engines (raw interpolated quantiles can differ in the last ulp).
+    Scale shape: two token-level hash aggs + a broadcast vocab join
+    (the LM), a per-doc agg, one exact percentile over the doc-count-
+    sized score frame, and a 1-row threshold broadcast."""
+    d = load(spark, sf_dir, "documents")
+    tok = fanout(d, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).localCheckpoint(eager=False)
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        tok.join(F.broadcast(tot))
+        .groupBy("tok")
+        .agg(F.round(-F.log2(F.count(F.lit(1)) / F.first("n_total")), 6).alias("bits"))
+    )
+    bpt = (
+        tok.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bits_per_token")
+        )
+        .localCheckpoint(eager=False)  # feeds thresholds AND the binning
+    )
+    th = bpt.agg(
+        F.round(F.percentile("bits_per_token", F.lit(1 / 3)), 4).alias("t1"),
+        F.round(F.percentile("bits_per_token", F.lit(2 / 3)), 4).alias("t2"),
+    )
+    binned = bpt.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") < F.col("t1"), "head")
+        .when(F.col("bits_per_token") < F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bin"),
+    )
+    return binned

@@ -615,3 +615,17 @@ def test_cdc_chunk_window_is_per_doc(spark, sf_small):
     # never a corpus-wide sort
     assert "Window" in p
     assert "doc_id" in p.split("Window", 1)[1][:400]
+
+
+def test_hashing_vectorizer_two_aggs_no_join(spark, sf_small):
+    p = plan(q("text_hashing_vectorizer", spark, sf_small))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ccnet_bins_broadcast_lm_and_thresholds(spark, sf_small):
+    """The LM join and the 1-row tercile threshold frame must both
+    broadcast — the corpus-sized side is never shuffled for either."""
+    p = plan(q("quality_ccnet_bins", spark, sf_small))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
