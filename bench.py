@@ -104,6 +104,18 @@ R5BOPS = [
     "source_python_ds",      # Python DataSource batch scan w/ pushdown
 ]
 
+# r6 additions — own group (first recording becomes the r7 baseline).
+R6OPS = [
+    "quality_gopher",        # Gopher-rules document filter
+    "text_c4_clean",         # zero-shuffle C4 line cleaning
+    "dsir_select",           # hashed-bigram importance selection
+    "cdc_chunk",             # content-defined chunking + fingerprints
+    "text_hashing_vectorizer",  # 32-slot hashed TF featurization
+    "quality_ccnet_bins",    # perplexity-tercile head/middle/tail
+    "sim_cosine_pairs",      # LSH-bucketed pairwise cosine (reworked r6)
+    "dedup_embedding_cosine",  # LSH-bucketed near-dup pairs (reworked r6)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,7 +128,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -178,6 +190,9 @@ def main() -> None:
         ),
         "r5bops": round(
             sum(t for op, t in timings.items() if op in R5BOPS), 4
+        ),
+        "r6ops": round(
+            sum(t for op, t in timings.items() if op in R6OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
