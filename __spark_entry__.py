@@ -30,13 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-facing op order. The driver evaluates the first 50 ops per
 # round. After CORRECTNESS_r05.json, 42 registered ops had never
 # received a driver row (the r5-added batch minus avro_parse, which
-# took r5's slot 50 and went green); r6 added 6 more ops
-# (quality_gopher / text_c4_clean / dsir_select / cdc_chunk /
-# text_hashing_vectorizer / quality_ccnet_bins), listed at the end of
-# this group so all 48 never-checked ops occupy slots 1-48. Slots
-# 49-50 re-verify the oldest r1-era green rows so the regenerated
-# fixtures stay proven end-to-end. Everything else follows in
-# registration order.
+# took r5's slot 50 and went green); r6 added 8 more ops
+# (quality_gopher, text_c4_clean, dsir_select, cdc_chunk,
+# text_hashing_vectorizer, quality_ccnet_bins, event_pattern_match,
+# dedup_apply_keep_best), listed at the end of this group so all 50
+# never-checked ops fill the driver budget exactly. Everything else
+# follows in registration order.
 _R6_UNVERIFIED = [
     "avro_confluent_envelope",
     "protobuf_parse",
@@ -87,13 +86,13 @@ _R6_UNVERIFIED = [
     "cdc_chunk",
     "text_hashing_vectorizer",
     "quality_ccnet_bins",
+    "event_pattern_match",
+    "dedup_apply_keep_best",
 ]
 
-# Slots 49-50: oldest driver-green rows (r1) re-checked so the
-# post-regeneration fixture pipeline stays proven.
-_R6_RECHECK = [
-    "agg_hash", "join_inner_hash",
-]
+# With 50 never-driver-checked ops the head fills the entire driver
+# budget; the oldest-green recheck resumes in r7.
+_R6_RECHECK: list[str] = []
 
 
 def _ordered_ids() -> list[str]:

@@ -114,6 +114,8 @@ R6OPS = [
     "quality_ccnet_bins",    # perplexity-tercile head/middle/tail
     "sim_cosine_pairs",      # LSH-bucketed pairwise cosine (reworked r6)
     "dedup_embedding_cosine",  # LSH-bucketed near-dup pairs (reworked r6)
+    "event_pattern_match",   # MATCH_RECOGNIZE-lite LEAD-window CEP
+    "dedup_apply_keep_best", # cluster -> keep-longest materialization
 ]
 
 

@@ -959,3 +959,68 @@ def attribution_first_touch(spark, sf_dir):
         F.col("first_click.cid").alias("attributed_click_id"),
         (F.col("ts_us") - F.col("first_click.cts")).cast("long").alias("gap_us"),
     )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type, 1) OVER w AS e1,
+               LEAD(event_type, 2) OVER w AS e2,
+               LEAD(event_id, 2) OVER w AS end_id,
+               LEAD(ts, 2) OVER w AS end_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id AS start_id, end_id,
+           ts AS start_ts, end_ts,
+           CAST(epoch_us(end_ts) - epoch_us(ts) AS BIGINT) AS span_us
+    FROM seq
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    """,
+)
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: detect STRICTLY CONSECUTIVE
+    view -> click -> purchase triples per user in event-time order —
+    the CEP pattern surface (Flink MATCH_RECOGNIZE / Esper) that
+    funnel_analysis does NOT cover (funnels count stage reachability,
+    allowing gaps; pattern matching requires adjacency).
+
+    Spark has no MATCH_RECOGNIZE, so the pattern compiles to LEAD
+    windows over (user_id, ts, event_id) — for a fixed-length pattern
+    this is the exact classical rewrite: k-1 LEADs + one codegen
+    predicate, one shuffle on user_id, per-user bounded partitions.
+    (Variable-length/greedy patterns would go to
+    applyInPandasWithState instead — see stream_stateful.) Tie-break
+    on event_id makes the order total, so both engines match the
+    same triples."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("event_id", 2).over(w).alias("end_id"),
+        F.lead("ts", 2).over(w).alias("end_ts"),
+    )
+    span = (
+        F.unix_micros(F.col("end_ts")) - F.unix_micros(F.col("ts"))
+    ).cast("long")
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_id"),
+            "end_id",
+            F.col("ts").alias("start_ts"),
+            "end_ts",
+            span.alias("span_us"),
+        )
+    )

@@ -1025,3 +1025,61 @@ def text_c4_clean(spark, sf_dir):
         F.size("kept").cast("bigint").alias("n_kept"),
         F.array_join("kept", " ").alias("clean_text"),
     )
+
+
+@query(
+    "dedup_apply_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM e
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+             FROM reach GROUP BY u),
+    fl AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                  d.n_chars
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+    keeper AS (SELECT cluster_id,
+                      MAX(struct_pack(n := n_chars, negid := -doc_id)) AS k
+               FROM fl GROUP BY cluster_id)
+    SELECT f.doc_id, f.cluster_id, (f.doc_id = -(k.k.negid)) AS kept
+    FROM fl f JOIN keeper k USING (cluster_id)
+    """,
+)
+def dedup_apply_keep_best(spark, sf_dir):
+    """The APPLY step of near-dup dedup: collapse MinHash near-dup
+    clusters (connected components, as dedup_cluster) to ONE kept
+    document each — keep-longest with a deterministic doc_id
+    tie-break, the common web-corpus keeper policy. Emits every doc
+    with its cluster and kept flag, so the cleaned corpus is
+    `WHERE kept` and the audit trail is the rest.
+
+    Scale shape: keeper selection is a hash AGGREGATION —
+    MAX(struct(n_chars, -doc_id)) per cluster, map-side combinable —
+    never a per-cluster row_number window (boilerplate mega-clusters
+    would serialize a sorted partition); the flag rejoin is an
+    equi-join on cluster_id."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    clustered = min_label_components(pairs)
+    full = (
+        d.select("doc_id", "n_chars")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+        .localCheckpoint(eager=False)  # feeds keeper agg AND the rejoin
+    )
+    keeper = full.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_chars").alias("n"), (-F.col("doc_id")).alias("negid"))).alias("k")
+    )
+    return full.join(keeper, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == -F.col("k.negid")).alias("kept"),
+    )

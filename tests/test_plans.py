@@ -629,3 +629,24 @@ def test_ccnet_bins_broadcast_lm_and_thresholds(spark, sf_small):
     p = plan(q("quality_ccnet_bins", spark, sf_small))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_event_pattern_match_single_window_pass(spark, sf_small):
+    """The fixed-length pattern compiles to LEADs over ONE per-user
+    window — one shuffle, no joins, no cartesian."""
+    p = plan(q("event_pattern_match", spark, sf_small))
+    assert "Join" not in p and "CartesianProduct" not in p
+    # exactly one Window node in the tree (formatted mode prints each
+    # node once in the tree and once in the detail section)
+    nodes = [ln for ln in p.splitlines() if ln.strip().endswith(")") and "Window (" in ln]
+    assert len(nodes) == 1, nodes
+    assert "user_id" in p.split("(5) Window", 1)[-1][:600] or "user_id" in p
+
+
+def test_dedup_apply_keep_best_agg_not_window(spark, sf_small):
+    """Keeper selection must be a MAX(struct) hash agg (map-side
+    combinable), never a per-cluster row_number window that would
+    serialize boilerplate mega-clusters."""
+    p = plan(q("dedup_apply_keep_best", spark, sf_small))
+    assert "row_number" not in p
+    assert "CartesianProduct" not in p
