@@ -1047,10 +1047,6 @@ def text_hashing_vectorizer(spark, sf_dir):
 
 # --- quality_ccnet_bins: perplexity-tercile binning (CCNet) --------------
 
-# python repr of 1/3 and 2/3: both engines parse the identical double
-_CCNET_P1 = repr(1 / 3)
-_CCNET_P2 = repr(2 / 3)
-
 
 @query(
     "quality_ccnet_bins",
@@ -1062,17 +1058,18 @@ _CCNET_P2 = repr(2 / 3)
                          AS bits
            FROM tok CROSS JOIN tot GROUP BY tok),
     bpt AS (SELECT doc_id,
-                   ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
-                         / COUNT(*), 4) AS bits_per_token
+                   CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
+                     / COUNT(*) AS bits_per_token
             FROM tok JOIN lm USING (tok) GROUP BY doc_id),
-    th AS (SELECT ROUND(CAST(quantile_cont(bits_per_token, {_CCNET_P1}) AS DOUBLE), 4) AS t1,
-                  ROUND(CAST(quantile_cont(bits_per_token, {_CCNET_P2}) AS DOUBLE), 4) AS t2
-           FROM bpt)
+    ranked AS (SELECT doc_id, bits_per_token,
+                      ROW_NUMBER() OVER (ORDER BY bits_per_token, doc_id) AS rnk,
+                      COUNT(*) OVER () AS n
+               FROM bpt)
     SELECT doc_id, bits_per_token,
-           CASE WHEN bits_per_token < t1 THEN 'head'
-                WHEN bits_per_token < t2 THEN 'middle'
+           CASE WHEN rnk * 3 <= n THEN 'head'
+                WHEN rnk * 3 <= 2 * n THEN 'middle'
                 ELSE 'tail' END AS bin
-    FROM bpt CROSS JOIN th
+    FROM ranked
     """,
 )
 def quality_ccnet_bins(spark, sf_dir):
@@ -1082,13 +1079,17 @@ def quality_ccnet_bins(spark, sf_dir):
     own terciles — head = most fluent third, the slice CCNet keeps for
     pretraining by default.
 
-    Determinism at the boundary: both the per-doc score and the two
-    tercile thresholds are rounded to 4 digits BEFORE comparing, so a
-    doc landing exactly on a threshold bins identically in both
-    engines (raw interpolated quantiles can differ in the last ulp).
-    Scale shape: two token-level hash aggs + a broadcast vocab join
-    (the LM), a per-doc agg, one exact percentile over the doc-count-
-    sized score frame, and a 1-row threshold broadcast."""
+    Determinism at the boundary: binning is RANK-based (rnk*3 <= n,
+    pure integer arithmetic over a (score, doc_id) total order), not
+    threshold-based — interpolated quantile thresholds differ between
+    engines in the last ulp, and at sf0.1 three docs sat exactly on
+    one and flipped bins. Scale shape: two token-level hash aggs + a
+    broadcast vocab join (the LM) + a per-doc agg; the ranking window
+    runs over the doc-count-sized SCORE frame (1 row/doc, not the
+    corpus). At 100 TB the exact global rank becomes the bottleneck —
+    swap the cutpoints to approx_percentile (t-digest, as
+    agg_approx_quantile) for the same pipeline with approximate bins;
+    exact here because the oracle must be exact."""
     d = load(spark, sf_dir, "documents")
     tok = fanout(d, "doc_id").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -1103,24 +1104,25 @@ def quality_ccnet_bins(spark, sf_dir):
         tok.join(F.broadcast(lm), "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            # exact decimal sum -> one IEEE division, NOT re-rounded:
+            # round-after-divide can land on a .5e-7 tie the engines
+            # resolve differently (the text_unigram_logprob lesson —
+            # reintroducing ROUND here flipped 3/5000 docs at sf0.1)
+            (
                 F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                / F.count(F.lit(1))
             ).alias("bits_per_token")
         )
-        .localCheckpoint(eager=False)  # feeds thresholds AND the binning
+        .localCheckpoint(eager=False)  # feeds the count AND the ranking
     )
-    th = bpt.agg(
-        F.round(F.percentile("bits_per_token", F.lit(1 / 3)), 4).alias("t1"),
-        F.round(F.percentile("bits_per_token", F.lit(2 / 3)), 4).alias("t2"),
-    )
-    binned = bpt.crossJoin(F.broadcast(th)).select(
+    w = Window.orderBy("bits_per_token", "doc_id")
+    n = bpt.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    ranked = bpt.withColumn("rnk", F.row_number().over(w)).crossJoin(F.broadcast(n))
+    return ranked.select(
         "doc_id",
         "bits_per_token",
-        F.when(F.col("bits_per_token") < F.col("t1"), "head")
-        .when(F.col("bits_per_token") < F.col("t2"), "middle")
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
         .otherwise("tail")
         .alias("bin"),
     )
-    return binned
