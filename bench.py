@@ -116,6 +116,8 @@ R6OPS = [
     "dedup_embedding_cosine",  # LSH-bucketed near-dup pairs (reworked r6)
     "event_pattern_match",   # MATCH_RECOGNIZE-lite LEAD-window CEP
     "dedup_apply_keep_best", # cluster -> keep-longest materialization
+    "sql_pipe_syntax",       # Spark 4 pipe-operator SQL (|>)
+    "sql_recursive_cte",     # WITH RECURSIVE month spine join
 ]
 
 

@@ -465,3 +465,84 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_price": 150000, "status": "O"},
     )
+
+
+# --- sql_pipe_syntax (r6): Spark 4 SQL pipe operators ------------------
+
+# The |> form Spark executes; the oracle is its exact ANSI equivalent
+# (DuckDB has no pipe syntax — the REWRITE is what's verified).
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+|> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS disc_price
+|> AGGREGATE COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(disc_price) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (|> operators, SPARK-49555): the
+    linear FROM -> WHERE -> EXTEND -> AGGREGATE -> ORDER BY form of a
+    Q1-shaped pricing summary. Pipe stages compile to the SAME
+    Catalyst logical plan as the ANSI form — pushdown, partial aggs,
+    and codegen all intact — which the oracle proves by running the
+    ANSI rewrite on DuckDB and hash-matching. Exact-decimal sums per
+    the repo convention."""
+    from deltasink_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_PIPE_SQL)
+
+
+# --- sql_recursive_cte (r6): WITH RECURSIVE on both engines ------------
+
+# Identical text on both engines (sql_interface policy): a recursive
+# month spine 1..12 joined against orders — the shape every calendar /
+# hierarchy walk uses, in the ANSI intersection of the two dialects.
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT 1
+    UNION ALL
+    SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+FROM months
+LEFT JOIN orders ON CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) = m
+GROUP BY m
+ORDER BY m
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (landed in Spark 4.x): a recursive month spine
+    joined against the fact table — the calendar/hierarchy-walk shape.
+    The IDENTICAL SQL text runs on Spark and DuckDB (the sql_interface
+    dialect-portability policy), so recursion semantics — anchor,
+    iterate, UNION ALL termination — are differentially verified, not
+    just syntax-checked. The recursion is driver-bounded (12 rows)
+    and the join side is a broadcast of the spine; the fact scan
+    stays a single pushdown-pruned pass."""
+    from deltasink_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)

@@ -650,3 +650,16 @@ def test_dedup_apply_keep_best_agg_not_window(spark, sf_small):
     p = plan(q("dedup_apply_keep_best", spark, sf_small))
     assert "row_number" not in p
     assert "CartesianProduct" not in p
+
+
+def test_sql_pipe_syntax_compiles_to_normal_agg_plan(spark, sf_small):
+    """Pipe stages must produce the standard scan->partial->final agg
+    plan with the shipdate filter pushed to parquet."""
+    p = plan(q("sql_pipe_syntax", spark, sf_small))
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:300]
+
+
+def test_sql_recursive_cte_no_cartesian(spark, sf_small):
+    p = plan(q("sql_recursive_cte", spark, sf_small))
+    assert "CartesianProduct" not in p
