@@ -33,9 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # took r5's slot 50 and went green); r6 added 8 more ops
 # (quality_gopher, text_c4_clean, dsir_select, cdc_chunk,
 # text_hashing_vectorizer, quality_ccnet_bins, event_pattern_match,
-# dedup_apply_keep_best), listed at the end of this group so all 50
-# never-checked ops fill the driver budget exactly. Everything else
-# follows in registration order.
+# dedup_apply_keep_best), listed at the end of this group — 50
+# never-checked ops fill the driver budget. The two ops added after
+# the head filled (sql_pipe_syntax, sql_recursive_cte) are also
+# never-checked but spill past slot 50 by necessity; they are the
+# head of the r7 ordering. Everything else follows in registration
+# order.
 _R6_UNVERIFIED = [
     "avro_confluent_envelope",
     "protobuf_parse",

@@ -42,13 +42,16 @@ def _looks_like_image(p: bytes) -> bool:
     try/except PIL.open would make oracle determinism PROBABILISTIC:
     formats with weak magics (BMP's 2-byte 'BM' ~ 2^-16 per random
     payload) could parse on synthetic fixture bytes in a PIL-equipped
-    environment only, hashing differently across environments. Each
-    accepted signature here is >= 4 bytes (>= 2^-32 false-positive
-    rate per payload), so fixture payloads deterministically take the
-    structural-fake path everywhere."""
+    environment only, hashing differently across environments. Every
+    accepted signature is strong: PNG/GIF/WEBP pin >= 6 fixed bytes;
+    JPEG pins 3 fixed bytes plus the full marker-class range
+    0xC0-0xFE for the 4th (any JPEG's first segment marker — SOFn,
+    APPn, COM, DQT... — lands there; ~2^-26 false-positive rate on
+    random bytes). Fixture payloads therefore deterministically take
+    the structural-fake path everywhere."""
     return (
         p.startswith(b"\x89PNG\r\n\x1a\n")
-        or (p.startswith(b"\xff\xd8\xff") and len(p) > 3 and p[3] in (0xC0, 0xC4, 0xDB, 0xE0, 0xE1, 0xE2, 0xEE))
+        or (p.startswith(b"\xff\xd8\xff") and len(p) > 3 and 0xC0 <= p[3] <= 0xFE)
         or p.startswith(b"GIF87a")
         or p.startswith(b"GIF89a")
         or (p.startswith(b"RIFF") and p[8:12] == b"WEBP")

@@ -181,7 +181,7 @@ def sql_bucket(iv: str, planes: list[list[int]]) -> str:
 
 def _lsh_signatures(planes: list[list[int]], tables: int):
     """Arrow-vectorized sign-LSH signature UDF: array<long> vector ->
-    array<int> of one bucket id per hash table. Each batch is one
+    array<long> of one bucket id per hash table. Each batch is one
     int64 matmul (N x dim) @ (dim x planes) + a sign->bits fold in
     numpy. This is deliberately NOT the Catalyst HOF expression: a
     K-bit x L-table signature is ~2048 interpreted zip_with/aggregate

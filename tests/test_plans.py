@@ -640,7 +640,9 @@ def test_event_pattern_match_single_window_pass(spark, sf_small):
     # node once in the tree and once in the detail section)
     nodes = [ln for ln in p.splitlines() if ln.strip().endswith(")") and "Window (" in ln]
     assert len(nodes) == 1, nodes
-    assert "user_id" in p.split("(5) Window", 1)[-1][:600] or "user_id" in p
+    # the window spec itself must partition by user_id (a global window
+    # would serialize all events through one partition)
+    assert "windowspecdefinition(user_id" in p
 
 
 def test_dedup_apply_keep_best_agg_not_window(spark, sf_small):
