@@ -767,3 +767,76 @@ def test_python_manifest_writer_append_commits_union_under_lock(tmp_path):
     assert manifest["rows"] == 3
     assert sorted(manifest["parts"]) == sorted({m1.path, m2.path})
     assert isinstance(m1, _PartFile)
+
+
+def test_python_stream_source_engine_restart_exactly_once(spark, tmp_path):
+    """ENGINE-level restart proof for the ack_dir protocol (the unit
+    test above simulates the offset-log sequence; this drives the real
+    MicroBatchExecution): run the rate-limited Python source against a
+    checkpointed PARQUET sink, stop it mid-drain after at least one
+    committed batch, restart the SAME checkpoint + ack_dir, drain, and
+    assert the metadata-committed output is exactly the fixture —
+    every doc_id once, none lost, none duplicated. A regressed
+    post-restart latestOffset() would re-emit already-delivered rows
+    under NEW batch ids, which the file sink would commit as
+    duplicates; the acked-offset sidecar prevents exactly that."""
+    from deltasink_spark.operators.pyds import FixtureDocsStreamDataSource
+
+    spark.dataSource.register(FixtureDocsStreamDataSource)
+    src = "/root/testdata/sf0.01/documents.parquet"
+    expected = spark.read.parquet(src).count()
+    ckpt = str(tmp_path / "ckpt")
+    ack = str(tmp_path / "ack")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("fixture_docs_stream")
+            .option("path", src)
+            .option("ack_dir", ack)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    def committed_count():
+        try:  # metadata-log-aware read; empty before the first commit
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q1 = start()
+    deadline = time.time() + 60
+    try:
+        # wait for at least one COMMITTED batch, stop well before drain
+        while time.time() < deadline:
+            n = committed_count()
+            if 0 < n < expected:
+                break
+            time.sleep(0.05)
+        first = committed_count()
+        assert 0 < first, "first run never committed a batch"
+    finally:
+        q1.stop()
+        q1.awaitTermination(30)
+    assert committed_count() < expected, "first run drained fully; restart proves nothing"
+
+    q2 = start()
+    deadline = time.time() + 90
+    try:
+        while time.time() < deadline and committed_count() < expected:
+            time.sleep(0.1)
+        time.sleep(0.3)  # let a trailing batch settle
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+    got = spark.read.parquet(out)
+    assert got.count() == expected, f"rows={got.count()} expected={expected}"
+    assert got.select("doc_id").distinct().count() == expected, (
+        "duplicate doc_ids across restart"
+    )
