@@ -118,6 +118,7 @@ R6OPS = [
     "dedup_apply_keep_best", # cluster -> keep-longest materialization
     "sql_pipe_syntax",       # Spark 4 pipe-operator SQL (|>)
     "sql_recursive_cte",     # WITH RECURSIVE month spine join
+    "stats_poisson_bootstrap",  # one-pass Poissonized bootstrap CI
 ]
 
 

@@ -1024,3 +1024,93 @@ def event_pattern_match(spark, sf_dir):
             span.alias("span_us"),
         )
     )
+
+
+# --- stats_poisson_bootstrap: deterministic Poissonized bootstrap --------
+
+# Poisson(1) CDF thresholds (inverse-transform ladder), full-precision
+# double literals identical in both engines.
+import math as _math
+
+_POIS_CDF = []
+_acc = 0.0
+_pk = _math.exp(-1.0)
+for _k in range(5):
+    _acc += _pk
+    _POIS_CDF.append(repr(_acc))
+    _pk /= _k + 1
+_BOOTSTRAP_REPS = 4
+_U_DENOM = float(1 << 32)
+
+
+def _pois_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def _rep_sql(r: int) -> str:
+    u = (
+        f"(CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR) || '#{r}'), 1, 8)) "
+        f"AS BIGINT) / {_U_DENOM!r})"
+    )
+    return (
+        f"CAST(SUM(CAST({_pois_sql(u)} AS DECIMAL(10,0)) "
+        f"* CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rep{r}"
+    )
+
+
+@query(
+    "stats_poisson_bootstrap",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           {", ".join(_rep_sql(r) for r in range(_BOOTSTRAP_REPS))}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_poisson_bootstrap(spark, sf_dir):
+    """Poissonized bootstrap (the streaming/large-scale bootstrap: each
+    row joins replicate r with weight ~ Poisson(1), so replicates need
+    ONE pass and merge across partitions — the standard production
+    A/B-testing trick for confidence intervals without resampling).
+    Weights come from the portable md5 uniform + an inverse-CDF
+    ladder, so both engines draw the IDENTICAL 'randomness' and the
+    replicate sums verify exactly.
+
+    Scale shape: one scan, one map-side-combining hash agg computing
+    all {_BOOTSTRAP_REPS} replicate sums simultaneously (the weights
+    are codegen CASE ladders, no rng state, no shuffle per replicate);
+    replicate variance estimates the sampling distribution of the
+    per-type revenue total."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+    ]
+    for r in range(_BOOTSTRAP_REPS):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"#{r}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(_U_DENOM)
+        )
+        w = F.when(u < float(_POIS_CDF[0]), 0)
+        for k in range(1, len(_POIS_CDF)):
+            w = w.when(u < float(_POIS_CDF[k]), k)
+        w = w.otherwise(5)
+        aggs.append(
+            F.sum(w.cast("decimal(10,0)") * F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias(f"rep{r}")
+        )
+    return ev.groupBy("event_type").agg(*aggs)

@@ -665,3 +665,16 @@ def test_sql_pipe_syntax_compiles_to_normal_agg_plan(spark, sf_small):
 def test_sql_recursive_cte_no_cartesian(spark, sf_small):
     p = plan(q("sql_recursive_cte", spark, sf_small))
     assert "CartesianProduct" not in p
+
+
+def test_poisson_bootstrap_single_agg(spark, sf_small):
+    """All replicate sums must come from ONE map-side-combining hash
+    agg over one scan — no per-replicate shuffles, no rng exchange."""
+    p = plan(q("stats_poisson_bootstrap", spark, sf_small))
+    # exactly two agg NODES in the tree: one partial + one final
+    nodes = [
+        ln for ln in p.splitlines()
+        if ln.strip().endswith(")") and "HashAggregate (" in ln
+    ]
+    assert len(nodes) == 2, nodes
+    assert "Join" not in p and "CartesianProduct" not in p
