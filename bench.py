@@ -119,6 +119,9 @@ R6OPS = [
     "sql_pipe_syntax",       # Spark 4 pipe-operator SQL (|>)
     "sql_recursive_cte",     # WITH RECURSIVE month spine join
     "stats_poisson_bootstrap",  # one-pass Poissonized bootstrap CI
+    "join_asof_tolerance",   # as-of with staleness bound
+    "scan_parquet_schema_merge",  # mergeSchema read-side evolution
+    "agg_percentile_disc",   # type-1 order statistics
 ]
 
 

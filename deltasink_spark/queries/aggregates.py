@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from deltasink_spark.registry import query
 from deltasink_spark.tables import load
@@ -557,3 +558,46 @@ def agg_listagg(spark, sf_dir):
                  WITHIN GROUP (ORDER BY substr(n_name, 1, 1)) AS initials
         FROM v_nation_listagg GROUP BY n_regionkey
     """)
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    r AS (SELECT l.l_returnflag, l.l_quantity,
+                 ROW_NUMBER() OVER (PARTITION BY l.l_returnflag
+                                    ORDER BY l.l_quantity) AS rnk,
+                 n.n
+          FROM lineitem l JOIN n USING (l_returnflag))
+    SELECT l_returnflag,
+           MAX(CASE WHEN rnk = CAST(CEIL(n * 0.25) AS BIGINT)
+                    THEN l_quantity END) AS p25,
+           MAX(CASE WHEN rnk = CAST(CEIL(n * 0.50) AS BIGINT)
+                    THEN l_quantity END) AS p50,
+           MAX(CASE WHEN rnk = CAST(CEIL(n * 0.75) AS BIGINT)
+                    THEN l_quantity END) AS p75
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark, sf_dir):
+    """DISCRETE percentiles (type-1 order statistics: the value AT
+    rank ceil(p*n), always an actual data value — what percentile_disc
+    / quantile_disc return, vs agg_quantile's interpolated continuous
+    form). Engines disagree on quantile_disc's rank convention, so
+    BOTH sides build the identical rank construction explicitly: count
+    per group (broadcast), row_number over (group, value), pick the
+    three target ranks in one conditional-max hash agg. The per-group
+    sort is the inherent cost of any exact order statistic (same class
+    as agg_quantile); ties on value are harmless because rank
+    selection returns the value, not the row."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    r = li.join(F.broadcast(n), "l_returnflag").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    def at(p, name):
+        return F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") * p).cast("bigint"), F.col("l_quantity"))
+        ).alias(name)
+    return r.groupBy("l_returnflag").agg(at(0.25, "p25"), at(0.50, "p50"), at(0.75, "p75"))

@@ -569,3 +569,58 @@ def join_asof_forward_q(spark, sf_dir):
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_orderdate").alias("next_orderdate"),
     )
+
+
+_ASOF_TOL_DAYS = 30
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS asof_orderkey,
+           o.o_orderdate AS asof_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          AND o.o_orderdate >= e.ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a TOLERANCE bound (pandas
+    merge_asof(tolerance=...)): the latest order at-or-before each
+    event counts only if it is within {_ASOF_TOL_DAYS} days — a stale
+    quote/price older than the tolerance must surface as NULL, not as
+    a silently wrong match. Implemented as the standard union +
+    one-window as-of (operators/asof.py) followed by a codegen
+    tolerance predicate that nulls out-of-window payloads; same single
+    shuffle on the key as join_asof, no extra joins."""
+    from deltasink_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    out = asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    within = F.col("o_orderdate") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_DAYS} DAY"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("o_orderkey")).alias("asof_orderkey"),
+        F.when(within, F.col("o_orderdate")).alias("asof_orderdate"),
+    )

@@ -616,3 +616,43 @@ def sink_python_ds(spark, sf_dir):
     return read_manifest_json(
         spark, stage, "doc_id bigint, lang string, n_chars bigint"
     ).select(*cols)
+
+
+@query(
+    "scan_parquet_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_parquet_schema_merge(spark, sf_dir):
+    """Schema evolution on READ: a table directory whose early files
+    lack a column later files carry (the standard additive-evolution
+    layout a long-lived ingest job produces). ``mergeSchema=true``
+    makes the scan reconcile footers into the union schema, older
+    files surfacing NULL for the missing column — the read-side
+    complement of sink_schema_evolution's write-side contract. The
+    even/odd o_orderkey split is deterministic, so the oracle replays
+    it exactly from the orders view.
+
+    Scale note: mergeSchema triggers a footer-read per file at
+    planning; production tables pin the merged schema in a catalog and
+    turn it off — the op documents the capability, not a default."""
+    stage = _stage_dir(sf_dir, "schema_merge")
+    if not _stage_fresh(stage, sf_dir, "orders"):
+        o = load(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey"
+        ).write.mode("overwrite").parquet(os.path.join(stage, "v1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(stage, "v2"))
+        _stage_mark(stage, sf_dir, "orders")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(stage, "v1"), os.path.join(stage, "v2"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

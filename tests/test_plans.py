@@ -678,3 +678,27 @@ def test_poisson_bootstrap_single_agg(spark, sf_small):
     ]
     assert len(nodes) == 2, nodes
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_asof_tolerance_single_window_no_range_join(spark, sf_small):
+    """Tolerance as-of must keep join_asof's shape: one union + one
+    per-key window, the tolerance as a codegen predicate — never a
+    range/theta join pair stage."""
+    p = plan(q("join_asof_tolerance", spark, sf_small))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    nodes = [ln for ln in p.splitlines() if ln.strip().endswith(")") and "Window (" in ln]
+    assert len(nodes) == 1
+
+
+def test_schema_merge_scan_unions_footers(spark, sf_small):
+    p = plan(q("scan_parquet_schema_merge", spark, sf_small))
+    assert "Scan parquet" in p
+    assert "o_totalprice" in p.split("ReadSchema")[-1][:300]
+
+
+def test_percentile_disc_broadcast_counts(spark, sf_small):
+    """The per-group count frame must broadcast onto the ranked rows;
+    the only sort is the per-group window's."""
+    p = plan(q("agg_percentile_disc", spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
