@@ -97,9 +97,21 @@ _R6_UNVERIFIED = [
 # budget; the oldest-green recheck resumes in r7.
 _R6_RECHECK: list[str] = []
 
+# Ops registered AFTER the r6 head filled — deterministically queued at
+# slots 51+ so the r7 reordering starts exactly here (never interleaved
+# with already-green ops by registration order).
+_R7_SPILL = [
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "stats_poisson_bootstrap",
+    "join_asof_tolerance",
+    "scan_parquet_schema_merge",
+    "agg_percentile_disc",
+]
+
 
 def _ordered_ids() -> list[str]:
-    groups = (_R6_UNVERIFIED, _R6_RECHECK)
+    groups = (_R6_UNVERIFIED, _R6_RECHECK, _R7_SPILL)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]

@@ -1028,10 +1028,12 @@ def event_pattern_match(spark, sf_dir):
 
 # --- stats_poisson_bootstrap: deterministic Poissonized bootstrap --------
 
-# Poisson(1) CDF thresholds (inverse-transform ladder), full-precision
-# double literals identical in both engines.
 import math as _math
 
+from deltasink_spark.queries.aggregates import dsum, sql_dsum
+
+# Poisson(1) CDF thresholds (inverse-transform ladder), full-precision
+# double literals identical in both engines.
 _POIS_CDF = []
 _acc = 0.0
 _pk = _math.exp(-1.0)
@@ -1044,21 +1046,32 @@ _U_DENOM = float(1 << 32)
 
 
 def _pois_sql(u: str) -> str:
-    cases = " ".join(
-        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
-    )
+    """Shared inverse-CDF ladder: ONE generator emits the CASE text
+    both engines run (only the uniform `u` sub-expression is
+    dialect-specific), so the thresholds and truncation can never
+    drift apart between the Spark and oracle encodings."""
+    cases = " ".join(f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF))
     return f"(CASE {cases} ELSE 5 END)"
 
 
-def _rep_sql(r: int) -> str:
-    u = (
+def _pois_u(r: int, engine: str) -> str:
+    """Per-(row, replicate) md5 uniform in [0, 1) — portable value,
+    dialect-specific spelling."""
+    if engine == "spark":
+        return (
+            f"(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#{r}')), "
+            f"1, 8), 16, 10) AS BIGINT) / {_U_DENOM!r})"
+        )
+    return (
         f"(CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR) || '#{r}'), 1, 8)) "
         f"AS BIGINT) / {_U_DENOM!r})"
     )
-    return (
-        f"CAST(SUM(CAST({_pois_sql(u)} AS DECIMAL(10,0)) "
-        f"* CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS rep{r}"
-    )
+
+
+_BOOT_REPS_SQL = ", ".join(
+    sql_dsum(_pois_sql(_pois_u(r, "duckdb")) + " * value", 6) + f" AS rep{r}"
+    for r in range(_BOOTSTRAP_REPS)
+)
 
 
 @query(
@@ -1066,8 +1079,8 @@ def _rep_sql(r: int) -> str:
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
-           {", ".join(_rep_sql(r) for r in range(_BOOTSTRAP_REPS))}
+           {sql_dsum("value", 6)} AS total,
+           {_BOOT_REPS_SQL}
     FROM events
     GROUP BY event_type
     """,
@@ -1079,7 +1092,9 @@ def stats_poisson_bootstrap(spark, sf_dir):
     A/B-testing trick for confidence intervals without resampling).
     Weights come from the portable md5 uniform + an inverse-CDF
     ladder, so both engines draw the IDENTICAL 'randomness' and the
-    replicate sums verify exactly.
+    replicate sums verify exactly; the ladder text itself is generated
+    once (_pois_sql) and fed to BOTH engines, the Spark side through
+    F.expr, so the encodings cannot drift.
 
     Scale shape: one scan, one map-side-combining hash agg computing
     all {_BOOTSTRAP_REPS} replicate sums simultaneously (the weights
@@ -1089,28 +1104,9 @@ def stats_poisson_bootstrap(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        dsum(F.col("value"), 6, "total"),
     ]
     for r in range(_BOOTSTRAP_REPS):
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"#{r}"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(_U_DENOM)
-        )
-        w = F.when(u < float(_POIS_CDF[0]), 0)
-        for k in range(1, len(_POIS_CDF)):
-            w = w.when(u < float(_POIS_CDF[k]), k)
-        w = w.otherwise(5)
-        aggs.append(
-            F.sum(w.cast("decimal(10,0)") * F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias(f"rep{r}")
-        )
+        w_times_value = F.expr(f"{_pois_sql(_pois_u(r, 'spark'))} * value")
+        aggs.append(dsum(w_times_value, 6, f"rep{r}"))
     return ev.groupBy("event_type").agg(*aggs)
