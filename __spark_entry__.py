@@ -28,78 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops per
-# round. After CORRECTNESS_r05.json, 42 registered ops had never
-# received a driver row (the r5-added batch minus avro_parse, which
-# took r5's slot 50 and went green); r6 added 8 more ops
-# (quality_gopher, text_c4_clean, dsir_select, cdc_chunk,
-# text_hashing_vectorizer, quality_ccnet_bins, event_pattern_match,
-# dedup_apply_keep_best), listed at the end of this group — 50
-# never-checked ops fill the driver budget. The two ops added after
-# the head filled (sql_pipe_syntax, sql_recursive_cte) are also
-# never-checked but spill past slot 50 by necessity; they are the
-# head of the r7 ordering. Everything else follows in registration
-# order.
-_R6_UNVERIFIED = [
-    "avro_confluent_envelope",
-    "protobuf_parse",
-    "scan_delta_time_travel",
-    "sink_compact",
-    "embedding_pq",
-    "sim_pq_adc",
-    "fn_url",
-    "xml_parse",
-    "scan_xml",
-    "scan_text",
-    "scan_binaryfile",
-    "dedup_paragraph",
-    "ts_rollup_multi",
-    "knn_graph",
-    "dedup_substring_span",
-    "rollup_incremental",
-    "table_stats",
-    "dq_checks",
-    "source_python_ds",
-    "stream_python_ds",
-    "json_variant",
-    "sink_python_ds",
-    "udf_arrow",
-    "stream_transform_with_state",
-    "dataset_split",
-    "bpe_merge_step",
-    "agg_listagg",
-    "join_lateral",
-    "fn_try",
-    "fn_collate",
-    "sql_parameterized",
-    "dedup_url_canonical",
-    "agg_bitmap_native",
-    "pipeline_web_prep",
-    "attribution_last_touch",
-    "win_running_distinct",
-    "sink_vacuum",
-    "join_asof_forward",
-    "attribution_first_touch",
-    "fn_struct",
-    "udaf_arrow_grouped",
-    "fn_crypto",
-    # r6-added training-pipeline ops
-    "quality_gopher",
-    "text_c4_clean",
-    "dsir_select",
-    "cdc_chunk",
-    "text_hashing_vectorizer",
-    "quality_ccnet_bins",
-    "event_pattern_match",
-    "dedup_apply_keep_best",
-]
-
-# With 50 never-driver-checked ops the head fills the entire driver
-# budget; the oldest-green recheck resumes in r7.
-_R6_RECHECK: list[str] = []
-
-# Ops registered AFTER the r6 head filled — deterministically queued at
-# slots 51+ so the r7 reordering starts exactly here (never interleaved
-# with already-green ops by registration order).
+# round. After CORRECTNESS_r06.json every oracle-bearing op has a green
+# driver row EXCEPT the 6 late-r6 ops below (queued as _R7_SPILL in r6,
+# now promoted to slots 1-6). New r7-registered ops follow at slots 7+,
+# then the oldest-green rows (r1/r2-era, last checked 5-6 rounds ago on
+# old fixtures) fill the remaining driver budget as rechecks.
 _R7_SPILL = [
     "sql_pipe_syntax",
     "sql_recursive_cte",
@@ -109,9 +42,37 @@ _R7_SPILL = [
     "agg_percentile_disc",
 ]
 
+# Ops added during round 7 — each needs a first driver row.
+_R7_NEW: list[str] = []
+
+# Oldest-green rechecks: every op whose latest green driver row is r1,
+# then the oldest r2 rows, filling the 50-slot budget after the groups
+# above. Already green — re-verification only, so overflow past slot 50
+# is harmless.
+_R7_RECHECK = [
+    # r1-era (31 ops)
+    "agg_cube", "agg_distinct", "agg_global", "agg_grouping_sets",
+    "agg_hash", "agg_rollup", "agg_stats", "case_when",
+    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "filter_null", "filter_pred", "join_anti",
+    "join_broadcast", "join_bucketed", "join_cross", "join_full",
+    "join_inner_hash", "join_left", "join_right", "join_semi",
+    "join_theta_range", "limit_n", "multimodal_column", "project",
+    "set_intersect", "set_union", "sort_order", "topk_per_group",
+    # r2-era (28 ops)
+    "agg_bitmap_distinct", "agg_collect", "dedup_exact", "fn_conv",
+    "fn_date", "fn_hash", "fn_math", "fn_regex", "fn_string",
+    "scan_json", "scan_parquet", "set_except", "sim_ann_lsh",
+    "sim_cosine_pairs", "sim_topk_join", "sim_topk_search",
+    "text_fingerprint", "text_keyword_filter", "text_lang_id",
+    "text_normalize", "text_quality", "text_tf", "text_tfidf",
+    "text_token_count", "udf_scalar_py", "udtf_py", "win_cume",
+    "win_rank",
+]
+
 
 def _ordered_ids() -> list[str]:
-    groups = (_R6_UNVERIFIED, _R6_RECHECK, _R7_SPILL)
+    groups = (_R7_SPILL, _R7_NEW, _R7_RECHECK)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]
