@@ -47,14 +47,20 @@ def _looks_like_image(p: bytes) -> bool:
     JPEG pins 3 fixed bytes plus the full marker-class range
     0xC0-0xFE for the 4th (any JPEG's first segment marker — SOFn,
     APPn, COM, DQT... — lands there; ~2^-26 false-positive rate on
-    random bytes). Fixture payloads therefore deterministically take
-    the structural-fake path everywhere."""
+    random bytes); TIFF pins its full 4-byte header (II*\\0 / MM\\0*).
+    Fixture payloads therefore deterministically take the
+    structural-fake path everywhere. The accepted-format whitelist is
+    exactly PNG/JPEG/GIF/WEBP/TIFF; weak-magic formats (BMP's 2-byte
+    'BM') intentionally take the structural-fake path even where PIL
+    could parse them — determinism over coverage."""
     return (
         p.startswith(b"\x89PNG\r\n\x1a\n")
         or (p.startswith(b"\xff\xd8\xff") and len(p) > 3 and 0xC0 <= p[3] <= 0xFE)
         or p.startswith(b"GIF87a")
         or p.startswith(b"GIF89a")
         or (p.startswith(b"RIFF") and p[8:12] == b"WEBP")
+        or p.startswith(b"II*\x00")
+        or p.startswith(b"MM\x00*")
     )
 
 
@@ -133,9 +139,11 @@ def _resize_payload(p: bytes | None, w: int, h: int) -> bytes:
 
 def resize_media(df: DataFrame, media_col: str, id_col: str, w: int = 64, h: int = 64) -> DataFrame:
     """Arrow-batched resize stage: payload -> resized payload + dims.
-    Real codec when available (see _resize_payload); the bytes-in/
-    bytes-out plumbing (binary columns through Arrow batches) is
-    identical on both paths and exercised end-to-end."""
+    Real codec when available for the strong-magic whitelist
+    PNG/JPEG/GIF/WEBP/TIFF (see _looks_like_image; other formats take
+    the deterministic structural-fake path); the bytes-in/bytes-out
+    plumbing (binary columns through Arrow batches) is identical on
+    both paths and exercised end-to-end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,7 +169,8 @@ def resize_media(df: DataFrame, media_col: str, id_col: str, w: int = 64, h: int
 
 def extract_features(df: DataFrame, media_col: str, id_col: str, dim: int = 16) -> DataFrame:
     """Arrow-batched feature extraction: payload -> fixed-dim float
-    vector via a histogram projection. Real codec when available: a
+    vector via a histogram projection. Real codec when available
+    (PNG/JPEG/GIF/WEBP/TIFF whitelist, see _looks_like_image): a
     decodable image contributes its LUMINANCE PIXELS to the histogram
     (a real, if simple, visual feature — swap in an ONNX/torch encoder
     behind the same batch signature for production); non-decodable
@@ -266,7 +275,10 @@ def frame_sample(
 
 def decode_media(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
     """Arrow-batched decode stage: media struct -> typed features.
-    Payload bytes stay inside the executor; only small features exit."""
+    Real codec engages only for the strong-magic whitelist
+    PNG/JPEG/GIF/WEBP/TIFF (see _looks_like_image); everything else
+    takes the deterministic structural-fake path. Payload bytes stay
+    inside the executor; only small features exit."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -78,6 +78,10 @@ def qdot_arrow() -> "object":
     from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
 
     def _dot(va, vb):
+        # np.vstack([]) raises on the zero-row Arrow batch an empty
+        # partition can deliver
+        if len(va) == 0:
+            return pd.Series([], dtype=np.int64)
         a = np.vstack([np.asarray(v, dtype=np.int64) for v in va])
         b = np.vstack([np.asarray(v, dtype=np.int64) for v in vb])
         return pd.Series(np.einsum("ij,ij->i", a, b))
@@ -202,6 +206,10 @@ def _lsh_signatures(planes: list[list[int]], tables: int):
     weights = 1 << np.arange(k, dtype=np.int64)
 
     def _signatures(vs):
+        # guard the zero-row Arrow batch (empty partition): vstack([])
+        # raises ValueError
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
         m = np.vstack([np.asarray(v, dtype=np.int64) for v in vs])
         bits = (m @ mat >= 0).astype(np.int64)  # n x (tables*k)
         # bucket ids stay int64 end-to-end: lsh_bits() can return 32+

@@ -16,6 +16,7 @@ rows-only checks, since wall-clock trigger cadence is nondeterministic.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -569,7 +570,10 @@ def stream_python_ds(spark, sf_dir):
     expected = load(spark, sf_dir, "documents").count()
     # ack_dir is per-run (like the checkpoint): it persists the acked
     # frontier so a restarted reader can never regress latestOffset
-    # below what the engine committed (see pyds.py commit()).
+    # below what the engine committed (see pyds.py commit()). The drain
+    # is complete once _run_until returns (memory sink materialized),
+    # so the sidecar is removed here; repeated sweeps must not
+    # accumulate pyds_ack_* dirs in /tmp.
     ack_dir = tempfile.mkdtemp(prefix="pyds_ack_")
     stream = (
         spark.readStream.format("fixture_docs_stream")
@@ -577,7 +581,10 @@ def stream_python_ds(spark, sf_dir):
         .option("ack_dir", ack_dir)
         .load()
     )
-    return _run_until(spark, stream, min_rows=expected)
+    try:
+        return _run_until(spark, stream, min_rows=expected)
+    finally:
+        shutil.rmtree(ack_dir, ignore_errors=True)
 
 
 @query(

@@ -830,11 +830,12 @@ _DSIR_BUCKET_SQL = (
             FROM hb GROUP BY b),
     tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM cnt),
     lr AS (SELECT b,
-                  LN(((tc + 1.0) / (tt + {_DSIR_BUCKETS})) /
-                     ((rc + 1.0) / (rt + {_DSIR_BUCKETS}))) AS logratio
+                  CAST(ROUND(LN(((tc + 1.0) / (tt + {_DSIR_BUCKETS})) /
+                                ((rc + 1.0) / (rt + {_DSIR_BUCKETS}))), 6)
+                       AS DECIMAL(30,6)) AS logratio
            FROM cnt, tot),
     w AS (SELECT hb.doc_id, ANY_VALUE(hb.lang) AS lang,
-                 ROUND(AVG(lr.logratio), 6) AS weight
+                 CAST(SUM(lr.logratio) AS DOUBLE) / COUNT(*) AS weight
           FROM hb JOIN lr ON hb.b = lr.b GROUP BY hb.doc_id)
     SELECT doc_id, lang, weight FROM w
     ORDER BY weight DESC, doc_id LIMIT {_DSIR_TOPK}
@@ -887,19 +888,29 @@ def dsir_select(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("rc"),
     )
     tot = cnt.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    # per-bucket logratio is rounded to a fixed 6-dp scale BEFORE the
+    # per-doc average so the sum is an exact decimal (order-independent
+    # across Spark partial aggregation / DuckDB); the single final IEEE
+    # division sum/count is exactly specified, so no re-round after it
+    # (the quality_ccnet_bins determinism pattern)
     lr = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
-        F.log(
-            ((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_BUCKETS))
-            / ((F.col("rc") + 1.0) / (F.col("rt") + _DSIR_BUCKETS))
-        ).alias("logratio"),
+        F.round(
+            F.log(
+                ((F.col("tc") + 1.0) / (F.col("tt") + _DSIR_BUCKETS))
+                / ((F.col("rc") + 1.0) / (F.col("rt") + _DSIR_BUCKETS))
+            ),
+            6,
+        ).cast("decimal(30,6)").alias("logratio"),
     )
     w = (
         hb.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
-            F.round(F.avg("logratio"), 6).alias("weight"),
+            (
+                F.sum("logratio").cast("double") / F.count(F.lit(1))
+            ).alias("weight"),
         )
     )
     return w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(_DSIR_TOPK).select(
