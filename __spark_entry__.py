@@ -43,7 +43,10 @@ _R7_SPILL = [
 ]
 
 # Ops added during round 7 — each needs a first driver row.
-_R7_NEW: list[str] = []
+_R7_NEW: list[str] = [
+    "kafka_emulated_e2e",
+    "bpe_train",
+]
 
 # Oldest-green rechecks: every op whose latest green driver row is r1,
 # then the oldest r2 rows, filling the 50-slot budget after the groups

@@ -87,10 +87,31 @@ def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
+BUCKET_CAP = 64  # all-pairs expansion bound per LSH bucket
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """(id_a < id_b) candidate pairs sharing at least one band hash.
     Bands are exploded to (band_id, band_hash) rows; the self-join on
-    those two columns is the plain equi-join Catalyst shuffles once."""
+    those two columns is the plain equi-join Catalyst shuffles once.
+
+    Adversarial-skew bound: a boilerplate mega-cluster (10^4+ docs
+    sharing a template) collapses to ONE bucket per band, and all-pairs
+    expansion there is O(n^2) — the blowup that kills a 100 TB crawl
+    dedup. Buckets larger than ``bucket_cap`` therefore expand as a
+    STAR (every member paired with the bucket's min id) instead of
+    all-pairs: linear in bucket size, and connectivity-preserving for
+    the downstream connected-components clustering (all members still
+    reach the hub). The trade, documented: a star edge that fails the
+    exact-Jaccard verify can detach a member that some non-hub edge
+    would have kept — acceptable because an oversized bucket means
+    near-identical signatures across 8 concatenated minhashes, i.e.
+    bucket-mates are near-certain duplicates. The cap never triggers
+    on the fixtures (max observed bucket: 13 at sf0.1 vs cap 64), so
+    every oracle result is byte-identical; the bound is exercised by
+    tests/test_properties.py's mega-cluster fixture. Cost: one extra
+    hash agg on the (band_id, band_hash) key the self-join shuffles on
+    anyway."""
     r = N_PERMS // N_BANDS
     bands = F.array(
         *[
@@ -104,14 +125,23 @@ def lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
     tall = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
-    a = tall.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = tall.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (
+    stats = tall.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min(id_col).alias("bkt_min")
+    )
+    tagged = tall.join(stats, ["band_id", "band_hash"])
+    small = tagged.filter(F.col("bkt_n") <= bucket_cap)
+    a = small.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = small.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    all_pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    star_pairs = (
+        tagged.filter((F.col("bkt_n") > bucket_cap) & (F.col(id_col) != F.col("bkt_min")))
+        .select(F.col("bkt_min").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_verify(

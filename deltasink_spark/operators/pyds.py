@@ -349,3 +349,144 @@ def read_manifest_json(spark, path: str, schema: str):
         manifest = _json.load(fh)
     files = [_os.path.join(path, p) for p in manifest["parts"]]
     return spark.read.schema(schema).json(files)
+
+
+# --- Kafka-emulated stream source ----------------------------------------
+
+_KAFKA_TOPIC = "events"
+_KAFKA_NPART = 4  # emulated topic partition count (partition = event_id % 4)
+_KAFKA_OVERLAP = 50  # rows re-delivered per slice (at-least-once injection)
+
+
+class _FixtureKafkaStreamReader(DataSourceStreamReader):
+    """The events fixture served in Kafka WIRE SHAPE (key/value bytes,
+    topic, partition, offset, epoch-millis timestamp) through the
+    Python streaming DataSource — the broker stand-in that closes the
+    reference README's "stream DeltaLake tables from Kafka" loop
+    end-to-end in a broker-less environment (sources.py::kafka_source
+    is the production entry; everything downstream of the record frame
+    is identical code).
+
+    Delivery is deliberately AT-LEAST-ONCE: every partition slice
+    after the first re-delivers the previous _KAFKA_OVERLAP rows —
+    the duplicate pattern a real consumer sees after a fetch retry or
+    group rebalance — so the downstream dropDuplicatesWithinWatermark
+    stage is load-bearing, not decorative. latestOffset admits the
+    whole file in one range (availableNow on a Python DataSource
+    snapshots ONE latestOffset prefetch as the drain target, so rate
+    limiting here would strand rows; the chunked-admission variant is
+    _FixtureDocsStreamReader). The wire timestamp is epoch millis
+    (Kafka's actual record-timestamp encoding); stage 2 converts via
+    timestamp_millis()."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        self._total: int | None = None
+
+    def _rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        if self._total is None:
+            self._total = pq.ParquetFile(self.path).metadata.num_rows
+        return self._total
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": self._rows()}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_RowRange(self.path, lo, lo)]
+        step = max(1, (hi - lo + _SPLITS - 1) // _SPLITS)
+        out = []
+        for s in range(lo, hi, step):
+            # slices after the first rewind by _KAFKA_OVERLAP rows:
+            # duplicates land WITHIN the admitted batch, so exactness
+            # of the downstream dedup never depends on watermark
+            # eviction timing
+            out.append(_RowRange(self.path, max(lo, s - _KAFKA_OVERLAP) if s > lo else s, min(s + step, hi)))
+        return out
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.end <= partition.start:
+            return
+        pf = pq.ParquetFile(partition.path)
+        first = 0
+        pieces = []
+        for rg in range(pf.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            lo, hi = first, first + n
+            first = hi
+            if hi <= partition.start or lo >= partition.end:
+                continue
+            t = pf.read_row_group(rg)
+            s = max(partition.start - lo, 0)
+            e = min(partition.end, hi) - lo
+            pieces.append((lo + s, t.slice(s, e - s)))
+        for base, t in pieces:
+            ts = t.column("ts")
+            if not str(ts.type).endswith("[us]"):
+                ts = ts.cast(pa.timestamp("us"))
+            ts_us = ts.cast(pa.int64()).to_pylist()
+            eids = t.column("event_id").to_pylist()
+            uids = t.column("user_id").to_pylist()
+            etypes = t.column("event_type").to_pylist()
+            vals = t.column("value").to_pylist()
+            props = t.column("props").to_pylist()
+            values = [
+                _json.dumps(
+                    {
+                        "event_id": e,
+                        "ts_us": tu,
+                        "user_id": u,
+                        "event_type": et,
+                        "value": v,
+                        "props": p,
+                    },
+                    separators=(",", ":"),
+                ).encode()
+                for e, tu, u, et, v, p in zip(eids, ts_us, uids, etypes, vals, props)
+            ]
+            yield pa.record_batch(
+                [
+                    pa.array([str(e).encode() for e in eids], pa.binary()),
+                    pa.array(values, pa.binary()),
+                    pa.array([_KAFKA_TOPIC] * len(eids), pa.string()),
+                    pa.array([e % _KAFKA_NPART for e in eids], pa.int32()),
+                    pa.array(range(base, base + len(eids)), pa.int64()),
+                    pa.array([tu // 1000 for tu in ts_us], pa.int64()),
+                    pa.array([0] * len(eids), pa.int32()),
+                ],
+                names=[
+                    "key",
+                    "value",
+                    "topic",
+                    "partition",
+                    "offset",
+                    "timestamp",
+                    "timestampType",
+                ],
+            )
+
+
+class FixtureKafkaStreamDataSource(DataSource):
+    """``spark.readStream.format("fixture_kafka_stream")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fixture_kafka_stream"
+
+    def schema(self) -> str:
+        return (
+            "key binary, value binary, topic string, partition int, "
+            "offset bigint, timestamp bigint, timestampType int"
+        )
+
+    def streamReader(self, schema):
+        return _FixtureKafkaStreamReader(self.options)

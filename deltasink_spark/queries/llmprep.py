@@ -250,7 +250,7 @@ def dedup_cluster(spark, sf_dir):
     )
 
 
-def min_label_components(pairs):
+def min_label_components(pairs, stats: dict | None = None):
     """Connected components of an undirected pair graph via alternating
     large-star / small-star rounds (Kiveris et al. 2014, "Connected
     Components in MapReduce and Beyond"). Returns (doc_id, cluster_id)
@@ -263,19 +263,38 @@ def min_label_components(pairs):
     pathological chains, instead of O(diameter). Rounds are
     localCheckpoint'd to keep lineage flat; the per-round convergence
     check is a scalar count, never a collect of data."""
+    # EAGER checkpoint: the incoming pair plan may itself contain a
+    # union (capped-LSH star pairs); stacking the star rounds' own
+    # unions on top of it trips Spark 4.1's PruneFilters on a
+    # filter-over-nested-union ("key not found: u#..."), and lineage
+    # must be cut here anyway before the O(log n) iteration.
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
+
+    def fresh(e):
+        # projection with NEW exprIds for every column: union children
+        # that share attribute ids (both derived from the same
+        # checkpointed edge list) trip Spark 4.1's constraint rewrite
+        # inside PruneFilters with "key not found: u#..." when the
+        # inputs are non-nullable (nullable parquet lineage never hits
+        # it). An Alias always mints a fresh id, so this one zero-cost
+        # projection per union side sidesteps the bug for any caller.
+        return e.select(F.col("u").alias("u"), F.col("v").alias("v"))
 
     def large_star(e):
         # Symmetric adjacency; every node links its LARGER neighbors to
         # the min of its closed neighborhood.
-        adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        adj = fresh(e).unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # the grouping key is referenced directly (not F.first("u")):
+        # first() over a union-shaped child trips a Catalyst rewrite
+        # ("key not found: u#...") on Spark 4.1 plans where the edge
+        # list is itself a union (e.g. capped-LSH star pairs)
         mins = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+            F.least(F.min("v"), F.col("u")).alias("m")
         )
         return (
             adj.join(mins, "u")
@@ -295,12 +314,14 @@ def min_label_components(pairs):
         relink = ori.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
         selfl = mins.select("u", F.col("m").alias("v"))
         return (
-            relink.unionByName(selfl)
+            fresh(relink).unionByName(fresh(selfl))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
+    rounds = 0
     for _ in range(24):  # O(log n) bound; fixture graphs converge in 2-3
+        rounds += 1
         nxt = small_star(large_star(edges)).localCheckpoint(eager=False)
         # Converged when the edge set is a fixed point (a forest of
         # stars centered on component minima). Both sides are distinct
@@ -309,8 +330,8 @@ def min_label_components(pairs):
         # per round (vs two exceptAll().count() jobs), and limit(1)
         # lets it stop at the first difference.
         changed = (
-            nxt.select("u", "v", F.lit(1).alias("w"))
-            .unionByName(edges.select("u", "v", F.lit(-1).alias("w")))
+            fresh(nxt).select("u", "v", F.lit(1).alias("w"))
+            .unionByName(fresh(edges).select("u", "v", F.lit(-1).alias("w")))
             .groupBy("u", "v")
             .agg(F.sum("w").alias("w"))
             .filter(F.col("w") != 0)
@@ -320,13 +341,15 @@ def min_label_components(pairs):
         edges = nxt
         if changed == 0:
             break
+    if stats is not None:  # test instrumentation (round-count bound)
+        stats["rounds"] = rounds
     # In the star fixed point every non-center node has an edge to its
     # component min; centers label themselves.
     adj = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return adj.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+        F.least(F.min("v"), F.col("u")).alias("cluster_id")
     ).select(F.col("u").alias("doc_id"), "cluster_id")
 
 

@@ -22,6 +22,7 @@ through the file/rate sources.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -460,4 +461,74 @@ def sink_vacuum(spark, sf_dir):
     removed = sink.vacuum(retain_versions=0)
     assert removed == 6, f"expected 6 superseded dirs removed, got {removed}"
     assert sink.write_batch(ev.limit(1), 2) is False  # replay stays no-op
+    return sink.read_committed(spark)
+
+
+@query(
+    "kafka_emulated_e2e",
+    oracle="""SELECT event_id, user_id, event_type, value, props,
+                     'events' AS topic, CAST(event_id % 4 AS INT) AS part
+              FROM events""",
+)
+def kafka_emulated_e2e(spark, sf_dir):
+    """The reference README's lifecycle ("Stream DeltaLake tables from
+    Kafka", reference README.md:2) end-to-end in one oracle-checked op:
+    a broker-emulating Python streaming DataSource serves the events
+    fixture in Kafka WIRE SHAPE (key/value bytes, topic, partition,
+    offset, epoch-millis timestamp; pyds.py::_FixtureKafkaStreamReader)
+    with deliberately AT-LEAST-ONCE delivery (each partition slice
+    re-delivers the previous 50 rows — the fetch-retry/rebalance
+    duplicate pattern), then the stage-2 pipeline: from_json payload
+    deserialize -> Kafka meta columns -> watermarked
+    dropDuplicatesWithinWatermark(event_id) -> exactly-once ledgered
+    txn sink, drained with availableNow and run TWICE (second run =
+    checkpoint recovery replay). The committed table must equal the
+    events table EXACTLY: wire duplicates removed by the dedup state,
+    replay duplicates removed by the sink ledger, no row lost.
+
+    Scale shape: the source partitions the offset range (executor-side
+    Arrow batches, no driver ferrying); dedup is one hash exchange on
+    event_id with watermark-bounded state; the sink appends
+    uniquely-named parts and serializes only the ledger append —
+    against a real broker, sources.py::kafka_source swaps in and every
+    downstream stage is unchanged."""
+    from deltasink_spark.operators.pyds import FixtureKafkaStreamDataSource
+
+    spark.dataSource.register(FixtureKafkaStreamDataSource)
+    base = tempfile.mkdtemp(prefix="ds_kafka_e2e_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="kafka_emulated_e2e")
+    payload_schema = (
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    for _ in range(2):  # initial run + recovery replay from checkpoint
+        rec = (
+            spark.readStream.format("fixture_kafka_stream")
+            .option("path", os.path.join(sf_dir, "events.parquet"))
+            .load()
+        )
+        parsed = rec.select(
+            F.from_json(F.col("value").cast("string"), payload_schema).alias("r"),
+            F.col("topic"),
+            F.col("partition").alias("part"),
+            F.timestamp_millis(F.col("timestamp")).alias("kts"),
+        ).select(
+            "r.event_id", "r.user_id", "r.event_type", "r.value", "r.props",
+            "topic", "part", "kts",
+        )
+        # wire duplicates arrive within the same admitted batch, so
+        # exactness never depends on eviction timing; the 30-day delay
+        # just keeps the state-cleanup semantics visible in the plan
+        deduped = (
+            parsed.withWatermark("kts", "30 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .drop("kts")
+        )
+        q = (
+            deduped.writeStream.foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink.read_committed(spark)

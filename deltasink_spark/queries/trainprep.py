@@ -1137,3 +1137,193 @@ def quality_ccnet_bins(spark, sf_dir):
         .otherwise("tail")
         .alias("bin"),
     )
+
+
+# --- bpe_train / tokenizer_encode: K-step BPE training + encoding --------
+
+_BPE_STEPS = 8
+
+
+def _bpe_chain_sql() -> str:
+    """DuckDB CTE chain replaying K bpe_merge_step iterations: each step
+    is the identical block (pair count over the current vocabulary ->
+    deterministic top-1 -> string-replace merge), chained s0..sK, with
+    per-step o{k} merge-record CTEs."""
+    blocks = [
+        """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM w
+           WHERE word <> '' GROUP BY word),
+    s0 AS (SELECT word, wf, array_to_string(string_split(word, ''), ' ') AS sym
+           FROM wf)"""
+    ]
+    for k in range(1, _BPE_STEPS + 1):
+        j = k - 1
+        blocks.append(f"""
+    ch{k} AS (SELECT wf, string_split(sym, ' ') AS l FROM s{j}),
+    p{k} AS (SELECT l[u.i] || ' ' || l[u.i + 1] AS pair, wf
+             FROM ch{k}, UNNEST(range(1, len(l))) AS u(i)),
+    pc{k} AS (SELECT pair, SUM(wf) AS cnt FROM p{k} GROUP BY pair),
+    top{k} AS (SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+               FROM pc{k} ORDER BY cnt DESC, pair LIMIT 1),
+    m{k} AS (SELECT s{j}.word, s{j}.wf, top{k}.pair, top{k}.pair_count,
+                    replace(s{j}.sym, top{k}.pair,
+                            replace(top{k}.pair, ' ', '')) AS new_sym,
+                    s{j}.sym AS sym
+             FROM s{j}, top{k}),
+    o{k} AS (SELECT CAST({k} AS BIGINT) AS step, pair AS merged_pair, pair_count,
+                    CAST(SUM(CASE WHEN new_sym <> sym THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_affected
+             FROM m{k} GROUP BY pair, pair_count),
+    s{k} AS (SELECT word, wf, new_sym AS sym FROM m{k})""")
+    return ",".join(blocks)
+
+
+def _bpe_train_oracle() -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM o{k}" for k in range(1, _BPE_STEPS + 1))
+    return _bpe_chain_sql() + f" SELECT * FROM ({union}) ORDER BY step"
+
+
+def _bpe_iterate(spark, sf_dir):
+    """Run the K merge iterations; returns (per-step merge-record
+    frames, final vocabulary frame (word, wf, sym)). Each iteration's
+    vocab is localCheckpoint'd eagerly — the standard Spark iterative
+    -algorithm move (cf. graph_pagerank) that truncates lineage so
+    step K's plan does not re-derive steps 1..K-1 exponentially; the
+    checkpointed frame is vocabulary-sized (distinct words), orders of
+    magnitude below corpus size at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+        .select(
+            "word", "wf", F.array_join(F.split(F.col("word"), ""), " ").alias("sym")
+        )
+        .localCheckpoint()
+    )
+    step_rows = []
+    for k in range(1, _BPE_STEPS + 1):
+        syms = F.split(F.col("sym"), " ")
+        pairs = vocab.select(
+            "wf",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        merged = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "wf",
+                "merged_pair",
+                "pair_count",
+                F.replace(
+                    F.col("sym"),
+                    F.col("merged_pair"),
+                    F.replace(F.col("merged_pair"), F.lit(" "), F.lit("")),
+                ).alias("new_sym"),
+                "sym",
+            )
+            .localCheckpoint()
+        )
+        step_rows.append(
+            merged.groupBy("merged_pair", "pair_count")
+            .agg(
+                F.sum(
+                    F.when(F.col("new_sym") != F.col("sym"), 1).otherwise(0)
+                ).cast("long").alias("n_affected")
+            )
+            .select(
+                F.lit(k).cast("long").alias("step"),
+                "merged_pair",
+                "pair_count",
+                "n_affected",
+            )
+        )
+        vocab = merged.select("word", "wf", F.col("new_sym").alias("sym"))
+    return step_rows, vocab
+
+
+@query("bpe_train", oracle=_bpe_train_oracle())
+def bpe_train(spark, sf_dir):
+    """Multi-step BPE tokenizer training (Sennrich et al. 2016): K=8
+    merge iterations of bpe_merge_step's distributed algebra — the
+    loop a tokenizer trainer actually runs (to ~50k for a production
+    vocab). Emits the ordered merge table (step, merged_pair,
+    pair_count, n_affected), i.e. the artifact that IS a trained BPE
+    tokenizer. Iteration mechanics + scale shape: see _bpe_iterate.
+
+    Merge semantics note: like bpe_merge_step, the merge is plain
+    left-to-right non-overlapping replace() on the space-joined symbol
+    string — exact greedy BPE while symbols are single characters
+    (proven in tests/test_hypothesis.py), and deliberately
+    engine-identical (Spark replace == DuckDB replace) in the
+    multi-char-symbol steps where textbook BPE would need
+    token-boundary-aware matching; both engines replay byte-identical
+    merges, so the oracle is exact."""
+    step_rows, _ = _bpe_iterate(spark, sf_dir)
+    out = step_rows[0]
+    for r in step_rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+@query(
+    "tokenizer_encode",
+    oracle=_bpe_chain_sql() + f""",
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+    wl AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_syms
+           FROM s{_BPE_STEPS})
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM tok t JOIN wl USING (word)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def tokenizer_encode(spark, sf_dir):
+    """ENCODE with the trained tokenizer: apply the K-merge BPE
+    vocabulary from _bpe_iterate to every document and emit per-doc
+    token accounting (words in, BPE tokens out) — the token-budget
+    measurement a pretraining pipeline runs over the whole corpus
+    after training the tokenizer (bpe_train is the train half; this is
+    the apply half).
+
+    Scale shape: encoding is a plain equi-join of the exploded token
+    stream against the vocabulary's per-word symbol counts (the vocab
+    is |distinct words|-sized — broadcastable in practice, and a
+    hash-partitioned equi-join at worst) followed by one combining
+    per-doc hash agg; the corpus is touched exactly once."""
+    _, vocab = _bpe_iterate(spark, sf_dir)
+    wl = vocab.select(
+        "word", F.size(F.split(F.col("sym"), " ")).cast("long").alias("n_syms")
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -702,3 +702,17 @@ def test_percentile_disc_broadcast_counts(spark, sf_small):
     p = plan(q("agg_percentile_disc", spark, sf_small))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_train_iterations_checkpoint_lineage(spark, sf_small):
+    """Each of the K merge iterations must broadcast its 1-row winner
+    (never a shuffle/cartesian of the vocab against it), and the final
+    plan must NOT contain the full K-deep recomputation tree — the
+    per-step localCheckpoint truncates lineage, so the union of step
+    rows scans checkpointed RDDs instead of re-deriving the corpus
+    K times."""
+    p = plan(q("bpe_train", spark, sf_small))
+    assert "CartesianProduct" not in p
+    # lineage truncation: the plan reads checkpointed step frames, not
+    # the documents parquet K times over
+    assert p.count("Scan parquet") <= 1, p.count("Scan parquet")

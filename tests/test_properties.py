@@ -373,3 +373,58 @@ def test_multimodal_codec_gating_deterministic_fallback():
         buf = io.BytesIO()
         im.save(buf, format="PNG")
         assert mm._fake_decode(buf.getvalue()) == (20, 10, True)
+
+
+def test_megacluster_skew_candidates_linear_and_log_rounds(spark, sf_small):
+    """Adversarial-skew proof for the dedup stack: 10^4 documents
+    sharing one boilerplate template (the pathological crawl cluster).
+    Without the LSH bucket cap the band self-join would expand this to
+    ~N^2/2 = 5*10^7 candidate pairs; with star-expansion
+    (minhash.py::lsh_candidates) the candidate count must stay LINEAR
+    in N, the component clustering must still connect the whole
+    cluster, and the alternating-star rounds must stay within the
+    O(log2 n) bound. The 100 TB claims rest on exactly these three
+    bounds — clean-ish fixture distributions never exercise them."""
+    import math
+
+    from deltasink_spark.operators.minhash import (
+        lsh_candidates,
+        minhash_signatures,
+        shingle_table,
+    )
+    from deltasink_spark.queries.llmprep import min_label_components
+
+    n = 10_000
+    template = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " tail"), (F.col("id") % 5).cast("string")).alias(
+            "text"
+        ),
+    )
+    sh = shingle_table(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    cand = lsh_candidates(minhash_signatures(sh, "doc_id"), "doc_id")
+    n_cand = cand.count()
+    # (a) linear bound: star edges per oversized bucket ~= N per band;
+    # 8 bands + small-bucket all-pairs slack => well under 32*N, and
+    # catastrophically under the ~5e7 all-pairs blowup
+    assert n_cand <= 32 * n, f"candidate blowup: {n_cand}"
+    assert n_cand >= n - 5  # the cluster is still fully covered
+    # (b) one component, log-bounded rounds
+    stats: dict = {}
+    comp = min_label_components(cand, stats=stats)
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.count() == n
+    assert stats["rounds"] <= math.log2(n) + 4, stats
+    # (c) the keeper stage stays a hash agg (never a per-cluster
+    # window, which would sort the mega-cluster on one task)
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["dedup_apply_keep_best"](spark, sf_small))
+    assert "Window" not in p
+    # MAX(struct) keeper compiles to SortAggregate (struct ordering is
+    # not hash-aggregable) — still a combining agg, never a window
+    assert "Aggregate" in p
