@@ -46,6 +46,12 @@ _R7_SPILL = [
 _R7_NEW: list[str] = [
     "kafka_emulated_e2e",
     "bpe_train",
+    "tokenizer_encode",
+    "join_asof_nearest",
+    "sql_udf",
+    "dq_drift_psi",
+    "agg_regression",
+    "sample_weighted",
 ]
 
 # Oldest-green rechecks: every op whose latest green driver row is r1,

@@ -124,6 +124,20 @@ R6OPS = [
     "agg_percentile_disc",   # type-1 order statistics
 ]
 
+# r7 additions — own group (first recording becomes the r8 baseline).
+# kafka_emulated_e2e is a streaming sink fixture (the sink_delta_*
+# cost class the bench has never timed) and is excluded per the r5
+# group note.
+R7OPS = [
+    "bpe_train",             # K=8 BPE merge iterations (training loop)
+    "tokenizer_encode",      # corpus encode with the trained vocab
+    "join_asof_nearest",     # nearest-direction as-of (two-window pick)
+    "sql_udf",               # inlined SQL-defined scalar functions
+    "dq_drift_psi",          # PSI distribution-drift monitor
+    "agg_regression",        # regr_slope/intercept/r2 from exact moments
+    "sample_weighted",       # A-Res weighted top-K sample
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,7 +150,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -201,6 +215,9 @@ def main() -> None:
         ),
         "r6ops": round(
             sum(t for op, t in timings.items() if op in R6OPS), 4
+        ),
+        "r7ops": round(
+            sum(t for op, t in timings.items() if op in R7OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -601,3 +601,65 @@ def agg_percentile_disc(spark, sf_dir):
             F.when(F.col("rnk") == F.ceil(F.col("n") * p).cast("bigint"), F.col("l_quantity"))
         ).alias(name)
     return r.groupBy("l_returnflag").agg(at(0.25, "p25"), at(0.50, "p50"), at(0.75, "p75"))
+
+
+@query(
+    "agg_regression",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_quantity AS {_D})) AS sx,
+               SUM(CAST(l_extendedprice AS {_D})) AS sy,
+               SUM(CAST(l_quantity AS {_D}) * CAST(l_quantity AS {_D})) AS sxx,
+               SUM(CAST(l_extendedprice AS {_D}) * CAST(l_extendedprice AS {_D})) AS syy,
+               SUM(CAST(l_quantity AS {_D}) * CAST(l_extendedprice AS {_D})) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / n, 6) AS intercept,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Linear-regression aggregate family (REGR_SLOPE / REGR_INTERCEPT
+    / r^2) per group, WITHOUT the builtin regr_* functions — like
+    agg_corr, the builtins accumulate IEEE doubles whose low bits
+    depend on partition merge order. The five raw moments sum in exact
+    DECIMAL (associative, order-insensitive); slope, intercept and r^2
+    are assembled from them in deterministic double expressions. One
+    map-side-combining hash agg — the same cost as the builtin at any
+    scale."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_D.lower())
+    y = F.col("l_extendedprice").cast(_D.lower())
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )

@@ -624,3 +624,76 @@ def join_asof_tolerance(spark, sf_dir):
         F.when(within, F.col("o_orderkey")).alias("asof_orderkey"),
         F.when(within, F.col("o_orderdate")).alias("asof_orderdate"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS nearest_orderkey,
+           o.o_orderdate AS nearest_orderdate
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC,
+                 (o.o_orderdate > e.ts) ASC,
+                 CASE WHEN o.o_orderdate <= e.ts THEN -o_orderkey
+                      ELSE o_orderkey END ASC
+        LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    each event gets the user's order closest in time, either side.
+    Composed from the two shuffle-once as-of primitives — backward
+    (operators/asof.py::asof_join) then forward (asof_join_forward,
+    which carries the backward payload through as plain left columns)
+    — followed by a codegen nearest-pick: min |ts delta| in exact
+    epoch MICROseconds, ties preferring the backward match, then the
+    per-side deterministic key tie-break each primitive already
+    guarantees (backward: greatest key; forward: smallest key). Two
+    shuffles on the join key total, zero pair explosion — the naive
+    inequality-join form would materialize every (event, order) pair
+    per user before ranking."""
+    from deltasink_spark.operators.asof import asof_join, asof_join_forward
+
+    ev = load(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    b = asof_join(
+        ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"], tiebreak="o_orderkey",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("bk_key"),
+        F.col("o_orderdate").alias("bk_date"),
+    )
+    both = asof_join_forward(
+        b, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"], tiebreak="o_orderkey",
+    ).select(
+        "event_id", "user_id", "ts", "bk_key", "bk_date",
+        F.col("o_orderkey").alias("fw_key"),
+        F.col("o_orderdate").alias("fw_date"),
+    )
+    # fixture dates load as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP
+    # (session TZ is pinned UTC, so the cast is value-preserving)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d_b = us("ts") - us("bk_date")
+    d_f = us("fw_date") - us("ts")
+    take_backward = F.col("bk_date").isNotNull() & (
+        F.col("fw_date").isNull() | (d_b <= d_f)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_backward, F.col("bk_key"))
+        .otherwise(F.col("fw_key"))
+        .alias("nearest_orderkey"),
+        F.when(take_backward, F.col("bk_date"))
+        .otherwise(F.col("fw_date"))
+        .alias("nearest_orderdate"),
+    )

@@ -295,3 +295,112 @@ def quality_gopher(spark, sf_dir):
         pass_rep.alias("pass_rep"),
         (pass_words & pass_wlen & pass_stop & pass_rep).alias("pass_all"),
     )
+
+
+# --- dq_drift_psi: distribution-drift monitor ----------------------------
+
+_PSI_BINS = 10
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH split AS (
+        SELECT event_type, value,
+               (event_id % 2 = 0) AS is_ref
+        FROM events),
+    rng AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM split WHERE is_ref GROUP BY event_type),
+    binned AS (
+        SELECT s.event_type, s.is_ref,
+               LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
+                   (s.value - r.lo) / ((r.hi - r.lo) / {_PSI_BINS}.0)
+               ) AS BIGINT))) AS bin
+        FROM split s JOIN rng r USING (event_type)),
+    cnt AS (
+        SELECT event_type, bin,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY event_type, bin),
+    tot AS (
+        SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+        FROM cnt GROUP BY event_type),
+    terms AS (
+        SELECT c.event_type,
+               CAST(ROUND(
+                   ((c.n_ref + 0.5) / (t.t_ref + {_PSI_BINS * 0.5})
+                    - (c.n_cur + 0.5) / (t.t_cur + {_PSI_BINS * 0.5}))
+                   * LN(((c.n_ref + 0.5) / (t.t_ref + {_PSI_BINS * 0.5}))
+                        / ((c.n_cur + 0.5) / (t.t_cur + {_PSI_BINS * 0.5}))),
+                   6) AS DECIMAL(30,6)) AS term,
+               t.t_ref, t.t_cur
+        FROM cnt c JOIN tot t USING (event_type))
+    SELECT event_type,
+           CAST(SUM(term) AS DOUBLE) AS psi,
+           CAST(ANY_VALUE(t_ref) AS BIGINT) AS n_ref,
+           CAST(ANY_VALUE(t_cur) AS BIGINT) AS n_cur
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Population Stability Index drift monitor per series: split the
+    events feed into a reference and a current population (even/odd
+    event_id — the stand-in for yesterday-vs-today), bin `value` into
+    {_PSI_BINS} equal-width bins over the REFERENCE range, and compute
+    PSI = sum((p - q) * ln(p / q)) with add-0.5 smoothing — the
+    standard feature-drift gate in front of a training pipeline
+    (PSI > 0.2 = investigate, > 0.25 = block).
+
+    Determinism: bin edges derive from exact MIN/MAX doubles with one
+    IEEE division; per-bin PSI terms are IEEE-computed from exact
+    integer counts, rounded to 6 dp BEFORE the exact decimal sum
+    (the quality_ccnet_bins pattern), so partial-agg order cannot
+    flip a ulp. Scale shape: two combining hash aggs over the feed +
+    a {_PSI_BINS}-row-per-series broadcastable stats frame — scan
+    -bound at 100 TB."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2 == 0).alias("is_ref")
+    )
+    rng = (
+        e.filter(F.col("is_ref"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_PSI_BINS)
+    binned = e.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+            ),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("n_cur"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    sm = _PSI_BINS * 0.5
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + sm)
+    q_ = (F.col("n_cur") + 0.5) / (F.col("t_cur") + sm)
+    terms = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.round((p - q_) * F.log(p / q_), 6).cast("decimal(30,6)").alias("term"),
+        "t_ref",
+        "t_cur",
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("term").cast("double").alias("psi"),
+            F.first("t_ref").cast("bigint").alias("n_ref"),
+            F.first("t_cur").cast("bigint").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )

@@ -546,3 +546,45 @@ def sql_recursive_cte(spark, sf_dir):
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1.0 -
+                 CASE WHEN l_discount < 0.0 THEN 0.0
+                      WHEN l_discount > 0.08 THEN 0.08
+                      ELSE l_discount END), 4) AS eff_price
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def sql_udf(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ...
+    RETURNS ... RETURN <expr>`, SPARK-44747) — the UDF surface where
+    the body is pure SQL, so Catalyst INLINES it into the calling plan:
+    no Python worker, no serialization boundary, full whole-stage
+    codegen and predicate pushdown — the polar opposite of the
+    udf_scalar_py slow path, and the form a SQL-first team should
+    reach for first. Two functions are created, one calling the other,
+    proving nested inlining; the oracle is the hand-inlined expression
+    (DuckDB's CREATE MACRO is the same concept but the oracle must be
+    a single SELECT).
+
+    Scale: indistinguishable from writing the expression inline —
+    zero per-row overhead at any corpus size."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ds_clamp_disc(d DOUBLE) "
+        "RETURNS DOUBLE RETURN CASE WHEN d < 0.0 THEN 0.0 "
+        "WHEN d > 0.08 THEN 0.08 ELSE d END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ds_eff_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN ROUND(p * (1.0 - ds_clamp_disc(d)), 4)"
+    )
+    return spark.sql(
+        "SELECT l_orderkey, l_linenumber, "
+        "ds_eff_price(l_extendedprice, l_discount) AS eff_price "
+        "FROM v_sqludf_lineitem WHERE l_orderkey < 2000"
+    )

@@ -1327,3 +1327,53 @@ def tokenizer_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- sample_weighted: deterministic weighted sample (A-Res keys) ---------
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 6) AS wkey
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars, wkey FROM keyed
+    ORDER BY wkey DESC, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sample without replacement via Efraimidis-Spirakis
+    A-Res keys: every doc draws u = md5-uniform(doc_id) in (0,1) and
+    ranks by u^(1/w) with weight w = n_chars — keep the top-K. The
+    log-domain key ln(u)/w is the same ordering (monotone transform)
+    without the pow underflow for huge weights. This is how a 100 TB
+    pipeline takes "1M docs sampled proportional to length/quality
+    score" in ONE pass: per-partition top-K heaps merged by the driver
+    (TakeOrderedAndProject), no RNG state, no shuffle of the data, and
+    the identical sample whatever the partitioning or engine — the
+    weighted complement of sample_bottom_k. A-Res keys also compose:
+    the union of two tables' samples re-truncated is the sample of the
+    union, which true weighted reservoirs need auxiliary state for.
+
+    Determinism: u is the exact md5 32-bit bucket (+0.5 to stay inside
+    the open interval) over 2^32; LN and the IEEE division are
+    deterministic; keys round to 6 dp with a doc_id tie-break before
+    the top-K cut."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4294967296.0
+    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "source", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )

@@ -716,3 +716,58 @@ def test_bpe_train_iterations_checkpoint_lineage(spark, sf_small):
     # lineage truncation: the plan reads checkpointed step frames, not
     # the documents parquet K times over
     assert p.count("Scan parquet") <= 1, p.count("Scan parquet")
+
+
+def test_tokenizer_encode_is_equijoin_plus_agg(spark, sf_small):
+    """Encoding must be an equi-join of the token stream against the
+    vocabulary plus one combining hash agg — no window, no cartesian."""
+    p = plan(q("tokenizer_encode", spark, sf_small))
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_join_asof_nearest_no_pair_explosion(spark, sf_small):
+    """Nearest as-of composes the two union+window primitives: two
+    windows, zero inequality joins, zero cartesian."""
+    p = plan(q("join_asof_nearest", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # formatted plans list each node in the tree AND the detail
+    # section, so count the "(n) Window" node headers
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+
+
+def test_sql_udf_inlines_no_python_eval(spark, sf_small):
+    """SQL-defined functions must inline into the calling plan: no
+    BatchEvalPython / ArrowEvalPython node, pushdown intact."""
+    p = plan(q("sql_udf", spark, sf_small))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "PushedFilters" in p
+
+
+def test_dq_drift_psi_two_hash_aggs_broadcast_stats(spark, sf_small):
+    """The drift monitor must be combining hash aggs + broadcast stats
+    frames — no window, no cartesian, no sort-based shuffle of the
+    feed."""
+    p = plan(q("dq_drift_psi", spark, sf_small))
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_agg_regression_single_hash_agg(spark, sf_small):
+    """The regression moments must be ONE map-side-combining hash agg
+    (partial + final), no window, no join."""
+    p = plan(q("agg_regression", spark, sf_small))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_sample_weighted_is_distributed_topk(spark, sf_small):
+    """Weighted sampling must plan per-partition heaps merged on the
+    driver (TakeOrderedAndProject) — never a global sort."""
+    p = plan(q("sample_weighted", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p

@@ -201,7 +201,7 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert committed.select("event_id").distinct().count() == 25
 
 
-def _poll_progress(q, max_seconds: float, min_batches: int, min_rows: int):
+def _poll_progress(q, max_seconds: float, min_batches: int, min_rows: int, require_state: bool = True):
     """Poll a streaming query's lastProgress once a second, DEDUPED BY
     batchId — a batch slower than the poll interval would otherwise be
     returned (and counted) twice, inflating throughput and letting the
@@ -213,7 +213,7 @@ def _poll_progress(q, max_seconds: float, min_batches: int, min_rows: int):
     while time.time() < t0 + max_seconds:
         time.sleep(1.0)
         p = q.lastProgress
-        if p and p.get("stateOperators") and p["batchId"] not in seen:
+        if p and (p.get("stateOperators") or not require_state) and p["batchId"] not in seen:
             seen.add(p["batchId"])
             progresses.append(p)
         rows_in = sum(pr["numInputRows"] for pr in progresses)
@@ -918,3 +918,85 @@ def test_kafka_e2e_wire_duplicates_removed_and_replay_noop(spark, tmp_path):
     assert sink.read_committed(spark).select("event_id").distinct().count() == expected
     # replay added no ledger entries beyond run 1's batches re-checked as no-ops
     assert n_batches_run1 >= 1
+
+
+def test_upsert_merge_throughput_and_bounded_target(spark, tmp_path):
+    """BASELINE.md upsert-path throughput: a foreachBatch MERGE-shaped
+    upsert (anti-join existing keys + union + atomic overwrite — the
+    delta-less DeltaTable.merge emulation sink_delta_upsert uses)
+    driven by a sustained rate source over a bounded key space. The
+    target table must stay AT the key-space size (upserts replace,
+    never append-duplicate), and the sustained merge throughput is the
+    recorded rows/s figure."""
+    from deltasink_spark.sources import rate_source
+
+    keyspace = 5_000
+    target = str(tmp_path / "target")
+    tmp = str(tmp_path / "tmp")
+    # seed the target so every batch takes the uniform merge path
+    # (a 0-row seed writes no part files and breaks schema inference)
+    spark.range(1).select(
+        F.col("id").alias("user_id"), F.lit(0.0).alias("value")
+    ).write.mode("overwrite").parquet(target)
+
+    def merge_batch(df, bid):
+        # latest value per key within the batch
+        batch = df.groupBy("user_id").agg(F.max("value").alias("value"))
+        sess = df.sparkSession
+        existing = sess.read.parquet(target)
+        merged = existing.join(batch, "user_id", "left_anti").unionByName(batch)
+        merged.write.mode("overwrite").parquet(tmp)
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(target)
+
+    keyed = rate_source(spark, rows_per_second=20_000).select(
+        (F.col("value") % keyspace).alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        keyed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        progresses, elapsed = _poll_progress(
+            q, 30, min_batches=8, min_rows=200_000, require_state=False
+        )
+        rows_in = sum(pr["numInputRows"] for pr in progresses)
+        throughput = rows_in / elapsed
+        print(f"upsert merge throughput: {throughput:.0f} rows/s over {elapsed:.1f}s")
+        assert throughput >= 2_000, f"sustained only {throughput:.0f} rows/s"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    n = spark.read.parquet(target).count()
+    assert n <= keyspace, f"upsert target grew past the key space: {n}"
+    assert spark.read.parquet(target).select("user_id").distinct().count() == n
+
+
+def test_upsert_100_batches_no_growth(spark, tmp_path):
+    """100 consecutive MERGE upserts of rotating key slices: once the
+    key space is saturated the target row count must be EXACTLY flat —
+    re-upserting a key replaces its row, the no-state-growth invariant
+    of the upsert path (the streaming foreachBatch applies this same
+    merge per micro-batch)."""
+    keyspace = 1_000
+    target = str(tmp_path / "target")
+    tmp = str(tmp_path / "tmp")
+    base = spark.range(keyspace).select(
+        F.col("id").alias("user_id"), F.lit(0.0).alias("value")
+    )
+    base.write.mode("overwrite").parquet(target)
+    counts = []
+    for b in range(100):
+        batch = spark.range(b * 10, b * 10 + 50).select(
+            (F.col("id") % keyspace).alias("user_id"),
+            F.lit(float(b)).alias("value"),
+        ).groupBy("user_id").agg(F.max("value").alias("value"))
+        existing = spark.read.parquet(target)
+        merged = existing.join(batch, "user_id", "left_anti").unionByName(batch)
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
+        if b % 10 == 9:
+            counts.append(spark.read.parquet(target).count())
+    assert counts == [keyspace] * len(counts), counts
