@@ -52,6 +52,8 @@ _R7_NEW: list[str] = [
     "dq_drift_psi",
     "agg_regression",
     "sample_weighted",
+    "scan_csv_malformed",
+    "minhash_union",
 ]
 
 # Oldest-green rechecks: every op whose latest green driver row is r1,

@@ -136,6 +136,8 @@ R7OPS = [
     "dq_drift_psi",          # PSI distribution-drift monitor
     "agg_regression",        # regr_slope/intercept/r2 from exact moments
     "sample_weighted",       # A-Res weighted top-K sample
+    "minhash_union",         # mergeable MinHash sketch build + union
+    "scan_csv_malformed",    # PERMISSIVE corrupt-record CSV scan
 ]
 
 

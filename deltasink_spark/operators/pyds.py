@@ -112,6 +112,37 @@ class _RowRange(InputPartition):
         self.end = end
 
 
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _row_group_slices(path: str, start: int, end: int, columns=None):
+    """Yield (absolute_base_row, pyarrow.Table slice) pairs covering the
+    row range [start, end) — mapping the range onto row groups via
+    footer metadata and reading ONLY the overlapping groups. Shared by
+    every streaming reader here: reading the whole file per partition
+    would cost _SPLITS full-table scans per micro-batch (the
+    amplification the batch reader's read_row_group shape avoids)."""
+    import pyarrow.parquet as pq
+
+    if end <= start:
+        return
+    pf = pq.ParquetFile(path)
+    first = 0
+    for rg in range(pf.num_row_groups):
+        n = pf.metadata.row_group(rg).num_rows
+        lo, hi = first, first + n
+        first = hi
+        if hi <= start or lo >= end:
+            continue
+        t = pf.read_row_group(rg, columns=columns)
+        s = max(start - lo, 0)
+        e = min(end, hi) - lo
+        yield lo + s, t.slice(s, e - s)
+
+
 class _FixtureDocsStreamReader(DataSourceStreamReader):
     """Offset-tracked streaming read over a fixture file standing in
     for any offset-addressable system (a Kafka topic, a cursorable
@@ -150,10 +181,8 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
         return 0
 
     def _rows(self) -> int:
-        import pyarrow.parquet as pq
-
         if self._total is None:
-            self._total = pq.ParquetFile(self.path).metadata.num_rows
+            self._total = _parquet_row_count(self.path)
         return self._total
 
     def initialOffset(self) -> dict:
@@ -188,29 +217,9 @@ class _FixtureDocsStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
-        import pyarrow.parquet as pq
-
-        if partition.end <= partition.start:
-            return
-        # Map the row range onto row groups via footer metadata and
-        # read ONLY the overlapping groups — reading the whole file
-        # per partition would cost _SPLITS full-table scans per
-        # micro-batch (the amplification the batch reader's
-        # read_row_group shape already avoids).
-        pf = pq.ParquetFile(partition.path)
-        first = 0
-        pieces = []
-        for rg in range(pf.num_row_groups):
-            n = pf.metadata.row_group(rg).num_rows
-            lo, hi = first, first + n
-            first = hi
-            if hi <= partition.start or lo >= partition.end:
-                continue
-            t = pf.read_row_group(rg, columns=self._COLS)
-            s = max(partition.start - lo, 0)
-            e = min(partition.end, hi) - lo
-            pieces.append(t.slice(s, e - s))
-        for piece in pieces:
+        for _base, piece in _row_group_slices(
+            partition.path, partition.start, partition.end, columns=self._COLS
+        ):
             yield from piece.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -384,10 +393,8 @@ class _FixtureKafkaStreamReader(DataSourceStreamReader):
         self._total: int | None = None
 
     def _rows(self) -> int:
-        import pyarrow.parquet as pq
-
         if self._total is None:
-            self._total = pq.ParquetFile(self.path).metadata.num_rows
+            self._total = _parquet_row_count(self.path)
         return self._total
 
     def initialOffset(self) -> dict:
@@ -412,24 +419,10 @@ class _FixtureKafkaStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        if partition.end <= partition.start:
-            return
-        pf = pq.ParquetFile(partition.path)
-        first = 0
-        pieces = []
-        for rg in range(pf.num_row_groups):
-            n = pf.metadata.row_group(rg).num_rows
-            lo, hi = first, first + n
-            first = hi
-            if hi <= partition.start or lo >= partition.end:
-                continue
-            t = pf.read_row_group(rg)
-            s = max(partition.start - lo, 0)
-            e = min(partition.end, hi) - lo
-            pieces.append((lo + s, t.slice(s, e - s)))
-        for base, t in pieces:
+        for base, t in _row_group_slices(
+            partition.path, partition.start, partition.end
+        ):
             ts = t.column("ts")
             if not str(ts.type).endswith("[us]"):
                 ts = ts.cast(pa.timestamp("us"))

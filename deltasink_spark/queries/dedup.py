@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import minhash_dedup_pairs, sql_df_capped_cte
+from deltasink_spark.operators.text import word_ngrams
 from deltasink_spark.operators.vectors import (
     lsh_candidate_pairs,
     qdot_arrow,
@@ -362,4 +363,90 @@ def dedup_url_canonical(spark, sf_dir):
             F.min("doc_id").alias("doc_id"),
             F.min("vid").cast("long").alias("kept_variant"),
         )
+    )
+
+
+# --- minhash_union: mergeable MinHash sketches ---------------------------
+
+_MU_PERMS = 8
+
+
+@query(
+    "minhash_union",
+    oracle=f"""
+    WITH sh AS (
+        SELECT source,
+               toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS shingle
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) t,
+             UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3),
+    tall AS (
+        SELECT source, u.i AS perm,
+               CAST(CONCAT('0x', substr(md5(CAST(u.i AS VARCHAR) || '|' || shingle),
+                                        1, 8)) AS BIGINT) AS h
+        FROM sh, UNNEST(range(0, {_MU_PERMS})) AS u(i)),
+    per AS (SELECT CAST(perm AS BIGINT) AS perm, source, MIN(h) AS sig
+            FROM tall GROUP BY perm, source),
+    merged AS (SELECT perm, '__merged__' AS source, MIN(sig) AS sig
+               FROM per GROUP BY perm),
+    direct AS (SELECT CAST(perm AS BIGINT) AS perm, '__direct__' AS source,
+                      MIN(h) AS sig
+               FROM tall GROUP BY perm)
+    SELECT perm, source, sig FROM per
+    UNION ALL SELECT perm, source, sig FROM merged
+    UNION ALL SELECT perm, source, sig FROM direct
+    ORDER BY perm, source
+    """,
+)
+def minhash_union(spark, sf_dir):
+    """MERGEABLE MinHash sketches — the property that makes MinHash a
+    distributed-aggregation citizen rather than a per-table pass: the
+    per-source sketches (MIN per permutation) merged by element-wise
+    MIN must equal the sketch computed directly over the union. The op
+    emits all three (per-source rows, '__merged__' = min-of-sketches,
+    '__direct__' = min-over-all-rows); the oracle recomputes each, so
+    merged != direct would hash-fail — the same union-algebra proof
+    the HLL family carries (agg_hll_union). A 100 TB corpus builds
+    per-partition/per-day sketches with ONE combining hash agg and
+    merges them for any ad-hoc slice, never rescanning.
+
+    Portable permutations: md5(perm || '|' || shingle) 32-bit prefix
+    (the xxhash64 production path in operators/minhash.py is faster
+    but has no DuckDB mirror — this op trades hash speed for an exact
+    cross-engine oracle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = d.select(
+        "source", F.explode(word_ngrams(toks, 3)).alias("shingle")
+    )
+    perm_hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("perm"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("h"),
+            )
+            for i in range(_MU_PERMS)
+        ]
+    )
+    tall = sh.select("source", F.explode(perm_hashes).alias("p")).select(
+        "source", F.col("p.perm").alias("perm"), F.col("p.h").alias("h")
+    ).localCheckpoint(eager=False)  # feeds per-source AND direct sketches
+    per = tall.groupBy("perm", "source").agg(F.min("h").alias("sig"))
+    merged = per.groupBy("perm").agg(F.min("sig").alias("sig")).select(
+        "perm", F.lit("__merged__").alias("source"), "sig"
+    )
+    direct = tall.groupBy("perm").agg(F.min("h").alias("sig")).select(
+        "perm", F.lit("__direct__").alias("source"), "sig"
+    )
+    return (
+        per.select("perm", "source", "sig")
+        .unionByName(merged)
+        .unionByName(direct)
+        .orderBy("perm", "source")
     )

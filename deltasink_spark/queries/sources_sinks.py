@@ -663,3 +663,56 @@ def scan_parquet_schema_merge(spark, sf_dir):
         .parquet(os.path.join(stage, "v1"), os.path.join(stage, "v2"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END
+             AS c_custkey,
+           CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_acctbal END
+             AS c_acctbal,
+           CASE WHEN c_custkey % 50 = 0
+                THEN 'BROKEN|' || CAST(c_custkey AS VARCHAR) END AS corrupt_raw
+    FROM customer
+    """,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """PERMISSIVE malformed-record handling on CSV ingest — the
+    real-world crawl/export feed where some fraction of lines are
+    garbage and the pipeline must (a) parse every good row, (b)
+    surface every bad line VERBATIM in the corrupt-record column for a
+    dead-letter audit, and (c) never abort the scan (FAILFAST's
+    opposite). The stage writes one CSV line per customer and injects
+    a deterministic malformed line (single unparseable field) for
+    every 50th key; the oracle reconstructs the expected
+    good/corrupt split from the table, so a dropped bad line, a
+    swallowed good row, or a mangled corrupt payload all hash-fail.
+
+    Scale: the corrupt column is populated by the same splittable
+    line-parallel CSV reader — per-row, no extra pass; the dead-letter
+    split downstream is one codegen filter."""
+    stage = _stage_dir(sf_dir, "csv_malformed")
+    if not _stage_fresh(stage, sf_dir, "customer"):
+        line = F.when(
+            F.col("c_custkey") % 50 == 0,
+            F.concat(F.lit("BROKEN|"), F.col("c_custkey").cast("string")),
+        ).otherwise(
+            F.concat_ws(
+                ",",
+                F.col("c_custkey").cast("string"),
+                F.col("c_acctbal").cast("string"),
+            )
+        )
+        load(spark, sf_dir, "customer").select(line.alias("value")).write.mode(
+            "overwrite"
+        ).text(stage)
+        _stage_mark(stage, sf_dir, "customer")
+    schema = "c_custkey bigint, c_acctbal double, corrupt_raw string"
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .csv(stage)
+        .select("c_custkey", "c_acctbal", "corrupt_raw")
+    )

@@ -482,9 +482,14 @@ def kafka_emulated_e2e(spark, sf_dir):
     deserialize -> Kafka meta columns -> watermarked
     dropDuplicatesWithinWatermark(event_id) -> exactly-once ledgered
     txn sink, drained with availableNow and run TWICE (second run =
-    checkpoint recovery replay). The committed table must equal the
-    events table EXACTLY: wire duplicates removed by the dedup state,
-    replay duplicates removed by the sink ledger, no row lost.
+    checkpoint recovery). The committed table must equal the events
+    table EXACTLY: wire duplicates removed by the dedup state, no row
+    lost, and the rerun a committed no-op. (A fully-committed
+    availableNow checkpoint replays no batch, so the rerun exercises
+    recovery RESOLUTION, not ledger dedup — the ledger's
+    replay-idempotence is proven by the mid-stream-kill tests in
+    tests/test_streaming.py; the companion test also asserts the
+    ledger length is unchanged by the rerun.)
 
     Scale shape: the source partitions the offset range (executor-side
     Arrow batches, no driver ferrying); dedup is one hash exchange on

@@ -771,3 +771,19 @@ def test_sample_weighted_is_distributed_topk(spark, sf_small):
     p = plan(q("sample_weighted", spark, sf_small))
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_minhash_union_two_hash_aggs_shared_tall(spark, sf_small):
+    """Sketch build must be combining hash aggs over the shared tall
+    frame — no window, no join, no cartesian."""
+    p = plan(q("minhash_union", spark, sf_small))
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_scan_csv_malformed_single_pass(spark, sf_small):
+    """PERMISSIVE corrupt-record capture must ride the splittable CSV
+    scan itself — one scan, no join, no extra pass."""
+    p = plan(q("scan_csv_malformed", spark, sf_small))
+    assert "Scan csv" in p
+    assert "Join" not in p
