@@ -102,16 +102,18 @@ def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -
     STAR (every member paired with the bucket's min id) instead of
     all-pairs: linear in bucket size, and connectivity-preserving for
     the downstream connected-components clustering (all members still
-    reach the hub). The trade, documented: a star edge that fails the
-    exact-Jaccard verify can detach a member that some non-hub edge
-    would have kept — acceptable because an oversized bucket means
-    near-identical signatures across 8 concatenated minhashes, i.e.
-    bucket-mates are near-certain duplicates. The cap never triggers
-    on the fixtures (max observed bucket: 13 at sf0.1 vs cap 64), so
-    every oracle result is byte-identical; the bound is exercised by
-    tests/test_properties.py's mega-cluster fixture. Cost: one extra
-    hash agg on the (band_id, band_hash) key the self-join shuffles on
-    anyway."""
+    reach the hub). Star pairs are tagged ``is_star = true`` and
+    jaccard_verify EXEMPTS them from the threshold filter (r7 advisor:
+    a star edge failing exact-Jaccard would detach a member that some
+    non-hub edge would have kept) — an oversized bucket means
+    near-identical signatures across 8 concatenated minhashes, so
+    bucket membership itself is the duplicate signal and recall inside
+    capped buckets no longer depends on hub-edge verification. The cap
+    never triggers on the fixtures (max observed bucket: 13 at sf0.1
+    vs cap 64), so every oracle result is byte-identical; the bound is
+    exercised by tests/test_properties.py's mega-cluster fixture.
+    Cost: one extra hash agg on the (band_id, band_hash) key the
+    self-join shuffles on anyway."""
     r = N_PERMS // N_BANDS
     bands = F.array(
         *[
@@ -141,7 +143,15 @@ def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -
         tagged.filter((F.col("bkt_n") > bucket_cap) & (F.col(id_col) != F.col("bkt_min")))
         .select(F.col("bkt_min").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    return all_pairs.unionByName(star_pairs).distinct()
+    # A pair seen both ways (small bucket in one band, oversized in
+    # another) keeps the star tag: max(bool) == bool_or, one combining
+    # hash agg that also replaces the old distinct().
+    return (
+        all_pairs.withColumn("is_star", F.lit(False))
+        .unionByName(star_pairs.withColumn("is_star", F.lit(True)))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("is_star").alias("is_star"))
+    )
 
 
 def jaccard_verify(
@@ -149,7 +159,15 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only: |A ∩ B| via an equi-join
     of the two shingle sets restricted to candidates, |A ∪ B| from
-    per-doc set sizes. int/int division -> deterministic double."""
+    per-doc set sizes. int/int division -> deterministic double.
+
+    Star-tagged candidates (oversized LSH buckets, see lsh_candidates)
+    bypass the threshold — bucket membership is the duplicate signal
+    there. A star pair whose kept-shingle intersection is empty would
+    still drop (the inner join can't see it); that requires an 8-way
+    minhash band collision between disjoint shingle sets, negligible
+    by construction and irrelevant on fixtures where the cap never
+    fires."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -157,7 +175,7 @@ def jaccard_verify(
         candidates.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.max("is_star").alias("is_star"))
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -167,8 +185,9 @@ def jaccard_verify(
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"), "is_star")
+        .filter((F.col("jaccard") >= threshold) | F.col("is_star"))
+        .drop("is_star")
     )
 
 

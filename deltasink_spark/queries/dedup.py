@@ -369,6 +369,16 @@ def dedup_url_canonical(spark, sf_dir):
 # --- minhash_union: mergeable MinHash sketches ---------------------------
 
 _MU_PERMS = 8
+# Affine permutation constants: h_i = (h0 * A_i + B_i) % (2^61 - 1).
+# A_i < 2^31 so h0 (< 2^32) * A_i stays under 2^63 — exact BIGINT
+# arithmetic in BOTH engines, no overflow, no float.
+_MU_A = [1779033703, 1013904242, 1359893119, 1367130551,
+         528734635, 1541459225, 666307205, 773529912]
+_MU_B = [1, 7, 13, 19, 29, 37, 43, 53]
+_MU_M = (1 << 61) - 1
+_MU_PERM_VALUES = ", ".join(
+    f"({i}, {_MU_A[i]}, {_MU_B[i]})" for i in range(_MU_PERMS)
+)
 
 
 @query(
@@ -380,11 +390,14 @@ _MU_PERMS = 8
         FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) t,
              UNNEST(range(1, len(toks) - 1)) AS u(i)
         WHERE len(toks) >= 3),
+    hs AS (
+        SELECT source,
+               CAST(CONCAT('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
+        FROM sh),
     tall AS (
-        SELECT source, u.i AS perm,
-               CAST(CONCAT('0x', substr(md5(CAST(u.i AS VARCHAR) || '|' || shingle),
-                                        1, 8)) AS BIGINT) AS h
-        FROM sh, UNNEST(range(0, {_MU_PERMS})) AS u(i)),
+        SELECT source, p.perm AS perm,
+               (h0 * p.a + p.b) % {_MU_M} AS h
+        FROM hs, (VALUES {_MU_PERM_VALUES}) AS p(perm, a, b)),
     per AS (SELECT CAST(perm AS BIGINT) AS perm, source, MIN(h) AS sig
             FROM tall GROUP BY perm, source),
     merged AS (SELECT perm, '__merged__' AS source, MIN(sig) AS sig
@@ -410,31 +423,35 @@ def minhash_union(spark, sf_dir):
     per-partition/per-day sketches with ONE combining hash agg and
     merges them for any ad-hoc slice, never rescanning.
 
-    Portable permutations: md5(perm || '|' || shingle) 32-bit prefix
-    (the xxhash64 production path in operators/minhash.py is faster
-    but has no DuckDB mirror — this op trades hash speed for an exact
-    cross-engine oracle)."""
+    Portable permutations: the shingle is md5-hashed ONCE to a 32-bit
+    BIGINT h0 (DuckDB-mirrorable); each permutation is then the affine
+    map (h0 * A_i + B_i) % (2^61-1) in exact BIGINT arithmetic shared
+    by both engines — the same hash-once/permute-cheap trick the
+    xxhash64 production path (operators/minhash.py:82-87) uses. r7
+    shipped 8 FULL md5 string hashes per shingle and paid 5.97 s at
+    sf0.1 for it (the most expensive bench op); this form hashes each
+    shingle once."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     sh = d.select(
         "source", F.explode(word_ngrams(toks, 3)).alias("shingle")
     )
+    hs = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h0"),
+    )
     perm_hashes = F.array(
         *[
             F.struct(
                 F.lit(i).cast("long").alias("perm"),
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long").alias("h"),
+                ((F.col("h0") * F.lit(_MU_A[i]) + F.lit(_MU_B[i])) % F.lit(_MU_M)).alias("h"),
             )
             for i in range(_MU_PERMS)
         ]
     )
-    tall = sh.select("source", F.explode(perm_hashes).alias("p")).select(
+    tall = hs.select("source", F.explode(perm_hashes).alias("p")).select(
         "source", F.col("p.perm").alias("perm"), F.col("p.h").alias("h")
     ).localCheckpoint(eager=False)  # feeds per-source AND direct sketches
     per = tall.groupBy("perm", "source").agg(F.min("h").alias("sig"))

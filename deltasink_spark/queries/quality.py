@@ -315,7 +315,8 @@ _PSI_BINS = 10
     binned AS (
         SELECT s.event_type, s.is_ref,
                LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
-                   (s.value - r.lo) / ((r.hi - r.lo) / {_PSI_BINS}.0)
+                   (s.value - r.lo)
+                   / (GREATEST(r.hi - r.lo, 1e-12) / {_PSI_BINS}.0)
                ) AS BIGINT))) AS bin
         FROM split s JOIN rng r USING (event_type)),
     cnt AS (
@@ -367,7 +368,11 @@ def dq_drift_psi(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
-    width = (F.col("hi") - F.col("lo")) / float(_PSI_BINS)
+    # Degenerate-range guard (r7 advisor): a constant reference series
+    # would make hi == lo and the bin division 0/0 — clamp the range to
+    # a tiny epsilon IDENTICALLY in both engines so the edge stays
+    # oracle-exact (all values land in bin 0).
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / float(_PSI_BINS)
     binned = e.join(F.broadcast(rng), "event_type").select(
         "event_type",
         "is_ref",

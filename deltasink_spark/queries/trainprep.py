@@ -1184,6 +1184,16 @@ def _bpe_train_oracle() -> str:
     return _bpe_chain_sql() + f" SELECT * FROM ({union}) ORDER BY step"
 
 
+# Train-once/encode-everywhere: bpe_train and tokenizer_encode share
+# one trained vocabulary per (Spark app, sf_dir) — without this the
+# 8-step train loop runs twice when both ops execute in one session
+# (r7 bench paid 2.07 s for tokenizer_encode's in-op retrain). The
+# cached frames are eagerly localCheckpoint'd, so holding the Python
+# references keeps their blocks alive; a new SparkSession gets a new
+# applicationId and therefore a fresh entry.
+_BPE_CACHE: dict = {}
+
+
 def _bpe_iterate(spark, sf_dir):
     """Run the K merge iterations; returns (per-step merge-record
     frames, final vocabulary frame (word, wf, sym)). Each iteration's
@@ -1191,7 +1201,12 @@ def _bpe_iterate(spark, sf_dir):
     -algorithm move (cf. graph_pagerank) that truncates lineage so
     step K's plan does not re-derive steps 1..K-1 exponentially; the
     checkpointed frame is vocabulary-sized (distinct words), orders of
-    magnitude below corpus size at 100 TB."""
+    magnitude below corpus size at 100 TB. Results are memoized per
+    (applicationId, sf_dir) — see _BPE_CACHE."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -1257,6 +1272,7 @@ def _bpe_iterate(spark, sf_dir):
             )
         )
         vocab = merged.select("word", "wf", F.col("new_sym").alias("sym"))
+    _BPE_CACHE[cache_key] = (step_rows, vocab)
     return step_rows, vocab
 
 
@@ -1341,7 +1357,7 @@ _WSAMPLE_K = 100
         SELECT doc_id, source, n_chars,
                ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
                                      1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
-                     / n_chars, 6) AS wkey
+                     / n_chars, 12) AS wkey
         FROM documents WHERE n_chars > 0)
     SELECT doc_id, source, n_chars, wkey FROM keyed
     ORDER BY wkey DESC, doc_id LIMIT {_WSAMPLE_K}
@@ -1363,15 +1379,18 @@ def sample_weighted(spark, sf_dir):
 
     Determinism: u is the exact md5 32-bit bucket (+0.5 to stay inside
     the open interval) over 2^32; LN and the IEEE division are
-    deterministic; keys round to 6 dp with a doc_id tie-break before
-    the top-K cut."""
+    deterministic; keys round to 12 dp (r7 advisor: 6 dp collapsed the
+    ~1e-3..1e-5-magnitude keys of long docs into ties resolved by
+    doc_id, biasing the sample toward low ids — 12 dp keeps full
+    ordering resolution and is still exactly mirrorable in DuckDB)
+    with a doc_id tie-break before the top-K cut."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("double")
         + 0.5
     ) / 4294967296.0
-    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
+    wkey = F.round(F.log(u) / F.col("n_chars"), 12)
     return (
         d.select("doc_id", "source", "n_chars", wkey.alias("wkey"))
         .orderBy(F.desc("wkey"), F.asc("doc_id"))
