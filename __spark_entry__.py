@@ -28,62 +28,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops per
-# round. After CORRECTNESS_r06.json every oracle-bearing op has a green
-# driver row EXCEPT the 6 late-r6 ops below (queued as _R7_SPILL in r6,
-# now promoted to slots 1-6). New r7-registered ops follow at slots 7+,
-# then the oldest-green rows (r1/r2-era, last checked 5-6 rounds ago on
-# old fixtures) fill the remaining driver budget as rechecks.
-_R7_SPILL = [
-    "sql_pipe_syntax",
-    "sql_recursive_cte",
-    "stats_poisson_bootstrap",
-    "join_asof_tolerance",
-    "scan_parquet_schema_merge",
-    "agg_percentile_disc",
+# round. Coverage is at its ceiling (254/257 green after r7), so r8's
+# slots are: ops added this round (first driver row needed), then the
+# 10 r7 ops re-checked (minhash_union / sample_weighted / dq_drift_psi
+# / bpe_train / tokenizer_encode changed implementation this round),
+# then the minhash-stack consumers touched by the star-edge recall fix,
+# then the oldest-green cohort (r2-era, last checked 6 rounds ago, and
+# r3-era) filling the remaining budget.
+
+# Ops added during round 8 — each needs a first driver row.
+_R8_NEW: list[str] = [
+    "quality_classifier_score",
+    "ann_ivf_pq_query",
+    "join_stream_stream_outer",
+    "dedup_image_phash",
 ]
 
-# Ops added during round 7 — each needs a first driver row.
-_R7_NEW: list[str] = [
-    "kafka_emulated_e2e",
+# r7-era ops re-checked (5 of the 10 changed code in r8).
+_R8_R7_RECHECK = [
+    "minhash_union",
+    "sample_weighted",
+    "dq_drift_psi",
     "bpe_train",
     "tokenizer_encode",
+    "kafka_emulated_e2e",
     "join_asof_nearest",
     "sql_udf",
-    "dq_drift_psi",
     "agg_regression",
-    "sample_weighted",
     "scan_csv_malformed",
-    "minhash_union",
 ]
 
-# Oldest-green rechecks: every op whose latest green driver row is r1,
-# then the oldest r2 rows, filling the 50-slot budget after the groups
-# above. Already green — re-verification only, so overflow past slot 50
-# is harmless.
-_R7_RECHECK = [
-    # r1-era (31 ops)
-    "agg_cube", "agg_distinct", "agg_global", "agg_grouping_sets",
-    "agg_hash", "agg_rollup", "agg_stats", "case_when",
-    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "filter_null", "filter_pred", "join_anti",
-    "join_broadcast", "join_bucketed", "join_cross", "join_full",
-    "join_inner_hash", "join_left", "join_right", "join_semi",
-    "join_theta_range", "limit_n", "multimodal_column", "project",
-    "set_intersect", "set_union", "sort_order", "topk_per_group",
-    # r2-era (28 ops)
-    "agg_bitmap_distinct", "agg_collect", "dedup_exact", "fn_conv",
-    "fn_date", "fn_hash", "fn_math", "fn_regex", "fn_string",
+# minhash-stack consumers of the r8 star-edge change (fixture results
+# unchanged by construction — the cap never fires there — but these are
+# the ops whose plans the change touched).
+_R8_MINHASH_RECHECK = [
+    "dedup_minhash_lsh",
+    "dedup_apply_keep_best",
+]
+
+# Oldest-green cohort: every op whose latest green driver row is r2,
+# then r3, filling the 50-slot budget. Already green — re-verification
+# only, so overflow past slot 50 is harmless.
+_R8_OLDEST = [
+    # r2-era (25 ops)
+    "fn_conv", "fn_date", "fn_hash", "fn_math", "fn_regex", "fn_string",
     "scan_json", "scan_parquet", "set_except", "sim_ann_lsh",
     "sim_cosine_pairs", "sim_topk_join", "sim_topk_search",
     "text_fingerprint", "text_keyword_filter", "text_lang_id",
     "text_normalize", "text_quality", "text_tf", "text_tfidf",
     "text_token_count", "udf_scalar_py", "udtf_py", "win_cume",
     "win_rank",
+    # r3-era (32 ops)
+    "agg_approx_distinct", "agg_approx_quantile", "agg_hll_sketch",
+    "agg_hll_union", "agg_quantile", "ann_ivf", "contamination_check",
+    "data_mixture", "dedup_cluster", "dedup_simhash", "doc_chunking",
+    "fn_array", "multimodal_decode", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "pipeline_llm_prep",
+    "pipeline_training_prep", "repetition_filter", "sample_frac",
+    "scan_csv", "scan_orc", "seq_pack", "sink_parquet_batch",
+    "text_ngrams", "text_pii_scrub", "text_stats", "text_tokenize",
+    "tokenizer_vocab", "win_ntile", "write_partitioned",
+    "zorder_cluster",
 ]
 
 
 def _ordered_ids() -> list[str]:
-    groups = (_R7_SPILL, _R7_NEW, _R7_RECHECK)
+    groups = (_R8_NEW, _R8_R7_RECHECK, _R8_MINHASH_RECHECK, _R8_OLDEST)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]

@@ -140,6 +140,15 @@ R7OPS = [
     "scan_csv_malformed",    # PERMISSIVE corrupt-record CSV scan
 ]
 
+# r8 additions — own group (first recording becomes the r9 baseline).
+# join_stream_stream_outer is a real StreamingQuery drain (the
+# streaming cost class the bench excludes per the r5 group note).
+R8OPS = [
+    "quality_classifier_score",  # broadcast linear model over hashed TF
+    "ann_ivf_pq_query",          # composed IVF probe -> PQ/ADC top-3
+    "dedup_image_phash",         # dHash banding + exact Hamming verify
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,7 +161,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -220,6 +229,9 @@ def main() -> None:
         ),
         "r7ops": round(
             sum(t for op, t in timings.items() if op in R7OPS), 4
+        ),
+        "r8ops": round(
+            sum(t for op, t in timings.items() if op in R8OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -467,3 +467,115 @@ def minhash_union(spark, sf_dir):
         .unionByName(direct)
         .orderBy("perm", "source")
     )
+
+
+# --- dedup_image_phash: perceptual-hash near-dup over media payloads -----
+
+_PH_ROWS, _PH_COLS = 8, 8
+_PH_BITS = _PH_ROWS * (_PH_COLS - 1)  # 56 difference bits (sign-safe in int64)
+_PH_BANDS = 4
+_PH_BAND_BITS = _PH_BITS // _PH_BANDS  # 14
+_PH_BAND_MASK = (1 << _PH_BAND_BITS) - 1
+_PH_HAM_MAX = 13
+
+
+def _phash_sql(px) -> str:
+    """dHash bit assembly: sample an 8x8 grid of payload bytes, set bit
+    r*7+c when grid[r][c] > grid[r][c+1]. ``px(i)`` renders the i-th
+    grid sample in the target engine's SQL."""
+    terms = []
+    for r in range(_PH_ROWS):
+        for c in range(_PH_COLS - 1):
+            k = r * (_PH_COLS - 1) + c
+            i0 = r * _PH_COLS + c
+            terms.append(
+                f"(CASE WHEN {px(i0)} > {px(i0 + 1)} "
+                f"THEN CAST({1 << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+    return " + ".join(terms)
+
+
+def _ph_px_spark(i: int) -> str:
+    return (
+        f"ascii(substr(text, CAST(({i} * CAST(length(text) AS BIGINT)) DIV "
+        f"{_PH_ROWS * _PH_COLS} AS INT) + 1, 1))"
+    )
+
+
+def _ph_px_duck(i: int) -> str:
+    return f"ord(substr(text, ({i} * length(text)) // {_PH_ROWS * _PH_COLS} + 1, 1))"
+
+
+@query(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH ph AS (SELECT doc_id, {_phash_sql(_ph_px_duck)} AS phash
+                FROM documents WHERE n_chars > 0),
+    tall AS (SELECT doc_id, phash, u.j AS j,
+                    (phash >> ({_PH_BAND_BITS} * u.j)) & {_PH_BAND_MASK} AS bv
+             FROM ph, UNNEST(range(0, {_PH_BANDS})) AS u(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+             FROM tall a JOIN tall b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_PH_HAM_MAX}
+    """,
+)
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual-hash (dHash) near-duplicate detection over media
+    payloads — the multimodal dedup stage an image-bearing crawl runs:
+    sample the decoded payload down to an 8x8 intensity grid, hash the
+    HORIZONTAL GRADIENT (bit = left pixel > right pixel, 56 bits), and
+    pair documents whose hashes agree on at least one of 4 14-bit bands
+    and lie within Hamming distance 13. dHash is
+    crop/scale/brightness-robust because it encodes gradient signs,
+    not absolute values. (With a real decoder the production threshold
+    is ~6-10 of 64 bits; the fixture corpus has no true visual
+    duplicates — its near-dups are text edits, which shift the
+    positional grid — so the demo threshold sits at the top of the
+    fixtures' near-dup Hamming range, 13 of 56.)
+
+    The "decode" is this repo's deterministic multimodal stub
+    (operators/multimodal.py: payload = the document's UTF-8 bytes,
+    intensity = byte value — fixtures are pure ASCII so ord == byte),
+    which makes the full pipeline bit-exactly oracle-verifiable in any
+    environment; a real image decoder drops in at the grid-sampling
+    step (PIL resize to 8x8 greyscale) behind the same 56-bit shape.
+
+    Scale shape: the hash is ONE codegen projection per doc (no
+    shuffle, no Python); banding explodes to 4 narrow rows/doc; the
+    band-bucket self equi-join is the only shuffle, exactly
+    sim_ann_lsh's geometry; the exact bit_count(xor) filter runs on
+    candidate rows only. A skewed corpus (mono-color images all
+    hashing to 0) oversizes buckets the same way LSH mega-clusters do
+    — operators/minhash.py::lsh_candidates' star-cap drops in on the
+    same (j, bv) key when that corpus arrives."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ph = d.select("doc_id", F.expr(_phash_sql(_ph_px_spark)).alias("phash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.shiftright(F.col("phash"), _PH_BAND_BITS * j)
+                .bitwiseAND(F.lit(_PH_BAND_MASK))
+                .alias("bv"),
+            )
+            for j in range(_PH_BANDS)
+        ]
+    )
+    tall = ph.select("doc_id", "phash", F.explode(bands).alias("b")).select(
+        "doc_id", "phash", F.col("b.j").alias("j"), F.col("b.bv").alias("bv")
+    )
+    a = tall.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "j", "bv")
+    b = tall.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "j", "bv")
+    return (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+    )

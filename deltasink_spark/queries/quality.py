@@ -409,3 +409,85 @@ def dq_drift_psi(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- quality_classifier_score: model-based quality filter -----------------
+
+_QC_DIM = 32
+# "Pretrained" linear model over the 32-slot hashed-TF feature space of
+# text_hashing_vectorizer (trainprep.py): weights are tenths in
+# [-1.0, +1.0] stored as INTEGER w*10 so the dot product stays in exact
+# BIGINT arithmetic end-to-end; bias -0.5 likewise as -5.
+_QC_W10 = [((i * 37 + 11) % 21) - 10 for i in range(_QC_DIM)]
+_QC_B10 = -5
+_QC_W10_SQL = ", ".join(str(w) for w in _QC_W10)
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    wt AS (SELECT doc_id, source,
+                  ([{_QC_W10_SQL}])[
+                      (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       % {_QC_DIM}) + 1] AS w10
+           FROM tok),
+    agg AS (SELECT doc_id, ANY_VALUE(source) AS source,
+                   CAST(SUM(w10) AS BIGINT) + {_QC_B10} AS znum
+            FROM wt GROUP BY doc_id)
+    SELECT doc_id, source,
+           znum / 10.0 AS logit,
+           0.5 + 0.5 * (znum / 10.0) / (1 + ABS(znum / 10.0)) AS score,
+           CAST(CASE WHEN znum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM agg ORDER BY doc_id
+    """,
+)
+def quality_classifier_score(spark, sf_dir):
+    """Model-based quality filtering — the CCNet/GPT-3-style classifier
+    stage the rules-based quality family (quality_gopher, text_c4_clean,
+    quality_ccnet_bins) feeds into: score every document with a linear
+    model over the hashing-trick feature space of text_hashing_vectorizer
+    (same md5-prefix % 32 bucket), squash to (0,1), threshold into
+    keep/drop. The weight vector is a broadcast-sized constant (32
+    slots at any corpus size; 2^20 slots in production — still KBs),
+    so the whole op is scan + codegen map + ONE combining hash agg:
+    scan-bound at 100 TB, no joins, no windows, no Python.
+
+    Algebra: dot(w, tf_vector) == sum over tokens of w[bucket(token)],
+    so the per-doc feature vector never materializes and the "dot
+    product" is a per-token array-literal lookup summed map-side —
+    cheaper than the F.aggregate HOF form, which Catalyst interprets
+    rather than codegens.
+
+    Determinism: weights are tenths held as INTEGER w*10, so
+    znum = sum(w10) + b10 is exact BIGINT; logit = znum/10.0 is one
+    correctly-rounded IEEE division; the squash is softsign
+    (0.5 + 0.5*z/(1+|z|)) — division/abs/add only, bit-identical in
+    both engines, chosen over exp-sigmoid whose libm last-ulp can
+    differ across engines. keep thresholds on the exact integer
+    (znum >= 0 <=> score >= 0.5)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    w10 = F.expr(
+        f"element_at(array({_QC_W10_SQL}), cast("
+        f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % {_QC_DIM} + 1"
+        f" as int))"
+    )
+    agg = (
+        tok.select("doc_id", "source", w10.alias("w10"))
+        .groupBy("doc_id", "source")  # doc_id unique -> source rides as a
+        # grouping key, keeping the agg hash-based (first() would force
+        # a SortAggregate)
+        .agg((F.sum("w10").cast("bigint") + F.lit(_QC_B10)).alias("znum"))
+    )
+    z = F.col("znum") / 10.0
+    return agg.select(
+        "doc_id",
+        "source",
+        z.alias("logit"),
+        (0.5 + 0.5 * z / (1.0 + F.abs(z))).alias("score"),
+        F.when(F.col("znum") >= 0, 1).otherwise(0).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")

@@ -920,3 +920,165 @@ def knn_graph(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("src", "dst", "cos", "rk")
     )
+
+
+# --- ann_ivf_pq_query: the composed IVF->ADC serving query ---------------
+
+
+def _ivf_pq_oracle() -> str:
+    score_vc = f"ROUND({sql_qdot('v.iv', 'c.iv')} / (v.nrm * c.nrm), 6)"
+    lut_dist = ", ".join(f"{_pq_key_sql(m)} // {_PQ_K} AS d{m}" for m in range(_PQ_M))
+    tall_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes"
+        for m in range(_PQ_M)
+    )
+    tall_lut = " UNION ALL ".join(
+        f"SELECT qid, cid, {m} AS m, d{m} AS pd FROM lut" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH {_pq_codes_cte()},
+    qn AS (SELECT vec_id, iv, {sql_qnorm('iv')} AS nrm FROM qv),
+    ccent AS (SELECT vec_id AS cid, iv, nrm FROM qn WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_vc} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN ccent c
+        ) WHERE rk = 1),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT v.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {score_vc} DESC, c.cid) AS rk
+            FROM qn v CROSS JOIN ccent c
+            WHERE v.vec_id < 5
+        ) WHERE rk <= {_IVF_NPROBE}),
+    cnd AS (
+        SELECT DISTINCT p.qid, a.vec_id
+        FROM probes p JOIN assign a USING (cid)
+        WHERE a.vec_id <> p.qid),
+    lut AS (SELECT v.vec_id AS qid, c.cid, {lut_dist}
+            FROM qv v CROSS JOIN cent c WHERE v.vec_id < 5),
+    tcodes AS ({tall_codes}),
+    tlut AS ({tall_lut}),
+    adc AS (SELECT cd.qid, cd.vec_id, CAST(SUM(t.pd) AS BIGINT) AS adc
+            FROM cnd cd
+            JOIN tcodes x ON x.vec_id = cd.vec_id
+            JOIN tlut t ON t.qid = cd.qid AND t.m = x.m AND t.cid = x.code
+            GROUP BY cd.qid, cd.vec_id)
+    SELECT qid, vec_id, adc, rk FROM (
+        SELECT qid, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+        FROM adc
+    ) WHERE rk <= 3
+    """
+
+
+@query("ann_ivf_pq_query", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_query(spark, sf_dir):
+    """The query a vector-search user actually serves: IVF coarse
+    probing COMPOSED with PQ/ADC fine scoring (the IVFADC pipeline of
+    Jégou et al.) — probe the NPROBE=4 nearest of 16 inverted lists
+    per query, then ADC-score ONLY the vectors in probed lists via
+    the 8-subspace LUT, never touching original vectors at scan
+    time. ann_ivf (coarse tier) and sim_pq_adc (fine tier) are each
+    oracle-exact on their own; this op proves the two index tiers
+    compose, which is what an end-to-end serving path needs.
+
+    Plan: coarse assignment and probes are broadcast cross-joins
+    against the 16-row centroid table (map-side); candidates are one
+    equi-join on the list id; the LUT (5 x 16 x 8 rows) broadcasts;
+    ADC is one combining hash agg on (qid, vec_id); top-3 is a
+    per-query window over candidate rows only. No cross join touches
+    the table side, and the scan reads 2-bit codes, not vectors — the
+    100 TB property that makes IVFADC the standard billion-vector
+    layout. All arithmetic exact longs over quantized vectors."""
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    ccent = qn.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ"), F.col("nrm").alias("cnrm")
+    )
+    cscore = F.round(
+        qdot(F.col("iv"), F.col("civ")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        fanout(qn)
+        .crossJoin(F.broadcast(ccent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        qn.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(ccent))
+        .withColumn("cs", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+    codes = _pq_codes_frame(spark, sf_dir)
+    tcodes = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(_PQ_M)])).alias(
+            "m", "code"
+        ),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", quantized(F.col("embedding")).alias("iv"))
+    pcent = qv.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
+    )
+    zero = F.lit(0).cast("long")
+
+    def pdist(m):
+        lo = m * _PQ_SUB + 1
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("iv"), lo, _PQ_SUB),
+                F.slice(F.col("civ"), lo, _PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    lut_wide = (
+        qv.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(pcent))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cid",
+            *[pdist(m).alias(f"d{m}") for m in range(_PQ_M)],
+        )
+    )
+    tlut = lut_wide.select(
+        "qid",
+        "cid",
+        F.posexplode(F.array(*[F.col(f"d{m}") for m in range(_PQ_M)])).alias("m", "pd"),
+    )
+    adc = (
+        cand.join(tcodes, "vec_id")
+        .join(
+            F.broadcast(tlut.select(F.col("qid").alias("lqid"), "cid", F.col("m").alias("lm"), "pd")),
+            (F.col("qid") == F.col("lqid"))
+            & (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("cid")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "adc", "rk")
+    )

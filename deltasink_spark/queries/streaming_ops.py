@@ -186,6 +186,67 @@ def join_stream_stream(spark, sf_dir):
 
 
 @query(
+    "join_stream_stream_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    matched AS (
+        SELECT a.event_id AS eid_a, a.user_id AS uid, b.event_id AS eid_b
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE),
+    unmatched AS (
+        SELECT a.event_id AS eid_a, a.user_id AS uid, CAST(NULL AS BIGINT) AS eid_b
+        FROM events a CROSS JOIN mx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND a.event_id < b.event_id
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+          AND epoch_us(a.ts) + 300000000 < epoch_ms(mts) * 1000 - 300000000)
+    SELECT eid_a, uid, eid_b FROM matched
+    UNION ALL SELECT eid_a, uid, eid_b FROM unmatched
+    """,
+)
+def join_stream_stream_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the late-arriving-enrichment
+    semantics corner join_stream_stream's inner form misses: matched
+    rows emit as soon as both sides arrive, but a left row's
+    null-padded result may emit ONLY once the watermark proves no
+    future right row can match (its join window end ts_a + 5min falls
+    below the final watermark max_ts - 5min). The bounded availableNow
+    drain pins that set deterministically: the oracle is the batch
+    left join split into matched rows plus unmatched rows whose
+    window is sealed — unmatched rows inside the last 10 minutes of
+    the feed stay in state and are correctly ABSENT from the output
+    (asserted in tests/test_streaming.py::
+    test_stream_stream_outer_nulls_gated_by_watermark). Watermark
+    arithmetic is mirrored at Spark's granularity: the watermark is
+    the max event time truncated to MILLISECONDS minus the delay,
+    hence the epoch_us/epoch_ms mix in the oracle.
+
+    Scale shape: symmetric stateful hash join partitioned on the join
+    key; state is bounded by the watermark delay (10 min of per-key
+    rows), which is the property that lets it run forever on an
+    unbounded feed."""
+    a = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"), F.col("ts").alias("ts_a")
+    )
+    b = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid2"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (F.col("uid") == F.col("uid2"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("eid_a", "uid", "eid_b")
+    name = _mem_name()
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+@query(
     "stream_exactly_once",
     oracle="SELECT event_id, user_id, value FROM events",
 )

@@ -787,3 +787,35 @@ def test_scan_csv_malformed_single_pass(spark, sf_small):
     p = plan(q("scan_csv_malformed", spark, sf_small))
     assert "Scan csv" in p
     assert "Join" not in p
+
+
+def test_quality_classifier_no_join_no_python(spark, sf_small):
+    """The model-based quality scorer must be scan + codegen map + ONE
+    combining hash agg: no join (the weight vector folds into the
+    projection as an array literal), no window, no Python boundary."""
+    p = plan(q("quality_classifier_score", spark, sf_small))
+    assert "Join" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ann_ivf_pq_query_broadcast_lut_no_table_cross(spark, sf_small):
+    """IVFADC: the LUT and centroid tables broadcast; the only cross
+    joins are against the broadcast K/NPROBE-row codebooks (map-side),
+    never table x table; candidates reach ADC via equi-joins."""
+    p = plan(q("ann_ivf_pq_query", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # ADC totals are a combining hash agg keyed (qid, vec_id)
+    assert "HashAggregate" in p
+
+
+def test_dedup_image_phash_bucketed_not_all_pairs(spark, sf_small):
+    """Perceptual-hash near-dup must generate candidates via the band
+    self equi-join (shuffle on (j, bv)) — no cartesian, no broadcast of
+    the full table side, hash computed in one codegen projection (no
+    Python, no extra agg before banding)."""
+    p = plan(q("dedup_image_phash", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)

@@ -1013,3 +1013,45 @@ def test_upsert_100_batches_no_growth(spark, tmp_path):
         if b % 10 == 9:
             counts.append(spark.read.parquet(target).count())
     assert counts == [keyspace] * len(counts), counts
+
+
+def test_stream_stream_outer_nulls_gated_by_watermark(spark, tmp_path):
+    """join_stream_stream_outer semantics: an unmatched left row's
+    null-padded result emits ONLY after the watermark passes its join
+    window end (ts_a + 5min); rows whose window is still open at end
+    of input stay in state and are absent from the output."""
+
+    def drain(batches):
+        src = _stage_batches(spark, tmp_path, batches, EVENT_SCHEMA)
+
+        def stream():
+            return _read_stream(spark, src, EVENT_SCHEMA).withWatermark("ts", "5 minutes")
+
+        a = stream().select(
+            F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"), F.col("ts").alias("ts_a")
+        )
+        b = stream().select(
+            F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid2"), F.col("ts").alias("ts_b")
+        )
+        joined = a.join(
+            b,
+            (F.col("uid") == F.col("uid2"))
+            & (F.col("eid_a") < F.col("eid_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        ).select("eid_a", "eid_b")
+        name = "lo_" + uuid.uuid4().hex[:8]
+        run_to_memory(joined, name, output_mode="append")
+        return {(r["eid_a"], r["eid_b"]) for r in spark.table(name).collect()}
+
+    b1 = [(1, _ts("2024-01-01 10:00:00"), 1, 1.0), (2, _ts("2024-01-01 10:04:00"), 1, 1.0)]
+    b2 = [(3, _ts("2024-01-01 10:30:00"), 1, 1.0)]
+
+    # Phase 1: watermark ends at 10:04-5m = 09:59 — no window sealed,
+    # so ONLY the matched pair emits; event 2's null row is withheld.
+    assert drain([b1]) == {(1, 2)}
+    # Phase 2: batch 2 advances the watermark to 10:25, past event 2's
+    # window end 10:09 -> its null row emits. Event 3's own window
+    # (ends 10:35) is still open -> correctly absent.
+    assert drain([b1, b2]) == {(1, 2), (2, None)}
