@@ -42,6 +42,9 @@ _R8_NEW: list[str] = [
     "ann_ivf_pq_query",
     "join_stream_stream_outer",
     "dedup_image_phash",
+    "quality_classifier_train",
+    "sample_weighted_union",
+    "agg_kmv_intersect",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -147,6 +147,9 @@ R8OPS = [
     "quality_classifier_score",  # broadcast linear model over hashed TF
     "ann_ivf_pq_query",          # composed IVF probe -> PQ/ADC top-3
     "dedup_image_phash",         # dHash banding + exact Hamming verify
+    "quality_classifier_train",  # one full-batch distributed GD step
+    "sample_weighted_union",     # A-Res merge == direct proof
+    "agg_kmv_intersect",         # KMV/theta sketch intersection
 ]
 
 

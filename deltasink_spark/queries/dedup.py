@@ -433,7 +433,10 @@ def minhash_union(spark, sf_dir):
     shingle once."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    sh = d.select(
+    # fanout first: the fixture parquet is a single row group, so
+    # without it the shingle explode + md5 runs on ONE task (measured
+    # 3.9 s of the op's 4.5 s at sf0.1; 0.5 s spread across cores).
+    sh = fanout(d, "doc_id").select(
         "source", F.explode(word_ngrams(toks, 3)).alias("shingle")
     )
     hs = sh.select(
@@ -442,31 +445,36 @@ def minhash_union(spark, sf_dir):
         .cast("long")
         .alias("h0"),
     )
-    perm_hashes = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("perm"),
-                ((F.col("h0") * F.lit(_MU_A[i]) + F.lit(_MU_B[i])) % F.lit(_MU_M)).alias("h"),
-            )
-            for i in range(_MU_PERMS)
-        ]
-    )
-    tall = hs.select("source", F.explode(perm_hashes).alias("p")).select(
-        "source", F.col("p.perm").alias("perm"), F.col("p.h").alias("h")
-    ).localCheckpoint(eager=False)  # feeds per-source AND direct sketches
-    per = tall.groupBy("perm", "source").agg(F.min("h").alias("sig"))
+    # Sketches as WIDE 8-column MIN aggs over the 1x-rows hashed frame —
+    # never explode the corpus 8-fold (the r7 tall form materialized
+    # 8x|shingle| checkpoint rows and paid ~2.5 s for it at sf0.1).
+    # The sketch frames that DO reshape to tall (perm, source, sig)
+    # rows are vocabulary-sized: |sources| x 8 and 1 x 8.
+    hs = hs.localCheckpoint(eager=False)  # feeds per-source AND direct aggs
+    aggs = [
+        F.min((F.col("h0") * F.lit(_MU_A[i]) + F.lit(_MU_B[i])) % F.lit(_MU_M)).alias(f"s{i}")
+        for i in range(_MU_PERMS)
+    ]
+
+    def to_tall(df):
+        arr = F.array(
+            *[
+                F.struct(F.lit(i).cast("long").alias("perm"), F.col(f"s{i}").alias("sig"))
+                for i in range(_MU_PERMS)
+            ]
+        )
+        return df.select("source", F.explode(arr).alias("p")).select(
+            F.col("p.perm").alias("perm"), "source", F.col("p.sig").alias("sig")
+        )
+
+    per = to_tall(hs.groupBy("source").agg(*aggs))
+    # direct is computed INDEPENDENTLY from the hashed rows (not folded
+    # from per) so merged == direct stays a real union-algebra check.
+    direct = to_tall(hs.agg(*aggs).select(F.lit("__direct__").alias("source"), "*"))
     merged = per.groupBy("perm").agg(F.min("sig").alias("sig")).select(
         "perm", F.lit("__merged__").alias("source"), "sig"
     )
-    direct = tall.groupBy("perm").agg(F.min("h").alias("sig")).select(
-        "perm", F.lit("__direct__").alias("source"), "sig"
-    )
-    return (
-        per.select("perm", "source", "sig")
-        .unionByName(merged)
-        .unionByName(direct)
-        .orderBy("perm", "source")
-    )
+    return per.unionByName(merged).unionByName(direct).orderBy("perm", "source")
 
 
 # --- dedup_image_phash: perceptual-hash near-dup over media payloads -----

@@ -491,3 +491,111 @@ def quality_classifier_score(spark, sf_dir):
         (0.5 + 0.5 * z / (1.0 + F.abs(z))).alias("score"),
         F.when(F.col("znum") >= 0, 1).otherwise(0).cast("bigint").alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- quality_classifier_train: one distributed gradient step --------------
+
+_QCT_LR_U = 100  # learning rate 0.001 expressed in the 1e-9 w_new units
+_QC_W10_ARR_SQL = f"[{_QC_W10_SQL}]"
+
+
+@query(
+    "quality_classifier_train",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tb AS (SELECT doc_id, lang,
+                  (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_QC_DIM}) AS b
+           FROM tok),
+    zn AS (SELECT doc_id, lang,
+                  CAST(SUM({_QC_W10_ARR_SQL}[b + 1]) AS BIGINT) + {_QC_B10} AS znum
+           FROM tb GROUP BY doc_id, lang),
+    res AS (SELECT doc_id,
+                   CAST(ROUND(
+                       (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                       - (0.5 + 0.5 * (znum / 10.0) / (1 + ABS(znum / 10.0))),
+                       6) AS DECIMAL(30,6)) AS r
+            FROM zn),
+    g AS (SELECT tb.b AS slot,
+                 CAST(SUM(res.r) * 1000000 AS BIGINT) AS grad_u6
+          FROM tb JOIN res USING (doc_id) GROUP BY tb.b)
+    SELECT u.s AS slot,
+           {_QC_W10_ARR_SQL}[u.s + 1] / 10.0 AS w_old,
+           COALESCE(g.grad_u6, 0) / 1000000.0 AS grad,
+           (CAST({_QC_W10_ARR_SQL}[u.s + 1] AS BIGINT) * 100000000
+            - COALESCE(g.grad_u6, 0) * {_QCT_LR_U}) / 1000000000.0 AS w_new
+    FROM UNNEST(range(0, {_QC_DIM})) AS u(s)
+    LEFT JOIN g ON g.slot = u.s
+    ORDER BY slot
+    """,
+)
+def quality_classifier_train(spark, sf_dir):
+    """The TRAIN half of the quality classifier — one full-batch
+    gradient step of the linear model quality_classifier_score serves:
+    residual = label - score per document (label: lang == 'en', the
+    "good language" stand-in), gradient g_j = sum over documents of
+    residual * tf_j computed at TOKEN grain (each token adds its doc's
+    residual to its hash slot — the tf vector never materializes),
+    w_new = w_old - 0.001 * g. This is distributed logistic-style GD
+    the way Spark should run it: the corpus is touched twice (once for
+    scores, once for the gradient scatter) with ONE combining hash agg
+    each, the model update is a 32-row frame, and a full training loop
+    is this op iterated with broadcast weight refresh (the
+    graph_pagerank / bpe_train checkpoint pattern).
+
+    Determinism: scores/residuals are the bit-exact softsign algebra
+    of the score op; residuals round to 6 dp into DECIMAL before the
+    exact sum (the dq_drift_psi pattern); the weight update runs in
+    integer 1e-9 units (w10*1e8 - gradU6*100), so grad and w_new each
+    emit through a single correctly-rounded IEEE division — identical
+    in both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tb = tok.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % {_QC_DIM}"
+        ).alias("b"),
+    ).localCheckpoint(eager=False)  # feeds the score pass AND the gradient scatter
+    w10_at_b = F.expr(f"element_at(array({_QC_W10_SQL}), cast(b + 1 as int))")
+    zn = (
+        tb.select("doc_id", "lang", w10_at_b.alias("w10"))
+        .groupBy("doc_id", "lang")
+        .agg((F.sum("w10").cast("bigint") + F.lit(_QC_B10)).alias("znum"))
+    )
+    z = F.col("znum") / 10.0
+    y = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    res = zn.select(
+        "doc_id",
+        F.round(y - (0.5 + 0.5 * z / (1.0 + F.abs(z))), 6)
+        .cast("decimal(30,6)")
+        .alias("r"),
+    )
+    g = (
+        tb.join(res, "doc_id")
+        .groupBy("b")
+        .agg((F.sum("r") * 1000000).cast("bigint").alias("grad_u6"))
+    )
+    spine = spark.range(_QC_DIM).select(F.col("id").cast("long").alias("slot"))
+    w10_at_slot = F.expr(f"element_at(array({_QC_W10_SQL}), cast(slot + 1 as int))")
+    grad_u6 = F.coalesce(F.col("grad_u6"), F.lit(0).cast("long"))
+    return (
+        spine.join(g, spine.slot == g.b, "left")
+        .select(
+            "slot",
+            (w10_at_slot / 10.0).alias("w_old"),
+            (grad_u6 / 1000000.0).alias("grad"),
+            (
+                (
+                    w10_at_slot.cast("bigint") * F.lit(100000000)
+                    - grad_u6 * F.lit(_QCT_LR_U)
+                )
+                / 1000000000.0
+            ).alias("w_new"),
+        )
+        .orderBy("slot")
+    )

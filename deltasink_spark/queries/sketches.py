@@ -12,6 +12,7 @@ tests/test_properties.py instead.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from deltasink_spark.registry import query
 from deltasink_spark.tables import load
@@ -286,4 +287,111 @@ def agg_bitmap_native(spark, sf_dir):
     return per_seg.groupBy("o_orderstatus").agg(
         F.sum("n_in_seg").cast("long").alias("n_customers"),
         F.bitmap_count(F.bitmap_or_agg(F.col("bucket_bm"))).cast("long").alias("n_buckets"),
+    )
+
+
+# --- agg_kmv_intersect: KMV/theta sketch set intersection -----------------
+
+_KMV_K = 128
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events),
+    kmv AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}),
+    theta AS (SELECT event_type, MAX(h) AS th, COUNT(*) AS n_sk
+              FROM kmv GROUP BY event_type),
+    pairs AS (
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+               LEAST(ta.th, tb.th) AS theta
+        FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type),
+    common AS (
+        SELECT p.type_a, p.type_b, p.theta,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pairs p
+        JOIN kmv a ON a.event_type = p.type_a AND a.h < p.theta
+        JOIN kmv b ON b.event_type = p.type_b AND b.h = a.h
+        GROUP BY p.type_a, p.type_b, p.theta)
+    SELECT p.type_a, p.type_b, p.theta,
+           COALESCE(c.n_common, 0) AS n_common,
+           COALESCE(c.n_common, 0) * 4294967296.0 / p.theta AS est_intersection
+    FROM pairs p LEFT JOIN common c
+      ON c.type_a = p.type_a AND c.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def agg_kmv_intersect(spark, sf_dir):
+    """K-minimum-values (theta) sketch INTERSECTION — the set operation
+    the HLL family cannot do (HLL unions losslessly but has no
+    intersection; the standard answer is the KMV/theta sketch, as in
+    the DataSketches library): per event_type keep the K=128
+    smallest distinct 32-bit hashes of user_id, and for every type
+    pair estimate the overlapping-user count as
+    n_common * 2^32 / theta, where theta = min of the two sketches'
+    K-th minima and n_common counts shared hashes below theta. Every
+    component (hashes, K-minima, theta, n_common) is an exact integer
+    and the one estimate division is correctly-rounded IEEE on exact
+    inputs — bit-identical cross-engine, so an approximate sketch gets
+    an EXACT oracle.
+
+    Scale shape: the sketch build is one distinct + one per-type top-K
+    window (shuffle on event_type); everything after operates on
+    |types| x K rows — broadcastable, mergeable (union two KMV sets,
+    re-truncate to K), the same algebra minhash_union proves. At
+    100 TB the sketches are the only thing that crosses the shuffle."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    theta = kmv.groupBy("event_type").agg(
+        F.max("h").alias("th"), F.count(F.lit(1)).alias("n_sk")
+    )
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("th_b"))
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("kb_type"), F.col("h").alias("hb"))
+    common = (
+        pairs.join(ka, "type_a")
+        .filter(F.col("h") < F.col("theta"))
+        .join(kb, (F.col("type_b") == F.col("kb_type")) & (F.col("h") == F.col("hb")))
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(common.select("type_a", "type_b", "n_common"), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias("n_common"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+                * F.lit(4294967296.0)
+                / F.col("theta")
+            ).alias("est_intersection"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -1396,3 +1396,81 @@ def sample_weighted(spark, sf_dir):
         .orderBy(F.desc("wkey"), F.asc("doc_id"))
         .limit(_WSAMPLE_K)
     )
+
+
+# --- sample_weighted_union: A-Res sample mergeability proof ---------------
+
+_WSU_K = 50
+
+
+@query(
+    "sample_weighted_union",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 12) AS wkey
+        FROM documents WHERE n_chars > 0),
+    per AS (
+        SELECT source AS scope, doc_id, wkey FROM (
+            SELECT source, doc_id, wkey,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY wkey DESC, doc_id) AS rn
+            FROM keyed
+        ) WHERE rn <= {_WSU_K}),
+    merged AS (
+        SELECT '__merged__' AS scope, doc_id, wkey FROM per
+        ORDER BY wkey DESC, doc_id LIMIT {_WSU_K}),
+    direct AS (
+        SELECT '__direct__' AS scope, doc_id, wkey FROM keyed
+        ORDER BY wkey DESC, doc_id LIMIT {_WSU_K})
+    SELECT scope, doc_id, wkey FROM per
+    UNION ALL SELECT scope, doc_id, wkey FROM merged
+    UNION ALL SELECT scope, doc_id, wkey FROM direct
+    ORDER BY scope, doc_id
+    """,
+)
+def sample_weighted_union(spark, sf_dir):
+    """MERGEABILITY proof for Efraimidis-Spirakis A-Res sampling (the
+    sample_weighted op): per-source top-K samples re-truncated to K
+    must equal the direct top-K over the whole corpus — any member of
+    the global top-K is necessarily in its own source's top-K, so the
+    merge loses nothing. This is what lets a 100 TB pipeline keep
+    per-partition/per-day weighted samples and answer "sample the
+    union" by merging K-row frames, never rescanning — the sampling
+    sibling of minhash_union / agg_hll_union's union algebra. The op
+    emits per-source rows, '__merged__' (union of per-source samples
+    re-cut), and '__direct__' (one-pass top-K); the oracle recomputes
+    each independently, so merged != direct would hash-fail.
+
+    Plan: per-source top-K is one window over the keyed rows (shuffle
+    on source); merged re-truncates a |sources| x K frame (tiny);
+    direct is a TakeOrderedAndProject per-partition-heap pass — no
+    global sort anywhere."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4294967296.0
+    keyed = d.select(
+        "doc_id", "source", F.round(F.log(u) / F.col("n_chars"), 12).alias("wkey")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
+    per = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WSU_K)
+        .select(F.col("source").alias("scope"), "doc_id", "wkey")
+    )
+    merged = (
+        per.orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(_WSU_K)
+        .select(F.lit("__merged__").alias("scope"), "doc_id", "wkey")
+    )
+    direct = (
+        keyed.orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(_WSU_K)
+        .select(F.lit("__direct__").alias("scope"), "doc_id", "wkey")
+    )
+    return per.unionByName(merged).unionByName(direct).orderBy("scope", "doc_id")

@@ -819,3 +819,29 @@ def test_dedup_image_phash_bucketed_not_all_pairs(spark, sf_small):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_quality_classifier_train_two_hash_aggs_no_window(spark, sf_small):
+    """The gradient step must be two combining hash aggs (scores,
+    gradient scatter) + the 32-row spine join — no window, no
+    cartesian, no Python."""
+    p = plan(q("quality_classifier_train", spark, sf_small))
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_sample_weighted_union_direct_is_topk(spark, sf_small):
+    """The mergeability proof's direct branch must stay a distributed
+    top-K (per-partition heaps), never a global sort of the corpus."""
+    p = plan(q("sample_weighted_union", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_kmv_intersect_sketch_sized_joins(spark, sf_small):
+    """The KMV build is one distinct + per-type window; everything
+    downstream joins |types| x K sketch rows — no cartesian against
+    the events scan."""
+    p = plan(q("agg_kmv_intersect", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # the per-type top-K rank
