@@ -45,6 +45,7 @@ _R8_NEW: list[str] = [
     "quality_classifier_train",
     "sample_weighted_union",
     "agg_kmv_intersect",
+    "hilbert_cluster",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

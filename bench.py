@@ -150,6 +150,7 @@ R8OPS = [
     "quality_classifier_train",  # one full-batch distributed GD step
     "sample_weighted_union",     # A-Res merge == direct proof
     "agg_kmv_intersect",         # KMV/theta sketch intersection
+    "hilbert_cluster",           # Hilbert-curve layout key + range sort
 ]
 
 

@@ -356,6 +356,108 @@ def zorder_cluster(spark, sf_dir):
     return b.repartitionByRange(32, "zkey").sortWithinPartitions("zkey")
 
 
+# --- hilbert_cluster: Hilbert-curve layout key (r8) --------------------
+
+_H_BITS = 10
+_H_N = 1 << _H_BITS
+
+
+def _hilbert_exprs(s: int) -> tuple[str, str, str]:
+    """One unrolled level of the standard xy2d walk (state columns hx,
+    hy, hd): returns (new_hx, new_hy, hd_increment) SQL valid in BOTH
+    engines (CASE + & + arithmetic only — no engine-specific xor)."""
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+        f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+        f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+    )
+    xn = f"(CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1 THEN {_H_N - 1} - hy ELSE hy END)"
+    yn = f"(CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1 THEN {_H_N - 1} - hx ELSE hx END)"
+    return xn, yn, f"{s * s} * {quad}"
+
+
+def _hilbert_duck_ctes() -> tuple[str, str]:
+    ctes = [
+        "h0 AS (SELECT l_orderkey, l_linenumber, pk_bucket, sk_bucket, "
+        "CAST(pk_bucket AS BIGINT) AS hx, CAST(sk_bucket AS BIGINT) AS hy, "
+        "CAST(0 AS BIGINT) AS hd FROM b)"
+    ]
+    lvl, s = 0, _H_N // 2
+    while s > 0:
+        lvl += 1
+        xn, yn, dinc = _hilbert_exprs(s)
+        ctes.append(
+            f"h{lvl} AS (SELECT l_orderkey, l_linenumber, pk_bucket, sk_bucket, "
+            f"{xn} AS hx, {yn} AS hy, hd + {dinc} AS hd FROM h{lvl - 1})"
+        )
+        s //= 2
+    return ",\n    ".join(ctes), f"h{lvl}"
+
+
+_H_CTES, _H_LAST = _hilbert_duck_ctes()
+
+
+@query(
+    "hilbert_cluster",
+    oracle=f"""
+    WITH b AS (SELECT l_orderkey, l_linenumber,
+                      l_partkey % {_H_N} AS pk_bucket,
+                      l_suppkey % {_H_N} AS sk_bucket
+               FROM lineitem),
+    {_H_CTES}
+    SELECT l_orderkey, l_linenumber, pk_bucket, sk_bucket, hd AS hkey
+    FROM {_H_LAST}
+    """,
+)
+def hilbert_cluster(spark, sf_dir):
+    """Hilbert-curve clustering key — the layout Delta Lake's liquid
+    clustering uses in place of Z-order: unlike Morton interleave
+    (zorder_cluster), every step along a Hilbert curve moves to an
+    ADJACENT cell, so a range predicate on either dimension touches
+    strictly fewer file bands (no Z-shape diagonal jumps across the
+    key space). Key = the standard xy2d walk over 10 bits/dimension,
+    unrolled into 10 chained codegen projections carrying the
+    (x, y, d) state columns — validated bit-for-bit against the
+    textbook recursive form; the oracle replays the identical unroll
+    as chained CTEs.
+
+    Scale shape identical to zorder_cluster: pure per-row bit/CASE
+    arithmetic (no shuffle) for the key, then repartitionByRange
+    (sampled boundaries, one shuffle) + sortWithinPartitions — never a
+    global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % _H_N).alias("pk_bucket"),
+        (F.col("l_suppkey") % _H_N).alias("sk_bucket"),
+    ).select(
+        "*",
+        F.col("pk_bucket").cast("long").alias("hx"),
+        F.col("sk_bucket").cast("long").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    s = _H_N // 2
+    while s > 0:
+        xn, yn, dinc = _hilbert_exprs(s)
+        df = df.select(
+            "l_orderkey",
+            "l_linenumber",
+            "pk_bucket",
+            "sk_bucket",
+            F.expr(xn).alias("hx"),
+            F.expr(yn).alias("hy"),
+            F.expr(f"hd + {dinc}").alias("hd"),
+        )
+        s //= 2
+    keyed = df.select(
+        "l_orderkey", "l_linenumber", "pk_bucket", "sk_bucket", F.col("hd").alias("hkey")
+    )
+    return keyed.repartitionByRange(32, "hkey").sortWithinPartitions("hkey")
+
+
 # --- sql_interface (r4): the same SQL text on both engines ------------
 
 # Written in the ANSI intersection of Spark SQL and DuckDB SQL: the

@@ -845,3 +845,15 @@ def test_agg_kmv_intersect_sketch_sized_joins(spark, sf_small):
     p = plan(q("agg_kmv_intersect", spark, sf_small))
     assert "CartesianProduct" not in p
     assert "Window" in p  # the per-type top-K rank
+
+
+def test_hilbert_cluster_range_partition_no_global_sort(spark, sf_small):
+    """The Hilbert layout must be range repartition + in-partition
+    sort (like zorder_cluster) — one sampled-boundary shuffle, never a
+    global sort, key arithmetic fused into codegen projections."""
+    p = plan(q("hilbert_cluster", spark, sf_small), "simple")
+    assert "rangepartitioning(hkey" in p
+    # in-partition sort (global flag false), not a global sort
+    assert "Sort [hkey" in p and "], false, 0" in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

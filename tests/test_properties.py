@@ -428,3 +428,75 @@ def test_megacluster_skew_candidates_linear_and_log_rounds(spark, sf_small):
     # MAX(struct) keeper compiles to SortAggregate (struct ordering is
     # not hash-aggregable) — still a combining agg, never a window
     assert "Aggregate" in p
+
+
+def test_hilbert_unroll_matches_recursive_reference_and_adjacency():
+    """hilbert_cluster's unrolled SQL (the Spark projections and the
+    DuckDB oracle share _hilbert_exprs) must equal the textbook
+    recursive xy2d on random points, and the curve must have the
+    Hilbert adjacency property (consecutive d -> Manhattan-distance-1
+    cells) — the locality guarantee Z-order lacks."""
+    import random
+
+    import duckdb
+
+    from deltasink_spark.queries.relational import _H_BITS, _H_N, _hilbert_exprs
+
+    def xy2d(x, y):
+        d, s = 0, _H_N // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = _H_N - 1 - x, _H_N - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    # (a) unrolled SQL == recursive reference, via DuckDB
+    rng = random.Random(7)
+    pts = [(rng.randrange(_H_N), rng.randrange(_H_N)) for _ in range(300)]
+    pts += [(0, 0), (_H_N - 1, _H_N - 1), (0, _H_N - 1), (_H_N - 1, 0)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    ctes = ["h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM pts)"]
+    lvl, s = 0, _H_N // 2
+    while s > 0:
+        lvl += 1
+        xn, yn, dinc = _hilbert_exprs(s)
+        ctes.append(
+            f"h{lvl} AS (SELECT x, y, {xn} AS hx, {yn} AS hy, hd + {dinc} AS hd FROM h{lvl-1})"
+        )
+        s //= 2
+    rows = con.execute(
+        f"WITH {', '.join(ctes)} SELECT x, y, hd FROM h{lvl}"
+    ).fetchall()
+    assert all(hd == xy2d(x, y) for x, y, hd in rows)
+
+    # (b) adjacency: walk a contiguous d range via the inverse map and
+    # check each step moves exactly one cell
+    def d2xy(d):
+        x = y = 0
+        t, s = d, 1
+        while s < _H_N:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    start = rng.randrange(_H_N * _H_N - 2000)
+    walk = [d2xy(d) for d in range(start, start + 2000)]
+    for (x0, y0), (x1, y1) in zip(walk, walk[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+    # and the forward map inverts the walk
+    assert all(xy2d(x, y) == start + i for i, (x, y) in enumerate(walk[:50]))
