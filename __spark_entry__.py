@@ -46,6 +46,7 @@ _R8_NEW: list[str] = [
     "sample_weighted_union",
     "agg_kmv_intersect",
     "hilbert_cluster",
+    "markov_transitions",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).
@@ -64,10 +65,14 @@ _R8_R7_RECHECK = [
 
 # minhash-stack consumers of the r8 star-edge change (fixture results
 # unchanged by construction — the cap never fires there — but these are
-# the ops whose plans the change touched).
+# ALL the ops whose plans the change touched; the pipeline composites
+# and dedup_cluster would otherwise sit past the 50-slot budget).
 _R8_MINHASH_RECHECK = [
     "dedup_minhash_lsh",
     "dedup_apply_keep_best",
+    "dedup_cluster",
+    "pipeline_llm_prep",
+    "pipeline_training_prep",
 ]
 
 # Oldest-green cohort: every op whose latest green driver row is r2,

@@ -151,6 +151,7 @@ R8OPS = [
     "sample_weighted_union",     # A-Res merge == direct proof
     "agg_kmv_intersect",         # KMV/theta sketch intersection
     "hilbert_cluster",           # Hilbert-curve layout key + range sort
+    "markov_transitions",        # journey transition matrix (lag + aggs)
 ]
 
 

@@ -167,7 +167,10 @@ def jaccard_verify(
     still drop (the inner join can't see it); that requires an 8-way
     minhash band collision between disjoint shingle sets, negligible
     by construction and irrelevant on fixtures where the cap never
-    fires."""
+    fires. Candidates without an is_star column (callers outside
+    lsh_candidates) are treated as all-ordinary pairs."""
+    if "is_star" not in candidates.columns:
+        candidates = candidates.withColumn("is_star", F.lit(False))
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -1110,3 +1110,63 @@ def stats_poisson_bootstrap(spark, sf_dir):
         w_times_value = F.expr(f"{_pois_sql(_pois_u(r, 'spark'))} * value")
         aggs.append(dsum(w_times_value, 6, f"rep{r}"))
     return ev.groupBy("event_type").agg(*aggs)
+
+
+# --- markov_transitions: user-journey transition matrix (r8) --------------
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    cnt AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (SELECT from_type, SUM(n) AS t FROM cnt GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           c.n * 1.0 / t.t AS p
+    FROM cnt c JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event journeys —
+    the model behind Markov-chain attribution, next-action prediction,
+    and journey anomaly scoring: per user, order events by time and
+    count (previous event_type -> event_type) transitions; row-
+    normalize into probabilities. Deterministic ordering via the
+    (ts, event_id) tie-break; p = n/total is one correctly-rounded
+    IEEE division of exact BIGINTs — identical cross-engine.
+
+    Scale shape: ONE window pass partitioned by user_id (the shuffle
+    key a journey store is already partitioned by), one combining hash
+    agg down to |types|^2 rows, and row-normalization as a window over
+    that already-tiny frame (a broadcast-join of separate totals would
+    re-derive the whole lag pipeline — Catalyst has no DAG-level CSE) —
+    the event log is scanned exactly once. This is the general
+    sequential-pattern primitive the event_pattern_match /
+    funnel_analysis / attribution ops specialize."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wtot = Window.partitionBy("from_type")
+    return (
+        cnt.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") * 1.0 / F.sum("n").over(wtot)).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

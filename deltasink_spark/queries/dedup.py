@@ -470,7 +470,12 @@ def minhash_union(spark, sf_dir):
     per = to_tall(hs.groupBy("source").agg(*aggs))
     # direct is computed INDEPENDENTLY from the hashed rows (not folded
     # from per) so merged == direct stays a real union-algebra check.
-    direct = to_tall(hs.agg(*aggs).select(F.lit("__direct__").alias("source"), "*"))
+    # The global agg emits one all-NULL row on an EMPTY corpus (grouped
+    # aggs emit zero) — filter it so the empty case matches the
+    # oracle's GROUP BY form; sig is never NULL otherwise (r8 review).
+    direct = to_tall(
+        hs.agg(*aggs).select(F.lit("__direct__").alias("source"), "*")
+    ).filter(F.col("sig").isNotNull())
     merged = per.groupBy("perm").agg(F.min("sig").alias("sig")).select(
         "perm", F.lit("__merged__").alias("source"), "sig"
     )

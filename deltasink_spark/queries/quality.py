@@ -422,25 +422,69 @@ _QC_W10 = [((i * 37 + 11) % 21) - 10 for i in range(_QC_DIM)]
 _QC_B10 = -5
 _QC_W10_SQL = ", ".join(str(w) for w in _QC_W10)
 
+# softsign score p = 0.5 + 0.5*z/(1+|z|), z = znum/10 — IEEE-exact in
+# both engines (no transcendentals; see the score op's docstring)
+_QC_SCORE_SQL = "0.5 + 0.5 * (znum / 10.0) / (1 + ABS(znum / 10.0))"
+
+
+def _qc_zn_cte(carry: str) -> str:
+    """Shared oracle CTEs (tok -> tb -> zn): per-token hash bucket and
+    per-doc exact-integer logit numerator znum, carrying ``carry``
+    (source for the score op, lang for the train op). SINGLE source of
+    truth for the scoring algebra — the train op's docstring promises
+    bit-identity with the score op, so the two must share this text."""
+    return f"""
+    tok AS (SELECT doc_id, {carry}, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+    tb AS (SELECT doc_id, {carry},
+                  (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_QC_DIM}) AS b
+           FROM tok),
+    zn AS (SELECT doc_id, {carry},
+                  CAST(SUM(([{_QC_W10_SQL}])[b + 1]) AS BIGINT) + {_QC_B10} AS znum
+           FROM tb GROUP BY doc_id, {carry})
+"""
+
+
+def _qc_bucketed_tokens(d, carry: str):
+    """Spark mirror of the tok/tb CTEs: (doc_id, carry, b)."""
+    return d.select(
+        "doc_id", carry, F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        carry,
+        F.expr(
+            f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % {_QC_DIM}"
+        ).alias("b"),
+    )
+
+
+def _qc_znum(tb, carry: str):
+    """Spark mirror of the zn CTE: (doc_id, carry, znum) — one
+    combining hash agg; carry rides as a grouping key (functionally
+    dependent on doc_id) to keep the agg hash-based (first() would
+    force a SortAggregate)."""
+    w10_at_b = F.expr(f"element_at(array({_QC_W10_SQL}), cast(b + 1 as int))")
+    return (
+        tb.select("doc_id", carry, w10_at_b.alias("w10"))
+        .groupBy("doc_id", carry)
+        .agg((F.sum("w10").cast("bigint") + F.lit(_QC_B10)).alias("znum"))
+    )
+
+
+def _qc_softsign(z):
+    return 0.5 + 0.5 * z / (1.0 + F.abs(z))
+
 
 @query(
     "quality_classifier_score",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-    wt AS (SELECT doc_id, source,
-                  ([{_QC_W10_SQL}])[
-                      (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                       % {_QC_DIM}) + 1] AS w10
-           FROM tok),
-    agg AS (SELECT doc_id, ANY_VALUE(source) AS source,
-                   CAST(SUM(w10) AS BIGINT) + {_QC_B10} AS znum
-            FROM wt GROUP BY doc_id)
+    WITH {_qc_zn_cte("source")}
     SELECT doc_id, source,
            znum / 10.0 AS logit,
-           0.5 + 0.5 * (znum / 10.0) / (1 + ABS(znum / 10.0)) AS score,
+           {_QC_SCORE_SQL} AS score,
            CAST(CASE WHEN znum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-    FROM agg ORDER BY doc_id
+    FROM zn ORDER BY doc_id
     """,
 )
 def quality_classifier_score(spark, sf_dir):
@@ -458,7 +502,9 @@ def quality_classifier_score(spark, sf_dir):
     so the per-doc feature vector never materializes and the "dot
     product" is a per-token array-literal lookup summed map-side —
     cheaper than the F.aggregate HOF form, which Catalyst interprets
-    rather than codegens.
+    rather than codegens. The tok->bucket->znum pipeline is shared
+    with quality_classifier_train (_qc_bucketed_tokens/_qc_znum and
+    the _qc_zn_cte oracle text), so the two halves cannot drift.
 
     Determinism: weights are tenths held as INTEGER w*10, so
     znum = sum(w10) + b10 is exact BIGINT; logit = znum/10.0 is one
@@ -468,53 +514,35 @@ def quality_classifier_score(spark, sf_dir):
     differ across engines. keep thresholds on the exact integer
     (znum >= 0 <=> score >= 0.5)."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    w10 = F.expr(
-        f"element_at(array({_QC_W10_SQL}), cast("
-        f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % {_QC_DIM} + 1"
-        f" as int))"
-    )
-    agg = (
-        tok.select("doc_id", "source", w10.alias("w10"))
-        .groupBy("doc_id", "source")  # doc_id unique -> source rides as a
-        # grouping key, keeping the agg hash-based (first() would force
-        # a SortAggregate)
-        .agg((F.sum("w10").cast("bigint") + F.lit(_QC_B10)).alias("znum"))
-    )
+    zn = _qc_znum(_qc_bucketed_tokens(d, "source"), "source")
     z = F.col("znum") / 10.0
-    return agg.select(
+    return zn.select(
         "doc_id",
         "source",
         z.alias("logit"),
-        (0.5 + 0.5 * z / (1.0 + F.abs(z))).alias("score"),
+        _qc_softsign(z).alias("score"),
         F.when(F.col("znum") >= 0, 1).otherwise(0).cast("bigint").alias("keep"),
     ).orderBy("doc_id")
 
 
 # --- quality_classifier_train: one distributed gradient step --------------
 
-_QCT_LR_U = 100  # learning rate 0.001 expressed in the 1e-9 w_new units
+# learning rate 0.001 expressed in the 1e-9 w_new units: the update
+# term is lr * grad = 0.001 * (grad_u6 / 1e6) = grad_u6 * 1e-9, i.e.
+# exactly grad_u6 of the 1e-9 units (a 100 here would mean lr = 0.1 —
+# the r8 review catch).
+_QCT_LR_U = 1
 _QC_W10_ARR_SQL = f"[{_QC_W10_SQL}]"
 
 
 @query(
     "quality_classifier_train",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-    tb AS (SELECT doc_id, lang,
-                  (CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                   % {_QC_DIM}) AS b
-           FROM tok),
-    zn AS (SELECT doc_id, lang,
-                  CAST(SUM({_QC_W10_ARR_SQL}[b + 1]) AS BIGINT) + {_QC_B10} AS znum
-           FROM tb GROUP BY doc_id, lang),
+    WITH {_qc_zn_cte("lang")},
     res AS (SELECT doc_id,
                    CAST(ROUND(
                        (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
-                       - (0.5 + 0.5 * (znum / 10.0) / (1 + ABS(znum / 10.0))),
+                       - ({_QC_SCORE_SQL}),
                        6) AS DECIMAL(30,6)) AS r
             FROM zn),
     g AS (SELECT tb.b AS slot,
@@ -524,7 +552,7 @@ _QC_W10_ARR_SQL = f"[{_QC_W10_SQL}]"
            {_QC_W10_ARR_SQL}[u.s + 1] / 10.0 AS w_old,
            COALESCE(g.grad_u6, 0) / 1000000.0 AS grad,
            (CAST({_QC_W10_ARR_SQL}[u.s + 1] AS BIGINT) * 100000000
-            - COALESCE(g.grad_u6, 0) * {_QCT_LR_U}) / 1000000000.0 AS w_new
+            + COALESCE(g.grad_u6, 0) * {_QCT_LR_U}) / 1000000000.0 AS w_new
     FROM UNNEST(range(0, {_QC_DIM})) AS u(s)
     LEFT JOIN g ON g.slot = u.s
     ORDER BY slot
@@ -537,43 +565,35 @@ def quality_classifier_train(spark, sf_dir):
     "good language" stand-in), gradient g_j = sum over documents of
     residual * tf_j computed at TOKEN grain (each token adds its doc's
     residual to its hash slot — the tf vector never materializes),
-    w_new = w_old - 0.001 * g. This is distributed logistic-style GD
-    the way Spark should run it: the corpus is touched twice (once for
-    scores, once for the gradient scatter) with ONE combining hash agg
-    each, the model update is a 32-row frame, and a full training loop
-    is this op iterated with broadcast weight refresh (the
-    graph_pagerank / bpe_train checkpoint pattern).
+    w_new = w_old + 0.001 * g. The PLUS is the logistic-regression
+    update direction: dLoss/dw_j = -(y - p) * x_j, so descending the
+    loss ADDS lr * residual * x (equivalently, ascends the
+    log-likelihood); r8's first cut subtracted and would have diverged
+    (caught in review — the mirrored oracle is structurally blind to a
+    shared sign error, which is exactly why the update algebra is
+    spelled out here). This is distributed GD the way Spark should run
+    it: the corpus is touched twice (scores, then the gradient
+    scatter) with ONE combining hash agg each, the model update is a
+    32-row frame, and a full training loop is this op iterated with
+    broadcast weight refresh (the graph_pagerank / bpe_train
+    checkpoint pattern).
 
     Determinism: scores/residuals are the bit-exact softsign algebra
-    of the score op; residuals round to 6 dp into DECIMAL before the
-    exact sum (the dq_drift_psi pattern); the weight update runs in
-    integer 1e-9 units (w10*1e8 - gradU6*100), so grad and w_new each
-    emit through a single correctly-rounded IEEE division — identical
-    in both engines."""
+    of the score op (shared _qc_znum/_qc_zn_cte pipeline); residuals
+    round to 6 dp into DECIMAL before the exact sum (the dq_drift_psi
+    pattern); the weight update runs in integer 1e-9 units
+    (w10*1e8 + gradU6*1), so grad and w_new each emit through a single
+    correctly-rounded IEEE division — identical in both engines."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    tb = tok.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            f"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % {_QC_DIM}"
-        ).alias("b"),
-    ).localCheckpoint(eager=False)  # feeds the score pass AND the gradient scatter
-    w10_at_b = F.expr(f"element_at(array({_QC_W10_SQL}), cast(b + 1 as int))")
-    zn = (
-        tb.select("doc_id", "lang", w10_at_b.alias("w10"))
-        .groupBy("doc_id", "lang")
-        .agg((F.sum("w10").cast("bigint") + F.lit(_QC_B10)).alias("znum"))
-    )
+    tb = _qc_bucketed_tokens(d, "lang").localCheckpoint(
+        eager=False
+    )  # feeds the score pass AND the gradient scatter
+    zn = _qc_znum(tb, "lang")
     z = F.col("znum") / 10.0
     y = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
     res = zn.select(
         "doc_id",
-        F.round(y - (0.5 + 0.5 * z / (1.0 + F.abs(z))), 6)
-        .cast("decimal(30,6)")
-        .alias("r"),
+        F.round(y - _qc_softsign(z), 6).cast("decimal(30,6)").alias("r"),
     )
     g = (
         tb.join(res, "doc_id")
@@ -592,7 +612,7 @@ def quality_classifier_train(spark, sf_dir):
             (
                 (
                     w10_at_slot.cast("bigint") * F.lit(100000000)
-                    - grad_u6 * F.lit(_QCT_LR_U)
+                    + grad_u6 * F.lit(_QCT_LR_U)
                 )
                 / 1000000000.0
             ).alias("w_new"),

@@ -1349,15 +1349,28 @@ def tokenizer_encode(spark, sf_dir):
 
 _WSAMPLE_K = 100
 
+# A-Res key, SINGLE source of truth for sample_weighted AND
+# sample_weighted_union (r8 review: the 6dp->12dp advisor fix had to
+# touch four copies; now each engine has exactly one).
+_WKEY_SQL = """ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+                     / n_chars, 12)"""
+
+
+def _wkey_col():
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4294967296.0
+    return F.round(F.log(u) / F.col("n_chars"), 12)
+
 
 @query(
     "sample_weighted",
     oracle=f"""
     WITH keyed AS (
-        SELECT doc_id, source, n_chars,
-               ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
-                     / n_chars, 12) AS wkey
+        SELECT doc_id, source, n_chars, {_WKEY_SQL} AS wkey
         FROM documents WHERE n_chars > 0)
     SELECT doc_id, source, n_chars, wkey FROM keyed
     ORDER BY wkey DESC, doc_id LIMIT {_WSAMPLE_K}
@@ -1385,14 +1398,8 @@ def sample_weighted(spark, sf_dir):
     ordering resolution and is still exactly mirrorable in DuckDB)
     with a doc_id tie-break before the top-K cut."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 0.5
-    ) / 4294967296.0
-    wkey = F.round(F.log(u) / F.col("n_chars"), 12)
     return (
-        d.select("doc_id", "source", "n_chars", wkey.alias("wkey"))
+        d.select("doc_id", "source", "n_chars", _wkey_col().alias("wkey"))
         .orderBy(F.desc("wkey"), F.asc("doc_id"))
         .limit(_WSAMPLE_K)
     )
@@ -1407,10 +1414,7 @@ _WSU_K = 50
     "sample_weighted_union",
     oracle=f"""
     WITH keyed AS (
-        SELECT doc_id, source, n_chars,
-               ROUND(LN((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
-                     / n_chars, 12) AS wkey
+        SELECT doc_id, source, n_chars, {_WKEY_SQL} AS wkey
         FROM documents WHERE n_chars > 0),
     per AS (
         SELECT source AS scope, doc_id, wkey FROM (
@@ -1449,14 +1453,7 @@ def sample_weighted_union(spark, sf_dir):
     direct is a TakeOrderedAndProject per-partition-heap pass — no
     global sort anywhere."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 0.5
-    ) / 4294967296.0
-    keyed = d.select(
-        "doc_id", "source", F.round(F.log(u) / F.col("n_chars"), 12).alias("wkey")
-    )
+    keyed = d.select("doc_id", "source", _wkey_col().alias("wkey"))
     w = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
     per = (
         keyed.withColumn("rn", F.row_number().over(w))

@@ -857,3 +857,15 @@ def test_hilbert_cluster_range_partition_no_global_sort(spark, sf_small):
     assert "Sort [hkey" in p and "], false, 0" in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_markov_transitions_single_scan_no_join(spark, sf_small):
+    """The transition matrix must scan the event log ONCE: one lag
+    window (shuffle on user_id), one combining hash agg, and the
+    row-normalize as a second window over the |types|^2 frame — no
+    join (a totals join would re-derive the lag pipeline; Catalyst
+    has no DAG CSE)."""
+    p = plan(q("markov_transitions", spark, sf_small), "simple")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
