@@ -86,7 +86,11 @@ def json_infer_schema(spark, sf_dir):
     Inference itself is driver-side by nature (one sampled record);
     the full-corpus inference path is spark.read.json's sampler."""
     ev = load(spark, sf_dir, "events")
-    sample = ev.select("props").first()[0]
+    row = ev.select("props").first()
+    if row is None:  # empty feed: no record to sample -> empty result,
+        # matching the oracle's zero rows (r8 empty-corpus audit)
+        return ev.limit(0).select(F.lit("").alias("schema_canon"))
+    sample = row[0]
     schema_txt = (
         ev.limit(1).select(F.schema_of_json(F.lit(sample)).alias("s")).first()[0]
     )

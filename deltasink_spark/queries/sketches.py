@@ -93,20 +93,22 @@ def agg_hll_union(spark, sf_dir):
         )
     )
     exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    # zero guards: on an empty feed both estimates are NULL/0 and the
+    # exact count 0 — the invariants hold trivially instead of dividing
+    # by zero (r8 empty-corpus audit)
+    me = F.coalesce(F.col("merged_estimate"), F.lit(0.0))
+    we = F.coalesce(F.col("whole_estimate"), F.lit(0.0))
     return (
         merged.crossJoin(whole)
         .crossJoin(exact)
         .select(
             "n_exact",
-            (
-                F.abs(F.col("merged_estimate") - F.col("whole_estimate"))
-                / F.col("whole_estimate")
-                <= 0.01
-            ).alias("merged_close_to_whole"),
-            (
-                F.abs(F.col("merged_estimate") - F.col("n_exact")) / F.col("n_exact")
-                <= 0.025
-            ).alias("merged_within_band"),
+            F.when(we == 0, me == 0)
+            .otherwise(F.abs(me - we) / we <= 0.01)
+            .alias("merged_close_to_whole"),
+            F.when(F.col("n_exact") == 0, me == 0)
+            .otherwise(F.abs(me - F.col("n_exact")) / F.col("n_exact") <= 0.025)
+            .alias("merged_within_band"),
         )
     )
 

@@ -318,7 +318,11 @@ def sink_parquet_batch(spark, sf_dir):
         )
     )
     agg.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    return spark.read.parquet(out).select("o_orderpriority", "n_orders", "total_price")
+    # explicit schema: an empty input writes no data files and schema
+    # inference would fail on read-back (r8 empty-corpus audit)
+    return spark.read.schema(agg.schema).parquet(out).select(
+        "o_orderpriority", "n_orders", "total_price"
+    )
 
 
 # --- streaming sources (rows-only: wall-clock cadence) ------------------
@@ -401,13 +405,14 @@ def write_partitioned(spark, sf_dir):
     back from the directory key, not file contents."""
     stage = _stage_dir(sf_dir, "part_orders")
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    src = load(spark, sf_dir, "orders").select(*cols)
     if not os.path.isdir(os.path.join(stage, "_SUCCESS_DIR")):
-        load(spark, sf_dir, "orders").select(*cols).write.mode("overwrite").partitionBy(
-            "o_orderstatus"
-        ).parquet(stage)
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(stage)
         os.makedirs(os.path.join(stage, "_SUCCESS_DIR"), exist_ok=True)
+    # explicit schema: robust to an empty input having written no data
+    # files (r8 empty-corpus audit); partition column fills from dirs
     return (
-        spark.read.parquet(stage)
+        spark.read.schema(src.schema).parquet(stage)
         .filter(F.col("o_orderstatus") == "F")
         .select(*cols)
     )

@@ -3,6 +3,8 @@ DuckDB exactly at the oracle scale factor (mirrors the driver's t2)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from deltasink_spark import registry
@@ -52,3 +54,46 @@ def test_oracle_match_sf01(spark, op_id):
     from tests.diffcheck import compare
 
     compare(spark, "/root/testdata/sf0.1", registry.QUERIES[op_id], registry.ORACLES[op_id], op_id)
+
+
+# --- empty-corpus robustness audit (r8) --------------------------------
+#
+# Opt-in sweep (DS_EMPTY_ORACLE=1): every oracle-bearing op runs against
+# schema-preserving EMPTY fixture tables and must agree with DuckDB.
+# This catches the global-agg-on-empty class (an ungrouped agg emits one
+# NULL row where GROUP BY emits zero — the minhash_union '__direct__'
+# bug the r8 review found) plus read-back-schema-inference and
+# divide-by-zero edges (4 real bugs fixed when first run).
+#
+# Known engine-semantics divergence, excluded: Spark emits ZERO rows
+# for CUBE/ROLLUP/GROUPING SETS over an empty relation, while DuckDB
+# (and PostgreSQL, per the SQL standard) emit the grand-total grouping
+# set's single row. Not fixable op-side without count-triggered plan
+# branches; documented here instead.
+_EMPTY_DIVERGENT = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
+
+
+@pytest.fixture(scope="session")
+def sf_empty(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(src, f))
+            pq.write_table(schema.empty_table(), os.path.join(dst, f))
+    return dst
+
+
+@pytest.mark.skipif(
+    not os.environ.get("DS_EMPTY_ORACLE"),
+    reason="empty-corpus sweep is opt-in: DS_EMPTY_ORACLE=1",
+)
+@pytest.mark.parametrize("op", sorted(registry.ORACLES))
+def test_empty_corpus_agreement(spark, sf_empty, op):
+    from tests.diffcheck import compare
+
+    if op in _EMPTY_DIVERGENT:
+        pytest.skip("documented Spark-vs-SQL-standard grouping-sets-on-empty divergence")
+    compare(spark, sf_empty, registry.QUERIES[op], registry.ORACLES[op], op)
