@@ -559,12 +559,29 @@ def dedup_image_phash(spark, sf_dir):
     shuffle, no Python); banding explodes to 4 narrow rows/doc; the
     band-bucket self equi-join is the only shuffle, exactly
     sim_ann_lsh's geometry; the exact bit_count(xor) filter runs on
-    candidate rows only. A skewed corpus (mono-color images all
-    hashing to 0) oversizes buckets the same way LSH mega-clusters do
-    — operators/minhash.py::lsh_candidates' star-cap drops in on the
-    same (j, bv) key when that corpus arrives."""
+    candidate rows only. Adversarial-skew bound: a mono-color crawl
+    (every blank page hashing to 0) collapses a band to ONE bucket, so
+    buckets over _PH_BUCKET_CAP expand as a STAR on the bucket's min
+    doc (the minhash.py::lsh_candidates move) — O(n) candidates, and
+    true duplicates keep hamming 0 through the hub so connectivity
+    survives. Unlike minhash star pairs, phash star pairs DO keep the
+    exact Hamming filter: one shared 14-bit band is far weaker
+    evidence than 8 concatenated minhashes, so bucket membership alone
+    is not a duplicate signal. The cap never fires on fixtures (max
+    observed bucket: 16 at sf0.1 vs cap 64 — oracle byte-identical);
+    the bound is exercised on a synthetic mono-payload mega-cluster in
+    tests/test_properties.py."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     ph = d.select("doc_id", F.expr(_phash_sql(_ph_px_spark)).alias("phash"))
+    return _phash_pairs(ph)
+
+
+_PH_BUCKET_CAP = 64
+
+
+def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
+    """(id_a < id_b, hamming <= _PH_HAM_MAX) pairs from a (doc_id,
+    phash) frame via banded buckets with star-capped expansion."""
     bands = F.array(
         *[
             F.struct(
@@ -579,11 +596,31 @@ def dedup_image_phash(spark, sf_dir):
     tall = ph.select("doc_id", "phash", F.explode(bands).alias("b")).select(
         "doc_id", "phash", F.col("b.j").alias("j"), F.col("b.bv").alias("bv")
     )
-    a = tall.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "j", "bv")
-    b = tall.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "j", "bv")
-    return (
+    # min(struct) carries the hub's phash alongside its id in ONE agg
+    stats = tall.groupBy("j", "bv").agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min(F.struct("doc_id", "phash")).alias("mn"),
+    )
+    tagged = tall.join(stats, ["j", "bv"])
+    small = tagged.filter(F.col("bkt_n") <= bucket_cap)
+    a = small.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "j", "bv")
+    b = small.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "j", "bv")
+    all_pairs = (
         a.join(b, ["j", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+    )
+    star_pairs = (
+        tagged.filter((F.col("bkt_n") > bucket_cap) & (F.col("doc_id") != F.col("mn.doc_id")))
+        .select(
+            F.col("mn.doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.col("mn.phash").alias("ph_a"),
+            F.col("phash").alias("ph_b"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
         .select(
             "id_a",
             "id_b",

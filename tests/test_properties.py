@@ -500,3 +500,32 @@ def test_hilbert_unroll_matches_recursive_reference_and_adjacency():
         assert abs(x0 - x1) + abs(y0 - y1) == 1
     # and the forward map inverts the walk
     assert all(xy2d(x, y) == start + i for i, (x, y) in enumerate(walk[:50]))
+
+
+def test_phash_megabucket_skew_candidates_linear(spark):
+    """Adversarial-skew proof for dedup_image_phash: 5,000 identical
+    payloads (the mono-color crawl) collapse every band to one bucket;
+    the star cap must keep the pair count LINEAR in N (not N^2/2), and
+    since identical payloads have hamming 0, every member must still
+    pair with the hub — connectivity survives the cap."""
+    from deltasink_spark.queries.dedup import (
+        _PH_BANDS,
+        _phash_pairs,
+        _phash_sql,
+        _ph_px_spark,
+    )
+
+    n = 5_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("mono mono mono mono mono mono mono mono mono mono").alias("text"),
+    )
+    ph = docs.select("doc_id", F.expr(_phash_sql(_ph_px_spark)).alias("phash"))
+    pairs = _phash_pairs(ph)
+    n_pairs = pairs.count()
+    # star expansion: <= one hub edge per member per band (dedup'd
+    # across bands), catastrophically under the ~1.25e7 all-pairs blowup
+    assert n_pairs <= _PH_BANDS * n, f"candidate blowup: {n_pairs}"
+    assert n_pairs == n - 1  # every member reaches the hub exactly once
+    # identical payloads -> all surviving pairs are exact dups
+    assert pairs.filter(F.col("hamming") != 0).count() == 0
