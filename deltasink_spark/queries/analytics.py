@@ -607,6 +607,7 @@ def _ewma_sql() -> str:
     SELECT event_id, user_id, ts, value,
            CAST({num} AS DOUBLE) / ({den}) / 100.0 AS ewma
     FROM events
+    WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, ts, event_id
     """
@@ -638,7 +639,10 @@ def ts_ewma(spark, sf_dir):
         avail = F.when(lagged.isNull(), 0).otherwise(wt)
         num = term if num is None else num + term
         den = avail if den is None else den + avail
-    ev = load(spark, sf_dir, "events")
+    # NULL samples drop at ingest (a missing reading contributes no
+    # weight; without this a user's leading NULL makes den = 0) — r8
+    # null audit, mirrored in the oracle
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return (
         ev.select(
             "event_id", "user_id", "ts", "value",

@@ -26,7 +26,8 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 @query(
     "doc_chunking",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL),
     n AS (SELECT doc_id, toks,
                  GREATEST(1, CAST(CEIL((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
                                   AS BIGINT) + 1) AS n_chunks
@@ -47,7 +48,7 @@ def doc_chunking(spark, sf_dir):
     explodes into ceil((len-W)/S)+1 chunk rows (always >=1); narrow
     sequence+explode, no shuffle, so it streams at scan speed at any
     scale. W=64 tokens, stride 48 (16-token overlap)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = F.split(F.col("text"), " ")
     n_chunks = F.greatest(
         F.lit(1),
@@ -991,7 +992,8 @@ _C4_RULE_SQL = (
 @query(
     "text_c4_clean",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL),
     n AS (SELECT doc_id, toks,
                  CAST(CEIL(len(toks) / {_C4_W}.0) AS BIGINT) AS nb
           FROM t),
@@ -1020,7 +1022,11 @@ def text_c4_clean(spark, sf_dir):
     100 TB corpus cleans at scan speed with perfect partition
     parallelism. (Contrast dedup_paragraph, which must shuffle because
     its keep-decision is cross-document.)"""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
+        .select("doc_id", "text")
+    )
     toks = F.split(F.col("text"), " ")
     stops = F.array(*[F.lit(s) for s in _C4_STOPS])
 

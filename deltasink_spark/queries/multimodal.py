@@ -59,7 +59,7 @@ def multimodal_column(spark, sf_dir):
            CAST(64 + octet_length(encode(text)) % 256 AS INT) AS width,
            CAST(64 + (octet_length(encode(text)) // 256) % 256 AS INT) AS height,
            TRUE AS ok
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode(spark, sf_dir):
@@ -69,7 +69,8 @@ def multimodal_decode(spark, sf_dir):
     full mapInPandas plumbing is exactly verifiable: the oracle mirrors
     the fake's arithmetic. A real codec drops in behind the same
     signature and the op reverts to rows-only."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NULL text cannot pack into a payload (r8 null audit) — mirrored
     media = pack_media(
         F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
     )
@@ -78,7 +79,9 @@ def multimodal_decode(spark, sf_dir):
 
 
 def _packed(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # NULL text cannot pack into a payload (r8 null audit) — each
+    # consumer's oracle carries the matching WHERE text IS NOT NULL
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = pack_media(
         F.encode(F.col("text"), "utf-8"), F.lit("text/plain;doc"), F.col("source")
     )
@@ -93,7 +96,7 @@ def _packed(spark, sf_dir):
            CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
            least(octet_length(encode(text)), 4096) AS n_bytes,
            md5(substr(text, 1, 4096)) AS payload_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_resize(spark, sf_dir):
@@ -114,7 +117,8 @@ def multimodal_resize(spark, sf_dir):
 @query(
     "multimodal_features",
     oracle="""
-    WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+               WHERE text IS NOT NULL),
     h AS (SELECT doc_id, n,
                  list_transform(range(1, length(text) + 1),
                                 i -> ord(substr(text, i, 1)) % 16) AS m
@@ -156,7 +160,7 @@ def multimodal_features(spark, sf_dir):
     oracle="""
     WITH t AS (SELECT doc_id, text,
                       CAST(greatest(length(text) // 256, 1) AS BIGINT) AS n_frames
-               FROM documents)
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            CAST(fno AS INT) AS frame_no,
            md5(substr(text, fno * 256 + 1, 256)) AS frame_md5,

@@ -169,7 +169,8 @@ def fn_hash(spark, sf_dir):
 @query(
     "fn_array",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL)
     SELECT doc_id,
            len(toks) AS n_toks,
            list_contains(toks, 'scan') AS has_scan,
@@ -185,7 +186,7 @@ def fn_array(spark, sf_dir):
     """Array-valued outputs stringified (concat_ws / array_to_string on
     both engines) — the harness canonicalizer cannot hash array cells.
     Raw-array behavior covered by tests/test_properties.py."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -247,11 +248,16 @@ def fn_map(spark, sf_dir):
 def fn_json(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k INT")
+    # NULL props -> NULL is_json (SQL NULL propagation, as DuckDB's
+    # json_valid; from_json's struct-isNotNull would say False) — r8
+    # null audit
     return ev.select(
         "event_id",
         parsed["k"].alias("k_val"),
         F.get_json_object(F.col("props"), "$.k").alias("k_str"),
-        parsed.isNotNull().alias("is_json"),
+        F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(parsed.isNotNull())
+        .alias("is_json"),
     )
 
 

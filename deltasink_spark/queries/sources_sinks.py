@@ -449,7 +449,7 @@ def scan_xml(spark, sf_dir):
 
 @query(
     "scan_text",
-    oracle="SELECT doc_id, text FROM documents",
+    oracle="SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
 )
 def scan_text(spark, sf_dir):
     """Line-oriented text scan (spark.read.text): the stage serializes
@@ -461,7 +461,10 @@ def scan_text(spark, sf_dir):
     by line; no shuffle."""
     stage = _stage_dir(sf_dir, "text")
     if not _stage_fresh(stage, sf_dir, "documents"):
-        load(spark, sf_dir, "documents").select(
+        # a line-oriented corpus cannot represent NULL text: concat_ws
+        # would silently drop the field and the read-back would crash
+        # on the one-field line (r8 null audit) — excluded at export
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
             F.concat_ws(
                 "\t",
                 F.col("doc_id").cast("string"),
@@ -483,7 +486,7 @@ def scan_text(spark, sf_dir):
     SELECT doc_id,
            octet_length(encode(text)) + 1 AS n_bytes,
            md5(text || chr(10)) AS digest
-    FROM documents WHERE doc_id < 100
+    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
     """,
 )
 def scan_binaryfile(spark, sf_dir):
@@ -502,7 +505,8 @@ def scan_binaryfile(spark, sf_dir):
     if not _stage_fresh(stage, sf_dir, "documents"):
         (
             load(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 100)
+            # a blob file cannot represent NULL text (r8 null audit)
+            .filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
             .repartition(8, "doc_id")
             .select("doc_id", F.col("text").alias("value"))
             .write.mode("overwrite")

@@ -113,7 +113,7 @@ def stream_dedup(spark, sf_dir):
                CASE WHEN event_id % 97 = 0 THEN '{bad json' || props ELSE props END AS props
         FROM events)
     SELECT event_id, props AS raw_payload, 'malformed_json' AS reason
-    FROM corrupted WHERE NOT json_valid(props)
+    FROM corrupted WHERE props IS NULL OR NOT json_valid(props)
     """,
 )
 def sink_deadletter(spark, sf_dir):

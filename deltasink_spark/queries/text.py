@@ -47,7 +47,7 @@ def text_normalize(spark, sf_dir):
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), '|') AS tokens,
            len(string_split(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def text_tokenize(spark, sf_dir):
@@ -55,7 +55,7 @@ def text_tokenize(spark, sf_dir):
     DuckDB array_to_string): the harness canonicalizer cannot hash array
     cells. Raw-array tokenize stays covered by
     tests/test_properties.py::test_raw_array_surfaces."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = tokenize(F.col("text"))
     return d.select(
         "doc_id",
@@ -98,7 +98,8 @@ def text_stats(spark, sf_dir):
 @query(
     "text_ngrams",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL)
     SELECT doc_id,
            array_to_string(list_transform(range(1, GREATEST(len(toks), 1)),
                           i -> toks[i] || ' ' || toks[i + 1]), '|') AS bigrams,
@@ -109,7 +110,7 @@ def text_stats(spark, sf_dir):
 def text_ngrams(spark, sf_dir):
     """Bigram list stringified with '|' (grams contain spaces) for the
     harness canonicalizer; raw-array word_ngrams covered by pytest."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = F.split(F.col("text"), " ")
     grams = word_ngrams(toks, 2)
     return d.select(
@@ -250,7 +251,7 @@ def text_lang_id(spark, sf_dir):
     WITH t AS (SELECT doc_id, text,
                       string_split(trim(regexp_replace(regexp_replace(lower(text),
                           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-               FROM documents)
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            ROUND((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) * 0.4
            + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -263,7 +264,7 @@ def text_lang_id(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = tokenize(F.col("text"))
     return d.select(
         "doc_id", F.round(quality_score(F.col("text"), toks), 4).alias("quality")
@@ -294,14 +295,14 @@ def text_token_count(spark, sf_dir):
     SELECT doc_id,
            md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
                               'string_agg', ' ')) AS fingerprint
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def text_fingerprint(spark, sf_dir):
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set — robust to token reordering (the 'document
     fingerprinting' archetype; rolling-hash variants live in dedup)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())  # NULL-text contract (r8 null audit): drop at ingest, mirrored in oracle
     toks = F.sort_array(F.array_distinct(F.split(F.col("text"), " ")))
     return d.select(
         "doc_id", F.md5(F.concat_ws(" ", toks)).alias("fingerprint")

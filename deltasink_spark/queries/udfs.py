@@ -69,7 +69,7 @@ def udf_pandas(spark, sf_dir):
                           * CAST(FLOOR(epoch(ts)) AS HUGEINT)) AS DOUBLE)
                  / (1000000.0 * CAST(SUM(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS DOUBLE)),
                  6) AS tw_avg
-    FROM events GROUP BY user_id
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
     """,
 )
 def udaf_pandas(spark, sf_dir):
@@ -95,7 +95,14 @@ def udaf_pandas(spark, sf_dir):
         tw = round(float(num) / (1_000_000.0 * float(den)), 6)
         return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "tw_avg": [tw]})
 
-    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    # NULL samples drop at ingest (floor(None*1e6) would crash the
+    # worker; a weighted average has no place for missing values) —
+    # r8 null audit, mirrored in the oracle
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
     return ev.groupBy("user_id").applyInPandas(tw_avg_fn, schema="user_id bigint, tw_avg double")
 
 
@@ -103,7 +110,7 @@ def udaf_pandas(spark, sf_dir):
     "udtf_py",
     oracle="""
     SELECT doc_id, unnest(string_split(text, ' ')) AS token
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
     """,
 )
 def udtf_py(spark, sf_dir):
@@ -115,6 +122,8 @@ def udtf_py(spark, sf_dir):
     @udtf(returnType="doc_id bigint, token string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # a robust table function yields nothing
+                return        # for NULL input (r8 null audit)
             for tok in text.split(" "):
                 yield doc_id, tok
 

@@ -97,3 +97,59 @@ def test_empty_corpus_agreement(spark, sf_empty, op):
     if op in _EMPTY_DIVERGENT:
         pytest.skip("documented Spark-vs-SQL-standard grouping-sets-on-empty divergence")
     compare(spark, sf_empty, registry.QUERIES[op], registry.ORACLES[op], op)
+
+
+# --- NULL-injection robustness audit (r8) ------------------------------
+#
+# Opt-in sweep (DS_NULL_ORACLE=1): every oracle-bearing op runs against
+# fixtures with NULLs deterministically injected into the
+# nullable-in-production columns (documents.text/lang/source,
+# events.value/props) and must agree with DuckDB. First run found 18
+# divergences: 4 hard crashes (scan_text line round-trip, ts_ewma
+# zero-weight division, udaf_pandas/udtf_py Python workers on None)
+# and 14 engine NULL-semantics mismatches (Spark concat_ws skips NULLs
+# where SQL propagates them; from_json-isNotNull vs json_valid(NULL)).
+# Every op now carries an explicit oracle-mirrored NULL contract
+# (drop-at-ingest for text/value consumers, NULL-propagation for
+# fn_json) — a no-op on the NULL-free fixtures.
+_NULL_MODS = {
+    "documents": (
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text, "
+        "CASE WHEN doc_id % 13 = 4 THEN NULL ELSE lang END AS lang, "
+        "CASE WHEN doc_id % 17 = 5 THEN NULL ELSE source END AS source, n_chars "
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type, "
+        "CASE WHEN event_id % 19 = 6 THEN NULL ELSE value END AS value, "
+        "CASE WHEN event_id % 23 = 7 THEN NULL ELSE props END AS props "
+    ),
+}
+
+
+@pytest.fixture(scope="session")
+def sf_nulls(tmp_path_factory):
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_nulls"))
+    con = duckdb.connect()
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        sel = _NULL_MODS.get(f[:-8], "SELECT * ")
+        con.execute(
+            f"COPY ({sel} FROM read_parquet('{src}/{f}')) "
+            f"TO '{dst}/{f}' (FORMAT PARQUET)"
+        )
+    return dst
+
+
+@pytest.mark.skipif(
+    not os.environ.get("DS_NULL_ORACLE"),
+    reason="NULL-injection sweep is opt-in: DS_NULL_ORACLE=1",
+)
+@pytest.mark.parametrize("op", sorted(registry.ORACLES))
+def test_null_injection_agreement(spark, sf_nulls, op):
+    from tests.diffcheck import compare
+
+    compare(spark, sf_nulls, registry.QUERIES[op], registry.ORACLES[op], op)
