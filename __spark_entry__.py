@@ -47,6 +47,9 @@ _R8_NEW: list[str] = [
     "agg_kmv_intersect",
     "hilbert_cluster",
     "markov_transitions",
+    "stats_welch_ttest",
+    "stats_chi2_independence",
+    "stats_ks_two_sample",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -1174,3 +1174,307 @@ def markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical-test family (r8): the hypothesis tests an experimentation /
+# drift-monitoring platform runs over warehouse tables. Same determinism
+# contract as the rest of the module: raw doubles -> integer cents, all
+# sums exact (BIGINT / DECIMAL), the final test statistic assembled from
+# identical IEEE double expression trees in both engines.
+# --------------------------------------------------------------------------
+
+_DEC0 = "DECIMAL(38,0)"
+
+
+@query(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               o_orderstatus AS st,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE st = 'O') AS BIGINT) AS n2,
+               SUM(CAST(cents AS {_DEC0})) FILTER (WHERE st = 'F') AS s1,
+               SUM(CAST(cents AS {_DEC0})) FILTER (WHERE st = 'O') AS s2,
+               SUM(CAST(cents AS {_DEC0}) * CAST(cents AS {_DEC0}))
+                   FILTER (WHERE st = 'F') AS q1,
+               SUM(CAST(cents AS {_DEC0}) * CAST(cents AS {_DEC0}))
+                   FILTER (WHERE st = 'O') AS q2
+        FROM c GROUP BY o_orderpriority),
+    d AS (
+        SELECT o_orderpriority, n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * CAST(s1 AS DOUBLE))
+                 / (n1 - 1) AS v1,
+               (CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * CAST(s2 AS DOUBLE))
+                 / (n2 - 1) AS v2
+        FROM m)
+    SELECT o_orderpriority, n1, n2,
+           ROUND(m1 / 100, 6) AS mean1, ROUND(m2 / 100, 6) AS mean2,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+    FROM d ORDER BY o_orderpriority
+    """,
+)
+def stats_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test per group — the
+    experimentation-platform primitive (treatment vs control metric
+    comparison) run here as order value of finished ('F') vs open
+    ('O') orders within each order priority. Emits per-group sample
+    sizes, means, the t statistic, and the Welch-Satterthwaite df.
+
+    Determinism: cents are exact BIGINT; n/sum/sum-of-squares
+    accumulate in DECIMAL(38,0) (order-insensitive, no overflow:
+    cents^2*n <= ~1e23 << 1e38); mean/variance/t/df are assembled in
+    ONE fixed IEEE expression tree — identical formula text in both
+    engines, so every correctly-rounded intermediate matches.
+
+    Scale: a single map-side-combining hash agg over the fact table
+    (conditional aggregates, no join between the two samples), then
+    constant-size scalar algebra on |groups| rows. The same plan at
+    100 TB shuffles only 7 numbers per group."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    cents = _cents(F.col("o_totalprice"))
+    dec = cents.cast("decimal(38,0)")
+    is1 = F.col("o_orderstatus") == "F"
+    m = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, dec)).alias("s1"),
+        F.sum(F.when(~is1, dec)).alias("s2"),
+        F.sum(F.when(is1, dec * dec)).alias("q1"),
+        F.sum(F.when(~is1, dec * dec)).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("q1").cast("double") - m1 * F.col("s1").cast("double")) / (F.col("n1") - 1)
+    v2 = (F.col("q2").cast("double") - m2 * F.col("s2").cast("double")) / (F.col("n2") - 1)
+    se1, se2 = v1 / F.col("n1"), v2 / F.col("n2")
+    return (
+        m.select(
+            "o_orderpriority",
+            "n1",
+            "n2",
+            F.round(m1 / 100, 6).alias("mean1"),
+            F.round(m2 / 100, 6).alias("mean2"),
+            F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+            F.round(
+                (se1 + se2) * (se1 + se2)
+                / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+                6,
+            ).alias("df"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, user_id % 2 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+    tot AS (
+        SELECT event_type, cohort, o,
+               SUM(o) OVER (PARTITION BY event_type) AS rt,
+               SUM(o) OVER (PARTITION BY cohort) AS ct,
+               SUM(o) OVER () AS n,
+               COUNT(DISTINCT event_type) OVER () AS nr,
+               COUNT(DISTINCT cohort) OVER () AS nc
+        FROM cell),
+    term AS (
+        SELECT event_type, cohort, o, rt, ct, n, nr, nc,
+               ROUND(CAST(rt * ct AS DOUBLE) / n, 6) AS e,
+               ROUND(CAST(CAST(o * n - rt * ct AS DECIMAL(18,0))
+                          * CAST(o * n - rt * ct AS DECIMAL(18,0)) AS DOUBLE)
+                     / CAST(n * rt * ct AS DOUBLE), 8) AS term
+        FROM tot)
+    SELECT event_type, cohort, o, e, term,
+           CAST(CAST(SUM(CAST(term AS DECIMAL(30,8))) OVER () AS DOUBLE)
+                AS DOUBLE) AS chi2,
+           CAST((MAX(nr) OVER () - 1) * (MAX(nc) OVER () - 1) AS BIGINT) AS dof
+    FROM term
+    ORDER BY event_type, cohort
+    """,
+)
+def stats_chi2_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between event_type and
+    a user cohort (user_id parity — the classic A/B bucketing hash).
+    Emits the full contingency table with per-cell expected counts and
+    chi-square contributions, plus the global statistic and degrees of
+    freedom on every row.
+
+    Determinism: observed/marginal counts are exact BIGINT; each
+    cell's contribution ((o*n - rt*ct)^2 / (n*rt*ct)) keeps the
+    numerator exact in DECIMAL (o*n <= 1e10 at sf0.1, squared 1e20
+    fits DECIMAL(36,0)) and performs ONE double division, rounded to
+    8dp; the global chi2 is an order-insensitive exact-decimal sum of
+    those rounded terms.
+
+    Scale: one hash agg collapses the fact table to |types|*|cohorts|
+    cells; every window after that runs on the constant-size cell
+    frame. The only full-table work is the count."""
+    ev = load(spark, sf_dir, "events")
+    cell = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("cohort"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wall = Window.partitionBy()
+    tot = cell.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("event_type").over(wall)).cast("long").alias("nr"),
+        F.size(F.collect_set("cohort").over(wall)).cast("long").alias("nc"),
+    )
+    diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("decimal(18,0)")
+    term = tot.select(
+        "event_type",
+        "cohort",
+        "o",
+        "nr",
+        "nc",
+        F.round((F.col("rt") * F.col("ct")).cast("double") / F.col("n"), 6).alias("e"),
+        F.round(
+            (diff * diff).cast("double")
+            / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+            8,
+        ).alias("term"),
+    )
+    return term.select(
+        "event_type",
+        "cohort",
+        "o",
+        "e",
+        "term",
+        F.sum(F.col("term").cast("decimal(30,8)")).over(wall).cast("double").alias("chi2"),
+        ((F.max("nr").over(wall) - 1) * (F.max("nc").over(wall) - 1))
+        .cast("long")
+        .alias("dof"),
+    ).orderBy("event_type", "cohort")
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderstatus AS st
+        FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    pv AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS k1,
+               CAST(COUNT(*) FILTER (WHERE st = 'O') AS BIGINT) AS k2
+        FROM c GROUP BY v),
+    n AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                CAST(SUM(k2) AS BIGINT) AS n2 FROM pv),
+    ecdf AS (
+        SELECT v,
+               SUM(k1) OVER (ORDER BY v) AS c1,
+               SUM(k2) OVER (ORDER BY v) AS c2
+        FROM pv)
+    SELECT n.n1, n.n2, e.v AS ks_at_cents,
+           CAST(ABS(e.c1 * n.n2 - e.c2 * n.n1) AS BIGINT) AS d_num,
+           CAST(ABS(e.c1 * n.n2 - e.c2 * n.n1) AS DOUBLE) / (n.n1 * n.n2)
+             AS d_stat
+    FROM ecdf e, n
+    ORDER BY ABS(e.c1 * n.n2 - e.c2 * n.n1) DESC, e.v
+    LIMIT 1
+    """,
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test: D = max_x |F1(x) - F2(x)|
+    between the order-value distributions of finished vs open orders.
+    The drift test a feature-store monitor runs on every numeric
+    column. Emits sample sizes, the cents value where the ECDF gap
+    peaks (smallest such value on ties), and D.
+
+    Determinism: integer-exact throughout — the ECDF gap at each value
+    is |c1*n2 - c2*n1| in BIGINT (the common-denominator form of
+    |c1/n1 - c2/n2|), maximized as an integer; the single double
+    division happens once on the winning row.
+
+    Scale: the naive ECDF is a GLOBAL ordered cumulative sum — a
+    one-task window that dies at 100 TB. This plan does the classic
+    two-level distributed prefix sum instead: (1) hash-agg to one row
+    per distinct value, (2) range-bucket values (1e6-cent buckets) and
+    window WITHIN each bucket in parallel, (3) compute per-bucket
+    totals on the bucket-count-sized frame (the only serial window,
+    |buckets| rows), broadcast the exclusive prefix back, and add.
+    The max-gap row then comes from a TakeOrdered, not a full sort."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    v = _cents(F.col("o_totalprice"))
+    is1 = F.col("o_orderstatus") == "F"
+    pv = (
+        o.select(v.alias("v"), is1.alias("is1"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is1"), 1).otherwise(0)).cast("long").alias("k1"),
+            F.sum(F.when(~F.col("is1"), 1).otherwise(0)).cast("long").alias("k2"),
+        )
+        .withColumn("b", _floordiv(F.col("v"), F.lit(1_000_000)))
+        .localCheckpoint(eager=False)
+    )
+    # per-bucket totals -> exclusive prefix (serial, but |buckets|-sized)
+    boff = (
+        pv.groupBy("b")
+        .agg(F.sum("k1").alias("bs1"), F.sum("k2").alias("bs2"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("bs1").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off1"),
+            F.coalesce(
+                F.sum("bs2").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off2"),
+        )
+    )
+    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = (
+        pv.select(
+            "b",
+            "v",
+            F.sum("k1").over(wb).alias("c1b"),
+            F.sum("k2").over(wb).alias("c2b"),
+        )
+        .join(F.broadcast(boff), "b")
+        .select(
+            "v",
+            (F.col("off1") + F.col("c1b")).alias("c1"),
+            (F.col("off2") + F.col("c2b")).alias("c2"),
+        )
+    )
+    n = pv.groupBy().agg(
+        F.sum("k1").cast("long").alias("n1"), F.sum("k2").cast("long").alias("n2")
+    )
+    gap = ecdf.join(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.col("v").alias("ks_at_cents"),
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("d_num"),
+        (
+            F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast("double")
+            / (F.col("n1") * F.col("n2"))
+        ).alias("d_stat"),
+    )
+    return gap.orderBy(F.desc("d_num"), F.asc("ks_at_cents")).limit(1)

@@ -869,3 +869,36 @@ def test_markov_transitions_single_scan_no_join(spark, sf_small):
     assert p.count("Scan parquet") == 1
     assert "Join" not in p and "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_stats_welch_ttest_single_scan_no_join(spark, sf_small):
+    """Both samples accumulate in ONE conditional hash agg over one
+    scan — a per-sample-subquery join would scan orders twice and
+    shuffle twice for the same seven numbers per group."""
+    p = plan(q("stats_welch_ttest", spark, sf_small), "simple")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_stats_chi2_windows_on_cell_frame_only(spark, sf_small):
+    """The fact table collapses to |types|x|cohorts| cells in one hash
+    agg; marginals/totals are windows over that constant-size frame —
+    no join back to the scan, no second scan."""
+    p = plan(q("stats_chi2_independence", spark, sf_small), "simple")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "HashAggregate" in p and "Window" in p
+
+
+def test_stats_ks_bucketed_prefix_no_global_window(spark, sf_small):
+    """The ECDF must be the two-level distributed prefix sum: the
+    per-value cumulative window is PARTITIONED by the range bucket
+    (parallel), the only unpartitioned window runs on the
+    |buckets|-sized frame, and the bucket-prefix/total joins are
+    broadcast — never a sort-merge join or cartesian."""
+    p = plan(q("stats_ks_two_sample", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # the big per-value window is partitioned on the bucket column
+    assert "windowspecdefinition(b" in p
+    assert "BroadcastHashJoin" in p
