@@ -50,6 +50,9 @@ _R8_NEW: list[str] = [
     "stats_welch_ttest",
     "stats_chi2_independence",
     "stats_ks_two_sample",
+    "stats_mannwhitney_u",
+    "stats_mutual_information",
+    "ts_changepoint_cusum",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -154,6 +154,17 @@ R8OPS = [
     "markov_transitions",        # journey transition matrix (lag + aggs)
 ]
 
+# r8 statistical-test family — own group (first recording becomes the
+# r9 baseline).
+R8BOPS = [
+    "stats_welch_ttest",         # conditional-agg Welch t + df
+    "stats_chi2_independence",   # exact-marginal chi-square
+    "stats_ks_two_sample",       # bucketed-prefix-sum ECDF gap
+    "stats_mannwhitney_u",       # doubled-rank exact U + tie-corrected z
+    "stats_mutual_information",  # MI + entropies from exact counts
+    "ts_changepoint_cusum",      # integer-scaled CUSUM argmax
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,7 +177,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -237,6 +248,9 @@ def main() -> None:
         ),
         "r8ops": round(
             sum(t for op, t in timings.items() if op in R8OPS), 4
+        ),
+        "r8bops": round(
+            sum(t for op, t in timings.items() if op in R8BOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

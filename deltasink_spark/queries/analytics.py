@@ -1478,3 +1478,344 @@ def stats_ks_two_sample(spark, sf_dir):
         ).alias("d_stat"),
     )
     return gap.orderBy(F.desc("d_num"), F.asc("ks_at_cents")).limit(1)
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderstatus AS st
+        FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    pv AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (WHERE st = 'F') AS BIGINT) AS k1,
+               CAST(COUNT(*) FILTER (WHERE st = 'O') AS BIGINT) AS k2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c GROUP BY v),
+    r AS (
+        SELECT v, k1, k2, k,
+               COALESCE(SUM(k) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS c_prev
+        FROM pv),
+    m AS (
+        SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+               CAST(SUM(k2) AS BIGINT) AS n2,
+               CAST(SUM(k1 + k2) AS BIGINT) AS n,
+               CAST(SUM(k1 * (2 * c_prev + k + 1)) AS BIGINT) AS two_r1,
+               CAST(SUM(k * k * k - k) AS BIGINT) AS ties
+        FROM r)
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           CAST(n1 AS DOUBLE) * n2
+             - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / SQRT((CAST(n1 AS DOUBLE) * n2 / 12)
+                        * ((n + 1) - CAST(ties AS DOUBLE)
+                                     / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+             AS z_stat
+    FROM m
+    """,
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the order-value
+    distributions of finished ('F') vs open ('O') orders — the
+    nonparametric sibling of [stats_welch_ttest]. Emits n1, n2, both U
+    statistics, and the tie-corrected normal-approximation z (no
+    continuity correction).
+
+    Determinism: ranks never materialize as fractions — with ties
+    resolved to average ranks, 2*avg_rank = 2*c_prev + k + 1 is an
+    exact BIGINT, so 2*R1 = sum(k1*(2*c_prev+k+1)) and the tie term
+    sum(k^3-k) accumulate exactly (max ~2n^2 ~ 1e11 << 2^63); the only
+    doubles are the final /2 (exact in IEEE) and one z expression tree
+    written identically in both engines.
+
+    Scale: the rank prefix c_prev is the same two-level distributed
+    prefix sum as [stats_ks_two_sample] — hash-agg to distinct values,
+    parallel windows inside 1e6-cent range buckets, a serial window
+    only on the |buckets|-sized frame, broadcast back — then ONE
+    map-side-combining global agg. No global sort, no one-task window,
+    no join between the two samples."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    is1 = F.col("o_orderstatus") == "F"
+    pv = (
+        o.select(_cents(F.col("o_totalprice")).alias("v"), is1.alias("is1"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is1"), 1).otherwise(0)).cast("long").alias("k1"),
+            F.sum(F.when(~F.col("is1"), 1).otherwise(0)).cast("long").alias("k2"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .withColumn("b", _floordiv(F.col("v"), F.lit(1_000_000)))
+        .localCheckpoint(eager=False)
+    )
+    boff = (
+        pv.groupBy("b")
+        .agg(F.sum("k").alias("bk"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("bk").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        pv.select(
+            "b",
+            "v",
+            "k1",
+            "k2",
+            "k",
+            F.coalesce(F.sum("k").over(wb), F.lit(0)).alias("cb"),
+        )
+        .join(F.broadcast(boff), "b")
+        .select("v", "k1", "k2", "k", (F.col("off") + F.col("cb")).alias("c_prev"))
+    )
+    m = r.groupBy().agg(
+        F.sum("k1").cast("long").alias("n1"),
+        F.sum("k2").cast("long").alias("n2"),
+        F.sum(F.col("k1") + F.col("k2")).cast("long").alias("n"),
+        F.sum(F.col("k1") * (2 * F.col("c_prev") + F.col("k") + 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("k") * F.col("k") * F.col("k") - F.col("k"))
+        .cast("long")
+        .alias("ties"),
+    )
+    two_u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    sigma = F.sqrt(
+        (n1d * F.col("n2") / 12)
+        * ((F.col("n") + 1) - F.col("ties").cast("double") / (nd * (F.col("n") - 1)))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (two_u1 / 2).alias("u1"),
+        (n1d * F.col("n2") - two_u1 / 2).alias("u2"),
+        F.round((two_u1 / 2 - n1d * F.col("n2") / 2) / sigma, 6).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, user_id % 2 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+    rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+           FROM cell GROUP BY 1),
+    cm AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS ct
+           FROM cell GROUP BY 1),
+    hx AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(rt AS DOUBLE) / n)
+                     * LN(CAST(rt AS DOUBLE) / n), 10) AS DECIMAL(28,10)))
+                  AS DOUBLE) AS hx
+           FROM rm, tot),
+    hy AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(ct AS DOUBLE) / n)
+                     * LN(CAST(ct AS DOUBLE) / n), 10) AS DECIMAL(28,10)))
+                  AS DOUBLE) AS hy
+           FROM cm, tot),
+    term AS (
+        SELECT cell.event_type, cell.cohort, cell.o,
+               ROUND((CAST(cell.o AS DOUBLE) / n)
+                     * LN(CAST(cell.o AS DOUBLE) * n
+                          / (CAST(rt AS DOUBLE) * ct)), 10) AS mi_term,
+               ROUND(-(CAST(cell.o AS DOUBLE) / n)
+                     * LN(CAST(cell.o AS DOUBLE) / n), 10) AS hxy_term
+        FROM cell
+        JOIN rm USING (event_type) JOIN cm USING (cohort), tot),
+    g AS (SELECT CAST(SUM(CAST(mi_term AS DECIMAL(28,10))) AS DOUBLE) AS mi,
+                 CAST(SUM(CAST(hxy_term AS DECIMAL(28,10))) AS DOUBLE) AS hxy
+          FROM term)
+    SELECT t.event_type, t.cohort, t.o, t.mi_term,
+           g.mi, hx.hx, hy.hy, g.hxy
+    FROM term t, g, hx, hy
+    ORDER BY t.event_type, t.cohort
+    """,
+)
+def stats_mutual_information(spark, sf_dir):
+    """Mutual information and marginal/joint Shannon entropies (nats)
+    between event_type and the user-parity A/B cohort — the
+    information-theoretic companion to [stats_chi2_independence]
+    (feature-selection / drift scoring both consume MI). Emits the
+    contingency cells with per-cell MI contributions plus global MI,
+    H(X), H(Y), H(X,Y) on every row; MI = H(X)+H(Y)-H(X,Y) holds up
+    to the stated rounding.
+
+    Determinism: every probability is a ratio of exact BIGINT counts;
+    each p*ln(p) term is ONE double expression tree written
+    identically in both engines, rounded to 10dp, and the global sums
+    are order-insensitive DECIMAL(28,10) accumulations of the rounded
+    terms.
+
+    Scale: one map-side-combining hash agg collapses the fact table to
+    |types|*|cohorts| cells; marginals, entropies and MI are computed
+    on that constant-size frame with broadcast joins only."""
+    ev = load(spark, sf_dir, "events")
+    cell = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("cohort"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cell.groupBy().agg(F.sum("o").cast("long").alias("n"))
+    rm = cell.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    cm = cell.groupBy("cohort").agg(F.sum("o").cast("long").alias("ct"))
+
+    def _dec_sum(col):
+        return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+    def _plogp(cnt):
+        p = cnt.cast("double") / F.col("n")
+        return F.round(-p * F.log(p), 10)
+
+    hx = rm.join(F.broadcast(tot)).groupBy().agg(
+        _dec_sum(_plogp(F.col("rt"))).alias("hx")
+    )
+    hy = cm.join(F.broadcast(tot)).groupBy().agg(
+        _dec_sum(_plogp(F.col("ct"))).alias("hy")
+    )
+    od = F.col("o").cast("double")
+    term = (
+        cell.join(F.broadcast(rm), "event_type")
+        .join(F.broadcast(cm), "cohort")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cohort",
+            "o",
+            F.round(
+                (od / F.col("n"))
+                * F.log(od * F.col("n") / (F.col("rt").cast("double") * F.col("ct"))),
+                10,
+            ).alias("mi_term"),
+            _plogp(F.col("o")).alias("hxy_term"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = term.groupBy().agg(
+        _dec_sum(F.col("mi_term")).alias("mi"),
+        _dec_sum(F.col("hxy_term")).alias("hxy"),
+    )
+    return (
+        term.join(F.broadcast(g))
+        .join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select("event_type", "cohort", "o", "mi_term", "mi", "hx", "hy", "hxy")
+        .orderBy("event_type", "cohort")
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS total FROM h),
+    p AS (
+        SELECT hr, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY hr) AS BIGINT) AS t,
+               SUM(x) OVER (ORDER BY hr) AS cx
+        FROM h)
+    SELECT p.hr AS cp_hour, p.t,
+           CAST(ABS(g.n * p.cx - p.t * g.total) AS BIGINT) AS dev_num,
+           ROUND(CAST(ABS(g.n * p.cx - p.t * g.total) AS DOUBLE) / g.n / 100,
+                 6) AS cusum_peak,
+           ROUND(CAST(g.total AS DOUBLE) / g.n / 100, 6) AS hourly_mean
+    FROM p, g
+    ORDER BY ABS(g.n * p.cx - p.t * g.total) DESC, p.hr
+    LIMIT 1
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM change-point detection on the hourly revenue series (sum
+    of event value-cents per hour): the change point is argmax_t
+    |S_t| where S_t = sum_{i<=t}(x_i - mean) — the standard offline
+    single-change-point estimator a metrics-monitoring pipeline runs
+    per series. Emits the peak hour (earliest on ties), its index t,
+    the exact scaled deviation |n*cum_x - t*total|, and the peak/mean
+    in currency units.
+
+    Determinism: S_t is maximized in the n-scaled integer form
+    n*cum_x - t*total (BIGINT throughout, |.| <= n * total ~ 4e12 at
+    sf0.1); the only doubles are two final display divisions on the
+    single winning row.
+
+    Scale: the running sum is the same two-level distributed prefix
+    sum as [stats_ks_two_sample] — hash-agg to one row per hour,
+    parallel windows inside per-day buckets (both cumsum and
+    cumcount, so ROW_NUMBER never runs globally), a serial window
+    only over the |days| frame, broadcast exclusive offsets back —
+    and the argmax is a TakeOrdered, not a global sort."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.sum(_cents(F.col("value"))).cast("long").alias("x"))
+        .withColumn("d", F.date_trunc("day", F.col("hr")))
+        .localCheckpoint(eager=False)
+    )
+    g = h.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    boff = (
+        h.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"), F.sum("x").alias("bx"))
+        .select(
+            "d",
+            F.coalesce(
+                F.sum("bc").over(
+                    Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("offt"),
+            F.coalesce(
+                F.sum("bx").over(
+                    Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("offx"),
+        )
+    )
+    wd = Window.partitionBy("d").orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    p = (
+        h.select(
+            "d",
+            "hr",
+            F.count(F.lit(1)).over(wd).cast("long").alias("tb"),
+            F.sum("x").over(wd).alias("cxb"),
+        )
+        .join(F.broadcast(boff), "d")
+        .select(
+            "hr",
+            (F.col("offt") + F.col("tb")).cast("long").alias("t"),
+            (F.col("offx") + F.col("cxb")).cast("long").alias("cx"),
+        )
+    )
+    dev = F.abs(F.col("n") * F.col("cx") - F.col("t") * F.col("total"))
+    return (
+        p.join(F.broadcast(g))
+        .select(
+            F.col("hr").alias("cp_hour"),
+            "t",
+            dev.cast("long").alias("dev_num"),
+            F.round(dev.cast("double") / F.col("n") / 100, 6).alias("cusum_peak"),
+            F.round(F.col("total").cast("double") / F.col("n") / 100, 6).alias(
+                "hourly_mean"
+            ),
+        )
+        .orderBy(F.desc("dev_num"), F.asc("cp_hour"))
+        .limit(1)
+    )

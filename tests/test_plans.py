@@ -902,3 +902,35 @@ def test_stats_ks_bucketed_prefix_no_global_window(spark, sf_small):
     # the big per-value window is partitioned on the bucket column
     assert "windowspecdefinition(b" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_stats_mannwhitney_bucketed_ranks(spark, sf_small):
+    """Average ranks come from the bucket-partitioned prefix sum plus
+    a broadcast bucket offset — the per-value window must be
+    partitioned on b (parallel at scale) and all joins broadcast;
+    the final statistic is one global hash agg, not a sort."""
+    p = plan(q("stats_mannwhitney_u", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "windowspecdefinition(b" in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_stats_mutual_information_broadcast_only(spark, sf_small):
+    """Everything after the one cell-building hash agg runs on
+    constant-size frames glued with broadcast joins — no window at
+    all, no shuffle join, no second fact-table scan."""
+    p = plan(q("stats_mutual_information", spark, sf_small), "simple")
+    assert "SortMergeJoin" not in p and "Window" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ts_changepoint_cusum_two_level_prefix(spark, sf_small):
+    """Both running aggregates (cumsum and the ROW_NUMBER substitute)
+    are windows partitioned by day; the serial exclusive-offset
+    window touches only the |days| frame; offsets/totals return via
+    broadcast; argmax is a TakeOrdered limit, not a global sort."""
+    p = plan(q("ts_changepoint_cusum", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "windowspecdefinition(d" in p
+    assert "TakeOrderedAndProject" in p
