@@ -53,6 +53,10 @@ _R8_NEW: list[str] = [
     "stats_mannwhitney_u",
     "stats_mutual_information",
     "ts_changepoint_cusum",
+    "stats_anova_oneway",
+    "ts_autocorrelation",
+    "graph_components",
+    "graph_triangle_count",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

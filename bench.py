@@ -163,6 +163,15 @@ R8BOPS = [
     "stats_mannwhitney_u",       # doubled-rank exact U + tie-corrected z
     "stats_mutual_information",  # MI + entropies from exact counts
     "ts_changepoint_cusum",      # integer-scaled CUSUM argmax
+    "stats_anova_oneway",        # k-sample F via two chained hash aggs
+    "ts_autocorrelation",        # lag equi-join ACF on the hourly frame
+]
+
+# r8 graph family — own group (first recording becomes the r9
+# baseline).
+R8COPS = [
+    "graph_components",          # star-contraction CC over co-order edges
+    "graph_triangle_count",      # degree-oriented exact triangles
 ]
 
 
@@ -177,7 +186,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -251,6 +260,9 @@ def main() -> None:
         ),
         "r8bops": round(
             sum(t for op, t in timings.items() if op in R8BOPS), 4
+        ),
+        "r8cops": round(
+            sum(t for op, t in timings.items() if op in R8COPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -1819,3 +1819,351 @@ def ts_changepoint_cusum(spark, sf_dir):
         .orderBy(F.desc("dev_num"), F.asc("cp_hour"))
         .limit(1)
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               SUM(CAST(cents AS {_DEC0})) AS sg,
+               SUM(CAST(cents AS {_DEC0}) * CAST(cents AS {_DEC0})) AS qg
+        FROM c GROUP BY o_orderpriority),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS DOUBLE) AS s,
+               CAST(SUM(qg) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND((CAST(sg AS DOUBLE) / ng)
+                                   * CAST(sg AS DOUBLE), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS a
+        FROM m)
+    SELECT k AS n_groups, n,
+           ROUND(((a - (s / n) * s) / (k - 1))
+                 / ((q - a) / (n - k)), 6) AS f_stat,
+           ROUND((a - (s / n) * s)
+                 / ((a - (s / n) * s) + (q - a)), 6) AS eta_sq
+    FROM g
+    """,
+)
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of order value across the five order priorities —
+    the k-sample generalization of [stats_welch_ttest] (equal-variance
+    F test). Emits the group count, total n, the F statistic, and the
+    eta-squared effect size SSB/(SSB+SSW).
+
+    Determinism: per-group n/sum/sum-of-squares accumulate exactly
+    (BIGINT counts, DECIMAL(38,0) sums of cents and cents^2); the
+    between-group term sum_g(sg^2/ng) is the only per-group double and
+    is rounded to 6dp then summed as DECIMAL(38,6) — order-insensitive
+    — before F and eta^2 are assembled in ONE fixed IEEE expression
+    tree written identically in both engines.
+
+    Scale: one map-side-combining hash agg collapses the fact table to
+    |groups| rows of three numbers; everything after is scalar algebra
+    on a constant-size frame. The same plan at 100 TB shuffles only
+    3 numbers per group."""
+    o = load(spark, sf_dir, "orders")
+    dec = _cents(F.col("o_totalprice")).cast("decimal(38,0)")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(dec).alias("sg"),
+        F.sum(dec * dec).alias("qg"),
+    )
+    sgd = F.col("sg").cast("double")
+    g = m.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(
+            F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("a"),
+    )
+    ssb = F.col("a") - (F.col("s") / F.col("n")) * F.col("s")
+    ssw = F.col("q") - F.col("a")
+    return g.select(
+        F.col("k").alias("n_groups"),
+        "n",
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    pr AS (
+        SELECT u.lag AS lag, a.x AS xh, b.x AS xt
+        FROM h a, UNNEST(range(1, 7)) AS u(lag)
+        JOIN h b ON b.hr = a.hr + u.lag),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(xh AS {_DEC0}) * CAST(xt AS {_DEC0})) AS sxy,
+               SUM(CAST(xh AS {_DEC0})) AS sh,
+               SUM(CAST(xt AS {_DEC0})) AS st,
+               SUM(CAST(xh AS {_DEC0}) * CAST(xh AS {_DEC0})) AS qh,
+               SUM(CAST(xt AS {_DEC0}) * CAST(xt AS {_DEC0})) AS qt
+        FROM pr GROUP BY lag)
+    SELECT lag, n_pairs,
+           ROUND(CAST(n_pairs * sxy - sh * st AS DOUBLE)
+                 / SQRT(CAST(n_pairs * qh - sh * sh AS DOUBLE)
+                        * CAST(n_pairs * qt - st * st AS DOUBLE)), 6)
+             AS r_acf
+    FROM m ORDER BY lag
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation function of the hourly revenue series at lags
+    1..6 hours, as the Pearson correlation of (x_t, x_{t+lag}) over
+    all matched hour pairs — the seasonality probe a metrics pipeline
+    runs before choosing forecast/anomaly windows. Hour gaps simply
+    contribute no pair (no imputation).
+
+    Determinism: every sum in the correlation is an exact
+    DECIMAL(38,0) accumulation of BIGINT hourly cents (and their
+    products), so numerator n*sxy - sh*st and both variance terms are
+    exact integers; the single division/sqrt is ONE IEEE tree written
+    identically in both engines, rounded to 6dp.
+
+    Scale: the fact table collapses to one row per hour in a
+    map-side-combining hash agg; the lag structure is an EQUI-join of
+    that tiny frame against itself on hr + lag (never a window over
+    the raw series, never a cross product) — at 100 TB the join
+    touches |hours| rows regardless of fact cardinality."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("hr")
+        )
+        .agg(F.sum(_cents(F.col("value"))).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = h.select(
+        "hr", F.col("x").alias("xh"), F.explode(F.expr("sequence(1, 6)")).alias("lag")
+    )
+    b = h.select(F.col("hr").alias("hr2"), F.col("x").alias("xt"))
+    pr = a.join(b, F.col("hr2") == F.col("hr") + F.col("lag"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pr.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d("xh") * d("xt")).alias("sxy"),
+        F.sum(d("xh")).alias("sh"),
+        F.sum(d("xt")).alias("st"),
+        F.sum(d("xh") * d("xh")).alias("qh"),
+        F.sum(d("xt") * d("xt")).alias("qt"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sh") * F.col("st")).cast("double")
+    den1 = (F.col("n_pairs") * F.col("qh") - F.col("sh") * F.col("sh")).cast("double")
+    den2 = (F.col("n_pairs") * F.col("qt") - F.col("st") * F.col("st")).cast("double")
+    return m.select(
+        "lag", "n_pairs", F.round(num / F.sqrt(den1 * den2), 6).alias("r_acf")
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# graph_components / graph_triangle_count — part co-order graph
+# --------------------------------------------------------------------------
+
+# Shared edge builder: parts are linked when they appear in the same
+# order at least twice across the corpus (the >=2 co-occurrence
+# threshold is what keeps a co-occurrence projection sparse — the
+# unthresholded supplier projection is a complete graph already at
+# sf0.01). Canonical s1 < s2, exact co-occurrence pair counts.
+_COORDER_SQL = """
+    pairs AS (
+        SELECT a.l_partkey AS s1, b.l_partkey AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e AS (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2, COUNT(*) AS w FROM pairs GROUP BY s1, s2) t
+        WHERE w >= 2)
+"""
+
+
+def _coorder_edges(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s1", "s2")
+    )
+
+
+@query(
+    "graph_components",
+    oracle=f"""
+    WITH RECURSIVE {_COORDER_SQL},
+    ed AS (SELECT s1 AS a, s2 AS b FROM e
+           UNION ALL SELECT s2, s1 FROM e),
+    nodes AS (SELECT DISTINCT a AS n FROM ed),
+    r(n, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT ed.b, r.lab FROM r JOIN ed ON ed.a = r.n
+        WHERE r.lab < ed.b),
+    comp AS (SELECT n AS node, MIN(lab) AS comp_id FROM r GROUP BY n),
+    sz AS (SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+           FROM comp GROUP BY comp_id)
+    SELECT node, comp_id, comp_size
+    FROM comp JOIN sz USING (comp_id)
+    ORDER BY node
+    """,
+)
+def graph_components(spark, sf_dir):
+    """Connected components of the part co-order graph, as a
+    standalone graph operator (component id = min node id, plus the
+    component size per node). The same alternating large-star /
+    small-star engine that clusters near-duplicate documents
+    ([dedup_cluster], llmprep.py) — exposed here over an explicit edge
+    list, which is how a lineage/entity-resolution user calls it.
+
+    Oracle: DuckDB recursive reachability closure (labels propagate
+    only downhill, lab < target) + MIN per node — exact, engine-
+    independent semantics.
+
+    Scale: edge building is one self-equi-join on the order key + a
+    combining hash agg (co-occurrence instances, threshold >= 2); the
+    component rounds are Kiveris et al. star contractions — two
+    equi-join/agg passes per round, O(log n) rounds even on chains,
+    lineage cut per round. No global sort, no driver-side loop state
+    beyond a scalar convergence count."""
+    from deltasink_spark.queries.llmprep import min_label_components
+
+    e = _coorder_edges(spark, sf_dir)
+    pairs = e.select(F.col("s1").alias("id_a"), F.col("s2").alias("id_b"))
+    comp = min_label_components(pairs).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("comp_id")
+    )
+    sz = comp.groupBy("comp_id").agg(
+        F.count(F.lit(1)).cast("long").alias("comp_size")
+    )
+    return comp.join(F.broadcast(sz), "comp_id").select(
+        "node", "comp_id", "comp_size"
+    ).orderBy("node")
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_COORDER_SQL},
+    deg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT s1 AS k FROM e UNION ALL SELECT s2 FROM e) t
+        GROUP BY k),
+    o AS (
+        SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+                    THEN e.s1 ELSE e.s2 END AS u,
+               CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+                    THEN e.s2 ELSE e.s1 END AS v,
+               CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+                    THEN d2.d ELSE d1.d END AS dv
+        FROM e JOIN deg d1 ON d1.k = e.s1 JOIN deg d2 ON d2.k = e.s2),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM o o1
+        JOIN o o2 ON o2.u = o1.u
+            AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d) AS BIGINT) // 2 AS n_edges,
+               CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+        FROM deg)
+    SELECT g.n_nodes, g.n_edges, g.n_wedges, tri.n_triangles,
+           ROUND(3.0 * tri.n_triangles / g.n_wedges, 6) AS transitivity
+    FROM g, tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count and global clustering coefficient
+    (transitivity = 3*triangles / wedges) of the part co-order graph —
+    the standard graph-quality probe, computed with the
+    degree-ordered-orientation algorithm every distributed triangle
+    counter uses (each edge directed from its lexicographically
+    (degree, id)-smaller endpoint, so every triangle is counted
+    exactly once at its lowest-rank vertex and the wedge intermediate
+    is bounded by sum(d_out^2) = O(m^1.5) instead of sum(d^2)).
+
+    Correctness of the orientation (wedge endpoints compared in the
+    SAME (degree, id) order that directed the edges — comparing raw
+    ids undercounts whenever degree order disagrees with id order) is
+    pinned against a naive canonical a<b<c triple join in the test
+    suite.
+
+    Scale: two broadcast joins attach degrees, the wedge step is a
+    self-equi-join on the star center u, the closing step an equi-join
+    on (v1, v2) — all equi-joins, no cartesian; the hub-bounding
+    orientation is exactly what keeps the wedge set linear-ish on
+    power-law graphs at 100 TB."""
+    e = _coorder_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("s1").alias("k"))
+        .unionByName(e.select(F.col("s2").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    d1 = deg.select(F.col("k").alias("s1"), F.col("d").alias("da"))
+    d2 = deg.select(F.col("k").alias("s2"), F.col("d").alias("db"))
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("s1") < F.col("s2"))
+    )
+    o = (
+        e.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            F.when(low_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+            F.when(low_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+            F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedge = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedge.join(closing, ["v1", "v2"]).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    g = deg.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    return g.join(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+    )

@@ -934,3 +934,45 @@ def test_ts_changepoint_cusum_two_level_prefix(spark, sf_small):
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
     assert "windowspecdefinition(d" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_stats_anova_single_pass_no_join(spark, sf_small):
+    """ANOVA is two chained hash aggs (fact -> groups -> one row) —
+    no join, no window, nothing else touches the fact table."""
+    p = plan(q("stats_anova_oneway", spark, sf_small), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_ts_autocorrelation_equi_join_no_window(spark, sf_small):
+    """The lag structure is an equi-join of the hourly frame against
+    itself on hr + lag — never a window over the series and never a
+    cross product; the lag fan-out is a Generate (explode)."""
+    p = plan(q("ts_autocorrelation", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "Generate" in p
+    assert "Join" in p
+
+
+def test_graph_components_no_cartesian(spark, sf_small):
+    """Component rounds are equi-join/agg star contractions over the
+    checkpointed edge list; the size attach is a broadcast join."""
+    p = plan(q("graph_components", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_graph_triangle_count_equi_joins_only(spark, sf_small):
+    """The wedge step is a self-EQUI-join on the star center u and
+    the closing step an equi-join on (v1, v2) — no cartesian anywhere
+    in the triangle plan. (The degree-attach broadcast joins sit
+    behind the oriented-edge checkpoint boundary, so the visible plan
+    starts at the wedge join.)"""
+    p = plan(q("graph_triangle_count", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    # wedge join keyed on the star center; closing join keyed on the pair
+    assert "SortMergeJoin [u#" in p or "ShuffledHashJoin [u#" in p or (
+        "BroadcastHashJoin [u#" in p
+    )
+    assert "HashAggregate" in p

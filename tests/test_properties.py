@@ -529,3 +529,23 @@ def test_phash_megabucket_skew_candidates_linear(spark):
     assert n_pairs == n - 1  # every member reaches the hub exactly once
     # identical payloads -> all surviving pairs are exact dups
     assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_triangle_orientation_matches_naive_count(spark, sf_small):
+    """The degree-ordered-orientation triangle count equals a naive
+    canonical a<b<c triple join. This pins the orientation-order
+    subtlety: wedge endpoints must be compared in the SAME (degree,
+    id) order that directed the edges — comparing raw ids undercounts
+    whenever degree order disagrees with id order (it does on this
+    fixture: the id-ordered variant reports 48 instead of 96 at
+    sf0.01)."""
+    from deltasink_spark.queries.analytics import _coorder_edges
+
+    e = _coorder_edges(spark, sf_small).localCheckpoint()
+    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    naive = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    got = registry.QUERIES["graph_triangle_count"](spark, sf_small).first()
+    assert got["n_triangles"] == naive
+    assert naive > 0  # vacuous-pin guard: the fixture graph has triangles
