@@ -57,6 +57,8 @@ _R8_NEW: list[str] = [
     "ts_autocorrelation",
     "graph_components",
     "graph_triangle_count",
+    "rank_fusion_rrf",
+    "join_interval_overlap",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -172,6 +172,8 @@ R8BOPS = [
 R8COPS = [
     "graph_components",          # star-contraction CC over co-order edges
     "graph_triangle_count",      # degree-oriented exact triangles
+    "rank_fusion_rrf",           # hybrid-retrieval RRF top-20
+    "join_interval_overlap",     # bucket-decomposed interval join
 ]
 
 

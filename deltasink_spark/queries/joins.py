@@ -697,3 +697,83 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.col("fw_date"))
         .alias("nearest_orderdate"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS s
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (
+        SELECT o_orderkey AS b_key,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS s
+        FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT a.a_key AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(a.s + 3, b.s + 3) - GREATEST(a.s, b.s) + 1)
+                AS BIGINT) AS sum_overlap_days
+    FROM a JOIN b ON a.s <= b.s + 3 AND b.s <= a.s + 3
+    GROUP BY a.a_key
+    ORDER BY o_orderkey
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join — BOTH sides are intervals (urgent-order
+    vs low-priority-order 4-day activity windows [day, day+3]; match
+    when the windows intersect), the join shape neither the as-of
+    family (point vs history) nor join_theta_range / join_range_
+    bucketed (point vs a broadcastable band table) covers: here both
+    sides are fact-sized, so nothing can be broadcast.
+
+    Distributed strategy: fixed-width bucket decomposition. Each
+    interval explodes into the 7-day buckets it touches (width >=
+    interval length, so <= 2 buckets per row), the join is a plain
+    EQUI-join on the bucket id with the exact overlap predicate as a
+    residual filter, and each matching pair is counted exactly once —
+    not via distinct, but by the count-once predicate bk ==
+    bucket(overlap start): the overlap start greatest(a.s, b.s) lies
+    in both intervals, so exactly one shared bucket claims the pair.
+    The oracle is the plain theta join — proving the decomposition
+    IS the theta join is the point of the op.
+
+    Output is aggregated per left interval (count + total overlap
+    days, exact BIGINTs) so the result stays |A|-sized while the join
+    itself is exercised at pair grain. At 100 TB: shuffle is keyed on
+    time buckets — naturally balanced for event-time data, and W
+    trades fan-out (interval_len/W + 1 copies) against per-bucket
+    density exactly like every published distributed interval join."""
+    o = load(spark, sf_dir, "orders")
+
+    def side(prio, key):
+        return o.filter(F.col("o_orderpriority") == prio).select(
+            F.col("o_orderkey").alias(key),
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias(f"{key[0]}_s"),
+        )
+
+    a = side("1-URGENT", "a_key").withColumn(
+        "bk", F.explode(F.expr("sequence(a_s div 7, (a_s + 3) div 7)"))
+    )
+    b = side("5-LOW", "b_key").withColumn(
+        "bk", F.explode(F.expr("sequence(b_s div 7, (b_s + 3) div 7)"))
+    )
+    j = a.join(b, "bk").filter(
+        (F.col("a_s") <= F.col("b_s") + 3)
+        & (F.col("b_s") <= F.col("a_s") + 3)
+        & (F.col("bk") == F.expr("greatest(a_s, b_s) div 7"))
+    )
+    return (
+        j.groupBy(F.col("a_key").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("a_s") + 3, F.col("b_s") + 3)
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+                + 1
+            )
+            .cast("long")
+            .alias("sum_overlap_days"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1082,3 +1082,99 @@ def ann_ivf_pq_query(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "adc", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# rank_fusion_rrf — reciprocal-rank fusion of two retrievers
+# --------------------------------------------------------------------------
+
+# The BM25 retriever half: reuse text_bm25's registered oracle verbatim
+# as a CTE so the fused oracle can never drift from the component op.
+from deltasink_spark.queries import trainprep as _tp  # noqa: E402
+from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=f"""
+    WITH bm AS ({_ORACLES["text_bm25"]}),
+    bmr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                 AS r_bm25
+        FROM bm),
+    {_QN_CTE},
+    cs AS (
+        SELECT b.vec_id AS doc_id, {_QCOS_AB} AS cos
+        FROM qn b CROSS JOIN (SELECT iv, nrm FROM qn WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos DESC, b.vec_id LIMIT 50),
+    csr AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+                 AS r_cos
+        FROM cs),
+    f AS (
+        SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id, r_bm25, r_cos,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm25), 0)
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + r_cos), 0), 6)
+                 AS rrf
+        FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+    SELECT doc_id, r_bm25, r_cos, rrf FROM f
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def rank_fusion_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60) of the two retrievers the engine
+    already ships — lexical BM25 ([text_bm25]'s fixed query terms over
+    documents) and dense cosine ([sim_topk_search]'s vec_id=0 probe
+    over the aligned embeddings) — the standard hybrid-search merge:
+    rrf = sum_i 1/(60 + rank_i), ranks missing from a list contribute
+    0. Emits the fused top-20 with both component ranks (NULL where a
+    doc appears in only one list).
+
+    Determinism: both component scores are already 6dp-rounded exact
+    values with doc_id tie-breaks, so each top-50 SET and its ranks
+    are engine-independent; the fusion is one identical IEEE tree
+    rounded 6dp, final ties broken by doc_id.
+
+    Scale: each retriever ends in a TakeOrderedAndProject top-50
+    (per-partition heaps, driver merge) — the only global windows run
+    on those <=50-row frames; the fusion is a full outer join of two
+    50-row lists. At 100 TB the retrievers are the scans; the fusion
+    cost is constant."""
+    bm = _tp.text_bm25(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm25")
+    )
+    qn = _qn_frame(spark, sf_dir)
+    probe = qn.filter(F.col("vec_id") == 0).select(
+        F.col("iv").alias("qi"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(
+        qdot(F.col("qi"), F.col("iv")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    cs = (
+        qn.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wc = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    csr = cs.select(
+        "doc_id", F.row_number().over(wc).cast("long").alias("r_cos")
+    )
+    one = F.lit(1).cast("double")
+    f = bmr.join(csr, "doc_id", "full").select(
+        "doc_id",
+        "r_bm25",
+        "r_cos",
+        F.round(
+            F.coalesce(one / (60 + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(one / (60 + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return f.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

@@ -976,3 +976,24 @@ def test_graph_triangle_count_equi_joins_only(spark, sf_small):
         "BroadcastHashJoin [u#" in p
     )
     assert "HashAggregate" in p
+
+
+def test_rank_fusion_rrf_takeordered_lists(spark, sf_small):
+    """Both retriever lists end in distributed top-50s and the final
+    fused cut is itself a TakeOrderedAndProject; the only cross join
+    is the broadcast single-row probe vector."""
+    p = plan(q("rank_fusion_rrf", spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_join_interval_overlap_equi_on_bucket(spark, sf_small):
+    """Both interval sides are fact-sized, so the overlap join MUST
+    decompose to an equi-join: explode into covering buckets
+    (Generate), join keyed on bk, exact predicate + count-once rule
+    as residual filters — never a nested-loop/cartesian theta join."""
+    p = plan(q("join_interval_overlap", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p
+    assert "bk" in p
