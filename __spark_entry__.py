@@ -59,6 +59,14 @@ _R8_NEW: list[str] = [
     "graph_triangle_count",
     "rank_fusion_rrf",
     "join_interval_overlap",
+    "ann_recall_at_k",
+    "stats_proportions_ztest",
+    "agg_exact_median_twopass",
+    "intervals_merge_islands",
+    "stats_mad_outliers",
+    "ts_seasonal_decompose",
+    "text_zipf_slope",
+    "sample_stratified_neyman",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

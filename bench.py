@@ -174,6 +174,14 @@ R8COPS = [
     "graph_triangle_count",      # degree-oriented exact triangles
     "rank_fusion_rrf",           # hybrid-retrieval RRF top-20
     "join_interval_overlap",     # bucket-decomposed interval join
+    "ann_recall_at_k",           # ANN index-quality eval vs brute force
+    "stats_proportions_ztest",   # pooled two-proportion z per group
+    "agg_exact_median_twopass",  # bucket-histogram exact order statistic
+    "intervals_merge_islands",   # gaps-and-islands running-max merge
+    "stats_mad_outliers",        # integer-exact median/MAD outlier flags
+    "ts_seasonal_decompose",     # 24-slot seasonal profile + eta^2
+    "text_zipf_slope",           # log-log OLS over top-500 token ranks
+    "sample_stratified_neyman",  # variance-optimal stratified draw
 ]
 
 

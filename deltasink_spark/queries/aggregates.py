@@ -663,3 +663,71 @@ def agg_regression(spark, sf_dir):
         F.round(intercept, 6).alias("intercept"),
         F.round(num * num / (den_x * den_y), 6).alias("r2"),
     )
+
+
+@query(
+    "agg_exact_median_twopass",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders)
+    SELECT v AS median_cents, n FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM c) t
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def agg_exact_median_twopass(spark, sf_dir):
+    """EXACT global median (lower median, rank (n+1) div 2) without
+    ever sorting the data: the two-pass bucket-histogram selection
+    every engine uses when an exact order statistic is demanded at
+    scale. Pass 1 collapses the table to a per-bucket histogram
+    (1e6-cent buckets, one combining hash agg); a serial prefix over
+    the |buckets|-sized frame locates the bucket holding the target
+    rank and the residual rank within it. Pass 2 re-scans ONLY that
+    bucket's rows (broadcast 1-row target joins as the filter),
+    histograms per distinct value, and a prefix over that bounded
+    frame picks the value at the residual rank.
+
+    The oracle is the textbook global ROW_NUMBER construction —
+    proving the bucket selection IS the order statistic. Contrast
+    [agg_quantile] (per-group percentile(), a per-group sort) and
+    [agg_approx_quantile]: this is the exact-answer scale path. At
+    100 TB the only serial work is the |buckets| prefix and the
+    inside-one-bucket prefix; recurse the bucketing if a single
+    bucket's distinct values ever outgrow one task."""
+    o = load(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(v.alias("v")).withColumn(
+        "b", F.expr("v div 1000000").cast("long")
+    )
+    bk = c.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wall = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pref = bk.select(
+        "b",
+        "k",
+        F.sum("k").over(wall).cast("long").alias("cum"),
+        F.sum("k").over(wtot).cast("long").alias("n"),
+    ).withColumn("rank", F.expr("(n + 1) div 2").cast("long"))
+    tb = pref.filter(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("k") < F.col("rank"))
+    ).select("b", (F.col("rank") - (F.col("cum") - F.col("k"))).alias("r"), "n")
+    inb = (
+        c.join(F.broadcast(tb), "b")
+        .groupBy("v", "r", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("k2"))
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    picked = inb.select(
+        "v",
+        "r",
+        "n",
+        "k2",
+        F.sum("k2").over(wv).cast("long").alias("cum2"),
+    ).filter(
+        (F.col("cum2") >= F.col("r")) & (F.col("cum2") - F.col("k2") < F.col("r"))
+    )
+    return picked.select(F.col("v").alias("median_cents"), "n")

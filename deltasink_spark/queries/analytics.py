@@ -2167,3 +2167,152 @@ def graph_triangle_count(spark, sf_dir):
             "transitivity"
         ),
     )
+
+
+@query(
+    "stats_proportions_ztest",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 0) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 0
+                                       AND o_orderstatus = 'F') AS BIGINT) AS x1,
+               CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 1) AS BIGINT) AS n2,
+               CAST(COUNT(*) FILTER (WHERE o_custkey % 2 = 1
+                                       AND o_orderstatus = 'F') AS BIGINT) AS x2
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n1, x1, n2, x2,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p2,
+           ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)),
+                 6) AS z_stat
+    FROM m ORDER BY o_orderpriority
+    """,
+)
+def stats_proportions_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test per order priority — the simplest
+    and most-run experimentation-platform test (conversion-rate A/B):
+    cohort = customer-key parity, success = order finished ('F').
+    Emits the four exact counts, both proportions, and the pooled z.
+
+    Determinism: the entire test reduces to four BIGINT counts per
+    group from ONE conditional hash agg; p1/p2/z are a single IEEE
+    expression tree written identically in both engines (1/n spelled
+    CAST(1 AS DOUBLE)/n in both so no decimal-division divergence),
+    rounded 6dp.
+
+    Scale: one map-side-combining hash agg — the shuffle carries four
+    integers per group, the z algebra runs on the |groups| frame.
+    Nothing else touches the fact table."""
+    o = load(spark, sf_dir, "orders")
+    c0 = F.col("o_custkey") % 2 == 0
+    hit = F.col("o_orderstatus") == "F"
+    one = F.lit(1).cast("double")
+    m = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(c0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(c0 & hit, 1).otherwise(0)).cast("long").alias("x1"),
+        F.sum(F.when(~c0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~c0 & hit, 1).otherwise(0)).cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (one / F.col("n1") + one / F.col("n2")))
+    return m.select(
+        "o_orderpriority",
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z_stat"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    m AS (
+        SELECT CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS nh,
+               SUM(CAST(x AS {_DEC0})) AS sh,
+               SUM(CAST(x AS {_DEC0}) * CAST(x AS {_DEC0})) AS qh
+        FROM h GROUP BY 1),
+    g AS (
+        SELECT CAST(SUM(nh) AS BIGINT) AS n,
+               CAST(SUM(sh) AS DOUBLE) AS s,
+               CAST(SUM(qh) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(qh AS DOUBLE)
+                                   - (CAST(sh AS DOUBLE) / nh)
+                                     * CAST(sh AS DOUBLE), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS sse
+        FROM m)
+    SELECT m.hod, m.nh,
+           ROUND(CAST(m.sh AS DOUBLE) / m.nh / 100, 6) AS seasonal_mean,
+           ROUND(1 - g.sse / (g.q - (g.s / g.n) * g.s), 6) AS var_explained
+    FROM m, g
+    ORDER BY m.hod
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Hour-of-day seasonal decomposition of the hourly revenue
+    series: the 24-slot seasonal profile (mean revenue per hour of
+    day) plus the global variance-explained ratio 1 - SSE/SST — how
+    much of the series the daily cycle alone accounts for (the
+    decision input for seasonal-naive forecasting and seasonality-
+    aware anomaly thresholds, and the decomposition [anomaly_zscore]
+    and [ts_changepoint_cusum] assume has been checked).
+
+    Determinism: identical algebra to [stats_anova_oneway] with the
+    hour-of-day as the group — per-slot n/sum/sum-of-squares exact
+    (BIGINT/DECIMAL), the only per-slot double (the SSE term
+    qh - sh^2/nh) rounded 4dp then decimal-summed, the final ratio one
+    IEEE tree. var_explained == ANOVA's eta^2 by construction.
+
+    Scale: facts collapse to |hours| rows in one combining hash agg,
+    then to 24 rows in a second; everything after is constant-size.
+    The same plan at 100 TB shuffles one row per hour then 3 numbers
+    per slot."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.sum(_cents(F.col("value"))).cast("long").alias("x")
+    )
+    dec = F.col("x").cast("decimal(38,0)")
+    m = (
+        h.groupBy(F.hour("hr").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nh"),
+            F.sum(dec).alias("sh"),
+            F.sum(dec * dec).alias("qh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    shd = F.col("sh").cast("double")
+    sse_term = F.round(F.col("qh").cast("double") - (shd / F.col("nh")) * shd, 4)
+    g = m.groupBy().agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum("sh").cast("double").alias("s"),
+        F.sum("qh").cast("double").alias("q"),
+        F.sum(sse_term.cast("decimal(38,4)")).cast("double").alias("sse"),
+    )
+    sst = F.col("q") - (F.col("s") / F.col("n")) * F.col("s")
+    return (
+        m.join(F.broadcast(g))
+        .select(
+            "hod",
+            "nh",
+            F.round(F.col("sh").cast("double") / F.col("nh") / 100, 6).alias(
+                "seasonal_mean"
+            ),
+            F.round(1 - F.col("sse") / sst, 6).alias("var_explained"),
+        )
+        .orderBy("hod")
+    )

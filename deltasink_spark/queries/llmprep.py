@@ -1112,3 +1112,100 @@ def dedup_apply_keep_best(spark, sf_dir):
         "cluster_id",
         (F.col("doc_id") == -F.col("k.negid")).alias("kept"),
     )
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS y
+               FROM documents),
+    m AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS nh,
+               SUM(CAST(y AS DECIMAL(38,0))) AS sh,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS qh
+        FROM d GROUP BY source),
+    w AS (
+        SELECT source, nh,
+               CAST(ROUND(nh * SQRT((CAST(qh AS DOUBLE)
+                                     - (CAST(sh AS DOUBLE) / nh)
+                                       * CAST(sh AS DOUBLE)) / (nh - 1)), 6)
+                    AS DECIMAL(38,6)) AS term
+        FROM m),
+    tot AS (SELECT SUM(term) AS tot FROM w),
+    alloc AS (
+        SELECT source, nh,
+               LEAST(nh, CAST(ROUND(100 * CAST(term AS DOUBLE)
+                                    / CAST(tot AS DOUBLE)) AS BIGINT)) AS ah
+        FROM w, tot),
+    rk AS (
+        SELECT d.doc_id, d.source, alloc.ah,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        FROM d JOIN alloc USING (source))
+    SELECT doc_id, source, ah AS stratum_alloc
+    FROM rk WHERE rn <= ah
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_neyman(spark, sf_dir):
+    """Neyman-allocation stratified sample: a 100-doc budget split
+    across sources proportionally to N_h * S_h (stratum size times
+    stddev of doc length) — the variance-optimal allocation for
+    estimating corpus means, and the statistics-driven sibling of
+    [sample_stratified] (equal-rate) and [sample_temperature]
+    (power-law rates). Within each stratum the sample itself is the
+    deterministic bottom-ah-by-md5 draw ([sample_bottom_k]'s idiom),
+    so the selection survives reshuffles, re-runs, and engine changes.
+
+    Determinism: stratum moments are exact (BIGINT/DECIMAL); S_h and
+    the allocation are one IEEE tree each, the N_h*S_h terms rounded
+    6dp and decimal-summed before the normalizing division; ranks
+    order by (md5(doc_id), doc_id).
+
+    Scale: one hash agg for moments (|strata| rows, broadcast back),
+    one rank window PARTITIONED by stratum, one filter. The corpus is
+    scanned twice (moments, draw) — the price of allocation depending
+    on global stratum statistics."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("y")
+    )
+    dec = F.col("y").cast("decimal(38,0)")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(dec).alias("sh"),
+        F.sum(dec * dec).alias("qh"),
+    )
+    shd = F.col("sh").cast("double")
+    sdev = F.sqrt(
+        (F.col("qh").cast("double") - (shd / F.col("nh")) * shd) / (F.col("nh") - 1)
+    )
+    w = m.select(
+        "source",
+        "nh",
+        F.round(F.col("nh") * sdev, 6).cast("decimal(38,6)").alias("term"),
+    )
+    tot = w.groupBy().agg(F.sum("term").alias("tot"))
+    alloc = (
+        w.join(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.col("nh"),
+                F.round(
+                    100 * F.col("term").cast("double") / F.col("tot").cast("double")
+                ).cast("long"),
+            ).alias("ah"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    rk = d.join(F.broadcast(alloc), "source").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    return (
+        rk.filter(F.col("rn") <= F.col("ah"))
+        .select("doc_id", "source", F.col("ah").alias("stratum_alloc"))
+        .orderBy("doc_id")
+    )

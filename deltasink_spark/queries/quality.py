@@ -619,3 +619,96 @@ def quality_classifier_train(spark, sf_dir):
         )
         .orderBy("slot")
     )
+
+
+from pyspark.sql.window import Window  # noqa: E402  (MAD rank windows)
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH d AS (SELECT source, n_chars FROM documents),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+    r AS (
+        SELECT d.source, d.n_chars, n.n,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY d.n_chars) AS rn
+        FROM d JOIN n USING (source)),
+    med AS (
+        SELECT source, n, n_chars AS med
+        FROM r WHERE rn = (n + 1) // 2),
+    dev AS (
+        SELECT d.source, ABS(d.n_chars - med.med) AS dv, med.med, med.n
+        FROM d JOIN med USING (source)),
+    r2 AS (
+        SELECT source, dv, med, n,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) AS rn
+        FROM dev),
+    mad AS (SELECT source, med, n, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT dev.source,
+           CAST(mad.n AS BIGINT) AS n,
+           CAST(mad.med AS BIGINT) AS median_chars,
+           CAST(mad.mad AS BIGINT) AS mad_chars,
+           CAST(COUNT(*) FILTER (WHERE dev.dv > 3 * mad.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source, mad.n, mad.med, mad.mad
+    ORDER BY dev.source
+    """,
+)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust per-source length-outlier detection: median + MAD
+    (median absolute deviation) of document length, flagging docs with
+    |len - median| > 3*MAD — the outlier rule quality pipelines use
+    where mean/stddev would be dragged by the very outliers they hunt.
+    Emits per source: n, median, MAD, outlier count.
+
+    Determinism: ENTIRELY integer — lower-median rank (n+1) div 2 over
+    BIGINT lengths, deviations and the 3*MAD threshold are exact
+    BIGINTs; engines cannot diverge because no double ever appears.
+    Both engines build the identical explicit ROW_NUMBER rank
+    construction (library median()/quantile() conventions differ).
+
+    Scale: two ranked passes, each a window PARTITIONED by source
+    (shuffle on the group key, per-group sorted scan — the inherent
+    cost of an exact order statistic; [agg_exact_median_twopass] shows
+    the bucket-histogram alternative when even a per-group sort is too
+    much), medians broadcast back, final outlier count one hash
+    agg."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w1 = Window.partitionBy("source").orderBy("n_chars")
+    r = d.join(F.broadcast(n), "source").withColumn(
+        "rn", F.row_number().over(w1)
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", "n", F.col("n_chars").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source",
+        "n",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dv"),
+    )
+    w2 = Window.partitionBy("source").orderBy("dv")
+    r2 = dev.withColumn("rn", F.row_number().over(w2))
+    mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("dv").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "n", "med", "mad")
+        .agg(
+            F.sum(F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "source",
+            "n",
+            F.col("med").cast("long").alias("median_chars"),
+            F.col("mad").cast("long").alias("mad_chars"),
+            "n_outliers",
+        )
+        .orderBy("source")
+    )

@@ -1178,3 +1178,80 @@ def rank_fusion_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return f.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH {_QN_CTE},
+    ann AS ({_ann_oracle()}),
+    gt AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({sql_qdot('q.iv', 'b.iv')}
+                                      / (q.nrm * b.nrm), 6) DESC,
+                                b.vec_id) AS rk
+            FROM qn q JOIN qn b ON b.vec_id <> q.vec_id
+            WHERE q.vec_id < 5) t
+        WHERE rk <= 3),
+    hits AS (
+        SELECT g.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+        FROM gt g LEFT JOIN ann a
+            ON a.qid = g.qid AND a.vec_id = g.vec_id
+        GROUP BY g.qid)
+    SELECT qid, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 3, 6) AS recall_at_3
+    FROM hits ORDER BY qid
+    """,
+)
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@3 of the sign-LSH ANN index ([sim_ann_lsh]) against the
+    exact brute-force top-3 — the index-quality eval every vector
+    platform runs before trusting an approximate index (tune K/L until
+    recall clears the bar). Emits per-query hit counts and recall.
+
+    Both component rankings are deterministic (6dp-rounded exact
+    int64 cosines, vec_id tie-breaks), so an APPROXIMATE index gets an
+    EXACT differential oracle — the ann CTE embeds sim_ann_lsh's
+    registered oracle text verbatim, so the eval can never drift from
+    the op it evaluates.
+
+    Scale: ground truth is brute force per PROBE (a broadcast of the
+    5-query panel against one corpus scan — recall eval always runs on
+    a sampled query panel, never all-pairs); the ANN side is the
+    bucket equi-join path being evaluated; the final compare joins two
+    15-row lists."""
+    ann = sim_ann_lsh(spark, sf_dir).select("qid", "vec_id")
+    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    qs = qn.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("iv").alias("qi"),
+        F.col("nrm").alias("qnm"),
+    )
+    scored = (
+        qn.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cos",
+            F.round(
+                qdot(F.col("qi"), F.col("iv")) / (F.col("qnm") * F.col("nrm")), 6
+            ),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    gt = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        gt.join(ann.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count(F.col("hit")).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "qid",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / 3, 6).alias("recall_at_3"),
+    ).orderBy("qid")

@@ -397,3 +397,110 @@ def pipeline_llm_prep(spark, sf_dir):
             F.sum(F.col("quality").cast("decimal(30,4)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_quality"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    vf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+           FROM tok GROUP BY tok),
+    top AS (SELECT tok, f FROM vf ORDER BY f DESC, tok LIMIT 500),
+    rk AS (
+        SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS BIGINT)
+                    AS r
+        FROM top),
+    t AS (
+        SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)), 8) AS DECIMAL(28,8)) AS lx,
+               CAST(ROUND(LN(CAST(f AS DOUBLE)), 8) AS DECIMAL(28,8)) AS ly,
+               CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE)), 8)
+                    AS DECIMAL(28,8)) AS lxx,
+               CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(f AS DOUBLE)), 8)
+                    AS DECIMAL(28,8)) AS lxy,
+               CAST(ROUND(LN(CAST(f AS DOUBLE)) * LN(CAST(f AS DOUBLE)), 8)
+                    AS DECIMAL(28,8)) AS lyy
+        FROM rk),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(lxx) AS DOUBLE) AS sxx,
+               CAST(SUM(lxy) AS DOUBLE) AS sxy,
+               CAST(SUM(lyy) AS DOUBLE) AS syy
+        FROM t)
+    SELECT n AS n_top,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n, 6)
+             AS zipf_intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus token distribution: OLS slope /
+    intercept / r² of ln(freq) against ln(rank) for the top-500
+    tokens — the corpus-health probe (natural text fits slope ≈ -1;
+    boilerplate floods and template spam bend it) run alongside
+    [text_unigram_logprob] and [quality_gopher] in curation.
+
+    Determinism: the top-500 set and its ranks are exact ((freq DESC,
+    token) with a deterministic LIMIT boundary); each log term is ONE
+    IEEE tree on exact BIGINTs, rounded 8dp, decimal-summed
+    (order-insensitive); slope/intercept/r² assemble from those six
+    moments in one identical tree.
+
+    Scale: one token hash agg collapses the corpus to |vocab| rows;
+    the top-500 cut is a TakeOrderedAndProject (per-partition heaps);
+    the regression runs on 500 rows. The corpus is touched once."""
+    d = load(spark, sf_dir, "documents")
+    vf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = vf.orderBy(F.desc("f"), F.asc("tok")).limit(500)
+    rk = top.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("tok")))
+        .cast("long")
+        .alias("r"),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+
+    def dterm(col):
+        return F.round(col, 8).cast("decimal(28,8)")
+
+    t = rk.select(
+        dterm(lx).alias("lx"),
+        dterm(ly).alias("ly"),
+        dterm(lx * lx).alias("lxx"),
+        dterm(lx * ly).alias("lxy"),
+        dterm(ly * ly).alias("lyy"),
+    )
+    m = t.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum("lxx").cast("double").alias("sxx"),
+        F.sum("lxy").cast("double").alias("sxy"),
+        F.sum("lyy").cast("double").alias("syy"),
+    )
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = slope_num / slope_den
+    return m.select(
+        F.col("n").alias("n_top"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            slope_num
+            * slope_num
+            / (slope_den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

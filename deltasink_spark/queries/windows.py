@@ -240,3 +240,99 @@ def win_running_distinct(spark, sf_dir):
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "intervals_merge_islands",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS s,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 + 3 AS e,
+               o_orderkey
+        FROM orders),
+    f AS (
+        SELECT o_custkey, s, e, o_orderkey,
+               CASE WHEN MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= s
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv),
+    isl AS (
+        SELECT o_custkey, s, e,
+               SUM(new_island) OVER (PARTITION BY o_custkey
+                   ORDER BY s, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM f),
+    g AS (
+        SELECT o_custkey, island_id,
+               MIN(s) AS island_start, MAX(e) AS island_end
+        FROM isl GROUP BY o_custkey, island_id)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(island_end - island_start + 1) AS BIGINT) AS longest_days
+    FROM g GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def intervals_merge_islands(spark, sf_dir):
+    """Gaps-and-islands: merge each customer's overlapping 4-day order
+    activity windows [day, day+3] into maximal islands and report per
+    customer how many islands, how many distinct covered days, and the
+    longest streak — the canonical sessionization-over-intervals
+    pattern (uptime stitching, coverage reporting, contiguous-visit
+    merging) that needs a RUNNING MAX, not a plain lag: an interval
+    can be swallowed by an earlier long interval that is not its
+    immediate predecessor.
+
+    Determinism: all arithmetic is epoch-day BIGINTs; the island
+    boundary flag and its running sum depend only on the (s,
+    o_orderkey) order, spelled identically in both engines.
+
+    Scale: both windows partition by o_custkey — one shuffle on the
+    customer key, per-customer sorted scans (the same cost shape as a
+    groupBy), never a global ordering. The island aggregation is a
+    hash agg on (custkey, island_id)."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("s"),
+        (F.expr("unix_timestamp(o_orderdate) div 86400") + 3).alias("e"),
+        "o_orderkey",
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        "o_orderkey",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = f.select(
+        "o_custkey", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    g = isl.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    span = F.col("island_end") - F.col("island_start") + 1
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(span).cast("long").alias("covered_days"),
+            F.max(span).cast("long").alias("longest_days"),
+        )
+        .orderBy("o_custkey")
+    )

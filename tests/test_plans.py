@@ -997,3 +997,81 @@ def test_join_interval_overlap_equi_on_bucket(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate" in p
     assert "bk" in p
+
+
+def test_ann_recall_ground_truth_broadcast_panel(spark, sf_small):
+    """Ground truth broadcasts the 5-query panel against one corpus
+    scan (BroadcastNestedLoopJoin on the panel is the eval-by-design
+    cost); the ANN side stays the bucket equi-join — no full-corpus
+    cartesian anywhere."""
+    p = plan(q("ann_recall_at_k", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_stats_proportions_single_agg_no_join(spark, sf_small):
+    """The whole test is one conditional hash agg + scalar algebra on
+    the |groups| frame — no join, no window, one fact scan."""
+    p = plan(q("stats_proportions_ztest", spark, sf_small), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_exact_median_windows_on_tiny_frames_only(spark, sf_small):
+    """Both prefix windows run AFTER a hash agg (bucket histogram /
+    in-bucket value histogram) — the raw fact table is never
+    windowed or sorted; the second pass is gated by a broadcast
+    1-row target."""
+    p = plan(q("agg_exact_median_twopass", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # windows exist, but each Window's child chain includes an agg
+    assert "Window" in p and "HashAggregate" in p
+    # no global sort of the fact table: Sort nodes only under Window
+    assert "TakeOrderedAndProject" not in p
+
+
+def test_islands_windows_partitioned_by_customer(spark, sf_small):
+    """Both gaps-and-islands windows (running max, island cumsum)
+    must partition by o_custkey — a global interval ordering would
+    serialize; the island rollup is a hash agg."""
+    p = plan(q("intervals_merge_islands", spark, sf_small), "simple")
+    assert "windowspecdefinition(o_custkey" in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_mad_outliers_rank_windows_per_source(spark, sf_small):
+    """Both exact-median rank windows partition by source; the median
+    and MAD frames return via broadcast joins; no global sort."""
+    p = plan(q("stats_mad_outliers", spark, sf_small), "simple")
+    assert "windowspecdefinition(source" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "TakeOrderedAndProject" not in p
+
+
+def test_seasonal_decompose_two_level_agg_no_window(spark, sf_small):
+    """Facts -> hourly -> 24 slots is two chained hash aggs; the
+    variance algebra runs on constant-size frames glued by a
+    broadcast — no window, no shuffle join, one fact scan."""
+    p = plan(q("ts_seasonal_decompose", spark, sf_small), "simple")
+    assert "Window" not in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_zipf_top500_is_takeordered(spark, sf_small):
+    """The vocab cut is a distributed top-k; the regression windows
+    touch only the 500-row frame; one token scan."""
+    p = plan(q("text_zipf_slope", spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_neyman_rank_window_per_stratum(spark, sf_small):
+    """The draw's rank window partitions by source and the allocation
+    returns via broadcast joins — no global ordering of the corpus."""
+    p = plan(q("sample_stratified_neyman", spark, sf_small), "simple")
+    assert "windowspecdefinition(source" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
