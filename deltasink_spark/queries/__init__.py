@@ -1,7 +1,11 @@
 """Query modules — importing this package registers every op.
 
-One module per SURVEY.md §2 section. Import order is irrelevant; each
-module only calls ``registry.query`` at import time.
+One module per SURVEY.md §2 section. Import order is irrelevant AMONG
+the imports below, with one documented exception: similarity.py reads
+``registry.ORACLES["text_bm25"]`` at import time (rank_fusion_rrf
+embeds the component retriever's oracle verbatim so the fused oracle
+cannot drift) and therefore imports trainprep itself first — do not
+remove that import or add a trainprep -> similarity import (cycle).
 """
 
 from deltasink_spark.queries import (  # noqa: F401

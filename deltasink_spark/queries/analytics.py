@@ -1512,9 +1512,9 @@ def stats_ks_two_sample(spark, sf_dir):
              - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
            ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
                   - CAST(n1 AS DOUBLE) * n2 / 2)
-                 / SQRT((CAST(n1 AS DOUBLE) * n2 / 12)
+                 / SQRT(GREATEST((CAST(n1 AS DOUBLE) * n2 / 12)
                         * ((n + 1) - CAST(ties AS DOUBLE)
-                                     / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+                                     / (CAST(n AS DOUBLE) * (n - 1))), 0)), 6)
              AS z_stat
     FROM m
     """,
@@ -1592,9 +1592,19 @@ def stats_mannwhitney_u(spark, sf_dir):
     two_u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
     n1d = F.col("n1").cast("double")
     nd = F.col("n").cast("double")
+    # GREATEST(.., 0): with every value tied and n large enough that
+    # ties = n^3-n loses double exactness, the quotient can round a
+    # hair above n+1 — DuckDB SQRT(negative) raises while Spark gives
+    # NaN. Clamped, both engines emit NULL z (0/0) consistently.
     sigma = F.sqrt(
-        (n1d * F.col("n2") / 12)
-        * ((F.col("n") + 1) - F.col("ties").cast("double") / (nd * (F.col("n") - 1)))
+        F.greatest(
+            (n1d * F.col("n2") / 12)
+            * (
+                (F.col("n") + 1)
+                - F.col("ties").cast("double") / (nd * (F.col("n") - 1))
+            ),
+            F.lit(0.0),
+        )
     )
     return m.select(
         "n1",
@@ -1986,7 +1996,8 @@ def ts_autocorrelation(spark, sf_dir):
 # sf0.01). Canonical s1 < s2, exact co-occurrence pair counts.
 _COORDER_SQL = """
     pairs AS (
-        SELECT a.l_partkey AS s1, b.l_partkey AS s2
+        SELECT DISTINCT a.l_orderkey AS ok,
+               a.l_partkey AS s1, b.l_partkey AS s2
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     e AS (
@@ -2005,9 +2016,15 @@ def _coorder_edges(spark, sf_dir):
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2")
+        # DISTINCT order first: duplicate l_partkey lines inside one
+        # order must not let a single order clear the >=2 threshold
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("s1"),
+            F.col("b.l_partkey").alias("s2"),
         )
+        .distinct()
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s1", "s2")
@@ -2111,9 +2128,9 @@ def graph_triangle_count(spark, sf_dir):
 
     Correctness of the orientation (wedge endpoints compared in the
     SAME (degree, id) order that directed the edges — comparing raw
-    ids undercounts whenever degree order disagrees with id order) is
-    pinned against a naive canonical a<b<c triple join in the test
-    suite.
+    ids undercounts whenever degree order disagrees with id order: 28
+    instead of 61 triangles at sf0.01) is pinned against a naive
+    canonical a<b<c triple join in the test suite.
 
     Scale: two broadcast joins attach degrees, the wedge step is a
     self-equi-join on the star center u, the closing step an equi-join
@@ -2155,8 +2172,11 @@ def graph_triangle_count(spark, sf_dir):
     )
     g = deg.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+        # integer div: `/` is double division and rounds past 2^53,
+        # silently diverging from the oracle's exact `// 2` on a
+        # mega-hub degree sum
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
     )
     return g.join(F.broadcast(tri)).select(
         "n_nodes",

@@ -1127,9 +1127,8 @@ def dedup_apply_keep_best(spark, sf_dir):
         FROM d GROUP BY source),
     w AS (
         SELECT source, nh,
-               CAST(ROUND(nh * SQRT((CAST(qh AS DOUBLE)
-                                     - (CAST(sh AS DOUBLE) / nh)
-                                       * CAST(sh AS DOUBLE)) / (nh - 1)), 6)
+               CAST(ROUND(nh * SQRT(CAST(nh * qh - sh * sh AS DOUBLE)
+                                    / nh / (nh - 1)), 6)
                     AS DECIMAL(38,6)) AS term
         FROM m),
     tot AS (SELECT SUM(term) AS tot FROM w),
@@ -1176,9 +1175,15 @@ def sample_stratified_neyman(spark, sf_dir):
         F.sum(dec).alias("sh"),
         F.sum(dec * dec).alias("qh"),
     )
-    shd = F.col("sh").cast("double")
+    # Variance numerator n*q - s^2 stays EXACT decimal (>= 0 by
+    # Cauchy-Schwarz), so the sqrt argument can never go fractionally
+    # negative the way the float form q - (s/n)*s can on a
+    # near-constant stratum (DuckDB SQRT(negative) raises; Spark
+    # returns NaN — the oracle would crash instead of comparing).
     sdev = F.sqrt(
-        (F.col("qh").cast("double") - (shd / F.col("nh")) * shd) / (F.col("nh") - 1)
+        (F.col("nh") * F.col("qh") - F.col("sh") * F.col("sh")).cast("double")
+        / F.col("nh")
+        / (F.col("nh") - 1)
     )
     w = m.select(
         "source",

@@ -22,7 +22,7 @@ from deltasink_spark.operators.text import (
     word_ngrams,
 )
 from deltasink_spark.registry import query
-from deltasink_spark.tables import load
+from deltasink_spark.tables import fanout, load
 
 
 @query(
@@ -453,7 +453,7 @@ def text_zipf_slope(spark, sf_dir):
     Scale: one token hash agg collapses the corpus to |vocab| rows;
     the top-500 cut is a TakeOrderedAndProject (per-partition heaps);
     the regression runs on 500 rows. The corpus is touched once."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"), "doc_id")
     vf = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("tok")

@@ -537,7 +537,7 @@ def test_triangle_orientation_matches_naive_count(spark, sf_small):
     subtlety: wedge endpoints must be compared in the SAME (degree,
     id) order that directed the edges — comparing raw ids undercounts
     whenever degree order disagrees with id order (it does on this
-    fixture: the id-ordered variant reports 48 instead of 96 at
+    fixture: the id-ordered variant reports 28 instead of 61 at
     sf0.01)."""
     from deltasink_spark.queries.analytics import _coorder_edges
 
