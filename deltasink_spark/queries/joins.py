@@ -252,9 +252,13 @@ def join_bucketed(spark, sf_dir):
     table for every join) into a one-time layout decision, exactly like
     the reference connector partitioning its Delta output for readers.
     The plan is asserted shuffle-free in tests/test_plans.py."""
+    import re
     import tempfile
 
-    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # the key becomes an UNQUOTED catalog identifier: every non-word
+    # character must go (audit fixtures live under hyphenated pytest
+    # tmp dirs — "b_lineitem_..pytest-of-root.." is a ParseException)
+    key = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
     base = os.path.join(tempfile.gettempdir(), "ds_bucketed")
     lt, ot = f"b_lineitem_{key}", f"b_orders_{key}"
     if not spark.catalog.tableExists(lt):
