@@ -703,6 +703,32 @@ def join_asof_nearest(spark, sf_dir):
     )
 
 
+def interval_overlap_pairs(a, b, width: int):
+    """Distributed interval-overlap join core: ``a`` carries (a_key,
+    a_s, a_e), ``b`` carries (b_key, b_s, b_e) — integer interval
+    bounds, inclusive. Each side explodes into the width-sized buckets
+    its interval touches (len/width + 1 copies), the join is an
+    EQUI-join on the bucket id, the exact overlap predicate
+    (a_s <= b_e AND b_s <= a_e) runs as a residual filter, and the
+    count-once rule bk == bucket(greatest(a_s, b_s)) emits every
+    matching pair exactly once with no distinct: the overlap start
+    lies inside both intervals, so exactly one bucket is claimed and
+    both explosions cover it. Valid for ANY width >= 1 and any
+    interval lengths (property-tested against a cross-join reference
+    on boundary-adversarial synthetic intervals)."""
+    ax = a.withColumn(
+        "bk", F.explode(F.expr(f"sequence(a_s div {width}, a_e div {width})"))
+    )
+    bx = b.withColumn(
+        "bk", F.explode(F.expr(f"sequence(b_s div {width}, b_e div {width})"))
+    )
+    return ax.join(bx, "bk").filter(
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (F.col("bk") == F.expr(f"greatest(a_s, b_s) div {width}"))
+    )
+
+
 @query(
     "join_interval_overlap",
     oracle="""
@@ -751,28 +777,22 @@ def join_interval_overlap(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
 
     def side(prio, key):
+        d = F.expr("unix_timestamp(o_orderdate) div 86400")
         return o.filter(F.col("o_orderpriority") == prio).select(
             F.col("o_orderkey").alias(key),
-            F.expr("unix_timestamp(o_orderdate) div 86400").alias(f"{key[0]}_s"),
+            d.alias(f"{key[0]}_s"),
+            (d + 3).alias(f"{key[0]}_e"),
         )
 
-    a = side("1-URGENT", "a_key").withColumn(
-        "bk", F.explode(F.expr("sequence(a_s div 7, (a_s + 3) div 7)"))
-    )
-    b = side("5-LOW", "b_key").withColumn(
-        "bk", F.explode(F.expr("sequence(b_s div 7, (b_s + 3) div 7)"))
-    )
-    j = a.join(b, "bk").filter(
-        (F.col("a_s") <= F.col("b_s") + 3)
-        & (F.col("b_s") <= F.col("a_s") + 3)
-        & (F.col("bk") == F.expr("greatest(a_s, b_s) div 7"))
+    j = interval_overlap_pairs(
+        side("1-URGENT", "a_key"), side("5-LOW", "b_key"), width=7
     )
     return (
         j.groupBy(F.col("a_key").alias("o_orderkey"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_overlaps"),
             F.sum(
-                F.least(F.col("a_s") + 3, F.col("b_s") + 3)
+                F.least(F.col("a_e"), F.col("b_e"))
                 - F.greatest(F.col("a_s"), F.col("b_s"))
                 + 1
             )

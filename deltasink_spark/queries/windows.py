@@ -242,6 +242,43 @@ def win_running_distinct(spark, sf_dir):
     )
 
 
+def merge_islands(iv):
+    """Gaps-and-islands core: ``iv`` carries (key, s, e, tb) — integer
+    interval bounds (inclusive) plus a unique tie-break column.
+    Returns one row per maximal overlapping island: (key, island_id,
+    island_start, island_end). An interval joins the running island
+    when its start is <= the RUNNING MAX of previous ends (a plain lag
+    misses swallowed intervals); both windows partition by key and
+    order by (s, tb) so peers are never ambiguous. Property-tested
+    against a sequential reference on swallow/touch/duplicate
+    adversarial inputs."""
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("s", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = iv.select(
+        "key",
+        "s",
+        "e",
+        "tb",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("key")
+        .orderBy("s", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = f.select(
+        "key", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    return isl.groupBy("key", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+
+
 @query(
     "intervals_merge_islands",
     oracle="""
@@ -296,36 +333,12 @@ def intervals_merge_islands(spark, sf_dir):
     hash agg on (custkey, island_id)."""
     o = load(spark, sf_dir, "orders")
     iv = o.select(
-        "o_custkey",
+        F.col("o_custkey").alias("key"),
         F.expr("unix_timestamp(o_orderdate) div 86400").alias("s"),
         (F.expr("unix_timestamp(o_orderdate) div 86400") + 3).alias("e"),
-        "o_orderkey",
+        F.col("o_orderkey").alias("tb"),
     )
-    w_prev = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    f = iv.select(
-        "o_custkey",
-        "s",
-        "e",
-        "o_orderkey",
-        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias(
-            "new_island"
-        ),
-    )
-    w_run = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = f.select(
-        "o_custkey", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
-    )
-    g = isl.groupBy("o_custkey", "island_id").agg(
-        F.min("s").alias("island_start"), F.max("e").alias("island_end")
-    )
+    g = merge_islands(iv).withColumnRenamed("key", "o_custkey")
     span = F.col("island_end") - F.col("island_start") + 1
     return (
         g.groupBy("o_custkey")

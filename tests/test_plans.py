@@ -1033,10 +1033,11 @@ def test_exact_median_windows_on_tiny_frames_only(spark, sf_small):
 
 def test_islands_windows_partitioned_by_customer(spark, sf_small):
     """Both gaps-and-islands windows (running max, island cumsum)
-    must partition by o_custkey — a global interval ordering would
-    serialize; the island rollup is a hash agg."""
+    must partition by the island key (the customer) — a global
+    interval ordering would serialize; the island rollup is a hash
+    agg."""
     p = plan(q("intervals_merge_islands", spark, sf_small), "simple")
-    assert "windowspecdefinition(o_custkey" in p
+    assert "windowspecdefinition(key" in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
 

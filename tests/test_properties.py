@@ -549,3 +549,69 @@ def test_triangle_orientation_matches_naive_count(spark, sf_small):
     got = registry.QUERIES["graph_triangle_count"](spark, sf_small).first()
     assert got["n_triangles"] == naive
     assert naive > 0  # vacuous-pin guard: the fixture graph has triangles
+
+
+def test_interval_overlap_decomposition_matches_cross_join(spark):
+    """The bucket-decomposed interval join must equal a brute cross
+    join + overlap filter for ANY width, on intervals crafted to hit
+    the decomposition's corners: bucket-boundary straddles, nested
+    (swallowed) intervals, identical intervals on both sides, touching
+    endpoints, zero-length intervals, multi-bucket spans."""
+    from deltasink_spark.queries.joins import interval_overlap_pairs
+
+    a_rows = [(1, 0, 0), (2, 6, 8), (3, 13, 14), (4, 0, 20), (5, 7, 7),
+              (6, 21, 23), (7, 13, 14)]
+    b_rows = [(10, 0, 0), (11, 7, 13), (12, 14, 14), (13, 5, 6),
+              (14, 20, 21), (15, 13, 14)]
+    a = spark.createDataFrame(a_rows, "a_key long, a_s long, a_e long")
+    b = spark.createDataFrame(b_rows, "b_key long, b_s long, b_e long")
+    expect = sorted(
+        (ak, bk)
+        for ak, as_, ae in a_rows
+        for bk, bs, be in b_rows
+        if as_ <= be and bs <= ae
+    )
+    for width in (1, 3, 7, 50):
+        got = sorted(
+            (r["a_key"], r["b_key"])
+            for r in interval_overlap_pairs(a, b, width).collect()
+        )
+        assert got == expect, f"width={width}"
+
+
+def test_merge_islands_matches_sequential_reference(spark):
+    """The running-max islands must match a sequential sweep on inputs
+    with swallowed intervals (a long first interval covering later
+    short ones — the case a lag-based flag gets wrong), touching-not-
+    overlapping endpoints, duplicates, and singleton keys."""
+    from deltasink_spark.queries.windows import merge_islands
+
+    rows = [
+        # key 1: [0,9] swallows [2,3] and [5,6]; [10,11] touches 9+1
+        (1, 0, 9, 1), (1, 2, 3, 2), (1, 5, 6, 3), (1, 10, 11, 4),
+        # key 2: duplicates and an overlap chain
+        (2, 0, 2, 1), (2, 0, 2, 2), (2, 2, 4, 3), (2, 7, 8, 4),
+        # key 3: singleton
+        (3, 100, 100, 1),
+    ]
+    iv = spark.createDataFrame(rows, "key long, s long, e long, tb long")
+    got = {
+        (r["key"], r["island_start"], r["island_end"])
+        for r in merge_islands(iv).collect()
+    }
+
+    def reference(intervals):
+        out = []
+        for key in {k for k, *_ in intervals}:
+            ivs = sorted((s, e) for k, s, e, _ in intervals if k == key)
+            cur_s, cur_e = ivs[0]
+            for s, e in ivs[1:]:
+                if s <= cur_e:
+                    cur_e = max(cur_e, e)
+                else:
+                    out.append((key, cur_s, cur_e))
+                    cur_s, cur_e = s, e
+            out.append((key, cur_s, cur_e))
+        return set(out)
+
+    assert got == reference(rows)
