@@ -252,13 +252,21 @@ def join_bucketed(spark, sf_dir):
     table for every join) into a one-time layout decision, exactly like
     the reference connector partitioning its Delta output for readers.
     The plan is asserted shuffle-free in tests/test_plans.py."""
+    import hashlib
     import re
     import tempfile
 
     # the key becomes an UNQUOTED catalog identifier: every non-word
     # character must go (audit fixtures live under hyphenated pytest
-    # tmp dirs — "b_lineitem_..pytest-of-root.." is a ParseException)
-    key = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    # tmp dirs — "b_lineitem_..pytest-of-root.." is a ParseException).
+    # The md5 suffix keeps distinct dirs distinct after sanitizing —
+    # without it, /x/sf0.1 and /x/sf0-1 would alias to one table and
+    # the tableExists guard would silently serve the first dir's data.
+    key = (
+        re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
     base = os.path.join(tempfile.gettempdir(), "ds_bucketed")
     lt, ot = f"b_lineitem_{key}", f"b_orders_{key}"
     if not spark.catalog.tableExists(lt):
@@ -707,19 +715,32 @@ def interval_overlap_pairs(a, b, width: int):
     """Distributed interval-overlap join core: ``a`` carries (a_key,
     a_s, a_e), ``b`` carries (b_key, b_s, b_e) — integer interval
     bounds, inclusive. Each side explodes into the width-sized buckets
-    its interval touches (len/width + 1 copies), the join is an
-    EQUI-join on the bucket id, the exact overlap predicate
-    (a_s <= b_e AND b_s <= a_e) runs as a residual filter, and the
-    count-once rule bk == bucket(greatest(a_s, b_s)) emits every
-    matching pair exactly once with no distinct: the overlap start
-    lies inside both intervals, so exactly one bucket is claimed and
-    both explosions cover it. Valid for ANY width >= 1 and any
-    interval lengths (property-tested against a cross-join reference
-    on boundary-adversarial synthetic intervals)."""
-    ax = a.withColumn(
+    its interval touches, the join is an EQUI-join on the bucket id,
+    the exact overlap predicate (a_s <= b_e AND b_s <= a_e) runs as a
+    residual filter, and the count-once rule bk ==
+    bucket(greatest(a_s, b_s)) emits every matching pair exactly once
+    with no distinct: the overlap start lies inside both intervals, so
+    exactly one bucket is claimed and both explosions cover it.
+
+    Inverted rows (s > e: empty intervals) are dropped up front —
+    without the guard, Spark's sequence() steps DOWNWARD for
+    start > stop (the sequence trap operators/text.py also guards)
+    and an empty interval would still explode into buckets and match.
+
+    Fan-out is len/width + 1 copies per row: pick width on the order
+    of the TYPICAL interval length (the published distributed
+    interval-join tradeoff — smaller widths mean more copies of long
+    intervals, larger widths mean denser buckets). A pathological
+    interval of length L still explodes into L/width rows, so bound
+    interval lengths upstream or raise width accordingly.
+    Property-tested against a cross-join reference on
+    boundary-adversarial synthetic intervals for widths 1..50."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    ax = a.filter(F.col("a_s") <= F.col("a_e")).withColumn(
         "bk", F.explode(F.expr(f"sequence(a_s div {width}, a_e div {width})"))
     )
-    bx = b.withColumn(
+    bx = b.filter(F.col("b_s") <= F.col("b_e")).withColumn(
         "bk", F.explode(F.expr(f"sequence(b_s div {width}, b_e div {width})"))
     )
     return ax.join(bx, "bk").filter(

@@ -541,7 +541,7 @@ def test_triangle_orientation_matches_naive_count(spark, sf_small):
     sf0.01)."""
     from deltasink_spark.queries.analytics import _coorder_edges
 
-    e = _coorder_edges(spark, sf_small).localCheckpoint()
+    e = _coorder_edges(spark, sf_small)  # already checkpointed (cache)
     e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
@@ -560,16 +560,18 @@ def test_interval_overlap_decomposition_matches_cross_join(spark):
     from deltasink_spark.queries.joins import interval_overlap_pairs
 
     a_rows = [(1, 0, 0), (2, 6, 8), (3, 13, 14), (4, 0, 20), (5, 7, 7),
-              (6, 21, 23), (7, 13, 14)]
+              (6, 21, 23), (7, 13, 14), (8, 10, 5)]
     b_rows = [(10, 0, 0), (11, 7, 13), (12, 14, 14), (13, 5, 6),
-              (14, 20, 21), (15, 13, 14)]
+              (14, 20, 21), (15, 13, 14), (16, 9, 2)]
     a = spark.createDataFrame(a_rows, "a_key long, a_s long, a_e long")
     b = spark.createDataFrame(b_rows, "b_key long, b_s long, b_e long")
+    # inverted rows (s > e) are EMPTY intervals: they match nothing
+    # (sequence() would step downward and fabricate buckets otherwise)
     expect = sorted(
         (ak, bk)
         for ak, as_, ae in a_rows
         for bk, bs, be in b_rows
-        if as_ <= be and bs <= ae
+        if as_ <= ae and bs <= be and as_ <= be and bs <= ae
     )
     for width in (1, 3, 7, 50):
         got = sorted(
