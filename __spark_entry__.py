@@ -67,6 +67,12 @@ _R8_NEW: list[str] = [
     "ts_seasonal_decompose",
     "text_zipf_slope",
     "sample_stratified_neyman",
+    "ts_seasonal_anomaly",
+    "funnel_time_to_convert",
+    "dedup_rate_report",
+    "eval_langid_confusion",
+    "stats_cohens_kappa",
+    "eval_simhash_banding",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -184,6 +184,19 @@ R8COPS = [
     "sample_stratified_neyman",  # variance-optimal stratified draw
 ]
 
+# Ops landed AFTER the r8cops idle recording — own group so the
+# recorded 12-op r8cops reference stays comparable (the BASELINE r3
+# group-comparability rule; an earlier review flagged exactly this
+# silent-scope-growth class).
+R8DOPS = [
+    "ts_seasonal_anomaly",       # per-hod integer-exact 3-sigma flags
+    "funnel_time_to_convert",    # per-segment conversion-delay stats
+    "dedup_rate_report",         # per-source near-dup health report
+    "eval_langid_confusion",     # heuristic-classifier confusion matrix
+    "stats_cohens_kappa",        # chance-corrected agreement
+    "eval_simhash_banding",      # heuristic-dedup precision/recall
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -196,7 +209,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -273,6 +286,9 @@ def main() -> None:
         ),
         "r8cops": round(
             sum(t for op, t in timings.items() if op in R8COPS), 4
+        ),
+        "r8dops": round(
+            sum(t for op, t in timings.items() if op in R8DOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -2351,3 +2351,238 @@ def ts_seasonal_decompose(spark, sf_dir):
         )
         .orderBy("hod")
     )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle=f"""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    hh AS (SELECT hr, CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hod, x FROM h),
+    m AS (
+        SELECT hod, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS {_DEC0})) AS s1,
+               SUM(CAST(x AS {_DEC0}) * CAST(x AS {_DEC0})) AS s2
+        FROM hh GROUP BY hod)
+    SELECT hh.hr, hh.hod, hh.x AS revenue_cents
+    FROM hh JOIN m USING (hod)
+    WHERE (m.n * CAST(hh.x AS {_DEC0}) - m.s1)
+          * (m.n * CAST(hh.x AS {_DEC0}) - m.s1)
+          > 9 * (m.n * m.s2 - m.s1 * m.s1)
+    ORDER BY hh.hr
+    """,
+)
+def ts_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware anomaly detection: flag hours whose revenue
+    is more than 3 standard deviations from THEIR HOUR-OF-DAY's
+    population mean — the monitoring rule [ts_seasonal_decompose]
+    justifies (a 2 a.m. spike is anomalous at 2 a.m. levels, not
+    against the all-day mean the plain [anomaly_zscore] uses).
+
+    Determinism: the same rearrangement as anomaly_zscore —
+    |x-mu| > 3*sigma becomes (n*x - s1)^2 > 9*(n*s2 - s1^2) with NO
+    float anywhere — but in DECIMAL(38,0): hourly sums are ~1e6 cents,
+    so the squared left side (~1e18) and 9x the scaled variance flirt
+    with BIGINT range at sf0.1 and would overflow it at 100 TB;
+    decimals keep the comparison exact in both engines at any scale.
+
+    Scale: facts -> |hours| rows (one combining hash agg), 24-slot
+    moments (second agg, broadcast back), one codegen filter. The
+    stats side is constant-size by construction."""
+    ev = load(spark, sf_dir, "events")
+    hh = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.sum(_cents(F.col("value"))).cast("long").alias("x"))
+        .withColumn("hod", F.hour("hr").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = hh.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+    )
+    dev = F.col("n") * xd - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        hh.join(F.broadcast(m), "hod")
+        .filter(dev * dev > 9 * var_n2)
+        .select("hr", "hod", F.col("x").alias("revenue_cents"))
+        .orderBy("hr")
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+    d AS (
+        SELECT cu.c_mktsegment AS segment, v.user_id,
+               CAST(epoch_us(c.t_click) - epoch_us(v.t_view) AS BIGINT)
+                 AS delay_us
+        FROM c JOIN v ON v.user_id = c.user_id
+        JOIN customer cu ON cu.c_custkey = v.user_id),
+    n AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_conv,
+                 SUM(CAST(delay_us AS DECIMAL(38,0))) AS sd
+          FROM d GROUP BY segment),
+    r AS (
+        SELECT d.segment, d.delay_us, n.n_conv, n.sd,
+               ROW_NUMBER() OVER (PARTITION BY d.segment
+                   ORDER BY d.delay_us, d.user_id) AS rn
+        FROM d JOIN n USING (segment))
+    SELECT segment, n_conv,
+           CAST(delay_us AS BIGINT) AS median_delay_us,
+           ROUND(CAST(sd AS DOUBLE) / n_conv / 1000000, 6)
+             AS mean_delay_s
+    FROM r WHERE rn = (n_conv + 1) // 2
+    ORDER BY segment
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert for the view -> click funnel step, per market
+    segment: how long converting users took (lower-median and mean of
+    the first-view-to-first-qualifying-click delay) — the latency
+    companion to [funnel_analysis]'s conversion counts (product teams
+    read the two side by side).
+
+    Determinism: delays are exact epoch-microsecond BIGINTs; the
+    median is the explicit lower-median rank construction (rank
+    (n+1) div 2 over (delay, user_id) — library medians differ between
+    engines); the mean is an exact DECIMAL sum with ONE final rounded
+    division.
+
+    Scale: two min-aggs + the qualifying-click join collapse events
+    to one row per converting user; the rank window partitions by
+    segment; the customer dim joins broadcast."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    d = (
+        c.join(v, "user_id")
+        .join(F.broadcast(cu), "user_id")
+        .select(
+            "segment",
+            "user_id",
+            (
+                F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view"))
+            ).alias("delay_us"),
+        )
+    )
+    n = d.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conv"),
+        F.sum(F.col("delay_us").cast("decimal(38,0)")).alias("sd"),
+    )
+    w = Window.partitionBy("segment").orderBy("delay_us", "user_id")
+    r = d.join(F.broadcast(n), "segment").withColumn("rn", F.row_number().over(w))
+    return (
+        r.filter(F.col("rn") == F.expr("(n_conv + 1) div 2"))
+        .select(
+            "segment",
+            "n_conv",
+            F.col("delay_us").cast("long").alias("median_delay_us"),
+            F.round(F.col("sd").cast("double") / F.col("n_conv") / 1_000_000, 6).alias(
+                "mean_delay_s"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH li AS (
+        SELECT d.lang = 'en' AS b,
+               len(list_filter(string_split(d.text, ' '),
+                   x -> x IN ('table', 'scan', 'join', 'merge')))
+               >= len(list_filter(string_split(d.text, ' '),
+                   x -> x IN ('fila', 'tabla', 'datos'))) AS a
+        FROM documents d),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+               CAST(COUNT(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
+               CAST(COUNT(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00
+        FROM li)
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
+                 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+                 / (1 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                         + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))),
+                 6) AS kappa
+    FROM m
+    """,
+)
+def stats_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa — chance-corrected agreement between two binary
+    raters, here the [text_lang_id] English heuristic (rater A:
+    en_score >= es_score) and the labeled lang column (rater B:
+    lang == 'en'). The agreement statistic every labeling/QA pipeline
+    reports alongside raw accuracy, because a 95%-English corpus makes
+    raw agreement meaninglessly high.
+
+    Determinism: the 2x2 table is four exact BIGINT counts from ONE
+    conditional hash agg; po/pe/kappa assemble in one identical IEEE
+    tree (each intermediate also emitted, 6dp).
+
+    Scale: one scan, one combining hash agg, scalar algebra on a
+    single row."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    en = F.size(
+        F.filter(toks, lambda x: x.isin("table", "scan", "join", "merge"))
+    )
+    es = F.size(F.filter(toks, lambda x: x.isin("fila", "tabla", "datos")))
+    a = en >= es
+    b = F.col("lang") == "en"
+    m = d.select(a.alias("a"), b.alias("b")).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pa1 = (F.col("n11") + F.col("n10")).cast("double") / nd
+    pb1 = (F.col("n11") + F.col("n01")).cast("double") / nd
+    pa0 = (F.col("n01") + F.col("n00")).cast("double") / nd
+    pb0 = (F.col("n10") + F.col("n00")).cast("double") / nd
+    pe = pa1 * pb1 + pa0 * pb0
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

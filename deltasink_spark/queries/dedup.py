@@ -629,3 +629,118 @@ def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
         .distinct()
         .filter(F.col("hamming") <= _PH_HAM_MAX)
     )
+
+
+from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "eval_simhash_banding",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_ORACLE}),
+    bands AS (
+        SELECT doc_id, u.i AS band, (simhash >> (u.i * 15)) & 32767 AS bv
+        FROM sh, UNNEST(range(0, 4)) AS u(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    pred AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                    JOIN sh y ON y.doc_id = c.id_b
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 4),
+    truth AS (
+        SELECT id_a, id_b FROM ({_ORACLES["dedup_ngram_jaccard"]}) t),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM pred p JOIN truth t
+                  ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_hit)
+    SELECT n_pred, n_truth, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_pred, 6) AS precision,
+           ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+    FROM s
+    """,
+)
+def eval_simhash_banding(spark, sf_dir):
+    """Precision/recall of SimHash band-bucket candidate pairs
+    (4x15-bit bands over [dedup_simhash]'s 60-bit hashes, verified to
+    Hamming <= 4) against the exact n-gram-Jaccard >= 0.3 ground truth
+    ([dedup_ngram_jaccard]) — the index-quality eval for the HEURISTIC
+    dedup signal, sibling of [ann_recall_at_k]. Both the per-doc hash
+    CTE and the ground-truth CTE are the ops' registered oracle texts
+    verbatim, so the eval cannot drift from what it measures.
+
+    The expected finding on this synthetic corpus is itself the
+    lesson: short lorem-like docs drive token-sign agreement way above
+    chance, so SimHash bands over-collide and precision lands near
+    zero while MinHash-LSH (whose candidates are verified by exact
+    Jaccard in-op) stays exact — the quantified reason the production
+    dedup path is MinHash, not SimHash.
+
+    Scale: banding is the standard equi-join candidate generation (no
+    all-pairs); the Hamming verify touches only bucket-mates; the
+    truth side is the df-capped shingle join."""
+    sh = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    bands = sh.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(simhash, band * 15) & 32767").alias("bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", F.col("bv").alias("bva")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bvb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b")) & (F.col("bva") == F.col("bvb")),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    pred = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(F.expr("bit_count(h_a ^ h_b) <= 4"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b").localCheckpoint(
+        eager=False
+    )
+    np_ = pred.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt = truth.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = (
+        pred.join(truth, ["id_a", "id_b"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        np_.join(F.broadcast(nt))
+        .join(F.broadcast(nh))
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_pred"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1214,3 +1214,98 @@ def sample_stratified_neyman(spark, sf_dir):
         .select("doc_id", "source", F.col("ah").alias("stratum_alloc"))
         .orderBy("doc_id")
     )
+
+
+# dedup_rate_report embeds dedup_minhash_lsh's registered oracle
+# verbatim (the rank_fusion_rrf pattern) — explicit import so the
+# dependency does not rely on package import order.
+from deltasink_spark.queries import dedup as _dedup  # noqa: E402,F401
+from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "dedup_rate_report",
+    oracle=f"""
+    WITH RECURSIVE pr AS (
+        SELECT id_a, id_b FROM ({_ORACLES["dedup_minhash_lsh"]}) t),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pr
+           UNION ALL SELECT id_b, id_a FROM pr),
+    nodes AS (SELECT DISTINCT a AS n FROM ed),
+    r(n, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT ed.b, r.lab FROM r JOIN ed ON ed.a = r.n
+        WHERE r.lab < ed.b),
+    comp AS (SELECT n AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY n),
+    per_src AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(comp.doc_id) AS BIGINT) AS n_flagged
+        FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        GROUP BY d.source),
+    roots AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_clusters_rooted
+        FROM (SELECT DISTINCT cluster_id FROM comp) c
+        JOIN documents d ON d.doc_id = c.cluster_id
+        GROUP BY d.source)
+    SELECT per_src.source, per_src.n_docs, per_src.n_flagged,
+           ROUND(CAST(per_src.n_flagged AS DOUBLE) / per_src.n_docs, 6)
+             AS dup_rate,
+           COALESCE(roots.n_clusters_rooted, 0) AS n_clusters_rooted
+    FROM per_src LEFT JOIN roots USING (source)
+    ORDER BY per_src.source
+    """,
+)
+def dedup_rate_report(spark, sf_dir):
+    """Corpus duplication report per source: how many documents sit in
+    a near-duplicate cluster (MinHash-LSH pairs at the standard 0.6
+    Jaccard threshold, clustered by the star-contraction engine), the
+    resulting dup rate, and how many clusters are ROOTED in the source
+    (root = the cluster's min doc id, so cross-source clusters are
+    counted exactly once, at their root's source) — the curation
+    health metric read before and after every dedup run.
+
+    The oracle embeds dedup_minhash_lsh's registered oracle verbatim
+    as the pair CTE (the [rank_fusion_rrf] pattern: the report can
+    never drift from the dedup op it summarizes), then runs the same
+    recursive downhill-label closure as [graph_components].
+
+    Scale: the pair generation is the LSH equi-join machinery
+    (bucketed, star-capped); clustering is O(log n) star rounds; the
+    report itself is two hash aggs and broadcast-size joins."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    comp = min_label_components(pairs)
+    per_src = (
+        d.select("doc_id", "source")
+        .join(comp.select("doc_id", "cluster_id"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.col("cluster_id")).cast("long").alias("n_flagged"),
+        )
+    )
+    roots = (
+        comp.select("cluster_id")
+        .distinct()
+        .join(
+            d.select(F.col("doc_id").alias("cluster_id"), "source"), "cluster_id"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters_rooted"))
+    )
+    return (
+        per_src.join(F.broadcast(roots), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.coalesce(F.col("n_clusters_rooted"), F.lit(0).cast("long")).alias(
+                "n_clusters_rooted"
+            ),
+        )
+        .orderBy("source")
+    )

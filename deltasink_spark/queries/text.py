@@ -504,3 +504,61 @@ def text_zipf_slope(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH li AS ({_ORACLES["text_lang_id"]}),
+    cells AS (
+        SELECT lang, guessed, CAST(COUNT(*) AS BIGINT) AS n
+        FROM li GROUP BY lang, guessed),
+    g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN (lang = 'en') = (guessed = 'en-ish')
+                             THEN n ELSE 0 END) AS BIGINT) AS n_correct
+        FROM cells)
+    SELECT cells.lang, cells.guessed, cells.n, g.n_total,
+           ROUND(CAST(g.n_correct AS DOUBLE) / g.n_total, 6) AS accuracy
+    FROM cells, g
+    ORDER BY cells.lang, cells.guessed
+    """,
+)
+def eval_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the [text_lang_id] heuristic against the
+    corpus's labeled ``lang`` column, with global accuracy on every
+    row — the classifier-QA readout run before trusting any heuristic
+    gate in a curation pipeline. The prediction CTE embeds
+    text_lang_id's registered oracle verbatim (the [rank_fusion_rrf]
+    pattern), so the eval can never drift from the op it scores.
+
+    Scale: the classifier is the scan-shaped op being evaluated; the
+    eval itself is one hash agg to |langs|x|guesses| cells and a
+    broadcast of the 2-number global frame."""
+    li = text_lang_id(spark, sf_dir)
+    cells = li.groupBy("lang", "guessed").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    correct = (F.col("lang") == "en") == (F.col("guessed") == "en-ish")
+    g = cells.groupBy().agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.when(correct, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        cells.join(F.broadcast(g))
+        .select(
+            "lang",
+            "guessed",
+            "n",
+            "n_total",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_total"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("lang", "guessed")
+    )

@@ -1076,3 +1076,52 @@ def test_neyman_rank_window_per_stratum(spark, sf_small):
     assert "windowspecdefinition(source" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_seasonal_anomaly_broadcast_stats_filter(spark, sf_small):
+    """The per-hod stats side is constant-size and broadcasts onto the
+    hourly frame; the 3-sigma test is a codegen filter — no window,
+    no shuffle join."""
+    p = plan(q("ts_seasonal_anomaly", spark, sf_small), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p and "CartesianProduct" not in p
+
+
+def test_funnel_delay_median_window_per_segment(spark, sf_small):
+    """The median rank window partitions by segment; the per-segment
+    counts and the customer dim return via broadcast joins."""
+    p = plan(q("funnel_time_to_convert", spark, sf_small), "simple")
+    assert "windowspecdefinition(segment" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_rate_report_no_cartesian(spark, sf_small):
+    """Pair generation is the LSH equi-join machinery; the report's
+    own joins are broadcast-size."""
+    p = plan(q("dedup_rate_report", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_langid_confusion_single_agg(spark, sf_small):
+    """The eval collapses predictions to |langs|x|guesses| cells in
+    one hash agg; the global accuracy frame broadcasts back."""
+    p = plan(q("eval_langid_confusion", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_cohens_kappa_one_scan_no_join(spark, sf_small):
+    """The 2x2 agreement table is one conditional hash agg over one
+    scan — no join, no window."""
+    p = plan(q("stats_cohens_kappa", spark, sf_small), "simple")
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_simhash_eval_band_equi_join(spark, sf_small):
+    """Candidate generation is the band-bucket EQUI-join (never
+    all-pairs); the Hamming verify and truth join are keyed."""
+    p = plan(q("eval_simhash_banding", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
