@@ -2488,6 +2488,10 @@ def funnel_time_to_convert(spark, sf_dir):
                 F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view"))
             ).alias("delay_us"),
         )
+        # two consumers (the per-segment agg and the rank-window probe,
+        # glued by a broadcast — no exchange for ReusedExchange to
+        # match), so cut the heavy funnel subtree once
+        .localCheckpoint(eager=False)
     )
     n = d.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n_conv"),
@@ -2509,22 +2513,27 @@ def funnel_time_to_convert(spark, sf_dir):
     )
 
 
+# stats_cohens_kappa embeds text_lang_id's registered oracle verbatim
+# (the rank_fusion_rrf pattern) — explicit import so the dependency
+# does not rely on package import order.
+from deltasink_spark.queries import text as _text  # noqa: E402
+from deltasink_spark.registry import ORACLES as _ORACLES2  # noqa: E402
+
+
 @query(
     "stats_cohens_kappa",
-    oracle="""
-    WITH li AS (
-        SELECT d.lang = 'en' AS b,
-               len(list_filter(string_split(d.text, ' '),
-                   x -> x IN ('table', 'scan', 'join', 'merge')))
-               >= len(list_filter(string_split(d.text, ' '),
-                   x -> x IN ('fila', 'tabla', 'datos'))) AS a
-        FROM documents d),
+    oracle=f"""
+    WITH li AS ({_ORACLES2["text_lang_id"]}),
     m AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(COUNT(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
-               CAST(COUNT(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
-               CAST(COUNT(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
-               CAST(COUNT(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00
+               CAST(COUNT(*) FILTER (WHERE guessed = 'en-ish'
+                                       AND lang = 'en') AS BIGINT) AS n11,
+               CAST(COUNT(*) FILTER (WHERE guessed = 'en-ish'
+                                       AND lang <> 'en') AS BIGINT) AS n10,
+               CAST(COUNT(*) FILTER (WHERE guessed <> 'en-ish'
+                                       AND lang = 'en') AS BIGINT) AS n01,
+               CAST(COUNT(*) FILTER (WHERE guessed <> 'en-ish'
+                                       AND lang <> 'en') AS BIGINT) AS n00
         FROM li)
     SELECT n, n11, n10, n01, n00,
            ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
@@ -2543,38 +2552,39 @@ def funnel_time_to_convert(spark, sf_dir):
 def stats_cohens_kappa(spark, sf_dir):
     """Cohen's kappa — chance-corrected agreement between two binary
     raters, here the [text_lang_id] English heuristic (rater A:
-    en_score >= es_score) and the labeled lang column (rater B:
+    guessed == 'en-ish') and the labeled lang column (rater B:
     lang == 'en'). The agreement statistic every labeling/QA pipeline
     reports alongside raw accuracy, because a 95%-English corpus makes
-    raw agreement meaninglessly high.
+    raw agreement meaninglessly high. The prediction frame IS
+    text_lang_id's output (registered oracle embedded verbatim /
+    the op called directly), so kappa can never score a stale copy of
+    the classifier.
 
-    Determinism: the 2x2 table is four exact BIGINT counts from ONE
-    conditional hash agg; po/pe/kappa assemble in one identical IEEE
-    tree (each intermediate also emitted, 6dp).
+    Determinism + degeneracy: the 2x2 table is four exact BIGINT
+    COUNTs (0 on empty input, matching the oracle — a conditional SUM
+    would emit NULL); po/pe/kappa are one identical IEEE tree, and
+    every division is try_divide so n = 0 or pe = 1 (a single-class
+    corpus) yields NULL in BOTH engines instead of an ANSI
+    divide-by-zero crash.
 
-    Scale: one scan, one combining hash agg, scalar algebra on a
-    single row."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    en = F.size(
-        F.filter(toks, lambda x: x.isin("table", "scan", "join", "merge"))
-    )
-    es = F.size(F.filter(toks, lambda x: x.isin("fila", "tabla", "datos")))
-    a = en >= es
+    Scale: one scan (the classifier's), one combining hash agg,
+    scalar algebra on a single row."""
+    li = _text.text_lang_id(spark, sf_dir)
+    a = F.col("guessed") == "en-ish"
     b = F.col("lang") == "en"
-    m = d.select(a.alias("a"), b.alias("b")).groupBy().agg(
+    m = li.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n11"),
-        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n10"),
-        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).cast("long").alias("n01"),
-        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).cast("long").alias("n00"),
+        F.count(F.when(a & b, True)).cast("long").alias("n11"),
+        F.count(F.when(a & ~b, True)).cast("long").alias("n10"),
+        F.count(F.when(~a & b, True)).cast("long").alias("n01"),
+        F.count(F.when(~a & ~b, True)).cast("long").alias("n00"),
     )
     nd = F.col("n").cast("double")
-    po = (F.col("n11") + F.col("n00")).cast("double") / nd
-    pa1 = (F.col("n11") + F.col("n10")).cast("double") / nd
-    pb1 = (F.col("n11") + F.col("n01")).cast("double") / nd
-    pa0 = (F.col("n01") + F.col("n00")).cast("double") / nd
-    pb0 = (F.col("n10") + F.col("n00")).cast("double") / nd
+    po = F.try_divide((F.col("n11") + F.col("n00")).cast("double"), nd)
+    pa1 = F.try_divide((F.col("n11") + F.col("n10")).cast("double"), nd)
+    pb1 = F.try_divide((F.col("n11") + F.col("n01")).cast("double"), nd)
+    pa0 = F.try_divide((F.col("n01") + F.col("n00")).cast("double"), nd)
+    pb0 = F.try_divide((F.col("n10") + F.col("n00")).cast("double"), nd)
     pe = pa1 * pb1 + pa0 * pb0
     return m.select(
         "n",
@@ -2584,5 +2594,5 @@ def stats_cohens_kappa(spark, sf_dir):
         "n00",
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )

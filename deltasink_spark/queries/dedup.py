@@ -683,7 +683,13 @@ def eval_simhash_banding(spark, sf_dir):
     Scale: banding is the standard equi-join candidate generation (no
     all-pairs); the Hamming verify touches only bucket-mates; the
     truth side is the df-capped shingle join."""
-    sh = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    sh = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_id", "simhash")
+        # four consumers (band self-join sides + both hamming probes):
+        # without the checkpoint the 60-sum agg runs up to 4x per action
+        .localCheckpoint(eager=False)
+    )
     bands = sh.select(
         "doc_id",
         F.explode(F.expr("sequence(0, 3)")).alias("band"),
@@ -736,11 +742,14 @@ def eval_simhash_banding(spark, sf_dir):
             "n_pred",
             "n_truth",
             "n_hit",
-            F.round(F.col("n_hit").cast("double") / F.col("n_pred"), 6).alias(
-                "precision"
-            ),
-            F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias(
-                "recall"
-            ),
+            # try_divide: zero predictions / zero truth pairs (empty
+            # corpus) must yield NULL like the oracle, not an ANSI
+            # DIVIDE_BY_ZERO crash
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_pred")), 6
+            ).alias("precision"),
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6
+            ).alias("recall"),
         )
     )
