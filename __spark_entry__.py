@@ -73,6 +73,7 @@ _R8_NEW: list[str] = [
     "eval_langid_confusion",
     "stats_cohens_kappa",
     "eval_simhash_banding",
+    "funnel_window_strict",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

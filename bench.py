@@ -195,6 +195,7 @@ R8DOPS = [
     "eval_langid_confusion",     # heuristic-classifier confusion matrix
     "stats_cohens_kappa",        # chance-corrected agreement
     "eval_simhash_banding",      # heuristic-dedup precision/recall
+    "funnel_window_strict",      # windowFunnel time-bounded levels
 ]
 
 

@@ -2596,3 +2596,97 @@ def stats_cohens_kappa(spark, sf_dir):
         F.round(pe, 6).alias("pe"),
         F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "funnel_window_strict",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND epoch_us(e.ts) <= epoch_us(v.t1) + CAST(3600000000 AS BIGINT)
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND epoch_us(e.ts) <= epoch_us(c.t2) + CAST(3600000000 AS BIGINT)
+        GROUP BY e.user_id),
+    u AS (
+        SELECT v.user_id, cu.c_mktsegment AS segment,
+               c.user_id IS NOT NULL AS l2, p.user_id IS NOT NULL AS l3
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+        JOIN customer cu ON cu.c_custkey = v.user_id)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_level1,
+           CAST(COUNT(*) FILTER (l2) AS BIGINT) AS n_level2,
+           CAST(COUNT(*) FILTER (l3) AS BIGINT) AS n_level3
+    FROM u GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def funnel_window_strict(spark, sf_dir):
+    """Windowed strict-order funnel (the windowFunnel semantics every
+    product-analytics engine ships): view -> click WITHIN ONE HOUR ->
+    purchase within one hour OF THE CLICK, per market segment —
+    [funnel_analysis]'s unbounded windows count a purchase weeks after
+    the click as converted; bounded windows are what campaign analysis
+    actually reads. Anchors are deterministic: first view, first
+    qualifying click, first qualifying purchase.
+
+    Scale: the same shape as funnel_analysis — each level is one
+    min-agg over an equi-join of the events table against the
+    previous level's (user, ts) frame (never a per-event window or a
+    time-range join explosion: the bound is a residual predicate on
+    the equi-join), then one conditional hash agg per segment with the
+    customer dim broadcast."""
+    ev = load(spark, sf_dir, "events")
+    us = 3600 * 1_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.unix_micros(F.col("ts")) <= F.unix_micros(F.col("t1")) + us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.unix_micros(F.col("ts")) <= F.unix_micros(F.col("t2")) + us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    u = (
+        v.join(c.select("user_id", F.lit(True).alias("l2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(True).alias("l3")), "user_id", "left")
+        .join(F.broadcast(cu), "user_id")
+    )
+    return (
+        u.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_level1"),
+            F.count(F.when(F.col("l2"), True)).cast("long").alias("n_level2"),
+            F.count(F.when(F.col("l3"), True)).cast("long").alias("n_level3"),
+        )
+        .orderBy("segment")
+    )

@@ -1125,3 +1125,12 @@ def test_simhash_eval_band_equi_join(spark, sf_small):
     all-pairs); the Hamming verify and truth join are keyed."""
     p = plan(q("eval_simhash_banding", spark, sf_small), "simple")
     assert "CartesianProduct" not in p
+
+
+def test_funnel_window_strict_equi_joins_only(spark, sf_small):
+    """Each funnel level is a min-agg over an equi-join on user_id
+    with the time bound as a residual predicate — never a time-range
+    join explosion or a per-event window."""
+    p = plan(q("funnel_window_strict", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "HashAggregate" in p
