@@ -74,6 +74,8 @@ _R8_NEW: list[str] = [
     "stats_cohens_kappa",
     "eval_simhash_banding",
     "funnel_window_strict",
+    "agg_exact_percentiles_multiprobe",
+    "graph_kcore",
 ]
 
 # r7-era ops re-checked (5 of the 10 changed code in r8).

@@ -196,6 +196,8 @@ R8DOPS = [
     "stats_cohens_kappa",        # chance-corrected agreement
     "eval_simhash_banding",      # heuristic-dedup precision/recall
     "funnel_window_strict",      # windowFunnel time-bounded levels
+    "agg_exact_percentiles_multiprobe",  # one histogram, 4 exact quantiles
+    "graph_kcore",               # 14 unrolled peel rounds + proof
 ]
 
 

@@ -731,3 +731,90 @@ def agg_exact_median_twopass(spark, sf_dir):
         (F.col("cum2") >= F.col("r")) & (F.col("cum2") - F.col("k2") < F.col("r"))
     )
     return picked.select(F.col("v").alias("median_cents"), "n")
+
+
+@query(
+    "agg_exact_percentiles_multiprobe",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+    t AS (SELECT p FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS t(p)),
+    r AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM c)
+    SELECT t.p, r.v AS value_cents, r.n
+    FROM t JOIN r
+      ON r.rn = GREATEST(CAST(1 AS BIGINT),
+                         CAST(CEIL(t.p * r.n) AS BIGINT))
+    ORDER BY t.p
+    """,
+)
+def agg_exact_percentiles_multiprobe(spark, sf_dir):
+    """EXACT percentile VECTOR (p25/p50/p75/p99, type-1 / value at
+    rank ceil(p*n)) with NO global sort — [agg_exact_median_twopass]'s
+    bucket-histogram selection generalized to every target in the SAME
+    two passes: pass 1 builds ONE 1e6-cent bucket histogram and the
+    tiny-frame prefix locates all four (bucket, residual rank) targets
+    at once (the 4-row target frame cross-joins the |buckets| prefix);
+    pass 2 re-scans only the union of target buckets (broadcast,
+    tagged by p), histograms per (p, value), and a per-p prefix picks
+    each value. This is what an engine's exact-quantile path actually
+    does — one histogram amortized across the whole quantile vector.
+
+    Oracle: the textbook global ROW_NUMBER construction per target.
+    Both engines compute rank = greatest(1, ceil(p*n)) from the SAME
+    IEEE doubles, so the rank choice cannot diverge.
+
+    Scale: two fact scans total (not two per quantile), windows only
+    on the |buckets| / in-target-bucket frames."""
+    o = load(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(v.alias("v")).withColumn(
+        "b", F.expr("v div 1000000").cast("long")
+    )
+    bk = c.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wall = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pref = bk.select(
+        "b",
+        "k",
+        F.sum("k").over(wall).cast("long").alias("cum"),
+        F.sum("k").over(wtot).cast("long").alias("n"),
+    )
+    t = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.99,)], "p double")
+    targets = (
+        pref.crossJoin(F.broadcast(t))
+        .withColumn(
+            "rank",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("p") * F.col("n")).cast("long"),
+            ),
+        )
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("k") < F.col("rank"))
+        )
+        .select(
+            "p", "b", (F.col("rank") - (F.col("cum") - F.col("k"))).alias("r"), "n"
+        )
+    )
+    inb = (
+        c.join(F.broadcast(targets), "b")
+        .groupBy("p", "v", "r", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("k2"))
+    )
+    wv = (
+        Window.partitionBy("p")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = inb.withColumn("cum2", F.sum("k2").over(wv).cast("long")).filter(
+        (F.col("cum2") >= F.col("r")) & (F.col("cum2") - F.col("k2") < F.col("r"))
+    )
+    return picked.select(
+        "p", F.col("v").alias("value_cents"), "n"
+    ).orderBy("p")

@@ -2690,3 +2690,100 @@ def funnel_window_strict(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_kcore — k-core decomposition by unrolled peeling
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 14  # sf0.01 converges in 11, sf0.1 in 3, sf0.001 in 1
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT k FROM (
+            SELECT k, COUNT(*) AS d FROM (
+                SELECT s1 AS k FROM e{i - 1}
+                UNION ALL SELECT s2 FROM e{i - 1}) u
+            GROUP BY k) t
+        WHERE d >= {_KCORE_K})"""
+        )
+        rounds.append(
+            f"""e{i} AS MATERIALIZED (
+        SELECT s1, s2 FROM e{i - 1}
+        WHERE s1 IN (SELECT k FROM k{i})
+          AND s2 IN (SELECT k FROM k{i}))"""
+        )
+    last, prev = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
+    return f"""
+    WITH {_COORDER_SQL},
+    e0 AS MATERIALIZED (SELECT s1, s2 FROM e),
+    {",".join(rounds)}
+    SELECT node, core_deg,
+           (SELECT COUNT(*) FROM e{prev}) = (SELECT COUNT(*) FROM e{last})
+             AS converged
+    FROM (
+        SELECT k AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM (SELECT s1 AS k FROM e{last} UNION ALL SELECT s2 FROM e{last}) u
+        GROUP BY k) t
+    ORDER BY node
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """3-core of the part co-order graph: the maximal subgraph where
+    every node keeps degree >= 3, by iterative peeling (drop
+    under-degree nodes, repeat) — the standard graph-densification /
+    community-seed primitive. The peel is UNROLLED to a fixed 14
+    rounds in BOTH engines (fixture graphs converge in 1/11/3 rounds
+    at sf0.001/0.01/0.1) and every row carries a ``converged`` flag
+    (round-13 and round-14 edge sets are equal) so a non-converged
+    truncation can never masquerade as the core — the same
+    fixed-unroll-plus-proof pattern as [graph_pagerank]'s 3 iterations
+    and [hilbert_cluster]'s 10-level walk.
+
+    Scale: each round is one degree hash agg + two semi-joins on the
+    (shrinking) edge list, lineage cut per round with an eager
+    localCheckpoint (the [bpe_train] iterative-algorithm move); the
+    peeled frames only shrink, and real peeling converges in
+    O(max-core-number) rounds."""
+    e = _coorder_edges(spark, sf_dir)
+    prev_edges = None
+    for i in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("s1").alias("k"))
+            .unionByName(e.select(F.col("s2").alias("k")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("k")
+        )
+        nxt = (
+            e.join(deg.withColumnRenamed("k", "s1"), "s1", "left_semi")
+            .join(deg.withColumnRenamed("k", "s2"), "s2", "left_semi")
+            .select("s1", "s2")
+            .localCheckpoint()
+        )
+        if i == _KCORE_ROUNDS - 1:
+            prev_edges = e
+        e = nxt
+    conv = (
+        prev_edges.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_prev"))
+        .crossJoin(e.groupBy().agg(F.count(F.lit(1)).alias("n_last")))
+        .select((F.col("n_prev") == F.col("n_last")).alias("converged"))
+    )
+    core = (
+        e.select(F.col("s1").alias("node"))
+        .unionByName(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+    return core.join(F.broadcast(conv)).select(
+        "node", "core_deg", "converged"
+    ).orderBy("node")

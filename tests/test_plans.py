@@ -1134,3 +1134,23 @@ def test_funnel_window_strict_equi_joins_only(spark, sf_small):
     p = plan(q("funnel_window_strict", spark, sf_small), "simple")
     assert "CartesianProduct" not in p and "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_percentile_vector_shares_one_histogram(spark, sf_small):
+    """All four quantile targets resolve against ONE bucket-histogram
+    prefix (tiny-frame windows only); the second pass is gated by the
+    broadcast target list — the fact table is never globally sorted."""
+    p = plan(q("agg_exact_percentiles_multiprobe", spark, sf_small), "simple")
+    assert "TakeOrderedAndProject" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_kcore_output_from_checkpointed_rounds(spark, sf_small):
+    """The peel rounds are checkpointed (the visible plan starts at
+    the final round's edge frame); the core degree is a hash agg and
+    the convergence flag joins as a broadcast single row."""
+    p = plan(q("graph_kcore", spark, sf_small), "simple")
+    assert "Scan ExistingRDD" in p
+    assert "HashAggregate" in p
