@@ -103,15 +103,22 @@ def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -
     all-pairs: linear in bucket size, and connectivity-preserving for
     the downstream connected-components clustering (all members still
     reach the hub). Star pairs are tagged ``is_star = true`` and
-    jaccard_verify EXEMPTS them from the threshold filter (r7 advisor:
-    a star edge failing exact-Jaccard would detach a member that some
-    non-hub edge would have kept) — an oversized bucket means
-    near-identical signatures across 8 concatenated minhashes, so
-    bucket membership itself is the duplicate signal and recall inside
-    capped buckets no longer depends on hub-edge verification. The cap
-    never triggers on the fixtures (max observed bucket: 13 at sf0.1
-    vs cap 64), so every oracle result is byte-identical; the bound is
-    exercised by tests/test_properties.py's mega-cluster fixture.
+    jaccard_verify holds them to a LOWERED exact-Jaccard threshold
+    (threshold/2) rather than the full one: a bucket collision is only
+    ONE band of r = N_PERMS/N_BANDS = 2 minhashes agreeing
+    (P(collision) ~ J^2, so a J=0.3 pair collides in some band with
+    p ~ 0.95 across 32 bands — weak evidence on its own), so exempting
+    star pairs entirely would let unrelated documents that merely
+    share boilerplate enter the connected-components clusters and get
+    silently dropped by keep-best dedup. Halving the bar keeps recall
+    inside genuinely-duplicate mega-clusters (true near-dups at
+    J >= threshold pass trivially; hub edges in a template cluster
+    score near 1.0) while exact verification prunes the
+    low-similarity hash collisions. The cap never triggers on the
+    fixtures (max observed bucket: 13 at sf0.1 vs cap 64), so every
+    oracle result is byte-identical; the linearity bound is exercised
+    by tests/test_properties.py's mega-cluster fixture and star-pair
+    precision by test_star_pairs_verified_at_lowered_threshold.
     Cost: one extra hash agg on the (band_id, band_hash) key the
     self-join shuffles on anyway."""
     r = N_PERMS // N_BANDS
@@ -162,13 +169,14 @@ def jaccard_verify(
     per-doc set sizes. int/int division -> deterministic double.
 
     Star-tagged candidates (oversized LSH buckets, see lsh_candidates)
-    bypass the threshold — bucket membership is the duplicate signal
-    there. A star pair whose kept-shingle intersection is empty would
-    still drop (the inner join can't see it); that requires an 8-way
-    minhash band collision between disjoint shingle sets, negligible
-    by construction and irrelevant on fixtures where the cap never
-    fires. Candidates without an is_star column (callers outside
-    lsh_candidates) are treated as all-ordinary pairs."""
+    are verified at threshold/2 instead of the full threshold: one
+    shared r=2 band is weak evidence (collision prob ~ J^2), so they
+    cannot be exempted outright, but the star edge is also the ONLY
+    edge keeping a capped-bucket member connected to its cluster, so
+    the full bar would over-detach borderline near-dups. Disjoint-set
+    star pairs drop naturally (the inner intersection join can't see
+    them — Jaccard 0). Candidates without an is_star column (callers
+    outside lsh_candidates) are treated as all-ordinary pairs."""
     if "is_star" not in candidates.columns:
         candidates = candidates.withColumn("is_star", F.lit(False))
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -189,7 +197,10 @@ def jaccard_verify(
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"), "is_star")
-        .filter((F.col("jaccard") >= threshold) | F.col("is_star"))
+        .filter(
+            F.col("jaccard")
+            >= F.when(F.col("is_star"), F.lit(threshold / 2)).otherwise(F.lit(threshold))
+        )
         .drop("is_star")
     )
 

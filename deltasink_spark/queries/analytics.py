@@ -1503,8 +1503,10 @@ def stats_ks_two_sample(spark, sf_dir):
         SELECT CAST(SUM(k1) AS BIGINT) AS n1,
                CAST(SUM(k2) AS BIGINT) AS n2,
                CAST(SUM(k1 + k2) AS BIGINT) AS n,
-               CAST(SUM(k1 * (2 * c_prev + k + 1)) AS BIGINT) AS two_r1,
-               CAST(SUM(k * k * k - k) AS BIGINT) AS ties
+               CAST(SUM(CAST(k1 AS DECIMAL(38,0)) * (2 * c_prev + k + 1))
+                    AS DECIMAL(38,0)) AS two_r1,
+               CAST(SUM(CAST(k AS DECIMAL(38,0)) * k * k - k)
+                    AS DECIMAL(38,0)) AS ties
         FROM r)
     SELECT n1, n2,
            CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
@@ -1528,8 +1530,10 @@ def stats_mannwhitney_u(spark, sf_dir):
 
     Determinism: ranks never materialize as fractions — with ties
     resolved to average ranks, 2*avg_rank = 2*c_prev + k + 1 is an
-    exact BIGINT, so 2*R1 = sum(k1*(2*c_prev+k+1)) and the tie term
-    sum(k^3-k) accumulate exactly (max ~2n^2 ~ 1e11 << 2^63); the only
+    exact BIGINT; 2*R1 = sum(k1*(2*c_prev+k+1)) (bounded by ~2n^2) and
+    the tie term sum(k^3-k) (bounded by n^3 — past ~2.1e6 fully-tied
+    rows BIGINT would wrap silently in Spark while DuckDB raises)
+    therefore accumulate in DECIMAL(38,0), exact to n ~ 1e12; the only
     doubles are the final /2 (exact in IEEE) and one z expression tree
     written identically in both engines.
 
@@ -1582,11 +1586,15 @@ def stats_mannwhitney_u(spark, sf_dir):
         F.sum("k1").cast("long").alias("n1"),
         F.sum("k2").cast("long").alias("n2"),
         F.sum(F.col("k1") + F.col("k2")).cast("long").alias("n"),
-        F.sum(F.col("k1") * (2 * F.col("c_prev") + F.col("k") + 1))
-        .cast("long")
+        F.sum(
+            F.col("k1").cast("decimal(38,0)") * (2 * F.col("c_prev") + F.col("k") + 1)
+        )
+        .cast("decimal(38,0)")
         .alias("two_r1"),
-        F.sum(F.col("k") * F.col("k") * F.col("k") - F.col("k"))
-        .cast("long")
+        F.sum(
+            F.col("k").cast("decimal(38,0)") * F.col("k") * F.col("k") - F.col("k")
+        )
+        .cast("decimal(38,0)")
         .alias("ties"),
     )
     two_u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")

@@ -564,10 +564,12 @@ def dedup_image_phash(spark, sf_dir):
     buckets over _PH_BUCKET_CAP expand as a STAR on the bucket's min
     doc (the minhash.py::lsh_candidates move) — O(n) candidates, and
     true duplicates keep hamming 0 through the hub so connectivity
-    survives. Unlike minhash star pairs, phash star pairs DO keep the
-    exact Hamming filter: one shared 14-bit band is far weaker
-    evidence than 8 concatenated minhashes, so bucket membership alone
-    is not a duplicate signal. The cap never fires on fixtures (max
+    survives. Phash star pairs keep the FULL exact
+    Hamming filter (minhash star pairs get a halved Jaccard bar, see
+    operators/minhash.py): in both schemes one shared band — 14 phash
+    bits here, r=2 minhashes there — is weak evidence on its own, so
+    bucket membership alone is never treated as the duplicate signal;
+    the exact verify on the candidate rows is. The cap never fires on fixtures (max
     observed bucket: 16 at sf0.1 vs cap 64 — oracle byte-identical);
     the bound is exercised on a synthetic mono-payload mega-cluster in
     tests/test_properties.py."""
@@ -634,6 +636,9 @@ def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
 from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 
+_SB_BUCKET_CAP = 64
+
+
 @query(
     "eval_simhash_banding",
     oracle=f"""
@@ -641,10 +646,21 @@ from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
     bands AS (
         SELECT doc_id, u.i AS band, (simhash >> (u.i * 15)) & 32767 AS bv
         FROM sh, UNNEST(range(0, 4)) AS u(i)),
+    bstats AS (
+        SELECT band, bv, CAST(COUNT(*) AS BIGINT) AS bkt_n,
+               MIN(doc_id) AS bkt_min
+        FROM bands GROUP BY band, bv),
     cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bstats s ON s.band = a.band AND s.bv = a.bv
+        JOIN bands b ON b.band = a.band AND b.bv = a.bv
+                    AND a.doc_id < b.doc_id
+        WHERE s.bkt_n <= {_SB_BUCKET_CAP}
+        UNION
+        SELECT s.bkt_min AS id_a, b.doc_id AS id_b
+        FROM bands b JOIN bstats s ON s.band = b.band AND s.bv = b.bv
+        WHERE s.bkt_n > {_SB_BUCKET_CAP} AND b.doc_id <> s.bkt_min),
     pred AS (
         SELECT c.id_a, c.id_b
         FROM cand c JOIN sh x ON x.doc_id = c.id_a
@@ -680,9 +696,18 @@ def eval_simhash_banding(spark, sf_dir):
     Jaccard in-op) stays exact — the quantified reason the production
     dedup path is MinHash, not SimHash.
 
-    Scale: banding is the standard equi-join candidate generation (no
-    all-pairs); the Hamming verify touches only bucket-mates; the
-    truth side is the df-capped shingle join."""
+    Scale: banding is the standard equi-join candidate generation,
+    and — precisely because SimHash buckets over-collide on
+    boilerplate-heavy corpora — the band buckets carry the same
+    star-expansion cap as minhash/phash (_SB_BUCKET_CAP=64,
+    _simhash_band_pairs): a hot (band, bv) bucket emits O(n) hub
+    edges, never within-bucket all-pairs, so the eval measures the
+    CAPPED index production would run (the oracle mirrors the cap
+    bucket-for-bucket). Star pairs keep the full exact Hamming <= 4
+    verify. The Hamming verify touches only candidate rows; the truth
+    side is the df-capped shingle join. Linearity under a synthetic
+    sign-agreement mega-cluster is property-tested
+    (test_simhash_megabucket_skew_candidates_linear)."""
     sh = (
         dedup_simhash(spark, sf_dir)
         .select("doc_id", "simhash")
@@ -690,41 +715,7 @@ def eval_simhash_banding(spark, sf_dir):
         # without the checkpoint the 60-sum agg runs up to 4x per action
         .localCheckpoint(eager=False)
     )
-    bands = sh.select(
-        "doc_id",
-        F.explode(F.expr("sequence(0, 3)")).alias("band"),
-        "simhash",
-    ).select(
-        "doc_id",
-        "band",
-        F.expr("shiftright(simhash, band * 15) & 32767").alias("bv"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band", F.col("bv").alias("bva")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("bv").alias("bvb"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b")) & (F.col("bva") == F.col("bvb")),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ha = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    hb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
-    pred = (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .filter(F.expr("bit_count(h_a ^ h_b) <= 4"))
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
-    )
+    pred = _simhash_band_pairs(sh).localCheckpoint(eager=False)
     truth = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b").localCheckpoint(
         eager=False
     )
@@ -752,4 +743,62 @@ def eval_simhash_banding(spark, sf_dir):
                 F.try_divide(F.col("n_hit").cast("double"), F.col("n_truth")), 6
             ).alias("recall"),
         )
+    )
+
+
+def _simhash_band_pairs(sh, bucket_cap: int = _SB_BUCKET_CAP):
+    """Hamming-verified (id_a < id_b) pairs from a (doc_id, simhash)
+    frame via 4x15-bit band buckets with star-capped expansion — the
+    same skew geometry as minhash.py::lsh_candidates / _phash_pairs:
+    buckets over ``bucket_cap`` emit hub edges on the bucket's min doc
+    (O(n), connectivity-preserving) instead of within-bucket
+    all-pairs (O(n^2)). The simhash rides along in the band rows so
+    the exact bit_count verify needs no join back to the hash frame;
+    star pairs keep the FULL Hamming bar (one shared 15-bit band is
+    weak evidence on sign-correlated corpora — the over-collision this
+    op exists to measure)."""
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 15) & 32767").alias("bv"),
+    )
+    # min(struct) carries the hub's simhash alongside its id in ONE agg
+    stats = bands.groupBy("band", "bv").agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min(F.struct("doc_id", "simhash")).alias("mn"),
+    )
+    tagged = bands.join(stats, ["band", "bv"])
+    small = tagged.filter(F.col("bkt_n") <= bucket_cap)
+    a = small.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "bv"
+    )
+    b = small.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "bv"
+    )
+    all_pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+    )
+    star_pairs = (
+        tagged.filter(
+            (F.col("bkt_n") > bucket_cap) & (F.col("doc_id") != F.col("mn.doc_id"))
+        )
+        .select(
+            F.col("mn.doc_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.col("mn.simhash").alias("h_a"),
+            F.col("simhash").alias("h_b"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
+        .filter(F.expr("bit_count(h_a ^ h_b) <= 4"))
+        .select("id_a", "id_b")
+        .distinct()
     )

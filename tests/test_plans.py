@@ -1143,7 +1143,11 @@ def test_percentile_vector_shares_one_histogram(spark, sf_small):
     p = plan(q("agg_exact_percentiles_multiprobe", spark, sf_small), "simple")
     assert "TakeOrderedAndProject" not in p
     assert "BroadcastHashJoin" in p
-    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
+    # the ONE nested-loop join allowed is the broadcast (BuildRight)
+    # of the 4-row percentile-target frame against the bucket prefix —
+    # never a shuffle-side CartesianProduct over fact rows
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin BuildRight" in p
     assert "HashAggregate" in p
 
 

@@ -617,3 +617,56 @@ def test_merge_islands_matches_sequential_reference(spark):
         return set(out)
 
     assert got == reference(rows)
+
+
+def test_star_pairs_verified_at_lowered_threshold(spark):
+    """Star-tagged candidates (oversized LSH buckets) must be held to
+    threshold/2 — not exempted (one shared r=2 band is weak evidence,
+    P(collision) ~ J^2, so exemption admits boilerplate-collision
+    false pairs into the dedup clusters) and not the full threshold
+    (the hub edge is a capped member's only path into its cluster).
+    Controlled shingle sets: J=1.0, J=1/3, J=0 against a 0.6 bar."""
+    from deltasink_spark.operators.minhash import jaccard_verify
+
+    sh_rows = (
+        [(0, f"s{i}") for i in range(10)]          # hub
+        + [(1, f"s{i}") for i in range(10)]        # J(0,1) = 1.0
+        + [(2, f"s{i}") for i in range(5)]
+        + [(2, f"t{i}") for i in range(5)]         # J(0,2) = 5/15 = 0.333
+        + [(3, f"u{i}") for i in range(10)]        # J(0,3) = 0.0
+    )
+    sh = spark.createDataFrame(sh_rows, "doc_id long, shingle string")
+
+    def pairs(star: bool):
+        cand = spark.createDataFrame(
+            [(0, 1, star), (0, 2, star), (0, 3, star)],
+            "id_a long, id_b long, is_star boolean",
+        )
+        got = jaccard_verify(cand, sh, "doc_id", 0.6).collect()
+        return {(r["id_a"], r["id_b"]) for r in got}
+
+    # star bar = 0.3: the exact dup and the borderline J=0.333 pair
+    # survive; the disjoint hash-collision pair is pruned (precision)
+    assert pairs(True) == {(0, 1), (0, 2)}
+    # ordinary bar = 0.6: only the exact dup survives
+    assert pairs(False) == {(0, 1)}
+
+
+def test_simhash_megabucket_skew_candidates_linear(spark):
+    """Adversarial-skew proof for eval_simhash_banding's candidate
+    stage: 5,000 identical docs hash to ONE simhash, collapsing every
+    band to a single bucket. The star cap must keep the verified pair
+    count LINEAR in N (not N^2/2 ~ 1.25e7), and since identical hashes
+    have Hamming 0 every member must still reach the hub —
+    connectivity survives the cap."""
+    from deltasink_spark.queries.dedup import _simhash_band_pairs
+
+    n = 5_000
+    sh = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(123456789).cast("long").alias("simhash"),
+    )
+    pairs = _simhash_band_pairs(sh)
+    n_pairs = pairs.count()
+    assert n_pairs <= 4 * n, f"candidate blowup: {n_pairs}"
+    assert n_pairs == n - 1  # every member reaches the hub exactly once
