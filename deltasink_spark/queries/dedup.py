@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deltasink_spark.operators.minhash import minhash_dedup_pairs, sql_df_capped_cte
+from deltasink_spark.operators.minhash import (
+    minhash_dedup_pairs,
+    minhash_pairs_cached,
+    sql_df_capped_cte,
+)
 from deltasink_spark.operators.text import word_ngrams
 from deltasink_spark.operators.vectors import (
     lsh_candidate_pairs,
@@ -80,8 +84,7 @@ def dedup_exact_hash(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return minhash_pairs_cached(spark, sf_dir)
 
 
 JACCARD_DF_CAP = 64  # stop-shingle cap: bounds the self-join at cap^2/shingle

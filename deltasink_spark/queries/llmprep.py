@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deltasink_spark.operators.minhash import minhash_dedup_pairs
+from deltasink_spark.operators.minhash import minhash_dedup_pairs, minhash_pairs_cached
 from deltasink_spark.operators.text import normalize, quality_score, tokenize, word_ngrams
 from deltasink_spark.registry import query
 from deltasink_spark.tables import fanout, load
@@ -240,7 +240,7 @@ def dedup_cluster(spark, sf_dir):
     a scalar, not a collect of data.
     Oracle: DuckDB recursive reachability closure + min per node."""
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     clustered = min_label_components(pairs)
     return (
         d.select("doc_id")
@@ -1092,7 +1092,7 @@ def dedup_apply_keep_best(spark, sf_dir):
     would serialize a sorted partition); the flag rejoin is an
     equi-join on cluster_id."""
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     clustered = min_label_components(pairs)
     full = (
         d.select("doc_id", "n_chars")
@@ -1274,7 +1274,7 @@ def dedup_rate_report(spark, sf_dir):
     (bucketed, star-capped); clustering is O(log n) star rounds; the
     report itself is two hash aggs and broadcast-size joins."""
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     comp = min_label_components(pairs)
     per_src = (
         d.select("doc_id", "source")
