@@ -249,3 +249,84 @@ def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
+
+
+LATE_DELAY_US = 600_000_000  # 10 minutes, the late-policy delay
+LATE_MOD = 97  # deterministic withheld-row selector (event_id % 97 == 0)
+
+
+def events_stream_with_late(spark: SparkSession, sf_dir: str):
+    """The events fixture as a 4-batch stream with DETERMINISTIC late
+    arrivals: rows are split into quartile files by explicit epoch-us
+    cuts (cut_k = lo + (hi-lo)*k//4 — explicit, so an oracle can
+    recompute the batch assignment in SQL, unlike
+    events_stream_batched's sampled repartitionByRange), except that
+    rows with event_id % LATE_MOD == 0 falling in the first two
+    quartiles are WITHHELD from their natural batch and delivered in
+    the last one — the fetch-retry/consumer-rebalance straggler
+    pattern. By construction only those rows can be behind the
+    watermark on arrival (natural batches are ts-ordered), so the
+    late set is exactly SQL-derivable. Returns the stream (one file
+    per trigger, discovery order = ascending mtimes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from deltasink_spark.tables import load as load_table
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "ds_stream_stage_late",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    done = os.path.join(stage, "_STAGED")
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    stale = True
+    if os.path.exists(done):
+        with open(done) as fh:
+            stale = fh.read() != fingerprint
+    if stale:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        cuts = [lo + ((hi - lo) * k) // 4 for k in (1, 2, 3)]
+        eu = F.unix_micros(F.col("ts"))
+        withheld = (F.col("event_id") % LATE_MOD == 0) & (eu < F.lit(cuts[1]))
+        slices = [
+            ev.filter(~withheld & (eu < F.lit(cuts[0]))),
+            ev.filter(~withheld & (eu >= F.lit(cuts[0])) & (eu < F.lit(cuts[1]))),
+            ev.filter((eu >= F.lit(cuts[1])) & (eu < F.lit(cuts[2]))),
+            ev.filter((eu >= F.lit(cuts[2])) | withheld),
+        ]
+        base_t = None
+        for i, sl in enumerate(slices):
+            part = os.path.join(stage, f"w{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(part)
+            f = next(
+                x for x in os.listdir(part)
+                if x.startswith("part-") and x.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"batch_{i}.parquet")
+            os.rename(os.path.join(part, f), dst)
+            shutil.rmtree(part)
+            if base_t is None:
+                base_t = int(os.path.getmtime(dst))
+            os.utime(dst, (base_t + i, base_t + i))
+        with open(done, "w") as fh:
+            fh.write(fingerprint)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )

@@ -1055,3 +1055,121 @@ def test_stream_stream_outer_nulls_gated_by_watermark(spark, tmp_path):
     # window end 10:09 -> its null row emits. Event 3's own window
     # (ends 10:35) is still open -> correctly absent.
     assert drain([b1, b2]) == {(1, 2), (2, None)}
+
+
+def test_cdf_read_replay_idempotent_and_compaction_silent(spark, tmp_path):
+    """read_changes must (a) return the same rows on every read of the
+    same version range (the downstream-sync checkpoint contract),
+    (b) emit NOTHING for compaction commits (bytes moved, no logical
+    change), and (c) reject out-of-ledger ranges."""
+    sink = ExactlyOnceParquetSink(str(tmp_path / "t"), app_id="cdf_test")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    sink.write_batch(df.filter(F.col("k") < 5), 0)        # version 0
+    sink.write_batch(df.filter(F.col("k") >= 5), 1)       # version 1
+    sink.compact(spark, target_files=1)                   # version 2
+    sink.write_batch(
+        df.select((F.col("k") + 100).alias("k"), F.col("v")), 2
+    )  # version 3
+
+    def read(lo, hi):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in sink.read_changes(spark, lo, hi).collect()
+        )
+
+    first = read(0, 3)
+    assert first == read(0, 3)  # replay-idempotent
+    assert {r[3] for r in first} == {1, 3}  # compaction (v2) emitted nothing
+    assert [r for r in first if r[3] == 1] == [
+        (k, 2 * k, "insert", 1) for k in range(5, 10)
+    ]
+    # full-history read covers every logical row exactly once
+    full = read(-1, 3)
+    assert len(full) == 20
+    with pytest.raises(ValueError):
+        sink.read_changes(spark, 0, 99)
+    with pytest.raises(ValueError):  # only-compaction range has no changes
+        sink.read_changes(spark, 1, 2)
+
+
+def test_topic_routing_partial_crash_completes_without_duplicates(spark, tmp_path):
+    """A crash BETWEEN per-table writes inside one routed batch: table
+    'a' commits, the process dies before 'b'. The replayed batch must
+    skip 'a' (already ledgered under its app_id) and complete 'b' —
+    each table exactly-once, the reason routing uses per-table txn
+    ids on a shared ledger."""
+    base = str(tmp_path / "t")
+    a = ExactlyOnceParquetSink(base, app_id="route_a")
+    b = ExactlyOnceParquetSink(base, app_id="route_b")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("topic"),
+    )
+    # batch 0, crashed run: only table a's write completed
+    assert a.write_batch(df.filter(F.col("topic") == "a"), 0) is True
+    # replayed batch 0: a skips, b completes
+    assert a.write_batch(df.filter(F.col("topic") == "a"), 0) is False
+    assert b.write_batch(df.filter(F.col("topic") == "b"), 0) is True
+    got_a = sorted(r["k"] for r in a.read_committed(spark).collect())
+    got_b = sorted(r["k"] for r in b.read_committed(spark).collect())
+    assert got_a == list(range(0, 20, 2))
+    assert got_b == list(range(1, 20, 2))
+
+
+def test_progress_metrics_wallclock_fields_present(spark, tmp_path):
+    """The rows-only residue of stream_progress_metrics: per-batch
+    batchDuration must be positive and the observe audit must appear
+    in every data batch's progress — the wall-clock half the exact
+    oracle deliberately does not hash."""
+    import json as _json
+
+    b1 = [(1, _ts("2024-01-01 10:00:00"), 1, 1.0)]
+    b2 = [(2, _ts("2024-01-01 11:00:00"), 1, 1.0)]
+    src = _stage_batches(spark, tmp_path, [b1, b2], EVENT_SCHEMA)
+    s = _read_stream(spark, src, EVENT_SCHEMA).observe(
+        "audit", F.count(F.lit(1)).alias("rows")
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("pm_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    data = [p for p in progs if p["numInputRows"] > 0]
+    assert len(data) == 2
+    assert all(p["batchDuration"] > 0 for p in data)
+    assert all(p["observedMetrics"]["audit"]["rows"] == 1 for p in data)
+
+
+def test_late_router_reconciles_and_respects_delay(spark, tmp_path):
+    """_LateRouter: (a) main ∪ late == source with no overlap (nothing
+    silently lost), (b) a straggler INSIDE the delay window stays
+    'main' (the watermark is max - delay, not max), (c) the watermark
+    never regresses when a late batch's max is below the running max."""
+    from deltasink_spark.queries.streaming_ops import _LateRouter
+
+    b1 = [(1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+          (2, _ts("2024-01-01 12:00:00"), 1, 1.0)]
+    # arrives while wm = 12:00 - 10min = 11:50
+    b2 = [(3, _ts("2024-01-01 10:30:00"), 1, 1.0),   # late (< 11:50)
+          (4, _ts("2024-01-01 11:55:00"), 1, 1.0),   # inside delay: main
+          (5, _ts("2024-01-01 13:00:00"), 1, 1.0)]   # on time
+    # b2's late row must not have regressed the watermark (still 12:50)
+    b3 = [(6, _ts("2024-01-01 12:40:00"), 1, 1.0)]   # late (< 12:50)
+    src = _stage_batches(spark, tmp_path, [b1, b2, b3], EVENT_SCHEMA)
+    router = _LateRouter(str(tmp_path / "route"), 600_000_000)
+    s = _read_stream(spark, src, EVENT_SCHEMA).select("event_id", "ts")
+    q = (
+        s.writeStream.foreachBatch(router)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    main = {r["event_id"] for r in router.main.read_committed(spark).collect()}
+    late = {r["event_id"] for r in router.late.read_committed(spark).collect()}
+    assert main | late == {1, 2, 3, 4, 5, 6}  # nothing lost
+    assert main & late == set()               # nothing duplicated
+    assert late == {3, 6}
