@@ -250,3 +250,104 @@ def decode_confluent_partition(
             yield pd.DataFrame({n: pd.Series(c) for n, c in zip(names, cols)})
 
     return fn
+
+
+# --- schema-resolution compatibility (registry gate) --------------------
+
+# Writer->reader type promotions, public Avro spec "Schema Resolution":
+# the reader may widen numerics and flip string/bytes, nothing else.
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+_NO_DEFAULT = object()
+
+
+class SchemaCompatError(ValueError):
+    """Raised by require_compat when a proposed writer schema violates
+    the registry's compatibility mode — the reject path a
+    registry-integrated connector takes before accepting the schema."""
+
+
+def _norm_fields(fields) -> dict:
+    """{name: (type, default)} from (name, type) or (name, type,
+    default) field tuples."""
+    out = {}
+    for f in fields:
+        out[f[0]] = (f[1], f[2] if len(f) > 2 else _NO_DEFAULT)
+    return out
+
+
+def _readable(writer_t: str, reader_t: str) -> bool:
+    return writer_t == reader_t or (writer_t, reader_t) in _PROMOTIONS
+
+
+def compat_report(old_fields, new_fields) -> list[tuple]:
+    """Field-level compatibility classification for an old->new schema
+    transition, per the Avro spec's Schema Resolution rules:
+
+      - reader field absent from the writer schema: resolvable only if
+        the READER declares a default, else an error;
+      - writer field absent from the reader schema: silently ignored;
+      - field present in both: the writer type must equal or promote
+        to the reader type (_PROMOTIONS).
+
+    BACKWARD = old-written data read by the NEW schema (reader=new);
+    FORWARD  = new-written data read by the OLD schema (reader=old) —
+    the Confluent registry's mode vocabulary. Returns one tuple per
+    field, sorted by name:
+    (field, change, has_default, breaks_backward, breaks_forward)
+    where change in {added, removed, type_changed, unchanged} and
+    has_default reports the default relevant to resolving the change
+    (the reader-side default for added, the old schema's for removed,
+    the new schema's for type changes)."""
+    old, new = _norm_fields(old_fields), _norm_fields(new_fields)
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        if name in old and name not in new:
+            has_default = old[name][1] is not _NO_DEFAULT
+            # forward: reader=old expects the field in new-written data
+            rows.append((name, "removed", has_default, False, not has_default))
+        elif name in new and name not in old:
+            has_default = new[name][1] is not _NO_DEFAULT
+            # backward: reader=new expects the field in old-written data
+            rows.append((name, "added", has_default, not has_default, False))
+        else:
+            ot, nt = old[name][0], new[name][0]
+            has_default = new[name][1] is not _NO_DEFAULT
+            if ot == nt:
+                rows.append((name, "unchanged", has_default, False, False))
+            else:
+                rows.append(
+                    (
+                        name,
+                        "type_changed",
+                        has_default,
+                        not _readable(ot, nt),  # backward: writer=old, reader=new
+                        not _readable(nt, ot),  # forward: writer=new, reader=old
+                    )
+                )
+    return rows
+
+
+def require_compat(old_fields, new_fields, mode: str = "BACKWARD") -> list[tuple]:
+    """Gate a proposed schema change: raises SchemaCompatError listing
+    the violating fields when the transition breaks ``mode``
+    (BACKWARD / FORWARD / FULL), else returns the compat_report."""
+    rows = compat_report(old_fields, new_fields)
+    check_b = mode in ("BACKWARD", "FULL")
+    check_f = mode in ("FORWARD", "FULL")
+    bad = [r for r in rows if (check_b and r[3]) or (check_f and r[4])]
+    if bad:
+        raise SchemaCompatError(
+            f"{mode} compatibility violated by: "
+            + ", ".join(f"{r[0]} ({r[1]}, default={r[2]})" for r in bad)
+        )
+    return rows

@@ -690,3 +690,53 @@ def sql_udf(spark, sf_dir):
         "ds_eff_price(l_extendedprice, l_discount) AS eff_price "
         "FROM v_sqludf_lineitem WHERE l_orderkey < 2000"
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
+      AND o_orderkey > 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark, sf_dir):
+    """SQL scripting / session variables (Spark 4: `DECLARE VARIABLE`,
+    `SET VAR`, `EXECUTE IMMEDIATE ... USING`, SPARK-46908/SPARK-44838)
+    — the state-carrying SQL surface next to [sql_pipe_syntax] /
+    [sql_recursive_cte] / [sql_parameterized]: a script declares typed
+    session variables, SETs one from a scalar subquery over the data
+    (the "compute a threshold, then use it" pattern every SQL runbook
+    has), and runs a dynamically-assembled statement via EXECUTE
+    IMMEDIATE that mixes variable references with a positional USING
+    parameter. The oracle is the literal-substituted replay (variables
+    inlined as the scalar subquery / literal they hold), proving the
+    variable indirection changes nothing about the result.
+
+    Scale: variables are session-scoped scalars resolved at analysis
+    time — the executed plan is identical to the literal query's
+    (pushdown, partial aggs, codegen intact); EXECUTE IMMEDIATE costs
+    one extra parse on the driver, nothing per-row. The threshold
+    subquery is its own 1-row broadcast-subquery stage, exactly as if
+    written inline."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_status STRING DEFAULT 'F'")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_minprice DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR sv_minprice = (SELECT MAX(o_totalprice) / 2 FROM v_sv_orders)")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+         'SELECT o_orderpriority, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+          FROM v_sv_orders
+          WHERE o_orderstatus = sv_status
+            AND o_totalprice > sv_minprice AND o_orderkey > ?
+          GROUP BY o_orderpriority ORDER BY o_orderpriority'
+         USING 0
+        """
+    )

@@ -725,3 +725,69 @@ def scan_csv_malformed(spark, sf_dir):
         .csv(stage)
         .select("c_custkey", "c_acctbal", "corrupt_raw")
     )
+
+
+@query(
+    "avro_schema_compat",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('v1->v2',         'event_type', 'added',        FALSE, TRUE,  FALSE),
+        ('v1->v2_default', 'event_type', 'added',        TRUE,  FALSE, FALSE),
+        ('v2->v1',         'event_type', 'removed',      FALSE, FALSE, TRUE),
+        ('v2->v2_long_value', 'value',   'type_changed', FALSE, TRUE,  FALSE)
+    ) AS t(transition, field, change, has_default,
+           breaks_backward, breaks_forward)
+    """,
+)
+def avro_schema_compat(spark, sf_dir):
+    """Schema-registry compatibility gate (operators/avro.py::
+    compat_report / require_compat) — the check a registry-integrated
+    connector runs BEFORE accepting a new writer schema, which
+    [avro_confluent_envelope]'s v1/v2 producer mix decodes but never
+    validates. Four canonical transitions over the same registry
+    schemas, classified field-by-field under the Avro spec's Schema
+    Resolution rules (reader-absent fields need reader defaults;
+    writer-absent fields are ignored; changed types must promote):
+
+      v1->v2           add event_type WITHOUT default: breaks BACKWARD
+                       (a v2 reader can't resolve old v1 records) —
+                       the envelope op survives only because it
+                       dispatches per-record writer schemas;
+      v1->v2_default   the same add with a default: fully compatible —
+                       what the gate tells the producer to ship;
+      v2->v1           remove event_type: breaks FORWARD (a v2 reader
+                       meets v1-written records with no default);
+      v2->v2_long_value value double->long: breaks BACKWARD only
+                       (double never narrows to long; long->double is
+                       a legal promotion, so FORWARD holds).
+
+    The emitted rows are the changed fields only (unchanged fields
+    carry no verdict); the oracle is the hand-derived matrix, so the
+    checker's spec reading is differentially pinned. The reject path
+    (require_compat raising SchemaCompatError) is exercised in
+    tests/test_avro.py. Pure metadata — the frame is O(fields),
+    nothing scales with data."""
+    from deltasink_spark.operators.avro import compat_report
+
+    v1 = _REG[1]
+    v2 = _REG[2]
+    v2_default = [
+        (n, t, "") if n == "event_type" else (n, t) for n, t in _REG[2]
+    ]
+    v2_long_value = [(n, "long" if n == "value" else t) for n, t in _REG[2]]
+    transitions = [
+        ("v1->v2", v1, v2),
+        ("v1->v2_default", v1, v2_default),
+        ("v2->v1", v2, v1),
+        ("v2->v2_long_value", v2, v2_long_value),
+    ]
+    rows = []
+    for label, old, new in transitions:
+        for field, change, has_default, bb, bf in compat_report(old, new):
+            if change != "unchanged":
+                rows.append((label, field, change, has_default, bb, bf))
+    return spark.createDataFrame(
+        rows,
+        "transition string, field string, change string, "
+        "has_default boolean, breaks_backward boolean, breaks_forward boolean",
+    )

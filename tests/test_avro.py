@@ -107,3 +107,36 @@ def test_avro_parse_end_to_end(spark, sf_small):
         for r in src.filter("event_id < 20").collect()
     }
     assert got == want
+
+
+def test_schema_compat_gate_rejects_and_accepts():
+    """require_compat must REJECT the default-less added field under
+    BACKWARD (and FULL), accept it under FORWARD, and accept the
+    defaulted variant everywhere — the registry gate's reject path."""
+    import pytest
+
+    from deltasink_spark.operators.avro import (
+        SchemaCompatError,
+        compat_report,
+        require_compat,
+    )
+
+    v1 = [("event_id", "long"), ("user_id", "long"), ("value", "double")]
+    v2 = v1[:2] + [("event_type", "string"), ("value", "double")]
+    v2d = v1[:2] + [("event_type", "string", ""), ("value", "double")]
+
+    with pytest.raises(SchemaCompatError, match="event_type"):
+        require_compat(v1, v2, "BACKWARD")
+    with pytest.raises(SchemaCompatError):
+        require_compat(v1, v2, "FULL")
+    require_compat(v1, v2, "FORWARD")          # old reader ignores the add
+    require_compat(v1, v2d, "FULL")            # defaulted add: compatible
+    # numeric promotion is one-directional: long->double only
+    v2l = [(n, "long" if n == "value" else t) for n, t in v2]
+    with pytest.raises(SchemaCompatError, match="value"):
+        require_compat(v2, v2l, "BACKWARD")
+    require_compat(v2, v2l, "FORWARD")
+    # unchanged fields never appear in a verdict
+    assert all(
+        r[1] == "unchanged" for r in compat_report(v1, v1)
+    )
