@@ -28,87 +28,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops per
-# round. Coverage is at its ceiling (254/257 green after r7), so r8's
-# slots are: ops added this round (first driver row needed), then the
-# 10 r7 ops re-checked (minhash_union / sample_weighted / dq_drift_psi
-# / bpe_train / tokenizer_encode changed implementation this round),
-# then the minhash-stack consumers touched by the star-edge recall fix,
-# then the oldest-green cohort (r2-era, last checked 6 rounds ago, and
-# r3-era) filling the remaining budget.
+# round. Coverage is at its ceiling, so r9's slots are: the 6 ops added
+# this round (first driver row needed), then the 9 ops whose
+# implementation changed this round (star-pair verification threshold,
+# simhash banding cap, MWU decimal tie term, minhash pair-frame
+# memoization), then the stale cohort — every op whose latest green
+# driver row is r2/r3, oldest first — filling the budget (overflow past
+# slot 50 spills to r10's rotation).
 
-# Ops added during round 8 — each needs a first driver row.
-_R8_NEW: list[str] = [
-    "quality_classifier_score",
-    "ann_ivf_pq_query",
-    "join_stream_stream_outer",
-    "dedup_image_phash",
-    "quality_classifier_train",
-    "sample_weighted_union",
-    "agg_kmv_intersect",
-    "hilbert_cluster",
-    "markov_transitions",
-    "stats_welch_ttest",
-    "stats_chi2_independence",
-    "stats_ks_two_sample",
-    "stats_mannwhitney_u",
-    "stats_mutual_information",
-    "ts_changepoint_cusum",
-    "stats_anova_oneway",
-    "ts_autocorrelation",
-    "graph_components",
-    "graph_triangle_count",
-    "rank_fusion_rrf",
-    "join_interval_overlap",
-    "ann_recall_at_k",
-    "stats_proportions_ztest",
-    "agg_exact_median_twopass",
-    "intervals_merge_islands",
-    "stats_mad_outliers",
-    "ts_seasonal_decompose",
-    "text_zipf_slope",
-    "sample_stratified_neyman",
-    "ts_seasonal_anomaly",
-    "funnel_time_to_convert",
-    "dedup_rate_report",
-    "eval_langid_confusion",
-    "stats_cohens_kappa",
+# Ops added during round 9 — each needs a first driver row.
+_R9_NEW: list[str] = [
+    "scan_delta_cdf",
+    "sink_topic_routing",
+    "stream_late_sideoutput",
+    "stream_progress_metrics",
+    "avro_schema_compat",
+    "sql_session_variables",
+]
+
+# Ops whose code changed in r9 — re-verification required.
+_R9_CHANGED = [
     "eval_simhash_banding",
-    "funnel_window_strict",
-    "agg_exact_percentiles_multiprobe",
-    "graph_kcore",
-]
-
-# r7-era ops re-checked (5 of the 10 changed code in r8).
-_R8_R7_RECHECK = [
-    "minhash_union",
-    "sample_weighted",
-    "dq_drift_psi",
-    "bpe_train",
-    "tokenizer_encode",
-    "kafka_emulated_e2e",
-    "join_asof_nearest",
-    "sql_udf",
-    "agg_regression",
-    "scan_csv_malformed",
-]
-
-# minhash-stack consumers of the r8 star-edge change (fixture results
-# unchanged by construction — the cap never fires there — but these are
-# ALL the ops whose plans the change touched; the pipeline composites
-# and dedup_cluster would otherwise sit past the 50-slot budget).
-_R8_MINHASH_RECHECK = [
+    "stats_mannwhitney_u",
     "dedup_minhash_lsh",
-    "dedup_apply_keep_best",
     "dedup_cluster",
+    "dedup_apply_keep_best",
+    "dedup_rate_report",
     "pipeline_llm_prep",
     "pipeline_training_prep",
+    "dedup_image_phash",
 ]
 
-# Oldest-green cohort: every op whose latest green driver row is r2,
-# then r3, filling the 50-slot budget. Already green — re-verification
-# only, so overflow past slot 50 is harmless.
-_R8_OLDEST = [
-    # r2-era (25 ops)
+# Stale cohort: latest green driver row is r2 (first 25) or r3 —
+# re-verification only, so overflow past slot 50 is harmless.
+_R9_STALE = [
+    # r2-era
     "fn_conv", "fn_date", "fn_hash", "fn_math", "fn_regex", "fn_string",
     "scan_json", "scan_parquet", "set_except", "sim_ann_lsh",
     "sim_cosine_pairs", "sim_topk_join", "sim_topk_search",
@@ -116,13 +70,13 @@ _R8_OLDEST = [
     "text_normalize", "text_quality", "text_tf", "text_tfidf",
     "text_token_count", "udf_scalar_py", "udtf_py", "win_cume",
     "win_rank",
-    # r3-era (32 ops)
+    # r3-era
     "agg_approx_distinct", "agg_approx_quantile", "agg_hll_sketch",
     "agg_hll_union", "agg_quantile", "ann_ivf", "contamination_check",
-    "data_mixture", "dedup_cluster", "dedup_simhash", "doc_chunking",
+    "data_mixture", "dedup_simhash", "doc_chunking",
     "fn_array", "multimodal_decode", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_resize", "pipeline_llm_prep",
-    "pipeline_training_prep", "repetition_filter", "sample_frac",
+    "multimodal_frame_sample", "multimodal_resize",
+    "repetition_filter", "sample_frac",
     "scan_csv", "scan_orc", "seq_pack", "sink_parquet_batch",
     "text_ngrams", "text_pii_scrub", "text_stats", "text_tokenize",
     "tokenizer_vocab", "win_ntile", "write_partitioned",
@@ -131,7 +85,7 @@ _R8_OLDEST = [
 
 
 def _ordered_ids() -> list[str]:
-    groups = (_R8_NEW, _R8_R7_RECHECK, _R8_MINHASH_RECHECK, _R8_OLDEST)
+    groups = (_R9_NEW, _R9_CHANGED, _R9_STALE)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]

@@ -200,6 +200,17 @@ R8DOPS = [
     "graph_kcore",               # 14 unrolled peel rounds + proof
 ]
 
+# r9 additions — own group (first recording becomes the r10 baseline).
+# The other five r9 ops are excluded by the standing group policy:
+# scan_delta_cdf / sink_topic_routing / stream_late_sideoutput /
+# stream_progress_metrics are ledgered-sink / StreamingQuery fixtures
+# (the sink_delta_* cost class the bench has never timed), and
+# avro_schema_compat is an O(fields) metadata frame with no data-scaled
+# plan to measure.
+R9OPS = [
+    "sql_session_variables",     # DECLARE/SET VAR + EXECUTE IMMEDIATE
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,7 +223,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -292,6 +303,9 @@ def main() -> None:
         ),
         "r8dops": round(
             sum(t for op, t in timings.items() if op in R8DOPS), 4
+        ),
+        "r9ops": round(
+            sum(t for op, t in timings.items() if op in R9OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
