@@ -2747,22 +2747,27 @@ def graph_kcore(spark, sf_dir):
     """3-core of the part co-order graph: the maximal subgraph where
     every node keeps degree >= 3, by iterative peeling (drop
     under-degree nodes, repeat) — the standard graph-densification /
-    community-seed primitive. The peel is UNROLLED to a fixed 14
-    rounds in BOTH engines (fixture graphs converge in 1/11/3 rounds
-    at sf0.001/0.01/0.1) and every row carries a ``converged`` flag
-    (round-13 and round-14 edge sets are equal) so a non-converged
-    truncation can never masquerade as the core — the same
-    fixed-unroll-plus-proof pattern as [graph_pagerank]'s 3 iterations
-    and [hilbert_cluster]'s 10-level walk.
+    community-seed primitive. The peel iterates to FIXPOINT: each
+    round ends in a driver-side count() on the checkpointed shrinking
+    edge frame (an O(rounds) scalar, not a data collect), and the
+    loop exits when a round removes nothing — exact at ANY max core
+    number (the r8 verdict's truncation concern: a fixed unroll
+    returns a flagged non-final core past its round budget). The
+    ``converged`` flag is retained for schema parity and is true by
+    the exit condition. Termination is guaranteed: a round either
+    strictly shrinks the finite edge set or is the fixpoint. The
+    DuckDB oracle stays a 14-round unrolled CTE chain (recursive SQL
+    can't express the two-sided semi-join peel) — fixtures converge
+    in 1/11/3 rounds at sf0.001/0.01/0.1, comfortably inside; bump
+    _KCORE_ROUNDS if a future fixture peels deeper.
 
     Scale: each round is one degree hash agg + two semi-joins on the
     (shrinking) edge list, lineage cut per round with an eager
-    localCheckpoint (the [bpe_train] iterative-algorithm move); the
-    peeled frames only shrink, and real peeling converges in
-    O(max-core-number) rounds."""
+    localCheckpoint (the [bpe_train] iterative-algorithm move); real
+    peeling converges in O(max-core-number) rounds."""
     e = _coorder_edges(spark, sf_dir)
-    prev_edges = None
-    for i in range(_KCORE_ROUNDS):
+    n_edges = e.count()
+    while True:
         deg = (
             e.select(F.col("s1").alias("k"))
             .unionByName(e.select(F.col("s2").alias("k")))
@@ -2777,15 +2782,12 @@ def graph_kcore(spark, sf_dir):
             .select("s1", "s2")
             .localCheckpoint()
         )
-        if i == _KCORE_ROUNDS - 1:
-            prev_edges = e
+        n_next = nxt.count()
         e = nxt
-    conv = (
-        prev_edges.groupBy()
-        .agg(F.count(F.lit(1)).alias("n_prev"))
-        .crossJoin(e.groupBy().agg(F.count(F.lit(1)).alias("n_last")))
-        .select((F.col("n_prev") == F.col("n_last")).alias("converged"))
-    )
+        if n_next == n_edges:
+            break  # fixpoint: this round removed nothing
+        n_edges = n_next
+    conv = spark.range(1).select(F.lit(True).alias("converged"))
     core = (
         e.select(F.col("s1").alias("node"))
         .unionByName(e.select(F.col("s2").alias("node")))
@@ -2795,3 +2797,215 @@ def graph_kcore(spark, sf_dir):
     return core.join(F.broadcast(conv)).select(
         "node", "core_deg", "converged"
     ).orderBy("node")
+
+
+def _doubled_ranks(vals, bucket: int = 1_000_000):
+    """(v, dr) per distinct value of the single-column frame ``vals``:
+    dr = 2*avg_rank = 2*c_prev + k + 1, an exact BIGINT even under
+    ties (the [stats_mannwhitney_u] doubled-rank trick). c_prev is the
+    bucketed two-level distributed prefix sum — per-value hash agg,
+    parallel windows inside range buckets, a serial window only on the
+    |buckets| frame — never a one-task global cumsum."""
+    pv = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .withColumn("b", _floordiv(F.col("v"), F.lit(bucket)))
+        .localCheckpoint(eager=False)
+    )
+    boff = (
+        pv.groupBy("b")
+        .agg(F.sum("k").alias("bk"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("bk").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        pv.select("b", "v", "k", F.coalesce(F.sum("k").over(wb), F.lit(0)).alias("cb"))
+        .join(F.broadcast(boff), "b")
+        .select(
+            "v",
+            (2 * (F.col("off") + F.col("cb")) + F.col("k") + 1).alias("dr"),
+        )
+    )
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH rws AS (SELECT CAST(l_quantity AS BIGINT) AS vq,
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vp
+                 FROM lineitem),
+    qa AS (SELECT vq AS v, CAST(COUNT(*) AS BIGINT) AS k FROM rws GROUP BY 1),
+    ra AS (SELECT v, 2 * COALESCE(SUM(k) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + k + 1
+               AS dr FROM qa),
+    qb AS (SELECT vp AS v, CAST(COUNT(*) AS BIGINT) AS k FROM rws GROUP BY 1),
+    rb AS (SELECT v, 2 * COALESCE(SUM(k) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + k + 1
+               AS dr FROM qb),
+    j AS (SELECT ra.dr AS a, rb.dr AS b
+          FROM rws JOIN ra ON ra.v = rws.vq JOIN rb ON rb.v = rws.vp),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(a AS HUGEINT)) AS sa,
+                 SUM(CAST(b AS HUGEINT)) AS sb,
+                 SUM(CAST(a AS HUGEINT) * a) AS saa,
+                 SUM(CAST(b AS HUGEINT) * b) AS sbb,
+                 SUM(CAST(a AS HUGEINT) * b) AS sab
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                 / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS rho
+    FROM m
+    """,
+)
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation between lineitem quantity and
+    extended price — the monotone-association sibling of [agg_corr]'s
+    Pearson r (robust to outliers and nonlinearity, the correlation a
+    data-quality monitor wants on heavy-tailed columns). Computed as
+    Pearson over AVERAGE ranks, with every rank kept exact: doubled
+    average ranks 2*c_prev + k + 1 are BIGINTs under any tie pattern
+    ([stats_mannwhitney_u]'s construction, shared via
+    _doubled_ranks), scale-invariance of Pearson makes the doubling
+    free, and all five moments accumulate in DECIMAL(38,0)/HUGEINT
+    (exact to n ~ 2e9; the only doubles are the final three casts in
+    one IEEE tree, rounded 6dp).
+
+    Scale: per-column rank frames from per-value hash aggs + the
+    bucketed two-level prefix (no global window); the quantity rank
+    table (~50 rows) broadcasts onto the fact, the price rank join is
+    one hash-partitioned equi-join on the value — the inherent
+    Spearman cost; the moment agg is one map-side-combining global
+    hash agg. try_divide: a constant column (zero rank variance)
+    yields NULL rho in both engines, not a crash."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("vq"),
+        _cents(F.col("l_extendedprice")).alias("vp"),
+    ).localCheckpoint(eager=False)
+    ra = _doubled_ranks(li.select(F.col("vq").alias("v")))
+    rb = _doubled_ranks(li.select(F.col("vp").alias("v")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    paired = (
+        li.join(F.broadcast(ra.withColumnRenamed("v", "vq")), "vq")
+        .withColumnRenamed("dr", "a")
+        .join(rb.withColumnRenamed("v", "vp"), "vp")
+        .withColumnRenamed("dr", "b")
+    )
+    m = paired.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("a"))).cast("decimal(38,0)").alias("sa"),
+        F.sum(dec(F.col("b"))).cast("decimal(38,0)").alias("sb"),
+        F.sum(dec(F.col("a")) * F.col("a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(dec(F.col("b")) * F.col("b")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(dec(F.col("a")) * F.col("b")).cast("decimal(38,0)").alias("sab"),
+    )
+    nd = dec(F.col("n"))
+    num = (nd * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    da = (nd * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    db = (nd * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        "n",
+        F.round(F.try_divide(num, F.sqrt(da * db)), 6).alias("rho"),
+    )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                      o_orderpriority AS g
+               FROM orders),
+    pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY v),
+    r AS (SELECT v, 2 * COALESCE(SUM(k) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + k + 1
+              AS dr FROM pv),
+    rws AS (SELECT c.g, r.dr FROM c JOIN r USING (v)),
+    gm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                  CAST(SUM(CAST(dr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg
+           FROM rws GROUP BY g),
+    tt AS (SELECT CAST(SUM(CAST(k AS DECIMAL(38,0)) * k * k - k)
+                  AS DECIMAL(38,0)) AS ties FROM pv),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND((CAST(sg AS DOUBLE) / ng)
+                                     * CAST(sg AS DOUBLE), 6)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS a
+          FROM gm)
+    SELECT n_groups, n,
+           ROUND(3.0 * a / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1), 6)
+             AS h_stat,
+           ROUND((3.0 * a / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - CAST(ties AS DOUBLE)
+                          / CAST(CAST(n AS DECIMAL(38,0)) * n * n - n
+                                 AS DOUBLE)), 6) AS h_corrected
+    FROM m, tt
+    """,
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H across the five order priorities — the
+    k-sample generalization of [stats_mannwhitney_u] (and the
+    rank-based, distribution-free sibling of [stats_anova_oneway]):
+    H = 12/(n(n+1)) Σ R_g²/n_g − 3(n+1), with the tie correction
+    H / (1 − Σ(k³−k)/(n³−n)). Emits both the raw and tie-corrected
+    statistics.
+
+    Determinism: ranks are the exact doubled average ranks
+    (_doubled_ranks; S_g = 2R_g is an exact DECIMAL(38,0) group sum,
+    and 12·R_g² = 3·S_g², so the textbook constant folds to 3); the
+    per-group double S_g²/n_g follows [stats_anova_oneway]'s idiom —
+    rounded 6dp, summed order-insensitively as DECIMAL(38,6); the tie
+    term and n³−n are exact decimals; H and the correction assemble
+    in one IEEE tree written identically in both engines. try_divide:
+    n <= 1 or an all-tied column yields NULL, never a crash.
+
+    Scale: the rank frame is the bucketed two-level prefix (no global
+    window); the value→rank equi-join is the only fact-sized shuffle;
+    groups collapse to 5 rows of two numbers."""
+    o = load(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("v"),
+        F.col("o_orderpriority").alias("g"),
+    ).localCheckpoint(eager=False)
+    r = _doubled_ranks(o.select("v"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gm = (
+        o.join(r, "v")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(dec(F.col("dr"))).cast("decimal(38,0)").alias("sg"),
+        )
+    )
+    pv = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tt = pv.groupBy().agg(
+        F.sum(dec(F.col("k")) * F.col("k") * F.col("k") - F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("ties")
+    )
+    sgd = F.col("sg").cast("double")
+    m = gm.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.try_divide(F.lit(3.0) * F.col("a"), nd * (F.col("n") + 1)) - 3.0 * (
+        F.col("n") + 1
+    )
+    cub = (dec(F.col("n")) * F.col("n") * F.col("n") - F.col("n")).cast("double")
+    corr = F.lit(1.0) - F.try_divide(F.col("ties").cast("double"), cub)
+    return m.join(F.broadcast(tt)).select(
+        "n_groups",
+        "n",
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.try_divide(h, corr), 6).alias("h_corrected"),
+    )
