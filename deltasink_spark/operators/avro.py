@@ -340,7 +340,11 @@ def compat_report(old_fields, new_fields) -> list[tuple]:
 def require_compat(old_fields, new_fields, mode: str = "BACKWARD") -> list[tuple]:
     """Gate a proposed schema change: raises SchemaCompatError listing
     the violating fields when the transition breaks ``mode``
-    (BACKWARD / FORWARD / FULL), else returns the compat_report."""
+    (BACKWARD / FORWARD / FULL), else returns the compat_report. An
+    unknown mode raises ValueError — a validation gate must never
+    fail open on a typo'd or unsupported mode string."""
+    if mode not in ("BACKWARD", "FORWARD", "FULL"):
+        raise ValueError(f"unknown compatibility mode: {mode!r}")
     rows = compat_report(old_fields, new_fields)
     check_b = mode in ("BACKWARD", "FULL")
     check_f = mode in ("FORWARD", "FULL")

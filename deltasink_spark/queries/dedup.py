@@ -581,7 +581,9 @@ def dedup_image_phash(spark, sf_dir):
     return _phash_pairs(ph)
 
 
-_PH_BUCKET_CAP = 64
+# one skew bound for every banding op: minhash.BUCKET_CAP is the
+# single source of truth (r9 review: three local 64s invited drift)
+from deltasink_spark.operators.minhash import BUCKET_CAP as _PH_BUCKET_CAP  # noqa: E402
 
 
 def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
@@ -639,7 +641,7 @@ def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
 from deltasink_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 
-_SB_BUCKET_CAP = 64
+_SB_BUCKET_CAP = _PH_BUCKET_CAP  # shared skew bound (see _PH_BUCKET_CAP)
 
 
 @query(
@@ -805,3 +807,121 @@ def _simhash_band_pairs(sh, bucket_cap: int = _SB_BUCKET_CAP):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        GROUP BY 1, 2),
+    j AS (
+        SELECT id_a, id_b,
+               ROUND(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+        FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection — the shape a CONTINUOUSLY
+    ingesting dedup daemon actually runs: a new batch (docs with
+    doc_id % 10 == 0 here) is checked against the existing corpus
+    index AND against itself, WITHOUT re-pairing the existing corpus
+    against itself (that work was done when those docs arrived). The
+    candidate join is delta-bands x all-bands — its output is
+    O(|delta| x bucket density), not O(|corpus|^2), so steady-state
+    dedup cost tracks the ingest rate, not the corpus size; at 100 TB
+    the all-side band table is the persisted index the daemon keeps
+    sorted/bucketed on (band_id, band_hash). Oversized buckets
+    star-expand exactly like [dedup_minhash_lsh] — hub edges for
+    every delta member AND (when the hub itself is new) for the
+    hub's corpus-mates — verified at the family's threshold/2 star
+    bar; exact Jaccard verification runs on all candidate pairs.
+    Oracle: all-pairs exact Jaccard >= 0.6 restricted to pairs
+    touching the delta — LSH at b=32/r=2 misses a J>=0.6 pair with
+    p < 1e-6, and (as for dedup_minhash_lsh itself, whose oracle is
+    the same uncapped all-pairs form) the star cap is the documented
+    recall-for-linearity tradeoff the oracle deliberately does NOT
+    model: the cap never fires on the fixtures (max bucket 13 at
+    sf0.1 vs 64), so the differential check is exact there, and the
+    capped behavior under skew is pinned by the mega-cluster
+    property tests instead."""
+    from deltasink_spark.operators.minhash import (
+        BUCKET_CAP,
+        N_BANDS,
+        N_PERMS,
+        jaccard_verify,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 0
+    sh = shingle_table(fanout(d, "doc_id"), "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures(sh, "doc_id")
+    r = N_PERMS // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"sig_{b * r + k}") for k in range(r)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    tall = (
+        sigs.select("doc_id", F.explode(bands).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+            is_delta.alias("is_delta"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = tall.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("bkt_min")
+    )
+    tagged = tall.join(stats, ["band_id", "band_hash"])
+    small = tagged.filter(F.col("bkt_n") <= BUCKET_CAP)
+    # delta side probes the full band table (the persisted index)
+    probe = small.filter("is_delta").select(
+        F.col("doc_id").alias("id_p"), "band_id", "band_hash"
+    )
+    index = small.select(F.col("doc_id").alias("id_i"), "band_id", "band_hash")
+    all_pairs = (
+        probe.join(index, ["band_id", "band_hash"])
+        .filter(F.col("id_p") != F.col("id_i"))
+        .select(
+            F.least("id_p", "id_i").alias("id_a"),
+            F.greatest("id_p", "id_i").alias("id_b"),
+        )
+    )
+    # star edges must TOUCH the delta: either the member is new, or
+    # the hub itself is (a delta hub still needs its corpus edges —
+    # hub delta-ness recomputes the same predicate on bkt_min)
+    hub_is_delta = F.col("bkt_min") % 10 == 0
+    star_pairs = (
+        tagged.filter(
+            (F.col("bkt_n") > BUCKET_CAP)
+            & (F.col("is_delta") | hub_is_delta)
+            & (F.col("doc_id") != F.col("bkt_min"))
+        )
+        .select(
+            F.col("bkt_min").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    cand = (
+        all_pairs.withColumn("is_star", F.lit(False))
+        .unionByName(star_pairs.withColumn("is_star", F.lit(True)))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("is_star").alias("is_star"))
+    )
+    return jaccard_verify(cand, sh, "doc_id", 0.6)

@@ -709,16 +709,26 @@ def sink_topic_routing(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    out = sinks[_ROUTE_TOPICS[0]].read_committed(spark)
+    schema = "event_id bigint, user_id bigint, value double, topic string"
+
+    def table(t):
+        # an empty corpus can terminate the drain before any batch
+        # runs: a never-written table reads as its empty schema
+        if not sinks[t].committed_batches():
+            return spark.createDataFrame([], schema)
+        return sinks[t].read_committed(spark)
+
+    out = table(_ROUTE_TOPICS[0])
     for t in _ROUTE_TOPICS[1:]:
-        out = out.unionByName(sinks[t].read_committed(spark))
+        out = out.unionByName(table(t))
     return out
 
 
 @query(
     "stream_progress_metrics",
     oracle="""
-    SELECT CAST(4 AS BIGINT) AS n_batches,
+    SELECT CAST(CASE WHEN COUNT(*) > 0 THEN 4 ELSE 0 END AS BIGINT)
+             AS n_batches,
            CAST(COUNT(*) AS BIGINT) AS input_rows,
            CAST(COUNT(*) AS BIGINT) AS observed_rows,
            CAST(COUNT(*) - COUNT(props) AS BIGINT) AS observed_null_props,
@@ -803,9 +813,29 @@ class _LateRouter:
         self.delay_us = delay_us
         self.max_us: int | None = None
 
+    def _recover_max(self, spark) -> None:
+        """Re-derive the watermark after a restart: a fresh router
+        (max_us None) over a table with committed batches would route
+        every straggler in the next batch to 'main' — the silent-loss
+        hole this side-output exists to close. The committed MAIN
+        table's max event time IS the running max (late rows are below
+        the watermark, hence below it), so one metadata-cheap max-agg
+        restores exactly the state the engine's own WatermarkTracker
+        recovers from its checkpoint."""
+        if self.main.committed_batches():
+            got = (
+                self.main.read_committed(spark)
+                .agg(F.max(F.unix_micros(F.col("ts"))))
+                .first()[0]
+            )
+            if got is not None:
+                self.max_us = got
+
     def __call__(self, df, batch_id: int) -> None:
         df = df.localCheckpoint(eager=True)  # split + max share one compute
         eu = F.unix_micros(F.col("ts"))
+        if self.max_us is None:
+            self._recover_max(df.sparkSession)
         if self.max_us is None:
             late = df.filter(F.lit(False))
             main = df
@@ -871,6 +901,66 @@ def stream_late_sideoutput(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    main = router.main.read_committed(spark).withColumn("route", F.lit("main"))
-    late = router.late.read_committed(spark).withColumn("route", F.lit("late"))
+    schema = "event_id bigint, user_id bigint, ts timestamp"
+
+    def table(sink):
+        if not sink.committed_batches():  # empty corpus: zero batches ran
+            return spark.createDataFrame([], schema)
+        return sink.read_committed(spark)
+
+    main = table(router.main).withColumn("route", F.lit("main"))
+    late = table(router.late).withColumn("route", F.lit("late"))
     return main.unionByName(late)
+
+
+@query(
+    "cdf_incremental_sync",
+    oracle="""
+    SELECT event_id, value FROM events
+    UNION ALL
+    SELECT event_id + 1000000000, value + 1000.0 FROM events
+    """,
+)
+def cdf_incremental_sync(spark, sf_dir):
+    """The CONSUME side of the change feed ([scan_delta_cdf] emits it):
+    a downstream replica table maintained by applying CDF ranges
+    incrementally — the sync pattern that replaces periodic full-table
+    re-copies with deltas. The source table gets the same four commits
+    as scan_delta_cdf (two appends, an OPTIMIZE compaction, a late
+    append); the replica applies changes (-1, 1] as its batch 0 and
+    (1, 3] as its batch 1, each application REPLAYED once (the
+    consumer-crash case — the replica's own txn ledger makes the
+    re-apply a no-op). The final replica must equal the source's
+    current snapshot exactly: the compaction contributed no rows, no
+    change was applied twice, none was missed.
+
+    Scale: each sync reads only the changed directories (O(delta));
+    the replica write is one ledgered append per consumed range —
+    the incremental-view-maintenance shape [rollup_incremental]
+    applies to aggregates, here applied to full-fidelity replication."""
+    base = tempfile.mkdtemp(prefix="ds_cdfsync_")
+    src = ExactlyOnceParquetSink(f"{base}/src", app_id="cdf_sync_src")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    src.write_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    src.write_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
+    src.compact(spark, target_files=2)
+    late = ev.select(
+        (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    src.write_batch(late, 2)
+    replica = ExactlyOnceParquetSink(f"{base}/replica", app_id="cdf_sync_replica")
+    for i, (lo, hi) in enumerate([(-1, 1), (1, 3)]):
+        batch = src.read_changes(spark, lo, hi).drop(
+            "_change_type", "_commit_version"
+        )
+        # plain calls, never asserts: under python -O an assert-wrapped
+        # write would be stripped and the sync would silently do nothing
+        applied = replica.write_batch(batch, i)
+        replayed_applied = replica.write_batch(batch, i)
+        if not applied or replayed_applied:
+            raise RuntimeError(
+                f"replica txn contract broken at sync {i}: "
+                f"applied={applied}, re-apply wrote={replayed_applied}"
+            )
+    return replica.read_committed(spark)

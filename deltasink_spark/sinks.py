@@ -292,7 +292,11 @@ class ExactlyOnceParquetSink:
         whole point of a change feed. Replay-idempotent by
         construction: the ledger prefix for a version range never
         changes after commit, so re-reading the same range yields the
-        same rows (tests/test_streaming.py)."""
+        same rows (tests/test_streaming.py). A valid range containing
+        no data-changing commits (e.g. only an OPTIMIZE) returns an
+        EMPTY frame in the table's current schema — Delta CDF's
+        contract; a polling sync daemon must be able to ask "anything
+        since my checkpoint?" without pre-inspecting the ledger."""
         records = self._ledger_records()
         n = len(records)
         if not (-1 <= from_version < n and 0 <= to_version < n):
@@ -311,7 +315,12 @@ class ExactlyOnceParquetSink:
                 .withColumn("_commit_version", F.lit(v).cast("long"))
             )
         if not parts:
-            raise ValueError("no data-changing commits in range")
+            return (
+                self.read_committed(spark)
+                .limit(0)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -296,6 +296,8 @@ def events_stream_with_late(spark: SparkSession, sf_dir: str):
         lo, hi = ev.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
         ).first()
+        if lo is None:  # empty corpus: four empty slices, zero cuts
+            lo = hi = 0
         cuts = [lo + ((hi - lo) * k) // 4 for k in (1, 2, 3)]
         eu = F.unix_micros(F.col("ts"))
         withheld = (F.col("event_id") % LATE_MOD == 0) & (eu < F.lit(cuts[1]))
@@ -310,9 +312,15 @@ def events_stream_with_late(spark: SparkSession, sf_dir: str):
             part = os.path.join(stage, f"w{i}")
             sl.coalesce(1).write.mode("overwrite").parquet(part)
             f = next(
-                x for x in os.listdir(part)
-                if x.startswith("part-") and x.endswith(".parquet")
+                (
+                    x for x in os.listdir(part)
+                    if x.startswith("part-") and x.endswith(".parquet")
+                ),
+                None,
             )
+            if f is None:  # empty slice wrote no data file: skip it
+                shutil.rmtree(part)
+                continue
             dst = os.path.join(stage, f"batch_{i}.parquet")
             os.rename(os.path.join(part, f), dst)
             shutil.rmtree(part)
