@@ -44,6 +44,10 @@ _R9_NEW: list[str] = [
     "stream_progress_metrics",
     "avro_schema_compat",
     "sql_session_variables",
+    "cdf_incremental_sync",
+    "stats_spearman",
+    "dedup_minhash_incremental",
+    "stats_kruskal_wallis",
 ]
 
 # Ops whose code changed in r9 — re-verification required.
@@ -57,6 +61,7 @@ _R9_CHANGED = [
     "pipeline_llm_prep",
     "pipeline_training_prep",
     "dedup_image_phash",
+    "graph_kcore",
 ]
 
 # Stale cohort: latest green driver row is r2 (first 25) or r3 —

@@ -201,14 +201,18 @@ R8DOPS = [
 ]
 
 # r9 additions — own group (first recording becomes the r10 baseline).
-# The other five r9 ops are excluded by the standing group policy:
-# scan_delta_cdf / sink_topic_routing / stream_late_sideoutput /
-# stream_progress_metrics are ledgered-sink / StreamingQuery fixtures
+# The other six r9 ops are excluded by the standing group policy:
+# scan_delta_cdf / cdf_incremental_sync / sink_topic_routing /
+# stream_late_sideoutput / stream_progress_metrics are ledgered-sink /
+# StreamingQuery fixtures
 # (the sink_delta_* cost class the bench has never timed), and
 # avro_schema_compat is an O(fields) metadata frame with no data-scaled
 # plan to measure.
 R9OPS = [
     "sql_session_variables",     # DECLARE/SET VAR + EXECUTE IMMEDIATE
+    "stats_spearman",            # exact doubled-rank Spearman rho
+    "dedup_minhash_incremental", # delta-vs-index near-dup probe
+    "stats_kruskal_wallis",      # k-sample rank test, exact doubled ranks
 ]
 
 

@@ -55,9 +55,18 @@ def test_limit_is_distributed_topk(spark, sf_small):
 
 def test_lsh_candidates_are_equi_joins(spark, sf_small):
     """The 100 TB design point: LSH candidate generation must reach
-    Catalyst as equi-joins on band/bucket hashes, never a cartesian."""
-    for op in ("dedup_minhash_lsh", "sim_ann_lsh"):
-        p = plan(q(op, spark, sf_small))
+    Catalyst as equi-joins on band/bucket hashes, never a cartesian.
+    dedup_minhash_lsh's registered callable returns the memoized
+    (checkpointed) pair frame whose plan is an opaque RDD scan, so the
+    underlying constructor is planned directly."""
+    from deltasink_spark.operators.minhash import minhash_dedup_pairs
+    from deltasink_spark.tables import load
+
+    raw_pairs = minhash_dedup_pairs(
+        load(spark, sf_small, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )
+    for op, df in (("dedup_minhash_lsh", raw_pairs), ("sim_ann_lsh", None)):
+        p = plan(df if df is not None else q(op, spark, sf_small))
         assert "CartesianProduct" not in p, op
         # the candidate self-join is a real equi join (hash or sort-merge)
         assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
@@ -69,9 +78,20 @@ def test_no_python_udf_on_builtin_paths(spark, sf_small):
     """Core operator families stay JVM-side (whole-stage codegen);
     Python only appears in the explicitly-UDF ops and the
     Arrow-vectorized LSH signature/dot stages (below)."""
+    from deltasink_spark.operators.minhash import minhash_dedup_pairs
+    from deltasink_spark.tables import load
+
+    # dedup_minhash_lsh's registered callable is the memoized
+    # checkpointed frame (opaque RDD scan) — plan the raw constructor
+    # so a Python UDF slipping into the minhash pipeline still fails
+    frames = {
+        "dedup_minhash_lsh": minhash_dedup_pairs(
+            load(spark, sf_small, "documents"), "doc_id", "text", n=3, threshold=0.6
+        )
+    }
     for op in ("agg_hash", "fn_array", "text_tfidf", "dedup_minhash_lsh",
                "json_parse"):
-        p = plan(q(op, spark, sf_small))
+        p = plan(frames.get(op) or q(op, spark, sf_small))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, op
     # the pairwise-similarity family runs its signature matmul + pair
     # dot through Arrow-vectorized pandas UDFs BY DESIGN (r6: the
@@ -1158,3 +1178,23 @@ def test_kcore_output_from_checkpointed_rounds(spark, sf_small):
     p = plan(q("graph_kcore", spark, sf_small), "simple")
     assert "Scan ExistingRDD" in p
     assert "HashAggregate" in p
+
+
+def test_spearman_rank_joins_no_cartesian(spark, sf_small):
+    """The quantity rank table broadcasts onto the fact; the price
+    rank join is a hash equi-join on the value; moments are one
+    combining hash agg — no cartesian, no global-sort rank."""
+    p = plan(q("stats_spearman", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+    assert "TakeOrderedAndProject" not in p
+
+
+def test_incremental_dedup_bucketed_not_all_pairs(spark, sf_small):
+    """Candidates come from the (band_id, band_hash) equi-join of the
+    delta probe against the band index — never a document cross
+    join."""
+    p = plan(q("dedup_minhash_incremental", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

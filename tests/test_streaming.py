@@ -1088,8 +1088,11 @@ def test_cdf_read_replay_idempotent_and_compaction_silent(spark, tmp_path):
     assert len(full) == 20
     with pytest.raises(ValueError):
         sink.read_changes(spark, 0, 99)
-    with pytest.raises(ValueError):  # only-compaction range has no changes
-        sink.read_changes(spark, 1, 2)
+    # only-compaction range: EMPTY feed (not an error — the polling
+    # "anything since my checkpoint?" idiom must survive quiet cycles)
+    quiet = sink.read_changes(spark, 1, 2)
+    assert quiet.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(quiet.columns)
 
 
 def test_topic_routing_partial_crash_completes_without_duplicates(spark, tmp_path):
@@ -1173,3 +1176,33 @@ def test_late_router_reconciles_and_respects_delay(spark, tmp_path):
     assert main | late == {1, 2, 3, 4, 5, 6}  # nothing lost
     assert main & late == set()               # nothing duplicated
     assert late == {3, 6}
+
+
+def test_late_router_recovers_watermark_after_restart(spark, tmp_path):
+    """A restarted router (fresh max_us) over a table with committed
+    batches must re-derive the watermark from the committed main
+    table before routing — otherwise the first post-restart batch's
+    stragglers all land in 'main' (the silent-loss hole the
+    side-output exists to close)."""
+    from deltasink_spark.queries.streaming_ops import _LateRouter
+
+    base = str(tmp_path / "route")
+    r1 = _LateRouter(base, 600_000_000)
+    b0 = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (2, _ts("2024-01-01 12:00:00"))],
+        "event_id long, ts timestamp",
+    )
+    r1(b0, 0)  # commits batch 0, running max = 12:00
+    # crash: a NEW router instance replays nothing (batch 0 ledgered)
+    # and receives batch 1 carrying a straggler
+    r2 = _LateRouter(base, 600_000_000)
+    b1 = spark.createDataFrame(
+        [(3, _ts("2024-01-01 10:30:00")),   # late vs 11:50
+         (4, _ts("2024-01-01 13:00:00"))],
+        "event_id long, ts timestamp",
+    )
+    r2(b1, 1)
+    late = {r["event_id"] for r in r2.late.read_committed(spark).collect()}
+    main = {r["event_id"] for r in r2.main.read_committed(spark).collect()}
+    assert late == {3}
+    assert main == {1, 2, 4}
