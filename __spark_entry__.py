@@ -48,6 +48,9 @@ _R9_NEW: list[str] = [
     "stats_spearman",
     "dedup_minhash_incremental",
     "stats_kruskal_wallis",
+    "text_kneser_ney_bigram",
+    "ts_longest_streak",
+    "dq_referential_integrity",
 ]
 
 # Ops whose code changed in r9 — re-verification required.

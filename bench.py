@@ -213,6 +213,9 @@ R9OPS = [
     "stats_spearman",            # exact doubled-rank Spearman rho
     "dedup_minhash_incremental", # delta-vs-index near-dup probe
     "stats_kruskal_wallis",      # k-sample rank test, exact doubled ranks
+    "text_kneser_ney_bigram",    # interpolated-KN bigram LM score
+    "ts_longest_streak",         # gaps-and-islands consecutive-day streak
+    "dq_referential_integrity",  # cross-table FK orphan audit
 ]
 
 

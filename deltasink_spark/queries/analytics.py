@@ -3009,3 +3009,67 @@ def stats_kruskal_wallis(spark, sf_dir):
         F.round(h, 6).alias("h_stat"),
         F.round(F.try_divide(h, corr), 6).alias("h_corrected"),
     )
+
+
+@query(
+    "ts_longest_streak",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events),
+    r AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS isl
+          FROM ud),
+    s AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS streak_days,
+                 MIN(day) AS start_day
+          FROM r GROUP BY user_id, isl),
+    rk AS (SELECT user_id, streak_days, start_day,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY streak_days DESC, start_day)
+                    AS rn
+           FROM s)
+    SELECT user_id, streak_days, start_day
+    FROM rk WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def ts_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (length +
+    earliest start, epoch-day numbers) — the engagement metric every
+    product-analytics stack computes, and the POINT-set twin of
+    [intervals_merge_islands]'s interval form: distinct active days
+    collapse into runs via the classic gaps-and-islands key
+    day − row_number() (constant exactly while days are consecutive).
+    Earliest-start tie-break makes the winner unique and
+    engine-independent.
+
+    Scale: one distinct hash agg to (user, day) grain — the only
+    fact-sized shuffle — then every window is PARTITIONED BY user_id
+    (parallel, never a one-task global sort); islands and the winner
+    pick are aggs/windows on the tiny per-user day set. All integer
+    arithmetic; nothing to round."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+        )
+        .distinct()
+    )
+    wisl = Window.partitionBy("user_id").orderBy("day")
+    s = (
+        ud.withColumn("isl", F.col("day") - F.row_number().over(wisl))
+        .groupBy("user_id", "isl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_days"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_day")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "start_day")
+        .orderBy("user_id")
+    )

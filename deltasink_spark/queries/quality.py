@@ -712,3 +712,75 @@ def stats_mad_outliers(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS relationship,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity audit — the half of data
+    quality [dq_checks]'s in-table expectations can't see: orphan
+    counts for the four hot foreign keys of the schema, the check an
+    ingest daemon runs before promoting a snapshot (a broken upstream
+    export shows up as orphans, not as bad values). Emits
+    (relationship, n_child, n_orphans); green = zero orphans on the
+    fixtures' consistent TPC-H keys.
+
+    Scale: each orphan count is ONE left-anti hash join on the key
+    (the parent side is dim-sized for customer/part/supplier —
+    broadcast; orders-side anti join shuffles on the key it would
+    shuffle on anyway) followed by a count — no windows, no
+    driver-side row handling; child-table scans prune to the key
+    column only."""
+    checks = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    out = None
+    for rel, child, ck, parent, pk in checks:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        stats = c.join(p, "k", "left_anti").groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        row = (
+            c.groupBy()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .join(F.broadcast(stats))
+            .select(
+                F.lit(rel).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1471,3 +1471,116 @@ def sample_weighted_union(spark, sf_dir):
         .select(F.lit("__direct__").alias("scope"), "doc_id", "wkey")
     )
     return per.unionByName(merged).unionByName(direct).orderBy("scope", "doc_id")
+
+
+# --- text_kneser_ney_bigram ---------------------------------------------
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, UNNEST(range(1, len(toks))) AS u(i)
+           WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1p
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont
+             FROM c12 GROUP BY w2),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c12),
+    p AS (SELECT c12.w1, c12.w2,
+                 ROUND(LN(GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1
+                          + 0.75 * n1p / c1 * (ncont * 1.0 / bt)), 8)
+                   AS lnp
+          FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN bt)
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(lnp AS DECIMAL(30,8))) AS DOUBLE), 6)
+             AS kn_logprob
+    FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Per-document log-probability under an interpolated Kneser–Ney
+    bigram LM trained on the corpus itself (d = 0.75) — the n-gram
+    upgrade of [text_unigram_logprob]'s CCNet-shaped quality score,
+    using the smoothing every KenLM filter model uses:
+    P(w2|w1) = max(c(w1w2) − d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/|bigram types| — the continuation probability scores a
+    word by how many CONTEXTS it follows, not how often it occurs
+    (the "San Francisco" correction). Low per-bigram logprob =
+    rare-transition soup; high = fluent/templated.
+
+    Determinism: all five count tables are exact BIGINTs; each
+    bigram's ln p is ONE IEEE tree written identically in both
+    engines, rounded 8dp, and per-doc sums accumulate in
+    DECIMAL(30,8) — order-insensitive — before the final 6dp round.
+    Double-space tokens ('') drop on BOTH sides of the bigram in both
+    engines; every observed bigram has c12 >= 1 so the discount never
+    underflows and ln's argument is strictly positive.
+
+    Scale: train = two chained token-level hash aggs (bigram counts,
+    then left-context moments) + one |types|-sized continuation agg;
+    score = one equi-join of the doc bigram stream against the
+    model + a per-doc combining agg. The model is |bigram types| rows
+    — the same join geometry a KenLM-scored pipeline distributes; the
+    corpus is touched exactly twice."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    bg = (
+        fanout(d, "doc_id")
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .localCheckpoint(eager=False)
+    )
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
+    bt = c12.groupBy().agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    lnp = F.round(
+        F.log(
+            F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+            / F.col("c1")
+            + F.lit(0.75) * F.col("n1p") / F.col("c1")
+            * (F.col("ncont") / F.col("bt"))
+        ),
+        8,
+    )
+    p = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(bt))
+        .select("w1", "w2", lnp.alias("lnp"))
+    )
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lnp").cast("decimal(30,8)")).cast("double"), 6
+            ).alias("kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1198,3 +1198,31 @@ def test_incremental_dedup_bucketed_not_all_pairs(spark, sf_small):
     p = plan(q("dedup_minhash_incremental", spark, sf_small), "simple")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_kneser_ney_model_join_no_cartesian(spark, sf_small):
+    """The KN model joins onto the doc bigram stream as hash
+    equi-joins; the only nested-loop allowed is the 1-row |types|
+    broadcast."""
+    p = plan(q("text_kneser_ney_bigram", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_longest_streak_windows_are_per_user(spark, sf_small):
+    """Both windows (island key, winner pick) must be partitioned by
+    user_id — never a one-task global sort."""
+    p = plan(q("ts_longest_streak", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(user_id" in p
+    import re
+
+    for m in re.finditer(r"Window \[", p):
+        seg = p[m.start():m.start() + 300]
+        assert "user_id" in seg.split("]")[1] or "user_id" in seg
+
+
+def test_referential_integrity_uses_anti_joins(spark, sf_small):
+    p = plan(q("dq_referential_integrity", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
