@@ -51,6 +51,8 @@ _R9_NEW: list[str] = [
     "text_kneser_ney_bigram",
     "ts_longest_streak",
     "dq_referential_integrity",
+    "join_size_estimate_sampled",
+    "event_path_topk",
 ]
 
 # Ops whose code changed in r9 — re-verification required.

@@ -213,9 +213,17 @@ R9OPS = [
     "stats_spearman",            # exact doubled-rank Spearman rho
     "dedup_minhash_incremental", # delta-vs-index near-dup probe
     "stats_kruskal_wallis",      # k-sample rank test, exact doubled ranks
+]
+
+# Ops landed AFTER the r9ops idle recording — own group so the
+# recorded 4-op r9ops reference stays comparable (the BASELINE
+# group-comparability rule).
+R9BOPS = [
     "text_kneser_ney_bigram",    # interpolated-KN bigram LM score
     "ts_longest_streak",         # gaps-and-islands consecutive-day streak
     "dq_referential_integrity",  # cross-table FK orphan audit
+    "join_size_estimate_sampled",  # correlated-sampling cardinality est
+    "event_path_topk",           # top-10 opening 3-step journeys
 ]
 
 
@@ -230,7 +238,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -313,6 +321,9 @@ def main() -> None:
         ),
         "r9ops": round(
             sum(t for op, t in timings.items() if op in R9OPS), 4
+        ),
+        "r9bops": round(
+            sum(t for op, t in timings.items() if op in R9BOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -3073,3 +3073,63 @@ def ts_longest_streak(spark, sf_dir):
         .select("user_id", "streak_days", "start_day")
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_path_topk",
+    oracle="""
+    WITH r AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    p AS (SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id HAVING COUNT(*) = 3),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM p GROUP BY path)
+    SELECT path, n_users FROM c
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def event_path_topk(spark, sf_dir):
+    """Top-10 opening user journeys: each user's FIRST THREE events
+    (by ts, event_id tie-break) joined into a path string, counted
+    across users — the onboarding-funnel discovery view product
+    analytics runs before defining funnels ([funnel_analysis] checks a
+    KNOWN sequence; this op finds the dominant ones; [markov_transitions]
+    is its one-step aggregate). Users with fewer than three events are
+    excluded (no partial paths). Deterministic: same-timestamp ties
+    order by event_id, and the top-10 breaks count ties by path text.
+
+    Scale: one per-user rank window (hash-partitioned on user_id),
+    the path assembly aggregates exactly 3 rows per user
+    (sort_array(collect_list) on a bounded group — never an unbounded
+    collect), the path count is a combining hash agg, and the top-10
+    is TakeOrderedAndProject — k rows per partition to the driver, no
+    global sort."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+        )
+        .filter(F.col("n") == 3)
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )

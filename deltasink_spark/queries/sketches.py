@@ -397,3 +397,120 @@ def agg_kmv_intersect(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- join_size_estimate_sampled: correlated-sampling cardinality ---------
+
+_JS_P_INV = 16  # sampling rate p = 1/16
+_JS_TAU = 2**32 // _JS_P_INV
+
+
+@query(
+    "join_size_estimate_sampled",
+    oracle=f"""
+    WITH se AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ce
+                FROM events
+                WHERE CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) < {_JS_TAU}
+                GROUP BY 1),
+    so AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+           FROM orders
+           WHERE CAST(CONCAT('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+                                          1, 8)) AS BIGINT) < {_JS_TAU}
+           GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_keys,
+                 CAST(COALESCE(SUM(ce * co), 0) AS BIGINT) AS s
+          FROM se JOIN so USING (k)),
+    fe AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ce
+           FROM events GROUP BY 1),
+    fo AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+           FROM orders GROUP BY 1),
+    t AS (SELECT CAST(COALESCE(SUM(ce * co), 0) AS BIGINT) AS true_size
+          FROM fe JOIN fo USING (k))
+    SELECT n_sampled_keys,
+           CAST(s * {_JS_P_INV} AS BIGINT) AS est_join_size,
+           true_size,
+           ROUND((CAST(s * {_JS_P_INV} AS DOUBLE) - true_size)
+                 / true_size, 6) AS rel_error
+    FROM m, t
+    """,
+)
+def join_size_estimate_sampled(spark, sf_dir):
+    """Join-cardinality estimation by CORRELATED SAMPLING (Vengerov et
+    al., VLDB 2015) — the planning-time question every optimizer asks
+    before picking a join strategy: how big is events ⋈ orders on the
+    customer key, WITHOUT running the join? Both sides keep only rows
+    whose key hashes below τ = 2³²/16 — the SAME hash on both sides,
+    so a surviving key is sampled on both (probability p, not p²,
+    which is what makes Σ ce·co / p unbiased where independent
+    Bernoulli samples need 1/p²). The op also computes the true
+    Σ ce·co join size and the relative error — the eval an estimator
+    needs before a planner trusts it (the [ann_recall_at_k] pattern
+    applied to cardinality estimation).
+
+    Determinism: md5-prefix hashing makes the sample itself
+    reproducible cross-engine (the [sample_bottom_k] trick), so the
+    APPROXIMATE estimator carries an EXACT oracle: counts and Σ ce·co
+    are exact BIGINTs, the only double is the final rel_error tree.
+
+    Scale: the sample path — the part a planner runs — filters at
+    scan time and shuffles only ~1/16 of the DISTINCT KEYS (two tiny
+    hash aggs + one sample-sized join); the full-side aggs here exist
+    only to score the estimate. try_divide-free: an empty join gives
+    true_size 0 and DuckDB/Spark both NULL the 0/0 rel_error via
+    round(x/0) semantics mirrored with try_divide."""
+    def hk(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+        )
+
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    se = (
+        e.filter(hk(F.col("user_id")) < _JS_TAU)
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ce"))
+    )
+    so = (
+        o.filter(hk(F.col("o_custkey")) < _JS_TAU)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    m = (
+        se.join(so, "k")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled_keys"),
+            F.coalesce(F.sum(F.col("ce") * F.col("co")), F.lit(0))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    fe = e.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ce")
+    )
+    fo = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("co")
+    )
+    t = (
+        fe.join(fo, "k")
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum(F.col("ce") * F.col("co")), F.lit(0))
+            .cast("long")
+            .alias("true_size")
+        )
+    )
+    est = (F.col("s") * _JS_P_INV).cast("long")
+    return m.join(F.broadcast(t)).select(
+        "n_sampled_keys",
+        est.alias("est_join_size"),
+        "true_size",
+        F.round(
+            F.try_divide(
+                est.cast("double") - F.col("true_size"), F.col("true_size")
+            ),
+            6,
+        ).alias("rel_error"),
+    )

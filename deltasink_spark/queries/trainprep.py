@@ -1494,11 +1494,11 @@ def sample_weighted_union(spark, sf_dir):
     bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c12),
     p AS (SELECT c12.w1, c12.w2,
                  ROUND(LN(GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1
-                          + 0.75 * n1p / c1 * (ncont * 1.0 / bt)), 8)
+                          + 0.75 * n1p / c1 * (ncont * 1.0 / bt)), 6)
                    AS lnp
           FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN bt)
     SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(lnp AS DECIMAL(30,8))) AS DOUBLE), 6)
+           ROUND(CAST(SUM(CAST(lnp AS DECIMAL(30,6))) AS DOUBLE), 6)
              AS kn_logprob
     FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
     GROUP BY bg.doc_id
@@ -1516,10 +1516,15 @@ def text_kneser_ney_bigram(spark, sf_dir):
     (the "San Francisco" correction). Low per-bigram logprob =
     rare-transition soup; high = fluent/templated.
 
-    Determinism: all five count tables are exact BIGINTs; each
-    bigram's ln p is ONE IEEE tree written identically in both
-    engines, rounded 8dp, and per-doc sums accumulate in
-    DECIMAL(30,8) — order-insensitive — before the final 6dp round.
+    Determinism: all five count tables are exact BIGINTs, and p
+    itself is bit-identical cross-engine (one correctly-rounded IEEE
+    tree on exact inputs); ONLY ln is libm-dependent (last-ulp
+    differences between JVM Math.log and DuckDB's log — the same
+    hazard class the skewness op documents for pow), so each term is
+    rounded to 6dp, where a last-ulp rounding tie is measure-zero in
+    practice (an 8dp first cut hit exactly one tie among 86k bigram
+    types at sf0.1); per-doc sums accumulate in DECIMAL(30,6) —
+    order-insensitive — before the final 6dp round.
     Double-space tokens ('') drop on BOTH sides of the bigram in both
     engines; every observed bigram has c12 >= 1 so the discount never
     underflows and ln's argument is strictly positive.
@@ -1565,7 +1570,7 @@ def text_kneser_ney_bigram(spark, sf_dir):
             + F.lit(0.75) * F.col("n1p") / F.col("c1")
             * (F.col("ncont") / F.col("bt"))
         ),
-        8,
+        6,
     )
     p = (
         c12.join(c1, "w1")
@@ -1579,7 +1584,7 @@ def text_kneser_ney_bigram(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("lnp").cast("decimal(30,8)")).cast("double"), 6
+                F.sum(F.col("lnp").cast("decimal(30,6)")).cast("double"), 6
             ).alias("kn_logprob"),
         )
         .orderBy("doc_id")

@@ -1226,3 +1226,22 @@ def test_referential_integrity_uses_anti_joins(spark, sf_small):
     p = plan(q("dq_referential_integrity", spark, sf_small), "simple")
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+
+
+def test_join_size_estimate_sample_path_shapes(spark, sf_small):
+    """The estimator is two hash aggs + one sample-sized equi-join;
+    the true-size frame glues on as a 1-row broadcast — no cartesian,
+    no window, no global sort."""
+    p = plan(q("join_size_estimate_sampled", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_event_path_topk_is_distributed(spark, sf_small):
+    """Per-user rank window (hash-partitioned), bounded path
+    assembly, TakeOrdered top-10 — never a global sort of paths."""
+    p = plan(q("event_path_topk", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(user_id" in p
+    assert "TakeOrderedAndProject" in p
