@@ -53,6 +53,7 @@ _R9_NEW: list[str] = [
     "dq_referential_integrity",
     "join_size_estimate_sampled",
     "event_path_topk",
+    "tokenizer_roundtrip",
 ]
 
 # Ops whose code changed in r9 — re-verification required.

@@ -226,6 +226,11 @@ R9BOPS = [
     "event_path_topk",           # top-10 opening 3-step journeys
 ]
 
+# Landed AFTER the r9bops idle recording — own group (scope rule).
+R9COPS = [
+    "tokenizer_roundtrip",       # BPE losslessness audit (memoized vocab)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -238,7 +243,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -324,6 +329,9 @@ def main() -> None:
         ),
         "r9bops": round(
             sum(t for op, t in timings.items() if op in R9BOPS), 4
+        ),
+        "r9cops": round(
+            sum(t for op, t in timings.items() if op in R9COPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

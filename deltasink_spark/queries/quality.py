@@ -755,12 +755,12 @@ def dq_referential_integrity(spark, sf_dir):
     (relationship, n_child, n_orphans); green = zero orphans on the
     fixtures' consistent TPC-H keys.
 
-    Scale: each orphan count is ONE left-anti hash join on the key
-    (the parent side is dim-sized for customer/part/supplier —
-    broadcast; orders-side anti join shuffles on the key it would
-    shuffle on anyway) followed by a count — no windows, no
-    driver-side row handling; child-table scans prune to the key
-    column only."""
+    Scale: ONE key-pruned scan of the child per relationship — a left
+    join against the (unique, primary-key) parent keys preserves the
+    child's row count, so n_child and n_orphans come out of the same
+    combining agg (an anti-join formulation would scan the child a
+    second time for n_child); the dim-sized parents broadcast. No
+    windows, no driver-side row handling."""
     checks = [
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -770,14 +770,20 @@ def dq_referential_integrity(spark, sf_dir):
     out = None
     for rel, child, ck, parent, pk in checks:
         c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
-        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        stats = c.join(p, "k", "left_anti").groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .withColumn("hit", F.lit(1))
         )
         row = (
-            c.groupBy()
-            .agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-            .join(F.broadcast(stats))
+            c.join(p, "k", "left")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(rel).alias("relationship"), "n_child", "n_orphans"
             )

@@ -352,11 +352,10 @@ def agg_kmv_intersect(spark, sf_dir):
     re-truncate to K), the same algebra minhash_union proves. At
     100 TB the sketches are the only thing that crosses the shuffle."""
     e = load(spark, sf_dir, "events")
+    from deltasink_spark.tables import md5_long
+
     h = e.select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+        "event_type", md5_long(F.col("user_id")).alias("h")
     ).distinct()
     w = Window.partitionBy("event_type").orderBy(F.asc("h"))
     kmv = (
@@ -459,11 +458,7 @@ def join_size_estimate_sampled(spark, sf_dir):
     only to score the estimate. try_divide-free: an empty join gives
     true_size 0 and DuckDB/Spark both NULL the 0/0 rel_error via
     round(x/0) semantics mirrored with try_divide."""
-    def hk(col):
-        return (
-            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-            .cast("long")
-        )
+    from deltasink_spark.tables import md5_long as hk
 
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")

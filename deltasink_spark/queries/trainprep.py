@@ -1589,3 +1589,44 @@ def text_kneser_ney_bigram(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "tokenizer_roundtrip",
+    oracle=_bpe_chain_sql() + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+           CAST(COUNT(CASE WHEN replace(sym, ' ', '') = word THEN 1 END)
+                AS BIGINT) AS n_lossless,
+           CAST(COALESCE(SUM(wf), 0) AS BIGINT) AS n_occurrences
+    FROM s{_BPE_STEPS}
+    """,
+)
+def tokenizer_roundtrip(spark, sf_dir):
+    """Losslessness audit of the trained BPE tokenizer — the QA gate a
+    tokenizer ships behind: for EVERY vocabulary word, concatenating
+    its trained symbol sequence (spaces stripped) must reproduce the
+    word exactly, i.e. encode->decode is the identity on the corpus
+    ([tokenizer_encode] measures token budgets; this proves no byte is
+    lost or invented by the K merge steps). Emits vocab size, the
+    lossless count (must equal it — BPE merges only ever JOIN adjacent
+    symbols, a structurally lossless operation, and this op pins that
+    invariant against future merge-rule changes like the
+    boundary-aware matching the docstrings flag), and the total corpus
+    occurrences covered.
+
+    Scale: the vocab frame is |distinct words| rows from the memoized
+    train (_bpe_iterate — shared with bpe_train / tokenizer_encode, so
+    the audit is one combining agg over an already-materialized
+    frame); the corpus itself is not re-touched."""
+    _, vocab = _bpe_iterate(spark, sf_dir)
+    return vocab.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.count(
+            F.when(
+                F.replace(F.col("sym"), F.lit(" "), F.lit("")) == F.col("word"), 1
+            )
+        )
+        .cast("long")
+        .alias("n_lossless"),
+        F.coalesce(F.sum("wf"), F.lit(0)).cast("long").alias("n_occurrences"),
+    )

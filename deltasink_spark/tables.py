@@ -100,3 +100,23 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register fixture tables as temp views for spark.sql queries."""
     for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def md5_long(col) -> "F.Column":
+    """Portable 32-bit hash as a BIGINT: the first 8 hex chars of
+    md5(CAST(col AS STRING)). The ONE deterministic-sampling hash the
+    engine uses (bottom-k samples, A-Res keys, KMV sketches,
+    correlated join-size sampling) — md5 because both Spark and DuckDB
+    compute it identically, so sampled/sketched ops keep exact
+    oracles. SQL twin: sql_md5_long."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def sql_md5_long(expr: str) -> str:
+    """DuckDB twin of md5_long over a SQL expression string."""
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT)"
+    )

@@ -1211,21 +1211,27 @@ def test_kneser_ney_model_join_no_cartesian(spark, sf_small):
 
 def test_longest_streak_windows_are_per_user(spark, sf_small):
     """Both windows (island key, winner pick) must be partitioned by
-    user_id — never a one-task global sort."""
-    p = plan(q("ts_longest_streak", spark, sf_small), "simple")
-    assert "CartesianProduct" not in p
-    assert "hashpartitioning(user_id" in p
+    user_id — never a one-task global sort. Asserted on the window
+    SPEC itself (first windowspecdefinition argument), not on plan
+    text that mentions user_id for other reasons."""
     import re
 
-    for m in re.finditer(r"Window \[", p):
-        seg = p[m.start():m.start() + 300]
-        assert "user_id" in seg.split("]")[1] or "user_id" in seg
+    p = plan(q("ts_longest_streak", spark, sf_small), "simple")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+    assert len(specs) >= 2  # island key + winner pick
+    assert all(s.strip().startswith("user_id") for s in specs), specs
 
 
-def test_referential_integrity_uses_anti_joins(spark, sf_small):
+def test_referential_integrity_single_pass_left_joins(spark, sf_small):
+    """n_child and n_orphans come from ONE left join + one combining
+    agg per relationship (the anti-join form scanned each child
+    twice); no cartesian, no windows."""
     p = plan(q("dq_referential_integrity", spark, sf_small), "simple")
     assert "CartesianProduct" not in p
-    assert "LeftAnti" in p
+    assert "Window" not in p
+    assert "LeftOuter" in p
+    assert "LeftAnti" not in p
 
 
 def test_join_size_estimate_sample_path_shapes(spark, sf_small):
