@@ -54,6 +54,7 @@ _R9_NEW: list[str] = [
     "join_size_estimate_sampled",
     "event_path_topk",
     "tokenizer_roundtrip",
+    "stats_levene",
 ]
 
 # Ops whose code changed in r9 — re-verification required.

@@ -229,6 +229,7 @@ R9BOPS = [
 # Landed AFTER the r9bops idle recording — own group (scope rule).
 R9COPS = [
     "tokenizer_roundtrip",       # BPE losslessness audit (memoized vocab)
+    "stats_levene",              # Brown-Forsythe variance homogeneity
 ]
 
 

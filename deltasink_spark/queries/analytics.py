@@ -3133,3 +3133,96 @@ def event_path_topk(spark, sf_dir):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "stats_levene",
+    oracle="""
+    WITH c AS (SELECT o_orderpriority AS g,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM c GROUP BY g),
+    r AS (SELECT c.g, c.v, n.ng,
+                 ROW_NUMBER() OVER (PARTITION BY c.g ORDER BY c.v) AS rn
+          FROM c JOIN n USING (g)),
+    med AS (SELECT g, v AS med FROM r WHERE rn = (ng + 1) // 2),
+    z AS (SELECT c.g, CAST(ABS(c.v - med.med) AS DECIMAL(38,0)) AS z
+          FROM c JOIN med USING (g)),
+    m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(z) AS DECIMAL(38,0)) AS sg,
+                 CAST(SUM(z * z) AS DECIMAL(38,0)) AS qg
+          FROM z GROUP BY g),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(SUM(sg) AS DOUBLE) AS s,
+                 CAST(SUM(qg) AS DOUBLE) AS q,
+                 CAST(SUM(CAST(ROUND((CAST(sg AS DOUBLE) / ng)
+                                     * CAST(sg AS DOUBLE), 6)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS a
+          FROM m)
+    SELECT k AS n_groups, n,
+           ROUND(((a - (s / n) * s) / (k - 1))
+                 / ((q - a) / (n - k)), 6) AS bf_stat
+    FROM t
+    """,
+)
+def stats_levene(spark, sf_dir):
+    """Brown–Forsythe test (Levene's test with median centers) for
+    equality of variances across the five order priorities — the
+    assumption check that decides between [stats_anova_oneway]
+    (equal-variance F) and [stats_welch_ttest]'s unequal-variance
+    family: a one-way ANOVA computed on z = |x − group median|.
+    Median centering (vs Levene's original mean) is the
+    robust-to-skew form in every stats package's default.
+
+    Determinism: group medians are the all-integer lower-median rank
+    construction ([stats_mad_outliers]); z and its squares accumulate
+    in DECIMAL(38,0); the between-group term reuses
+    [stats_anova_oneway]'s rounded-then-decimal-summed idiom; the
+    statistic assembles in one IEEE tree written identically in both
+    engines.
+
+    Scale: one per-group rank window (hash-partitioned on the group —
+    the inherent exact-median cost), medians broadcast back, then two
+    combining hash aggs; everything after is scalar algebra on a
+    5-row frame."""
+    c = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        _cents(F.col("o_totalprice")).alias("v"),
+    ).localCheckpoint(eager=False)
+    n = c.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    w = Window.partitionBy("g").orderBy("v")
+    med = (
+        c.join(F.broadcast(n), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.expr("(ng + 1) div 2"))
+        .select("g", F.col("v").alias("med"))
+    )
+    z = c.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).cast("decimal(38,0)").alias("z")
+    )
+    m = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("qg"),
+    )
+    sgd = F.col("sg").cast("double")
+    t = m.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("a"),
+    )
+    ssb = F.col("a") - (F.col("s") / F.col("n")) * F.col("s")
+    ssw = F.col("q") - F.col("a")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        "n",
+        F.round(
+            F.try_divide(ssb / (F.col("k") - 1), ssw / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
