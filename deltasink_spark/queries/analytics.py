@@ -1437,19 +1437,27 @@ def stats_ks_two_sample(spark, sf_dir):
             "b",
             F.coalesce(
                 F.sum("bs1").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.orderBy(F.asc_nulls_last("b")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
                 ),
                 F.lit(0),
             ).alias("off1"),
             F.coalesce(
                 F.sum("bs2").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.orderBy(F.asc_nulls_last("b")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
                 ),
                 F.lit(0),
             ).alias("off2"),
         )
     )
-    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wb = (
+        Window.partitionBy("b")
+        .orderBy(F.asc_nulls_last("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     ecdf = (
         pv.select(
             "b",
@@ -1563,13 +1571,19 @@ def stats_mannwhitney_u(spark, sf_dir):
             "b",
             F.coalesce(
                 F.sum("bk").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.orderBy(F.asc_nulls_last("b")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
                 ),
                 F.lit(0),
             ).alias("off"),
         )
     )
-    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wb = (
+        Window.partitionBy("b")
+        .orderBy(F.asc_nulls_last("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     r = (
         pv.select(
             "b",
@@ -1839,6 +1853,25 @@ def ts_changepoint_cusum(spark, sf_dir):
     )
 
 
+def _grand_f_moments(m):
+    """(k, n, s, q, a) grand aggregate over a per-group (ng, sg, qg)
+    moment frame — the shared ANOVA tail: the only per-group double
+    sg^2/ng is rounded 6dp then summed order-insensitively as
+    DECIMAL(38,6) before any F assembly. Shared by
+    [stats_anova_oneway] and [stats_levene] so the delicate numeric
+    idiom cannot drift between the siblings and their oracles."""
+    sgd = F.col("sg").cast("double")
+    return m.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("a"),
+    )
+
+
 @query(
     "stats_anova_oneway",
     oracle=f"""
@@ -1893,27 +1926,22 @@ def stats_anova_oneway(spark, sf_dir):
         F.sum(dec).alias("sg"),
         F.sum(dec * dec).alias("qg"),
     )
-    sgd = F.col("sg").cast("double")
-    g = m.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("ng").cast("long").alias("n"),
-        F.sum("sg").cast("double").alias("s"),
-        F.sum("qg").cast("double").alias("q"),
-        F.sum(
-            F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("a"),
-    )
+    g = _grand_f_moments(m)
     ssb = F.col("a") - (F.col("s") / F.col("n")) * F.col("s")
     ssw = F.col("q") - F.col("a")
+    # try_divide on every division: k=1 or n=k makes a denominator
+    # zero and DuckDB returns NULL where ANSI Spark would crash
     return g.select(
         F.col("k").alias("n_groups"),
         "n",
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
-            "f_stat"
-        ),
-        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        F.round(
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("n") - F.col("k")),
+            ),
+            6,
+        ).alias("f_stat"),
+        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_sq"),
     )
 
 
@@ -2819,13 +2847,19 @@ def _doubled_ranks(vals, bucket: int = 1_000_000):
             "b",
             F.coalesce(
                 F.sum("bk").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                    Window.orderBy(F.asc_nulls_last("b")).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
                 ),
                 F.lit(0),
             ).alias("off"),
         )
     )
-    wb = Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wb = (
+        Window.partitionBy("b")
+        .orderBy(F.asc_nulls_last("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
         pv.select("b", "v", "k", F.coalesce(F.sum("k").over(wb), F.lit(0)).alias("cb"))
         .join(F.broadcast(boff), "b")
@@ -3191,7 +3225,7 @@ def stats_levene(spark, sf_dir):
         _cents(F.col("o_totalprice")).alias("v"),
     ).localCheckpoint(eager=False)
     n = c.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("ng"))
-    w = Window.partitionBy("g").orderBy("v")
+    w = Window.partitionBy("g").orderBy(F.asc_nulls_last("v"))
     med = (
         c.join(F.broadcast(n), "g")
         .withColumn("rn", F.row_number().over(w))
@@ -3206,23 +3240,19 @@ def stats_levene(spark, sf_dir):
         F.sum("z").cast("decimal(38,0)").alias("sg"),
         F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("qg"),
     )
-    sgd = F.col("sg").cast("double")
-    t = m.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("ng").cast("long").alias("n"),
-        F.sum("sg").cast("double").alias("s"),
-        F.sum("qg").cast("double").alias("q"),
-        F.sum(F.round((sgd / F.col("ng")) * sgd, 6).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("a"),
-    )
+    t = _grand_f_moments(m)
     ssb = F.col("a") - (F.col("s") / F.col("n")) * F.col("s")
     ssw = F.col("q") - F.col("a")
+    # inner try_divides too: k=1 / n=k zero denominators must NULL
+    # like the DuckDB oracle, not raise under ANSI
     return t.select(
         F.col("k").alias("n_groups"),
         "n",
         F.round(
-            F.try_divide(ssb / (F.col("k") - 1), ssw / (F.col("n") - F.col("k"))),
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("n") - F.col("k")),
+            ),
             6,
         ).alias("bf_stat"),
     )

@@ -677,7 +677,7 @@ def stats_mad_outliers(spark, sf_dir):
     agg."""
     d = load(spark, sf_dir, "documents").select("source", "n_chars")
     n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w1 = Window.partitionBy("source").orderBy("n_chars")
+    w1 = Window.partitionBy("source").orderBy(F.asc_nulls_last("n_chars"))
     r = d.join(F.broadcast(n), "source").withColumn(
         "rn", F.row_number().over(w1)
     )
@@ -690,7 +690,7 @@ def stats_mad_outliers(spark, sf_dir):
         "med",
         F.abs(F.col("n_chars") - F.col("med")).alias("dv"),
     )
-    w2 = Window.partitionBy("source").orderBy("dv")
+    w2 = Window.partitionBy("source").orderBy(F.asc_nulls_last("dv"))
     r2 = dev.withColumn("rn", F.row_number().over(w2))
     mad = r2.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "source", F.col("dv").alias("mad")
