@@ -55,6 +55,7 @@ _R9_NEW: list[str] = [
     "event_path_topk",
     "tokenizer_roundtrip",
     "stats_levene",
+    "ts_cross_correlation",
 ]
 
 # Ops whose code changed in r9 — re-verification required.

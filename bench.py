@@ -232,6 +232,11 @@ R9COPS = [
     "stats_levene",              # Brown-Forsythe variance homogeneity
 ]
 
+# Landed AFTER the r9cops idle recording — own group (scope rule).
+R9DOPS = [
+    "ts_cross_correlation",      # lead-lag CCF on two hourly series
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,7 +249,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -333,6 +338,9 @@ def main() -> None:
         ),
         "r9cops": round(
             sum(t for op, t in timings.items() if op in R9COPS), 4
+        ),
+        "r9dops": round(
+            sum(t for op, t in timings.items() if op in R9DOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -3256,3 +3256,100 @@ def stats_levene(spark, sf_dir):
             6,
         ).alias("bf_stat"),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH hv AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+    hp AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    pr AS (
+        SELECT u.lag AS lag, a.x AS xh, b.y AS yt
+        FROM hv a, UNNEST(range(-6, 7)) AS u(lag)
+        JOIN hp b ON b.hr = a.hr + u.lag),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(CAST(xh AS {_DEC0}) * CAST(yt AS {_DEC0})) AS sxy,
+               SUM(CAST(xh AS {_DEC0})) AS sh,
+               SUM(CAST(yt AS {_DEC0})) AS st,
+               SUM(CAST(xh AS {_DEC0}) * CAST(xh AS {_DEC0})) AS qh,
+               SUM(CAST(yt AS {_DEC0}) * CAST(yt AS {_DEC0})) AS qt
+        FROM pr GROUP BY lag)
+    SELECT lag, n_pairs,
+           ROUND(CAST(n_pairs * sxy - sh * st AS DOUBLE)
+                 / SQRT(CAST(n_pairs * qh - sh * sh AS DOUBLE)
+                        * CAST(n_pairs * qt - st * st AS DOUBLE)), 6)
+             AS r_ccf
+    FROM m ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark, sf_dir):
+    """Cross-correlation function between the hourly VIEW-revenue and
+    PURCHASE-revenue series at lags −6..+6 hours — the lead–lag probe
+    behind "do views drive purchases N hours later?" (positive-lag
+    peak = views lead), the two-series generalization of
+    [ts_autocorrelation] and the time-structured companion of
+    [agg_corr]'s instantaneous Pearson. Hour gaps contribute no pair.
+
+    Determinism: the two series are exact BIGINT hourly cents; all
+    five moments accumulate in DECIMAL(38,0); numerator and variance
+    terms are exact integers and the one division/sqrt is ONE IEEE
+    tree written identically in both engines, rounded 6dp (rational
+    inputs never feed sqrt of a rounding-tie — the terms are exact,
+    the statistic irrational, the skewness-op argument).
+
+    Scale: two map-side-combining hash aggs collapse the facts to one
+    row per (series, hour); the lag structure is an EQUI-join of the
+    two tiny hourly frames on hr + lag (13 lag copies of |hours|
+    rows), never a window over the raw series, never a cross
+    product."""
+    ev = load(spark, sf_dir, "events")
+
+    def hourly(etype, col):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias(
+                    "hr"
+                )
+            )
+            .agg(F.sum(_cents(F.col("value"))).cast("long").alias(col))
+        )
+
+    hv = hourly("view", "x")
+    hp = hourly("purchase", "y")
+    a = hv.select(
+        "hr",
+        F.col("x").alias("xh"),
+        F.explode(F.expr("sequence(-6, 6)")).alias("lag"),
+    )
+    b = hp.select(F.col("hr").alias("hr2"), F.col("y").alias("yt"))
+    pr = a.join(b, F.col("hr2") == F.col("hr") + F.col("lag"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pr.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d("xh") * d("yt")).alias("sxy"),
+        F.sum(d("xh")).alias("sh"),
+        F.sum(d("yt")).alias("st"),
+        F.sum(d("xh") * d("xh")).alias("qh"),
+        F.sum(d("yt") * d("yt")).alias("qt"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sh") * F.col("st")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("qh") - F.col("sh") * F.col("sh")).cast("double")
+        * (F.col("n_pairs") * F.col("qt") - F.col("st") * F.col("st")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "lag", "n_pairs", F.round(F.try_divide(num, den), 6).alias("r_ccf")
+    ).orderBy("lag")
