@@ -28,13 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-facing op order. The driver evaluates the first 50 ops per
-# round. Coverage is at its ceiling, so r9's slots are: the 6 ops added
-# this round (first driver row needed), then the 9 ops whose
-# implementation changed this round (star-pair verification threshold,
-# simhash banding cap, MWU decimal tie term, minhash pair-frame
-# memoization), then the stale cohort — every op whose latest green
-# driver row is r2/r3, oldest first — filling the budget (overflow past
-# slot 50 spills to r10's rotation).
+# round. Coverage is at its ceiling, so each round's slots are: the ops
+# added this round (first driver row needed), then any ops whose
+# implementation changed this round, then the stale cohort — every op
+# whose latest green driver row is oldest, oldest first — filling the
+# budget (overflow past slot 50 spills to the next round's rotation).
 
 # Ops added during round 9 — each needs a first driver row.
 _R9_NEW: list[str] = [

@@ -220,7 +220,14 @@ _PAIR_CACHE: dict = {}
 def minhash_pairs_cached(spark, sf_dir: str) -> DataFrame:
     """minhash_dedup_pairs over the full documents table with the
     default knobs (word-3-shingles, threshold 0.6), memoized per
-    (applicationId, sf_dir)."""
+    (applicationId, sf_dir).
+
+    Consumer contract: under bucket-cap skew (oversized LSH buckets,
+    never on the fixtures) the frame can contain STAR pairs whose
+    jaccard is in [threshold/2, threshold) — connectivity edges held
+    to the lowered bar (see lsh_candidates / jaccard_verify). Readers
+    of the ``jaccard`` column (keep-best, cluster, rate-report) must
+    not assume every row clears the full threshold."""
     from deltasink_spark.tables import load
 
     key = (spark.sparkContext.applicationId, sf_dir)

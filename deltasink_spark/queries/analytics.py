@@ -2795,7 +2795,18 @@ def graph_kcore(spark, sf_dir):
     peeling converges in O(max-core-number) rounds."""
     e = _coorder_edges(spark, sf_dir)
     n_edges = e.count()
+    rounds = 0
     while True:
+        rounds += 1
+        if rounds > _KCORE_ROUNDS:
+            # The oracle is a fixed unroll; a deeper-peeling fixture
+            # would desync impl and oracle SILENTLY (the oracle flags
+            # non-convergence but still hashes). Fail actionably here.
+            raise RuntimeError(
+                f"graph_kcore peeled past _KCORE_ROUNDS={_KCORE_ROUNDS} "
+                "without converging; bump _KCORE_ROUNDS so the DuckDB "
+                "oracle's unrolled CTE chain matches the fixpoint"
+            )
         deg = (
             e.select(F.col("s1").alias("k"))
             .unionByName(e.select(F.col("s2").alias("k")))

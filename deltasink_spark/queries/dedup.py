@@ -84,6 +84,11 @@ def dedup_exact_hash(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup pair frame (see operators/minhash.py). NOTE: under
+    bucket-cap skew (never on fixtures — max bucket 13 vs cap 64) the
+    output may include star pairs with jaccard in [0.3, 0.6), the
+    lowered connectivity bar; the oracle is the uncapped all-pairs
+    Jaccard, identical whenever the cap does not fire."""
     return minhash_pairs_cached(spark, sf_dir)
 
 

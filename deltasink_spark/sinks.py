@@ -299,6 +299,11 @@ class ExactlyOnceParquetSink:
         since my checkpoint?" without pre-inspecting the ledger."""
         records = self._ledger_records()
         n = len(records)
+        if from_version > to_version:
+            raise ValueError(
+                f"reversed version range ({from_version}, {to_version}]: "
+                "from_version must be <= to_version"
+            )
         if not (-1 <= from_version < n and 0 <= to_version < n):
             raise ValueError(
                 f"version range ({from_version}, {to_version}] outside ledger 0..{n - 1}"

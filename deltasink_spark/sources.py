@@ -221,6 +221,8 @@ def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
     if stale:
         import shutil
 
+        import pyarrow.parquet as _pq
+
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         (
@@ -230,14 +232,58 @@ def events_stream_batched(spark: SparkSession, sf_dir: str, n_batches: int = 4) 
             .write.mode("overwrite")
             .parquet(stage)
         )
-        # part-0000k order == ascending ts ranges; make discovery order
-        # (modification time) match.
         parts = sorted(
             f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
         )
-        base = int(os.path.getmtime(os.path.join(stage, parts[0])))
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(stage, f), (base + i, base + i))
+        counts = [
+            _pq.ParquetFile(os.path.join(stage, f)).metadata.num_rows for f in parts
+        ]
+        total = sum(counts)
+        # Consumers' oracles (stream_progress_metrics) count the
+        # non-empty slices, so the stage GUARANTEES min(n_batches,
+        # rows) of them. repartitionByRange picks boundaries by
+        # sampling — a tiny or ts-skewed fixture can leave a range
+        # empty; fall back to an exact row_number split (global sort is
+        # fine: staging runs once per fixture fingerprint).
+        want = min(n_batches, total)
+        if sum(1 for c in counts if c > 0) != want and total > 0:
+            from pyspark.sql import Window as _W
+            from pyspark.sql import functions as F
+
+            for f in parts:
+                os.remove(os.path.join(stage, f))
+            ranked = load_table(spark, sf_dir, "events").withColumn(
+                "_rn", F.row_number().over(_W.orderBy("ts", "event_id"))
+            )
+            parts = []
+            for k in range(want):
+                sl = ranked.filter(
+                    F.expr(f"((_rn - 1) * {want}) div {total} = {k}")
+                )
+                tmp = os.path.join(stage, f"_w{k}")
+                sl.drop("_rn").orderBy("ts").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                src_f = next(
+                    x
+                    for x in os.listdir(tmp)
+                    if x.startswith("part-") and x.endswith(".parquet")
+                )
+                dst = f"part-{k:05d}-exact.parquet"
+                os.rename(os.path.join(tmp, src_f), os.path.join(stage, dst))
+                shutil.rmtree(tmp)
+                parts.append(dst)
+        else:
+            for f, c in zip(parts, counts):
+                if c == 0:
+                    os.remove(os.path.join(stage, f))
+            parts = [f for f, c in zip(parts, counts) if c > 0]
+        # part-0000k order == ascending ts ranges; make discovery order
+        # (modification time) match.
+        if parts:
+            base = int(os.path.getmtime(os.path.join(stage, parts[0])))
+            for i, f in enumerate(parts):
+                os.utime(os.path.join(stage, f), (base + i, base + i))
         with open(done, "w") as fh:
             fh.write(fingerprint)
     schema = (
