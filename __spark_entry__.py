@@ -34,58 +34,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
-# Ops added during round 9 — each needs a first driver row.
-_R9_NEW: list[str] = [
-    "scan_delta_cdf",
-    "sink_topic_routing",
-    "stream_late_sideoutput",
-    "stream_progress_metrics",
-    "avro_schema_compat",
-    "sql_session_variables",
-    "cdf_incremental_sync",
-    "stats_spearman",
-    "dedup_minhash_incremental",
-    "stats_kruskal_wallis",
-    "text_kneser_ney_bigram",
-    "ts_longest_streak",
-    "dq_referential_integrity",
-    "join_size_estimate_sampled",
-    "event_path_topk",
-    "tokenizer_roundtrip",
-    "stats_levene",
-    "ts_cross_correlation",
+# Ops added during round 10 — each needs a first driver row.
+_R10_NEW: list[str] = [
+    "sink_delta_log",
+    "scan_delta_log",
+    "scan_delta_log_time_travel",
+    "sink_delta_delete_where",
+    "scan_delta_log_cdf",
+    "stream_table_source",
 ]
 
-# Ops whose code changed in r9 — re-verification required.
-_R9_CHANGED = [
-    "eval_simhash_banding",
-    "stats_mannwhitney_u",
-    "dedup_minhash_lsh",
-    "dedup_cluster",
-    "dedup_apply_keep_best",
-    "dedup_rate_report",
-    "pipeline_llm_prep",
-    "pipeline_training_prep",
-    "dedup_image_phash",
+# Ops whose code changed in r10 — re-verification required
+# (graph_kcore: fixpoint-depth guard; the events_stream_batched
+# consumers: non-empty-slice staging guarantee; the read_changes
+# consumers: reversed-range validation).
+_R10_CHANGED = [
     "graph_kcore",
+    "stream_progress_metrics",
+    "stream_session",
+    "sink_topic_routing",
+    "scan_delta_cdf",
+    "cdf_incremental_sync",
 ]
 
-# Stale cohort: latest green driver row is r2 (first 25) or r3 —
-# re-verification only, so overflow past slot 50 is harmless.
-_R9_STALE = [
+# Stale cohort: every op whose latest green driver row is r3 or older
+# (the r9 verdict's list), oldest first — one more rotation finishes
+# the job (no op older than r5 afterwards).
+_R10_STALE = [
     # r2-era
-    "fn_conv", "fn_date", "fn_hash", "fn_math", "fn_regex", "fn_string",
-    "scan_json", "scan_parquet", "set_except", "sim_ann_lsh",
-    "sim_cosine_pairs", "sim_topk_join", "sim_topk_search",
-    "text_fingerprint", "text_keyword_filter", "text_lang_id",
-    "text_normalize", "text_quality", "text_tf", "text_tfidf",
-    "text_token_count", "udf_scalar_py", "udtf_py", "win_cume",
-    "win_rank",
+    "fn_array", "win_rank", "win_cume", "udtf_py",
     # r3-era
     "agg_approx_distinct", "agg_approx_quantile", "agg_hll_sketch",
     "agg_hll_union", "agg_quantile", "ann_ivf", "contamination_check",
     "data_mixture", "dedup_simhash", "doc_chunking",
-    "fn_array", "multimodal_decode", "multimodal_features",
+    "multimodal_decode", "multimodal_features",
     "multimodal_frame_sample", "multimodal_resize",
     "repetition_filter", "sample_frac",
     "scan_csv", "scan_orc", "seq_pack", "sink_parquet_batch",
@@ -96,7 +78,7 @@ _R9_STALE = [
 
 
 def _ordered_ids() -> list[str]:
-    groups = (_R9_NEW, _R9_CHANGED, _R9_STALE)
+    groups = (_R10_NEW, _R10_CHANGED, _R10_STALE)
     head = [op for g in groups for op in g if op in registry.QUERIES]
     placed = set(head)
     mid = [op for op in registry.QUERIES if op not in placed]

@@ -12,6 +12,7 @@ from deltasink_spark.queries import (  # noqa: F401
     aggregates,
     analytics,
     dedup,
+    delta_log_ops,
     ingest,
     joins,
     llmprep,
