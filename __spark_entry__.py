@@ -42,6 +42,10 @@ _R10_NEW: list[str] = [
     "sink_delta_delete_where",
     "scan_delta_log_cdf",
     "stream_table_source",
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
+    "join_stream_stream_full",
+    "kafka_read_committed",
 ]
 
 # Ops whose code changed in r10 — re-verification required

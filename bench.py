@@ -237,6 +237,41 @@ R9DOPS = [
     "ts_cross_correlation",      # lead-lag CCF on two hourly series
 ]
 
+# r10 additions — own group (first recording becomes the r11 baseline).
+# The other eight r10 ops are excluded by the standing group policy:
+# the five delta-log ops + kafka_read_committed are sink/IO fixtures
+# (staged-write cost, not a query plan), join_stream_stream_full and
+# stream_table_source are real StreamingQuery drains.
+R10OPS = [
+    "tokenizer_unigram_train",   # 2-round hard-EM unigram-LM training
+    "tokenizer_unigram_encode",  # corpus encode under the trained pieces
+]
+
+# Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
+# hide the build cost inside warm-up, so a regression in the BUILD path
+# is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
+# pass of its cheapest consumer; recorded as "cold_builds" in the JSON
+# (reference medians in BASELINE.md). Off by default so the recorded
+# group medians stay comparable across rounds.
+COLD_BUILDS = {
+    "minhash_pair_frame": "dedup_minhash_lsh",
+    "bpe_vocab": "bpe_train",
+    "coorder_edges": "graph_components",
+    "unigram_pieces": "tokenizer_unigram_train",
+}
+
+
+def _bust_memo_caches() -> None:
+    from deltasink_spark.operators import minhash as _mh
+    from deltasink_spark.operators import unigram as _ug
+    from deltasink_spark.queries import analytics as _an
+    from deltasink_spark.queries import trainprep as _tp
+
+    _mh._PAIR_CACHE.clear()
+    _tp._BPE_CACHE.clear()
+    _an._EDGE_CACHE.clear()
+    _ug._UG_CACHE.clear()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -249,7 +284,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -342,8 +377,26 @@ def main() -> None:
         "r9dops": round(
             sum(t for op, t in timings.items() if op in R9DOPS), 4
         ),
+        "r10ops": round(
+            sum(t for op, t in timings.items() if op in R10OPS), 4
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("DS_BENCH_COLD"):
+        cold: dict[str, float] = {}
+        for label, op in COLD_BUILDS.items():
+            if op not in registry.QUERIES:
+                continue
+            try:
+                _bust_memo_caches()
+                t0 = time.perf_counter()
+                registry.QUERIES[op](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                cold[label] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                errors[f"cold:{label}"] = f"{type(exc).__name__}: {exc}"[:300]
+        out["cold_builds"] = cold
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

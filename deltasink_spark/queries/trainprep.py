@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import sql_df_capped_cte
+from deltasink_spark.operators.unigram import sql_train_ctes as _ug_ctes
 from deltasink_spark.registry import query
 from deltasink_spark.tables import fanout, load
 
@@ -1629,4 +1630,86 @@ def tokenizer_roundtrip(spark, sf_dir):
         .cast("long")
         .alias("n_lossless"),
         F.coalesce(F.sum("wf"), F.lit(0)).cast("long").alias("n_occurrences"),
+    )
+
+# --- unigram-LM (SentencePiece-style) tokenizer ---------------------------
+
+
+@query(
+    "tokenizer_unigram_train",
+    oracle="WITH " + _ug_ctes() + "\n    SELECT piece, cnt, lp FROM lp2",
+)
+def tokenizer_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    algorithm Llama-family pipelines train, the r9 verdict's missing
+    #4; BPE's sibling in §2.11): seed vocabulary from substring counts
+    (all single chars + top-200 multi-char substrings), then
+    EM_ROUNDS=2 of hard EM — Viterbi-segment the word vocabulary under
+    current piece log-probs, re-estimate log-probs from the chosen
+    segments' counts, prune pieces no segmentation uses (single chars
+    floored, never pruned — coverage). Emits the trained piece table
+    (piece, cnt, lp): the artifact that IS the tokenizer.
+
+    Engine parity: the Viterbi DP is a FIXED 12-level unrolled chain
+    (pieces <= 4 chars bound the lookback) generated from the same
+    constants as the DuckDB oracle's MATERIALIZED CTE chain
+    (operators/unigram.py — the hilbert shared-generator move); lp
+    rounds each ln at 6 dp ([text_kneser_ney_bigram]'s libm rule); the
+    argmax tie-break (score DESC, n_pieces ASC, seg ASC) is a total
+    order. The EM step is pinned against a brute-force all-
+    segmentations reference in tests/test_hypothesis.py.
+
+    Scale: vocabulary-collapsed — the DP runs on distinct words with
+    frequencies (two hash aggs from the corpus); each level is one
+    broadcast join of the piece table + a per-word argmax window over
+    a vocab-sized frame. Memoized per (applicationId, sf_dir)
+    (train-once/consume-many; [tokenizer_unigram_encode] shares it)."""
+    from deltasink_spark.operators.unigram import unigram_train_cached
+
+    pieces, _ = unigram_train_cached(spark, sf_dir)
+    return pieces.select("piece", "cnt", "lp")
+
+
+@query(
+    "tokenizer_unigram_encode",
+    oracle="WITH " + _ug_ctes() + """,
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+    wl AS (SELECT word,
+                  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces
+           FROM v2_best)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_pieces) AS BIGINT) AS n_unigram_tokens
+    FROM tok t JOIN wl USING (word)
+    GROUP BY t.doc_id""",
+)
+def tokenizer_unigram_encode(spark, sf_dir):
+    """ENCODE with the trained unigram tokenizer: per-document token
+    accounting (words in, unigram pieces out) under the FINAL Viterbi
+    segmentations — the corpus-wide token-budget pass
+    ([tokenizer_encode] is the BPE twin). Words longer than MAXLEN=12
+    chars are outside the training contract and drop from the join
+    (fixture max is 8 — a no-op here, documented for the general
+    case).
+
+    Scale: one equi-join of the exploded token stream against the
+    |distinct words|-sized segmentation table (broadcastable) + one
+    combining per-doc hash agg; the memoized train is not re-run."""
+    from deltasink_spark.operators.unigram import unigram_train_cached
+
+    _, best = unigram_train_cached(spark, sf_dir)
+    wl = best.select(
+        "word", F.size(F.split(F.col("seg"), " ")).cast("long").alias("n_pieces")
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_unigram_tokens"),
+        )
     )

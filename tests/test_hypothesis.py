@@ -176,3 +176,74 @@ def test_bpe_string_replace_equals_greedy_merge(chars, pair):
             out.append(chars[i])
             i += 1
     assert via_replace == " ".join(out)
+
+
+# --- unigram-LM Viterbi DP vs brute-force enumeration ----------------------
+
+import math
+
+
+def _brute_best_seg(word: str, lp: dict[str, float]):
+    """All segmentations of ``word`` into vocab pieces, scored by
+    left-to-right float accumulation (the DP's association order);
+    best by (score DESC, n_pieces ASC, seg ASC) — the module's total
+    order."""
+    outs = []
+
+    def rec(i, score, parts):
+        if i == len(word):
+            outs.append((-score, len(parts), " ".join(parts)))
+            return
+        for l in range(1, min(4, len(word) - i) + 1):
+            piece = word[i : i + l]
+            if piece in lp:
+                rec(i + l, score + lp[piece], parts + [piece])
+
+    rec(0, 0.0, [])
+    assert outs, "single chars guarantee segmentability"
+    return min(outs)[2]
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=7), min_size=1,
+        max_size=5, unique=True,
+    ),
+    multis=st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=4), max_size=6,
+        unique=True,
+    ),
+    counts=st.lists(st.integers(1, 1000), min_size=20, max_size=20),
+)
+def test_unigram_viterbi_matches_bruteforce(spark, words, multis, counts):
+    """viterbi_best's fixed-depth unrolled DP (operators/unigram.py)
+    returns EXACTLY the segmentation a brute-force enumeration of all
+    piece decompositions picks under the same scoring and tie-break —
+    for any word set and any piece table containing the single-char
+    floor. Pins the EM E-step the oracle chain replays."""
+    from pyspark.sql import functions as F
+
+    from deltasink_spark.operators.unigram import viterbi_best
+
+    singles = sorted({c for w in words for c in w})
+    pieces = singles + [m for m in multis if m not in singles]
+    cnts = {p: counts[i % len(counts)] for i, p in enumerate(pieces)}
+    t, v = sum(cnts.values()), len(cnts)
+    lp = {
+        p: round(math.log(c + 1), 6) - round(math.log(t + v), 6)
+        for p, c in cnts.items()
+    }
+    wdf = spark.createDataFrame(
+        [(w, 1, len(w)) for w in words], "word string, wf long, n int"
+    )
+    pdf = spark.createDataFrame(
+        [(p, lp[p]) for p in pieces], "piece string, lp double"
+    )
+    got = {
+        r["word"]: r["seg"] for r in viterbi_best(wdf, pdf).collect()
+    }
+    for w in words:
+        assert got[w] == _brute_best_seg(w, lp), (
+            f"word {w!r}: DP={got[w]!r} brute={_brute_best_seg(w, lp)!r}"
+        )

@@ -1206,3 +1206,104 @@ def test_late_router_recovers_watermark_after_restart(spark, tmp_path):
     main = {r["event_id"] for r in r2.main.read_committed(spark).collect()}
     assert late == {3}
     assert main == {1, 2, 4}
+
+
+def test_stream_stream_full_outer_both_sides_gated(spark, tmp_path):
+    """join_stream_stream_full semantics: LEFT nulls gate on the
+    window end (ts_a + 5min < wm), RIGHT nulls gate on the row's own
+    event time (ts_b < wm, since a right row only matches
+    earlier-or-equal lefts and sub-watermark lefts are dropped);
+    unsealed rows of either side stay in state, absent from output."""
+
+    def drain(batches):
+        src = _stage_batches(spark, tmp_path, batches, EVENT_SCHEMA)
+
+        def stream():
+            return _read_stream(spark, src, EVENT_SCHEMA).withWatermark(
+                "ts", "5 minutes"
+            )
+
+        a = stream().select(
+            F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid"),
+            F.col("ts").alias("ts_a"),
+        )
+        b = stream().select(
+            F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid2"),
+            F.col("ts").alias("ts_b"),
+        )
+        joined = a.join(
+            b,
+            (F.col("uid") == F.col("uid2"))
+            & (F.col("eid_a") < F.col("eid_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+            "fullOuter",
+        ).select("eid_a", "eid_b")
+        name = "fo_" + uuid.uuid4().hex[:8]
+        run_to_memory(joined, name, output_mode="append")
+        return {(r["eid_a"], r["eid_b"]) for r in spark.table(name).collect()}
+
+    # users: event 1,2 match (user 1); event 5 (user 2) can never match
+    # as LEFT (no later user-2 row) nor as RIGHT (no earlier user-2 row)
+    b1 = [
+        (1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+        (2, _ts("2024-01-01 10:04:00"), 1, 1.0),
+        (5, _ts("2024-01-01 10:02:00"), 2, 1.0),
+    ]
+    b2 = [(9, _ts("2024-01-01 10:30:00"), 3, 1.0)]
+
+    # Phase 1: wm = 09:59 — nothing sealed beyond the matched pair.
+    assert drain([b1]) == {(1, 2)}
+    # Phase 2: wm = 10:25. Event 5 seals BOTH ways: as unmatched left
+    # (window end 10:07 < wm) -> (5, None); as unmatched right
+    # (ts 10:02 < wm) -> (None, 5). Events 1,2 are matched so no null
+    # rows; event 9's windows are open -> absent.
+    out = drain([b1, b2])
+    assert (5, None) in out and (None, 5) in out
+    assert (1, 2) in out
+    assert all(9 not in (x, y) for x, y in out)
+    # events 1,2 matched: 2 can still null-emit as RIGHT? No: it HAS a
+    # match (1,2) but full outer still only suppresses the null row for
+    # MATCHED rows — assert no spurious nulls for 1 or 2
+    assert (1, None) not in out and (None, 2) not in out
+
+
+def test_kafka_read_committed_offset_gaps(spark):
+    """read_committed must deliver offset GAPS where aborted-txn data
+    sat (offsets are log positions, not renumbered), and the aborted
+    event_ids must be absent; read_uncommitted sees everything."""
+    from deltasink_spark.operators.pyds import (
+        FixtureKafkaStreamDataSource,
+        _kafka_txn_aborted,
+    )
+    from deltasink_spark.queries.sources_sinks import _run_until
+    from deltasink_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    spark.dataSource.register(FixtureKafkaStreamDataSource)
+    total = load(spark, sf, "events").count()
+    eids = [r[0] for r in load(spark, sf, "events").select("event_id").collect()]
+    n_aborted = sum(1 for e in eids if _kafka_txn_aborted(e))
+    assert n_aborted > 0, "fixture must exercise the aborted path"
+
+    def read(iso, min_rows):
+        s = (
+            spark.readStream.format("fixture_kafka_stream")
+            .option("path", f"{sf}/events.parquet")
+            .option("isolation_level", iso)
+            .load()
+            .select("key", "offset")
+        )
+        return _run_until(spark, s, min_rows=min_rows)
+
+    committed = read("read_committed", total - n_aborted)
+    uncommitted = read("read_uncommitted", total)
+    got_c = {int(r["key"]) for r in committed.collect()}
+    got_u = {int(r["key"]) for r in uncommitted.collect()}
+    assert got_u == set(eids)
+    assert got_c == {e for e in eids if not _kafka_txn_aborted(e)}
+    # offset gaps: committed offsets are a strict subset missing the
+    # aborted positions, never renumbered
+    offs_c = {r["offset"] for r in committed.collect()}
+    offs_u = {r["offset"] for r in uncommitted.collect()}
+    assert offs_c < offs_u
