@@ -46,6 +46,10 @@ _R10_NEW: list[str] = [
     "tokenizer_unigram_encode",
     "join_stream_stream_full",
     "kafka_read_committed",
+    "scan_delta_log_checkpoint",
+    "sink_delta_merge",
+    "scan_delta_log_partition_prune",
+    "sink_delta_log_schema_evolution",
 ]
 
 # Ops whose code changed in r10 — re-verification required

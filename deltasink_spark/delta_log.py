@@ -17,10 +17,12 @@ reader contract, not self-agreement).
 Layout (exactly the public format):
 
     table/
-      _delta_log/00000000000000000000.json   # newline-delimited actions
-      _delta_log/00000000000000000001.json
-      _change_data/cdc-<uuid>.parquet        # CDF rows (delete commits)
-      part-<uuid>.parquet                    # data files, table root
+      _delta_log/00000000000000000000.json        # newline-delimited actions
+      _delta_log/00000000000000000010.checkpoint.parquet
+      _delta_log/_last_checkpoint                  # pointer {version, size}
+      _change_data/cdc-<uuid>.parquet              # CDF rows (DML commits)
+      part-<uuid>.parquet                          # data files, table root
+      et=view/part-<uuid>.parquet                  # partitioned layout
 
 Commit protocol: the next version file is created with O_CREAT|O_EXCL
 under an exclusive flock on a sidecar — put-if-absent, the exact
@@ -30,6 +32,10 @@ version N. Data files are written FIRST under uuid names (never
 overwritten, never shared between commits) and published by the log
 append — a crash before the append leaves unreferenced garbage that no
 reader sees, the same recovery class as sinks.py's torn ledger line.
+Rewrite commits (OPTIMIZE / DELETE / MERGE) re-validate under the lock
+that every file they remove is STILL live — a racer's interleaved
+commit aborts the stale plan (ConcurrentDeleteReadError, Delta's
+conflict taxonomy) instead of double-removing rows.
 
 Exactly-once streaming: `txn {appId, version}` actions, the real Delta
 idempotence design — foreachBatch skips a batch when its batch_id is
@@ -37,14 +43,17 @@ idempotence design — foreachBatch skips a batch when its batch_id is
 is a no-op; see DeltaLogSink.
 
 Scale: the log is METADATA — commits append O(files-touched) JSON
-actions, never data-proportional work; snapshot construction folds the
-action list (real Delta adds parquet checkpoints every 10 commits to
-bound replay — out of scope here where logs are short, noted for the
-100-TB deployment). Data-path operations (append, OPTIMIZE rewrite,
-delete_where rewrite) are distributed Spark jobs; the driver only
-moves/renames file metadata. delete_where rewrites ONLY the files that
-contain matching rows (found via one _metadata.file_path scan with the
-predicate pushed down), the copy-on-write DML Delta itself performs.
+actions, never data-proportional work. Parquet CHECKPOINTS
+(_CheckpointMixin) bound log replay: snapshot and txn folds start from
+the last checkpoint and open only the JSON tail after it, keeping
+snapshot construction O(live files + recent commits) at any table age.
+Data-path operations (append, OPTIMIZE rewrite, DELETE/MERGE rewrite)
+are distributed Spark jobs; the driver only moves/renames file
+metadata. DELETE and MERGE rewrite ONLY the files that contain matches
+(found via one predicate-pushed _metadata.file_path scan), the
+copy-on-write DML Delta itself performs; partitioned tables prune from
+add-action partitionValues without listing or opening other
+partitions' files.
 """
 
 from __future__ import annotations
@@ -55,6 +64,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame
@@ -64,19 +74,195 @@ from pyspark.sql.types import StructType
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
 _LOG_DIR = "_delta_log"
 _CDC_DIR = "_change_data"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentDeleteReadError(RuntimeError):
+    """A concurrent commit removed files this operation planned to
+    rewrite between its snapshot and its commit point — committing
+    anyway would double-remove (or resurrect) rows. The caller should
+    re-plan and retry; the name mirrors Delta's conflict taxonomy."""
 
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-class DeltaLogTable:
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+        ]
+    )
+
+
+class _CheckpointMixin:
+    """Parquet checkpoints (the Delta spec's log-compaction mechanism):
+    `_delta_log/%020d.checkpoint.parquet` holds the FULL reconstructed
+    state at a version (protocol + latest metaData + every live add +
+    txn high-water marks) as one action-per-row parquet file, and
+    `_delta_log/_last_checkpoint` points at it — so a reader folds the
+    checkpoint plus only the JSON commits AFTER it, bounding log replay
+    at any table age. At 100 TB / years of commits this is what keeps
+    snapshot construction O(live files + recent commits) instead of
+    O(all commits ever)."""
+
+    def checkpoint(self) -> int:
+        """Write a checkpoint at the current version. Returns it."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.latest_version()
+        if v < 0:
+            raise ValueError("cannot checkpoint an empty log")
+        meta = None
+        proto = None
+        adds: dict[str, dict] = {}
+        for _, a in self._actions(v):
+            if "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+        txns = self.txn_versions(refresh=True)
+        rows: list[dict] = []
+        if proto is not None:
+            rows.append({"protocol": proto})
+        if meta is not None:
+            rows.append(
+                {
+                    "metaData": {
+                        "id": meta["id"],
+                        "schemaString": meta["schemaString"],
+                        "partitionColumns": meta.get("partitionColumns", []),
+                        "createdTime": meta.get("createdTime"),
+                    }
+                }
+            )
+        for app, ver in sorted(txns.items()):
+            rows.append({"txn": {"appId": app, "version": ver}})
+        for p in adds:
+            ad = adds[p]
+            rows.append(
+                {
+                    "add": {
+                        "path": ad["path"],
+                        "partitionValues": list(
+                            (ad.get("partitionValues") or {}).items()
+                        ),
+                        "size": ad.get("size"),
+                        "modificationTime": ad.get("modificationTime"),
+                        "dataChange": ad.get("dataChange"),
+                        "stats": ad.get("stats"),
+                    }
+                }
+            )
+        schema = _checkpoint_schema()
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        table = pa.Table.from_pydict(
+            {n: pa.array(c, type=schema.field(n).type) for n, c in cols.items()},
+            schema=schema,
+        )
+        cp = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(table, cp)
+        tmp = os.path.join(self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"version": v, "size": len(rows)}))
+        os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        return v
+
+    def last_checkpoint(self) -> int | None:
+        p = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
+
+    def _checkpoint_adds(self, cv: int) -> dict[str, dict]:
+        """path -> add action from the checkpoint parquet at ``cv``."""
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
+        out: dict[str, dict] = {}
+        for rec in pq.read_table(cp, columns=["add"]).column("add").to_pylist():
+            if rec is not None:
+                rec = dict(rec)
+                rec["partitionValues"] = dict(rec.get("partitionValues") or [])
+                out[rec["path"]] = rec
+        return out
+
+    def read_via_checkpoint(self, spark):
+        """Snapshot read that starts from the checkpoint instead of
+        folding the whole JSON log: load the checkpoint's add set, then
+        open and apply ONLY the commits AFTER it (pre-checkpoint JSON
+        files are never even opened — the bounded replay every
+        long-lived Delta table depends on). Verified equal to the full
+        JSON fold by scan_delta_log_checkpoint's independent oracle."""
+        cv = self.last_checkpoint()
+        if cv is None:
+            return self.read(spark)
+        live = self._checkpoint_adds(cv)
+        for _, a in self._actions(from_version=cv + 1):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+        if not live:
+            s = self.schema()
+            if s is None:
+                raise ValueError("empty table with no metaData action")
+            return spark.createDataFrame([], s)
+        return self._read_files(spark, list(live))
+
+
+class DeltaLogTable(_CheckpointMixin):
     """One Delta table rooted at ``path`` (see module docstring)."""
 
     def __init__(self, path: str):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         os.makedirs(self.log_dir, exist_ok=True)
+        # instance-local txn high-water cache (fast replay pre-check;
+        # the authoritative fold happens under the commit lock)
+        self._txn_hw: dict[str, int] | None = None
 
     # --- log plumbing ----------------------------------------------------
 
@@ -91,10 +277,18 @@ class DeltaLogTable:
         vf = self._version_files()
         return vf[-1][0] if vf else -1
 
-    def _actions(self, as_of_version: int | None = None):
+    def _actions(
+        self,
+        as_of_version: int | None = None,
+        from_version: int = 0,
+    ):
         """Yield (version, action_dict) in commit order. The log is the
-        table: every read below is a fold over this stream."""
+        table: every read below is a fold over this stream. Files below
+        ``from_version`` are skipped WITHOUT being opened — the hook
+        checkpoint-bounded folds use."""
         for v, p in self._version_files():
+            if v < from_version:
+                continue
             if as_of_version is not None and v > as_of_version:
                 break
             with open(p) as fh:
@@ -113,7 +307,12 @@ class DeltaLogTable:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def _commit(self, actions: list[dict], precondition=None) -> int | None:
+    def _commit(
+        self,
+        actions: list[dict],
+        precondition=None,
+        first_commit_actions: list[dict] | None = None,
+    ) -> int | None:
         """Atomically publish ``actions`` as the next version. The
         version file is created O_CREAT|O_EXCL — put-if-absent, so a
         racer targeting the same version number fails loudly instead
@@ -121,11 +320,16 @@ class DeltaLogTable:
         ``precondition`` (if given) re-validates against the CURRENT
         log under the lock — returning False aborts the commit (-> None),
         the optimistic-concurrency re-check a txn replay or concurrent
-        OPTIMIZE needs. Returns the committed version."""
+        OPTIMIZE needs. ``first_commit_actions`` (protocol + metaData)
+        are prepended iff this commit wins version 0 — decided UNDER
+        the lock, so two racing first appends can never both ledger a
+        table identity. Returns the committed version."""
         with self._commit_lock():
             if precondition is not None and not precondition():
                 return None
             v = self.latest_version() + 1
+            if v == 0 and first_commit_actions:
+                actions = list(first_commit_actions) + actions
             p = os.path.join(self.log_dir, f"{v:020d}.json")
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             try:
@@ -134,46 +338,132 @@ class DeltaLogTable:
                 os.fsync(fd)
             finally:
                 os.close(fd)
+            for a in actions:  # keep the txn fast-path cache warm
+                if "txn" in a and self._txn_hw is not None:
+                    t = a["txn"]
+                    self._txn_hw[t["appId"]] = max(
+                        self._txn_hw.get(t["appId"], -1), t["version"]
+                    )
             return v
 
     # --- snapshot state ---------------------------------------------------
 
-    def snapshot_files(self, as_of_version: int | None = None) -> list[str]:
-        """Live data file paths (relative) at a version: adds minus
-        removes, in first-add order — the canonical Delta snapshot
-        fold."""
-        live: dict[str, bool] = {}
+    def snapshot_adds(self, as_of_version: int | None = None) -> dict[str, dict]:
+        """path -> add action for every live file at a version (adds
+        minus removes, in first-add order) — the canonical Delta
+        snapshot fold, one implementation shared by every reader."""
+        live: dict[str, dict] = {}
         for _, a in self._actions(as_of_version):
             if "add" in a:
-                live[a["add"]["path"]] = True
+                live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
-        return list(live)
+        return live
 
-    def txn_versions(self) -> dict[str, int]:
+    def snapshot_files(self, as_of_version: int | None = None) -> list[str]:
+        return list(self.snapshot_adds(as_of_version))
+
+    def _files_still_live(self, paths: list[str]):
+        """Commit-lock precondition for rewrite commits (OPTIMIZE /
+        DELETE / MERGE): every file this commit removes must STILL be
+        live in the CURRENT log — a concurrent commit that rewrote any
+        of them between our snapshot and our commit point makes this
+        plan stale (Delta's ConcurrentDeleteRead conflict class; the
+        sinks.py ConcurrentCompactionError discipline)."""
+        need = set(paths)
+
+        def check() -> bool:
+            return need <= set(self.snapshot_files())
+
+        return check
+
+    def txn_versions(self, refresh: bool = False) -> dict[str, int]:
         """appId -> highest committed txn version (the exactly-once
-        high-water mark)."""
+        high-water mark). The fold starts from the last CHECKPOINT's
+        txn rows and opens only the JSON tail after it (O(recent
+        commits), not O(all commits) — the checkpoint exists exactly to
+        bound this). Cached per instance for the replay fast path;
+        ``refresh=True`` (used under the commit lock) re-folds."""
+        if self._txn_hw is not None and not refresh:
+            return dict(self._txn_hw)
         hw: dict[str, int] = {}
-        for _, a in self._actions():
+        start = 0
+        cv = self.last_checkpoint()
+        if cv is not None:
+            import pyarrow.parquet as pq
+
+            cp = os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
+            for rec in (
+                pq.read_table(cp, columns=["txn"]).column("txn").to_pylist()
+            ):
+                if rec is not None:
+                    hw[rec["appId"]] = max(hw.get(rec["appId"], -1), rec["version"])
+            start = cv + 1
+        for _, a in self._actions(from_version=start):
             if "txn" in a:
                 t = a["txn"]
                 hw[t["appId"]] = max(hw.get(t["appId"], -1), t["version"])
+        self._txn_hw = dict(hw)
         return hw
 
-    def schema(self) -> StructType | None:
-        s = None
+    def _metadata_dict(self) -> dict | None:
+        m = None
         for _, a in self._actions():
             if "metaData" in a:
-                s = StructType.fromJson(json.loads(a["metaData"]["schemaString"]))
-        return s
+                m = a["metaData"]
+        return m
+
+    def schema(self) -> StructType | None:
+        m = self._metadata_dict()
+        if m is None:
+            return None
+        return StructType.fromJson(json.loads(m["schemaString"]))
+
+    def partition_columns(self) -> tuple[str, ...]:
+        cols: tuple[str, ...] = ()
+        for _, a in self._actions():
+            if "metaData" in a:
+                cols = tuple(a["metaData"].get("partitionColumns", []))
+        return cols
 
     # --- data-file staging -------------------------------------------------
 
-    def _stage_files(self, df: DataFrame, prefix: str = "part") -> list[dict]:
+    def _read_files(self, spark, rel_paths: list[str]) -> DataFrame:
+        """Read data files with basePath anchored at the table root, so
+        a partitioned table's Hive dirs re-materialize their partition
+        columns (a no-op for root-level files). The LOG's schemaString
+        is imposed on the scan — the log, not any one file footer,
+        defines the table's columns, which is what makes schema
+        EVOLUTION readable: files written before a widening commit
+        simply surface the new columns as null."""
+        reader = spark.read.option("basePath", self.path)
+        s = self.schema()
+        if s is not None:
+            reader = reader.schema(s)
+        return reader.parquet(*[os.path.join(self.path, p) for p in rel_paths])
+
+    def _rel_of_uri(self, uri: str) -> str:
+        """Map a _metadata.file_path URI back to the log's relative
+        path (strip scheme, percent-decode — Hive dirs escape spaces
+        etc., and the URI escapes the escapes)."""
+        p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+        return os.path.relpath(p, self.path)
+
+    def _stage_files(
+        self,
+        df: DataFrame,
+        prefix: str = "part",
+        partition_by: tuple[str, ...] = (),
+    ) -> list[dict]:
         """Write ``df``'s partitions as uniquely-named parquet files in
-        the table root and return their add actions (path, size,
-        modificationTime, stats). Files become VISIBLE only when a
-        commit references them. Stats carry numRecords + per-column
+        the table root (under Hive-style partition dirs when
+        ``partition_by`` is set — Delta's physical layout for
+        partitioned tables) and return their add actions (path,
+        partitionValues, size, modificationTime, stats). Files become
+        VISIBLE only when a commit references them. partitionValues are
+        stored UNESCAPED (the dir name is Hive-escaped; the protocol
+        carries the logical value; NULL is the Hive default-partition
+        sentinel -> None). Stats carry numRecords + per-column
         min/max/nullCount (Delta's file-skipping stats), computed from
         the written files with one Spark agg grouped by
         _metadata.file_path — reading back what was written, never
@@ -181,14 +471,21 @@ class DeltaLogTable:
         desync stats from data)."""
         spark = df.sparkSession
         tmp = os.path.join(self.path, f"tmp_stage_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
-        written = [
-            f for f in os.listdir(tmp)
-            if f.startswith("part-") and f.endswith(".parquet")
-        ]
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        written: list[str] = []  # paths relative to tmp
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    written.append(
+                        os.path.relpath(os.path.join(root, f), tmp)
+                    )
         atomic = [
             f.name for f in df.schema.fields
-            if f.dataType.typeName()
+            if f.name not in partition_by
+            and f.dataType.typeName()
             in {"long", "integer", "short", "byte", "double", "float", "string",
                 "date", "timestamp", "boolean", "decimal"}
         ]
@@ -209,12 +506,23 @@ class DeltaLogTable:
             )
             for r in per_file:
                 d = r.asDict()
-                stats_rows[os.path.basename(d["fp"])] = d
+                p = urllib.parse.unquote(urllib.parse.urlparse(d["fp"]).path)
+                stats_rows[os.path.relpath(p, tmp)] = d
         adds = []
         for f in sorted(written):
-            final = f"{prefix}-{uuid.uuid4().hex}.parquet"
+            part_dir = os.path.dirname(f)  # e.g. "event_type=view" or ""
+            pvals: dict[str, str | None] = {}
+            for seg in part_dir.split(os.sep) if part_dir else []:
+                k, _, v = seg.partition("=")
+                pvals[k] = (
+                    None if v == _HIVE_NULL else urllib.parse.unquote(v)
+                )
+            final = os.path.join(
+                part_dir, f"{prefix}-{uuid.uuid4().hex}.parquet"
+            ) if part_dir else f"{prefix}-{uuid.uuid4().hex}.parquet"
             src = os.path.join(tmp, f)
             dst = os.path.join(self.path, final)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             st_size = os.path.getsize(src)
             os.rename(src, dst)
             srow = stats_rows.get(f)
@@ -239,7 +547,7 @@ class DeltaLogTable:
                 )
             add = {
                 "path": final,
-                "partitionValues": {},
+                "partitionValues": pvals,
                 "size": st_size,
                 "modificationTime": _now_ms(),
                 "dataChange": True,
@@ -250,7 +558,28 @@ class DeltaLogTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
-    def _metadata_actions(self, df: DataFrame) -> list[dict]:
+    def _stage_cdc(self, frame: DataFrame) -> list[dict]:
+        """Write CDF rows under _change_data/ and return cdc actions
+        (shared by delete_where and merge)."""
+        os.makedirs(os.path.join(self.path, _CDC_DIR), exist_ok=True)
+        tmp = os.path.join(self.path, f"tmp_cdc_{uuid.uuid4().hex}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        actions = []
+        for f in sorted(os.listdir(tmp)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                rel = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+                size = os.path.getsize(os.path.join(tmp, f))
+                os.rename(os.path.join(tmp, f), os.path.join(self.path, rel))
+                actions.append(
+                    {"cdc": {"path": rel, "partitionValues": {}, "size": size,
+                             "dataChange": False}}
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return actions
+
+    def _metadata_actions(
+        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> list[dict]:
         return [
             {"protocol": dict(_PROTOCOL)},
             {
@@ -258,7 +587,7 @@ class DeltaLogTable:
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by),
                     "configuration": {"delta.enableChangeDataFeed": "true"},
                     "createdTime": _now_ms(),
                 }
@@ -272,18 +601,58 @@ class DeltaLogTable:
         df: DataFrame,
         app_id: str | None = None,
         txn_version: int | None = None,
+        partition_by: tuple[str, ...] = (),
+        merge_schema: bool = False,
     ) -> int | None:
         """Append ``df`` as one commit. With (app_id, txn_version) the
         commit is idempotent: a version at or below the appId's ledgered
         high-water mark is SKIPPED (returns None) — Delta's `txn` action
-        exactly-once contract, the foreachBatch replay guard."""
+        exactly-once contract, the foreachBatch replay guard.
+        ``partition_by`` declares the table's Hive-style partitioning on
+        the FIRST commit; later appends inherit it automatically (and a
+        conflicting redeclaration raises — partitioning is a table
+        property, not a write option). Add actions carry partitionValues
+        so readers prune partitions from LOG METADATA alone.
+
+        Schema ENFORCEMENT + EVOLUTION (Delta's write contract): a df
+        carrying columns the table schema lacks is REJECTED unless
+        ``merge_schema=True``, which commits a NEW metaData action with
+        the widened schemaString (same table id) in the same commit —
+        readers impose the log schema, so pre-widening files surface
+        the new columns as null."""
         if app_id is not None and txn_version is not None:
+            # fast-path replay check off the instance cache; the
+            # authoritative re-check runs under the commit lock below
             if txn_version <= self.txn_versions().get(app_id, -1):
                 return None
-        adds = self._stage_files(df)
+        existing_pb = self.partition_columns() if self.latest_version() >= 0 else None
+        if existing_pb is not None:
+            if partition_by and tuple(partition_by) != existing_pb:
+                raise ValueError(
+                    f"table is partitioned by {existing_pb}, cannot append "
+                    f"with partition_by={tuple(partition_by)}"
+                )
+            partition_by = existing_pb
+        evolved_meta = None
+        cur_schema = self.schema()
+        if cur_schema is not None:
+            have = {f.name for f in cur_schema.fields}
+            extra = [f for f in df.schema.fields if f.name not in have]
+            if extra:
+                if not merge_schema:
+                    raise ValueError(
+                        f"schema mismatch: df carries new columns "
+                        f"{[f.name for f in extra]} the table lacks; pass "
+                        "merge_schema=True to evolve (Delta's write "
+                        "enforcement)"
+                    )
+                widened = StructType(list(cur_schema.fields) + list(extra))
+                evolved_meta = dict(self._metadata_dict())
+                evolved_meta["schemaString"] = widened.json()
+        adds = self._stage_files(df, partition_by=tuple(partition_by))
         actions: list[dict] = []
-        if self.latest_version() < 0:
-            actions += self._metadata_actions(df)
+        if evolved_meta is not None:
+            actions.append({"metaData": evolved_meta})
         if app_id is not None and txn_version is not None:
             actions.append(
                 {"txn": {"appId": app_id, "version": txn_version,
@@ -307,20 +676,30 @@ class DeltaLogTable:
             # write_batch re-check discipline). Aborting leaves the
             # staged uuid files unreferenced — invisible garbage.
             def precondition():
-                return txn_version > self.txn_versions().get(app_id, -1)
+                return txn_version > self.txn_versions(refresh=True).get(
+                    app_id, -1
+                )
 
-        return self._commit(actions, precondition)
+        # protocol+metaData ride along and are prepended only if this
+        # commit WINS version 0 (decided under the lock — two racing
+        # first appends must not both ledger a table identity)
+        return self._commit(
+            actions,
+            precondition,
+            first_commit_actions=self._metadata_actions(df, tuple(partition_by)),
+        )
 
     def optimize(self, spark, target_files: int = 2) -> int:
         """OPTIMIZE: rewrite the live snapshot as ``target_files``
-        right-sized files, committed as add+remove with
-        dataChange=false (bytes move, no logical row changes — CDF
-        readers skip the commit entirely)."""
+        right-sized files (per partition on a partitioned table),
+        committed as add+remove with dataChange=false (bytes move, no
+        logical row changes — CDF readers skip the commit entirely)."""
         live = self.snapshot_files()
         if not live:
             raise ValueError("nothing to optimize")
-        df = spark.read.parquet(*[os.path.join(self.path, p) for p in live])
-        adds = self._stage_files(df.repartition(target_files))
+        pb = self.partition_columns()
+        df = self._read_files(spark, live)
+        adds = self._stage_files(df.repartition(target_files), partition_by=pb)
         actions = []
         for a in adds:
             a = dict(a)
@@ -335,7 +714,13 @@ class DeltaLogTable:
         actions.append(
             {"commitInfo": {"timestamp": now, "operation": "OPTIMIZE"}}
         )
-        return self._commit(actions)
+        v = self._commit(actions, self._files_still_live(live))
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote part of this OPTIMIZE's "
+                "snapshot; retry"
+            )
+        return v
 
     def delete_where(self, spark, predicate_sql: str) -> int:
         """Row-level DELETE (copy-on-write, the GDPR-erasure path):
@@ -345,7 +730,8 @@ class DeltaLogTable:
            scales with matches, and parquet stats prune files whose
            min/max exclude the predicate;
         2. only those files are rewritten without their matching rows
-           (unaffected files are untouched metadata);
+           (unaffected files are untouched metadata; a partitioned
+           table's rewrites stay in their partitions);
         3. one commit: remove(dataChange=true) for each affected file,
            add for each rewrite, plus a cdc action publishing the
            deleted rows under _change_data/ with
@@ -359,9 +745,9 @@ class DeltaLogTable:
             # DELETE over an empty snapshot is a no-op, not an error
             # (an empty-corpus table legitimately has zero live files).
             return self.latest_version()
-        full = spark.read.parquet(*[os.path.join(self.path, p) for p in live])
+        full = self._read_files(spark, live)
         hit_files = [
-            os.path.basename(r[0])
+            self._rel_of_uri(r[0])
             for r in full.filter(F.expr(predicate_sql))
             .select(F.col("_metadata.file_path"))
             .distinct()
@@ -369,34 +755,15 @@ class DeltaLogTable:
         ]
         if not hit_files:
             return self.latest_version()
-        affected = spark.read.parquet(
-            *[os.path.join(self.path, p) for p in hit_files]
-        )
+        affected = self._read_files(spark, hit_files)
         kept = affected.filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         deleted = affected.filter(F.expr(predicate_sql))
-        adds = self._stage_files(kept)
-        # CDF rows: the deleted tuples, stamped with _change_type.
-        cdc_dir = os.path.join(self.path, _CDC_DIR)
-        os.makedirs(cdc_dir, exist_ok=True)
-        tmp = os.path.join(self.path, f"tmp_cdc_{uuid.uuid4().hex}")
-        deleted.withColumn("_change_type", F.lit("delete")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        cdc_actions = []
-        for f in sorted(os.listdir(tmp)):
-            if f.startswith("part-") and f.endswith(".parquet"):
-                rel = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
-                src = os.path.join(tmp, f)
-                size = os.path.getsize(src)
-                os.rename(src, os.path.join(self.path, rel))
-                cdc_actions.append(
-                    {"cdc": {"path": rel, "partitionValues": {}, "size": size,
-                             "dataChange": False}}
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
+        adds = self._stage_files(kept, partition_by=self.partition_columns())
+        cdc_actions = self._stage_cdc(
+            deleted.withColumn("_change_type", F.lit("delete"))
+        )
         now = _now_ms()
-        actions = [{"cdc": c["cdc"]} for c in cdc_actions]
-        actions += [{"add": a} for a in adds]
+        actions = cdc_actions + [{"add": a} for a in adds]
         actions += [
             {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
             for p in hit_files
@@ -410,7 +777,104 @@ class DeltaLogTable:
                 }
             }
         )
-        return self._commit(actions)
+        v = self._commit(actions, self._files_still_live(hit_files))
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this DELETE targets; retry"
+            )
+        return v
+
+    def merge(self, spark, source: DataFrame, key: str) -> int:
+        """MERGE INTO (upsert — the third leg of Delta DML after append
+        and DELETE): target rows whose ``key`` matches a source row are
+        REPLACED by the source row (whole-row update), source rows with
+        no target match are INSERTED; one atomic commit. A source with
+        DUPLICATE keys is REJECTED (ValueError) — the same ambiguity
+        real Delta MERGE refuses ("multiple source rows matched"),
+        because silently multiplying target rows corrupts the table and
+        every CDF consumer. Copy-on-write like delete_where: one key
+        semi-join finds the files containing matches, ONLY those are
+        rewritten (their unmatched rows kept verbatim), inserts ride
+        the same staged write. CDF publishes the full change vocabulary
+        per the spec: update_preimage / update_postimage pairs for
+        matched rows, insert rows for new keys — what a downstream
+        replica needs to apply the merge without re-diffing snapshots.
+
+        Scale: cost tracks files-with-matches + source size (the
+        semi-join prunes via add-action stats); the unmatched bulk of
+        the table is untouched metadata. Source is read several times
+        (matched/unmatched splits) — localCheckpoint'd first so a
+        nondeterministic source cannot desync the reads."""
+        live = self.snapshot_files()
+        if not live:
+            raise ValueError("merge into an empty table: use append")
+        src = source.localCheckpoint()
+        if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate {key} values: multiple source "
+                "rows would match the same target row (Delta rejects this)"
+            )
+        target = self._read_files(spark, live)
+        keys = F.broadcast(src.select(key).distinct())
+        hit_files = [
+            self._rel_of_uri(r[0])
+            for r in target.select(
+                F.col(key), F.col("_metadata.file_path").alias("fp")
+            )
+            .join(keys, key, "left_semi")
+            .select("fp")
+            .distinct()
+            .collect()
+        ]
+        affected = (
+            self._read_files(spark, hit_files)
+            if hit_files
+            else target.limit(0)
+        )
+        kept = affected.join(src.select(key), key, "left_anti")
+        preimage = affected.join(src.select(key), key, "left_semi")
+        updated = src.join(target.select(key), key, "left_semi")
+        inserted = src.join(target.select(key), key, "left_anti")
+        cols = target.columns
+        adds = self._stage_files(
+            kept.select(*cols)
+            .unionByName(updated.select(*cols))
+            .unionByName(inserted.select(*cols)),
+            partition_by=self.partition_columns(),
+        )
+        cdc_actions = self._stage_cdc(
+            preimage.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                updated.select(*cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                inserted.select(*cols).withColumn("_change_type", F.lit("insert"))
+            )
+        )
+        now = _now_ms()
+        actions = cdc_actions + [{"add": a} for a in adds]
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            for p in hit_files
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {"matchedPredicates": f"key={key}"},
+                }
+            }
+        )
+        v = self._commit(actions, self._files_still_live(hit_files))
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this MERGE targets; retry"
+            )
+        return v
 
     def vacuum(self) -> int:
         """Physically delete data files no longer in the CURRENT
@@ -435,16 +899,42 @@ class DeltaLogTable:
 
     def read(self, spark, as_of_version: int | None = None) -> DataFrame:
         """Snapshot read (optionally versionAsOf): fold the log, scan
-        only live files. An empty snapshot reads as the schemaString's
-        empty frame — the log, not the file listing, is the source of
-        truth."""
+        only live files (basePath-anchored, so a partitioned table's
+        partition columns re-materialize). An empty snapshot reads as
+        the schemaString's empty frame — the log, not the file listing,
+        is the source of truth."""
         files = self.snapshot_files(as_of_version)
         if not files:
             s = self.schema()
             if s is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s)
-        return spark.read.parquet(*[os.path.join(self.path, p) for p in files])
+        return self._read_files(spark, files)
+
+    def read_partition(
+        self, spark, as_of_version: int | None = None, **partition_filter: str
+    ) -> DataFrame:
+        """Partition-pruned snapshot read: select live files by their
+        add-action partitionValues — pruning happens in LOG METADATA,
+        no file footer (let alone data page) of a non-matching
+        partition is ever opened; this is Delta's partition pruning,
+        which at 100 TB is the difference between scanning one day and
+        listing three years. Shares snapshot_adds (the one fold) and
+        supports versionAsOf like every other read."""
+        adds = self.snapshot_adds(as_of_version)
+        hit = [
+            p for p, a in adds.items()
+            if all(
+                (a.get("partitionValues") or {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        ]
+        if not hit:
+            s = self.schema()
+            if s is None:
+                raise ValueError("empty table with no metaData action")
+            return spark.createDataFrame([], s)
+        return self._read_files(spark, hit)
 
     def read_changes(self, spark, from_version: int, to_version: int) -> DataFrame:
         """CDF read over (from_version, to_version]: per commit, cdc
@@ -462,9 +952,7 @@ class DeltaLogTable:
                 f"version range ({from_version}, {to_version}] outside log 0..{latest}"
             )
         by_version: dict[int, dict[str, list]] = {}
-        for v, a in self._actions(to_version):
-            if v <= from_version:
-                continue
+        for v, a in self._actions(to_version, from_version=from_version + 1):
             slot = by_version.setdefault(v, {"cdc": [], "add": []})
             if "cdc" in a:
                 slot["cdc"].append(a["cdc"]["path"])
@@ -474,14 +962,15 @@ class DeltaLogTable:
         for v in sorted(by_version):
             slot = by_version[v]
             if slot["cdc"]:
+                # cdc files carry partition columns as ordinary data
+                # columns — no basePath needed (they live under the
+                # underscore-prefixed _change_data dir)
                 d = spark.read.parquet(
                     *[os.path.join(self.path, p) for p in slot["cdc"]]
                 )
                 parts.append(d.withColumn("_commit_version", F.lit(v).cast("long")))
             elif slot["add"]:
-                d = spark.read.parquet(
-                    *[os.path.join(self.path, p) for p in slot["add"]]
-                )
+                d = self._read_files(spark, slot["add"])
                 parts.append(
                     d.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -501,14 +990,21 @@ class DeltaLogSink:
     """foreachBatch adapter: exactly-once streaming append into a
     DeltaLogTable via `txn {appId, version=batch_id}` actions (the
     replay guard sinks.py implements with its bespoke ledger, here in
-    the public format)."""
+    the public format). Writes a parquet CHECKPOINT every
+    ``checkpoint_interval`` commits — delta-spark's own cadence (10) —
+    so a long-lived stream's log folds stay bounded (the txn replay
+    check reads the checkpoint + tail, never the whole history)."""
 
-    def __init__(self, path: str, app_id: str):
+    def __init__(self, path: str, app_id: str, checkpoint_interval: int = 10):
         self.table = DeltaLogTable(path)
         self.app_id = app_id
+        self.checkpoint_interval = checkpoint_interval
 
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
-        return self.table.append(df, self.app_id, batch_id) is not None
+        v = self.table.append(df, self.app_id, batch_id)
+        if v is not None and v > 0 and v % self.checkpoint_interval == 0:
+            self.table.checkpoint()
+        return v is not None
 
     def foreach_batch(self):
         def fn(df: DataFrame, batch_id: int) -> None:
@@ -527,9 +1023,10 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 class _AddFilePartition(InputPartition):
-    def __init__(self, abs_path: str, version: int) -> None:
+    def __init__(self, abs_path: str, version: int, pvals: dict) -> None:
         self.abs_path = abs_path
         self.version = version
+        self.pvals = pvals
 
 
 class DeltaTableStreamReader(DataSourceStreamReader):
@@ -542,15 +1039,26 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     is O(new commits), never a table rescan — the log IS the change
     index, the same read that makes delta-spark's streaming source
     incremental). OPTIMIZE commits (dataChange=false) are skipped
-    entirely. A remove with dataChange=true (a DELETE) in the range
-    RAISES unless ignore_deletes is set — exactly delta-spark's
-    streaming-source contract (ignoreDeletes), because silently
-    skipping a delete would desync every downstream replica."""
+    entirely. A commit containing a dataChange remove (a DELETE/MERGE)
+    RAISES unless ignore_deletes is set; with it, the WHOLE commit is
+    skipped — its rewrite adds carry mostly already-served rows, so
+    serving them would deliver duplicates (delta-spark's ignoreDeletes
+    likewise never re-serves rewrite files). Partitioned tables
+    re-materialize their partition columns from each add's
+    partitionValues so batches match the declared schema."""
 
     def __init__(self, options) -> None:
         self.path = options["path"]
         self.ignore_deletes = str(options.get("ignore_deletes", "")).lower() == "true"
         self.table = DeltaLogTable(self.path)
+        self.pcols = self.table.partition_columns()
+        s = self.table.schema()
+        self.field_order = [f.name for f in s.fields] if s else []
+        # simpleString type per field: partition columns re-materialize
+        # from partitionValues; schema-evolution gaps pad with nulls
+        self.ptypes = (
+            {f.name: f.dataType.simpleString() for f in s.fields} if s else {}
+        )
 
     def initialOffset(self) -> dict:
         return {"v": -1}
@@ -558,35 +1066,90 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"v": self.table.latest_version()}
 
-    def _range_adds(self, lo: int, hi: int) -> list[tuple[int, str]]:
-        out = []
-        for v, a in self.table._actions(hi):
-            if v <= lo:
-                continue
+    def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict]]:
+        by_version: dict[int, dict[str, list]] = {}
+        for v, a in self.table._actions(hi, from_version=max(lo + 1, 0)):
+            slot = by_version.setdefault(v, {"adds": [], "del": False})
             if "add" in a and a["add"].get("dataChange"):
-                out.append((v, a["add"]["path"]))
-            elif "remove" in a and a["remove"].get("dataChange") and not self.ignore_deletes:
-                raise ValueError(
-                    f"commit {v} deletes data; streaming a table with "
-                    "row-level deletes requires ignore_deletes=true "
-                    "(or a CDF read) — refusing to silently drop them"
-                )
+                slot["adds"].append(a["add"])
+            elif "remove" in a and a["remove"].get("dataChange"):
+                slot["del"] = True
+        out: list[tuple[int, dict]] = []
+        for v in sorted(by_version):
+            slot = by_version[v]
+            if slot["del"]:
+                if not self.ignore_deletes:
+                    raise ValueError(
+                        f"commit {v} deletes or rewrites data; streaming a "
+                        "table with row-level deletes requires "
+                        "ignore_deletes=true (or a CDF read) — refusing to "
+                        "silently drop them"
+                    )
+                # skip the WHOLE commit: its adds are rewrites of
+                # already-served rows — serving them would duplicate
+                continue
+            out.extend((v, a) for a in slot["adds"])
         return out
 
     def partitions(self, start: dict, end: dict):
         adds = self._range_adds(start["v"], end["v"])
         if not adds:
-            return [_AddFilePartition("", -1)]
+            return [_AddFilePartition("", -1, {})]
         return [
-            _AddFilePartition(os.path.join(self.path, p), v) for v, p in adds
+            _AddFilePartition(
+                os.path.join(self.path, a["path"]),
+                v,
+                a.get("partitionValues") or {},
+            )
+            for v, a in adds
         ]
+
+    @staticmethod
+    def _pa_type(simple: str):
+        import pyarrow as pa
+
+        return {
+            "bigint": pa.int64(), "int": pa.int32(), "smallint": pa.int16(),
+            "tinyint": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "timestamp": pa.timestamp("us"),
+            "date": pa.date32(),
+        }.get(simple, pa.string())
 
     def read(self, partition):
         if partition.version < 0:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.abs_path).iter_batches()
+        t = pq.read_table(partition.abs_path)
+        if self.field_order and (
+            self.pcols
+            or t.column_names != self.field_order
+        ):
+            # conform the file to the DECLARED schema: re-materialize
+            # partition columns from partitionValues, pad columns the
+            # file predates (schema evolution) with typed nulls, and
+            # emit in declared ORDER — the engine maps Arrow batch
+            # columns to the declared schema POSITIONALLY, so a file
+            # whose physical order differs would feed the wrong vector
+            # to the wrong accessor
+            n = t.num_rows
+            cols = {name: t.column(name) for name in t.column_names}
+            for c in self.field_order:
+                if c in cols and c not in self.pcols:
+                    continue
+                typ = self.ptypes.get(c, "string")
+                raw = partition.pvals.get(c) if c in self.pcols else None
+                if raw is None:
+                    cols[c] = pa.nulls(n, self._pa_type(typ))
+                elif typ in ("bigint", "int", "smallint", "tinyint"):
+                    cols[c] = pa.array([int(raw)] * n, self._pa_type(typ))
+                elif typ in ("double", "float"):
+                    cols[c] = pa.array([float(raw)] * n, self._pa_type(typ))
+                else:
+                    cols[c] = pa.array([raw] * n, pa.string())
+            t = pa.table({name: cols[name] for name in self.field_order})
+        yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # the engine's offset log is the only cursor needed
@@ -595,7 +1158,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 class DeltaTableStreamDataSource(DataSource):
     """``spark.readStream.format("delta_log_table")`` — schema comes
     from the table's own metaData action (schemaString), so the source
-    serves whatever the log declares."""
+    serves whatever the log declares (partition columns included)."""
 
     @classmethod
     def name(cls) -> str:

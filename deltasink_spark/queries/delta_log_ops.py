@@ -256,6 +256,174 @@ def scan_delta_log_cdf(spark, sf_dir):
 
 
 @query(
+    "scan_delta_log_checkpoint",
+    oracle=f"""
+    WITH last_cp AS (
+        SELECT CAST(version AS BIGINT) AS cv
+        FROM read_json('{os.path.join(_DL_BASE, "cp")}/_delta_log/_last_checkpoint',
+                       columns = {{"version": 'BIGINT', "size": 'BIGINT'}})
+    ),
+    cp_adds AS (
+        SELECT "add".path AS p
+        FROM read_parquet('{os.path.join(_DL_BASE, "cp")}/_delta_log/*.checkpoint.parquet')
+        WHERE "add".path IS NOT NULL
+    ),
+    tail AS (
+        SELECT "add".path AS add_path,
+               "remove".path AS rm_path,
+               CAST(regexp_extract(parse_filename(filename), '^(\\d{{20}})', 1)
+                    AS BIGINT) AS v
+        FROM read_json('{os.path.join(_DL_BASE, "cp")}/_delta_log/*.json',
+            filename = true,
+            columns = {{
+                "add": 'STRUCT(path VARCHAR, "dataChange" BOOLEAN)',
+                "remove": 'STRUCT(path VARCHAR, "dataChange" BOOLEAN)'
+            }})
+        WHERE parse_filename(filename) != '_last_checkpoint'
+    ),
+    live AS (
+        SELECT p FROM cp_adds
+        UNION
+        SELECT add_path FROM tail, last_cp
+        WHERE add_path IS NOT NULL AND v > cv
+        EXCEPT
+        SELECT rm_path FROM tail, last_cp
+        WHERE rm_path IS NOT NULL AND v > cv
+    )
+    SELECT t.event_id, t.user_id, t.value
+    FROM read_parquet('{os.path.join(_DL_BASE, "cp")}/part-*.parquet',
+                      filename = true) t
+    JOIN live ON parse_filename(t.filename) = live.p
+    """,
+)
+def scan_delta_log_checkpoint(spark, sf_dir):
+    """Parquet CHECKPOINT files — the Delta spec's log-compaction
+    mechanism that bounds snapshot construction on long-lived tables
+    (years of commits would otherwise mean folding every JSON file
+    ever): after three appends and an OPTIMIZE, `checkpoint()` writes
+    `%020d.checkpoint.parquet` (the FULL reconstructed state —
+    protocol, latest metaData, every live add with stats, txn
+    high-water marks — one action per row) and `_last_checkpoint`
+    pointing at it; a LATER append then lands as plain JSON. The Spark
+    side reads via the checkpoint (add set + only post-checkpoint
+    commits); the oracle is an INDEPENDENT double-parse — DuckDB reads
+    the checkpoint PARQUET, the pointer file, and the JSON tail, and
+    folds (checkpoint adds ∪ tail adds) minus tail removes. Agreement
+    proves the checkpoint contains exactly the reconstructed state any
+    Delta reader would resume from."""
+    t = _fresh_table("cp")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 3 == 0))
+    t.append(ev.filter(F.col("event_id") % 3 == 1))
+    t.append(ev.filter(F.col("event_id") % 3 == 2))
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+    t.checkpoint()
+    # post-checkpoint JSON tail the reader must still fold: a REAL
+    # append of shifted rows (distinct ids — both sides must see them
+    # exactly once on top of the checkpointed state)
+    t.append(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+            "user_id",
+            "value",
+        )
+    )
+    return t.read_via_checkpoint(spark)
+
+
+@query(
+    "sink_delta_merge",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 3 = 0 THEN value + 100 ELSE value END AS value
+    FROM events
+    WHERE event_id % 2 = 0 OR user_id % 3 = 0
+    """,
+)
+def sink_delta_merge(spark, sf_dir):
+    """MERGE INTO on the real-log table — the third leg of Delta DML
+    (append r10, DELETE r10, upsert here): the target holds the even
+    rows; the source is every user_id%3==0 row with value+100. Matched
+    targets are REPLACED by their source row, unmatched source rows are
+    INSERTED, in ONE commit that rewrites only the files containing
+    matches and publishes the full CDF vocabulary (update_preimage /
+    update_postimage pairs + insert rows — pinned in
+    tests/test_delta_log.py). The oracle derives the post-merge state
+    from the source views: evens keep their value unless their user is
+    in the source (then +100), and source-only odd rows appear with
+    +100."""
+    t = _fresh_table("merge")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    src = ev.filter(F.col("user_id") % 3 == 0).select(
+        "event_id", "user_id", (F.col("value") + 100).alias("value")
+    )
+    if t.snapshot_files():
+        t.merge(spark, src, "event_id")
+    elif src.limit(1).count():
+        t.append(src)  # merge into a zero-file table = insert all
+    return t.read(spark)
+
+
+@query(
+    "scan_delta_log_partition_prune",
+    oracle=f"""
+    SELECT event_id, user_id, value, event_type FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scan_delta_log_partition_prune(spark, sf_dir):
+    """Hive-partitioned Delta table + LOG-METADATA partition pruning:
+    the append declares partitionColumns=['event_type'], files land
+    under event_type=*/ dirs, and each add action carries its
+    partitionValues — so `read_partition(event_type='purchase')`
+    selects the matching live files from the LOG alone, never listing
+    or opening any other partition's files (at 100 TB: read one
+    partition, not ls three years). The oracle is the source filtered
+    to the partition; extra or missing partitions fail the hash."""
+    t = _fresh_table("part")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    t.append(ev, partition_by=("event_type",))
+    out = t.read_partition(spark, event_type="purchase")
+    return out.select("event_id", "user_id", "value", "event_type")
+
+
+@query(
+    "sink_delta_log_schema_evolution",
+    oracle="""
+    SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, value, user_id FROM events WHERE event_id % 2 = 1
+    """,
+)
+def sink_delta_log_schema_evolution(spark, sf_dir):
+    """Schema enforcement + evolution on the real log (Delta's write
+    contract, the [sink_schema_evolution] twin on the public format):
+    version 0 holds (event_id, value); an append carrying the new
+    user_id column is REJECTED without merge_schema (enforcement —
+    pinned in tests) and, with it, commits a NEW metaData action whose
+    widened schemaString governs all reads from then on: the log, not
+    any file footer, defines the table, so version-0 files surface
+    user_id as NULL with no rewrite (a pure metadata operation — at
+    100 TB, widening a column costs one JSON action, not a table
+    rewrite). The oracle derives both generations from the source."""
+    t = _fresh_table("evolve")
+    ev = load(spark, sf_dir, "events")
+    t.append(ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value"))
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "user_id"
+        ),
+        merge_schema=True,
+    )
+    return t.read(spark)
+
+
+@query(
     "stream_table_source",
     oracle=f"SELECT {', '.join(_EV_COLS)} FROM events",
 )

@@ -234,3 +234,254 @@ def test_add_stats_carry_numrecords_and_minmax(spark, tmp_path):
     assert min(s["minValues"]["event_id"] for s in stats) == 0
     assert max(s["maxValues"]["event_id"] for s in stats) == 24
     assert sum(s["nullCount"]["value"] for s in stats) == 0
+
+
+def test_checkpoint_reconstructs_and_bounds_replay(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30), "cpapp", 0)
+    t.append(_ev(spark, 60).filter(F.col("event_id") >= 30), "cpapp", 1)
+    t.optimize(spark, target_files=1)
+    cv = t.checkpoint()
+    assert t.last_checkpoint() == cv == 2
+    # a JSON tail after the checkpoint
+    t.append(_ev(spark, 70).filter(F.col("event_id") >= 60))
+    got = {r["event_id"] for r in t.read_via_checkpoint(spark).collect()}
+    assert got == set(range(70))
+    # checkpoint carries protocol/metaData/txn state, one action per row
+    import pyarrow.parquet as pq
+
+    cp = pq.read_table(
+        os.path.join(t.log_dir, f"{cv:020d}.checkpoint.parquet")
+    ).to_pylist()
+    kinds = [next(k for k, v in r.items() if v is not None) for r in cp]
+    assert "protocol" in kinds and "metaData" in kinds
+    txns = [r["txn"] for r in cp if r["txn"] is not None]
+    assert {(x["appId"], x["version"]) for x in txns} == {("cpapp", 1)}
+
+
+def test_merge_emits_full_cdf_vocabulary(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))  # ids 0..9
+    src = _ev(spark, 15).filter(F.col("event_id") >= 5).withColumn(
+        "value", F.col("value") + 1000
+    )  # ids 5..14: 5..9 update, 10..14 insert
+    v = t.merge(spark, src, "event_id")
+    out = {(r["event_id"], r["value"]) for r in t.read(spark).collect()}
+    expect = {(i, i * 1.5) for i in range(5)} | {
+        (i, i * 1.5 + 1000) for i in range(5, 15)
+    }
+    assert out == expect
+    cdf = t.read_changes(spark, v - 1, v)
+    by_type = {
+        k: {r["event_id"] for r in g}
+        for k, g in __import__("itertools").groupby(
+            sorted(cdf.collect(), key=lambda r: r["_change_type"]),
+            key=lambda r: r["_change_type"],
+        )
+    }
+    assert by_type["update_preimage"] == set(range(5, 10))
+    assert by_type["update_postimage"] == set(range(5, 10))
+    assert by_type["insert"] == set(range(10, 15))
+
+
+def test_merge_untouched_files_not_rewritten(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))  # file A: 0..9 (contains matches)
+    t.append(_ev(spark, 60).filter(F.col("event_id") >= 50))  # file B: no match
+    before = set(t.snapshot_files())
+    src = _ev(spark, 5).withColumn("value", F.col("value") + 1)
+    t.merge(spark, src, "event_id")
+    after = set(t.snapshot_files())
+    assert before & after, "files without matched keys must survive verbatim"
+    assert t.read(spark).count() == 20
+
+
+def test_partition_prune_opens_only_matching_files(spark, tmp_path):
+    t = _table(tmp_path)
+    df = _ev(spark, 40).withColumn(
+        "et", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    t.append(df, partition_by=("et",))
+    pruned = t.read_partition(spark, et="a")
+    files = pruned.inputFiles()
+    assert files and all("et=a" in f for f in files)
+    assert pruned.count() == 20
+    assert {r["et"] for r in pruned.collect()} == {"a"}
+
+
+def test_concurrent_rewrite_conflict_detected(spark, tmp_path):
+    """OPTIMIZE/DELETE/MERGE re-validate under the commit lock that
+    every file they remove is STILL live — a racer's commit landing
+    between snapshot and commit point aborts the stale plan
+    (ConcurrentDeleteReadError) instead of double-removing rows."""
+    from deltasink_spark.delta_log import ConcurrentDeleteReadError
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30))
+    stale_live = list(t.snapshot_files())
+    # racer rewrites the snapshot first
+    t.optimize(spark, target_files=1)
+    # a stale actor now tries to commit removes of the old files: the
+    # shared precondition must reject it
+    assert t._commit(
+        [{"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+         for p in stale_live],
+        t._files_still_live(stale_live),
+    ) is None
+    # end-to-end: interleave a racer INSIDE delete_where's commit
+    real_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(actions, precondition=None):
+        if not raced["done"]:
+            raced["done"] = True
+            DeltaLogTable(t.path).optimize(spark, target_files=2)
+        return real_commit(actions, precondition)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentDeleteReadError):
+            t.delete_where(spark, "event_id < 5")
+    finally:
+        t._commit = real_commit
+    # nothing was lost: the table still reads fully
+    assert t.read(spark).count() == 30
+    # and a clean retry succeeds
+    t.delete_where(spark, "event_id < 5")
+    assert t.read(spark).count() == 25
+
+
+def test_partitioned_table_dml_preserves_partitions(spark, tmp_path):
+    """The full DML matrix on a PARTITIONED table: append inherits the
+    table's partitioning, DELETE/OPTIMIZE/MERGE rewrite within
+    partition dirs and keep the partition column and partitionValues
+    intact (the review's silent-data-loss scenario: an OPTIMIZE that
+    restaged unpartitioned would permanently drop the column)."""
+    t = _table(tmp_path)
+    df = _ev(spark, 40).withColumn(
+        "et", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    t.append(df, partition_by=("et",))
+    # later append INHERITS partitioning without redeclaring
+    t.append(
+        _ev(spark, 50).filter(F.col("event_id") >= 40).withColumn("et", F.lit("a"))
+    )
+    # conflicting redeclaration raises
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(df, partition_by=("event_id",))
+    assert t.read(spark).columns.count("et") == 1
+    t.delete_where(spark, "event_id < 4")
+    assert {r["et"] for r in t.read(spark).collect()} == {"a", "b"}
+    assert t.read(spark).count() == 46
+    t.optimize(spark, target_files=1)
+    out = t.read_partition(spark, et="a")
+    assert out.count() == 28  # 20-2 evens + 10 appended
+    assert all("et=a" in f for f in out.inputFiles())
+    src = _ev(spark, 5).withColumn("et", F.lit("b")).withColumn(
+        "value", F.col("value") + 9
+    )
+    t.merge(spark, src, "event_id")
+    m = t.read(spark)
+    # src inserts ids 0-3 (deleted earlier) and updates id 4 in place
+    assert m.count() == 46 + 4
+    assert {r["et"] for r in m.filter(F.col("event_id") < 5).collect()} == {"b"}
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    dup = _ev(spark, 3).unionByName(_ev(spark, 3))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(spark, dup, "event_id")
+
+
+def test_hive_escaped_partition_values_roundtrip(spark, tmp_path):
+    """partitionValues must carry the LOGICAL value, not the
+    Hive-escaped directory name — and read_partition must match on
+    the logical value."""
+    t = _table(tmp_path)
+    df = _ev(spark, 6).withColumn(
+        "shop", F.when(F.col("event_id") % 2 == 0, "online store").otherwise("hq")
+    )
+    t.append(df, partition_by=("shop",))
+    adds = [a["add"] for _, a in t._actions() if "add" in a]
+    vals = {a["partitionValues"]["shop"] for a in adds}
+    assert "online store" in vals  # unescaped in the protocol
+    out = t.read_partition(spark, shop="online store")
+    assert out.count() == 3
+    assert {r["shop"] for r in out.collect()} == {"online store"}
+
+
+def test_stream_source_partitioned_serves_partition_column(spark, tmp_path):
+    t = _table(tmp_path)
+    df = _ev(spark, 20).withColumn(
+        "et", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    t.append(df, partition_by=("et",))
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table").option("path", t.path).load(),
+        min_rows=20,
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {(r["event_id"] % 2 == 0, r["et"]) for r in rows} == {
+        (True, "a"), (False, "b")
+    }
+
+
+def test_stream_ignore_deletes_skips_whole_commit_no_duplicates(spark, tmp_path):
+    """The review's duplicate-delivery scenario: a DELETE commit's
+    rewrite adds must NOT be re-served under ignore_deletes — the
+    whole commit is skipped, so a full drain sees each original row
+    exactly once."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.delete_where(spark, "event_id < 5")
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    r = DeltaTableStreamReader({"path": t.path, "ignore_deletes": "true"})
+    parts = r.partitions({"v": -1}, {"v": t.latest_version()})
+    # only v0's add files are served; the delete commit contributes none
+    assert all(p.version == 0 for p in parts)
+    import pyarrow as pa
+
+    served = []
+    for p in parts:
+        for b in r.read(p):
+            served.extend(b.column(0).to_pylist() if b.num_rows else [])
+    assert sorted(served) == list(range(20))  # no duplicates, no loss
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appending new columns without merge_schema is rejected (write
+    enforcement); with it, a new metaData action widens the schema and
+    old files read the new column as NULL — including through the
+    stream source, which pads evolution gaps with typed nulls."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).select("event_id", "value"))
+    widened = _ev(spark, 20).filter(F.col("event_id") >= 10)
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(widened)  # carries user_id: enforcement rejects
+    t.append(widened, merge_schema=True)
+    out = t.read(spark)
+    assert set(out.columns) == {"event_id", "value", "user_id"}
+    assert out.filter(F.col("user_id").isNull()).count() == 10  # v0 files
+    assert out.filter(F.col("user_id").isNotNull()).count() == 10
+    # metaData id persists across the evolution commit (same table)
+    metas = [a["metaData"] for _, a in t._actions() if "metaData" in a]
+    assert len(metas) == 2 and metas[0]["id"] == metas[1]["id"]
+    # stream source serves the evolved schema: old files padded
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    s = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table").option("path", t.path).load(),
+        min_rows=20,
+    )
+    assert s.count() == 20
+    assert s.filter(F.col("user_id").isNull()).count() == 10
