@@ -50,6 +50,13 @@ _R10_NEW: list[str] = [
     "sink_delta_merge",
     "scan_delta_log_partition_prune",
     "sink_delta_log_schema_evolution",
+    "sink_delta_restore",
+    "scan_delta_log_stats_prune",
+    "pipeline_delta_ingest",
+    "agg_hll_intersect",
+    "stream_cdf_source",
+    "scan_delta_log_timestamp_travel",
+    "sink_delta_cluster_optimize",
 ]
 
 # Ops whose code changed in r10 — re-verification required

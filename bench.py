@@ -247,6 +247,13 @@ R10OPS = [
     "tokenizer_unigram_encode",  # corpus encode under the trained pieces
 ]
 
+# Landed AFTER the r10ops idle recording — own group (scope rule). The
+# delta-log RESTORE/stats-prune/ingest ops are sink/IO + streaming
+# fixtures, excluded per the standing policy.
+R10BOPS = [
+    "agg_hll_intersect",         # HLL inclusion-exclusion overlap
+]
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
@@ -284,7 +291,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -379,6 +386,9 @@ def main() -> None:
         ),
         "r10ops": round(
             sum(t for op, t in timings.items() if op in R10OPS), 4
+        ),
+        "r10bops": round(
+            sum(t for op, t in timings.items() if op in R10BOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -689,17 +689,35 @@ class DeltaLogTable(_CheckpointMixin):
             first_commit_actions=self._metadata_actions(df, tuple(partition_by)),
         )
 
-    def optimize(self, spark, target_files: int = 2) -> int:
+    def optimize(
+        self,
+        spark,
+        target_files: int = 2,
+        cluster_by: tuple[str, ...] = (),
+    ) -> int:
         """OPTIMIZE: rewrite the live snapshot as ``target_files``
         right-sized files (per partition on a partitioned table),
         committed as add+remove with dataChange=false (bytes move, no
-        logical row changes — CDF readers skip the commit entirely)."""
+        logical row changes — CDF readers skip the commit entirely).
+        ``cluster_by`` is OPTIMIZE ZORDER's effect through range
+        clustering: rows are range-partitioned and sorted on the keys,
+        so every rewritten file's min/max stats become TIGHT and
+        disjoint — the layout that makes read_where_stats skip instead
+        of scan (multi-dimensional interleaving is available by
+        clustering on a precomputed z-key column, the
+        [zorder_cluster]/[hilbert_cluster] expressions)."""
         live = self.snapshot_files()
         if not live:
             raise ValueError("nothing to optimize")
         pb = self.partition_columns()
         df = self._read_files(spark, live)
-        adds = self._stage_files(df.repartition(target_files), partition_by=pb)
+        if cluster_by:
+            rewritten = df.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            rewritten = df.repartition(target_files)
+        adds = self._stage_files(rewritten, partition_by=pb)
         actions = []
         for a in adds:
             a = dict(a)
@@ -876,6 +894,52 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def restore(self, spark, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
+        an earlier snapshot as a NEW commit (history is immutable; the
+        rollback is itself versioned, exactly Delta's RESTORE): re-add
+        the target snapshot's files missing from the current one
+        (dataChange=true — a CDF consumer sees the resurrected rows)
+        and remove current files the target lacks. Pure metadata — no
+        data is copied or rewritten, whatever the table size. Fails if
+        VACUUM already deleted a needed file (Delta's documented
+        RESTORE failure mode), and aborts on a concurrent commit
+        landing between plan and commit."""
+        old = self.snapshot_adds(version)
+        cur = self.snapshot_adds()
+        missing = [
+            p for p in old if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot RESTORE to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (first: {missing[0]})"
+            )
+        re_adds = [dict(old[p], dataChange=True) for p in old if p not in cur]
+        removes = [p for p in cur if p not in old]
+        now = _now_ms()
+        actions: list[dict] = [{"add": a} for a in re_adds]
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            for p in removes
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                }
+            }
+        )
+        v = self._commit(actions, self._files_still_live(removes))
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit changed the snapshot this RESTORE "
+                "planned against; retry"
+            )
+        return v
+
     def vacuum(self) -> int:
         """Physically delete data files no longer in the CURRENT
         snapshot (retention 0 — the aggressive end of Delta's VACUUM;
@@ -911,6 +975,29 @@ class DeltaLogTable(_CheckpointMixin):
             return spark.createDataFrame([], s)
         return self._read_files(spark, files)
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """The latest version whose commitInfo timestamp is <= ``ts_ms``
+        — Delta's timestampAsOf resolution (each commit records its
+        wall-clock in commitInfo; time-travel-by-time binary-searches
+        that sequence). Raises if the timestamp predates the table."""
+        best = None
+        for v, a in self._actions():
+            if "commitInfo" in a and a["commitInfo"].get("timestamp", 0) <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_ms} (table created later)"
+            )
+        return best
+
+    def commit_timestamps(self) -> dict[int, int]:
+        """version -> commitInfo timestamp (ms)."""
+        out: dict[int, int] = {}
+        for v, a in self._actions():
+            if "commitInfo" in a:
+                out[v] = a["commitInfo"].get("timestamp", 0)
+        return out
+
     def read_partition(
         self, spark, as_of_version: int | None = None, **partition_filter: str
     ) -> DataFrame:
@@ -935,6 +1022,40 @@ class DeltaLogTable(_CheckpointMixin):
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s)
         return self._read_files(spark, hit)
+
+    def read_where_stats(self, spark, col: str, lo, hi) -> DataFrame:
+        """Data skipping from add-action STATS (Delta's file pruning,
+        the non-partition sibling of read_partition): only live files
+        whose [minValues, maxValues] interval for ``col`` overlaps
+        [lo, hi] are scanned — decided from LOG METADATA, no footer of
+        a skipped file is ever opened. Files without stats are scanned
+        (skipping is an optimization, never a correctness filter); the
+        exact predicate is applied on top, so the result is identical
+        to a full-scan filter whatever the file layout. At 100 TB with
+        ingest-time ordering (hilbert/zorder_cluster), this is the
+        mechanism that turns a point query into a handful of file
+        reads."""
+        adds = self.snapshot_adds()
+        hit = []
+        for p, a in adds.items():
+            st = a.get("stats")
+            if not st:
+                hit.append(p)
+                continue
+            s = json.loads(st)
+            mn = s.get("minValues", {}).get(col)
+            mx = s.get("maxValues", {}).get(col)
+            if mn is None or mx is None:
+                hit.append(p)
+            elif not (mx < lo or mn > hi):
+                hit.append(p)
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not hit:
+            s = self.schema()
+            if s is None:
+                raise ValueError("empty table with no metaData action")
+            return spark.createDataFrame([], s).filter(pred)
+        return self._read_files(spark, hit).filter(pred)
 
     def read_changes(self, spark, from_version: int, to_version: int) -> DataFrame:
         """CDF read over (from_version, to_version]: per commit, cdc
@@ -1023,10 +1144,13 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 class _AddFilePartition(InputPartition):
-    def __init__(self, abs_path: str, version: int, pvals: dict) -> None:
+    def __init__(
+        self, abs_path: str, version: int, pvals: dict, kind: str = "add"
+    ) -> None:
         self.abs_path = abs_path
         self.version = version
         self.pvals = pvals
+        self.kind = kind  # "add" (synthesized insert) | "cdc" (exact rows)
 
 
 class DeltaTableStreamReader(DataSourceStreamReader):
@@ -1050,10 +1174,19 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options["path"]
         self.ignore_deletes = str(options.get("ignore_deletes", "")).lower() == "true"
+        # read_cdf=true turns the source into a streaming CHANGE FEED
+        # (delta-spark's readChangeFeed): every commit's exact change
+        # rows — cdc files when the commit published them, synthesized
+        # inserts from dataChange adds otherwise — stamped with
+        # _change_type / _commit_version. DML commits are SERVED (the
+        # whole point), never refused.
+        self.read_cdf = str(options.get("read_cdf", "")).lower() == "true"
         self.table = DeltaLogTable(self.path)
         self.pcols = self.table.partition_columns()
         s = self.table.schema()
         self.field_order = [f.name for f in s.fields] if s else []
+        if self.read_cdf:
+            self.field_order += ["_change_type", "_commit_version"]
         # simpleString type per field: partition columns re-materialize
         # from partitionValues; schema-evolution gaps pad with nulls
         self.ptypes = (
@@ -1066,29 +1199,39 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"v": self.table.latest_version()}
 
-    def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict]]:
+    def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict, str]]:
         by_version: dict[int, dict[str, list]] = {}
         for v, a in self.table._actions(hi, from_version=max(lo + 1, 0)):
-            slot = by_version.setdefault(v, {"adds": [], "del": False})
+            slot = by_version.setdefault(v, {"adds": [], "cdc": [], "del": False})
             if "add" in a and a["add"].get("dataChange"):
                 slot["adds"].append(a["add"])
+            elif "cdc" in a:
+                slot["cdc"].append(a["cdc"])
             elif "remove" in a and a["remove"].get("dataChange"):
                 slot["del"] = True
-        out: list[tuple[int, dict]] = []
+        out: list[tuple[int, dict, str]] = []
         for v in sorted(by_version):
             slot = by_version[v]
+            if self.read_cdf:
+                # change-feed mode: cdc actions carry the exact rows;
+                # commits without cdc serve dataChange adds as inserts
+                if slot["cdc"]:
+                    out.extend((v, c, "cdc") for c in slot["cdc"])
+                else:
+                    out.extend((v, a, "add") for a in slot["adds"])
+                continue
             if slot["del"]:
                 if not self.ignore_deletes:
                     raise ValueError(
                         f"commit {v} deletes or rewrites data; streaming a "
                         "table with row-level deletes requires "
-                        "ignore_deletes=true (or a CDF read) — refusing to "
-                        "silently drop them"
+                        "ignore_deletes=true (or read_cdf=true) — refusing "
+                        "to silently drop them"
                     )
                 # skip the WHOLE commit: its adds are rewrites of
                 # already-served rows — serving them would duplicate
                 continue
-            out.extend((v, a) for a in slot["adds"])
+            out.extend((v, a, "add") for a in slot["adds"])
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -1100,8 +1243,9 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                 os.path.join(self.path, a["path"]),
                 v,
                 a.get("partitionValues") or {},
+                kind,
             )
-            for v, a in adds
+            for v, a, kind in adds
         ]
 
     @staticmethod
@@ -1122,6 +1266,18 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.abs_path)
+        if self.read_cdf:
+            # stamp the CDF metadata columns: cdc files carry their own
+            # _change_type; synthesized-insert adds get the constant
+            n = t.num_rows
+            if "_change_type" not in t.column_names:
+                t = t.append_column(
+                    "_change_type", pa.array(["insert"] * n, pa.string())
+                )
+            t = t.append_column(
+                "_commit_version",
+                pa.array([partition.version] * n, pa.int64()),
+            )
         if self.field_order and (
             self.pcols
             or t.column_names != self.field_order
@@ -1168,6 +1324,16 @@ class DeltaTableStreamDataSource(DataSource):
         s = DeltaLogTable(self.options["path"]).schema()
         if s is None:
             raise ValueError("table has no metaData action yet")
+        if str(self.options.get("read_cdf", "")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            s = StructType(
+                list(s.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
         return s
 
     def streamReader(self, schema):

@@ -780,7 +780,13 @@ def dq_referential_integrity(spark, sf_dir):
             .groupBy()
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+                # empty child: the ungrouped SUM is NULL where the
+                # oracle's COUNT subquery is 0 (the r8 audit's
+                # global-agg-on-empty class) — coalesce
+                F.coalesce(
+                    F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_orphans"),
             )

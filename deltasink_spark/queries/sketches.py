@@ -114,6 +114,81 @@ def agg_hll_union(spark, sf_dir):
 
 
 @query(
+    "agg_hll_intersect",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection, TRUE AS within_band
+    FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    ) t
+    """,
+)
+def agg_hll_intersect(spark, sf_dir):
+    """Set-INTERSECTION cardinality from HLL sketches by
+    inclusion-exclusion: |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B), where the
+    union estimate comes from hll_union_agg of the two per-group
+    sketches — the audience-overlap question ("customers with both an
+    URGENT and a HIGH order") answered from THREE mergeable KB-sized
+    sketches instead of a distinct-pair join, the composition
+    [agg_hll_sketch]/[agg_hll_union] stop short of. Error compounds
+    across the three estimates (each ~0.8% rsd at lgConfigK=14), so the
+    proof band is 10% of the exact intersection with an absolute floor
+    of 5 for tiny inputs — generous for the estimator, fatal for any
+    logic error (a sign flip or double count lands hundreds off). The
+    exact intersection rides along (one distinct semi-join, SQL
+    INTERSECT in the oracle); within_band must be TRUE.
+
+    Scale: per-group sketches build with map-side combine (bytes cross
+    the shuffle, never custkeys); the union is a 2-row agg. The exact
+    side exists only for the proof."""
+    o = load(spark, sf_dir, "orders")
+    pri = F.col("o_orderpriority")
+    sk = (
+        o.filter(pri.isin("1-URGENT", "2-HIGH"))
+        .groupBy(pri.alias("p"))
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    )
+    per = sk.select("p", F.hll_sketch_estimate("sk").alias("e"))
+    ea = per.filter(F.col("p") == "1-URGENT").select(F.col("e").alias("ea"))
+    eb = per.filter(F.col("p") == "2-HIGH").select(F.col("e").alias("eb"))
+    eu = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("eu"))
+    exact = (
+        o.filter(pri == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            o.filter(pri == "2-HIGH").select("o_custkey").distinct(),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    # empty-corpus guards: missing groups yield EMPTY 1-col frames, so
+    # the joins below are LEFT (the exact frame always has one row) and
+    # the estimates coalesce to 0 (r8 audit discipline)
+    est = (
+        F.coalesce(F.col("ea"), F.lit(0.0))
+        + F.coalesce(F.col("eb"), F.lit(0.0))
+        - F.coalesce(F.col("eu"), F.lit(0.0))
+    )
+    return (
+        exact.join(F.broadcast(ea), F.lit(True), "left")
+        .join(F.broadcast(eb), F.lit(True), "left")
+        .join(F.broadcast(eu), F.lit(True), "left")
+        .select(
+            "exact_intersection",
+            (
+                F.abs(est - F.col("exact_intersection"))
+                <= F.greatest(
+                    F.col("exact_intersection") * 0.10, F.lit(5.0)
+                )
+            ).alias("within_band"),
+        )
+    )
+
+
+@query(
     "agg_bitmap_distinct",
     oracle="""
     SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders

@@ -485,3 +485,126 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     )
     assert s.count() == 20
     assert s.filter(F.col("user_id").isNull()).count() == 10
+
+
+def test_restore_rolls_back_and_is_versioned(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30))
+    v1 = t.append(_ev(spark, 60).filter(F.col("event_id") >= 30))
+    t.delete_where(spark, "event_id < 10")
+    assert t.read(spark).count() == 50
+    rv = t.restore(spark, v1)
+    assert rv == t.latest_version()  # the rollback is a NEW commit
+    assert t.read(spark).count() == 60
+    # CDF sees the resurrected rows as dataChange adds
+    cdf = t.read_changes(spark, rv - 1, rv)
+    assert cdf.filter(F.col("event_id") < 10).count() == 10
+    # time travel still shows the deleted state at the delete version
+    assert t.read(spark, as_of_version=rv - 1).count() == 50
+
+
+def test_restore_fails_after_vacuum(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.optimize(spark, target_files=1)
+    t.vacuum()  # drops the pre-optimize files
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(spark, 0)
+
+
+def test_stats_prune_skips_files(spark, tmp_path):
+    t = _table(tmp_path)
+    for k in range(4):
+        t.append(
+            _ev(spark, 100).filter(
+                (F.col("event_id") >= k * 25) & (F.col("event_id") < (k + 1) * 25)
+            )
+        )
+    out = t.read_where_stats(spark, "event_id", 30, 60)
+    assert out.count() == 31
+    # only the two overlapping appends' files are opened
+    adds = t.snapshot_adds()
+    import json as _json
+
+    opened = {os.path.relpath(
+        __import__("urllib.parse", fromlist=["unquote"]).unquote(f.removeprefix("file:")), t.path)
+        for f in out.inputFiles()}
+    for p in opened:
+        st = adds[p].get("stats")
+        if st is None:
+            continue  # stats-less (empty) files are always scanned
+        s = _json.loads(st)
+        mn, mx = s["minValues"]["event_id"], s["maxValues"]["event_id"]
+        assert not (mx < 30 or mn > 60), f"non-overlapping file {p} was opened"
+    # every file with stats provably OUTSIDE the range was skipped
+    outside = {
+        p for p, a in adds.items()
+        if a.get("stats")
+        and (
+            _json.loads(a["stats"])["maxValues"]["event_id"] < 30
+            or _json.loads(a["stats"])["minValues"]["event_id"] > 60
+        )
+    }
+    assert outside and not (outside & opened), "stats-excluded files must be skipped"
+
+
+def test_stream_cdf_source_serves_merge_vocabulary(spark, tmp_path):
+    """The streaming CDF source must deliver a MERGE commit's full
+    change vocabulary (update_preimage/update_postimage/insert) — the
+    rows a replica needs to apply the upsert."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    src = _ev(spark, 15).filter(F.col("event_id") >= 5).withColumn(
+        "value", F.col("value") + 1000
+    )
+    t.merge(spark, src, "event_id")
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    expected = t.read_changes(spark, -1, t.latest_version()).count()
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table")
+        .option("path", t.path)
+        .option("read_cdf", "true")
+        .load(),
+        min_rows=expected,
+    )
+    kinds = {
+        r["_change_type"]
+        for r in out.filter(F.col("_commit_version") == 1).collect()
+    }
+    assert kinds == {"update_preimage", "update_postimage", "insert"}
+    assert out.count() == expected
+
+
+def test_cluster_optimize_enables_stats_skipping(spark, tmp_path):
+    """Hash-scattered layout: every file spans the id domain, stats
+    skipping opens everything. One clustered OPTIMIZE later, the same
+    range read opens a strict subset — no rows change."""
+    t = _table(tmp_path)
+    for k in range(4):
+        t.append(_ev(spark, 100).filter(F.col("event_id") % 4 == k))
+    before = t.read_where_stats(spark, "event_id", 10, 30)
+    n_before = len(before.inputFiles())
+    rows_before = {r["event_id"] for r in before.collect()}
+    t.optimize(spark, target_files=4, cluster_by=("event_id",))
+    after = t.read_where_stats(spark, "event_id", 10, 30)
+    assert {r["event_id"] for r in after.collect()} == rows_before == set(range(10, 31))
+    assert len(after.inputFiles()) < n_before
+    assert t.read(spark).count() == 100
+
+
+def test_timestamp_travel_resolves_to_version(spark, tmp_path):
+    import time
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    time.sleep(0.002)
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10))
+    ts = t.commit_timestamps()
+    assert t.version_at_timestamp(ts[0]) == 0
+    assert t.version_at_timestamp(ts[1]) == 1
+    assert t.version_at_timestamp(ts[1] + 10_000) == 1  # future ts: latest
+    with pytest.raises(ValueError, match="created later"):
+        t.version_at_timestamp(ts[0] - 10_000)
