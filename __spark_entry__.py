@@ -64,6 +64,7 @@ _R10_NEW: list[str] = [
 # consumers: non-empty-slice staging guarantee; the read_changes
 # consumers: reversed-range validation).
 _R10_CHANGED = [
+    "dq_referential_integrity",
     "graph_kcore",
     "stream_progress_metrics",
     "stream_session",

@@ -898,13 +898,22 @@ class DeltaLogTable(_CheckpointMixin):
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
         an earlier snapshot as a NEW commit (history is immutable; the
         rollback is itself versioned, exactly Delta's RESTORE): re-add
-        the target snapshot's files missing from the current one
-        (dataChange=true — a CDF consumer sees the resurrected rows)
-        and remove current files the target lacks. Pure metadata — no
-        data is copied or rewritten, whatever the table size. Fails if
-        VACUUM already deleted a needed file (Delta's documented
-        RESTORE failure mode), and aborts on a concurrent commit
-        landing between plan and commit."""
+        the target snapshot's files missing from the current one and
+        remove current files the target lacks, both dataChange=true —
+        a CDF reader nets the re-added files' rows (inserts) against
+        the removed files' rows (deletes, via the reader fallback in
+        read_changes), so a replica converges on the restored state.
+        Pure metadata — no data is copied or rewritten, whatever the
+        table size. Fails if VACUUM already deleted a needed file
+        (Delta's documented RESTORE failure mode), rejects a
+        nonexistent target version, and aborts if ANY concurrent
+        commit lands between plan and commit (the snapshot this plan
+        diffed against must be the one it supersedes)."""
+        latest = self.latest_version()
+        if not (0 <= version <= latest):
+            raise ValueError(
+                f"cannot RESTORE to version {version}: log has 0..{latest}"
+            )
         old = self.snapshot_adds(version)
         cur = self.snapshot_adds()
         missing = [
@@ -932,7 +941,14 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        v = self._commit(actions, self._files_still_live(removes))
+        planned = set(cur)
+
+        def snapshot_unchanged() -> bool:
+            # stricter than _files_still_live: ANY concurrent commit
+            # (even a pure append) invalidates the planned diff
+            return set(self.snapshot_files()) == planned
+
+        v = self._commit(actions, snapshot_unchanged)
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit changed the snapshot this RESTORE "
@@ -1047,7 +1063,15 @@ class DeltaLogTable(_CheckpointMixin):
             mx = s.get("maxValues", {}).get(col)
             if mn is None or mx is None:
                 hit.append(p)
-            elif not (mx < lo or mn > hi):
+                continue
+            try:
+                skip = mx < lo or mn > hi
+            except TypeError:
+                # stats serialized as strings for this type (timestamp/
+                # decimal isoformat/str) — skipping is an optimization,
+                # never a correctness filter, so scan
+                skip = False
+            if not skip:
                 hit.append(p)
         pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not hit:
@@ -1060,8 +1084,12 @@ class DeltaLogTable(_CheckpointMixin):
     def read_changes(self, spark, from_version: int, to_version: int) -> DataFrame:
         """CDF read over (from_version, to_version]: per commit, cdc
         actions win when present (DML commits publish exact change
-        rows); otherwise dataChange=true adds are synthesized as
-        inserts — the reader-side fallback the Delta spec defines.
+        rows); otherwise the reader-side fallback the Delta spec
+        defines — dataChange=true adds synthesize as inserts AND
+        dataChange=true removes synthesize as DELETES by reading the
+        removed files (still on disk pre-VACUUM; RESTORE is the commit
+        class this nets correctly: re-added files' rows minus the
+        superseded rewrite's rows = exactly the resurrected rows).
         dataChange=false commits (OPTIMIZE) emit nothing."""
         if from_version > to_version:
             raise ValueError(
@@ -1074,11 +1102,13 @@ class DeltaLogTable(_CheckpointMixin):
             )
         by_version: dict[int, dict[str, list]] = {}
         for v, a in self._actions(to_version, from_version=from_version + 1):
-            slot = by_version.setdefault(v, {"cdc": [], "add": []})
+            slot = by_version.setdefault(v, {"cdc": [], "add": [], "rm": []})
             if "cdc" in a:
                 slot["cdc"].append(a["cdc"]["path"])
             elif "add" in a and a["add"].get("dataChange"):
                 slot["add"].append(a["add"]["path"])
+            elif "remove" in a and a["remove"].get("dataChange"):
+                slot["rm"].append(a["remove"]["path"])
         parts = []
         for v in sorted(by_version):
             slot = by_version[v]
@@ -1090,10 +1120,26 @@ class DeltaLogTable(_CheckpointMixin):
                     *[os.path.join(self.path, p) for p in slot["cdc"]]
                 )
                 parts.append(d.withColumn("_commit_version", F.lit(v).cast("long")))
-            elif slot["add"]:
+                continue
+            if slot["add"]:
                 d = self._read_files(spark, slot["add"])
                 parts.append(
                     d.withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+            if slot["rm"]:
+                missing = [
+                    p for p in slot["rm"]
+                    if not os.path.exists(os.path.join(self.path, p))
+                ]
+                if missing:
+                    raise ValueError(
+                        f"CDF over commit {v} needs removed file "
+                        f"{missing[0]} which VACUUM already deleted"
+                    )
+                d = self._read_files(spark, slot["rm"])
+                parts.append(
+                    d.withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
         if not parts:
@@ -1202,23 +1248,30 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict, str]]:
         by_version: dict[int, dict[str, list]] = {}
         for v, a in self.table._actions(hi, from_version=max(lo + 1, 0)):
-            slot = by_version.setdefault(v, {"adds": [], "cdc": [], "del": False})
+            slot = by_version.setdefault(
+                v, {"adds": [], "cdc": [], "rms": [], "del": False}
+            )
             if "add" in a and a["add"].get("dataChange"):
                 slot["adds"].append(a["add"])
             elif "cdc" in a:
                 slot["cdc"].append(a["cdc"])
             elif "remove" in a and a["remove"].get("dataChange"):
                 slot["del"] = True
+                slot["rms"].append(a["remove"])
         out: list[tuple[int, dict, str]] = []
         for v in sorted(by_version):
             slot = by_version[v]
             if self.read_cdf:
                 # change-feed mode: cdc actions carry the exact rows;
-                # commits without cdc serve dataChange adds as inserts
+                # commits without cdc fall back to dataChange adds as
+                # inserts AND dataChange removes as deletes (read from
+                # the removed files — the RESTORE net, read_changes'
+                # reader-fallback mirrored)
                 if slot["cdc"]:
                     out.extend((v, c, "cdc") for c in slot["cdc"])
                 else:
                     out.extend((v, a, "add") for a in slot["adds"])
+                    out.extend((v, r, "rm") for r in slot["rms"])
                 continue
             if slot["del"]:
                 if not self.ignore_deletes:
@@ -1234,6 +1287,20 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             out.extend((v, a, "add") for a in slot["adds"])
         return out
 
+    @staticmethod
+    def _pvals_of_path(rel: str) -> dict:
+        """Hive partitionValues parsed from a relative path — remove
+        actions don't carry partitionValues, so synthesized-delete
+        partitions recover them from the file's directory."""
+        import urllib.parse as _up
+
+        out = {}
+        for seg in os.path.dirname(rel).split(os.sep):
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                out[k] = None if val == _HIVE_NULL else _up.unquote(val)
+        return out
+
     def partitions(self, start: dict, end: dict):
         adds = self._range_adds(start["v"], end["v"])
         if not adds:
@@ -1242,7 +1309,9 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             _AddFilePartition(
                 os.path.join(self.path, a["path"]),
                 v,
-                a.get("partitionValues") or {},
+                (a.get("partitionValues") or self._pvals_of_path(a["path"]))
+                if kind != "cdc"
+                else {},
                 kind,
             )
             for v, a, kind in adds
@@ -1268,11 +1337,12 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         t = pq.read_table(partition.abs_path)
         if self.read_cdf:
             # stamp the CDF metadata columns: cdc files carry their own
-            # _change_type; synthesized-insert adds get the constant
+            # _change_type; synthesized adds/removes get the constant
             n = t.num_rows
             if "_change_type" not in t.column_names:
+                ct = "delete" if partition.kind == "rm" else "insert"
                 t = t.append_column(
-                    "_change_type", pa.array(["insert"] * n, pa.string())
+                    "_change_type", pa.array([ct] * n, pa.string())
                 )
             t = t.append_column(
                 "_commit_version",
@@ -1283,19 +1353,25 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             or t.column_names != self.field_order
         ):
             # conform the file to the DECLARED schema: re-materialize
-            # partition columns from partitionValues, pad columns the
-            # file predates (schema evolution) with typed nulls, and
-            # emit in declared ORDER — the engine maps Arrow batch
-            # columns to the declared schema POSITIONALLY, so a file
-            # whose physical order differs would feed the wrong vector
-            # to the wrong accessor
+            # partition columns from partitionValues (NOT for cdc files,
+            # which carry partition columns as ordinary data columns and
+            # whose actions have empty partitionValues — substituting
+            # would null real values), pad columns the file predates
+            # (schema evolution) with typed nulls, and emit in declared
+            # ORDER — the engine maps Arrow batch columns to the
+            # declared schema POSITIONALLY, so a file whose physical
+            # order differs would feed the wrong vector to the wrong
+            # accessor
             n = t.num_rows
             cols = {name: t.column(name) for name in t.column_names}
+            from_pvals = set(self.pcols) if partition.kind != "cdc" else set()
             for c in self.field_order:
-                if c in cols and c not in self.pcols:
+                if c in cols and c not in from_pvals:
                     continue
                 typ = self.ptypes.get(c, "string")
-                raw = partition.pvals.get(c) if c in self.pcols else None
+                raw = partition.pvals.get(c) if c in from_pvals else None
+                if raw is None and c in cols:
+                    continue  # cdc file already carries the column
                 if raw is None:
                     cols[c] = pa.nulls(n, self._pa_type(typ))
                 elif typ in ("bigint", "int", "smallint", "tinyint"):

@@ -118,9 +118,11 @@ def agg_hll_union(spark, sf_dir):
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection, TRUE AS within_band
     FROM (
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
         INTERSECT
-        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL
     ) t
     """,
 )
@@ -153,12 +155,18 @@ def agg_hll_intersect(spark, sf_dir):
     ea = per.filter(F.col("p") == "1-URGENT").select(F.col("e").alias("ea"))
     eb = per.filter(F.col("p") == "2-HIGH").select(F.col("e").alias("eb"))
     eu = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("eu"))
+    # NULL keys excluded on BOTH sides: the sketches skip NULLs, the
+    # semi-join never matches them, and SQL INTERSECT would COUNT them
+    # (set-op NULL equality) — the one place the two engines' NULL
+    # semantics would silently diverge
     exact = (
-        o.filter(pri == "1-URGENT")
+        o.filter((pri == "1-URGENT") & F.col("o_custkey").isNotNull())
         .select("o_custkey")
         .distinct()
         .join(
-            o.filter(pri == "2-HIGH").select("o_custkey").distinct(),
+            o.filter((pri == "2-HIGH") & F.col("o_custkey").isNotNull())
+            .select("o_custkey")
+            .distinct(),
             "o_custkey",
             "left_semi",
         )

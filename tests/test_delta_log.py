@@ -496,11 +496,29 @@ def test_restore_rolls_back_and_is_versioned(spark, tmp_path):
     rv = t.restore(spark, v1)
     assert rv == t.latest_version()  # the rollback is a NEW commit
     assert t.read(spark).count() == 60
-    # CDF sees the resurrected rows as dataChange adds
+    # CDF over the restore NETS correctly: the re-added file serves all
+    # its rows as inserts AND the superseded rewrite's rows come back
+    # as deletes (the reader fallback) — a replica applying both ends
+    # with exactly the 10 resurrected rows, no duplicates
     cdf = t.read_changes(spark, rv - 1, rv)
-    assert cdf.filter(F.col("event_id") < 10).count() == 10
+    ins = cdf.filter(F.col("_change_type") == "insert")
+    dels = cdf.filter(F.col("_change_type") == "delete")
+    net = {r["event_id"] for r in ins.collect()} - {
+        r["event_id"] for r in dels.collect()
+    }
+    assert net == set(range(10))
+    # per-row multiset nets too: every surviving row inserted once and
+    # deleted once, every resurrected row only inserted
+    from collections import Counter
+
+    bal = Counter(r["event_id"] for r in ins.collect())
+    bal.subtract(r["event_id"] for r in dels.collect())
+    assert all(v == (1 if k < 10 else 0) for k, v in bal.items())
     # time travel still shows the deleted state at the delete version
     assert t.read(spark, as_of_version=rv - 1).count() == 50
+    # restoring to a nonexistent version raises, not a phantom commit
+    with pytest.raises(ValueError, match="log has"):
+        t.restore(spark, 99)
 
 
 def test_restore_fails_after_vacuum(spark, tmp_path):
@@ -526,9 +544,7 @@ def test_stats_prune_skips_files(spark, tmp_path):
     adds = t.snapshot_adds()
     import json as _json
 
-    opened = {os.path.relpath(
-        __import__("urllib.parse", fromlist=["unquote"]).unquote(f.removeprefix("file:")), t.path)
-        for f in out.inputFiles()}
+    opened = {t._rel_of_uri(f) for f in out.inputFiles()}
     for p in opened:
         st = adds[p].get("stats")
         if st is None:
@@ -608,3 +624,37 @@ def test_timestamp_travel_resolves_to_version(spark, tmp_path):
     assert t.version_at_timestamp(ts[1] + 10_000) == 1  # future ts: latest
     with pytest.raises(ValueError, match="created later"):
         t.version_at_timestamp(ts[0] - 10_000)
+
+
+def test_stream_cdf_partitioned_delete_keeps_partition_values(spark, tmp_path):
+    """The review's partition-null scenario: cdc files carry partition
+    columns as ordinary DATA columns (their actions have empty
+    partitionValues) — the stream reader must NOT overwrite them with
+    nulls; and synthesized-delete partitions (RESTORE fallback) recover
+    partitionValues from the file path."""
+    t = _table(tmp_path)
+    df = _ev(spark, 20).withColumn(
+        "et", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    t.append(df, partition_by=("et",))
+    t.delete_where(spark, "event_id < 4")
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    expected = t.read_changes(spark, -1, t.latest_version()).count()
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table")
+        .option("path", t.path)
+        .option("read_cdf", "true")
+        .load(),
+        min_rows=expected,
+    )
+    deletes = out.filter(F.col("_change_type") == "delete").collect()
+    assert len(deletes) == 4
+    assert all(r["et"] in ("a", "b") and r["et"] is not None for r in deletes)
+    assert {(r["event_id"], r["et"]) for r in deletes} == {
+        (0, "a"), (1, "b"), (2, "a"), (3, "b")
+    }
+    inserts = out.filter(F.col("_change_type") == "insert")
+    assert inserts.filter(F.col("et").isNull()).count() == 0
