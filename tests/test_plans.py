@@ -1251,3 +1251,26 @@ def test_event_path_topk_is_distributed(spark, sf_small):
     assert "CartesianProduct" not in p
     assert "hashpartitioning(user_id" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_hll_intersect_broadcasts_and_hash_aggs(spark, sf_small):
+    """Inclusion-exclusion rides three sketch hash aggs; the exact
+    side's semi-join and the 1-row estimate frames broadcast — no
+    sort-merge join, no cartesian, no window."""
+    p = plan(q("agg_hll_intersect", spark, sf_small), "simple")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_unigram_encode_broadcast_join_per_doc_agg(spark, sf_small):
+    """ENCODE is one broadcast equi-join of the exploded token stream
+    against the vocab-sized segmentation table plus one combining
+    per-doc hash agg — the corpus is touched once, never sort-merged."""
+    p = plan(q("tokenizer_unigram_encode", spark, sf_small), "simple")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
