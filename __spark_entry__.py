@@ -57,6 +57,13 @@ _R10_NEW: list[str] = [
     "stream_cdf_source",
     "scan_delta_log_timestamp_travel",
     "sink_delta_cluster_optimize",
+    "agg_kmv_difference",
+    "scan_delta_log_multipart_checkpoint",
+    "sink_delta_replace_where",
+    "scan_delta_log_history",
+    "agg_kmv_union",
+    "sink_delta_constraint",
+    "sink_delta_delete_vectors",
 ]
 
 # Ops whose code changed in r10 — re-verification required

@@ -254,6 +254,12 @@ R10BOPS = [
     "agg_hll_intersect",         # HLL inclusion-exclusion overlap
 ]
 
+# Landed AFTER the r10bops idle recording — own group (scope rule).
+R10COPS = [
+    "agg_kmv_difference",        # KMV/theta A-not-B estimate
+    "agg_kmv_union",             # KMV/theta merge + re-truncate
+]
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
@@ -291,7 +297,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -389,6 +395,9 @@ def main() -> None:
         ),
         "r10bops": round(
             sum(t for op, t in timings.items() if op in R10BOPS), 4
+        ),
+        "r10cops": round(
+            sum(t for op, t in timings.items() if op in R10COPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

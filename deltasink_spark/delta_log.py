@@ -96,7 +96,12 @@ def _checkpoint_schema():
             pa.field(
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             pa.field(
@@ -120,6 +125,18 @@ def _checkpoint_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -142,11 +159,21 @@ class _CheckpointMixin:
     snapshot construction O(live files + recent commits) instead of
     O(all commits ever)."""
 
-    def checkpoint(self) -> int:
-        """Write a checkpoint at the current version. Returns it."""
+    def checkpoint(self, parts: int = 1) -> int:
+        """Write a checkpoint at the current version. Returns it.
+
+        ``parts > 1`` writes a MULTI-PART checkpoint (the spec's
+        `n.checkpoint.o.p.parquet` naming, `_last_checkpoint` carrying
+        `parts`): the state rows are distributed across ``parts``
+        files a reader must UNION — how Delta bounds single-file size
+        when a 100 TB table's live add set outgrows one writer task
+        (each part is written independently; the spec allows any
+        row-to-part assignment)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if parts < 1:
+            raise ValueError(f"parts must be >= 1, got {parts}")
         v = self.latest_version()
         if v < 0:
             raise ValueError("cannot checkpoint an empty log")
@@ -192,41 +219,91 @@ class _CheckpointMixin:
                         "modificationTime": ad.get("modificationTime"),
                         "dataChange": ad.get("dataChange"),
                         "stats": ad.get("stats"),
+                        "deletionVector": ad.get("deletionVector"),
                     }
                 }
             )
         schema = _checkpoint_schema()
-        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
-        table = pa.Table.from_pydict(
-            {n: pa.array(c, type=schema.field(n).type) for n, c in cols.items()},
-            schema=schema,
-        )
-        cp = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
-        pq.write_table(table, cp)
+
+        def _write(slice_rows: list[dict], path: str) -> None:
+            cols = {f.name: [r.get(f.name) for r in slice_rows] for f in schema}
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {
+                        n: pa.array(c, type=schema.field(n).type)
+                        for n, c in cols.items()
+                    },
+                    schema=schema,
+                ),
+                path,
+            )
+
+        if parts == 1:
+            _write(rows, os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet"))
+        else:
+            # contiguous slices; a short tail leaves later parts EMPTY
+            # (still schema-carrying files — the spec requires exactly
+            # `parts` files to exist, not that each be non-empty)
+            per = -(-len(rows) // parts) if rows else 0
+            for i in range(parts):
+                _write(
+                    rows[i * per : (i + 1) * per] if per else [],
+                    os.path.join(
+                        self.log_dir,
+                        f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                    ),
+                )
         tmp = os.path.join(self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+        meta = {"version": v, "size": len(rows)}
+        if parts > 1:
+            meta["parts"] = parts
         with open(tmp, "w") as fh:
-            fh.write(json.dumps({"version": v, "size": len(rows)}))
+            fh.write(json.dumps(meta))
         os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
         return v
 
-    def last_checkpoint(self) -> int | None:
+    def _last_checkpoint_info(self) -> dict | None:
         p = os.path.join(self.log_dir, "_last_checkpoint")
         if not os.path.exists(p):
             return None
         with open(p) as fh:
-            return int(json.load(fh)["version"])
+            return json.load(fh)
+
+    def last_checkpoint(self) -> int | None:
+        info = self._last_checkpoint_info()
+        return None if info is None else int(info["version"])
+
+    def _checkpoint_paths(self, cv: int) -> list[str]:
+        """The checkpoint file(s) at ``cv`` — one file, or the `parts`
+        multi-part set `_last_checkpoint` declares (a reader must open
+        ALL parts; rows may land in any of them)."""
+        info = self._last_checkpoint_info() or {}
+        parts = int(info.get("parts", 0)) if int(info.get("version", -1)) == cv else 0
+        if parts > 1:
+            return [
+                os.path.join(
+                    self.log_dir,
+                    f"{cv:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                )
+                for i in range(parts)
+            ]
+        return [os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")]
 
     def _checkpoint_adds(self, cv: int) -> dict[str, dict]:
-        """path -> add action from the checkpoint parquet at ``cv``."""
+        """path -> add action from the checkpoint parquet(s) at ``cv``."""
         import pyarrow.parquet as pq
 
-        cp = os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
         out: dict[str, dict] = {}
-        for rec in pq.read_table(cp, columns=["add"]).column("add").to_pylist():
-            if rec is not None:
-                rec = dict(rec)
-                rec["partitionValues"] = dict(rec.get("partitionValues") or [])
-                out[rec["path"]] = rec
+        for cp in self._checkpoint_paths(cv):
+            for rec in (
+                pq.read_table(cp, columns=["add"]).column("add").to_pylist()
+            ):
+                if rec is not None:
+                    rec = dict(rec)
+                    rec["partitionValues"] = dict(rec.get("partitionValues") or [])
+                    if rec.get("deletionVector") is None:
+                        rec.pop("deletionVector", None)
+                    out[rec["path"]] = rec
         return out
 
     def read_via_checkpoint(self, spark):
@@ -250,7 +327,7 @@ class _CheckpointMixin:
             if s is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s)
-        return self._read_files(spark, list(live))
+        return self._read_adds(spark, live)
 
 
 class DeltaLogTable(_CheckpointMixin):
@@ -392,12 +469,14 @@ class DeltaLogTable(_CheckpointMixin):
         if cv is not None:
             import pyarrow.parquet as pq
 
-            cp = os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
-            for rec in (
-                pq.read_table(cp, columns=["txn"]).column("txn").to_pylist()
-            ):
-                if rec is not None:
-                    hw[rec["appId"]] = max(hw.get(rec["appId"], -1), rec["version"])
+            for cp in self._checkpoint_paths(cv):
+                for rec in (
+                    pq.read_table(cp, columns=["txn"]).column("txn").to_pylist()
+                ):
+                    if rec is not None:
+                        hw[rec["appId"]] = max(
+                            hw.get(rec["appId"], -1), rec["version"]
+                        )
             start = cv + 1
         for _, a in self._actions(from_version=start):
             if "txn" in a:
@@ -441,6 +520,60 @@ class DeltaLogTable(_CheckpointMixin):
         if s is not None:
             reader = reader.schema(s)
         return reader.parquet(*[os.path.join(self.path, p) for p in rel_paths])
+
+    def _dv_positions(self, add: dict) -> set[int]:
+        """The deleted row positions of one add action's deletion
+        vector (empty when it has none) — parsed from the PUBLIC DV
+        file format (deltasink_spark/roaring.py): storageType "u"
+        resolves the z85 uuid to the table-relative file, offset
+        points at the size field, CRC verified."""
+        dv = add.get("deletionVector")
+        if not dv:
+            return set()
+        from deltasink_spark import roaring
+
+        if dv["storageType"] != "u":
+            raise ValueError(
+                f"unsupported DV storageType {dv['storageType']!r}"
+            )
+        rel = roaring.dv_relative_path(dv["pathOrInlineDv"])
+        return roaring.read_dv_file(
+            os.path.join(self.path, rel), dv["offset"], dv["sizeInBytes"]
+        )
+
+    def _read_adds(
+        self, spark, adds: dict[str, dict], with_lineage: bool = False
+    ) -> DataFrame:
+        """DV-aware scan of a set of add actions: files read as usual,
+        then every add's deletion-vector positions are dropped by ONE
+        broadcast anti-join on (file basename, `_metadata.row_index`)
+        — merge-on-read, the reader half of deletion vectors (no data
+        file is ever rewritten by a DV delete; the filter is applied
+        at scan time, exactly delta-spark's DV read path). DVs are KBs
+        per file whatever the table size, so the join's build side
+        stays broadcastable at 100 TB. ``with_lineage=True`` keeps the
+        (__file, __pos) columns — what DML planning needs to find the
+        surviving physical rows of each file."""
+        df = self._read_files(spark, list(adds))
+        df = df.withColumn(
+            "__file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        dv_rows = []
+        for p, a in adds.items():
+            base = os.path.basename(p)
+            dv_rows += [(base, int(x)) for x in self._dv_positions(a)]
+        if dv_rows:
+            pos_df = spark.createDataFrame(
+                dv_rows, "dv_file string, dv_pos bigint"
+            )
+            df = df.join(
+                F.broadcast(pos_df),
+                (F.col("__file") == F.col("dv_file"))
+                & (F.col("__pos") == F.col("dv_pos")),
+                "left_anti",
+            )
+        return df if with_lineage else df.drop("__file", "__pos")
 
     def _rel_of_uri(self, uri: str) -> str:
         """Map a _metadata.file_path URI back to the log's relative
@@ -594,6 +727,90 @@ class DeltaLogTable(_CheckpointMixin):
             },
         ]
 
+    # --- CHECK constraints ---------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """name -> CHECK expression, from the latest metaData action's
+        `delta.constraints.<name>` configuration keys (the protocol's
+        checkConstraints writer feature, minWriterVersion 3 — this
+        layer writes 4)."""
+        m = self._metadata_dict() or {}
+        cfg = m.get("configuration") or {}
+        pre = "delta.constraints."
+        return {k[len(pre):]: v for k, v in cfg.items() if k.startswith(pre)}
+
+    def _violations(self, df: DataFrame, expr_sql: str) -> DataFrame:
+        # SQL CHECK semantics: only FALSE violates — NULL/UNKNOWN passes
+        return df.filter(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        for name, expr_sql in self.constraints().items():
+            if self._violations(df, expr_sql).limit(1).count():
+                raise ValueError(
+                    f"CHECK constraint {name} ({expr_sql}) violated by "
+                    "rows in this write (Delta rejects the whole commit)"
+                )
+
+    def add_constraint(self, spark, name: str, expr_sql: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+        EXISTING table first (Delta scans before accepting — a
+        constraint that the current data already violates is refused),
+        then commits a new metaData action whose configuration carries
+        `delta.constraints.<name>`; every later write is enforced
+        against it. Pure metadata commit after the validation scan."""
+        m = self._metadata_dict()
+        if m is None:
+            raise ValueError("cannot add a constraint to a table with no metaData")
+        if name in self.constraints():
+            raise ValueError(f"constraint {name} already exists")
+        if self.snapshot_files():
+            n = self._violations(self.read(spark), expr_sql).count()
+            if n:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name}: {n} existing "
+                    "row(s) violate it"
+                )
+        meta = dict(m)
+        cfg = dict(meta.get("configuration") or {})
+        cfg[f"delta.constraints.{name}"] = expr_sql
+        meta["configuration"] = cfg
+        now = _now_ms()
+        return self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "ADD CONSTRAINT",
+                        "operationParameters": {"name": name, "expr": expr_sql},
+                    }
+                },
+            ]
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — removes the configuration key
+        in a new metaData action (missing name raises, Delta's
+        behavior without IF EXISTS)."""
+        if name not in self.constraints():
+            raise ValueError(f"no such constraint: {name}")
+        meta = dict(self._metadata_dict())
+        cfg = dict(meta.get("configuration") or {})
+        del cfg[f"delta.constraints.{name}"]
+        meta["configuration"] = cfg
+        return self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "DROP CONSTRAINT",
+                        "operationParameters": {"name": name},
+                    }
+                },
+            ]
+        )
+
     # --- public DML ---------------------------------------------------------
 
     def append(
@@ -649,6 +866,7 @@ class DeltaLogTable(_CheckpointMixin):
                 widened = StructType(list(cur_schema.fields) + list(extra))
                 evolved_meta = dict(self._metadata_dict())
                 evolved_meta["schemaString"] = widened.json()
+        self._enforce_constraints(df)
         adds = self._stage_files(df, partition_by=tuple(partition_by))
         actions: list[dict] = []
         if evolved_meta is not None:
@@ -706,11 +924,15 @@ class DeltaLogTable(_CheckpointMixin):
         of scan (multi-dimensional interleaving is available by
         clustering on a precomputed z-key column, the
         [zorder_cluster]/[hilbert_cluster] expressions)."""
-        live = self.snapshot_files()
+        adds_live = self.snapshot_adds()
+        live = list(adds_live)
         if not live:
             raise ValueError("nothing to optimize")
         pb = self.partition_columns()
-        df = self._read_files(spark, live)
+        # DV-aware read: OPTIMIZE PURGES deletion vectors — the
+        # rewrite materializes only surviving rows, so the new files
+        # carry no DV (delta's OPTIMIZE ... behavior)
+        df = self._read_adds(spark, adds_live)
         if cluster_by:
             rewritten = df.repartitionByRange(
                 target_files, *cluster_by
@@ -758,22 +980,25 @@ class DeltaLogTable(_CheckpointMixin):
         Deleting zero rows commits nothing and returns the current
         version (Delta's DELETE no-op). Crash before the commit leaves
         unreferenced rewrite/CDC files — invisible, replay-safe."""
-        live = self.snapshot_files()
-        if not live:
+        adds = self.snapshot_adds()
+        if not adds:
             # DELETE over an empty snapshot is a no-op, not an error
             # (an empty-corpus table legitimately has zero live files).
             return self.latest_version()
-        full = self._read_files(spark, live)
+        rel_of_base = {os.path.basename(p): p for p in adds}
+        full = self._read_adds(spark, adds, with_lineage=True)
         hit_files = [
-            self._rel_of_uri(r[0])
+            rel_of_base[r[0]]
             for r in full.filter(F.expr(predicate_sql))
-            .select(F.col("_metadata.file_path"))
+            .select("__file")
             .distinct()
             .collect()
         ]
         if not hit_files:
             return self.latest_version()
-        affected = self._read_files(spark, hit_files)
+        # DV-aware: rows an existing deletion vector already removed
+        # must neither survive into the rewrite nor re-enter the CDF
+        affected = self._read_adds(spark, {p: adds[p] for p in hit_files})
         kept = affected.filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         deleted = affected.filter(F.expr(predicate_sql))
         adds = self._stage_files(kept, partition_by=self.partition_columns())
@@ -802,6 +1027,128 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def delete_where_dv(self, spark, predicate_sql: str) -> int:
+        """Row-level DELETE via DELETION VECTORS — merge-on-read, the
+        modern Delta DML path (protocol feature `deletionVectors`)
+        next to [delete_where]'s copy-on-write: NO data file is
+        rewritten; each affected file's matching row POSITIONS are
+        serialized into a roaring-bitmap DV file (the public format —
+        roaring.py) and one commit swaps the file's add action for an
+        identical one carrying the deletionVector descriptor (remove
+        then re-add, same path, same bytes on disk). Readers drop the
+        positions at scan time. A second DV delete on the same file
+        UNIONS into a fresh DV (the old add's descriptor rides its
+        remove action, per spec). cdc publishes the deleted rows, so
+        CDF consumers see exactly what vanished.
+
+        Why it matters at 100 TB: deleting 100 rows from a 1 GB file
+        costs KBs of DV instead of a 1 GB rewrite — DELETE latency
+        tracks matches, not file sizes; OPTIMIZE later purges DVs by
+        rewriting through the DV-aware read. Conflict check is
+        STRICTER than file liveness: the precondition re-validates
+        each planned file's DV descriptor is unchanged, so two
+        concurrent DV deletes can't silently drop each other's
+        positions."""
+        from deltasink_spark import roaring
+
+        adds = self.snapshot_adds()
+        if not adds:
+            return self.latest_version()
+        # table-features protocol upgrade (Delta's auto-upgrade on the
+        # first DV write): deletionVectors requires minReaderVersion 3
+        # / minWriterVersion 7 with the feature listed both sides
+        proto = None
+        for _, a in self._actions():
+            if "protocol" in a:
+                proto = a["protocol"]
+        upgrade: list[dict] = []
+        if "deletionVectors" not in (proto or {}).get("readerFeatures", []):
+            upgrade.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+        full = self._read_adds(spark, adds, with_lineage=True)
+        hits = (
+            full.filter(F.expr(predicate_sql))
+            .groupBy("__file")
+            .agg(F.collect_list("__pos").alias("pos"))
+            .collect()
+        )
+        if not hits:
+            return self.latest_version()
+        rel_of_base = {os.path.basename(p): p for p in adds}
+        planned: dict[str, dict] = {}
+        new_adds: list[dict] = []
+        old_removes: list[dict] = []
+        now = _now_ms()
+        for r in hits:
+            rel = rel_of_base[r["__file"]]
+            old = adds[rel]
+            planned[rel] = old
+            merged = sorted(set(int(x) for x in r["pos"]) | self._dv_positions(old))
+            enc, dv_rel = roaring.new_dv_descriptor_path()
+            desc = roaring.write_dv_file(
+                os.path.join(self.path, dv_rel), merged
+            )
+            rm = {"path": rel, "deletionTimestamp": now, "dataChange": True}
+            if old.get("deletionVector"):
+                rm["deletionVector"] = old["deletionVector"]
+            old_removes.append(rm)
+            na = dict(old)
+            na["dataChange"] = True
+            na["modificationTime"] = now
+            na["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": enc,
+                "offset": desc["offset"],
+                "sizeInBytes": desc["sizeInBytes"],
+                "cardinality": len(merged),
+            }
+            new_adds.append(na)
+        deleted = full.filter(F.expr(predicate_sql)).drop("__file", "__pos")
+        cdc_actions = self._stage_cdc(
+            deleted.withColumn("_change_type", F.lit("delete"))
+        )
+        # removes BEFORE the same-path re-adds: the snapshot fold is
+        # sequential, so order decides which action survives
+        actions = upgrade + cdc_actions
+        actions += [{"remove": rm} for rm in old_removes]
+        actions += [{"add": a} for a in new_adds]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": predicate_sql,
+                        "deletionVectors": "true",
+                    },
+                }
+            }
+        )
+
+        def dv_descriptors_unchanged() -> bool:
+            cur = self.snapshot_adds()
+            return all(
+                p in cur
+                and cur[p].get("deletionVector") == a.get("deletionVector")
+                for p, a in planned.items()
+            )
+
+        v = self._commit(actions, dv_descriptors_unchanged)
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit changed files this DV DELETE "
+                "targets; retry"
+            )
+        return v
+
     def merge(self, spark, source: DataFrame, key: str) -> int:
         """MERGE INTO (upsert — the third leg of Delta DML after append
         and DELETE): target rows whose ``key`` matches a source row are
@@ -823,29 +1170,30 @@ class DeltaLogTable(_CheckpointMixin):
         the table is untouched metadata. Source is read several times
         (matched/unmatched splits) — localCheckpoint'd first so a
         nondeterministic source cannot desync the reads."""
-        live = self.snapshot_files()
-        if not live:
+        adds = self.snapshot_adds()
+        if not adds:
             raise ValueError("merge into an empty table: use append")
         src = source.localCheckpoint()
+        self._enforce_constraints(src)
         if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
             raise ValueError(
                 f"merge source has duplicate {key} values: multiple source "
                 "rows would match the same target row (Delta rejects this)"
             )
-        target = self._read_files(spark, live)
+        rel_of_base = {os.path.basename(p): p for p in adds}
+        target = self._read_adds(spark, adds, with_lineage=True)
         keys = F.broadcast(src.select(key).distinct())
         hit_files = [
-            self._rel_of_uri(r[0])
-            for r in target.select(
-                F.col(key), F.col("_metadata.file_path").alias("fp")
-            )
+            rel_of_base[r[0]]
+            for r in target.select(F.col(key), F.col("__file"))
             .join(keys, key, "left_semi")
-            .select("fp")
+            .select("__file")
             .distinct()
             .collect()
         ]
+        target = target.drop("__file", "__pos")
         affected = (
-            self._read_files(spark, hit_files)
+            self._read_adds(spark, {p: adds[p] for p in hit_files})
             if hit_files
             else target.limit(0)
         )
@@ -894,6 +1242,114 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def replace_where(self, spark, df: DataFrame, predicate_sql: str) -> int:
+        """Predicate-scoped OVERWRITE (Delta's
+        ``.mode("overwrite").option("replaceWhere", pred)`` — the
+        idempotent-backfill primitive: re-deriving one day/region
+        replaces exactly that slice atomically, however many times the
+        job reruns):
+
+        1. every NEW row must satisfy the predicate — rows outside the
+           replaced region are REJECTED up front (Delta's replaceWhere
+           constraint check; silently writing them would corrupt
+           neighboring slices);
+        2. files containing matching rows are found with one
+           predicate-pushed scan and rewritten WITHOUT those rows
+           (rows of theirs outside the predicate survive — copy-on-
+           write, the delete_where machinery);
+        3. ONE commit: removes for the affected files, adds for the
+           kept-rewrites and the new data, plus cdc actions publishing
+           the replaced rows as deletes and the new rows as inserts —
+           a CDF replica applies the backfill without re-diffing.
+
+        Scale: cost tracks files-with-matches + new-data size; on a
+        partition-aligned predicate the rewrite set is pruned from log
+        metadata alone and untouched partitions are pure metadata."""
+        bad = df.filter(
+            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+        ).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"replaceWhere: new data contains rows NOT matching "
+                f"{predicate_sql!r} (Delta rejects writes outside the "
+                "replaced region)"
+            )
+        self._enforce_constraints(df)
+        df = df.localCheckpoint()  # read twice: stage + cdc
+        live = self.snapshot_adds()
+        pb = self.partition_columns() if live or self.latest_version() >= 0 else ()
+        hit_files: list[str] = []
+        deleted = None
+        if live:
+            rel_of_base = {os.path.basename(p): p for p in live}
+            full = self._read_adds(spark, live, with_lineage=True)
+            hit_files = [
+                rel_of_base[r[0]]
+                for r in full.filter(F.expr(predicate_sql))
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+        adds: list[dict] = []
+        if hit_files:
+            affected = self._read_adds(spark, {p: live[p] for p in hit_files})
+            kept = affected.filter(
+                ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+            )
+            deleted = affected.filter(F.expr(predicate_sql))
+            adds += self._stage_files(kept, partition_by=pb)
+        adds += self._stage_files(df, partition_by=pb)
+        cdc_frame = df.withColumn("_change_type", F.lit("insert"))
+        if deleted is not None:
+            cdc_frame = deleted.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(cdc_frame)
+        cdc_actions = self._stage_cdc(cdc_frame)
+        now = _now_ms()
+        actions = cdc_actions + [{"add": a} for a in adds]
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            for p in hit_files
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "predicate": predicate_sql,
+                    },
+                }
+            }
+        )
+        v = self._commit(
+            actions,
+            self._files_still_live(hit_files) if hit_files else None,
+            first_commit_actions=self._metadata_actions(df, tuple(pb)),
+        )
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this replaceWhere "
+                "targets; retry"
+            )
+        return v
+
+    def history(self, spark) -> DataFrame:
+        """DESCRIBE HISTORY — the audit surface every Delta table
+        exposes: one row per commit from its commitInfo action
+        (version, wall-clock timestamp, operation name). Pure log
+        metadata, O(commits), no data file touched; the returned frame
+        is driver-built because the log IS driver-local metadata."""
+        rows = [
+            (v, a["commitInfo"].get("timestamp"), a["commitInfo"].get("operation"))
+            for v, a in self._actions()
+            if "commitInfo" in a
+        ]
+        return spark.createDataFrame(
+            rows, "version bigint, timestamp bigint, operation string"
+        )
+
     def restore(self, spark, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
         an earlier snapshot as a NEW commit (history is immutable; the
@@ -919,19 +1375,44 @@ class DeltaLogTable(_CheckpointMixin):
         missing = [
             p for p in old if not os.path.exists(os.path.join(self.path, p))
         ]
+        from deltasink_spark import roaring as _roaring
+
+        missing += [
+            dv_rel
+            for a in old.values()
+            if a.get("deletionVector")
+            for dv_rel in [_roaring.dv_relative_path(a["deletionVector"]["pathOrInlineDv"])]
+            if not os.path.exists(os.path.join(self.path, dv_rel))
+        ]
         if missing:
             raise ValueError(
                 f"cannot RESTORE to version {version}: {len(missing)} data "
                 f"file(s) were vacuumed (first: {missing[0]})"
             )
-        re_adds = [dict(old[p], dataChange=True) for p in old if p not in cur]
-        removes = [p for p in cur if p not in old]
-        now = _now_ms()
-        actions: list[dict] = [{"add": a} for a in re_adds]
-        actions += [
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
-            for p in removes
+        def _dv(a: dict):
+            return a.get("deletionVector")
+
+        # a path whose CURRENT add differs from the target's (a DV
+        # delete swapped the descriptor under the same path) must be
+        # removed and re-added too — diffing by path alone would
+        # silently keep the newer deletion vector
+        re_adds = [
+            dict(old[p], dataChange=True)
+            for p in old
+            if p not in cur or _dv(cur[p]) != _dv(old[p])
         ]
+        removes = [
+            dict({"path": p}, **({"deletionVector": _dv(cur[p])} if _dv(cur[p]) else {}))
+            for p in cur
+            if p not in old or _dv(cur[p]) != _dv(old[p])
+        ]
+        now = _now_ms()
+        # removes BEFORE adds: same-path swaps fold sequentially
+        actions: list[dict] = [
+            {"remove": dict(r, deletionTimestamp=now, dataChange=True)}
+            for r in removes
+        ]
+        actions += [{"add": a} for a in re_adds]
         actions.append(
             {
                 "commitInfo": {
@@ -983,13 +1464,13 @@ class DeltaLogTable(_CheckpointMixin):
         partition columns re-materialize). An empty snapshot reads as
         the schemaString's empty frame — the log, not the file listing,
         is the source of truth."""
-        files = self.snapshot_files(as_of_version)
-        if not files:
+        adds = self.snapshot_adds(as_of_version)
+        if not adds:
             s = self.schema()
             if s is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s)
-        return self._read_files(spark, files)
+        return self._read_adds(spark, adds)
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """The latest version whose commitInfo timestamp is <= ``ts_ms``
@@ -1025,19 +1506,19 @@ class DeltaLogTable(_CheckpointMixin):
         listing three years. Shares snapshot_adds (the one fold) and
         supports versionAsOf like every other read."""
         adds = self.snapshot_adds(as_of_version)
-        hit = [
-            p for p, a in adds.items()
+        hit = {
+            p: a for p, a in adds.items()
             if all(
                 (a.get("partitionValues") or {}).get(k) == v
                 for k, v in partition_filter.items()
             )
-        ]
+        }
         if not hit:
             s = self.schema()
             if s is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s)
-        return self._read_files(spark, hit)
+        return self._read_adds(spark, hit)
 
     def read_where_stats(self, spark, col: str, lo, hi) -> DataFrame:
         """Data skipping from add-action STATS (Delta's file pruning,
@@ -1052,17 +1533,17 @@ class DeltaLogTable(_CheckpointMixin):
         mechanism that turns a point query into a handful of file
         reads."""
         adds = self.snapshot_adds()
-        hit = []
+        hit = {}
         for p, a in adds.items():
             st = a.get("stats")
             if not st:
-                hit.append(p)
+                hit[p] = a
                 continue
             s = json.loads(st)
             mn = s.get("minValues", {}).get(col)
             mx = s.get("maxValues", {}).get(col)
             if mn is None or mx is None:
-                hit.append(p)
+                hit[p] = a
                 continue
             try:
                 skip = mx < lo or mn > hi
@@ -1072,14 +1553,14 @@ class DeltaLogTable(_CheckpointMixin):
                 # never a correctness filter, so scan
                 skip = False
             if not skip:
-                hit.append(p)
+                hit[p] = a
         pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         if not hit:
             s = self.schema()
             if s is None:
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s).filter(pred)
-        return self._read_files(spark, hit).filter(pred)
+        return self._read_adds(spark, hit).filter(pred)
 
     def read_changes(self, spark, from_version: int, to_version: int) -> DataFrame:
         """CDF read over (from_version, to_version]: per commit, cdc
@@ -1106,9 +1587,9 @@ class DeltaLogTable(_CheckpointMixin):
             if "cdc" in a:
                 slot["cdc"].append(a["cdc"]["path"])
             elif "add" in a and a["add"].get("dataChange"):
-                slot["add"].append(a["add"]["path"])
+                slot["add"].append(a["add"])
             elif "remove" in a and a["remove"].get("dataChange"):
-                slot["rm"].append(a["remove"]["path"])
+                slot["rm"].append(a["remove"])
         parts = []
         for v in sorted(by_version):
             slot = by_version[v]
@@ -1122,22 +1603,27 @@ class DeltaLogTable(_CheckpointMixin):
                 parts.append(d.withColumn("_commit_version", F.lit(v).cast("long")))
                 continue
             if slot["add"]:
-                d = self._read_files(spark, slot["add"])
+                # DV-aware: an add carrying a deletion vector inserts
+                # only its SURVIVING rows
+                d = self._read_adds(spark, {a["path"]: a for a in slot["add"]})
                 parts.append(
                     d.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
             if slot["rm"]:
                 missing = [
-                    p for p in slot["rm"]
-                    if not os.path.exists(os.path.join(self.path, p))
+                    r["path"] for r in slot["rm"]
+                    if not os.path.exists(os.path.join(self.path, r["path"]))
                 ]
                 if missing:
                     raise ValueError(
                         f"CDF over commit {v} needs removed file "
                         f"{missing[0]} which VACUUM already deleted"
                     )
-                d = self._read_files(spark, slot["rm"])
+                # remove actions carry the removed add's DV descriptor
+                # (per spec), so synthesized deletes retract only the
+                # rows that were actually live
+                d = self._read_adds(spark, {r["path"]: r for r in slot["rm"]})
                 parts.append(
                     d.withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
@@ -1191,12 +1677,18 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 class _AddFilePartition(InputPartition):
     def __init__(
-        self, abs_path: str, version: int, pvals: dict, kind: str = "add"
+        self,
+        abs_path: str,
+        version: int,
+        pvals: dict,
+        kind: str = "add",
+        dv_pos: list[int] | None = None,
     ) -> None:
         self.abs_path = abs_path
         self.version = version
         self.pvals = pvals
         self.kind = kind  # "add" (synthesized insert) | "cdc" (exact rows)
+        self.dv_pos = dv_pos  # deletion-vector row positions to drop
 
 
 class DeltaTableStreamReader(DataSourceStreamReader):
@@ -1313,6 +1805,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                 if kind != "cdc"
                 else {},
                 kind,
+                sorted(self.table._dv_positions(a)) if kind != "cdc" else None,
             )
             for v, a, kind in adds
         ]
@@ -1335,6 +1828,14 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.abs_path)
+        if partition.dv_pos:
+            # deletion vector: drop the deleted row positions (the
+            # file is never rewritten — merge-on-read at the source)
+            import numpy as np
+
+            keep = np.ones(t.num_rows, dtype=bool)
+            keep[[p for p in partition.dv_pos if p < t.num_rows]] = False
+            t = t.filter(pa.array(keep))
         if self.read_cdf:
             # stamp the CDF metadata columns: cdc files carry their own
             # _change_type; synthesized adds/removes get the constant

@@ -222,6 +222,52 @@ def sink_delta_delete_where(spark, sf_dir):
 
 
 @query(
+    "sink_delta_delete_vectors",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 50, FALSE)
+      AND NOT COALESCE(value > 90, FALSE)
+    """,
+)
+def sink_delta_delete_vectors(spark, sf_dir):
+    """Row-level DELETE via DELETION VECTORS — merge-on-read, the
+    modern protocol path (table feature `deletionVectors`,
+    minReaderVersion 3) next to [sink_delta_delete_where]'s
+    copy-on-write: NO data file is rewritten — each affected file's
+    matching row positions serialize into a roaring-bitmap DV file
+    (the PUBLIC byte formats end-to-end: 32-bit portable roaring →
+    Delta's RoaringBitmapArray → the versioned/CRC'd DV file layout →
+    z85-uuid descriptor paths; deltasink_spark/roaring.py) and one
+    commit swaps each add for an identical one carrying the
+    descriptor. A SECOND delete unions into fresh DVs (the
+    first delete's positions must survive it — both predicates apply
+    below). The op asserts in-line that the data files' paths AND
+    bytes never changed: at 100 TB, deleting a handful of rows costs
+    KBs of DV instead of rewriting every hit file. NULLs pass both
+    predicates (never `< 50` nor `> 90`), mirrored by the oracle's
+    COALESCE. The read is the DV-aware scan: one broadcast anti-join
+    on (file, `_metadata.row_index`) drops deleted positions."""
+    t = _fresh_table("dv")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    import os as _os
+
+    before = {
+        p: _os.path.getsize(_os.path.join(t.path, p))
+        for p in t.snapshot_files()
+    }
+    t.delete_where_dv(spark, "value < 50")
+    t.delete_where_dv(spark, "value > 90")
+    after = {
+        p: _os.path.getsize(_os.path.join(t.path, p))
+        for p in t.snapshot_files()
+    }
+    assert before == after, "DV delete must not rewrite any data file"
+    return t.read(spark)
+
+
+@query(
     "scan_delta_log_cdf",
     oracle=f"""
     SELECT {', '.join(_EV_COLS)}, 'insert' AS _change_type,
@@ -333,6 +379,97 @@ def scan_delta_log_checkpoint(spark, sf_dir):
 
 
 @query(
+    "scan_delta_log_multipart_checkpoint",
+    oracle=f"""
+    WITH last_cp AS (
+        SELECT CAST(version AS BIGINT) AS cv, CAST(parts AS BIGINT) AS np
+        FROM read_json('{os.path.join(_DL_BASE, "cpmulti")}/_delta_log/_last_checkpoint',
+                       columns = {{"version": 'BIGINT', "size": 'BIGINT',
+                                   "parts": 'BIGINT'}})
+    ),
+    cp_adds AS (
+        SELECT "add".path AS p
+        FROM read_parquet('{os.path.join(_DL_BASE, "cpmulti")}/_delta_log/*.checkpoint.*.parquet')
+        WHERE "add".path IS NOT NULL
+    ),
+    tail AS (
+        SELECT "add".path AS add_path,
+               "remove".path AS rm_path,
+               CAST(regexp_extract(parse_filename(filename), '^(\\d{{20}})', 1)
+                    AS BIGINT) AS v
+        FROM read_json('{os.path.join(_DL_BASE, "cpmulti")}/_delta_log/*.json',
+            filename = true,
+            columns = {{
+                "add": 'STRUCT(path VARCHAR, "dataChange" BOOLEAN)',
+                "remove": 'STRUCT(path VARCHAR, "dataChange" BOOLEAN)'
+            }})
+        WHERE parse_filename(filename) != '_last_checkpoint'
+    ),
+    live AS (
+        SELECT p FROM cp_adds
+        UNION
+        SELECT add_path FROM tail, last_cp
+        WHERE add_path IS NOT NULL AND v > cv
+        EXCEPT
+        SELECT rm_path FROM tail, last_cp
+        WHERE rm_path IS NOT NULL AND v > cv
+    )
+    SELECT t.event_id, t.user_id, t.value
+    FROM read_parquet('{os.path.join(_DL_BASE, "cpmulti")}/part-*.parquet',
+                      filename = true) t
+    JOIN live ON parse_filename(t.filename) = live.p
+    """,
+)
+def scan_delta_log_multipart_checkpoint(spark, sf_dir):
+    """MULTI-PART checkpoints — the spec's `n.checkpoint.o.p.parquet`
+    naming with `_last_checkpoint` carrying `parts`: when a 100 TB
+    table's live add set outgrows what one writer task should put in
+    one file, the checkpoint state is DISTRIBUTED across `parts`
+    parquet files (any row-to-part assignment; here contiguous slices,
+    some parts legally holding zero adds) and a reader must UNION all
+    parts before folding the JSON tail on top. Build mirrors
+    [scan_delta_log_checkpoint] — three appends, an OPTIMIZE,
+    `checkpoint(parts=3)`, then a post-checkpoint append — but the
+    reader now has NO single-file fallback to hide behind: missing any
+    part loses files, double-reading any duplicates them. The oracle
+    is the independent DuckDB double-parse extended to the multi-part
+    glob: `_last_checkpoint` (version + parts), ALL
+    `*.checkpoint.*.parquet` parts unioned, tail adds minus removes
+    after the checkpoint version."""
+    t = _fresh_table("cpmulti")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 3 == 0), "cpm_dl", 0)
+    t.append(ev.filter(F.col("event_id") % 3 == 1), "cpm_dl", 1)
+    t.append(ev.filter(F.col("event_id") % 3 == 2), "cpm_dl", 2)
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+    t.checkpoint(parts=3)
+    # a fresh instance must recover the txn high-water marks from the
+    # PARTS (exactly-once across restarts still holds): the replayed
+    # batch below must be a no-op even though its rows differ
+    t2 = DeltaLogTable(t.path)
+    replay = t2.append(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+            "user_id",
+            "value",
+        ),
+        "cpm_dl",
+        2,
+    )
+    assert replay is None, "txn replay must fold high-water from parts"
+    # post-checkpoint JSON tail the reader must still fold
+    t2.append(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+            "user_id",
+            "value",
+        )
+    )
+    return t2.read_via_checkpoint(spark)
+
+
+@query(
     "sink_delta_merge",
     oracle=f"""
     SELECT event_id, user_id,
@@ -363,6 +500,118 @@ def sink_delta_merge(spark, sf_dir):
         t.merge(spark, src, "event_id")
     elif src.limit(1).count():
         t.append(src)  # merge into a zero-file table = insert all
+    return t.read(spark)
+
+
+@query(
+    "sink_delta_replace_where",
+    oracle="""
+    SELECT event_id, user_id, value, event_type FROM events
+    WHERE NOT COALESCE(event_type = 'click', FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 1000 AS value, event_type
+    FROM events WHERE COALESCE(event_type = 'click', FALSE)
+    """,
+)
+def sink_delta_replace_where(spark, sf_dir):
+    """Predicate-scoped OVERWRITE — Delta's replaceWhere, the
+    idempotent-backfill primitive (re-derive one slice, swap it
+    atomically, rerun-safe): the table holds all events; one
+    `replace_where(event_type='click', new_clicks)` commit swaps
+    exactly the click rows for their re-derived versions (value+1000)
+    — non-click rows in the SAME files survive via copy-on-write
+    rewrite, rows outside the predicate in the new data are REJECTED
+    up front (pinned in tests), and the commit publishes
+    delete+insert cdc so a CDF replica applies the backfill without
+    re-diffing snapshots. NULL event_type is never "= 'click'": those
+    rows survive, mirrored by the oracle's COALESCE. Scale: cost
+    tracks files-with-matches + new-data size; on a partition-aligned
+    predicate the rewrite set prunes from log metadata alone."""
+    t = _fresh_table("replwhere")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    new_clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", (F.col("value") + 1000).alias("value"),
+        "event_type",
+    )
+    t.replace_where(spark, new_clicks, "event_type = 'click'")
+    return t.read(spark)
+
+
+@query(
+    "scan_delta_log_history",
+    oracle=f"""
+    SELECT CAST(regexp_extract(parse_filename(filename), '^(\\d{{20}})', 1)
+                AS BIGINT) AS version,
+           "commitInfo"."timestamp" AS timestamp,
+           "commitInfo".operation AS operation
+    FROM read_json('{os.path.join(_DL_BASE, "hist")}/_delta_log/*.json',
+        filename = true,
+        columns = {{
+            "commitInfo": 'STRUCT("timestamp" BIGINT, operation VARCHAR)'
+        }})
+    WHERE "commitInfo" IS NOT NULL
+      AND parse_filename(filename) != '_last_checkpoint'
+    """,
+)
+def scan_delta_log_history(spark, sf_dir):
+    """DESCRIBE HISTORY — the audit surface of every Delta table: one
+    row per commit from its commitInfo action (version, wall-clock
+    timestamp, operation), here across the full DML vocabulary the
+    layer writes (WRITE appends, a DELETE, an OPTIMIZE). The oracle is
+    the INDEPENDENT parse — DuckDB reads the raw `_delta_log/*.json`
+    commitInfo lines and derives each version from its filename — so
+    agreement proves the log records exactly the history any Delta
+    client would display. Pure metadata: O(commits), no data file
+    opened by either side."""
+    t = _fresh_table("hist")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    t.delete_where(spark, "value < 50")
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+    return t.history(spark)
+
+
+@query(
+    "sink_delta_constraint",
+    oracle=f"SELECT {', '.join(_EV_COLS)} FROM events",
+)
+def sink_delta_constraint(spark, sf_dir):
+    """CHECK constraints — the protocol's checkConstraints writer
+    feature (`delta.constraints.<name>` metaData configuration,
+    minWriterVersion 3): after the first append, `ADD CONSTRAINT
+    value_nonneg CHECK (value IS NULL OR value >= 0)` validates the
+    EXISTING rows then commits the rule as pure metadata; from then on
+    every writer that folds the log must enforce it — the violating
+    append below (negated values) is REJECTED whole (no partial
+    commit; asserted in-op), the conforming append lands, and SQL
+    CHECK semantics hold (NULL passes — only FALSE violates). The
+    final table is exactly the source: the rejected commit left no
+    trace. At 100 TB the constraint is one JSON config entry; the
+    enforcement scan rides the write it guards."""
+    t = _fresh_table("constraint")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    if t.latest_version() < 0:  # empty corpus: no metaData yet
+        t.append(spark.createDataFrame([], _EV_SCHEMA))
+    t.add_constraint(spark, "value_nonneg", "value IS NULL OR value >= 0")
+    bad = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", (-F.abs(F.col("value")) - 1).alias("value")
+    )
+    v_before = t.latest_version()
+    if bad.limit(1).count():
+        try:
+            t.append(bad)
+            raise AssertionError("violating append must be rejected")
+        except ValueError:
+            pass
+        assert t.latest_version() == v_before, "rejected commit left a trace"
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
     return t.read(spark)
 
 

@@ -481,6 +481,223 @@ def agg_kmv_intersect(spark, sf_dir):
     )
 
 
+@query(
+    "agg_kmv_difference",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events),
+    kmv AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}),
+    theta AS (SELECT event_type, MAX(h) AS th FROM kmv GROUP BY event_type),
+    pairs AS (
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+               LEAST(ta.th, tb.th) AS theta
+        FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type),
+    only_a AS (
+        SELECT p.type_a, p.type_b, p.theta,
+               CAST(COUNT(*) AS BIGINT) AS n_a_only
+        FROM pairs p
+        JOIN kmv a ON a.event_type = p.type_a AND a.h < p.theta
+        WHERE NOT EXISTS (
+            SELECT 1 FROM kmv b
+            WHERE b.event_type = p.type_b AND b.h = a.h)
+        GROUP BY p.type_a, p.type_b, p.theta)
+    SELECT p.type_a, p.type_b, p.theta,
+           COALESCE(o.n_a_only, 0) AS n_a_only,
+           COALESCE(o.n_a_only, 0) * 4294967296.0 / p.theta AS est_difference
+    FROM pairs p LEFT JOIN only_a o
+      ON o.type_a = p.type_a AND o.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def agg_kmv_difference(spark, sf_dir):
+    """K-minimum-values (theta) sketch set DIFFERENCE — the A-NOT-B
+    estimate completing [agg_kmv_intersect]'s set algebra (the
+    DataSketches AnotB operation): below the common theta, every
+    a-sketch hash is a uniform sample of A, so the ones ABSENT from
+    b's sketch sample A\\B at the same rate — |A\\B| ≈ n_a_only *
+    2^32 / theta. "Which users click but never purchase" from two
+    KB-sized sketches, no distinct anti-join over the fact table.
+    Every component is an exact integer and the single estimate
+    division is IEEE on exact inputs — the approximate sketch carries
+    an EXACT oracle (the agg_kmv_intersect discipline).
+
+    Scale shape: identical to the intersect — one distinct + per-type
+    top-K window builds the sketches; everything after runs on
+    |types| x K rows (broadcastable, mergeable)."""
+    e = load(spark, sf_dir, "events")
+    from deltasink_spark.tables import md5_long
+
+    h = e.select(
+        "event_type", md5_long(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    theta = kmv.groupBy("event_type").agg(F.max("h").alias("th"))
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("th_b"))
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("kb_type"), F.col("h").alias("hb"))
+    only_a = (
+        pairs.join(ka, "type_a")
+        .filter(F.col("h") < F.col("theta"))
+        .join(
+            kb,
+            (F.col("type_b") == F.col("kb_type")) & (F.col("h") == F.col("hb")),
+            "left_anti",
+        )
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a_only"))
+    )
+    return (
+        pairs.join(
+            only_a.select("type_a", "type_b", "n_a_only"),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce(F.col("n_a_only"), F.lit(0).cast("long")).alias("n_a_only"),
+            (
+                F.coalesce(F.col("n_a_only"), F.lit(0).cast("long"))
+                * F.lit(4294967296.0)
+                / F.col("theta")
+            ).alias("est_difference"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "agg_kmv_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    kmv AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM kmv) a
+        JOIN (SELECT DISTINCT event_type FROM kmv) b
+          ON a.event_type < b.event_type),
+    pooled AS (
+        SELECT DISTINCT p.type_a, p.type_b, k.h
+        FROM pairs p
+        JOIN kmv k ON k.event_type = p.type_a OR k.event_type = p.type_b),
+    merged AS (
+        SELECT type_a, type_b, h FROM (
+            SELECT type_a, type_b, h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY type_a, type_b ORDER BY h
+                   ) AS rn
+            FROM pooled
+        ) WHERE rn <= {_KMV_K}),
+    est AS (
+        SELECT type_a, type_b, MAX(h) AS theta,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_below
+        FROM merged GROUP BY type_a, type_b)
+    SELECT type_a, type_b, theta, n_below,
+           n_below * 4294967296.0 / theta AS est_union
+    FROM est
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_kmv_union(spark, sf_dir):
+    """KMV/theta sketch UNION — the MERGEABILITY leg completing the
+    family ([agg_kmv_intersect], [agg_kmv_difference]): two sketches
+    union by pooling their hash samples, deduping, and re-truncating
+    to the K smallest — the result IS the KMV sketch of A ∪ B
+    restricted to already-sampled hashes, which is why theta sketches
+    compose across partitions/days/tables without touching raw data
+    (the DataSketches union set-operation; at 100 TB, per-day KB
+    sketches roll up to any window). Estimate is the classic KMV
+    estimator in the family's convention: theta = the merged sketch's
+    max, n_below = members strictly below it (= K-1 when full), |A∪B|
+    ≈ n_below * 2^32 / theta. All-integer components ⇒ exact oracle.
+
+    Scale shape: sketch build = one distinct + per-type top-K window;
+    the merge + re-truncate runs on |types|² x K rows — tiny,
+    broadcastable; nothing corpus-sized crosses the pair join."""
+    e = load(spark, sf_dir, "events")
+    from deltasink_spark.tables import md5_long
+
+    h = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", md5_long(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = kmv.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # pool both sides' samples per pair, dedupe shared hashes, keep the
+    # K smallest (the union sketch), then the classic KMV estimate
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("type_b"), "h")
+    pooled = (
+        pairs.join(ka, "type_a")
+        .select("type_a", "type_b", "h")
+        .unionByName(pairs.join(kb, "type_b").select("type_a", "type_b", "h"))
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy(F.asc("h"))
+    merged = (
+        pooled.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    return (
+        merged.groupBy("type_a", "type_b")
+        .agg(
+            F.max("h").alias("theta"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_below"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            "n_below",
+            (F.col("n_below") * F.lit(4294967296.0) / F.col("theta")).alias(
+                "est_union"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # --- join_size_estimate_sampled: correlated-sampling cardinality ---------
 
 _JS_P_INV = 16  # sampling rate p = 1/16

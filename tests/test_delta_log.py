@@ -658,3 +658,173 @@ def test_stream_cdf_partitioned_delete_keeps_partition_values(spark, tmp_path):
     }
     inserts = out.filter(F.col("_change_type") == "insert")
     assert inserts.filter(F.col("et").isNull()).count() == 0
+
+
+def test_multipart_checkpoint_parts_union_and_bounded_replay(spark, tmp_path):
+    """checkpoint(parts=3) writes the spec's n.checkpoint.o.p.parquet
+    set + a `parts`-carrying _last_checkpoint; the reader must union
+    ALL parts (each holds a strict subset of the state) and still skip
+    every pre-checkpoint JSON file."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30), "mp", 0)
+    t.append(_ev(spark, 60).filter(F.col("event_id") >= 30), "mp", 1)
+    t.optimize(spark, target_files=4)
+    cv = t.checkpoint(parts=3)
+    names = sorted(
+        f for f in os.listdir(t.log_dir) if ".checkpoint." in f
+    )
+    assert names == [
+        f"{cv:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    info = json.load(open(os.path.join(t.log_dir, "_last_checkpoint")))
+    assert info["parts"] == 3 and info["version"] == cv
+    # every part holds a strict subset: dropping any one loses state
+    import pyarrow.parquet as pq
+
+    sizes = [
+        pq.read_table(os.path.join(t.log_dir, n)).num_rows for n in names
+    ]
+    assert sum(sizes) == info["size"] and max(sizes) < info["size"]
+    # tail after the checkpoint; fresh instance folds parts + tail
+    t.append(_ev(spark, 70).filter(F.col("event_id") >= 60))
+    t2 = DeltaLogTable(t.path)
+    got = {r["event_id"] for r in t2.read_via_checkpoint(spark).collect()}
+    assert got == set(range(70))
+    # txn high-water marks recovered from the PARTS (replay still no-op)
+    assert t2.append(_ev(spark, 10), "mp", 1) is None
+    # pre-checkpoint JSON is never opened by the bounded fold
+    for v in range(cv + 1):
+        os.rename(
+            os.path.join(t.log_dir, f"{v:020d}.json"),
+            os.path.join(t.log_dir, f"hidden-{v}.bak"),
+        )
+    t3 = DeltaLogTable(t.path)
+    got3 = {r["event_id"] for r in t3.read_via_checkpoint(spark).collect()}
+    assert got3 == set(range(70))
+
+
+def test_multipart_checkpoint_more_parts_than_rows(spark, tmp_path):
+    """parts > state rows: later parts are legally EMPTY files, and
+    the union still reconstructs exactly."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.optimize(spark, target_files=1)
+    cv = t.checkpoint(parts=8)
+    assert len(t._checkpoint_paths(cv)) == 8
+    got = {r["event_id"] for r in t.read_via_checkpoint(spark).collect()}
+    assert got == set(range(10))
+
+
+def test_replace_where_swaps_only_the_slice(spark, tmp_path):
+    """replaceWhere rewrites exactly the predicate slice: matching
+    rows vanish, new rows land, non-matching rows survive — including
+    ones sharing a file with matches (copy-on-write) — and untouched
+    files are not rewritten."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 50))                      # ids 0..49 (one file set)
+    t.append(_ev(spark, 100).filter(F.col("event_id") >= 50))
+    before = set(t.snapshot_files())
+    new = _ev(spark, 10).select(
+        "event_id", "user_id", (F.col("value") + 9000).alias("value")
+    )
+    t.replace_where(spark, new, "event_id < 10")
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert set(got) == set(range(100))
+    assert all(got[i] == i * 1.5 + 9000 for i in range(10))
+    assert all(got[i] == i * 1.5 for i in range(10, 100))
+    # files without matches (the >=50 append) survive unrewritten
+    after = set(t.snapshot_files())
+    assert before & after, "untouched files must not be rewritten"
+
+
+def test_replace_where_rejects_rows_outside_predicate(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    with pytest.raises(ValueError, match="NOT matching"):
+        t.replace_where(spark, _ev(spark, 30), "event_id < 10")
+    # nothing committed
+    assert t.latest_version() == 0
+
+
+def test_replace_where_emits_delete_and_insert_cdc(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    v = t.replace_where(
+        spark,
+        _ev(spark, 5).select(
+            "event_id", "user_id", (F.col("value") + 1).alias("value")
+        ),
+        "event_id < 5",
+    )
+    ch = t.read_changes(spark, v - 1, v)
+    kinds = {
+        (r["_change_type"], r["event_id"]) for r in ch.collect()
+    }
+    assert {("delete", i) for i in range(5)} <= kinds
+    assert {("insert", i) for i in range(5)} <= kinds
+    assert len(kinds) == 10
+
+
+def test_replace_where_first_commit_creates_table(spark, tmp_path):
+    """replaceWhere into a brand-new table is a plain scoped write —
+    protocol+metaData ride the first commit like append's."""
+    t = _table(tmp_path)
+    t.replace_where(spark, _ev(spark, 10), "event_id < 10")
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(10))
+
+
+def test_history_records_operations_in_order(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.delete_where(spark, "event_id < 5")
+    t.optimize(spark, target_files=1)
+    h = {r["version"]: r["operation"] for r in t.history(spark).collect()}
+    assert h == {0: "WRITE", 1: "DELETE", 2: "OPTIMIZE"}
+
+
+def test_check_constraint_rejects_and_passes_null(spark, tmp_path):
+    """CHECK semantics: only FALSE violates (NULL passes); a rejected
+    append commits nothing; drop_constraint lifts enforcement."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.add_constraint(spark, "nonneg", "value >= 0")
+    assert t.constraints() == {"nonneg": "value >= 0"}
+    bad = _ev(spark, 5).select(
+        "event_id", "user_id", (-F.col("value") - 1).alias("value")
+    )
+    v0 = t.latest_version()
+    with pytest.raises(ValueError, match="nonneg"):
+        t.append(bad)
+    assert t.latest_version() == v0
+    # NULL evaluates UNKNOWN -> passes (SQL CHECK semantics)
+    nulls = _ev(spark, 3).select(
+        "event_id", "user_id", F.lit(None).cast("double").alias("value")
+    )
+    t.append(nulls)
+    t.drop_constraint("nonneg")
+    assert t.constraints() == {}
+    t.append(bad)  # now allowed
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    with pytest.raises(ValueError, match="existing"):
+        t.add_constraint(spark, "impossible", "value > 1000000")
+    assert t.constraints() == {}
+
+
+def test_constraint_enforced_on_merge_and_replace_where(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.add_constraint(spark, "nonneg", "value >= 0")
+    bad = _ev(spark, 5).select(
+        "event_id", "user_id", (-F.col("value") - 1).alias("value")
+    )
+    with pytest.raises(ValueError, match="nonneg"):
+        t.merge(spark, bad, "event_id")
+    with pytest.raises(ValueError, match="nonneg"):
+        t.replace_where(spark, bad, "event_id < 5")
+    # survives a fresh instance (the rule lives in the LOG)
+    with pytest.raises(ValueError, match="nonneg"):
+        DeltaLogTable(t.path).append(bad)

@@ -1274,3 +1274,22 @@ def test_unigram_encode_broadcast_join_per_doc_agg(spark, sf_small):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "HashAggregate" in p
+
+
+def test_agg_kmv_difference_sketch_sized_joins(spark, sf_small):
+    """A-not-B rides the same sketch shape as the intersect: one
+    distinct + per-type top-K window builds the KMV samples, then
+    every join (pairs, anti vs b, estimate) runs on |types| x K rows
+    — no cartesian against the events scan."""
+    p = plan(q("agg_kmv_difference", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # the per-type top-K rank
+
+
+def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
+    """The union's pool + re-truncate runs on |types|^2 x K sketch
+    rows — two windows (per-type build, per-pair re-rank), never a
+    cartesian against the events scan."""
+    p = plan(q("agg_kmv_union", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "Window" in p
