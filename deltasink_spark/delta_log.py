@@ -77,6 +77,14 @@ _CDC_DIR = "_change_data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class MetadataChangedError(RuntimeError):
+    """A concurrent commit changed the table's metaData between this
+    operation's read and its commit point — committing the stale
+    metaData would silently erase the other writer's change (a dropped
+    constraint, a reverted schema widening). Mirrors Delta's
+    MetadataChangedException; the caller should re-read and retry."""
+
+
 class ConcurrentDeleteReadError(RuntimeError):
     """A concurrent commit removed files this operation planned to
     rewrite between its snapshot and its commit point — committing
@@ -112,6 +120,7 @@ def _checkpoint_schema():
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
                         ("createdTime", pa.int64()),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),
@@ -201,6 +210,13 @@ class _CheckpointMixin:
                         "schemaString": meta["schemaString"],
                         "partitionColumns": meta.get("partitionColumns", []),
                         "createdTime": meta.get("createdTime"),
+                        # configuration is LOAD-BEARING state (CHECK
+                        # constraints, CDF flag) — dropping it here
+                        # would lift every constraint for any reader
+                        # resuming from the checkpoint
+                        "configuration": list(
+                            (meta.get("configuration") or {}).items()
+                        ),
                     }
                 }
             )
@@ -440,17 +456,44 @@ class DeltaLogTable(_CheckpointMixin):
     def snapshot_files(self, as_of_version: int | None = None) -> list[str]:
         return list(self.snapshot_adds(as_of_version))
 
-    def _files_still_live(self, paths: list[str]):
+    @staticmethod
+    def _remove_action(
+        path: str, add: dict, now: int, data_change: bool = True
+    ) -> dict:
+        """Build a remove action for a superseded add — carrying the
+        add's deletionVector descriptor when it has one (the spec's
+        contract: a remove describes exactly the file state it
+        retracts, which is what lets a CDF reader's remove-fallback
+        retract only the rows that were actually live)."""
+        rm = {"path": path, "deletionTimestamp": now, "dataChange": data_change}
+        if add.get("deletionVector"):
+            rm["deletionVector"] = add["deletionVector"]
+        return rm
+
+    def _adds_unchanged(self, planned: dict[str, dict]):
         """Commit-lock precondition for rewrite commits (OPTIMIZE /
-        DELETE / MERGE): every file this commit removes must STILL be
-        live in the CURRENT log — a concurrent commit that rewrote any
-        of them between our snapshot and our commit point makes this
-        plan stale (Delta's ConcurrentDeleteRead conflict class; the
-        sinks.py ConcurrentCompactionError discipline)."""
-        need = set(paths)
+        DELETE / MERGE / replaceWhere / DV delete): every file this
+        commit supersedes must STILL be live with the SAME
+        deletionVector descriptor — a concurrent rewrite (path gone)
+        OR a concurrent DV delete (same path, new descriptor) between
+        our snapshot and our commit point makes this plan stale;
+        committing anyway would resurrect the concurrently-deleted
+        rows (Delta's ConcurrentDeleteRead conflict class). Path
+        liveness alone is NOT enough precisely because DV deletes
+        change a file's logical content without changing its path."""
+        need = {
+            p: (a.get("deletionVector") or {}).get("pathOrInlineDv")
+            for p, a in planned.items()
+        }
 
         def check() -> bool:
-            return need <= set(self.snapshot_files())
+            cur = self.snapshot_adds()
+            return all(
+                p in cur
+                and (cur[p].get("deletionVector") or {}).get("pathOrInlineDv")
+                == dv
+                for p, dv in need.items()
+            )
 
         return check
 
@@ -486,11 +529,58 @@ class DeltaLogTable(_CheckpointMixin):
         return hw
 
     def _metadata_dict(self) -> dict | None:
+        """Latest metaData action — from the JSON log, falling back to
+        the checkpoint's metaData row when every pre-checkpoint JSON
+        file has been cleaned up (the spec allows deleting them once a
+        checkpoint covers them; table identity must survive that)."""
         m = None
         for _, a in self._actions():
             if "metaData" in a:
                 m = a["metaData"]
+        if m is not None:
+            return m
+        cv = self.last_checkpoint()
+        if cv is None:
+            return None
+        import pyarrow.parquet as pq
+
+        for cp in self._checkpoint_paths(cv):
+            for rec in (
+                pq.read_table(cp, columns=["metaData"])
+                .column("metaData")
+                .to_pylist()
+            ):
+                if rec is not None:
+                    rec = dict(rec)
+                    rec["configuration"] = dict(rec.get("configuration") or [])
+                    m = rec
         return m
+
+    def _protocol_dict(self) -> dict | None:
+        """Latest protocol action — JSON log first, checkpoint row as
+        the fallback after pre-checkpoint log cleanup (otherwise every
+        DV delete on a cleaned-up table would re-ledger a redundant
+        protocol upgrade)."""
+        p = None
+        for _, a in self._actions():
+            if "protocol" in a:
+                p = a["protocol"]
+        if p is not None:
+            return p
+        cv = self.last_checkpoint()
+        if cv is None:
+            return None
+        import pyarrow.parquet as pq
+
+        for cp in self._checkpoint_paths(cv):
+            for rec in (
+                pq.read_table(cp, columns=["protocol"])
+                .column("protocol")
+                .to_pylist()
+            ):
+                if rec is not None:
+                    p = {k: v for k, v in rec.items() if v is not None}
+        return p
 
     def schema(self) -> StructType | None:
         m = self._metadata_dict()
@@ -499,11 +589,8 @@ class DeltaLogTable(_CheckpointMixin):
         return StructType.fromJson(json.loads(m["schemaString"]))
 
     def partition_columns(self) -> tuple[str, ...]:
-        cols: tuple[str, ...] = ()
-        for _, a in self._actions():
-            if "metaData" in a:
-                cols = tuple(a["metaData"].get("partitionColumns", []))
-        return cols
+        m = self._metadata_dict()
+        return tuple((m or {}).get("partitionColumns") or ())
 
     # --- data-file staging -------------------------------------------------
 
@@ -775,7 +862,7 @@ class DeltaLogTable(_CheckpointMixin):
         cfg[f"delta.constraints.{name}"] = expr_sql
         meta["configuration"] = cfg
         now = _now_ms()
-        return self._commit(
+        v = self._commit(
             [
                 {"metaData": meta},
                 {
@@ -785,8 +872,17 @@ class DeltaLogTable(_CheckpointMixin):
                         "operationParameters": {"name": name, "expr": expr_sql},
                     }
                 },
-            ]
+            ],
+            # the new metaData was derived from m: a concurrent
+            # metadata commit (another constraint, a schema widening)
+            # in between would be silently erased by committing it
+            precondition=lambda: self._metadata_dict() == m,
         )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while adding the constraint; retry"
+            )
+        return v
 
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT — removes the configuration key
@@ -794,11 +890,12 @@ class DeltaLogTable(_CheckpointMixin):
         behavior without IF EXISTS)."""
         if name not in self.constraints():
             raise ValueError(f"no such constraint: {name}")
-        meta = dict(self._metadata_dict())
+        base = self._metadata_dict()
+        meta = dict(base)
         cfg = dict(meta.get("configuration") or {})
         del cfg[f"delta.constraints.{name}"]
         meta["configuration"] = cfg
-        return self._commit(
+        v = self._commit(
             [
                 {"metaData": meta},
                 {
@@ -808,8 +905,14 @@ class DeltaLogTable(_CheckpointMixin):
                         "operationParameters": {"name": name},
                     }
                 },
-            ]
+            ],
+            precondition=lambda: self._metadata_dict() == base,
         )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while dropping the constraint; retry"
+            )
+        return v
 
     # --- public DML ---------------------------------------------------------
 
@@ -864,7 +967,8 @@ class DeltaLogTable(_CheckpointMixin):
                         "enforcement)"
                     )
                 widened = StructType(list(cur_schema.fields) + list(extra))
-                evolved_meta = dict(self._metadata_dict())
+                evolve_base = self._metadata_dict()
+                evolved_meta = dict(evolve_base)
                 evolved_meta["schemaString"] = widened.json()
         self._enforce_constraints(df)
         adds = self._stage_files(df, partition_by=tuple(partition_by))
@@ -886,17 +990,35 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        precondition = None
+        checks = []
         if app_id is not None and txn_version is not None:
             # Re-validate the txn high-water mark UNDER the commit lock:
             # a concurrent same-appId writer may have ledgered this
             # version while our data files were being staged (the
             # write_batch re-check discipline). Aborting leaves the
             # staged uuid files unreferenced — invisible garbage.
-            def precondition():
-                return txn_version > self.txn_versions(refresh=True).get(
-                    app_id, -1
-                )
+            checks.append(
+                lambda: txn_version
+                > self.txn_versions(refresh=True).get(app_id, -1)
+            )
+        if evolved_meta is not None:
+            # the widened metaData was derived from evolve_base: a
+            # concurrent metadata commit (a constraint, another
+            # widening) in between must not be silently overwritten.
+            # RAISE rather than return None — None means "replay
+            # skipped" to this method's callers, which this is not
+            def _meta_unchanged() -> bool:
+                if self._metadata_dict() != evolve_base:
+                    raise MetadataChangedError(
+                        "table metaData changed while evolving the "
+                        "schema; retry the append"
+                    )
+                return True
+
+            checks.append(_meta_unchanged)
+        precondition = (
+            (lambda: all(c() for c in checks)) if checks else None
+        )
 
         # protocol+metaData ride along and are prepended only if this
         # commit WINS version 0 (decided under the lock — two racing
@@ -948,13 +1070,12 @@ class DeltaLogTable(_CheckpointMixin):
         now = _now_ms()
         for p in live:
             actions.append(
-                {"remove": {"path": p, "deletionTimestamp": now,
-                            "dataChange": False}}
+                {"remove": self._remove_action(p, adds_live[p], now, False)}
             )
         actions.append(
             {"commitInfo": {"timestamp": now, "operation": "OPTIMIZE"}}
         )
-        v = self._commit(actions, self._files_still_live(live))
+        v = self._commit(actions, self._adds_unchanged(adds_live))
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit rewrote part of this OPTIMIZE's "
@@ -980,13 +1101,13 @@ class DeltaLogTable(_CheckpointMixin):
         Deleting zero rows commits nothing and returns the current
         version (Delta's DELETE no-op). Crash before the commit leaves
         unreferenced rewrite/CDC files — invisible, replay-safe."""
-        adds = self.snapshot_adds()
-        if not adds:
+        snap = self.snapshot_adds()
+        if not snap:
             # DELETE over an empty snapshot is a no-op, not an error
             # (an empty-corpus table legitimately has zero live files).
             return self.latest_version()
-        rel_of_base = {os.path.basename(p): p for p in adds}
-        full = self._read_adds(spark, adds, with_lineage=True)
+        rel_of_base = {os.path.basename(p): p for p in snap}
+        full = self._read_adds(spark, snap, with_lineage=True)
         hit_files = [
             rel_of_base[r[0]]
             for r in full.filter(F.expr(predicate_sql))
@@ -998,7 +1119,7 @@ class DeltaLogTable(_CheckpointMixin):
             return self.latest_version()
         # DV-aware: rows an existing deletion vector already removed
         # must neither survive into the rewrite nor re-enter the CDF
-        affected = self._read_adds(spark, {p: adds[p] for p in hit_files})
+        affected = self._read_adds(spark, {p: snap[p] for p in hit_files})
         kept = affected.filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         deleted = affected.filter(F.expr(predicate_sql))
         adds = self._stage_files(kept, partition_by=self.partition_columns())
@@ -1008,7 +1129,7 @@ class DeltaLogTable(_CheckpointMixin):
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
         actions += [
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            {"remove": self._remove_action(p, snap[p], now)}
             for p in hit_files
         ]
         actions.append(
@@ -1020,7 +1141,9 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        v = self._commit(actions, self._files_still_live(hit_files))
+        v = self._commit(
+            actions, self._adds_unchanged({p: snap[p] for p in hit_files})
+        )
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit rewrote files this DELETE targets; retry"
@@ -1057,10 +1180,7 @@ class DeltaLogTable(_CheckpointMixin):
         # table-features protocol upgrade (Delta's auto-upgrade on the
         # first DV write): deletionVectors requires minReaderVersion 3
         # / minWriterVersion 7 with the feature listed both sides
-        proto = None
-        for _, a in self._actions():
-            if "protocol" in a:
-                proto = a["protocol"]
+        proto = self._protocol_dict()
         upgrade: list[dict] = []
         if "deletionVectors" not in (proto or {}).get("readerFeatures", []):
             upgrade.append(
@@ -1074,9 +1194,13 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             )
         full = self._read_adds(spark, adds, with_lineage=True)
+        # pin the matched rows ONCE: the positions that go into the DV
+        # files and the rows the cdc action publishes must come from
+        # the same evaluation, or a nondeterministic predicate desyncs
+        # CDF consumers from the table
+        matched = full.filter(F.expr(predicate_sql)).localCheckpoint()
         hits = (
-            full.filter(F.expr(predicate_sql))
-            .groupBy("__file")
+            matched.groupBy("__file")
             .agg(F.collect_list("__pos").alias("pos"))
             .collect()
         )
@@ -1111,7 +1235,7 @@ class DeltaLogTable(_CheckpointMixin):
                 "cardinality": len(merged),
             }
             new_adds.append(na)
-        deleted = full.filter(F.expr(predicate_sql)).drop("__file", "__pos")
+        deleted = matched.drop("__file", "__pos")
         cdc_actions = self._stage_cdc(
             deleted.withColumn("_change_type", F.lit("delete"))
         )
@@ -1133,15 +1257,7 @@ class DeltaLogTable(_CheckpointMixin):
             }
         )
 
-        def dv_descriptors_unchanged() -> bool:
-            cur = self.snapshot_adds()
-            return all(
-                p in cur
-                and cur[p].get("deletionVector") == a.get("deletionVector")
-                for p, a in planned.items()
-            )
-
-        v = self._commit(actions, dv_descriptors_unchanged)
+        v = self._commit(actions, self._adds_unchanged(planned))
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit changed files this DV DELETE "
@@ -1170,8 +1286,8 @@ class DeltaLogTable(_CheckpointMixin):
         the table is untouched metadata. Source is read several times
         (matched/unmatched splits) — localCheckpoint'd first so a
         nondeterministic source cannot desync the reads."""
-        adds = self.snapshot_adds()
-        if not adds:
+        snap = self.snapshot_adds()
+        if not snap:
             raise ValueError("merge into an empty table: use append")
         src = source.localCheckpoint()
         self._enforce_constraints(src)
@@ -1180,8 +1296,8 @@ class DeltaLogTable(_CheckpointMixin):
                 f"merge source has duplicate {key} values: multiple source "
                 "rows would match the same target row (Delta rejects this)"
             )
-        rel_of_base = {os.path.basename(p): p for p in adds}
-        target = self._read_adds(spark, adds, with_lineage=True)
+        rel_of_base = {os.path.basename(p): p for p in snap}
+        target = self._read_adds(spark, snap, with_lineage=True)
         keys = F.broadcast(src.select(key).distinct())
         hit_files = [
             rel_of_base[r[0]]
@@ -1193,7 +1309,7 @@ class DeltaLogTable(_CheckpointMixin):
         ]
         target = target.drop("__file", "__pos")
         affected = (
-            self._read_adds(spark, {p: adds[p] for p in hit_files})
+            self._read_adds(spark, {p: snap[p] for p in hit_files})
             if hit_files
             else target.limit(0)
         )
@@ -1223,7 +1339,7 @@ class DeltaLogTable(_CheckpointMixin):
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
         actions += [
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            {"remove": self._remove_action(p, snap[p], now)}
             for p in hit_files
         ]
         actions.append(
@@ -1235,7 +1351,9 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        v = self._commit(actions, self._files_still_live(hit_files))
+        v = self._commit(
+            actions, self._adds_unchanged({p: snap[p] for p in hit_files})
+        )
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit rewrote files this MERGE targets; retry"
@@ -1265,6 +1383,11 @@ class DeltaLogTable(_CheckpointMixin):
         Scale: cost tracks files-with-matches + new-data size; on a
         partition-aligned predicate the rewrite set is pruned from log
         metadata alone and untouched partitions are pure metadata."""
+        # pin the input FIRST: validating one instantiation of a
+        # nondeterministic df and staging another would let
+        # out-of-predicate (or constraint-violating) rows slip past
+        # the very checks below
+        df = df.localCheckpoint()
         bad = df.filter(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ).limit(1)
@@ -1275,7 +1398,6 @@ class DeltaLogTable(_CheckpointMixin):
                 "replaced region)"
             )
         self._enforce_constraints(df)
-        df = df.localCheckpoint()  # read twice: stage + cdc
         live = self.snapshot_adds()
         pb = self.partition_columns() if live or self.latest_version() >= 0 else ()
         hit_files: list[str] = []
@@ -1308,7 +1430,7 @@ class DeltaLogTable(_CheckpointMixin):
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
         actions += [
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            {"remove": self._remove_action(p, live[p], now)}
             for p in hit_files
         ]
         actions.append(
@@ -1325,7 +1447,9 @@ class DeltaLogTable(_CheckpointMixin):
         )
         v = self._commit(
             actions,
-            self._files_still_live(hit_files) if hit_files else None,
+            self._adds_unchanged({p: live[p] for p in hit_files})
+            if hit_files
+            else None,
             first_commit_actions=self._metadata_actions(df, tuple(pb)),
         )
         if v is None:
@@ -1422,12 +1546,21 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        planned = set(cur)
+        planned = {
+            p: (a.get("deletionVector") or {}).get("pathOrInlineDv")
+            for p, a in cur.items()
+        }
 
         def snapshot_unchanged() -> bool:
-            # stricter than _files_still_live: ANY concurrent commit
-            # (even a pure append) invalidates the planned diff
-            return set(self.snapshot_files()) == planned
+            # stricter than _adds_unchanged: ANY concurrent commit —
+            # a new path, a dropped path, OR a same-path DV swap (a
+            # concurrent DV delete changes content without changing
+            # the path set) — invalidates the planned diff
+            now_adds = self.snapshot_adds()
+            return {
+                p: (a.get("deletionVector") or {}).get("pathOrInlineDv")
+                for p, a in now_adds.items()
+            } == planned
 
         v = self._commit(actions, snapshot_unchanged)
         if v is None:
@@ -1441,10 +1574,16 @@ class DeltaLogTable(_CheckpointMixin):
         """Physically delete data files no longer in the CURRENT
         snapshot (retention 0 — the aggressive end of Delta's VACUUM;
         time travel to pre-vacuum versions subsequently raises on the
-        missing files, Delta's documented behavior). Never touches
-        unrecognized files outside the removed set. Returns files
-        deleted."""
-        live = set(self.snapshot_files())
+        missing files, Delta's documented behavior), including
+        DELETION-VECTOR files no live add references (every second DV
+        delete orphans its predecessor's DV file, and OPTIMIZE/rewrite
+        DML orphan them wholesale — without this they leak forever).
+        Never touches unrecognized files outside the removed/DV sets.
+        Returns files deleted."""
+        from deltasink_spark import roaring as _roaring
+
+        adds = self.snapshot_adds()
+        live = set(adds)
         ever_removed = {
             a["remove"]["path"] for _, a in self._actions() if "remove" in a
         }
@@ -1453,6 +1592,19 @@ class DeltaLogTable(_CheckpointMixin):
             fp = os.path.join(self.path, p)
             if os.path.exists(fp):
                 os.remove(fp)
+                n += 1
+        live_dvs = {
+            _roaring.dv_relative_path(a["deletionVector"]["pathOrInlineDv"])
+            for a in adds.values()
+            if a.get("deletionVector")
+        }
+        for f in sorted(os.listdir(self.path)):
+            if (
+                f.startswith("deletion_vector_")
+                and f.endswith(".bin")
+                and f not in live_dvs
+            ):
+                os.remove(os.path.join(self.path, f))
                 n += 1
         return n
 

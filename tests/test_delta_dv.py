@@ -91,3 +91,116 @@ def test_dv_streaming_cdf_and_restore(spark, tmp_path):
     t.restore(spark, pre)  # re-adds the un-DV'd original add
     got = {r["event_id"] for r in t.read(spark).collect()}
     assert got == set(range(30))
+
+
+def test_rewrite_precondition_detects_concurrent_dv_delete(spark, tmp_path):
+    """A rewrite planned before a concurrent DV delete must ABORT:
+    path liveness alone is blind to same-path descriptor swaps, and
+    committing the stale rewrite would resurrect the deleted rows."""
+    from deltasink_spark.delta_log import ConcurrentDeleteReadError
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.append(_ev(spark, 30))
+    planned = t.snapshot_adds()
+    t.delete_where_dv(spark, "event_id < 5")
+    assert not t._adds_unchanged(planned)()
+    # end-to-end: an OPTIMIZE whose staging window a DV delete lands in
+    t2 = DeltaLogTable(str(tmp_path / "u"))
+    t2.append(_ev(spark, 30))
+    orig = t2._stage_files
+    raced = []
+
+    def hijack(df, **kw):
+        out = orig(df, **kw)
+        if not raced:
+            raced.append(1)
+            DeltaLogTable(t2.path).delete_where_dv(spark, "event_id < 3")
+        return out
+
+    t2._stage_files = hijack
+    with pytest.raises(ConcurrentDeleteReadError):
+        t2.optimize(spark, target_files=1)
+    # the concurrent delete's effect survives
+    got = {r["event_id"] for r in t2.read(spark).collect()}
+    assert got == set(range(3, 30))
+
+
+def test_checkpoint_preserves_constraints_and_config(spark, tmp_path):
+    """metaData.configuration (CHECK constraints) must survive a
+    checkpoint + pre-checkpoint log cleanup — it is load-bearing
+    writer state, not decoration."""
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.append(_ev(spark, 20))
+    t.add_constraint(spark, "nonneg", "value >= 0")
+    cv = t.checkpoint()
+    for v in range(cv + 1):
+        os.rename(
+            os.path.join(t.log_dir, f"{v:020d}.json"),
+            os.path.join(t.log_dir, f"hidden-{v}.bak"),
+        )
+    t2 = DeltaLogTable(t.path)
+    assert t2.constraints() == {"nonneg": "value >= 0"}
+    assert t2.schema() is not None
+    bad = _ev(spark, 5).select(
+        "event_id", "user_id", (-F.col("value") - 1).alias("value")
+    )
+    with pytest.raises(ValueError, match="nonneg"):
+        t2.append(bad)
+
+
+def test_cow_remove_carries_dv_descriptor(spark, tmp_path):
+    """Copy-on-write DML superseding a DV-carrying file must put the
+    descriptor on its remove action (the spec's contract; CDF
+    remove-fallback readers retract only actually-live rows)."""
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.append(_ev(spark, 30).repartition(1))  # ONE file: both DMLs hit it
+    t.delete_where_dv(spark, "event_id < 5")
+    t.delete_where(spark, "event_id >= 25")
+    removes = [
+        a["remove"]
+        for _, a in t._actions(from_version=t.latest_version())
+        if "remove" in a
+    ]
+    assert removes and all(r.get("deletionVector") for r in removes)
+
+
+def test_vacuum_reclaims_orphaned_dv_files(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.append(_ev(spark, 30).repartition(1))  # ONE file: 2nd DV supersedes 1st
+    t.delete_where_dv(spark, "event_id < 5")
+    t.delete_where_dv(spark, "event_id >= 25")  # orphans the 1st DV
+    dvs_before = [
+        f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
+    ]
+    n = t.vacuum()
+    dvs_after = [
+        f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
+    ]
+    assert len(dvs_after) < len(dvs_before)
+    assert n >= len(dvs_before) - len(dvs_after)
+    # live DVs survive and the read is unchanged
+    got = {r["event_id"] for r in t.read(spark).collect()}
+    assert got == set(range(5, 25))
+
+
+def test_restore_aborts_on_concurrent_dv_swap(spark, tmp_path):
+    """RESTORE's any-concurrent-commit guard must catch a same-path DV
+    swap (path SET unchanged) landing between plan and commit."""
+    from deltasink_spark.delta_log import ConcurrentDeleteReadError
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.append(_ev(spark, 30))
+    pre = t.latest_version()
+    t.delete_where_dv(spark, "event_id < 5")
+    orig = t._commit
+    raced = []
+
+    def hijack(actions, precondition=None, **kw):
+        if not raced:
+            raced.append(1)
+            DeltaLogTable(t.path).delete_where_dv(spark, "event_id < 8")
+        return orig(actions, precondition, **kw)
+
+    t._commit = hijack
+    with pytest.raises(ConcurrentDeleteReadError):
+        t.restore(spark, pre)

@@ -318,15 +318,15 @@ def test_concurrent_rewrite_conflict_detected(spark, tmp_path):
 
     t = _table(tmp_path)
     t.append(_ev(spark, 30))
-    stale_live = list(t.snapshot_files())
+    stale_adds = dict(t.snapshot_adds())
     # racer rewrites the snapshot first
     t.optimize(spark, target_files=1)
     # a stale actor now tries to commit removes of the old files: the
     # shared precondition must reject it
     assert t._commit(
         [{"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
-         for p in stale_live],
-        t._files_still_live(stale_live),
+         for p in stale_adds],
+        t._adds_unchanged(stale_adds),
     ) is None
     # end-to-end: interleave a racer INSIDE delete_where's commit
     real_commit = t._commit
