@@ -64,6 +64,8 @@ _R10_NEW: list[str] = [
     "agg_kmv_union",
     "sink_delta_constraint",
     "sink_delta_delete_vectors",
+    "agg_theta_jaccard",
+    "sink_delta_generated_partition",
 ]
 
 # Ops whose code changed in r10 — re-verification required

@@ -260,6 +260,11 @@ R10COPS = [
     "agg_kmv_union",             # KMV/theta merge + re-truncate
 ]
 
+# Landed AFTER the r10cops idle recording — own group (scope rule).
+R10DOPS = [
+    "agg_theta_jaccard",         # KMV/theta Jaccard estimator
+]
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
@@ -297,7 +302,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS + R10DOPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -398,6 +403,9 @@ def main() -> None:
         ),
         "r10cops": round(
             sum(t for op, t in timings.items() if op in R10COPS), 4
+        ),
+        "r10dops": round(
+            sum(t for op, t in timings.items() if op in R10DOPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

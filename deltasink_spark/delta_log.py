@@ -798,21 +798,79 @@ class DeltaLogTable(_CheckpointMixin):
         return actions
 
     def _metadata_actions(
-        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        generated: dict[str, str] | None = None,
     ) -> list[dict]:
+        schema = df.schema
+        if generated:
+            # generated columns live in the SCHEMA, as the spec's
+            # `delta.generationExpression` field metadata — the rule
+            # travels with the table, enforced on every future writer
+            from pyspark.sql.types import StructField
+
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {**(f.metadata or {}),
+                         "delta.generationExpression": generated[f.name]}
+                        if f.name in generated
+                        else f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
         return [
             {"protocol": dict(_PROTOCOL)},
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema.json(),
                     "partitionColumns": list(partition_by),
                     "configuration": {"delta.enableChangeDataFeed": "true"},
                     "createdTime": _now_ms(),
                 }
             },
         ]
+
+    def generated_columns(self) -> dict[str, str]:
+        """name -> generation expression, from the schema's
+        `delta.generationExpression` field metadata (the spec's
+        generated-columns writer feature)."""
+        s = self.schema()
+        if s is None:
+            return {}
+        return {
+            f.name: f.metadata["delta.generationExpression"]
+            for f in s.fields
+            if f.metadata and "delta.generationExpression" in f.metadata
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """The generated-columns WRITE contract: a missing generated
+        column is COMPUTED from its expression; a provided one is
+        VALIDATED against it (null-safe equality) and a mismatch
+        rejects the whole write — Delta's behavior, which is what
+        keeps a generated partition column trustworthy for pruning."""
+        for name, expr_sql in self.generated_columns().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr_sql))
+            else:
+                bad = df.filter(
+                    ~F.col(name).eqNullSafe(F.expr(expr_sql))
+                ).limit(1)
+                if bad.count():
+                    raise ValueError(
+                        f"generated column {name} was provided with values "
+                        f"that do not match its expression ({expr_sql}); "
+                        "Delta rejects the write"
+                    )
+        return df
 
     # --- CHECK constraints ---------------------------------------------------
 
@@ -923,6 +981,7 @@ class DeltaLogTable(_CheckpointMixin):
         txn_version: int | None = None,
         partition_by: tuple[str, ...] = (),
         merge_schema: bool = False,
+        generated: dict[str, str] | None = None,
     ) -> int | None:
         """Append ``df`` as one commit. With (app_id, txn_version) the
         commit is idempotent: a version at or below the appId's ledgered
@@ -939,7 +998,23 @@ class DeltaLogTable(_CheckpointMixin):
         ``merge_schema=True``, which commits a NEW metaData action with
         the widened schemaString (same table id) in the same commit —
         readers impose the log schema, so pre-widening files surface
-        the new columns as null."""
+        the new columns as null.
+
+        ``generated`` declares GENERATED COLUMNS on the first commit
+        (name -> SQL expression, the spec's delta.generationExpression
+        field metadata): a writer omitting the column gets it computed,
+        a writer providing it is validated against the expression
+        (mismatch rejects the write) — which is what makes a generated
+        partition column trustworthy for pruning forever after."""
+        if generated:
+            if self.latest_version() >= 0:
+                raise ValueError(
+                    "generated columns are declared on the FIRST commit "
+                    "(Delta: only at table creation)"
+                )
+            for name, expr_sql in generated.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr_sql))
         if app_id is not None and txn_version is not None:
             # fast-path replay check off the instance cache; the
             # authoritative re-check runs under the commit lock below
@@ -970,6 +1045,7 @@ class DeltaLogTable(_CheckpointMixin):
                 evolve_base = self._metadata_dict()
                 evolved_meta = dict(evolve_base)
                 evolved_meta["schemaString"] = widened.json()
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         adds = self._stage_files(df, partition_by=tuple(partition_by))
         actions: list[dict] = []
@@ -1026,7 +1102,9 @@ class DeltaLogTable(_CheckpointMixin):
         return self._commit(
             actions,
             precondition,
-            first_commit_actions=self._metadata_actions(df, tuple(partition_by)),
+            first_commit_actions=self._metadata_actions(
+                df, tuple(partition_by), generated=generated
+            ),
         )
 
     def optimize(
@@ -1290,6 +1368,7 @@ class DeltaLogTable(_CheckpointMixin):
         if not snap:
             raise ValueError("merge into an empty table: use append")
         src = source.localCheckpoint()
+        src = self._apply_generated(src)
         self._enforce_constraints(src)
         if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
             raise ValueError(
@@ -1388,6 +1467,7 @@ class DeltaLogTable(_CheckpointMixin):
         # out-of-predicate (or constraint-violating) rows slip past
         # the very checks below
         df = df.localCheckpoint()
+        df = self._apply_generated(df)
         bad = df.filter(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ).limit(1)

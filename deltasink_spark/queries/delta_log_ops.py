@@ -616,6 +616,45 @@ def sink_delta_constraint(spark, sf_dir):
 
 
 @query(
+    "sink_delta_generated_partition",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)},
+           CAST(FLOOR(value / 25.0) AS INT) AS bucket
+    FROM events
+    """,
+)
+def sink_delta_generated_partition(spark, sf_dir):
+    """GENERATED COLUMNS powering a partition layout (the spec's
+    `delta.generationExpression` field metadata — Delta's answer to
+    "partition by day without trusting every writer to compute the
+    day"): the table is created with bucket GENERATED AS
+    CAST(FLOOR(value/25.0) AS INT) and partitioned by it; the first
+    append OMITS the column (the writer computes it from the rule in
+    the schema), the second PROVIDES it correctly (validated — a
+    mismatching value rejects the whole write, pinned in tests), so
+    the partition dirs are trustworthy for pruning no matter who
+    wrote. NULL values generate NULL buckets (the Hive default
+    partition) in both engines. The oracle derives every row's bucket
+    from the source — agreement proves compute-on-write, validation,
+    and the partition round-trip produced exactly the declared
+    function of the data."""
+    t = _fresh_table("genpart")
+    ev = _ev(spark, sf_dir)
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0),
+        partition_by=("bucket",),
+        generated={"bucket": "CAST(FLOOR(value / 25.0) AS INT)"},
+    )
+    # a second writer PROVIDES the column — validated against the rule
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "bucket", F.expr("CAST(FLOOR(value / 25.0) AS INT)")
+        )
+    )
+    return t.read(spark).select(*_EV_COLS, "bucket")
+
+
+@query(
     "scan_delta_log_partition_prune",
     oracle=f"""
     SELECT event_id, user_id, value, event_type FROM events

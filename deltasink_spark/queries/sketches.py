@@ -698,6 +698,129 @@ def agg_kmv_union(spark, sf_dir):
     )
 
 
+@query(
+    "agg_theta_jaccard",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    kmv AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}),
+    theta AS (SELECT event_type, MAX(h) AS th FROM kmv GROUP BY event_type),
+    pairs AS (
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+               LEAST(ta.th, tb.th) AS theta
+        FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type),
+    below AS (
+        SELECT p.type_a, p.type_b, p.theta, k.h,
+               MAX(CASE WHEN k.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN k.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN kmv k ON k.event_type IN (p.type_a, p.type_b) AND k.h < p.theta
+        GROUP BY p.type_a, p.type_b, p.theta, k.h),
+    counts AS (
+        SELECT type_a, type_b, theta,
+               CAST(COUNT(*) AS BIGINT) AS n_either,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+        FROM below GROUP BY type_a, type_b, theta)
+    SELECT p.type_a, p.type_b, p.theta,
+           COALESCE(c.n_common, 0) AS n_common,
+           COALESCE(c.n_either, 0) AS n_either,
+           CASE WHEN COALESCE(c.n_either, 0) = 0 THEN 0.0
+                ELSE COALESCE(c.n_common, 0) * 1.0 / c.n_either
+           END AS jaccard_est
+    FROM pairs p LEFT JOIN counts c
+      ON c.type_a = p.type_a AND c.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def agg_theta_jaccard(spark, sf_dir):
+    """Theta-sketch JACCARD similarity — the composite the KMV family
+    exists for ([agg_kmv_intersect] ∩ over [agg_kmv_union] ∪ in one
+    estimator): below the common theta BOTH sketches are complete
+    uniform samples of their sets, so J(A,B) ≈ n_common / n_either
+    where n_either counts distinct hashes below theta present in
+    either sketch — the standard KMV Jaccard estimator (how
+    DataSketches compares audiences without raw data). Both counts are
+    exact integers and the one division is correctly-rounded IEEE ⇒
+    the approximate sketch carries an EXACT oracle; the zero-overlap
+    guard (n_either = 0) returns 0.0 in both engines.
+
+    Scale shape: identical to the family — sketch build is one
+    distinct + per-type top-K window; the pair arithmetic runs on
+    |types|² x K rows, nothing corpus-sized crosses the pair join."""
+    e = load(spark, sf_dir, "events")
+    from deltasink_spark.tables import md5_long
+
+    h = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", md5_long(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    theta = kmv.groupBy("event_type").agg(F.max("h").alias("th"))
+    ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("th_b"))
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("th_a", "th_b").alias("theta"))
+    )
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("type_b"), "h")
+    below = (
+        pairs.join(ka, "type_a")
+        .filter(F.col("h") < F.col("theta"))
+        .select("type_a", "type_b", "theta", "h", F.lit(1).alias("in_a"),
+                F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(kb, "type_b")
+            .filter(F.col("h") < F.col("theta"))
+            .select("type_a", "type_b", "theta", "h", F.lit(0).alias("in_a"),
+                    F.lit(1).alias("in_b"))
+        )
+        .groupBy("type_a", "type_b", "theta", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    counts = below.groupBy("type_a", "type_b", "theta").agg(
+        F.count(F.lit(1)).cast("long").alias("n_either"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        pairs.join(
+            counts.select("type_a", "type_b", "n_either", "n_common"),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce(F.col("n_common"), zero).alias("n_common"),
+            F.coalesce(F.col("n_either"), zero).alias("n_either"),
+            F.when(F.coalesce(F.col("n_either"), zero) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_common"), zero)
+                * F.lit(1.0)
+                / F.col("n_either")
+            )
+            .alias("jaccard_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # --- join_size_estimate_sampled: correlated-sampling cardinality ---------
 
 _JS_P_INV = 16  # sampling rate p = 1/16

@@ -828,3 +828,61 @@ def test_constraint_enforced_on_merge_and_replace_where(spark, tmp_path):
     # survives a fresh instance (the rule lives in the LOG)
     with pytest.raises(ValueError, match="nonneg"):
         DeltaLogTable(t.path).append(bad)
+
+
+def test_generated_column_validated_and_computed(spark, tmp_path):
+    """Generated columns: omitted -> computed from the schema's rule;
+    provided-but-wrong -> whole write rejected; the rule survives a
+    fresh instance (it lives in the schemaString)."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 10),
+        generated={"doubled": "value * 2"},
+    )
+    got = {r["event_id"]: r["doubled"] for r in t.read(spark).collect()}
+    assert got == {i: i * 3.0 for i in range(10)}
+    # wrong provided value -> rejected, nothing committed (fresh instance)
+    t2 = DeltaLogTable(t.path)
+    v0 = t2.latest_version()
+    bad = _ev(spark, 15).filter(F.col("event_id") >= 10).withColumn(
+        "doubled", F.lit(0.0)
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        t2.append(bad)
+    assert t2.latest_version() == v0
+    # correct provided value -> accepted
+    ok = _ev(spark, 15).filter(F.col("event_id") >= 10).withColumn(
+        "doubled", F.col("value") * 2
+    )
+    t2.append(ok)
+    assert t2.read(spark).count() == 15
+
+
+def test_generated_column_only_at_creation(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5))
+    with pytest.raises(ValueError, match="FIRST commit"):
+        t.append(_ev(spark, 5), generated={"g": "value + 1"})
+
+
+def test_generated_partition_prunes_from_log(spark, tmp_path):
+    """The generated partition column must behave as a REAL partition:
+    read_partition opens only the matching partition's files."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 100),
+        partition_by=("bucket",),
+        generated={"bucket": "CAST(FLOOR(value / 30.0) AS INT)"},
+    )
+    adds = t.snapshot_adds()
+    want = {
+        p for p, a in adds.items()
+        if a["partitionValues"].get("bucket") == "1"
+    }
+    assert want and want < set(adds)
+    df = t.read_partition(spark, bucket="1")
+    opened = {os.path.relpath(f.replace("file:", ""), t.path)
+              for f in df.inputFiles()}
+    assert opened == want
+    vals = {r["event_id"] for r in df.collect()}
+    assert vals == {i for i in range(100) if 1 <= (i * 1.5) // 30 < 2}
