@@ -66,6 +66,7 @@ _R10_NEW: list[str] = [
     "sink_delta_delete_vectors",
     "agg_theta_jaccard",
     "sink_delta_generated_partition",
+    "sink_delta_column_mapping",
 ]
 
 # Ops whose code changed in r10 — re-verification required

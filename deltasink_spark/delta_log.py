@@ -601,9 +601,31 @@ class DeltaLogTable(_CheckpointMixin):
         is imposed on the scan — the log, not any one file footer,
         defines the table's columns, which is what makes schema
         EVOLUTION readable: files written before a widening commit
-        simply surface the new columns as null."""
+        simply surface the new columns as null.
+
+        COLUMN MAPPING: on a mapped table the files (and partition
+        dirs) carry PHYSICAL names, so the scan is planned against the
+        physical schema and aliased back to logical on top — which is
+        the entire trick that makes RENAME COLUMN free: only this
+        alias list changes, never a byte of data."""
         reader = spark.read.option("basePath", self.path)
         s = self.schema()
+        cm = self.column_mapping()
+        if s is not None and cm:
+            from pyspark.sql.types import StructField
+
+            phys = StructType(
+                [
+                    StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in s.fields
+                ]
+            )
+            df = reader.schema(phys).parquet(
+                *[os.path.join(self.path, p) for p in rel_paths]
+            )
+            return df.select(
+                *[F.col(cm.get(f.name, f.name)).alias(f.name) for f in s.fields]
+            )
         if s is not None:
             reader = reader.schema(s)
         return reader.parquet(*[os.path.join(self.path, p) for p in rel_paths])
@@ -674,6 +696,7 @@ class DeltaLogTable(_CheckpointMixin):
         df: DataFrame,
         prefix: str = "part",
         partition_by: tuple[str, ...] = (),
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write ``df``'s partitions as uniquely-named parquet files in
         the table root (under Hive-style partition dirs when
@@ -688,7 +711,23 @@ class DeltaLogTable(_CheckpointMixin):
         the written files with one Spark agg grouped by
         _metadata.file_path — reading back what was written, never
         re-running the input plan (a nondeterministic upstream must not
-        desync stats from data)."""
+        desync stats from data).
+
+        COLUMN MAPPING: on a mapped table the parquet files carry
+        PHYSICAL column names (the spec's contract — renames never
+        touch data), so the logical df is aliased to physical right
+        here, ``partition_by`` translates, and the stats/partition
+        keys that fall out are physical (exactly what a mapped
+        table's add actions must carry). ``mapping`` overrides the
+        log's current mapping — a schema-evolving append must stage
+        with the mapping its OWN commit is about to publish, not the
+        one that predates it."""
+        cm = mapping if mapping is not None else self.column_mapping()
+        if cm:
+            df = df.select(
+                *[F.col(l).alias(cm.get(l, l)) for l in df.columns]
+            )
+            partition_by = tuple(cm.get(c, c) for c in partition_by)
         spark = df.sparkSession
         tmp = os.path.join(self.path, f"tmp_stage_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
@@ -872,6 +911,196 @@ class DeltaLogTable(_CheckpointMixin):
                     )
         return df
 
+    # --- column mapping (rename/drop as metadata) ----------------------------
+
+    def column_mapping(self) -> dict[str, str] | None:
+        """logical name -> physical name when the table runs in the
+        spec's columnMapping mode "name" (each field's
+        `delta.columnMapping.physicalName` metadata), else None.
+        Fields without an explicit physicalName map to themselves."""
+        m = self._metadata_dict()
+        if m is None:
+            return None
+        cfg = m.get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode") != "name":
+            return None
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        return {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in s.fields
+        }
+
+    def enable_column_mapping(self) -> int:
+        """Upgrade to columnMapping mode "name" (delta's ALTER TABLE
+        upgrade path): every existing field gets a stable
+        `delta.columnMapping.id` and a physicalName EQUAL to its
+        current name — so every already-written file stays readable
+        bit-for-bit — and the protocol rises to the feature's floor
+        (reader 2 / writer 5; appended to the feature lists on a
+        table-features protocol). From here on RENAME and DROP are
+        pure metadata: the physical name is frozen, only the logical
+        mapping moves. One metadata commit, no data touched."""
+        from pyspark.sql.types import StructField
+
+        m = self._metadata_dict()
+        if m is None:
+            raise ValueError("cannot enable column mapping: no metaData yet")
+        cfg = dict(m.get("configuration") or {})
+        if cfg.get("delta.columnMapping.mode") == "name":
+            raise ValueError("column mapping already enabled")
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        fields = []
+        for i, f in enumerate(s.fields, start=1):
+            fields.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        **(f.metadata or {}),
+                        "delta.columnMapping.id": i,
+                        "delta.columnMapping.physicalName": f.name,
+                    },
+                )
+            )
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
+        meta = dict(m)
+        meta["schemaString"] = StructType(fields).json()
+        meta["configuration"] = cfg
+        proto = self._protocol_dict() or dict(_PROTOCOL)
+        if "readerFeatures" in proto:
+            proto = dict(proto)
+            proto["readerFeatures"] = sorted(
+                set(proto["readerFeatures"]) | {"columnMapping"}
+            )
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures", [])) | {"columnMapping"}
+            )
+        else:
+            proto = {
+                "minReaderVersion": max(proto.get("minReaderVersion", 1), 2),
+                "minWriterVersion": max(proto.get("minWriterVersion", 1), 5),
+            }
+        v = self._commit(
+            [
+                {"protocol": proto},
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "delta.columnMapping.mode": "name"
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == m,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while enabling column mapping; retry"
+            )
+        return v
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN — pure metadata on a mapped table: the field's
+        LOGICAL name changes, its physicalName (what every parquet file
+        carries) is frozen, so zero data moves at any table size. Reads
+        alias physical -> logical at plan time (the CURRENT schema
+        governs every read, time travel included — the same
+        log-defines-the-table rule schema evolution follows)."""
+        from pyspark.sql.types import StructField
+
+        if self.column_mapping() is None:
+            raise ValueError(
+                "RENAME COLUMN requires column mapping "
+                "(enable_column_mapping first) — without it the parquet "
+                "files' physical names ARE the schema"
+            )
+        m = self._metadata_dict()
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        names = [f.name for f in s.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column {new} already exists")
+        fields = [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in s.fields
+        ]
+        meta = dict(m)
+        meta["schemaString"] = StructType(fields).json()
+        if old in (m.get("partitionColumns") or []):
+            meta["partitionColumns"] = [
+                new if c == old else c for c in m["partitionColumns"]
+            ]
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "RENAME COLUMN",
+                        "operationParameters": {"from": old, "to": new},
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == m,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while renaming the column; retry"
+            )
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN — pure metadata on a mapped table: the field
+        leaves the schema, the bytes stay in the files (readers simply
+        never select that physical column; a later OPTIMIZE rewrite
+        physically sheds them). Partition columns cannot be dropped."""
+        from pyspark.sql.types import StructField  # noqa: F401
+
+        if self.column_mapping() is None:
+            raise ValueError(
+                "DROP COLUMN requires column mapping "
+                "(enable_column_mapping first)"
+            )
+        m = self._metadata_dict()
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        if name not in [f.name for f in s.fields]:
+            raise ValueError(f"no such column: {name}")
+        if name in (m.get("partitionColumns") or []):
+            raise ValueError(f"cannot drop partition column {name}")
+        if len(s.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        meta = dict(m)
+        meta["schemaString"] = StructType(
+            [f for f in s.fields if f.name != name]
+        ).json()
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "DROP COLUMNS",
+                        "operationParameters": {"column": name},
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == m,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while dropping the column; retry"
+            )
+        return v
+
     # --- CHECK constraints ---------------------------------------------------
 
     def constraints(self) -> dict[str, str]:
@@ -1041,13 +1270,53 @@ class DeltaLogTable(_CheckpointMixin):
                         "merge_schema=True to evolve (Delta's write "
                         "enforcement)"
                     )
-                widened = StructType(list(cur_schema.fields) + list(extra))
                 evolve_base = self._metadata_dict()
+                cfg = dict(evolve_base.get("configuration") or {})
+                if cfg.get("delta.columnMapping.mode") == "name":
+                    # mapped table: every NEW field gets a fresh stable
+                    # id + a uuid physical name (the spec's rule — the
+                    # logical name must stay freely renamable later)
+                    from pyspark.sql.types import StructField
+
+                    maxid = int(cfg.get("delta.columnMapping.maxColumnId", "0"))
+                    extra = [
+                        StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {
+                                **(f.metadata or {}),
+                                "delta.columnMapping.id": maxid + i,
+                                "delta.columnMapping.physicalName":
+                                    f"col-{uuid.uuid4().hex[:8]}",
+                            },
+                        )
+                        for i, f in enumerate(extra, 1)
+                    ]
+                    cfg["delta.columnMapping.maxColumnId"] = str(
+                        maxid + len(extra)
+                    )
+                widened = StructType(list(cur_schema.fields) + list(extra))
                 evolved_meta = dict(evolve_base)
                 evolved_meta["schemaString"] = widened.json()
+                evolved_meta["configuration"] = cfg
         df = self._apply_generated(df)
         self._enforce_constraints(df)
-        adds = self._stage_files(df, partition_by=tuple(partition_by))
+        stage_mapping = None
+        if evolved_meta is not None and (
+            evolved_meta.get("configuration") or {}
+        ).get("delta.columnMapping.mode") == "name":
+            stage_mapping = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in StructType.fromJson(
+                    json.loads(evolved_meta["schemaString"])
+                ).fields
+            }
+        adds = self._stage_files(
+            df, partition_by=tuple(partition_by), mapping=stage_mapping
+        )
         actions: list[dict] = []
         if evolved_meta is not None:
             actions.append({"metaData": evolved_meta})
@@ -1738,10 +2007,11 @@ class DeltaLogTable(_CheckpointMixin):
         listing three years. Shares snapshot_adds (the one fold) and
         supports versionAsOf like every other read."""
         adds = self.snapshot_adds(as_of_version)
+        cm = self.column_mapping() or {}
         hit = {
             p: a for p, a in adds.items()
             if all(
-                (a.get("partitionValues") or {}).get(k) == v
+                (a.get("partitionValues") or {}).get(cm.get(k, k)) == v
                 for k, v in partition_filter.items()
             )
         }
@@ -1765,6 +2035,7 @@ class DeltaLogTable(_CheckpointMixin):
         mechanism that turns a point query into a handful of file
         reads."""
         adds = self.snapshot_adds()
+        phys = (self.column_mapping() or {}).get(col, col)
         hit = {}
         for p, a in adds.items():
             st = a.get("stats")
@@ -1772,8 +2043,8 @@ class DeltaLogTable(_CheckpointMixin):
                 hit[p] = a
                 continue
             s = json.loads(st)
-            mn = s.get("minValues", {}).get(col)
-            mx = s.get("maxValues", {}).get(col)
+            mn = s.get("minValues", {}).get(phys)
+            mx = s.get("maxValues", {}).get(phys)
             if mn is None or mx is None:
                 hit[p] = a
                 continue
@@ -1953,6 +2224,11 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         self.read_cdf = str(options.get("read_cdf", "")).lower() == "true"
         self.table = DeltaLogTable(self.path)
         self.pcols = self.table.partition_columns()
+        # column mapping: files carry PHYSICAL names; this reader's
+        # declared schema (and pvals) are logical — keep the inverse map
+        self._phys_to_logical = {
+            p: l for l, p in (self.table.column_mapping() or {}).items()
+        }
         s = self.table.schema()
         self.field_order = [f.name for f in s.fields] if s else []
         if self.read_cdf:
@@ -2033,7 +2309,13 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             _AddFilePartition(
                 os.path.join(self.path, a["path"]),
                 v,
-                (a.get("partitionValues") or self._pvals_of_path(a["path"]))
+                {
+                    self._phys_to_logical.get(k, k): v
+                    for k, v in (
+                        a.get("partitionValues")
+                        or self._pvals_of_path(a["path"])
+                    ).items()
+                }
                 if kind != "cdc"
                 else {},
                 kind,
@@ -2060,6 +2342,10 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.abs_path)
+        if self._phys_to_logical:
+            t = t.rename_columns(
+                [self._phys_to_logical.get(c, c) for c in t.column_names]
+            )
         if partition.dv_pos:
             # deletion vector: drop the deleted row positions (the
             # file is never rewritten — merge-on-read at the source)

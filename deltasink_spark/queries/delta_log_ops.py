@@ -655,6 +655,53 @@ def sink_delta_generated_partition(spark, sf_dir):
 
 
 @query(
+    "sink_delta_column_mapping",
+    oracle="""
+    SELECT event_id, user_id, value AS amount FROM events
+    """,
+)
+def sink_delta_column_mapping(spark, sf_dir):
+    """COLUMN MAPPING mode "name" + RENAME COLUMN as pure metadata
+    (the spec's columnMapping feature, reader 2 / writer 5): after the
+    first append, enabling mapping freezes each field's physicalName
+    (= its then-current name, so existing files stay readable
+    bit-for-bit) and assigns stable ids; `RENAME value -> amount` then
+    changes ONLY the logical schema — the op asserts in-line that no
+    data file changed a byte. A post-rename append writes under the
+    new logical name but lands physically as the FROZEN name, so old
+    and new files interleave under one scan; reads plan against the
+    physical schema and alias to logical. At 100 TB: a rename is one
+    JSON action, never a table rewrite. The oracle derives the final
+    logical shape (value AS amount) from the source — agreement proves
+    the mapping round-trips every row through both generations of
+    files."""
+    t = _fresh_table("colmap")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    if t.latest_version() < 0:  # empty corpus: still need a schema
+        t.append(spark.createDataFrame([], _EV_SCHEMA))
+    import os as _os
+
+    before = {
+        p: _os.path.getsize(_os.path.join(t.path, p))
+        for p in t.snapshot_files()
+    }
+    t.enable_column_mapping()
+    t.rename_column("value", "amount")
+    after = {
+        p: _os.path.getsize(_os.path.join(t.path, p))
+        for p in t.snapshot_files()
+    }
+    assert before == after, "rename must not touch a data file"
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 1).withColumnRenamed(
+            "value", "amount"
+        )
+    )
+    return t.read(spark).select("event_id", "user_id", "amount")
+
+
+@query(
     "scan_delta_log_partition_prune",
     oracle=f"""
     SELECT event_id, user_id, value, event_type FROM events

@@ -886,3 +886,106 @@ def test_generated_partition_prunes_from_log(spark, tmp_path):
     assert opened == want
     vals = {r["event_id"] for r in df.collect()}
     assert vals == {i for i in range(100) if 1 <= (i * 1.5) // 30 < 2}
+
+
+def test_column_mapping_rename_is_pure_metadata(spark, tmp_path):
+    """RENAME COLUMN on a mapped table: zero data files change, reads
+    surface the new logical name, and new appends (written with the
+    FROZEN physical name) interleave with old files seamlessly."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20).filter(F.col("event_id") < 10))
+    before = {p: os.path.getsize(os.path.join(t.path, p))
+              for p in t.snapshot_files()}
+    t.enable_column_mapping()
+    t.rename_column("value", "amount")
+    after = {p: os.path.getsize(os.path.join(t.path, p))
+             for p in t.snapshot_files()}
+    assert before == after  # not a byte moved
+    assert [f.name for f in t.schema().fields] == [
+        "event_id", "user_id", "amount"
+    ]
+    # post-rename append uses the NEW logical name; physical stays 'value'
+    t.append(
+        _ev(spark, 20).filter(F.col("event_id") >= 10)
+        .withColumnRenamed("value", "amount")
+    )
+    got = {r["event_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert got == {i: i * 1.5 for i in range(20)}
+    # the new file physically carries 'value' (the frozen physical name)
+    import pyarrow.parquet as pq
+    new_files = set(t.snapshot_files()) - set(before)
+    assert new_files
+    for p in new_files:
+        assert "value" in pq.read_schema(os.path.join(t.path, p)).names
+
+
+def test_column_mapping_required_for_rename_drop(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5))
+    with pytest.raises(ValueError, match="column mapping"):
+        t.rename_column("value", "amount")
+    with pytest.raises(ValueError, match="column mapping"):
+        t.drop_column("value")
+
+
+def test_column_mapping_drop_column_keeps_bytes(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    files = set(t.snapshot_files())
+    t.enable_column_mapping()
+    t.drop_column("user_id")
+    assert set(t.snapshot_files()) == files  # no rewrite
+    out = t.read(spark)
+    assert out.columns == ["event_id", "value"]
+    assert out.count() == 10
+    # OPTIMIZE physically sheds the dropped column
+    t.optimize(spark, target_files=1)
+    import pyarrow.parquet as pq
+    for p in t.snapshot_files():
+        assert "user_id" not in pq.read_schema(os.path.join(t.path, p)).names
+
+
+def test_column_mapping_dml_and_pruning_after_rename(spark, tmp_path):
+    """The full surface keeps working through a rename: DELETE uses the
+    new logical name, stats pruning maps logical -> physical, and the
+    mapping survives a fresh instance + checkpoint."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 40).repartition(1))
+    t.enable_column_mapping()
+    t.rename_column("value", "amount")
+    t.delete_where(spark, "amount >= 45.0")  # ids 30..39
+    got = {r["event_id"] for r in t.read(spark).collect()}
+    assert got == set(range(30))
+    pruned = t.read_where_stats(spark, "amount", 0.0, 10.0)
+    assert {r["event_id"] for r in pruned.collect()} == set(range(7))
+    t.checkpoint()
+    t2 = DeltaLogTable(t.path)
+    assert t2.column_mapping() == {
+        "event_id": "event_id", "user_id": "user_id", "amount": "value"
+    }
+    assert {r["event_id"] for r in t2.read_via_checkpoint(spark).collect()} == set(range(30))
+
+
+def test_column_mapping_partitioned_rename(spark, tmp_path):
+    """Renaming a PARTITION column: dirs and partitionValues keep the
+    physical name; read_partition takes the new logical name."""
+    t = _table(tmp_path)
+    ev = _ev(spark, 30).withColumn("bucket", (F.col("event_id") % 3).cast("string"))
+    t.append(ev, partition_by=("bucket",))
+    t.enable_column_mapping()
+    t.rename_column("bucket", "shard")
+    one = t.read_partition(spark, shard="1")
+    assert {r["event_id"] for r in one.collect()} == {i for i in range(30) if i % 3 == 1}
+    assert "shard" in one.columns
+    # schema evolution on a mapped table mints uuid physical names
+    t.append(
+        _ev(spark, 35).filter(F.col("event_id") >= 30)
+        .withColumn("shard", (F.col("event_id") % 3).cast("string"))
+        .withColumn("extra", F.lit(7).cast("long")),
+        merge_schema=True,
+    )
+    cm = t.column_mapping()
+    assert cm["extra"].startswith("col-")
+    out = t.read(spark)
+    assert out.filter(F.col("extra").isNotNull()).count() == 5
+    assert out.count() == 35
