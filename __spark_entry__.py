@@ -67,6 +67,9 @@ _R10_NEW: list[str] = [
     "agg_theta_jaccard",
     "sink_delta_generated_partition",
     "sink_delta_column_mapping",
+    "attribution_linear",
+    "attribution_position_based",
+    "graph_label_propagation",
 ]
 
 # Ops whose code changed in r10 — re-verification required

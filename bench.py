@@ -263,6 +263,9 @@ R10COPS = [
 # Landed AFTER the r10cops idle recording — own group (scope rule).
 R10DOPS = [
     "agg_theta_jaccard",         # KMV/theta Jaccard estimator
+    "attribution_linear",        # 1/n multi-touch credit
+    "attribution_position_based",  # U-shaped 40/20/40 credit
+    "graph_label_propagation",   # fixed-round synchronous LPA
 ]
 
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians

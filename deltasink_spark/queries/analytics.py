@@ -3364,3 +3364,245 @@ def ts_cross_correlation(spark, sf_dir):
     return m.select(
         "lag", "n_pairs", F.round(F.try_divide(num, den), 6).alias("r_ccf")
     ).orderBy("lag")
+
+
+@query(
+    "attribution_linear",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {_ATTR_WINDOW_S} SECOND
+        WHERE p.event_type = 'purchase')
+    SELECT purchase_id, user_id, click_id,
+           CAST(COUNT(click_id) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_clicks,
+           CASE WHEN COUNT(click_id) OVER (PARTITION BY purchase_id) = 0
+                THEN NULL
+                ELSE 1.0 / COUNT(click_id) OVER (PARTITION BY purchase_id)
+           END AS credit
+    FROM pairs
+    """,
+)
+def attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution (the third standard model after
+    [attribution_first_touch]/[attribution_last_touch]): every click
+    inside the purchase's 7-day lookback gets an EQUAL 1/n share of
+    the credit — the model marketing uses when no single touch should
+    win. Shape: one per-user range-frame window collect_list gathers
+    the frame's clicks (sorted once per user — never a per-purchase
+    range join, whose worst case is quadratic in a hot user's events),
+    then explode_outer fans the purchase into its credit rows
+    (purchases with NO clicks keep one NULL-click row, mirrored by the
+    oracle's LEFT JOIN + COUNT(click_id)=0). Credit is an exact 1/n
+    IEEE division on exact integers — bit-identical cross-engine."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    click = F.when(
+        F.col("event_type") == "click", F.col("event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_S * 1_000_000, 0)
+    )
+    carried = ev.withColumn("clicks", F.collect_list(click).over(w))
+    n = F.size("clicks")
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.explode_outer("clicks").alias("click_id"),
+            n.cast("long").alias("n_clicks"),
+            F.when(n == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(1.0) / n)
+            .alias("credit"),
+        )
+    )
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id, c.ts AS cts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {_ATTR_WINDOW_S} SECOND
+        WHERE p.event_type = 'purchase'),
+    ranked AS (
+        SELECT purchase_id, user_id, click_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY purchase_id ORDER BY cts, click_id
+               ) AS pos,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n
+        FROM pairs)
+    SELECT purchase_id, user_id, click_id, pos, n,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n THEN 0.4
+                ELSE 0.2 / (n - 2)
+           END AS credit
+    FROM ranked
+    """,
+)
+def attribution_position_based(spark, sf_dir):
+    """POSITION-BASED (U-shaped) attribution — the fourth standard
+    model: the FIRST touch and the LAST touch in the lookback each get
+    40% of the credit (they opened and closed the journey), the middle
+    touches split the remaining 20% equally; one click takes 100%, two
+    take 50/50. Every weight is an exact rational on exact integers
+    (0.4, 0.5, 0.2/(n-2)) — no exp/pow libm call, so the model is
+    bit-identical cross-engine where a decay-curve formulation would
+    not be. Shape: the same single per-user range-frame collect as
+    [attribution_linear] (clicks as (ts, id) structs so position =
+    sorted order), then explode with posexplode over the sorted list —
+    still no range join. Purchases with zero clicks credit nothing
+    (INNER join in the oracle, empty list dropped by posexplode)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_us").alias("cts"), F.col("event_id").alias("cid")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_S * 1_000_000, 0)
+    )
+    carried = ev.withColumn(
+        "clicks", F.array_sort(F.collect_list(click).over(w))
+    )
+    n = F.size("clicks")
+    exploded = (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            n.cast("long").alias("n"),
+            F.posexplode("clicks").alias("pos0", "c"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("c.cid").alias("click_id"),
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "n",
+        )
+    )
+    return exploded.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "pos",
+        "n",
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+        .alias("credit"),
+    )
+
+
+_LPA_ROUNDS = 4  # fixed synchronous rounds — both engines run EXACTLY these
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous LPA round as a MATERIALIZED CTE (multi-
+    referenced CTEs must not inline — the kcore 'Too many open files'
+    lesson): node n's next label = the most frequent label among its
+    neighbors, ties to the smallest label."""
+    prev = f"l{i - 1}"
+    return f"""
+    l{i} AS MATERIALIZED (
+        SELECT n, lab FROM (
+            SELECT node AS n, lab,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY cnt DESC, lab ASC
+                   ) AS rn
+            FROM (
+                SELECT ed.b AS node, p.lab, COUNT(*) AS cnt
+                FROM ed JOIN {prev} p ON ed.a = p.n
+                GROUP BY ed.b, p.lab
+            ) c
+        ) r WHERE rn = 1)"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_COORDER_SQL},
+    ed AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM e
+                        UNION ALL SELECT s2, s1 FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM ed),
+    {','.join(_lpa_round_sql(i) for i in range(1, _LPA_ROUNDS + 1))},
+    sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+           FROM l{_LPA_ROUNDS} GROUP BY lab)
+    SELECT l.n AS node, l.lab AS community, sz.community_size
+    FROM l{_LPA_ROUNDS} l JOIN sz USING (lab)
+    ORDER BY node
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007) on
+    the part co-order graph — the community op completing the graph
+    family (components find connectivity, LPA finds DENSITY structure
+    inside a component): every node starts as its own label; each
+    synchronous round it adopts the label most frequent among its
+    neighbors, ties to the smallest label (the determinism fix — the
+    classic algorithm breaks ties randomly, which no oracle could
+    check). EXACTLY {_LPA_ROUNDS} rounds run in both engines, so the
+    result is bit-identical even where synchronous LPA oscillates (a
+    fixed-round contract, the same discipline as the unrolled kcore
+    peel). Output: node -> community label + community size.
+
+    Scale shape per round: one equi-join of the bidirectional edge
+    list against the label frame (shuffle on node id) + one combining
+    hash agg + one per-node top-1 window — all key-partitioned, no
+    global sort, no driver state; the edge frame is the memoized
+    checkpointed [_coorder_edges]. Rounds are a fixed constant, so
+    lineage stays bounded without per-round checkpoints."""
+    e = _coorder_edges(spark, sf_dir)
+    ed = e.select(F.col("s1").alias("a"), F.col("s2").alias("b")).unionByName(
+        e.select(F.col("s2").alias("a"), F.col("s1").alias("b"))
+    )
+    labels = (
+        ed.select(F.col("a").alias("n")).distinct().withColumn("lab", F.col("n"))
+    )
+    wlp = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        nb = ed.join(labels, ed["a"] == labels["n"]).select(
+            F.col("b").alias("node"), "lab"
+        )
+        counts = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(wlp))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("n"), "lab")
+        )
+    sz = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        labels.join(F.broadcast(sz), "lab")
+        .select(
+            F.col("n").alias("node"),
+            F.col("lab").alias("community"),
+            "community_size",
+        )
+        .orderBy("node")
+    )

@@ -1293,3 +1293,27 @@ def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
     p = plan(q("agg_kmv_union", spark, sf_small))
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_attribution_linear_no_range_join(spark, sf_small):
+    """Linear attribution must ride ONE per-user range-frame window —
+    never a purchase-x-click range join (quadratic on a hot user)."""
+    p = plan(q("attribution_linear", spark, sf_small), "simple")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_attribution_position_based_no_range_join(spark, sf_small):
+    p = plan(q("attribution_position_based", spark, sf_small), "simple")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_graph_lpa_rounds_are_equi_joins(spark, sf_small):
+    """Every LPA round is an equi-join + hash agg + per-node top-1
+    window — no cartesian anywhere in the unrolled plan."""
+    p = plan(q("graph_label_propagation", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p and "Window" in p
