@@ -70,6 +70,8 @@ _R10_NEW: list[str] = [
     "attribution_linear",
     "attribution_position_based",
     "graph_label_propagation",
+    "sink_delta_identity",
+    "scan_delta_log_ict_travel",
 ]
 
 # Ops whose code changed in r10 — re-verification required

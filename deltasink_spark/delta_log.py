@@ -423,6 +423,28 @@ class DeltaLogTable(_CheckpointMixin):
             v = self.latest_version() + 1
             if v == 0 and first_commit_actions:
                 actions = list(first_commit_actions) + actions
+            enabling = any(
+                "metaData" in a
+                and (a["metaData"].get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps"
+                )
+                == "true"
+                for a in actions
+            )
+            if enabling or self._ict_enabled():
+                # strict monotonic in-commit timestamp, decided UNDER
+                # the lock (two commits in the same ms, or a writer
+                # whose wall clock runs behind, still order correctly);
+                # the ENABLEMENT commit itself is the first stamped one
+                # (the spec's enablement-version rule)
+                prev = self._last_commit_info() or {}
+                last_ict = prev.get(
+                    "inCommitTimestamp", prev.get("timestamp", 0)
+                )
+                ict = max(_now_ms(), (last_ict or 0) + 1)
+                for a in actions:
+                    if "commitInfo" in a:
+                        a["commitInfo"]["inCommitTimestamp"] = ict
             p = os.path.join(self.log_dir, f"{v:020d}.json")
             fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             try:
@@ -841,8 +863,34 @@ class DeltaLogTable(_CheckpointMixin):
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
+        identity_high: dict[str, int] | None = None,
     ) -> list[dict]:
         schema = df.schema
+        if identity:
+            from pyspark.sql.types import StructField
+
+            fields = []
+            for f in schema.fields:
+                if f.name in identity:
+                    spec = identity[f.name]
+                    md = {
+                        **(f.metadata or {}),
+                        "delta.identity.start": spec["start"],
+                        "delta.identity.step": spec["step"],
+                        "delta.identity.orderBy": spec["order_by"],
+                        "delta.identity.allowExplicit": False,
+                    }
+                    if (identity_high or {}).get(f.name) is not None:
+                        md["delta.identity.highWaterMark"] = identity_high[
+                            f.name
+                        ]
+                    fields.append(
+                        StructField(f.name, f.dataType, f.nullable, md)
+                    )
+                else:
+                    fields.append(f)
+            schema = StructType(fields)
         if generated:
             # generated columns live in the SCHEMA, as the spec's
             # `delta.generationExpression` field metadata — the rule
@@ -910,6 +958,155 @@ class DeltaLogTable(_CheckpointMixin):
                         "Delta rejects the write"
                     )
         return df
+
+    # --- in-commit timestamps ---------------------------------------------------
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Enable the inCommitTimestamp writer feature
+        (delta.enableInCommitTimestamps): from this commit on, every
+        commitInfo carries an inCommitTimestamp that is STRICTLY
+        monotonically increasing — max(wall clock, previous + 1) —
+        decided under the commit lock, so timestampAsOf stays correct
+        even when writers' clocks skew backwards (the failure mode
+        file-timestamp resolution cannot survive)."""
+        m = self._metadata_dict()
+        if m is None:
+            raise ValueError("no metaData yet")
+        cfg = dict(m.get("configuration") or {})
+        cfg["delta.enableInCommitTimestamps"] = "true"
+        meta = dict(m)
+        meta["configuration"] = cfg
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "delta.enableInCommitTimestamps": "true"
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == m,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while enabling ICT; retry"
+            )
+        return v
+
+    def _ict_enabled(self) -> bool:
+        m = self._metadata_dict()
+        return bool(
+            m
+            and (m.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            )
+            == "true"
+        )
+
+    def _last_commit_info(self) -> dict | None:
+        vf = self._version_files()
+        if not vf:
+            return None
+        with open(vf[-1][1]) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        return a["commitInfo"]
+        return None
+
+    # --- identity columns ------------------------------------------------------
+
+    def identity_columns(self) -> dict[str, dict]:
+        """name -> {start, step, order_by, high} from the schema's
+        `delta.identity.*` field metadata (the protocol's
+        identityColumns writer feature; the high-water mark lives in
+        the metaData and moves with every identity-assigning write)."""
+        s = self.schema()
+        if s is None:
+            return {}
+        out = {}
+        for f in s.fields:
+            md = f.metadata or {}
+            if "delta.identity.start" in md:
+                out[f.name] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "order_by": md["delta.identity.orderBy"],
+                    "high": (
+                        int(md["delta.identity.highWaterMark"])
+                        if "delta.identity.highWaterMark" in md
+                        else None
+                    ),
+                }
+        return out
+
+    def _assign_identity(self, df: DataFrame):
+        """GENERATED ALWAYS AS IDENTITY: the column must NOT be
+        provided (rejected — Delta's ALWAYS semantics); values are
+        assigned as high + step, high + 2*step, ... ordered by the
+        declared deterministic sort key. Delta itself assigns
+        nondeterministically (per-task ranges); this engine pins the
+        order so identity output is reproducible and oracle-checkable
+        — a strict strengthening of the uniqueness+monotonicity the
+        spec promises. Returns (df, new_high_marks)."""
+        ids = self.identity_columns()
+        new_high: dict[str, int] = {}
+        for name, spec in ids.items():
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — "
+                    "explicit values are rejected (Delta's contract)"
+                )
+            from pyspark.sql.window import Window as _W
+
+            base = (
+                spec["high"] + spec["step"]
+                if spec["high"] is not None
+                else spec["start"]
+            )
+            rn = F.row_number().over(
+                _W.orderBy(F.asc(spec["order_by"]))
+            )
+            df = df.withColumn(
+                name,
+                (F.lit(base) + (rn - 1) * F.lit(spec["step"])).cast("long"),
+            ).localCheckpoint()  # pin: values must not re-derive differently
+            n = df.count()
+            if n:
+                new_high[name] = base + (n - 1) * spec["step"]
+        return df, new_high
+
+    def _identity_meta_update(
+        self, new_high: dict[str, int], base_meta: dict | None = None
+    ) -> dict | None:
+        """A metaData action moving the identity high-water marks, or
+        None when no identity values were assigned."""
+        if not new_high:
+            return None
+        from pyspark.sql.types import StructField
+
+        m = base_meta if base_meta is not None else self._metadata_dict()
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        fields = [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**(f.metadata or {}),
+                 "delta.identity.highWaterMark": new_high[f.name]}
+                if f.name in new_high
+                else f.metadata,
+            )
+            for f in s.fields
+        ]
+        meta = dict(m)
+        meta["schemaString"] = StructType(fields).json()
+        return meta
 
     # --- column mapping (rename/drop as metadata) ----------------------------
 
@@ -1211,6 +1408,7 @@ class DeltaLogTable(_CheckpointMixin):
         partition_by: tuple[str, ...] = (),
         merge_schema: bool = False,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int | None:
         """Append ``df`` as one commit. With (app_id, txn_version) the
         commit is idempotent: a version at or below the appId's ledgered
@@ -1244,6 +1442,37 @@ class DeltaLogTable(_CheckpointMixin):
             for name, expr_sql in generated.items():
                 if name not in df.columns:
                     df = df.withColumn(name, F.expr(expr_sql))
+        first_identity_high: dict[str, int] = {}
+        if identity:
+            # GENERATED ALWAYS AS IDENTITY, declared at creation
+            # (Delta: identity columns only at table creation)
+            if self.latest_version() >= 0:
+                raise ValueError(
+                    "identity columns are declared on the FIRST commit"
+                )
+            from pyspark.sql.window import Window as _W
+
+            for name, spec in identity.items():
+                if name in df.columns:
+                    raise ValueError(
+                        f"identity column {name} is GENERATED ALWAYS — "
+                        "explicit values are rejected"
+                    )
+                rn = F.row_number().over(_W.orderBy(F.asc(spec["order_by"])))
+                df = df.withColumn(
+                    name,
+                    (
+                        F.lit(spec["start"])
+                        + (rn - 1) * F.lit(spec["step"])
+                    ).cast("long"),
+                )
+            df = df.localCheckpoint()  # pin the assigned values
+            n = df.count()
+            if n:
+                for name, spec in identity.items():
+                    first_identity_high[name] = (
+                        spec["start"] + (n - 1) * spec["step"]
+                    )
         if app_id is not None and txn_version is not None:
             # fast-path replay check off the instance cache; the
             # authoritative re-check runs under the commit lock below
@@ -1301,6 +1530,15 @@ class DeltaLogTable(_CheckpointMixin):
                 evolved_meta["schemaString"] = widened.json()
                 evolved_meta["configuration"] = cfg
         df = self._apply_generated(df)
+        id_meta = None
+        if not identity and self.latest_version() >= 0:
+            df, id_high = self._assign_identity(df)
+            id_meta = self._identity_meta_update(
+                id_high, base_meta=evolved_meta
+            )
+            if id_meta is not None and evolved_meta is not None:
+                evolved_meta = id_meta  # one metaData action carries both
+                id_meta = None
         self._enforce_constraints(df)
         stage_mapping = None
         if evolved_meta is not None and (
@@ -1320,6 +1558,8 @@ class DeltaLogTable(_CheckpointMixin):
         actions: list[dict] = []
         if evolved_meta is not None:
             actions.append({"metaData": evolved_meta})
+        elif id_meta is not None:
+            actions.append({"metaData": id_meta})
         if app_id is not None and txn_version is not None:
             actions.append(
                 {"txn": {"appId": app_id, "version": txn_version,
@@ -1372,7 +1612,11 @@ class DeltaLogTable(_CheckpointMixin):
             actions,
             precondition,
             first_commit_actions=self._metadata_actions(
-                df, tuple(partition_by), generated=generated
+                df,
+                tuple(partition_by),
+                generated=generated,
+                identity=identity,
+                identity_high=first_identity_high,
             ),
         )
 
@@ -1980,7 +2224,11 @@ class DeltaLogTable(_CheckpointMixin):
         that sequence). Raises if the timestamp predates the table."""
         best = None
         for v, a in self._actions():
-            if "commitInfo" in a and a["commitInfo"].get("timestamp", 0) <= ts_ms:
+            if "commitInfo" not in a:
+                continue
+            ci = a["commitInfo"]
+            eff = ci.get("inCommitTimestamp", ci.get("timestamp", 0))
+            if eff <= ts_ms:
                 best = v
         if best is None:
             raise ValueError(
@@ -1993,7 +2241,8 @@ class DeltaLogTable(_CheckpointMixin):
         out: dict[int, int] = {}
         for v, a in self._actions():
             if "commitInfo" in a:
-                out[v] = a["commitInfo"].get("timestamp", 0)
+                ci = a["commitInfo"]
+                out[v] = ci.get("inCommitTimestamp", ci.get("timestamp", 0))
         return out
 
     def read_partition(

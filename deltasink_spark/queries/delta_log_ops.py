@@ -702,6 +702,51 @@ def sink_delta_column_mapping(spark, sf_dir):
 
 
 @query(
+    "sink_delta_identity",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS gen,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_id % 2 ORDER BY event_id
+               ) AS rn
+        FROM events),
+    offs AS (SELECT COALESCE(MAX(CASE WHEN gen = 0 THEN rn END), 0) AS n0
+             FROM src)
+    SELECT event_id, user_id, value,
+           CAST(100 + (CASE WHEN gen = 0 THEN rn - 1
+                            ELSE n0 + rn - 1 END) * 3 AS BIGINT) AS row_id
+    FROM src, offs
+    """,
+)
+def sink_delta_identity(spark, sf_dir):
+    """IDENTITY COLUMNS (GENERATED ALWAYS AS IDENTITY — the protocol's
+    identityColumns writer feature, `delta.identity.*` field metadata
+    with the high-water mark moving in the metaData on every write):
+    the table is created with row_id IDENTITY(start=100, step=3); the
+    first append (evens) gets 100,103,... assigned in event_id order,
+    the second (odds) CONTINUES from the ledgered high-water mark —
+    ids never collide across writers because the mark is committed
+    state, not writer memory (a fresh instance reads it from the log).
+    Providing the column explicitly is REJECTED (ALWAYS semantics,
+    pinned in tests). Delta itself assigns nondeterministically via
+    per-task ranges; this engine pins assignment order to the declared
+    sort key — a strict strengthening that makes identity reproducible
+    and oracle-checkable. The oracle replays both generations' rank
+    arithmetic from the source."""
+    t = _fresh_table("identity")
+    ev = _ev(spark, sf_dir)
+    t.append(
+        ev.filter(F.col("event_id") % 2 == 0),
+        identity={"row_id": {"start": 100, "step": 3,
+                             "order_by": "event_id"}},
+    )
+    t2 = DeltaLogTable(t.path)  # fresh instance: high-water from the LOG
+    t2.append(ev.filter(F.col("event_id") % 2 == 1))
+    return t2.read(spark).select(*_EV_COLS, "row_id")
+
+
+@query(
     "scan_delta_log_partition_prune",
     oracle=f"""
     SELECT event_id, user_id, value, event_type FROM events
@@ -755,6 +800,46 @@ def scan_delta_log_timestamp_travel(spark, sf_dir):
     t.append(ev.filter(F.col("event_id") % 2 == 1))
     ts_v0 = t.commit_timestamps()[0]
     v = t.version_at_timestamp(ts_v0)
+    return t.read(spark, as_of_version=v)
+
+
+@query(
+    "scan_delta_log_ict_travel",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events WHERE event_id % 2 = 0
+    """,
+)
+def scan_delta_log_ict_travel(spark, sf_dir):
+    """IN-COMMIT TIMESTAMPS (delta.enableInCommitTimestamps) — the
+    clock-skew-proof half of timestampAsOf: every commitInfo carries a
+    STRICTLY monotonic inCommitTimestamp (max(wall clock, prev+1),
+    decided under the commit lock), and time-travel resolution prefers
+    it. The op proves the skew case file timestamps cannot survive:
+    the odds commit runs under a wall clock set an HOUR BEHIND — by
+    wall-clock resolution "as of the evens commit" would see the odds
+    (their clock says earlier!), but by ICT the odds commit is
+    correctly ORDERED AFTER, so resolving the evens commit's own ICT
+    returns exactly the evens. Same self-describing discipline as
+    [scan_delta_log_timestamp_travel] — no machine-speed assumptions."""
+    import deltasink_spark.delta_log as _dl
+
+    t = _fresh_table("icttravel")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.enable_in_commit_timestamps()
+    t.append(spark.createDataFrame([], _EV_SCHEMA))  # ICT-stamped marker
+    evens_v = t.latest_version()
+    ict_evens = t.commit_timestamps()[evens_v]
+    real = _dl._now_ms
+    _dl._now_ms = lambda: real() - 3_600_000  # writer clock 1h behind
+    try:
+        t.append(ev.filter(F.col("event_id") % 2 == 1))
+    finally:
+        _dl._now_ms = real
+    v = t.version_at_timestamp(ict_evens)
+    assert v == evens_v, (
+        "ICT resolution must order the skewed commit AFTER the marker"
+    )
     return t.read(spark, as_of_version=v)
 
 

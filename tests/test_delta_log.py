@@ -989,3 +989,60 @@ def test_column_mapping_partitioned_rename(spark, tmp_path):
     out = t.read(spark)
     assert out.filter(F.col("extra").isNotNull()).count() == 5
     assert out.count() == 35
+
+
+def test_identity_column_always_generated(spark, tmp_path):
+    """Identity: assigned from start/step in declared order, explicit
+    values rejected (ALWAYS), high-water continues across instances,
+    empty appends leave the mark untouched."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 5).select("event_id", "user_id", "value"),
+        identity={"rid": {"start": 10, "step": 2, "order_by": "event_id"}},
+    )
+    got = {r["event_id"]: r["rid"] for r in t.read(spark).collect()}
+    assert got == {i: 10 + 2 * i for i in range(5)}
+    # explicit value rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(_ev(spark, 6).filter(F.col("event_id") >= 5)
+                 .withColumn("rid", F.lit(999)))
+    # empty append: high-water untouched
+    t.append(spark.createDataFrame([], "event_id bigint, user_id bigint, value double"))
+    # fresh instance continues from the ledgered mark (18 -> next 20)
+    t2 = DeltaLogTable(t.path)
+    t2.append(_ev(spark, 7).filter(F.col("event_id") >= 5)
+              .select("event_id", "user_id", "value"))
+    got = {r["event_id"]: r["rid"] for r in t2.read(spark).collect()}
+    assert got[5] == 20 and got[6] == 22
+    # declaration only at creation
+    with pytest.raises(ValueError, match="FIRST commit"):
+        t2.append(_ev(spark, 3), identity={"x": {"start": 0, "step": 1,
+                                                 "order_by": "event_id"}})
+
+
+def test_in_commit_timestamps_strictly_monotonic(spark, tmp_path):
+    """ICT: strictly increasing under rapid commits AND a wall clock
+    running BACKWARDS; timestampAsOf resolves via the ICT."""
+    import deltasink_spark.delta_log as dl
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 4))
+    t.enable_in_commit_timestamps()
+    for k in range(3):  # rapid commits, likely same-ms
+        t.append(_ev(spark, 5 + k).filter(F.col("event_id") >= 4 + k))
+    # a writer with a skewed (backwards) clock
+    real = dl._now_ms
+    dl._now_ms = lambda: real() - 3_600_000
+    try:
+        t.append(_ev(spark, 10).filter(F.col("event_id") >= 7))
+    finally:
+        dl._now_ms = real
+    icts = []
+    for _, a in t._actions():
+        if "commitInfo" in a and "inCommitTimestamp" in a["commitInfo"]:
+            icts.append(a["commitInfo"]["inCommitTimestamp"])
+    assert len(icts) == 5  # enablement + 3 rapid + 1 skewed
+    assert all(b > a for a, b in zip(icts, icts[1:])), icts
+    # resolution uses the ICT (the skewed commit's wall clock is an
+    # hour old, but 'as of its ICT' still returns the LAST version)
+    assert t.version_at_timestamp(icts[-1]) == t.latest_version()
