@@ -431,13 +431,16 @@ class DeltaLogTable(_CheckpointMixin):
                 == "true"
                 for a in actions
             )
-            if enabling or self._ict_enabled():
+            prev = self._last_commit_info() or {}
+            # O(1) enablement check: disablement is unsupported, so a
+            # table is ICT iff its LAST commitInfo is stamped (one file
+            # read — never a full-log fold inside the commit lock)
+            if enabling or "inCommitTimestamp" in prev:
                 # strict monotonic in-commit timestamp, decided UNDER
                 # the lock (two commits in the same ms, or a writer
                 # whose wall clock runs behind, still order correctly);
                 # the ENABLEMENT commit itself is the first stamped one
                 # (the spec's enablement-version rule)
-                prev = self._last_commit_info() or {}
                 last_ict = prev.get(
                     "inCommitTimestamp", prev.get("timestamp", 0)
                 )
@@ -841,7 +844,16 @@ class DeltaLogTable(_CheckpointMixin):
 
     def _stage_cdc(self, frame: DataFrame) -> list[dict]:
         """Write CDF rows under _change_data/ and return cdc actions
-        (shared by delete_where and merge)."""
+        (shared by delete_where and merge). On a mapped table cdc
+        files carry PHYSICAL column names like data files (the spec's
+        rule) — otherwise a CDF read spanning a rename would see two
+        generations of cdc files disagreeing on column names.
+        _change_type is CDF metadata, never mapped."""
+        cm = self.column_mapping()
+        if cm:
+            frame = frame.select(
+                *[F.col(c).alias(cm.get(c, c)) for c in frame.columns]
+            )
         os.makedirs(os.path.join(self.path, _CDC_DIR), exist_ok=True)
         tmp = os.path.join(self.path, f"tmp_cdc_{uuid.uuid4().hex}")
         frame.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -974,10 +986,46 @@ class DeltaLogTable(_CheckpointMixin):
             raise ValueError("no metaData yet")
         cfg = dict(m.get("configuration") or {})
         cfg["delta.enableInCommitTimestamps"] = "true"
+        expected_v = self.latest_version() + 1
+        # the spec records where ICT began — resolution before this
+        # version falls back to plain commitInfo timestamps
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(expected_v)
         meta = dict(m)
         meta["configuration"] = cfg
+        # inCommitTimestamp is a WRITER TABLE FEATURE: raise the
+        # protocol so a spec-compliant external writer knows it must
+        # stamp (enable_column_mapping's discipline)
+        proto = self._protocol_dict() or dict(_PROTOCOL)
+        proto = dict(proto)
+        if "writerFeatures" in proto or "readerFeatures" in proto:
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures", [])) | {"inCommitTimestamp"}
+            )
+            proto["minWriterVersion"] = 7
+        else:
+            # legacy protocol -> table features: the implied legacy
+            # writer capabilities must ride along explicitly
+            implied = {
+                "appendOnly", "invariants", "checkConstraints",
+                "changeDataFeed", "generatedColumns", "identityColumns",
+            }
+            proto = {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(implied | {"inCommitTimestamp"}),
+            }
+
+        def _unmoved() -> bool:
+            # the enablement version baked into the config must be THE
+            # version this commit wins — any interleaver shifts it
+            return (
+                self._metadata_dict() == m
+                and self.latest_version() + 1 == expected_v
+            )
+
         v = self._commit(
             [
+                {"protocol": proto},
                 {"metaData": meta},
                 {
                     "commitInfo": {
@@ -989,7 +1037,7 @@ class DeltaLogTable(_CheckpointMixin):
                     }
                 },
             ],
-            precondition=lambda: self._metadata_dict() == m,
+            precondition=_unmoved,
         )
         if v is None:
             raise MetadataChangedError(
@@ -1045,41 +1093,43 @@ class DeltaLogTable(_CheckpointMixin):
                 }
         return out
 
-    def _assign_identity(self, df: DataFrame):
-        """GENERATED ALWAYS AS IDENTITY: the column must NOT be
-        provided (rejected — Delta's ALWAYS semantics); values are
-        assigned as high + step, high + 2*step, ... ordered by the
-        declared deterministic sort key. Delta itself assigns
-        nondeterministically (per-task ranges); this engine pins the
-        order so identity output is reproducible and oracle-checkable
-        — a strict strengthening of the uniqueness+monotonicity the
-        spec promises. Returns (df, new_high_marks)."""
-        ids = self.identity_columns()
+    @staticmethod
+    def _assign_identity_values(df: DataFrame, specs: dict[str, dict]):
+        """The one identity-assignment arithmetic (creation and
+        continuation MUST share it or the two paths drift): values =
+        base, base+step, ... ordered by the declared sort key, pinned
+        with a localCheckpoint so a nondeterministic input cannot
+        re-derive differently between counting and staging. Returns
+        (df, new_high_marks)."""
+        from pyspark.sql.window import Window as _W
+
         new_high: dict[str, int] = {}
-        for name, spec in ids.items():
+        for name, spec in specs.items():
             if name in df.columns:
                 raise ValueError(
                     f"identity column {name} is GENERATED ALWAYS — "
                     "explicit values are rejected (Delta's contract)"
                 )
-            from pyspark.sql.window import Window as _W
-
             base = (
                 spec["high"] + spec["step"]
-                if spec["high"] is not None
+                if spec.get("high") is not None
                 else spec["start"]
             )
-            rn = F.row_number().over(
-                _W.orderBy(F.asc(spec["order_by"]))
-            )
+            rn = F.row_number().over(_W.orderBy(F.asc(spec["order_by"])))
             df = df.withColumn(
                 name,
                 (F.lit(base) + (rn - 1) * F.lit(spec["step"])).cast("long"),
-            ).localCheckpoint()  # pin: values must not re-derive differently
+            ).localCheckpoint()
             n = df.count()
             if n:
                 new_high[name] = base + (n - 1) * spec["step"]
         return df, new_high
+
+    def _assign_identity(self, df: DataFrame):
+        """GENERATED ALWAYS AS IDENTITY on an existing table: assign
+        from the LOG's high-water marks (see _assign_identity_values
+        for the arithmetic and determinism contract)."""
+        return self._assign_identity_values(df, self.identity_columns())
 
     def _identity_meta_update(
         self, new_high: dict[str, int], base_meta: dict | None = None
@@ -1203,6 +1253,26 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def _column_referenced_by(self, name: str) -> str | None:
+        """Is ``name`` load-bearing for a table RULE? Renaming or
+        dropping a column that a CHECK constraint, a generation
+        expression, or an identity sort key references would brick
+        every future write (the rule's SQL keeps the old name) —
+        delta-spark blocks exactly these; so do we."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        for cname, expr in self.constraints().items():
+            if pat.search(expr):
+                return f"CHECK constraint {cname} ({expr})"
+        for gname, expr in self.generated_columns().items():
+            if pat.search(expr):
+                return f"generated column {gname} ({expr})"
+        for iname, spec in self.identity_columns().items():
+            if spec["order_by"] == name:
+                return f"identity column {iname}'s order key"
+        return None
+
     def rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN — pure metadata on a mapped table: the field's
         LOGICAL name changes, its physicalName (what every parquet file
@@ -1225,6 +1295,13 @@ class DeltaLogTable(_CheckpointMixin):
             raise ValueError(f"no such column: {old}")
         if new in names:
             raise ValueError(f"column {new} already exists")
+        ref = self._column_referenced_by(old)
+        if ref:
+            raise ValueError(
+                f"cannot rename {old}: referenced by {ref} — the rule's "
+                "SQL would keep the old name and every future write "
+                "would fail (delta-spark blocks this)"
+            )
         fields = [
             StructField(new if f.name == old else f.name, f.dataType,
                         f.nullable, f.metadata)
@@ -1275,6 +1352,12 @@ class DeltaLogTable(_CheckpointMixin):
             raise ValueError(f"cannot drop partition column {name}")
         if len(s.fields) == 1:
             raise ValueError("cannot drop the only column")
+        ref = self._column_referenced_by(name)
+        if ref:
+            raise ValueError(
+                f"cannot drop {name}: referenced by {ref} "
+                "(delta-spark blocks this)"
+            )
         meta = dict(m)
         meta["schemaString"] = StructType(
             [f for f in s.fields if f.name != name]
@@ -1442,6 +1525,19 @@ class DeltaLogTable(_CheckpointMixin):
             for name, expr_sql in generated.items():
                 if name not in df.columns:
                     df = df.withColumn(name, F.expr(expr_sql))
+                else:
+                    # the creation write is validated like every later
+                    # one — otherwise version 0 poisons the very
+                    # partition dirs the feature makes trustworthy
+                    bad = df.filter(
+                        ~F.col(name).eqNullSafe(F.expr(expr_sql))
+                    ).limit(1)
+                    if bad.count():
+                        raise ValueError(
+                            f"generated column {name} was provided with "
+                            f"values that do not match its expression "
+                            f"({expr_sql}); Delta rejects the write"
+                        )
         first_identity_high: dict[str, int] = {}
         if identity:
             # GENERATED ALWAYS AS IDENTITY, declared at creation
@@ -1450,29 +1546,9 @@ class DeltaLogTable(_CheckpointMixin):
                 raise ValueError(
                     "identity columns are declared on the FIRST commit"
                 )
-            from pyspark.sql.window import Window as _W
-
-            for name, spec in identity.items():
-                if name in df.columns:
-                    raise ValueError(
-                        f"identity column {name} is GENERATED ALWAYS — "
-                        "explicit values are rejected"
-                    )
-                rn = F.row_number().over(_W.orderBy(F.asc(spec["order_by"])))
-                df = df.withColumn(
-                    name,
-                    (
-                        F.lit(spec["start"])
-                        + (rn - 1) * F.lit(spec["step"])
-                    ).cast("long"),
-                )
-            df = df.localCheckpoint()  # pin the assigned values
-            n = df.count()
-            if n:
-                for name, spec in identity.items():
-                    first_identity_high[name] = (
-                        spec["start"] + (n - 1) * spec["step"]
-                    )
+            df, first_identity_high = self._assign_identity_values(
+                df, identity
+            )
         if app_id is not None and txn_version is not None:
             # fast-path replay check off the instance cache; the
             # authoritative re-check runs under the commit lock below
@@ -1531,7 +1607,10 @@ class DeltaLogTable(_CheckpointMixin):
                 evolved_meta["configuration"] = cfg
         df = self._apply_generated(df)
         id_meta = None
+        id_high: dict[str, int] = {}
+        id_base = None
         if not identity and self.latest_version() >= 0:
+            id_base = self._metadata_dict()
             df, id_high = self._assign_identity(df)
             id_meta = self._identity_meta_update(
                 id_high, base_meta=evolved_meta
@@ -1601,6 +1680,20 @@ class DeltaLogTable(_CheckpointMixin):
                 return True
 
             checks.append(_meta_unchanged)
+        if id_high:
+            # the assigned identity values extend id_base's high-water
+            # mark: a concurrent identity append in between would hand
+            # out the SAME ids (and committing our stale metaData would
+            # clobber its mark) — abort and retry instead
+            def _id_base_unchanged() -> bool:
+                if self._metadata_dict() != id_base:
+                    raise MetadataChangedError(
+                        "identity high-water mark moved concurrently; "
+                        "retry the append"
+                    )
+                return True
+
+            checks.append(_id_base_unchanged)
         precondition = (
             (lambda: all(c() for c in checks)) if checks else None
         )
@@ -1909,6 +2002,28 @@ class DeltaLogTable(_CheckpointMixin):
         preimage = affected.join(src.select(key), key, "left_semi")
         updated = src.join(target.select(key), key, "left_semi")
         inserted = src.join(target.select(key), key, "left_anti")
+        ids = self.identity_columns()
+        id_meta = None
+        id_base = None
+        ins_high: dict[str, int] = {}
+        if ids:
+            for name in ids:
+                if name in src.columns:
+                    raise ValueError(
+                        f"identity column {name} is GENERATED ALWAYS — "
+                        "explicit values are rejected (Delta's contract)"
+                    )
+            id_base = self._metadata_dict()
+            # UPDATES never reassign identity: matched rows carry the
+            # target's value (MIN per key when duplicate-key target
+            # rows collapse into the one updated row — deterministic);
+            # INSERTS draw fresh values from the ledgered mark
+            carry = preimage.groupBy(key).agg(
+                *[F.min(c).alias(c) for c in ids]
+            )
+            updated = updated.join(carry, key, "inner")
+            inserted, ins_high = self._assign_identity(inserted)
+            id_meta = self._identity_meta_update(ins_high)
         cols = target.columns
         adds = self._stage_files(
             kept.select(*cols)
@@ -1930,6 +2045,8 @@ class DeltaLogTable(_CheckpointMixin):
         )
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
+        if id_meta is not None:
+            actions.insert(0, {"metaData": id_meta})
         actions += [
             {"remove": self._remove_action(p, snap[p], now)}
             for p in hit_files
@@ -1943,9 +2060,16 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        v = self._commit(
-            actions, self._adds_unchanged({p: snap[p] for p in hit_files})
-        )
+        adds_check = self._adds_unchanged({p: snap[p] for p in hit_files})
+
+        def _pre() -> bool:
+            if ins_high and self._metadata_dict() != id_base:
+                raise MetadataChangedError(
+                    "identity high-water mark moved concurrently; retry"
+                )
+            return adds_check()
+
+        v = self._commit(actions, _pre)
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit rewrote files this MERGE targets; retry"
@@ -1981,6 +2105,9 @@ class DeltaLogTable(_CheckpointMixin):
         # the very checks below
         df = df.localCheckpoint()
         df = self._apply_generated(df)
+        id_base = self._metadata_dict() if self.identity_columns() else None
+        df, id_high = self._assign_identity(df)
+        id_meta = self._identity_meta_update(id_high)
         bad = df.filter(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         ).limit(1)
@@ -2022,6 +2149,8 @@ class DeltaLogTable(_CheckpointMixin):
         cdc_actions = self._stage_cdc(cdc_frame)
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
+        if id_meta is not None:
+            actions.insert(0, {"metaData": id_meta})
         actions += [
             {"remove": self._remove_action(p, live[p], now)}
             for p in hit_files
@@ -2038,11 +2167,22 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             }
         )
-        v = self._commit(
-            actions,
+        adds_check = (
             self._adds_unchanged({p: live[p] for p in hit_files})
             if hit_files
-            else None,
+            else None
+        )
+
+        def _pre() -> bool:
+            if id_high and self._metadata_dict() != id_base:
+                raise MetadataChangedError(
+                    "identity high-water mark moved concurrently; retry"
+                )
+            return adds_check() if adds_check is not None else True
+
+        v = self._commit(
+            actions,
+            _pre if (adds_check is not None or id_high) else None,
             first_commit_actions=self._metadata_actions(df, tuple(pb)),
         )
         if v is None:
@@ -2059,7 +2199,13 @@ class DeltaLogTable(_CheckpointMixin):
         metadata, O(commits), no data file touched; the returned frame
         is driver-built because the log IS driver-local metadata."""
         rows = [
-            (v, a["commitInfo"].get("timestamp"), a["commitInfo"].get("operation"))
+            (
+                v,
+                a["commitInfo"].get(
+                    "inCommitTimestamp", a["commitInfo"].get("timestamp")
+                ),
+                a["commitInfo"].get("operation"),
+            )
             for v, a in self._actions()
             if "commitInfo" in a
         ]
@@ -2352,6 +2498,12 @@ class DeltaLogTable(_CheckpointMixin):
                 d = spark.read.parquet(
                     *[os.path.join(self.path, p) for p in slot["cdc"]]
                 )
+                cm = self.column_mapping()
+                if cm:
+                    inv = {p2: l for l, p2 in cm.items()}
+                    d = d.select(
+                        *[F.col(c).alias(inv.get(c, c)) for c in d.columns]
+                    )
                 parts.append(d.withColumn("_commit_version", F.lit(v).cast("long")))
                 continue
             if slot["add"]:

@@ -1046,3 +1046,121 @@ def test_in_commit_timestamps_strictly_monotonic(spark, tmp_path):
     # resolution uses the ICT (the skewed commit's wall clock is an
     # hour old, but 'as of its ICT' still returns the LAST version)
     assert t.version_at_timestamp(icts[-1]) == t.latest_version()
+
+
+def test_identity_concurrent_append_aborts(spark, tmp_path):
+    """Two appends racing on the same high-water mark must NOT both
+    commit — the second aborts (MetadataChangedError) instead of
+    handing out duplicate ids."""
+    from deltasink_spark.delta_log import MetadataChangedError
+
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 5).select("event_id", "user_id", "value"),
+        identity={"rid": {"start": 0, "step": 1, "order_by": "event_id"}},
+    )
+    orig = t._commit
+    raced = []
+
+    def hijack(actions, precondition=None, **kw):
+        if not raced:
+            raced.append(1)
+            DeltaLogTable(t.path).append(
+                _ev(spark, 8).filter(F.col("event_id") >= 5)
+                .select("event_id", "user_id", "value")
+            )
+        return orig(actions, precondition, **kw)
+
+    t._commit = hijack
+    with pytest.raises(MetadataChangedError):
+        t.append(_ev(spark, 11).filter(F.col("event_id") >= 8)
+                 .select("event_id", "user_id", "value"))
+    t._commit = orig
+    # no duplicate ids exist; the racer's ids landed
+    rids = [r["rid"] for r in t.read(spark).collect()]
+    assert len(rids) == len(set(rids)) == 8
+
+
+def test_identity_replace_where_and_merge(spark, tmp_path):
+    """replaceWhere assigns fresh ids to the new slice; MERGE keeps the
+    target's ids on matches and assigns fresh ids to inserts."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 10).select("event_id", "user_id", "value"),
+        identity={"rid": {"start": 0, "step": 1, "order_by": "event_id"}},
+    )
+    t.replace_where(
+        spark,
+        _ev(spark, 3).select("event_id", "user_id",
+                             (F.col("value") + 500).alias("value")),
+        "event_id < 3",
+    )
+    got = {r["event_id"]: r["rid"] for r in t.read(spark).collect()}
+    assert got[0] == 10 and got[1] == 11 and got[2] == 12  # fresh ids
+    assert got[9] == 9  # untouched rows keep theirs
+    src = _ev(spark, 12).filter(F.col("event_id") >= 8).select(
+        "event_id", "user_id", (F.col("value") + 900).alias("value")
+    )
+    t.merge(spark, src, "event_id")
+    got = {r["event_id"]: r["rid"] for r in t.read(spark).collect()}
+    assert got[8] == 8 and got[9] == 9        # matched: ids preserved
+    assert got[10] == 13 and got[11] == 14     # inserted: fresh from mark
+    rids = [r["rid"] for r in t.read(spark).collect()]
+    assert len(rids) == len(set(rids))
+    # explicit identity in a merge source is rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(spark, src.withColumn("rid", F.lit(1)), "event_id")
+
+
+def test_rename_drop_blocked_when_rule_references_column(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.add_constraint(spark, "nonneg", "value >= 0")
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="nonneg"):
+        t.rename_column("value", "amount")
+    with pytest.raises(ValueError, match="nonneg"):
+        t.drop_column("value")
+    t.drop_constraint("nonneg")
+    t.rename_column("value", "amount")  # now fine
+    assert "amount" in [f.name for f in t.schema().fields]
+
+
+def test_cdf_spans_rename_with_consistent_names(spark, tmp_path):
+    """CDF across a rename: cdc files written before AND after carry
+    physical names; the batch read surfaces ONE consistent logical
+    schema."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20).repartition(1))
+    t.delete_where(spark, "event_id < 3")          # cdc pre-mapping
+    t.enable_column_mapping()
+    t.rename_column("value", "amount")
+    t.delete_where(spark, "event_id >= 18")        # cdc post-rename
+    ch = t.read_changes(spark, -1, t.latest_version())
+    assert "amount" in ch.columns and "value" not in ch.columns
+    dels = {r["event_id"] for r in
+            ch.filter(F.col("_change_type") == "delete").collect()}
+    assert dels == {0, 1, 2, 18, 19}
+
+
+def test_generated_column_validated_on_creation_commit(spark, tmp_path):
+    t = _table(tmp_path)
+    bad = _ev(spark, 5).withColumn("doubled", F.lit(0.0))
+    with pytest.raises(ValueError, match="generated column"):
+        t.append(bad, generated={"doubled": "value * 2"})
+    assert t.latest_version() == -1  # nothing committed
+
+
+def test_ict_enablement_raises_protocol(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5))
+    t.enable_in_commit_timestamps()
+    protos = [a["protocol"] for _, a in t._actions() if "protocol" in a]
+    assert protos[-1]["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in protos[-1]["writerFeatures"]
+    m = t._metadata_dict()
+    assert m["configuration"]["delta.inCommitTimestampEnablementVersion"] == "1"
+    # history reports the ICT, consistent with version_at_timestamp
+    h = {r["version"]: r["timestamp"] for r in t.history(spark).collect()}
+    cts = t.commit_timestamps()
+    assert h == cts
