@@ -72,6 +72,8 @@ _R10_NEW: list[str] = [
     "graph_label_propagation",
     "sink_delta_identity",
     "scan_delta_log_ict_travel",
+    "pipeline_gdpr_erasure",
+    "scan_delta_log_compacted",
 ]
 
 # Ops whose code changed in r10 — re-verification required

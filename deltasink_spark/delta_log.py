@@ -359,6 +359,24 @@ class DeltaLogTable(_CheckpointMixin):
 
     # --- log plumbing ----------------------------------------------------
 
+    def _compacted_files(self) -> list[tuple[int, int, str]]:
+        """(x, y, path) for every `<x>.<y>.compacted.json` minor log
+        compaction file (the spec's newer log-compaction mechanism
+        below checkpoints: one file carrying the RECONCILED actions of
+        versions x..y, which a reader may substitute for opening each
+        of them)."""
+        import re as _re
+
+        out = []
+        for f in os.listdir(self.log_dir):
+            m = _re.match(r"^(\d{20})\.(\d{20})\.compacted\.json$", f)
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)),
+                     os.path.join(self.log_dir, f))
+                )
+        return sorted(out)
+
     def _version_files(self) -> list[tuple[int, str]]:
         out = []
         for f in os.listdir(self.log_dir):
@@ -368,7 +386,10 @@ class DeltaLogTable(_CheckpointMixin):
 
     def latest_version(self) -> int:
         vf = self._version_files()
-        return vf[-1][0] if vf else -1
+        best = vf[-1][0] if vf else -1
+        for _x, y, _p in self._compacted_files():
+            best = max(best, y)  # originals may be cleaned up post-compaction
+        return best
 
     def _actions(
         self,
@@ -378,16 +399,44 @@ class DeltaLogTable(_CheckpointMixin):
         """Yield (version, action_dict) in commit order. The log is the
         table: every read below is a fold over this stream. Files below
         ``from_version`` are skipped WITHOUT being opened — the hook
-        checkpoint-bounded folds use."""
-        for v, p in self._version_files():
-            if v < from_version:
+        checkpoint-bounded folds use.
+
+        COMPACTED SEGMENTS: when a `<x>.<y>.compacted.json` file's
+        whole range fits inside the requested window, it substitutes
+        for opening x..y individually (its actions are attributed to
+        version y) — one open instead of y-x+1, and the fold survives
+        the originals being cleaned up. A range only PARTIALLY inside
+        the window (time travel into it, a from_version past its
+        start) never substitutes — the originals serve those folds."""
+        vf = dict(self._version_files())
+        comp: dict[int, list[tuple[int, str]]] = {}
+        for x, y, p in self._compacted_files():
+            comp.setdefault(x, []).append((y, p))
+        hi_candidates = [max(vf)] if vf else []
+        hi_candidates += [y for ys in comp.values() for y, _ in ys]
+        hi = max(hi_candidates) if hi_candidates else -1
+        if as_of_version is not None:
+            hi = min(hi, as_of_version)
+        pos = from_version
+        while pos <= hi:
+            usable = [
+                (y, p) for y, p in comp.get(pos, []) if y <= hi
+            ]
+            if usable:
+                y, p = max(usable)  # longest applicable segment
+                with open(p) as fh:
+                    for line in fh:
+                        if line.strip():
+                            yield y, json.loads(line)
+                pos = y + 1
                 continue
-            if as_of_version is not None and v > as_of_version:
-                break
-            with open(p) as fh:
-                for line in fh:
-                    if line.strip():
-                        yield v, json.loads(line)
+            p = vf.get(pos)
+            if p is not None:
+                with open(p) as fh:
+                    for line in fh:
+                        if line.strip():
+                            yield pos, json.loads(line)
+            pos += 1
 
     @contextlib.contextmanager
     def _commit_lock(self):
@@ -1057,15 +1106,20 @@ class DeltaLogTable(_CheckpointMixin):
 
     def _last_commit_info(self) -> dict | None:
         vf = self._version_files()
-        if not vf:
+        best_v, best_path = (vf[-1] if vf else (-1, None))
+        for _x, y, p in self._compacted_files():
+            if y > best_v:
+                best_v, best_path = y, p
+        if best_path is None:
             return None
-        with open(vf[-1][1]) as fh:
+        last = None
+        with open(best_path) as fh:
             for line in fh:
                 if line.strip():
                     a = json.loads(line)
                     if "commitInfo" in a:
-                        return a["commitInfo"]
-        return None
+                        last = a["commitInfo"]
+        return last
 
     # --- identity columns ------------------------------------------------------
 
@@ -2308,6 +2362,74 @@ class DeltaLogTable(_CheckpointMixin):
                 "planned against; retry"
             )
         return v
+
+    def compact_log(self, x: int, y: int) -> str:
+        """MINOR LOG COMPACTION (the spec's `<x>.<y>.compacted.json`,
+        the lighter sibling of parquet checkpoints): write ONE file
+        carrying the RECONCILED actions of versions x..y — net adds
+        (in-range add+remove pairs cancel entirely), retained removes
+        (they cancel PRE-range adds, so they must survive), the latest
+        protocol/metaData in range, per-app txn high-water marks, and
+        every commitInfo (history) — ordered removes-before-adds so
+        same-path supersessions (DV swaps) fold correctly. Readers
+        substitute the segment when their whole window covers it (one
+        file open instead of y-x+1; see _actions), after which the
+        originals may be cleaned up for full-fold readers. Folds
+        entering the range midway (time travel inside it) still need
+        the originals — keep them as long as such reads matter, the
+        same retention tradeoff VACUUM makes with time travel."""
+        latest = self.latest_version()
+        if not (0 <= x < y <= latest):
+            raise ValueError(f"invalid compaction range [{x}, {y}] for 0..{latest}")
+        have = {v for v, _ in self._version_files()}
+        missing = [v for v in range(x, y + 1) if v not in have]
+        if missing:
+            raise ValueError(
+                f"cannot compact [{x}, {y}]: version {missing[0]} missing"
+            )
+        proto = None
+        meta = None
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        txns: dict[str, int] = {}
+        infos: list[dict] = []
+        for _, a in self._actions(y, from_version=x):
+            if "protocol" in a:
+                proto = a["protocol"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+                removes.pop(a["add"]["path"], None)
+            elif "remove" in a:
+                p = a["remove"]["path"]
+                if p in adds:
+                    del adds[p]  # added AND removed in range: never visible
+                else:
+                    removes[p] = a["remove"]  # cancels a pre-range add
+            elif "txn" in a:
+                t = a["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+            elif "commitInfo" in a:
+                infos.append(a["commitInfo"])
+        actions: list[dict] = []
+        if proto is not None:
+            actions.append({"protocol": proto})
+        if meta is not None:
+            actions.append({"metaData": meta})
+        actions += [
+            {"txn": {"appId": app, "version": v}}
+            for app, v in sorted(txns.items())
+        ]
+        actions += [{"remove": removes[p]} for p in sorted(removes)]
+        actions += [{"add": adds[p]} for p in sorted(adds)]
+        actions += [{"commitInfo": ci} for ci in infos]
+        path = os.path.join(self.log_dir, f"{x:020d}.{y:020d}.compacted.json")
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("".join(json.dumps(a) + "\n" for a in actions))
+        os.replace(tmp, path)
+        return path
 
     def vacuum(self) -> int:
         """Physically delete data files no longer in the CURRENT

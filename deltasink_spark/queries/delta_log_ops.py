@@ -470,6 +470,50 @@ def scan_delta_log_multipart_checkpoint(spark, sf_dir):
 
 
 @query(
+    "scan_delta_log_compacted",
+    oracle=_log_fold_sql("compacted"),
+)
+def scan_delta_log_compacted(spark, sf_dir):
+    """MINOR LOG COMPACTION (`<x>.<y>.compacted.json` — the spec's
+    lighter sibling of parquet checkpoints): versions 0..2 (two
+    appends + an OPTIMIZE) are reconciled into ONE compacted file —
+    net adds, retained removes, txn marks, history — and the ORIGINALS
+    ARE DELETED, so the subsequent read can only succeed through the
+    segment substitution (the reader proves itself by necessity, not
+    by choice); a tail append after the compaction must still fold on
+    top. The oracle is the same independent DuckDB hand-parse as
+    [scan_delta_log]: its `*.json` glob picks up the compacted file
+    and the tail, and the add-minus-remove fold over the UNION must
+    equal the Spark read — proving compaction preserved exactly the
+    reconciled state any Delta reader needs. At years-of-commits
+    scale, segments bound fold cost between checkpoints."""
+    import os as _os
+
+    t = _fresh_table("compacted")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0), "cmpct", 0)
+    t.append(ev.filter(F.col("event_id") % 2 == 1), "cmpct", 1)
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+        t.compact_log(0, 2)
+        for v in range(3):  # originals gone: substitution is load-bearing
+            _os.remove(_os.path.join(t.log_dir, f"{v:020d}.json"))
+    # tail on top of the compacted segment
+    t2 = DeltaLogTable(t.path)
+    t2.append(
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            (F.col("event_id") + F.lit(10**9)).alias("event_id"),
+            "user_id",
+            "value",
+        )
+    )
+    assert t2.append(ev.limit(5), "cmpct", 1) is None, (
+        "txn replay guard must survive compaction"
+    )
+    return t2.read(spark)
+
+
+@query(
     "sink_delta_merge",
     oracle=f"""
     SELECT event_id, user_id,
@@ -1033,6 +1077,63 @@ def sink_delta_log_schema_evolution(spark, sf_dir):
         merge_schema=True,
     )
     return t.read(spark)
+
+
+@query(
+    "pipeline_gdpr_erasure",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)},
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE COALESCE(user_id % 97 = 13, FALSE)) AS BIGINT)
+               AS erased_rows
+    FROM events WHERE NOT COALESCE(user_id % 97 = 13, FALSE)
+    """,
+)
+def pipeline_gdpr_erasure(spark, sf_dir):
+    """The GDPR right-to-erasure lifecycle end-to-end on the real log —
+    the composite the DML pieces exist for: (1) ingest into a Delta
+    table; (2) ERASE one user's rows with a DELETION-VECTOR delete
+    (instant — KBs of DV, no file rewritten while the request is
+    served); (3) AUDIT the erasure through the CDF (the cdc rows are
+    the compliance record of exactly what was retracted — counted and
+    cross-checked in-op against the read delta); (4) OPTIMIZE to purge
+    the DVs (physically materializing the erasure — the deleted bytes
+    leave the data files); (5) VACUUM to destroy the superseded
+    originals AND orphaned DV files (after which the erased rows are
+    UNRECOVERABLE — time travel to pre-erasure versions now fails,
+    asserted in-op: the whole point of erasure). The final read plus
+    the audit count must equal the source minus/plus the victim's rows
+    — the oracle derives both. NULL user_id never matches the victim
+    predicate (COALESCE both sides)."""
+    t = _fresh_table("gdpr")
+    ev = _ev(spark, sf_dir)
+    victim_pred = "user_id % 97 = 13"
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    pre_erasure = t.latest_version()
+    before = t.read(spark).count()
+    v = t.delete_where_dv(spark, victim_pred)
+    erased = 0
+    if v > pre_erasure:  # rows actually matched
+        audit = t.read_changes(spark, v - 1, v)
+        erased = audit.filter(F.col("_change_type") == "delete").count()
+    after = t.read(spark).count()
+    assert before - after == erased, "CDF audit must equal the read delta"
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)  # purge DVs: erasure hits disk
+    removed = t.vacuum()
+    if erased:
+        assert removed > 0, "vacuum must destroy the superseded bytes"
+        try:
+            t.read(spark, as_of_version=pre_erasure).collect()
+            raise AssertionError("pre-erasure snapshot must be unrecoverable")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # missing files: erasure is final
+    return t.read(spark).withColumn(
+        "erased_rows", F.lit(erased).cast("long")
+    )
 
 
 @query(

@@ -1164,3 +1164,65 @@ def test_ict_enablement_raises_protocol(spark, tmp_path):
     h = {r["version"]: r["timestamp"] for r in t.history(spark).collect()}
     cts = t.commit_timestamps()
     assert h == cts
+
+
+def test_log_compaction_substitutes_and_survives_cleanup(spark, tmp_path):
+    """Minor compaction: the fold reads ONE compacted segment instead
+    of its originals, reconstructs identical state after the originals
+    are cleaned up, and never substitutes for a window that only
+    partially covers the range."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10), "comp", 0)
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10), "comp", 1)
+    t.delete_where(spark, "event_id < 3")
+    t.optimize(spark, target_files=1)
+    t.append(_ev(spark, 25).filter(F.col("event_id") >= 20))  # tail v4
+    t.compact_log(0, 3)
+    full = {r["event_id"] for r in t.read(spark).collect()}
+    assert full == set(range(3, 25))
+    # time travel INSIDE the range still uses originals
+    assert {r["event_id"] for r in t.read(spark, as_of_version=1).collect()} \
+        == set(range(20))
+    # clean up the compacted originals: full folds still work
+    for v in range(4):
+        os.rename(
+            os.path.join(t.log_dir, f"{v:020d}.json"),
+            os.path.join(t.log_dir, f"gone-{v}.bak"),
+        )
+    t2 = DeltaLogTable(t.path)
+    assert t2.latest_version() == 4
+    assert {r["event_id"] for r in t2.read(spark).collect()} == full
+    # txn high-water marks survived the compaction (replay still no-op)
+    assert t2.append(_ev(spark, 5), "comp", 1) is None
+    # and a NEW commit lands at version 5 on top of the compacted log
+    t2.append(_ev(spark, 30).filter(F.col("event_id") >= 25))
+    assert t2.latest_version() == 5
+    assert {r["event_id"] for r in t2.read(spark).collect()} == set(range(3, 30))
+
+
+def test_log_compaction_retains_cross_range_removes(spark, tmp_path):
+    """A remove inside the range cancelling a PRE-range add must be
+    retained; an add+remove pair fully inside cancels entirely."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))          # v0 (pre-range)
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10).repartition(1))  # v1
+    t.delete_where(spark, "event_id < 5")             # v2: removes v0's file
+    t.delete_where(spark, "event_id >= 12")           # v3: removes v1's + v2's rewrite? (file-dependent)
+    t.compact_log(1, 3)
+    import json as _json
+    comp = [
+        _json.loads(line)
+        for line in open(os.path.join(
+            t.log_dir, f"{1:020d}.{3:020d}.compacted.json"))
+        if line.strip()
+    ]
+    rm_paths = {a["remove"]["path"] for a in comp if "remove" in a}
+    add_paths = {a["add"]["path"] for a in comp if "add" in a}
+    assert rm_paths and not (rm_paths & add_paths)
+    # reconstructed state identical with originals 1..3 gone
+    want = {r["event_id"] for r in t.read(spark).collect()}
+    for v in range(1, 4):
+        os.rename(os.path.join(t.log_dir, f"{v:020d}.json"),
+                  os.path.join(t.log_dir, f"gone-{v}.bak"))
+    got = {r["event_id"] for r in DeltaLogTable(t.path).read(spark).collect()}
+    assert got == want == set(range(5, 12))
