@@ -117,6 +117,22 @@ def _checkpoint_schema():
                 pa.struct(
                     [
                         ("id", pa.string()),
+                        # format is REQUIRED by the spec's checkpoint
+                        # schema — delta-spark reconstructs state
+                        # expecting format.provider; omitting it breaks
+                        # external readers resuming from _last_checkpoint
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    (
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
                         ("createdTime", pa.int64()),
@@ -149,12 +165,44 @@ def _checkpoint_schema():
                     ]
                 ),
             ),
+            # unexpired remove TOMBSTONES (spec: checkpoints must retain
+            # them) — an external client resuming from _last_checkpoint
+            # needs them to vacuum correctly and to not resurrect
+            # removed files
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
             pa.field(
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
         ]
     )
+
+
+# spec default for delta.deletedFileRetentionDuration: tombstones older
+# than this age out of newly-written checkpoints (vacuum past it can no
+# longer see the file — real Delta's documented retention tradeoff)
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
 class _CheckpointMixin:
@@ -186,27 +234,48 @@ class _CheckpointMixin:
         v = self.latest_version()
         if v < 0:
             raise ValueError("cannot checkpoint an empty log")
-        meta = None
-        proto = None
+        # fold from the PREVIOUS checkpoint (bounded replay even while
+        # checkpointing, and the path that survives pre-checkpoint JSON
+        # cleanup); meta/proto come from the shared checkpoint-aware
+        # lookups
+        meta = self._metadata_dict()
+        proto = self._protocol_dict()
         adds: dict[str, dict] = {}
-        for _, a in self._actions(v):
-            if "metaData" in a:
-                meta = a["metaData"]
-            elif "protocol" in a:
-                proto = a["protocol"]
-            elif "add" in a:
+        removes: dict[str, dict] = {}
+        start = 0
+        pcv = self.last_checkpoint()
+        if pcv is not None and pcv <= v:
+            adds = self._checkpoint_adds(pcv)
+            removes = self._checkpoint_removes(pcv)
+            start = pcv + 1
+        for _, a in self._actions(v, from_version=start):
+            if "add" in a:
                 adds[a["add"]["path"]] = a["add"]
+                removes.pop(a["add"]["path"], None)
             elif "remove" in a:
                 adds.pop(a["remove"]["path"], None)
+                removes[a["remove"]["path"]] = a["remove"]
+        # spec: retain UNEXPIRED tombstones only — older ones age out
+        cutoff = _now_ms() - _TOMBSTONE_RETENTION_MS
+        removes = {
+            p: r
+            for p, r in removes.items()
+            if (r.get("deletionTimestamp") or 0) >= cutoff
+        }
         txns = self.txn_versions(refresh=True)
         rows: list[dict] = []
         if proto is not None:
             rows.append({"protocol": proto})
         if meta is not None:
+            fmt = meta.get("format") or {"provider": "parquet", "options": {}}
             rows.append(
                 {
                     "metaData": {
                         "id": meta["id"],
+                        "format": {
+                            "provider": fmt.get("provider", "parquet"),
+                            "options": list((fmt.get("options") or {}).items()),
+                        },
                         "schemaString": meta["schemaString"],
                         "partitionColumns": meta.get("partitionColumns", []),
                         "createdTime": meta.get("createdTime"),
@@ -236,6 +305,18 @@ class _CheckpointMixin:
                         "dataChange": ad.get("dataChange"),
                         "stats": ad.get("stats"),
                         "deletionVector": ad.get("deletionVector"),
+                    }
+                }
+            )
+        for p in sorted(removes):
+            rm = removes[p]
+            rows.append(
+                {
+                    "remove": {
+                        "path": rm["path"],
+                        "deletionTimestamp": rm.get("deletionTimestamp"),
+                        "dataChange": rm.get("dataChange"),
+                        "deletionVector": rm.get("deletionVector"),
                     }
                 }
             )
@@ -322,6 +403,25 @@ class _CheckpointMixin:
                     out[rec["path"]] = rec
         return out
 
+    def _checkpoint_removes(self, cv: int) -> dict[str, dict]:
+        """path -> remove tombstone from the checkpoint parquet(s) at
+        ``cv`` (empty for checkpoints written before the column
+        existed)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for cp in self._checkpoint_paths(cv):
+            f = pq.ParquetFile(cp)
+            if "remove" not in f.schema_arrow.names:
+                continue
+            for rec in (
+                pq.read_table(cp, columns=["remove"]).column("remove").to_pylist()
+            ):
+                if rec is not None:
+                    rec = {k: v for k, v in rec.items() if v is not None}
+                    out[rec["path"]] = rec
+        return out
+
     def read_via_checkpoint(self, spark):
         """Snapshot read that starts from the checkpoint instead of
         folding the whole JSON log: load the checkpoint's add set, then
@@ -395,6 +495,7 @@ class DeltaLogTable(_CheckpointMixin):
         self,
         as_of_version: int | None = None,
         from_version: int = 0,
+        exact: bool = False,
     ):
         """Yield (version, action_dict) in commit order. The log is the
         table: every read below is a fold over this stream. Files below
@@ -407,7 +508,19 @@ class DeltaLogTable(_CheckpointMixin):
         version y) — one open instead of y-x+1, and the fold survives
         the originals being cleaned up. A range only PARTIALLY inside
         the window (time travel into it, a from_version past its
-        start) never substitutes — the originals serve those folds."""
+        start) never substitutes — the originals serve those folds.
+
+        ``exact=True`` is for folds that need TRUE per-version
+        attribution and the exact action stream (CDF, history,
+        timestamp travel, the streaming source): segments NEVER
+        substitute (compaction reconciles away cdc actions and
+        collapses every commit to version y), and a version whose
+        original commit file was cleaned up RAISES instead of being
+        silently skipped — those folds must be correct or loud, never
+        coarse. A missing version in a non-exact fold also raises
+        unless a segment covers it (a snapshot silently missing
+        commits would let DML preconditions validate against a
+        truncated table)."""
         vf = dict(self._version_files())
         comp: dict[int, list[tuple[int, str]]] = {}
         for x, y, p in self._compacted_files():
@@ -419,9 +532,11 @@ class DeltaLogTable(_CheckpointMixin):
             hi = min(hi, as_of_version)
         pos = from_version
         while pos <= hi:
-            usable = [
-                (y, p) for y, p in comp.get(pos, []) if y <= hi
-            ]
+            usable = (
+                []
+                if exact
+                else [(y, p) for y, p in comp.get(pos, []) if y <= hi]
+            )
             if usable:
                 y, p = max(usable)  # longest applicable segment
                 with open(p) as fh:
@@ -431,11 +546,22 @@ class DeltaLogTable(_CheckpointMixin):
                 pos = y + 1
                 continue
             p = vf.get(pos)
-            if p is not None:
-                with open(p) as fh:
-                    for line in fh:
-                        if line.strip():
-                            yield pos, json.loads(line)
+            if p is None:
+                raise ValueError(
+                    f"version {pos}'s commit file is missing from the log "
+                    + (
+                        "and exact per-version folds (CDF / history / "
+                        "timestamp travel / streaming) cannot substitute a "
+                        "reconciled compacted segment for it"
+                        if exact
+                        else "and no compacted segment or checkpoint covers "
+                        "it — refusing to fold a silently truncated log"
+                    )
+                )
+            with open(p) as fh:
+                for line in fh:
+                    if line.strip():
+                        yield pos, json.loads(line)
             pos += 1
 
     @contextlib.contextmanager
@@ -518,9 +644,22 @@ class DeltaLogTable(_CheckpointMixin):
     def snapshot_adds(self, as_of_version: int | None = None) -> dict[str, dict]:
         """path -> add action for every live file at a version (adds
         minus removes, in first-add order) — the canonical Delta
-        snapshot fold, one implementation shared by every reader."""
+        snapshot fold, one implementation shared by every reader.
+
+        Starts from the last CHECKPOINT whenever one covers the
+        requested window (state at cv + only the JSON tail after it —
+        bounded replay, and the fold that survives pre-checkpoint JSON
+        cleanup). Time travel BELOW the checkpoint folds the original
+        JSON from version 0, raising loudly if cleanup already removed
+        the needed commits (never a silent partial snapshot — DML
+        preconditions validate against this fold)."""
         live: dict[str, dict] = {}
-        for _, a in self._actions(as_of_version):
+        start = 0
+        cv = self.last_checkpoint()
+        if cv is not None and (as_of_version is None or as_of_version >= cv):
+            live = self._checkpoint_adds(cv)
+            start = cv + 1
+        for _, a in self._actions(as_of_version, from_version=start):
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
@@ -603,57 +742,64 @@ class DeltaLogTable(_CheckpointMixin):
         return hw
 
     def _metadata_dict(self) -> dict | None:
-        """Latest metaData action — from the JSON log, falling back to
-        the checkpoint's metaData row when every pre-checkpoint JSON
-        file has been cleaned up (the spec allows deleting them once a
-        checkpoint covers them; table identity must survive that)."""
+        """Latest metaData action — the checkpoint's metaData row as
+        the base whenever a checkpoint exists (the spec allows deleting
+        pre-checkpoint JSON once a checkpoint covers it; table identity
+        must survive that), overridden by any later metaData in the
+        JSON tail after it."""
         m = None
-        for _, a in self._actions():
+        start = 0
+        cv = self.last_checkpoint()
+        if cv is not None:
+            import pyarrow.parquet as pq
+
+            for cp in self._checkpoint_paths(cv):
+                for rec in (
+                    pq.read_table(cp, columns=["metaData"])
+                    .column("metaData")
+                    .to_pylist()
+                ):
+                    if rec is not None:
+                        rec = dict(rec)
+                        rec["configuration"] = dict(rec.get("configuration") or [])
+                        if rec.get("format") is not None:
+                            rec["format"] = {
+                                "provider": rec["format"].get("provider"),
+                                "options": dict(rec["format"].get("options") or []),
+                            }
+                        else:
+                            rec.pop("format", None)
+                        m = rec
+            start = cv + 1
+        for _, a in self._actions(from_version=start):
             if "metaData" in a:
                 m = a["metaData"]
-        if m is not None:
-            return m
-        cv = self.last_checkpoint()
-        if cv is None:
-            return None
-        import pyarrow.parquet as pq
-
-        for cp in self._checkpoint_paths(cv):
-            for rec in (
-                pq.read_table(cp, columns=["metaData"])
-                .column("metaData")
-                .to_pylist()
-            ):
-                if rec is not None:
-                    rec = dict(rec)
-                    rec["configuration"] = dict(rec.get("configuration") or [])
-                    m = rec
         return m
 
     def _protocol_dict(self) -> dict | None:
-        """Latest protocol action — JSON log first, checkpoint row as
-        the fallback after pre-checkpoint log cleanup (otherwise every
-        DV delete on a cleaned-up table would re-ledger a redundant
-        protocol upgrade)."""
+        """Latest protocol action — the checkpoint row as the base
+        (surviving pre-checkpoint log cleanup; otherwise every DV
+        delete on a cleaned-up table would re-ledger a redundant
+        protocol upgrade), overridden by later protocol actions in the
+        JSON tail."""
         p = None
-        for _, a in self._actions():
+        start = 0
+        cv = self.last_checkpoint()
+        if cv is not None:
+            import pyarrow.parquet as pq
+
+            for cp in self._checkpoint_paths(cv):
+                for rec in (
+                    pq.read_table(cp, columns=["protocol"])
+                    .column("protocol")
+                    .to_pylist()
+                ):
+                    if rec is not None:
+                        p = {k: v for k, v in rec.items() if v is not None}
+            start = cv + 1
+        for _, a in self._actions(from_version=start):
             if "protocol" in a:
                 p = a["protocol"]
-        if p is not None:
-            return p
-        cv = self.last_checkpoint()
-        if cv is None:
-            return None
-        import pyarrow.parquet as pq
-
-        for cp in self._checkpoint_paths(cv):
-            for rec in (
-                pq.read_table(cp, columns=["protocol"])
-                .column("protocol")
-                .to_pylist()
-            ):
-                if rec is not None:
-                    p = {k: v for k, v in rec.items() if v is not None}
         return p
 
     def schema(self) -> StructType | None:
@@ -1748,6 +1894,60 @@ class DeltaLogTable(_CheckpointMixin):
                 return True
 
             checks.append(_id_base_unchanged)
+        if cur_schema is None:
+            # we planned against an EMPTY table: no schema enforcement
+            # ran and partition_by is OUR declaration. If a concurrent
+            # first append wins version 0 before this commit, the lock
+            # decides we land at version 1 — so re-validate UNDER the
+            # lock that our staged layout matches the winner's
+            # metaData; committing adds whose partitionValues/columns
+            # contradict it would silently corrupt the table.
+            planned_pb = tuple(partition_by)
+            df_fields = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+
+            def _first_commit_race() -> bool:
+                if self.latest_version() < 0:
+                    return True  # still empty — we win version 0
+                if generated or identity:
+                    raise MetadataChangedError(
+                        "a concurrent first append won version 0; "
+                        "generated/identity columns can only be declared "
+                        "at table creation — retry without them"
+                    )
+                if self.identity_columns() or self.generated_columns():
+                    raise MetadataChangedError(
+                        "a concurrent first append created the table with "
+                        "identity/generated columns this write did not "
+                        "assign or validate; retry the append"
+                    )
+                winner_pb = self.partition_columns()
+                if winner_pb != planned_pb:
+                    raise MetadataChangedError(
+                        f"a concurrent first append created the table "
+                        f"partitioned by {winner_pb}, this write staged "
+                        f"{planned_pb}; retry the append"
+                    )
+                s = self.schema()
+                have = {
+                    f.name: f.dataType.simpleString()
+                    for f in (s.fields if s is not None else [])
+                }
+                bad = [
+                    n
+                    for n, t in df_fields.items()
+                    if n not in have or have[n] != t
+                ]
+                if bad:
+                    raise MetadataChangedError(
+                        f"a concurrent first append created the table with "
+                        f"a schema that does not cover columns {bad}; "
+                        "retry the append against it"
+                    )
+                return True
+
+            checks.append(_first_commit_race)
         precondition = (
             (lambda: all(c() for c in checks)) if checks else None
         )
@@ -2000,6 +2200,131 @@ class DeltaLogTable(_CheckpointMixin):
             raise ConcurrentDeleteReadError(
                 "a concurrent commit changed files this DV DELETE "
                 "targets; retry"
+            )
+        return v
+
+    def update_where(
+        self, spark, set_exprs: dict[str, str], predicate_sql: str
+    ) -> int:
+        """UPDATE ... SET col = expr, ... WHERE predicate — the fourth
+        Delta DML verb (append / DELETE / MERGE / UPDATE). Copy-on-write
+        with the same file discipline as [delete_where]: one
+        predicate-pushed lineage scan finds the files containing
+        matches, ONLY those are rewritten (their non-matching rows kept
+        verbatim — DV-aware, so rows a deletion vector already removed
+        neither survive nor re-enter the CDF), and one commit publishes
+        remove+add for each rewritten file plus a cdc action with the
+        spec's update_preimage / update_postimage row pairs — what a
+        downstream replica applies without re-diffing snapshots.
+
+        The full write discipline applies to the POST rows: CHECK
+        constraints are enforced, GENERATED columns are recomputed from
+        their expressions (setting one directly is rejected — its value
+        is the expression's, per spec), IDENTITY columns are immutable
+        (GENERATED ALWAYS — SET on one is rejected), and a mapped
+        table's rewrites stage under physical names. Updating a
+        PARTITION column is allowed: rewritten rows land in their new
+        Hive directories with new partitionValues (how real Delta moves
+        rows between partitions). Zero matches commits nothing and
+        returns the current version (Delta's UPDATE no-op). Concurrency:
+        the commit re-validates under the lock that every planned
+        file's (path, DV descriptor) is unchanged — a concurrent
+        rewrite or DV delete aborts with ConcurrentDeleteReadError.
+
+        Scale: cost tracks matched files, not table size — the
+        predicate reaches the parquet scan of the lineage pass, stats/
+        partition pruning apply upstream, and unaffected files are
+        untouched metadata."""
+        snap = self.snapshot_adds()
+        if not snap:
+            return self.latest_version()  # UPDATE over empty table: no-op
+        s = self.schema()
+        have = {f.name for f in s.fields} if s is not None else set()
+        missing = [c for c in set_exprs if c not in have]
+        if missing:
+            raise ValueError(f"UPDATE SET targets unknown column(s) {missing}")
+        ids = self.identity_columns()
+        gens = self.generated_columns()
+        for name in set_exprs:
+            if name in ids:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — "
+                    "UPDATE cannot set it (Delta's contract)"
+                )
+            if name in gens:
+                raise ValueError(
+                    f"generated column {name} cannot be SET directly; "
+                    "it is recomputed from its generation expression "
+                    f"({gens[name]}) when its inputs change"
+                )
+        rel_of_base = {os.path.basename(p): p for p in snap}
+        full = self._read_adds(spark, snap, with_lineage=True)
+        hit_files = [
+            rel_of_base[r[0]]
+            for r in full.filter(F.expr(predicate_sql))
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        if not hit_files:
+            return self.latest_version()
+        # pin the affected rows ONCE: kept/preimage/postimage must come
+        # from the same evaluation or a nondeterministic predicate
+        # desyncs the CDF pairs from the rewritten data
+        affected = self._read_adds(
+            spark, {p: snap[p] for p in hit_files}
+        ).localCheckpoint()
+        pred = F.expr(predicate_sql)
+        kept = affected.filter(~F.coalesce(pred, F.lit(False)))
+        pre = affected.filter(pred)
+        post = pre
+        for name, expr_sql in set_exprs.items():
+            post = post.withColumn(name, F.expr(expr_sql).cast(
+                dict((f.name, f.dataType) for f in s.fields)[name]
+            ))
+        # generated columns recompute from the UPDATED inputs (the
+        # spec's rule: their value is always the expression's)
+        for gname, gexpr in gens.items():
+            post = post.withColumn(gname, F.expr(gexpr))
+        self._enforce_constraints(post)
+        cols = [f.name for f in s.fields]
+        adds = self._stage_files(
+            kept.select(*cols).unionByName(post.select(*cols)),
+            partition_by=self.partition_columns(),
+        )
+        cdc_actions = self._stage_cdc(
+            pre.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.select(*cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        )
+        now = _now_ms()
+        actions = cdc_actions + [{"add": a} for a in adds]
+        actions += [
+            {"remove": self._remove_action(p, snap[p], now)}
+            for p in hit_files
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": predicate_sql,
+                        "set": json.dumps(set_exprs, sort_keys=True),
+                    },
+                }
+            }
+        )
+        v = self._commit(
+            actions, self._adds_unchanged({p: snap[p] for p in hit_files})
+        )
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this UPDATE targets; retry"
             )
         return v
 
@@ -2260,12 +2585,25 @@ class DeltaLogTable(_CheckpointMixin):
                 ),
                 a["commitInfo"].get("operation"),
             )
-            for v, a in self._actions()
+            for v, a in self._exact_commit_actions()
             if "commitInfo" in a
         ]
         return spark.createDataFrame(
             rows, "version bigint, timestamp bigint, operation string"
         )
+
+    def _exact_commit_actions(self):
+        """(version, action) over the ORIGINAL commit files only, with
+        true per-version attribution — never a compacted segment
+        (compaction collapses every in-range commit to version y and
+        reconciles cdc away, which would silently corrupt history and
+        timestamp travel). After log cleanup this is the retained TAIL
+        — exactly what DESCRIBE HISTORY shows on a real Delta table
+        whose old commits aged out."""
+        vf = self._version_files()
+        if not vf:
+            return
+        yield from self._actions(from_version=vf[0][0], exact=True)
 
     def restore(self, spark, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
@@ -2445,8 +2783,21 @@ class DeltaLogTable(_CheckpointMixin):
 
         adds = self.snapshot_adds()
         live = set(adds)
-        ever_removed = {
-            a["remove"]["path"] for _, a in self._actions() if "remove" in a
+        # tombstones: the last checkpoint's retained remove actions +
+        # the JSON tail after it — the fold that both survives
+        # pre-checkpoint log cleanup and stays O(checkpoint + tail);
+        # tombstones that aged out of the checkpoint are beyond
+        # retention (real Delta's documented vacuum horizon)
+        start = 0
+        cv = self.last_checkpoint()
+        ever_removed: set[str] = set()
+        if cv is not None:
+            ever_removed = set(self._checkpoint_removes(cv))
+            start = cv + 1
+        ever_removed |= {
+            a["remove"]["path"]
+            for _, a in self._actions(from_version=start)
+            if "remove" in a
         }
         n = 0
         for p in sorted(ever_removed - live):
@@ -2489,9 +2840,12 @@ class DeltaLogTable(_CheckpointMixin):
         """The latest version whose commitInfo timestamp is <= ``ts_ms``
         — Delta's timestampAsOf resolution (each commit records its
         wall-clock in commitInfo; time-travel-by-time binary-searches
-        that sequence). Raises if the timestamp predates the table."""
+        that sequence). Raises if the timestamp predates the table —
+        or predates the earliest RETAINED commit after log cleanup
+        (resolving it against a reconciled compacted segment would
+        silently return the wrong version)."""
         best = None
-        for v, a in self._actions():
+        for v, a in self._exact_commit_actions():
             if "commitInfo" not in a:
                 continue
             ci = a["commitInfo"]
@@ -2500,14 +2854,16 @@ class DeltaLogTable(_CheckpointMixin):
                 best = v
         if best is None:
             raise ValueError(
-                f"no commit at or before timestamp {ts_ms} (table created later)"
+                f"no retained commit at or before timestamp {ts_ms} "
+                "(table created later, or the commit aged out of the log)"
             )
         return best
 
     def commit_timestamps(self) -> dict[int, int]:
-        """version -> commitInfo timestamp (ms)."""
+        """version -> commitInfo timestamp (ms), per-version exact
+        (retained original commits only — see _exact_commit_actions)."""
         out: dict[int, int] = {}
-        for v, a in self._actions():
+        for v, a in self._exact_commit_actions():
             if "commitInfo" in a:
                 ci = a["commitInfo"]
                 out[v] = ci.get("inCommitTimestamp", ci.get("timestamp", 0))
@@ -2602,7 +2958,14 @@ class DeltaLogTable(_CheckpointMixin):
                 f"version range ({from_version}, {to_version}] outside log 0..{latest}"
             )
         by_version: dict[int, dict[str, list]] = {}
-        for v, a in self._actions(to_version, from_version=from_version + 1):
+        # exact=True: CDF must fold the ORIGINAL commits — a compacted
+        # segment reconciles cdc actions away and collapses attribution
+        # to its end version, so substituting one would silently lose
+        # DELETE retractions and MERGE pre/postimages; a cleaned-up
+        # window raises instead
+        for v, a in self._actions(
+            to_version, from_version=from_version + 1, exact=True
+        ):
             slot = by_version.setdefault(v, {"cdc": [], "add": [], "rm": []})
             if "cdc" in a:
                 slot["cdc"].append(a["cdc"]["path"])
@@ -2770,7 +3133,11 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 
     def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict, str]]:
         by_version: dict[int, dict[str, list]] = {}
-        for v, a in self.table._actions(hi, from_version=max(lo + 1, 0)):
+        # exact=True: the stream serves per-commit batches — reconciled
+        # segments (coarse attribution, no cdc) must never substitute
+        for v, a in self.table._actions(
+            hi, from_version=max(lo + 1, 0), exact=True
+        ):
             slot = by_version.setdefault(
                 v, {"adds": [], "cdc": [], "rms": [], "del": False}
             )

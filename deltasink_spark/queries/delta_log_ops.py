@@ -54,7 +54,14 @@ _EV_COLS = ["event_id", "user_id", "value"]
 _EV_SCHEMA = "event_id bigint, user_id bigint, value double"
 
 
-def _fresh_table(op: str) -> DeltaLogTable:
+_SENTINEL_TYPES = {
+    "event_id": "int64",
+    "user_id": "int64",
+    "value": "float64",
+}
+
+
+def _fresh_table(op: str, cols: list[str] | None = None) -> DeltaLogTable:
     """A clean table dir for this op (fixed path — the oracle SQL
     embeds it) with the glob-anchor sentinel in place."""
     path = os.path.join(_DL_BASE, op)
@@ -65,9 +72,8 @@ def _fresh_table(op: str) -> DeltaLogTable:
 
     schema = pa.schema(
         [
-            pa.field("event_id", pa.int64()),
-            pa.field("user_id", pa.int64()),
-            pa.field("value", pa.float64()),
+            pa.field(c, getattr(pa, _SENTINEL_TYPES[c])())
+            for c in (cols or _EV_COLS)
         ]
     )
     pq.write_table(schema.empty_table(), os.path.join(path, "part-sentinel.parquet"))
@@ -78,12 +84,17 @@ def _ev(spark, sf_dir):
     return load(spark, sf_dir, "events").select(*_EV_COLS)
 
 
-def _log_fold_sql(op: str, max_version: int | None = None) -> str:
+def _log_fold_sql(
+    op: str,
+    max_version: int | None = None,
+    cols: list[str] | None = None,
+) -> str:
     """The independent DuckDB reader: hand-parse the action files,
     fold add minus remove (optionally as of a version — time travel is
     a log prefix), scan only live files."""
     base = os.path.join(_DL_BASE, op)
     vfilter = "" if max_version is None else f"AND v <= {max_version}"
+    proj = ", ".join(f"t.{c}" for c in (cols or _EV_COLS))
     return f"""
     WITH acts AS (
         SELECT "add".path AS add_path,
@@ -102,7 +113,7 @@ def _log_fold_sql(op: str, max_version: int | None = None) -> str:
         EXCEPT
         SELECT rm_path FROM acts WHERE rm_path IS NOT NULL {vfilter}
     )
-    SELECT t.event_id, t.user_id, t.value
+    SELECT {proj}
     FROM read_parquet('{base}/part-*.parquet', filename = true) t
     JOIN live ON parse_filename(t.filename) = live.p
     """
@@ -1216,3 +1227,121 @@ def stream_table_source(spark, sf_dir):
         spark.readStream.format("delta_log_table").option("path", t.path).load()
     )
     return _run_until(spark, stream, min_rows=expected)
+
+
+@query(
+    "sink_delta_update",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN COALESCE(user_id % 5 = 0, FALSE)
+                THEN value + 1000 ELSE value END AS value
+    FROM events
+    """,
+)
+def sink_delta_update(spark, sf_dir):
+    """UPDATE ... SET ... WHERE on the real-log table — the FOURTH
+    Delta DML verb (append/DELETE/MERGE landed r10; this closes the
+    triad+1 the r10 verdict flagged as the one missing verb): two
+    appends, then ``update_where({{value: value + 1000}},
+    "user_id % 5 = 0")`` — one predicate-pushed lineage scan finds the
+    files containing matches, ONLY those are rewritten (non-matching
+    rows kept verbatim), and one commit publishes remove+add plus a
+    cdc action carrying the spec's update_preimage/update_postimage
+    pairs (read by scan_delta_log_cdf_all_dml). A VACUUM then drops
+    the superseded files — the read must be unaffected. NULL user_id
+    is never "% 5 = 0": those rows survive unchanged, mirrored by the
+    oracle's COALESCE. Scale: UPDATE cost tracks files-with-matches
+    (stats skipping prunes the rest from log metadata), never table
+    size."""
+    t = _fresh_table("upd")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    t.update_where(spark, {"value": "value + 1000"}, "user_id % 5 = 0")
+    t.vacuum()
+    return t.read(spark)
+
+
+@query(
+    "scan_delta_log_cdf_all_dml",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id % 4 = 0
+    )
+    SELECT event_id, user_id, value,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM a
+    UNION ALL
+    SELECT event_id, user_id, value, 'delete', 1
+    FROM a WHERE COALESCE(value < 30, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value, 'update_preimage', 2
+    FROM a WHERE NOT COALESCE(value < 30, FALSE)
+      AND COALESCE(user_id % 3 = 0, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 1000, 'update_postimage', 2
+    FROM a WHERE NOT COALESCE(value < 30, FALSE)
+      AND COALESCE(user_id % 3 = 0, FALSE)
+    UNION ALL
+    SELECT event_id, user_id,
+           CASE WHEN COALESCE(user_id % 3 = 0, FALSE)
+                THEN value + 1000 ELSE value END,
+           'update_preimage', 3
+    FROM a WHERE event_id % 8 = 0 AND NOT COALESCE(value < 30, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 5, 'update_postimage', 3
+    FROM a WHERE event_id % 8 = 0 AND NOT COALESCE(value < 30, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 5, 'insert', 3
+    FROM a WHERE event_id % 8 = 0 AND COALESCE(value < 30, FALSE)
+    """,
+)
+def scan_delta_log_cdf_all_dml(spark, sf_dir):
+    """ONE CDF read spanning all four Delta DML verbs — the r10
+    verdict's acceptance test for the complete DML surface: v0 WRITE
+    (inserts), v1 DELETE value<30 (delete rows), v2 UPDATE value+=1000
+    where user_id%3=0 (update_preimage/postimage pairs), v3 MERGE of
+    the event_id%8==0 slice re-derived with value+5 (pre/post pairs
+    for surviving keys + re-INSERTS of the keys v1 deleted). The
+    oracle re-derives every change row from the source fixture alone —
+    each verb's exact CDF vocabulary, attribution included
+    (_commit_version per verb) — so agreement proves a downstream
+    replica folding this CDF converges on the table without ever
+    diffing snapshots. The v3 merge preimage reflects the v2 update
+    (CDF rows chain: each verb's preimage is the PREVIOUS verb's
+    output), which is precisely what makes the feed replayable."""
+    t = _fresh_table("cdf4")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 4 == 0))
+    # canonical verb numbering: a verb that matches ZERO rows commits
+    # nothing (Delta's DML no-op), shifting later version numbers — so
+    # record each verb's ACTUAL committed version and remap to the
+    # oracle's canonical 0..3 (pure relabeling; the change rows
+    # themselves are untouched)
+    cur = t.latest_version()
+    canon: dict[int, int] = {cur: 0}
+    if t.snapshot_files():
+        v = t.delete_where(spark, "value < 30")
+        if v > cur:
+            canon[v] = 1
+            cur = v
+        v = t.update_where(
+            spark, {"value": "value + 1000"}, "user_id % 3 = 0"
+        )
+        if v > cur:
+            canon[v] = 2
+            cur = v
+        src = ev.filter(F.col("event_id") % 8 == 0).select(
+            "event_id", "user_id", (F.col("value") + 5).alias("value")
+        )
+        if t.snapshot_files():
+            canon[t.merge(spark, src, "event_id")] = 3
+        elif src.limit(1).count():
+            canon[t.append(src)] = 3  # all-keys-deleted: merge = insert
+    ch = t.read_changes(spark, -1, t.latest_version())
+    remap = F.lit(None).cast("long")
+    for actual, label in canon.items():
+        remap = F.when(
+            F.col("_commit_version") == actual, F.lit(label).cast("long")
+        ).otherwise(remap)
+    return ch.withColumn("_commit_version", remap)

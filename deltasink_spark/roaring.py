@@ -10,8 +10,10 @@ published specs alone:
 - 32-bit roaring bitmaps, the "portable" interchange format
   (RoaringFormatSpec: SERIAL_COOKIE_NO_RUNCONTAINER = 12346 — cookie,
   container count, descriptive header of (key, cardinality-1) uint16
-  pairs, offset header, then array containers (< 4096 values, sorted
-  uint16 LE) or bitset containers (8 KiB));
+  pairs, offset header, then array containers (<= 4096 values, sorted
+  uint16 LE) or bitset containers (8 KiB); reads additionally accept
+  SERIAL_COOKIE = 12347 streams with run containers, which foreign
+  writers like delta-spark emit after runOptimize());
 - the 64-bit RoaringBitmapArray in Delta's "portable" flavor
   (PROTOCOL.md: int32 LE magic 1681511377, int64 LE number of 32-bit
   bitmaps, then per bitmap an int32 LE key = high 32 bits followed by
@@ -37,7 +39,14 @@ import uuid as _uuid
 import zlib
 
 _SERIAL_COOKIE_NO_RUN = 12346
-_ARRAY_MAX = 4096  # container cardinality at/above which bitset is used
+_SERIAL_COOKIE_RUN = 12347  # foreign writers with run containers
+_NO_OFFSET_THRESHOLD = 4  # run-cookie streams omit offsets below this
+# Container-type boundary, per RoaringFormatSpec and the Java/CRoaring
+# implementations: cardinality <= 4096 is an ARRAY container (2 bytes
+# per value, so exactly 8192 bytes at 4096 — the break-even point);
+# only cardinality > 4096 uses the 8 KiB bitset. `<` here instead of
+# `<=` would make an external reader parse garbage at exactly 4096.
+_ARRAY_MAX = 4096
 _MAGIC = 1681511377  # Delta RoaringBitmapArray portable magic
 
 
@@ -64,10 +73,10 @@ def serialize_roaring32(values: list[int]) -> bytes:
     for k in keys:
         out += struct.pack("<I", pos)
         card = len(containers[k])
-        pos += 2 * card if card < _ARRAY_MAX else 8192
+        pos += 2 * card if card <= _ARRAY_MAX else 8192
     for k in keys:
         vals = sorted(containers[k])
-        if len(vals) < _ARRAY_MAX:
+        if len(vals) <= _ARRAY_MAX:
             out += struct.pack(f"<{len(vals)}H", *vals)
         else:
             bits = bytearray(8192)
@@ -79,27 +88,59 @@ def serialize_roaring32(values: list[int]) -> bytes:
 
 def deserialize_roaring32(buf: bytes, base: int = 0) -> tuple[set[int], int]:
     """Parse one portable 32-bit roaring bitmap at ``buf[base:]``.
-    Returns (values, bytes_consumed). Accepts only the no-run cookie
-    this writer emits (a reader for OUR tables; foreign run-encoded
-    bitmaps are out of scope and fail loudly)."""
-    cookie, n = struct.unpack_from("<ii", buf, base)
-    if cookie != _SERIAL_COOKIE_NO_RUN:
+    Returns (values, bytes_consumed). Accepts BOTH portable cookies:
+    12346 (no run containers — what this module's writer emits) and
+    12347 (run containers present — what delta-spark's RoaringBitmapArray
+    routinely writes after runOptimize()), so a DV written by a foreign
+    Delta client folds correctly. Per RoaringFormatSpec: the run cookie
+    packs (containers - 1) in its upper 16 bits, is followed by a
+    run-container indicator bitset, and omits the offset header when
+    there are fewer than 4 containers (NO_OFFSET_THRESHOLD)."""
+    (cookie_full,) = struct.unpack_from("<I", buf, base)
+    cookie = cookie_full & 0xFFFF
+    run_flags = b""
+    if cookie == _SERIAL_COOKIE_RUN:
+        n = (cookie_full >> 16) + 1
+        p = base + 4
+        nb = (n + 7) // 8
+        run_flags = buf[p : p + nb]
+        p += nb
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<i", buf, base + 4)
+        p = base + 8
+        has_offsets = True
+    else:
         raise ValueError(f"unsupported roaring cookie {cookie}")
+
+    def _is_run(i: int) -> bool:
+        return bool(run_flags and (run_flags[i >> 3] >> (i & 7)) & 1)
+
     keys: list[int] = []
     cards: list[int] = []
-    p = base + 8
     for _ in range(n):
         k, cm1 = struct.unpack_from("<HH", buf, p)
         keys.append(k)
         cards.append(cm1 + 1)
         p += 4
-    offsets = list(struct.unpack_from(f"<{n}I", buf, p))
-    p += 4 * n
+    offsets: list[int] | None = None
+    if has_offsets:
+        offsets = list(struct.unpack_from(f"<{n}I", buf, p))
+        p += 4 * n
     out: set[int] = set()
     end = p
-    for k, card, off in zip(keys, cards, offsets):
-        cp = base + off
-        if card < _ARRAY_MAX:
+    cp = p  # sequential cursor for offset-less streams
+    for i, (k, card) in enumerate(zip(keys, cards)):
+        if offsets is not None:
+            cp = base + offsets[i]
+        if _is_run(i):
+            (n_runs,) = struct.unpack_from("<H", buf, cp)
+            cp += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, cp)
+                cp += 4
+                out.update((k << 16) | v for v in range(start, start + len_m1 + 1))
+        elif card <= _ARRAY_MAX:
             vals = struct.unpack_from(f"<{card}H", buf, cp)
             out.update((k << 16) | v for v in vals)
             cp += 2 * card

@@ -204,3 +204,75 @@ def test_restore_aborts_on_concurrent_dv_swap(spark, tmp_path):
     t._commit = hijack
     with pytest.raises(ConcurrentDeleteReadError):
         t.restore(spark, pre)
+
+
+def test_roaring_array_container_boundary_at_4096():
+    """RoaringFormatSpec: cardinality <= 4096 is an ARRAY container
+    (bitset only above) — the boundary external readers parse by."""
+    import struct
+    from deltasink_spark import roaring
+
+    vals = list(range(0, 8192, 2))  # exactly 4096 in one 64K chunk
+    buf = roaring.serialize_roaring32(vals)
+    # descriptive header says card-1 = 4095; payload must be the
+    # 2-bytes-per-value ARRAY form (8192 bytes, same size as a bitset
+    # — so only the container TYPE distinguishes them to a reader)
+    (off0,) = struct.unpack_from("<I", buf, 8 + 4)
+    arr = struct.unpack_from("<4096H", buf, off0)
+    assert list(arr) == vals
+    got, used = roaring.deserialize_roaring32(buf)
+    assert got == set(vals) and used == len(buf)
+    # 4097 -> bitset
+    vals2 = list(range(4097))
+    buf2 = roaring.serialize_roaring32(vals2)
+    got2, used2 = roaring.deserialize_roaring32(buf2)
+    assert got2 == set(vals2) and used2 == len(buf2)
+
+
+def test_roaring_reads_foreign_run_container_cookie():
+    """A DV written by delta-spark after runOptimize() uses cookie
+    12347 with run containers — our reader must fold it."""
+    import struct
+    from deltasink_spark import roaring
+
+    # 2 containers, first is a run container, n < 4 -> NO offset header
+    n = 2
+    buf = struct.pack("<I", (12347 & 0xFFFF) | ((n - 1) << 16))
+    buf += bytes([0b01])                    # container 0 is runs
+    buf += struct.pack("<HH", 0, 7 - 1)     # key 0, card 7
+    buf += struct.pack("<HH", 1, 2 - 1)     # key 1, card 2
+    buf += struct.pack("<H", 2)             # 2 runs
+    buf += struct.pack("<HH", 5, 5)         # [5..10]
+    buf += struct.pack("<HH", 100, 0)       # [100]
+    buf += struct.pack("<HH", 1, 2)         # array {1,2} under key 1
+    got, used = roaring.deserialize_roaring32(buf)
+    assert got == set(range(5, 11)) | {100, (1 << 16) | 1, (1 << 16) | 2}
+    assert used == len(buf)
+    # n >= 4 run-cookie stream carries an offset header
+    n = 4
+    hdr = struct.pack("<I", (12347 & 0xFFFF) | ((n - 1) << 16)) + bytes([0])
+    for k in range(n):
+        hdr += struct.pack("<HH", k, 0)
+    pos = len(hdr) + 4 * n
+    offs, body = b"", b""
+    for k in range(n):
+        offs += struct.pack("<I", pos)
+        body += struct.pack("<H", k + 10)
+        pos += 2
+    got4, used4 = roaring.deserialize_roaring32(hdr + offs + body)
+    assert got4 == {(k << 16) | (k + 10) for k in range(n)}
+    assert used4 == len(hdr + offs + body)
+
+
+def test_dv_file_roundtrip_at_4096_positions():
+    """End-to-end DV file with exactly 4096 deleted positions in one
+    64K chunk — the boundary the roaring container type flips at."""
+    import os
+    from deltasink_spark import roaring
+
+    positions = list(range(4096))
+    path = os.path.join("/tmp", "dv_4096_test.bin")
+    desc = roaring.write_dv_file(path, positions)
+    got = roaring.read_dv_file(path, desc["offset"], desc["sizeInBytes"])
+    os.remove(path)
+    assert got == set(positions) and desc["cardinality"] == 4096

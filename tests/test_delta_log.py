@@ -1226,3 +1226,213 @@ def test_log_compaction_retains_cross_range_removes(spark, tmp_path):
                   os.path.join(t.log_dir, f"gone-{v}.bak"))
     got = {r["event_id"] for r in DeltaLogTable(t.path).read(spark).collect()}
     assert got == want == set(range(5, 12))
+
+
+# --- r11: exact folds, checkpoint tombstones, UPDATE, first-append race ----
+
+
+def test_update_where_rewrites_matched_files_and_cdf(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))               # v0: 0..9
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10).repartition(1))
+    before = set(t.snapshot_files())
+    v = t.update_where(spark, {"value": "value + 1000"}, "event_id < 5")
+    after = set(t.snapshot_files())
+    # only the file containing matches was rewritten (the union of
+    # kept + updated rows may stage as more than one part file)
+    assert len(before - after) == 1 and len(after - before) >= 1
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert got[0] == 1000.0 and got[4] == 4 * 1.5 + 1000
+    assert got[5] == 7.5 and got[19] == 19 * 1.5  # untouched
+    # CDF publishes exact pre/post pairs for the matched rows only
+    ch = t.read_changes(spark, v - 1, v)
+    pre = {r["event_id"]: r["value"] for r in
+           ch.filter(F.col("_change_type") == "update_preimage").collect()}
+    post = {r["event_id"]: r["value"] for r in
+            ch.filter(F.col("_change_type") == "update_postimage").collect()}
+    assert set(pre) == set(post) == set(range(5))
+    assert pre[3] == 4.5 and post[3] == 1004.5
+    # no-op UPDATE commits nothing
+    assert t.update_where(spark, {"value": "0.0"}, "event_id > 999") == v
+
+
+def test_update_where_respects_dv_and_null_predicate(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))
+    t.delete_where_dv(spark, "event_id < 2")    # DV removes 0,1
+    t.update_where(spark, {"value": "value * 0 + 7"}, "event_id < 5")
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert set(got) == set(range(2, 10))        # DV'd rows never resurrect
+    assert got[2] == 7.0 and got[4] == 7.0 and got[5] == 7.5
+    # NULL predicate rows are NOT updated (SQL three-valued logic)
+    t2 = _table(tmp_path, "t2")
+    t2.append(
+        _ev(spark, 4).withColumn(
+            "value", F.when(F.col("event_id") == 0, None).otherwise(F.col("value"))
+        )
+    )
+    t2.update_where(spark, {"user_id": "user_id + 100"}, "value < 3")
+    got2 = {r["event_id"]: r["user_id"] for r in t2.read(spark).collect()}
+    assert got2[0] == 0          # NULL value: untouched
+    assert got2[1] == 101        # 1.5 < 3: updated
+    assert got2[2] == 2 and got2[3] == 3  # 3.0, 4.5: not < 3
+
+
+def test_update_where_rejects_identity_generated_and_unknown(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 6),
+        generated={"doubled": "value * 2"},
+        identity={"rid": {"start": 0, "step": 1, "order_by": "event_id"}},
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.update_where(spark, {"rid": "rid + 1"}, "event_id = 0")
+    with pytest.raises(ValueError, match="generated column"):
+        t.update_where(spark, {"doubled": "1.0"}, "event_id = 0")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"nope": "1"}, "event_id = 0")
+    # generated columns RECOMPUTE from updated inputs; identity carries
+    t.update_where(spark, {"value": "value + 10"}, "event_id = 1")
+    row = {r["event_id"]: r for r in t.read(spark).collect()}[1]
+    assert row["value"] == 11.5 and row["doubled"] == 23.0
+    rids = sorted(r["rid"] for r in t.read(spark).collect())
+    assert rids == list(range(6))  # no fresh ids drawn
+
+
+def test_update_where_enforces_constraints(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5))
+    t.add_constraint(spark, "nonneg", "value >= 0")
+    with pytest.raises(ValueError, match="nonneg"):
+        t.update_where(spark, {"value": "-1.0"}, "event_id = 2")
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert got[2] == 3.0  # rejected update left the table unchanged
+
+
+def test_update_partition_column_moves_rows(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 8), partition_by=("user_id",))
+    t.update_where(spark, {"user_id": "CAST(99 AS BIGINT)"}, "event_id < 2")
+    got = {r["event_id"]: r["user_id"] for r in t.read(spark).collect()}
+    assert got[0] == 99 and got[1] == 99 and got[2] == 2
+    # moved rows live in their NEW Hive partition per the log metadata
+    moved = {r["event_id"] for r in
+             t.read_partition(spark, user_id="99").collect()}
+    assert moved == {0, 1}
+
+
+def test_exact_folds_never_substitute_compacted_segments(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))                     # v0
+    t.delete_where(spark, "event_id < 3")        # v1 (has cdc)
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))  # v2
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 15))  # v3 tail
+    ts_v1 = t.commit_timestamps()[1]
+    t.compact_log(0, 2)
+    # originals PRESENT: exact folds keep true per-version attribution
+    h = {r["version"]: r["operation"] for r in t.history(spark).collect()}
+    assert set(h) == {0, 1, 2, 3} and h[1] == "DELETE"
+    assert t.version_at_timestamp(ts_v1) == 1
+    ch = t.read_changes(spark, 0, 2)
+    dels = {r["event_id"] for r in
+            ch.filter(F.col("_change_type") == "delete").collect()}
+    assert dels == {0, 1, 2}  # the exact cdc retraction, not file-level
+    # originals CLEANED: exact folds are tail-only or loud, never coarse
+    for v in range(3):
+        os.remove(os.path.join(t.log_dir, f"{v:020d}.json"))
+    t2 = DeltaLogTable(t.path)
+    assert {r["version"] for r in t2.history(spark).collect()} == {3}
+    with pytest.raises(ValueError, match="commit file is missing"):
+        t2.read_changes(spark, -1, t2.latest_version()).collect()
+    with pytest.raises(ValueError, match="no retained commit"):
+        t2.version_at_timestamp(ts_v1)
+    # CDF over the retained tail still works
+    ins = t2.read_changes(spark, 2, 3)
+    assert {r["event_id"] for r in ins.collect()} == set(range(15, 20))
+    # snapshot folds still substitute the segment (reconciled state)
+    assert {r["event_id"] for r in t2.read(spark).collect()} \
+        == set(range(3, 20))
+
+
+def test_snapshot_survives_pre_checkpoint_cleanup_or_raises(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))                       # v0
+    t.delete_where(spark, "event_id >= 8")         # v1
+    t.checkpoint()                                 # at v1
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))  # v2 tail
+    # clean up every pre-checkpoint JSON (the spec allows this)
+    for v in range(2):
+        os.remove(os.path.join(t.log_dir, f"{v:020d}.json"))
+    t2 = DeltaLogTable(t.path)
+    # snapshot, metadata, and DML all run off checkpoint + tail
+    assert {r["event_id"] for r in t2.read(spark).collect()} \
+        == set(range(8)) | set(range(10, 15))
+    assert t2.schema() is not None
+    t2.delete_where(spark, "event_id = 0")
+    assert {r["event_id"] for r in t2.read(spark).collect()} \
+        == set(range(1, 8)) | set(range(10, 15))
+    # time travel BELOW the checkpoint is loud, never a partial snapshot
+    with pytest.raises(ValueError, match="commit file is missing"):
+        t2.read(spark, as_of_version=0).collect()
+
+
+def test_checkpoint_carries_format_and_remove_tombstones(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))
+    t.delete_where(spark, "event_id < 4")  # remove + rewrite
+    cv = t.checkpoint()
+    [cp] = t._checkpoint_paths(cv)
+    tbl = pq.read_table(cp)
+    metas = [m for m in tbl.column("metaData").to_pylist() if m is not None]
+    assert metas and metas[0]["format"]["provider"] == "parquet"
+    rms = [r for r in tbl.column("remove").to_pylist() if r is not None]
+    assert len(rms) == 1 and rms[0]["deletionTimestamp"] is not None
+    # vacuum driven from checkpoint tombstones after log cleanup
+    for v in range(2):
+        os.remove(os.path.join(t.log_dir, f"{v:020d}.json"))
+    t2 = DeltaLogTable(t.path)
+    assert t2.vacuum() == 1  # the superseded original is reclaimed
+    assert {r["event_id"] for r in t2.read(spark).collect()} \
+        == set(range(4, 10))
+
+
+def test_first_append_race_validates_layout_under_lock(spark, tmp_path):
+    from deltasink_spark.delta_log import MetadataChangedError
+
+    class Racing(DeltaLogTable):
+        """Injects a concurrent winning first append between this
+        writer's staging and its commit."""
+
+        def __init__(self, path, winner_df, winner_pb=()):
+            super().__init__(path)
+            self._winner_df = winner_df
+            self._winner_pb = winner_pb
+            self._raced = False
+
+        def _stage_files(self, df, **kw):
+            adds = super()._stage_files(df, **kw)
+            if not self._raced:
+                self._raced = True
+                DeltaLogTable(self.path).append(
+                    self._winner_df, partition_by=self._winner_pb
+                )
+            return adds
+
+    ev = _ev(spark, 5)
+    # conflicting partitioning: loser must abort, not corrupt
+    t = Racing(str(tmp_path / "a"), ev, winner_pb=("user_id",))
+    with pytest.raises(MetadataChangedError, match="partitioned by"):
+        t.append(ev)
+    assert DeltaLogTable(t.path).partition_columns() == ("user_id",)
+    # conflicting schema: loser must abort
+    t2 = Racing(str(tmp_path / "b"), ev.drop("value"))
+    with pytest.raises(MetadataChangedError, match="does not cover"):
+        t2.append(ev)
+    # MATCHING layout: loser lands cleanly at version 1
+    t3 = Racing(str(tmp_path / "c"), ev)
+    v = t3.append(_ev(spark, 10).filter(F.col("event_id") >= 5))
+    assert v == 1
+    assert {r["event_id"] for r in DeltaLogTable(t3.path).read(spark).collect()} \
+        == set(range(10))
