@@ -27,9 +27,11 @@ published specs alone:
   descriptors (pathOrInlineDv = z85(16-byte uuid), the file living at
   `deletion_vector_<canonical-uuid>.bin`).
 
-Everything here is driver-side METADATA work: a DV is KBs for
-millions of deleted positions (the point of the format), so
-serialization cost never scales with table size.
+A DV is KBs for millions of deleted positions (the point of the
+format), so serialization cost never scales with table size; DML
+writers call these serializers EXECUTOR-SIDE (one applyInPandas group
+per affected file — delta_log.py::delete_where_dv), so position lists
+never funnel through the driver either.
 """
 
 from __future__ import annotations

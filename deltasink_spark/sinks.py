@@ -1,6 +1,15 @@
 """Sinks (SURVEY.md §2.1): batch parquet, streaming append, dead-letter
 routing, and the exactly-once transactional sink.
 
+DEMOTED (r11): the transactional surface below is the BESPOKE
+JSON-lines-ledger emulation of Delta's txn protocol, kept as the
+documented design study + crash-matrix test subject
+(tests/test_streaming.py's mid-write-kill/stale-compaction suites
+exercise it directly). Every production query op now writes the REAL
+public `_delta_log` protocol instead — deltasink_spark/delta_log.py
+(DeltaLogTable / DeltaLogSink), whose tables any Delta client opens.
+New code should not adopt ExactlyOnceParquetSink.
+
 Reference parity: transactional Delta output is the reference's entire
 sink surface ("Stream DeltaLake tables from Kafka",
 /root/reference/README.md:2); the snapshot ships no code, so the txn

@@ -276,3 +276,45 @@ def test_dv_file_roundtrip_at_4096_positions():
     got = roaring.read_dv_file(path, desc["offset"], desc["sizeInBytes"])
     os.remove(path)
     assert got == set(positions) and desc["cardinality"] == 4096
+
+
+def test_dv_wide_delete_builds_executor_side(spark, tmp_path):
+    """A WIDE DV delete (most of the table matched, many files): the
+    positions never funnel through the driver — delete_where_dv
+    serializes per-file bitmaps inside applyInPandas and the driver
+    handles descriptors only. Pinned behaviorally: correctness of a
+    100k-row delete across 8 files, second delete unions, vacuum
+    reclaims the superseded DV files."""
+    t = DeltaLogTable(str(tmp_path / "t"))
+    n = 100_000
+    t.append(
+        spark.range(n).repartition(8).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 97).alias("user_id"),
+            (F.col("id") * 0.5).alias("value"),
+        )
+    )
+    assert len(t.snapshot_files()) == 8
+    t.delete_where_dv(spark, "event_id % 10 != 0")  # 90% of rows
+    got = {r["event_id"] for r in t.read(spark).collect()}
+    assert got == set(range(0, n, 10))
+    adds = t.snapshot_adds()
+    assert all(a.get("deletionVector") for a in adds.values())
+    assert sum(a["deletionVector"]["cardinality"] for a in adds.values()) \
+        == n - n // 10
+    # second delete UNIONS into fresh DVs executor-side too
+    gen1 = {
+        p: a["deletionVector"]["pathOrInlineDv"]
+        for p, a in t.snapshot_adds().items()
+    }
+    t.delete_where_dv(spark, "event_id % 10 = 0 AND event_id < 50")
+    got2 = {r["event_id"] for r in t.read(spark).collect()}
+    assert got2 == set(range(50, n, 10))
+    gen2 = {
+        p: a["deletionVector"]["pathOrInlineDv"]
+        for p, a in t.snapshot_adds().items()
+    }
+    superseded = sum(1 for p in gen1 if gen2[p] != gen1[p])
+    assert superseded >= 1  # only files containing matches re-DV'd
+    orphans = t.vacuum()
+    assert orphans == superseded  # exactly the superseded DV files

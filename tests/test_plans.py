@@ -977,10 +977,12 @@ def test_ts_autocorrelation_equi_join_no_window(spark, sf_small):
 
 def test_graph_components_no_cartesian(spark, sf_small):
     """Component rounds are equi-join/agg star contractions over the
-    checkpointed edge list; the size attach is a broadcast join."""
+    checkpointed edge list; the size attach is an un-hinted equi-join
+    (component count is O(nodes) on sparse graphs — AQE may broadcast
+    at runtime, but the plan must never FORCE it)."""
     p = plan(q("graph_components", spark, sf_small), "simple")
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p
+    assert "Join" in p
 
 
 def test_graph_triangle_count_equi_joins_only(spark, sf_small):

@@ -1171,8 +1171,8 @@ def test_late_router_reconciles_and_respects_delay(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    main = {r["event_id"] for r in router.main.read_committed(spark).collect()}
-    late = {r["event_id"] for r in router.late.read_committed(spark).collect()}
+    main = {r["event_id"] for r in router.main.table.read(spark).collect()}
+    late = {r["event_id"] for r in router.late.table.read(spark).collect()}
     assert main | late == {1, 2, 3, 4, 5, 6}  # nothing lost
     assert main & late == set()               # nothing duplicated
     assert late == {3, 6}
@@ -1202,8 +1202,8 @@ def test_late_router_recovers_watermark_after_restart(spark, tmp_path):
         "event_id long, ts timestamp",
     )
     r2(b1, 1)
-    late = {r["event_id"] for r in r2.late.read_committed(spark).collect()}
-    main = {r["event_id"] for r in r2.main.read_committed(spark).collect()}
+    late = {r["event_id"] for r in r2.late.table.read(spark).collect()}
+    main = {r["event_id"] for r in r2.main.table.read(spark).collect()}
     assert late == {3}
     assert main == {1, 2, 4}
 
@@ -1307,3 +1307,28 @@ def test_kafka_read_committed_offset_gaps(spark):
     offs_c = {r["offset"] for r in committed.collect()}
     offs_u = {r["offset"] for r in uncommitted.collect()}
     assert offs_c < offs_u
+
+
+def test_topic_routing_partial_crash_delta_log(spark, tmp_path):
+    """The partial-crash case on the REAL-log routed tables
+    (sink_topic_routing's r11 shape — one DeltaLogTable per topic,
+    per-table txn app_ids): table 'a' commits batch 0, the process
+    dies before 'b'; the replayed batch must skip 'a' (its txn
+    high-water already covers 0) and complete 'b' — each table
+    exactly-once."""
+    from deltasink_spark.delta_log import DeltaLogSink
+
+    a = DeltaLogSink(str(tmp_path / "t_a"), app_id="route_a")
+    b = DeltaLogSink(str(tmp_path / "t_b"), app_id="route_b")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("topic"),
+    )
+    assert a.write_batch(df.filter(F.col("topic") == "a"), 0) is True
+    # replayed batch 0: a skips, b completes
+    assert a.write_batch(df.filter(F.col("topic") == "a"), 0) is False
+    assert b.write_batch(df.filter(F.col("topic") == "b"), 0) is True
+    got_a = sorted(r["k"] for r in a.table.read(spark).collect())
+    got_b = sorted(r["k"] for r in b.table.read(spark).collect())
+    assert got_a == list(range(0, 20, 2))
+    assert got_b == list(range(1, 20, 2))
