@@ -34,7 +34,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
-# Ops added during round 10 — each needs a first driver row.
+# Ops added during round 11 — each needs a first driver row.
+_R11_NEW: list[str] = [
+    "sink_delta_update",
+    "scan_delta_log_cdf_all_dml",
+    "scan_delta_log_foreign",
+    "sink_delta_log_cleanup",
+    "tokenizer_wordpiece_train",
+    "tokenizer_wordpiece_encode",
+]
+
+# Ops whose implementation changed in r11 — re-verification required
+# (the 15 bespoke-ledger streaming ops ported onto the real
+# `_delta_log` layer; delete_vectors now builds DVs executor-side;
+# LPA dropped the community-size broadcast hint).
+_R11_CHANGED = [
+    "stream_exactly_once",
+    "sink_delta_append",
+    "sink_delta_upsert",
+    "scan_delta",
+    "scan_delta_time_travel",
+    "sink_compact",
+    "sink_vacuum",
+    "sink_schema_evolution",
+    "scan_delta_cdf",
+    "cdf_incremental_sync",
+    "sink_topic_routing",
+    "stream_late_sideoutput",
+    "stream_progress_metrics",
+    "kafka_emulated_e2e",
+    "kafka_read_committed",
+    "sink_delta_delete_vectors",
+    "graph_label_propagation",
+]
+
+# Stale cohort: the 27 ops whose latest green driver row is r3 (the
+# r10 verdict's list) — 6 + 17 + 27 = 50 exactly; this rotation
+# finishes the backlog (no op's row older than r5 afterwards).
+_R11_STALE = [
+    "agg_approx_quantile", "agg_hll_sketch", "agg_hll_union",
+    "agg_quantile", "ann_ivf", "contamination_check", "data_mixture",
+    "dedup_simhash", "doc_chunking", "multimodal_decode",
+    "multimodal_features", "multimodal_frame_sample",
+    "multimodal_resize", "repetition_filter", "sample_frac",
+    "scan_csv", "scan_orc", "seq_pack", "sink_parquet_batch",
+    "text_ngrams", "text_pii_scrub", "text_stats", "text_tokenize",
+    "tokenizer_vocab", "win_ntile", "write_partitioned",
+    "zorder_cluster",
+]
+
+# Ops added during round 10 — each needed a first driver row (kept for
+# ordering of the post-slot-50 spill).
 _R10_NEW: list[str] = [
     "sink_delta_log",
     "scan_delta_log",
@@ -111,9 +161,17 @@ _R10_STALE = [
 
 
 def _ordered_ids() -> list[str]:
-    groups = (_R10_NEW, _R10_CHANGED, _R10_STALE)
-    head = [op for g in groups for op in g if op in registry.QUERIES]
-    placed = set(head)
+    groups = (
+        _R11_NEW, _R11_CHANGED, _R11_STALE,
+        _R10_NEW, _R10_CHANGED, _R10_STALE,
+    )
+    head = []
+    placed = set()
+    for g in groups:
+        for op in g:
+            if op in registry.QUERIES and op not in placed:
+                head.append(op)
+                placed.add(op)
     mid = [op for op in registry.QUERIES if op not in placed]
     return head + mid
 

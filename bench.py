@@ -268,6 +268,15 @@ R10DOPS = [
     "graph_label_propagation",   # fixed-round synchronous LPA
 ]
 
+# r11 additions — own group (first recording becomes the r12 baseline).
+# The seven other r11 ops are excluded by the standing group policy:
+# the five delta-log DML/interop/cleanup ops are sink/IO fixtures and
+# the 15 re-ported streaming ops keep their original groups' coverage.
+R11OPS = [
+    "tokenizer_wordpiece_train",   # 8-round likelihood-ratio merges
+    "tokenizer_wordpiece_encode",  # corpus encode under the merges
+]
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
@@ -279,17 +288,20 @@ COLD_BUILDS = {
     "bpe_vocab": "bpe_train",
     "coorder_edges": "graph_components",
     "unigram_pieces": "tokenizer_unigram_train",
+    "wordpiece_merges": "tokenizer_wordpiece_train",
 }
 
 
 def _bust_memo_caches() -> None:
     from deltasink_spark.operators import minhash as _mh
     from deltasink_spark.operators import unigram as _ug
+    from deltasink_spark.operators import wordpiece as _wp
     from deltasink_spark.queries import analytics as _an
     from deltasink_spark.queries import trainprep as _tp
 
     _mh._PAIR_CACHE.clear()
     _tp._BPE_CACHE.clear()
+    _wp._WP_CACHE.clear()
     _an._EDGE_CACHE.clear()
     _ug._UG_CACHE.clear()
 
@@ -305,7 +317,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS + R10DOPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS + R10DOPS + R11OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -409,6 +421,9 @@ def main() -> None:
         ),
         "r10dops": round(
             sum(t for op, t in timings.items() if op in R10DOPS), 4
+        ),
+        "r11ops": round(
+            sum(t for op, t in timings.items() if op in R11OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -489,6 +489,12 @@ class DeltaLogTable(_CheckpointMixin):
         best = vf[-1][0] if vf else -1
         for _x, y, _p in self._compacted_files():
             best = max(best, y)  # originals may be cleaned up post-compaction
+        # log cleanup may delete EVERY json at/below the checkpoint:
+        # the checkpoint version must still anchor the sequence, or the
+        # next commit would re-use a version number
+        cv = self.last_checkpoint()
+        if cv is not None:
+            best = max(best, cv)
         return best
 
     def _actions(
@@ -609,8 +615,15 @@ class DeltaLogTable(_CheckpointMixin):
             prev = self._last_commit_info() or {}
             # O(1) enablement check: disablement is unsupported, so a
             # table is ICT iff its LAST commitInfo is stamped (one file
-            # read — never a full-log fold inside the commit lock)
-            if enabling or "inCommitTimestamp" in prev:
+            # read — never a full-log fold inside the commit lock).
+            # After an (external) log cleanup that left NO commitInfo
+            # at all, fall back to the metaData config — ICT must
+            # never silently stop being stamped (cleanup_log itself
+            # always retains the newest covered commit, so this
+            # checkpoint-bounded fallback only runs on foreign logs)
+            if enabling or "inCommitTimestamp" in prev or (
+                not prev and self._ict_enabled()
+            ):
                 # strict monotonic in-commit timestamp, decided UNDER
                 # the lock (two commits in the same ms, or a writer
                 # whose wall clock runs behind, still order correctly);
@@ -841,14 +854,14 @@ class DeltaLogTable(_CheckpointMixin):
                 ]
             )
             df = reader.schema(phys).parquet(
-                *[os.path.join(self.path, p) for p in rel_paths]
+                *[self._abs_of_add_path(p) for p in rel_paths]
             )
             return df.select(
                 *[F.col(cm.get(f.name, f.name)).alias(f.name) for f in s.fields]
             )
         if s is not None:
             reader = reader.schema(s)
-        return reader.parquet(*[os.path.join(self.path, p) for p in rel_paths])
+        return reader.parquet(*[self._abs_of_add_path(p) for p in rel_paths])
 
     def _dv_positions(self, add: dict) -> set[int]:
         """The deleted row positions of one add action's deletion
@@ -884,13 +897,18 @@ class DeltaLogTable(_CheckpointMixin):
         (__file, __pos) columns — what DML planning needs to find the
         surviving physical rows of each file."""
         df = self._read_files(spark, list(adds))
+        # _metadata.file_path is a percent-encoded URI: decode its
+        # basename so __file equals the on-disk name whatever the log
+        # encoded ('+' is pre-escaped because url_decode is form
+        # decoding, and a literal '+' in a filename must survive)
+        enc_base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         df = df.withColumn(
             "__file",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            F.url_decode(F.replace(enc_base, F.lit("+"), F.lit("%2B"))),
         ).withColumn("__pos", F.col("_metadata.row_index"))
         dv_rows = []
         for p, a in adds.items():
-            base = os.path.basename(p)
+            base = self._basename_of_add_path(p)
             dv_rows += [(base, int(x)) for x in self._dv_positions(a)]
         if dv_rows:
             pos_df = spark.createDataFrame(
@@ -910,6 +928,50 @@ class DeltaLogTable(_CheckpointMixin):
         etc., and the URI escapes the escapes)."""
         p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
         return os.path.relpath(p, self.path)
+
+    def _abs_of_add_path(self, p: str) -> str:
+        """Resolve an add/remove/cdc action ``path`` to a filesystem
+        path per the Delta spec: a RELATIVE path percent-encoded as a
+        URI (delta-spark URL-encodes specials — `a%20b.parquet` means
+        the file `a b.parquet`), or an ABSOLUTE URI (`file:///...`,
+        which shallow clones and some foreign writers emit). Our own
+        writer emits plain relative names (unquote is the identity on
+        them); this is the foreign-writer read path."""
+        u = urllib.parse.urlparse(p)
+        if u.scheme == "file":
+            return urllib.parse.unquote(u.path)
+        if p.startswith("/"):
+            return urllib.parse.unquote(p)
+        return os.path.join(self.path, urllib.parse.unquote(p))
+
+    @staticmethod
+    def _basename_of_add_path(p: str) -> str:
+        """The FILESYSTEM basename an action path resolves to — the
+        join key against `_metadata.file_path` (which is always the
+        decoded on-disk name, never the log's encoded form)."""
+        return os.path.basename(
+            urllib.parse.unquote(urllib.parse.urlparse(p).path)
+        )
+
+    def _rel_of_base_map(self, adds: dict[str, dict]) -> dict[str, str]:
+        """basename -> action path for DML planning / DV application.
+        Basenames MUST be unique across the set — our writer mints a
+        uuid per staged file so they always are, but a foreign log CAN
+        give files in different partition dirs the same basename
+        (Spark reuses one task uuid across dirs); silently conflating
+        them would rewrite the wrong file, so ambiguity raises."""
+        out: dict[str, str] = {}
+        for p in adds:
+            b = self._basename_of_add_path(p)
+            if b in out:
+                raise ValueError(
+                    f"ambiguous file basename {b!r}: both {out[b]!r} and "
+                    f"{p!r} resolve to it — this (foreign-written) layout "
+                    "cannot be planned by basename; OPTIMIZE the table "
+                    "first to re-stage files under unique names"
+                )
+            out[b] = p
+        return out
 
     def _stage_files(
         self,
@@ -1001,6 +1063,15 @@ class DeltaLogTable(_CheckpointMixin):
             ) if part_dir else f"{prefix}-{uuid.uuid4().hex}.parquet"
             src = os.path.join(tmp, f)
             dst = os.path.join(self.path, final)
+            # the LOGGED path is the percent-encoded URI form of the
+            # on-disk name, per spec (delta-spark does the same): a
+            # Hive-escaped dir like `a%3Ab` logs as `a%253Ab`, and the
+            # reader's one unquote (_abs_of_add_path) round-trips it.
+            # Plain part-<hex> and `bucket=1` names encode to
+            # themselves — the safe set is every character legal in a
+            # URI path segment (so '=' in Hive dirs stays literal,
+            # matching delta-spark's Java-URI encoding).
+            logged = urllib.parse.quote(final, safe="/-._~!$&'()*+,;=:@")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             st_size = os.path.getsize(src)
             os.rename(src, dst)
@@ -1025,7 +1096,7 @@ class DeltaLogTable(_CheckpointMixin):
                     }
                 )
             add = {
-                "path": final,
+                "path": logged,
                 "partitionValues": pvals,
                 "size": st_size,
                 "modificationTime": _now_ms(),
@@ -2044,7 +2115,7 @@ class DeltaLogTable(_CheckpointMixin):
             # DELETE over an empty snapshot is a no-op, not an error
             # (an empty-corpus table legitimately has zero live files).
             return self.latest_version()
-        rel_of_base = {os.path.basename(p): p for p in snap}
+        rel_of_base = self._rel_of_base_map(snap)
         full = self._read_adds(spark, snap, with_lineage=True)
         hit_files = [
             rel_of_base[r[0]]
@@ -2146,8 +2217,9 @@ class DeltaLogTable(_CheckpointMixin):
         # exactly like real Delta's DV writer. A crash after the write
         # leaves unreferenced DV files — invisible, VACUUM-reclaimed.
         table_path = self.path
+        self._rel_of_base_map(adds)  # ambiguity check BEFORE the UDF keys on basenames
         old_dvs = {
-            os.path.basename(p): a["deletionVector"]
+            self._basename_of_add_path(p): a["deletionVector"]
             for p, a in adds.items()
             if a.get("deletionVector")
         }
@@ -2194,7 +2266,7 @@ class DeltaLogTable(_CheckpointMixin):
         )
         if not hits:
             return self.latest_version()
-        rel_of_base = {os.path.basename(p): p for p in adds}
+        rel_of_base = self._rel_of_base_map(adds)
         planned: dict[str, dict] = {}
         new_adds: list[dict] = []
         old_removes: list[dict] = []
@@ -2302,7 +2374,7 @@ class DeltaLogTable(_CheckpointMixin):
                     "it is recomputed from its generation expression "
                     f"({gens[name]}) when its inputs change"
                 )
-        rel_of_base = {os.path.basename(p): p for p in snap}
+        rel_of_base = self._rel_of_base_map(snap)
         full = self._read_adds(spark, snap, with_lineage=True)
         hit_files = [
             rel_of_base[r[0]]
@@ -2405,7 +2477,7 @@ class DeltaLogTable(_CheckpointMixin):
                 f"merge source has duplicate {key} values: multiple source "
                 "rows would match the same target row (Delta rejects this)"
             )
-        rel_of_base = {os.path.basename(p): p for p in snap}
+        rel_of_base = self._rel_of_base_map(snap)
         target = self._read_adds(spark, snap, with_lineage=True)
         keys = F.broadcast(src.select(key).distinct())
         hit_files = [
@@ -2547,7 +2619,7 @@ class DeltaLogTable(_CheckpointMixin):
         hit_files: list[str] = []
         deleted = None
         if live:
-            rel_of_base = {os.path.basename(p): p for p in live}
+            rel_of_base = self._rel_of_base_map(live)
             full = self._read_adds(spark, live, with_lineage=True)
             hit_files = [
                 rel_of_base[r[0]]
@@ -2673,7 +2745,7 @@ class DeltaLogTable(_CheckpointMixin):
         old = self.snapshot_adds(version)
         cur = self.snapshot_adds()
         missing = [
-            p for p in old if not os.path.exists(os.path.join(self.path, p))
+            p for p in old if not os.path.exists(self._abs_of_add_path(p))
         ]
         from deltasink_spark import roaring as _roaring
 
@@ -2845,9 +2917,15 @@ class DeltaLogTable(_CheckpointMixin):
             if "remove" in a
         }
         n = 0
+        root = os.path.realpath(self.path) + os.sep
         for p in sorted(ever_removed - live):
-            fp = os.path.join(self.path, p)
-            if os.path.exists(fp):
+            # resolve like every reader (URL-encoded / absolute forms a
+            # foreign writer logs), but only ever delete INSIDE the
+            # table root — an absolute tombstone pointing elsewhere
+            # (shallow-clone source data) is never this table's to
+            # destroy, real VACUUM's behavior
+            fp = self._abs_of_add_path(p)
+            if os.path.realpath(fp).startswith(root) and os.path.exists(fp):
                 os.remove(fp)
                 n += 1
         live_dvs = {
@@ -2864,6 +2942,81 @@ class DeltaLogTable(_CheckpointMixin):
                 os.remove(os.path.join(self.path, f))
                 n += 1
         return n
+
+    def cleanup_log(self, retention_ms: int = 30 * 24 * 3600 * 1000) -> int:
+        """METADATA CLEANUP (`delta.logRetentionDuration` semantics —
+        the mechanism that keeps `_delta_log` from growing forever on
+        a long-lived table): delete JSON commit files AT OR BELOW the
+        last checkpoint whose commit timestamp is older than
+        ``retention_ms``, plus compacted segments wholly inside the
+        deleted range. Only checkpoint-covered commits are ever
+        deletable (the checkpoint carries their reconstructed state —
+        protocol, metaData, live adds, txn marks, unexpired remove
+        tombstones), so every snapshot/DML/txn fold keeps working via
+        checkpoint + tail. What is lost, LOUDLY (never silently):
+        time travel / CDF / timestamp-travel below the checkpoint now
+        raise (snapshot_adds and _actions(exact=True) detect the gap),
+        and history shows only the retained tail — exactly real
+        Delta's documented retention behavior. Returns files deleted.
+
+        Scale: the log stays O(checkpoint + retention window) however
+        old the table; the delete itself is O(expired files) of
+        driver-side unlinks."""
+        cv = self.last_checkpoint()
+        if cv is None:
+            return 0  # nothing is checkpoint-covered: delete nothing
+
+        def _age_ts(path: str) -> int:
+            """Retention timestamp of a log file: its last commitInfo
+            (ICT-preferring), falling back to FILE MTIME when a commit
+            carries no commitInfo (optional per spec) — absent content
+            must never read as infinitely old."""
+            last = None
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            ci = a["commitInfo"]
+                            last = ci.get(
+                                "inCommitTimestamp", ci.get("timestamp")
+                            )
+            if last is None:
+                last = int(os.path.getmtime(path) * 1000)
+            return last
+
+        cutoff = _now_ms() - retention_ms
+        deleted = 0
+        # under the commit lock: _commit's _last_commit_info/latest_version
+        # read the very files this unlinks — every log mutation
+        # serializes on the same lock
+        with self._commit_lock():
+            vf = [(v, p) for v, p in self._version_files() if v <= cv]
+            # always RETAIN the newest covered commit: it carries the
+            # last commitInfo (the ICT high-water mark _commit's O(1)
+            # enablement check keys on), and one file bounds nothing
+            for v, p in vf[:-1]:
+                if _age_ts(p) <= cutoff:
+                    os.remove(p)
+                    deleted += 1
+            for x, y, p in self._compacted_files():
+                # a segment is deletable only when its whole range is
+                # covered + gone AND the segment itself has expired —
+                # a fresh compaction whose originals were already
+                # cleaned must keep serving folds within retention
+                if (
+                    y <= cv
+                    and _age_ts(p) <= cutoff
+                    and all(
+                        not os.path.exists(
+                            os.path.join(self.log_dir, f"{v:020d}.json")
+                        )
+                        for v in range(x, y + 1)
+                    )
+                ):
+                    os.remove(p)
+                    deleted += 1
+        return deleted
 
     # --- reads ---------------------------------------------------------------
 
@@ -3026,7 +3179,7 @@ class DeltaLogTable(_CheckpointMixin):
                 # columns — no basePath needed (they live under the
                 # underscore-prefixed _change_data dir)
                 d = spark.read.parquet(
-                    *[os.path.join(self.path, p) for p in slot["cdc"]]
+                    *[self._abs_of_add_path(p) for p in slot["cdc"]]
                 )
                 cm = self.column_mapping()
                 if cm:
@@ -3047,7 +3200,7 @@ class DeltaLogTable(_CheckpointMixin):
             if slot["rm"]:
                 missing = [
                     r["path"] for r in slot["rm"]
-                    if not os.path.exists(os.path.join(self.path, r["path"]))
+                    if not os.path.exists(self._abs_of_add_path(r["path"]))
                 ]
                 if missing:
                     raise ValueError(
@@ -3242,13 +3395,19 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             return [_AddFilePartition("", -1, {})]
         return [
             _AddFilePartition(
-                os.path.join(self.path, a["path"]),
+                # spec path resolution (URL-encoded relative / absolute
+                # URI forms) — the same rule every batch reader uses
+                self.table._abs_of_add_path(a["path"]),
                 v,
                 {
                     self._phys_to_logical.get(k, k): v
                     for k, v in (
                         a.get("partitionValues")
-                        or self._pvals_of_path(a["path"])
+                        or self._pvals_of_path(
+                            urllib.parse.unquote(
+                                urllib.parse.urlparse(a["path"]).path
+                            )
+                        )
                     ).items()
                 }
                 if kind != "cdc"

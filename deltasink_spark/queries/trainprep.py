@@ -1713,3 +1713,99 @@ def tokenizer_unigram_encode(spark, sf_dir):
             F.sum("n_pieces").cast("long").alias("n_unigram_tokens"),
         )
     )
+
+
+# --- WordPiece (BERT-family) tokenizer ------------------------------------
+
+
+def _wp_train_oracle() -> str:
+    from deltasink_spark.operators.wordpiece import WP_STEPS, sql_wp_chain
+
+    union = " UNION ALL ".join(
+        f"SELECT * FROM o{k}" for k in range(1, WP_STEPS + 1)
+    )
+    return (
+        "WITH " + sql_wp_chain()
+        + f"\n    SELECT * FROM ({union}) ORDER BY step"
+    )
+
+
+def _wp_encode_oracle() -> str:
+    from deltasink_spark.operators.wordpiece import WP_STEPS, sql_wp_chain
+
+    return (
+        "WITH " + sql_wp_chain() + f""",
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+    wl AS (SELECT word,
+                  CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_pieces
+           FROM s{WP_STEPS})
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wl.n_pieces) AS BIGINT) AS n_wordpiece_tokens
+    FROM tok t JOIN wl USING (word)
+    WHERE t.word <> ''
+    GROUP BY t.doc_id"""
+    )
+
+
+@query("tokenizer_wordpiece_train", oracle=_wp_train_oracle())
+def tokenizer_wordpiece_train(spark, sf_dir):
+    """WordPiece tokenizer training (Schuster & Nakajima 2012 — the
+    BERT-family trainer, closing the tokenizer-training triad after
+    BPE [bpe_train] and unigram-LM [tokenizer_unigram_train]; r10
+    verdict next #9): K=8 greedy rounds where the merged pair
+    maximizes the LIKELIHOOD RATIO ln c(ab) - ln c(a) - ln c(b)
+    (corpus log-likelihood gain), not BPE's raw count — the defining
+    difference between the two greedy trainers. Non-initial symbols
+    carry the canonical ## continuation prefix; the merge keeps the
+    left symbol's prefix status. Emits the ordered merge table (step,
+    merged_pair, pair_count, score, n_affected) — the artifact that IS
+    a trained WordPiece tokenizer. Engine parity: 6dp-rounded ln terms
+    combined in one IEEE order, (score DESC, pair ASC) total-order
+    top-1, replace()-based merge replay — the Spark plan and the
+    DuckDB oracle chain are generated from the same constants
+    (operators/wordpiece.py). Greedy-reference equivalence is pinned
+    by the brute-force hypothesis test.
+
+    Scale: vocabulary-collapsed (rounds run on distinct words with
+    frequencies — hash aggs + a broadcast top-1, never a corpus pass);
+    memoized per (applicationId, sf_dir), cold cost recorded in
+    BASELINE.md."""
+    from deltasink_spark.operators.wordpiece import wordpiece_train_cached
+
+    records, _ = wordpiece_train_cached(spark, sf_dir)
+    out = records[0]
+    for r in records[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query("tokenizer_wordpiece_encode", oracle=_wp_encode_oracle())
+def tokenizer_wordpiece_encode(spark, sf_dir):
+    """ENCODE with the trained WordPiece merges: per-document token
+    accounting (words in, WordPiece pieces out) under the final merged
+    symbol table — the corpus-wide token-budget pass, completing the
+    per-algorithm encode set ([tokenizer_encode] BPE,
+    [tokenizer_unigram_encode] unigram). Scale: one equi-join of the
+    exploded token stream against the |distinct words|-sized
+    segmentation table (broadcastable) + one combining per-doc hash
+    agg; the memoized train is not re-run."""
+    from deltasink_spark.operators.wordpiece import wordpiece_train_cached
+
+    _, vocab = wordpiece_train_cached(spark, sf_dir)
+    wl = vocab.select(
+        "word",
+        F.size(F.split(F.col("sym"), " ")).cast("long").alias("n_pieces"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_wordpiece_tokens"),
+        )
+    )

