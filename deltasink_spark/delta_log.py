@@ -72,6 +72,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
+
+# Table-features gating (PROTOCOL.md "Table Features"): the feature
+# names this engine actually implements. A table whose protocol
+# demands anything else must be REFUSED loudly — reading around an
+# unknown reader feature (say, a v2Checkpoint-only log) returns
+# silently wrong data, and writing around an unknown writer feature
+# corrupts invariants the unknown feature maintains.
+_SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "changeDataFeed",
+        "checkConstraints",
+        "columnMapping",
+        "deletionVectors",
+        "generatedColumns",
+        "identityColumns",
+        "inCommitTimestamp",
+        "invariants",
+    }
+)
+_MAX_READER_VERSION = 3
+_MAX_WRITER_VERSION = 7
 _LOG_DIR = "_delta_log"
 _CDC_DIR = "_change_data"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -234,19 +257,21 @@ class _CheckpointMixin:
         v = self.latest_version()
         if v < 0:
             raise ValueError("cannot checkpoint an empty log")
-        # fold from the PREVIOUS checkpoint (bounded replay even while
-        # checkpointing, and the path that survives pre-checkpoint JSON
-        # cleanup); meta/proto come from the shared checkpoint-aware
-        # lookups
-        meta = self._metadata_dict()
-        proto = self._protocol_dict()
+        # ONE fold: the previous checkpoint's full state (one parquet
+        # read per part) + one pass over the JSON tail collecting meta,
+        # proto, txns, adds and removes together — the per-column
+        # helpers would each re-open every part and re-parse the tail
+        meta = None
+        proto = None
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         start = 0
         pcv = self.last_checkpoint()
         if pcv is not None and pcv <= v:
-            adds = self._checkpoint_adds(pcv)
-            removes = self._checkpoint_removes(pcv)
+            st = self._checkpoint_state(pcv)
+            meta, proto, txns = st["meta"], st["proto"], st["txns"]
+            adds, removes = st["adds"], st["removes"]
             start = pcv + 1
         for _, a in self._actions(v, from_version=start):
             if "add" in a:
@@ -255,6 +280,13 @@ class _CheckpointMixin:
             elif "remove" in a:
                 adds.pop(a["remove"]["path"], None)
                 removes[a["remove"]["path"]] = a["remove"]
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+            elif "txn" in a:
+                t = a["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
         # spec: retain UNEXPIRED tombstones only — older ones age out
         cutoff = _now_ms() - _TOMBSTONE_RETENTION_MS
         removes = {
@@ -262,7 +294,6 @@ class _CheckpointMixin:
             for p, r in removes.items()
             if (r.get("deletionTimestamp") or 0) >= cutoff
         }
-        txns = self.txn_versions(refresh=True)
         rows: list[dict] = []
         if proto is not None:
             rows.append({"protocol": proto})
@@ -403,6 +434,68 @@ class _CheckpointMixin:
                     out[rec["path"]] = rec
         return out
 
+    def _checkpoint_state(self, cv: int) -> dict:
+        """The FULL reconstructed state of the checkpoint at ``cv`` —
+        meta, proto, txns, adds, removes — from ONE parquet read per
+        part. checkpoint() needs all five: folding them through the
+        per-column helpers would open every part (and then the JSON
+        tail) once per column."""
+        import pyarrow.parquet as pq
+
+        meta = None
+        proto = None
+        txns: dict[str, int] = {}
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        for cp in self._checkpoint_paths(cv):
+            f = pq.ParquetFile(cp)
+            names = set(f.schema_arrow.names)
+            cols = [
+                c
+                for c in ("protocol", "metaData", "txn", "add", "remove")
+                if c in names
+            ]
+            t = pq.read_table(cp, columns=cols)
+            cold = {c: t.column(c).to_pylist() for c in cols}
+            for rec in cold.get("protocol", []):
+                if rec is not None:
+                    proto = {k: v for k, v in rec.items() if v is not None}
+            for rec in cold.get("metaData", []):
+                if rec is not None:
+                    rec = dict(rec)
+                    rec["configuration"] = dict(rec.get("configuration") or [])
+                    if rec.get("format") is not None:
+                        rec["format"] = {
+                            "provider": rec["format"].get("provider"),
+                            "options": dict(rec["format"].get("options") or []),
+                        }
+                    else:
+                        rec.pop("format", None)
+                    meta = rec
+            for rec in cold.get("txn", []):
+                if rec is not None:
+                    txns[rec["appId"]] = max(
+                        txns.get(rec["appId"], -1), rec["version"]
+                    )
+            for rec in cold.get("add", []):
+                if rec is not None:
+                    rec = dict(rec)
+                    rec["partitionValues"] = dict(rec.get("partitionValues") or [])
+                    if rec.get("deletionVector") is None:
+                        rec.pop("deletionVector", None)
+                    adds[rec["path"]] = rec
+            for rec in cold.get("remove", []):
+                if rec is not None:
+                    rec = {k: v for k, v in rec.items() if v is not None}
+                    removes[rec["path"]] = rec
+        return {
+            "meta": meta,
+            "proto": proto,
+            "txns": txns,
+            "adds": adds,
+            "removes": removes,
+        }
+
     def _checkpoint_removes(self, cv: int) -> dict[str, dict]:
         """path -> remove tombstone from the checkpoint parquet(s) at
         ``cv`` (empty for checkpoints written before the column
@@ -429,6 +522,7 @@ class _CheckpointMixin:
         files are never even opened — the bounded replay every
         long-lived Delta table depends on). Verified equal to the full
         JSON fold by scan_delta_log_checkpoint's independent oracle."""
+        self._check_read_protocol()
         cv = self.last_checkpoint()
         if cv is None:
             return self.read(spark)
@@ -598,6 +692,9 @@ class DeltaLogTable(_CheckpointMixin):
         are prepended iff this commit wins version 0 — decided UNDER
         the lock, so two racing first appends can never both ledger a
         table identity. Returns the committed version."""
+        # single write funnel: every commit path gates on the table's
+        # protocol (outside the lock — the fold is checkpoint-bounded)
+        self._check_write_protocol()
         with self._commit_lock():
             if precondition is not None and not precondition():
                 return None
@@ -666,6 +763,7 @@ class DeltaLogTable(_CheckpointMixin):
         JSON from version 0, raising loudly if cleanup already removed
         the needed commits (never a silent partial snapshot — DML
         preconditions validate against this fold)."""
+        self._check_read_protocol()
         live: dict[str, dict] = {}
         start = 0
         cv = self.last_checkpoint()
@@ -827,61 +925,162 @@ class DeltaLogTable(_CheckpointMixin):
 
     # --- data-file staging -------------------------------------------------
 
-    def _read_files(self, spark, rel_paths: list[str]) -> DataFrame:
-        """Read data files with basePath anchored at the table root, so
-        a partitioned table's Hive dirs re-materialize their partition
-        columns (a no-op for root-level files). The LOG's schemaString
-        is imposed on the scan — the log, not any one file footer,
-        defines the table's columns, which is what makes schema
-        EVOLUTION readable: files written before a widening commit
-        simply surface the new columns as null.
+    def _read_files(self, spark, adds: dict[str, dict]) -> DataFrame:
+        """Read the add actions' data files. In-root files scan with
+        basePath anchored at the table root, so a partitioned table's
+        Hive dirs re-materialize their partition columns (a no-op for
+        root-level files). OUT-OF-ROOT absolute paths (shallow clones,
+        foreign writers) cannot use basePath — Spark rejects files
+        outside it — so they scan without one and their partition
+        columns re-materialize from each add's partitionValues via a
+        broadcast basename join (the spec's source of truth for them).
+        The LOG's schemaString is imposed on every scan — the log, not
+        any one file footer, defines the table's columns, which is
+        what makes schema EVOLUTION readable: files written before a
+        widening commit simply surface the new columns as null.
 
         COLUMN MAPPING: on a mapped table the files (and partition
         dirs) carry PHYSICAL names, so the scan is planned against the
         physical schema and aliased back to logical on top — which is
         the entire trick that makes RENAME COLUMN free: only this
-        alias list changes, never a byte of data."""
-        reader = spark.read.option("basePath", self.path)
-        s = self.schema()
-        cm = self.column_mapping()
-        if s is not None and cm:
-            from pyspark.sql.types import StructField
+        alias list changes, never a byte of data.
 
-            phys = StructType(
-                [
-                    StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
-                    for f in s.fields
-                ]
-            )
-            df = reader.schema(phys).parquet(
-                *[self._abs_of_add_path(p) for p in rel_paths]
-            )
-            return df.select(
-                *[F.col(cm.get(f.name, f.name)).alias(f.name) for f in s.fields]
-            )
+        Returns the frame with lineage helpers __fp (file-path URI)
+        and __pos0 (row index) already materialized: `_metadata` only
+        resolves directly on a scan, and the partition-value join
+        above would orphan it."""
+        from pyspark.sql.types import StructField
+
+        s = self.schema()
+        cm = self.column_mapping() or {}
+        phys_of = {f.name: cm.get(f.name, f.name) for f in (s.fields if s else [])}
+        phys_schema = None
         if s is not None:
-            reader = reader.schema(s)
-        return reader.parquet(*[self._abs_of_add_path(p) for p in rel_paths])
+            phys_schema = (
+                StructType(
+                    [
+                        StructField(phys_of[f.name], f.dataType, f.nullable)
+                        for f in s.fields
+                    ]
+                )
+                if cm
+                else s
+            )
+        root = os.path.realpath(self.path) + os.sep
+        in_root: list[str] = []
+        out_root: list[str] = []
+        for p in adds:
+            ap = os.path.realpath(self._abs_of_add_path(p))
+            (in_root if ap.startswith(root) else out_root).append(p)
+
+        def _with_lineage(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__fp", F.col("_metadata.file_path")
+            ).withColumn("__pos0", F.col("_metadata.row_index"))
+
+        def _logical(df: DataFrame) -> DataFrame:
+            if cm and s is not None:
+                return df.select(
+                    *[F.col(phys_of[f.name]).alias(f.name) for f in s.fields],
+                    "__fp",
+                    "__pos0",
+                )
+            return df
+
+        frames: list[DataFrame] = []
+        if in_root:
+            reader = spark.read.option("basePath", self.path)
+            if phys_schema is not None:
+                reader = reader.schema(phys_schema)
+            frames.append(
+                _logical(
+                    _with_lineage(
+                        reader.parquet(
+                            *[self._abs_of_add_path(p) for p in in_root]
+                        )
+                    )
+                )
+            )
+        if out_root:
+            reader = spark.read
+            if phys_schema is not None:
+                reader = reader.schema(phys_schema)
+            df = _with_lineage(
+                reader.parquet(*[self._abs_of_add_path(p) for p in out_root])
+            )
+            pcols = self.partition_columns()
+            if pcols and s is not None:
+                bases = [self._basename_of_add_path(p) for p in out_root]
+                if len(set(bases)) != len(bases):
+                    raise ValueError(
+                        "out-of-root add paths share a basename — cannot "
+                        "attribute partitionValues unambiguously"
+                    )
+                ftype = {f.name: f.dataType for f in s.fields}
+                pv_rows = [
+                    tuple(
+                        [self._basename_of_add_path(p)]
+                        + [
+                            (adds[p].get("partitionValues") or {}).get(
+                                phys_of.get(c, c)
+                            )
+                            for c in pcols
+                        ]
+                    )
+                    for p in out_root
+                ]
+                pv_df = spark.createDataFrame(
+                    pv_rows,
+                    ", ".join(
+                        ["__pvb string"]
+                        + [f"__pv{i} string" for i in range(len(pcols))]
+                    ),
+                )
+                enc_base = F.element_at(F.split(F.col("__fp"), "/"), -1)
+                dec_base = F.url_decode(
+                    F.replace(enc_base, F.lit("+"), F.lit("%2B"))
+                )
+                df = df.withColumn("__b", dec_base).join(
+                    F.broadcast(pv_df),
+                    F.col("__b") == F.col("__pvb"),
+                    "left",
+                )
+                for i, c in enumerate(pcols):
+                    df = df.withColumn(
+                        phys_of.get(c, c), F.col(f"__pv{i}").cast(ftype[c])
+                    )
+                df = df.drop(
+                    "__b", "__pvb", *[f"__pv{i}" for i in range(len(pcols))]
+                )
+            frames.append(_logical(df))
+        out = frames[0]
+        for extra in frames[1:]:
+            out = out.unionByName(extra)
+        return out
 
     def _dv_positions(self, add: dict) -> set[int]:
         """The deleted row positions of one add action's deletion
         vector (empty when it has none) — parsed from the PUBLIC DV
         file format (deltasink_spark/roaring.py): storageType "u"
-        resolves the z85 uuid to the table-relative file, offset
-        points at the size field, CRC verified."""
+        resolves the z85 uuid to the table-relative file, "p" is an
+        ABSOLUTE path (what a shallow clone of a DV-carrying table
+        records, per the spec's descriptor table); offset points at
+        the size field, CRC verified."""
         dv = add.get("deletionVector")
         if not dv:
             return set()
         from deltasink_spark import roaring
 
-        if dv["storageType"] != "u":
+        if dv["storageType"] == "u":
+            rel = roaring.dv_relative_path(dv["pathOrInlineDv"])
+            fp = os.path.join(self.path, rel)
+        elif dv["storageType"] == "p":
+            fp = dv["pathOrInlineDv"]
+        else:
             raise ValueError(
                 f"unsupported DV storageType {dv['storageType']!r}"
             )
-        rel = roaring.dv_relative_path(dv["pathOrInlineDv"])
-        return roaring.read_dv_file(
-            os.path.join(self.path, rel), dv["offset"], dv["sizeInBytes"]
-        )
+        return roaring.read_dv_file(fp, dv["offset"], dv["sizeInBytes"])
 
     def _read_adds(
         self, spark, adds: dict[str, dict], with_lineage: bool = False
@@ -896,16 +1095,21 @@ class DeltaLogTable(_CheckpointMixin):
         stays broadcastable at 100 TB. ``with_lineage=True`` keeps the
         (__file, __pos) columns — what DML planning needs to find the
         surviving physical rows of each file."""
-        df = self._read_files(spark, list(adds))
-        # _metadata.file_path is a percent-encoded URI: decode its
-        # basename so __file equals the on-disk name whatever the log
-        # encoded ('+' is pre-escaped because url_decode is form
-        # decoding, and a literal '+' in a filename must survive)
-        enc_base = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        df = df.withColumn(
-            "__file",
-            F.url_decode(F.replace(enc_base, F.lit("+"), F.lit("%2B"))),
-        ).withColumn("__pos", F.col("_metadata.row_index"))
+        df = self._read_files(spark, adds)
+        # __fp is the _metadata.file_path URI _read_files materialized
+        # (percent-encoded): decode its basename so __file equals the
+        # on-disk name whatever the log encoded ('+' is pre-escaped
+        # because url_decode is form decoding, and a literal '+' in a
+        # filename must survive)
+        enc_base = F.element_at(F.split(F.col("__fp"), "/"), -1)
+        df = (
+            df.withColumn(
+                "__file",
+                F.url_decode(F.replace(enc_base, F.lit("+"), F.lit("%2B"))),
+            )
+            .withColumn("__pos", F.col("__pos0"))
+            .drop("__fp", "__pos0")
+        )
         dv_rows = []
         for p, a in adds.items():
             base = self._basename_of_add_path(p)
@@ -1752,6 +1956,115 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: a new metaData action whose
+        configuration carries the given keys (pure metadata commit) —
+        how `delta.appendOnly`, retention windows, and other table
+        behaviors are switched on after creation. The same
+        compare-under-lock precondition as add_constraint: a
+        concurrent metadata commit aborts instead of being erased."""
+        base = self._metadata_dict()
+        if base is None:
+            raise ValueError("cannot set properties on a table with no metaData")
+        meta = dict(base)
+        cfg = dict(meta.get("configuration") or {})
+        cfg.update(props)
+        meta["configuration"] = cfg
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "SET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": json.dumps(props, sort_keys=True)
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == base,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while setting properties; retry"
+            )
+        return v
+
+    def _check_read_protocol(self) -> None:
+        """Reader-side protocol gate (PROTOCOL.md's rule: a client
+        MUST refuse to read a table whose minReaderVersion exceeds
+        what it supports, or — at version 3 — whose readerFeatures
+        contain anything it does not implement). Enforced on every
+        read surface; unknown WRITER features do not block reads
+        (delta-spark's behavior). Memoized per instance after the
+        first pass (the snapshot-fold hot path calls this on every
+        fold; a protocol only ever ratchets up, and real clients also
+        gate once per table handle)."""
+        if getattr(self, "_read_proto_ok", False):
+            return
+        p = self._protocol_dict()
+        if p is None:
+            return
+        mrv = p.get("minReaderVersion", 1)
+        if mrv > _MAX_READER_VERSION:
+            raise ValueError(
+                f"cannot read table: minReaderVersion {mrv} exceeds "
+                f"supported {_MAX_READER_VERSION}"
+            )
+        if mrv >= 3:
+            unknown = set(p.get("readerFeatures") or ()) - _SUPPORTED_READER_FEATURES
+            if unknown:
+                raise ValueError(
+                    "cannot read table: unsupported reader feature(s) "
+                    f"{sorted(unknown)} (supported: "
+                    f"{sorted(_SUPPORTED_READER_FEATURES)})"
+                )
+        self._read_proto_ok = True
+
+    def _check_write_protocol(self) -> None:
+        """Writer-side protocol gate: refuse to COMMIT to a table whose
+        minWriterVersion or writerFeatures demand behavior this engine
+        does not implement — writing around an unknown feature corrupts
+        whatever invariant that feature maintains. Runs in the single
+        commit funnel (_commit), so no DML path can forget it. Reading
+        must also be safe (a write folds the snapshot first). Memoized
+        like the read gate."""
+        self._check_read_protocol()
+        if getattr(self, "_write_proto_ok", False):
+            return
+        p = self._protocol_dict()
+        if p is None:
+            return
+        mwv = p.get("minWriterVersion", 1)
+        if mwv > _MAX_WRITER_VERSION:
+            raise ValueError(
+                f"cannot write table: minWriterVersion {mwv} exceeds "
+                f"supported {_MAX_WRITER_VERSION}"
+            )
+        if mwv >= 7:
+            unknown = set(p.get("writerFeatures") or ()) - _SUPPORTED_WRITER_FEATURES
+            if unknown:
+                raise ValueError(
+                    "cannot write table: unsupported writer feature(s) "
+                    f"{sorted(unknown)} (supported: "
+                    f"{sorted(_SUPPORTED_WRITER_FEATURES)})"
+                )
+        self._write_proto_ok = True
+
+    def _forbid_append_only(self, verb: str) -> None:
+        """`delta.appendOnly=true` (the appendOnly writer feature):
+        every commit that deletes or rewrites existing rows is REFUSED
+        — DELETE, UPDATE, MERGE, RESTORE, replaceWhere and DV deletes
+        all raise; appends and layout-only OPTIMIZE stay allowed (the
+        spec constrains dataChange removes, not bytes moving)."""
+        m = self._metadata_dict() or {}
+        if (m.get("configuration") or {}).get("delta.appendOnly") == "true":
+            raise ValueError(
+                f"table is append-only (delta.appendOnly=true): {verb} "
+                "would delete or rewrite existing rows"
+            )
+
     # --- public DML ---------------------------------------------------------
 
     def append(
@@ -2110,6 +2423,7 @@ class DeltaLogTable(_CheckpointMixin):
         Deleting zero rows commits nothing and returns the current
         version (Delta's DELETE no-op). Crash before the commit leaves
         unreferenced rewrite/CDC files — invisible, replay-safe."""
+        self._forbid_append_only("DELETE")
         snap = self.snapshot_adds()
         if not snap:
             # DELETE over an empty snapshot is a no-op, not an error
@@ -2127,10 +2441,21 @@ class DeltaLogTable(_CheckpointMixin):
         if not hit_files:
             return self.latest_version()
         # DV-aware: rows an existing deletion vector already removed
-        # must neither survive into the rewrite nor re-enter the CDF
-        affected = self._read_adds(spark, {p: snap[p] for p in hit_files})
-        kept = affected.filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
-        deleted = affected.filter(F.expr(predicate_sql))
+        # must neither survive into the rewrite nor re-enter the CDF.
+        # The predicate verdict is materialized ONCE and the frame
+        # pinned, so kept and deleted are complementary by construction
+        # — a nondeterministic predicate evaluated twice could let a
+        # row survive in the table AND appear deleted in the CDF
+        affected = (
+            self._read_adds(spark, {p: snap[p] for p in hit_files})
+            .withColumn(
+                "__match",
+                F.coalesce(F.expr(predicate_sql), F.lit(False)),
+            )
+            .localCheckpoint()
+        )
+        kept = affected.filter(~F.col("__match")).drop("__match")
+        deleted = affected.filter(F.col("__match")).drop("__match")
         adds = self._stage_files(kept, partition_by=self.partition_columns())
         cdc_actions = self._stage_cdc(
             deleted.withColumn("_change_type", F.lit("delete"))
@@ -2181,6 +2506,7 @@ class DeltaLogTable(_CheckpointMixin):
         each planned file's DV descriptor is unchanged, so two
         concurrent DV deletes can't silently drop each other's
         positions."""
+        self._forbid_append_only("DELETE (deletion vectors)")
         from deltasink_spark import roaring
 
         adds = self.snapshot_adds()
@@ -2217,7 +2543,9 @@ class DeltaLogTable(_CheckpointMixin):
         # exactly like real Delta's DV writer. A crash after the write
         # leaves unreferenced DV files — invisible, VACUUM-reclaimed.
         table_path = self.path
-        self._rel_of_base_map(adds)  # ambiguity check BEFORE the UDF keys on basenames
+        # ambiguity check BEFORE the UDF keys on basenames (and the
+        # single map both the UDF prep and the commit planning reuse)
+        rel_of_base = self._rel_of_base_map(adds)
         old_dvs = {
             self._basename_of_add_path(p): a["deletionVector"]
             for p, a in adds.items()
@@ -2233,13 +2561,18 @@ class DeltaLogTable(_CheckpointMixin):
             pos = set(int(x) for x in pdf["__pos"])
             old_desc = old_dvs.get(base)
             if old_desc:
-                pos |= _r.read_dv_file(
-                    os.path.join(
+                # 'u' resolves inside THIS table; 'p' is an absolute
+                # path (a shallow clone's re-anchored source DV)
+                old_fp = (
+                    old_desc["pathOrInlineDv"]
+                    if old_desc["storageType"] == "p"
+                    else os.path.join(
                         table_path,
                         _r.dv_relative_path(old_desc["pathOrInlineDv"]),
-                    ),
-                    old_desc["offset"],
-                    old_desc["sizeInBytes"],
+                    )
+                )
+                pos |= _r.read_dv_file(
+                    old_fp, old_desc["offset"], old_desc["sizeInBytes"]
                 )
             merged = sorted(pos)
             enc, dv_rel = _r.new_dv_descriptor_path()
@@ -2266,7 +2599,6 @@ class DeltaLogTable(_CheckpointMixin):
         )
         if not hits:
             return self.latest_version()
-        rel_of_base = self._rel_of_base_map(adds)
         planned: dict[str, dict] = {}
         new_adds: list[dict] = []
         old_removes: list[dict] = []
@@ -2352,6 +2684,7 @@ class DeltaLogTable(_CheckpointMixin):
         predicate reaches the parquet scan of the lineage pass, stats/
         partition pruning apply upstream, and unaffected files are
         untouched metadata."""
+        self._forbid_append_only("UPDATE")
         snap = self.snapshot_adds()
         if not snap:
             return self.latest_version()  # UPDATE over empty table: no-op
@@ -2385,26 +2718,43 @@ class DeltaLogTable(_CheckpointMixin):
         ]
         if not hit_files:
             return self.latest_version()
-        # pin the affected rows ONCE: kept/preimage/postimage must come
-        # from the same evaluation or a nondeterministic predicate
-        # desyncs the CDF pairs from the rewritten data
-        affected = self._read_adds(
-            spark, {p: snap[p] for p in hit_files}
-        ).localCheckpoint()
-        pred = F.expr(predicate_sql)
-        kept = affected.filter(~F.coalesce(pred, F.lit(False)))
-        pre = affected.filter(pred)
-        post = pre
-        for name, expr_sql in set_exprs.items():
-            post = post.withColumn(name, F.expr(expr_sql).cast(
-                dict((f.name, f.dataType) for f in s.fields)[name]
-            ))
+        # pin the affected rows AND the predicate verdict ONCE: kept /
+        # preimage / postimage must come from the same evaluation —
+        # the predicate is materialized as a column before the pin so
+        # a nondeterministic predicate cannot put a row in both (or
+        # neither) of kept and preimage
+        affected = (
+            self._read_adds(spark, {p: snap[p] for p in hit_files})
+            .withColumn(
+                "__match",
+                F.coalesce(F.expr(predicate_sql), F.lit(False)),
+            )
+            .localCheckpoint()
+        )
+        kept = affected.filter(~F.col("__match")).drop("__match")
+        pre = affected.filter(F.col("__match")).drop("__match")
+        # ALL SET right-hand sides evaluate against the OLD row in one
+        # select (SQL UPDATE semantics — a chained withColumn would let
+        # SET a=b, b=a see the already-updated a and break the swap)
+        ftype = {f.name: f.dataType for f in s.fields}
+        cols = [f.name for f in s.fields]
+        post = pre.select(
+            *[
+                F.expr(set_exprs[c]).cast(ftype[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
         # generated columns recompute from the UPDATED inputs (the
         # spec's rule: their value is always the expression's)
         for gname, gexpr in gens.items():
             post = post.withColumn(gname, F.expr(gexpr))
+        # pin the post rows: they are written twice (data files + CDC
+        # postimage) — a nondeterministic SET expression must not
+        # desync the CDF from the table
+        post = post.localCheckpoint()
         self._enforce_constraints(post)
-        cols = [f.name for f in s.fields]
         adds = self._stage_files(
             kept.select(*cols).unionByName(post.select(*cols)),
             partition_by=self.partition_columns(),
@@ -2466,6 +2816,7 @@ class DeltaLogTable(_CheckpointMixin):
         the table is untouched metadata. Source is read several times
         (matched/unmatched splits) — localCheckpoint'd first so a
         nondeterministic source cannot desync the reads."""
+        self._forbid_append_only("MERGE")
         snap = self.snapshot_adds()
         if not snap:
             raise ValueError("merge into an empty table: use append")
@@ -2595,6 +2946,7 @@ class DeltaLogTable(_CheckpointMixin):
         Scale: cost tracks files-with-matches + new-data size; on a
         partition-aligned predicate the rewrite set is pruned from log
         metadata alone and untouched partitions are pure metadata."""
+        self._forbid_append_only("replaceWhere")
         # pin the input FIRST: validating one instantiation of a
         # nondeterministic df and staging another would let
         # out-of-predicate (or constraint-violating) rows slip past
@@ -2722,6 +3074,81 @@ class DeltaLogTable(_CheckpointMixin):
             return
         yield from self._actions(from_version=vf[0][0], exact=True)
 
+    def clone_from(self, source: "DeltaLogTable") -> int:
+        """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): one
+        version-0 commit whose add actions reference the SOURCE's live
+        data files by ABSOLUTE percent-encoded file:// URI — zero data
+        bytes copied (PROTOCOL.md: add.path "can be an absolute path",
+        the form delta-spark's SHALLOW CLONE writes). The clone then
+        diverges independently: DML copy-on-writes into the CLONE root
+        (source files stay untouched metadata), vacuum never deletes
+        outside the clone root, and each table keeps its own history.
+        Adds carrying a DELETION VECTOR re-anchor the descriptor as
+        storageType "p" (absolute path — the spec's cross-table form),
+        which this reader and the streaming source both fold.
+
+        Scale: the clone commit is O(live files) of driver-side
+        metadata — cloning a 100 TB table writes one JSON file; cost
+        is independent of data size. A concurrent writer racing the
+        clone to version 0 aborts the clone (never a half-identity)."""
+        from deltasink_spark import roaring as _roaring
+
+        if self.latest_version() >= 0:
+            raise ValueError("clone target table is not empty")
+        src_meta = source._metadata_dict()
+        if src_meta is None:
+            raise ValueError("clone source has no metaData action")
+        now = _now_ms()
+        actions: list[dict] = []
+        for p, a in sorted(source.snapshot_adds().items()):
+            ap = os.path.realpath(source._abs_of_add_path(p))
+            na = dict(a)
+            na["path"] = "file://" + urllib.parse.quote(
+                ap, safe="/-._~!$&'()*+,;=:@"
+            )
+            na["dataChange"] = True
+            dv = a.get("deletionVector")
+            if dv:
+                if dv["storageType"] == "u":
+                    nd = dict(dv)
+                    nd["storageType"] = "p"
+                    nd["pathOrInlineDv"] = os.path.join(
+                        source.path,
+                        _roaring.dv_relative_path(dv["pathOrInlineDv"]),
+                    )
+                    na["deletionVector"] = nd
+                elif dv["storageType"] != "p":
+                    raise ValueError(
+                        f"cannot clone DV storageType {dv['storageType']!r}"
+                    )
+            actions.append({"add": na})
+        meta = dict(src_meta)
+        meta["id"] = uuid.uuid4().hex  # a clone is a NEW table identity
+        meta["createdTime"] = now
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": source.path,
+                        "sourceVersion": source.latest_version(),
+                    },
+                }
+            }
+        )
+        proto = source._protocol_dict() or dict(_PROTOCOL)
+        v = self._commit(
+            actions,
+            precondition=lambda: self.latest_version() < 0,
+            first_commit_actions=[{"protocol": proto}, {"metaData": meta}],
+        )
+        if v is None:
+            raise ValueError(
+                "a concurrent commit created the clone target first"
+            )
+        return v
+
     def restore(self, spark, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
         an earlier snapshot as a NEW commit (history is immutable; the
@@ -2737,6 +3164,7 @@ class DeltaLogTable(_CheckpointMixin):
         nonexistent target version, and aborts if ANY concurrent
         commit lands between plan and commit (the snapshot this plan
         diffed against must be the one it supersedes)."""
+        self._forbid_append_only("RESTORE")
         latest = self.latest_version()
         if not (0 <= version <= latest):
             raise ValueError(
@@ -2899,7 +3327,13 @@ class DeltaLogTable(_CheckpointMixin):
         from deltasink_spark import roaring as _roaring
 
         adds = self.snapshot_adds()
-        live = set(adds)
+        # the live/removed set difference runs over RESOLVED filesystem
+        # paths, never raw action strings: a foreign log can reference
+        # one physical file under several encodings (absolute file://
+        # URI vs relative, percent-encoded vs not), and a raw string
+        # difference would let a stale encoding of a LIVE file through
+        # to os.remove — permanent data loss
+        live = {os.path.realpath(self._abs_of_add_path(p)) for p in adds}
         # tombstones: the last checkpoint's retained remove actions +
         # the JSON tail after it — the fold that both survives
         # pre-checkpoint log cleanup and stays O(checkpoint + tail);
@@ -2907,32 +3341,40 @@ class DeltaLogTable(_CheckpointMixin):
         # retention (real Delta's documented vacuum horizon)
         start = 0
         cv = self.last_checkpoint()
-        ever_removed: set[str] = set()
+        removed_paths: set[str] = set()
         if cv is not None:
-            ever_removed = set(self._checkpoint_removes(cv))
+            removed_paths = set(self._checkpoint_removes(cv))
             start = cv + 1
-        ever_removed |= {
+        removed_paths |= {
             a["remove"]["path"]
             for _, a in self._actions(from_version=start)
             if "remove" in a
         }
+        ever_removed = {
+            os.path.realpath(self._abs_of_add_path(p)) for p in removed_paths
+        }
         n = 0
         root = os.path.realpath(self.path) + os.sep
-        for p in sorted(ever_removed - live):
-            # resolve like every reader (URL-encoded / absolute forms a
-            # foreign writer logs), but only ever delete INSIDE the
+        for fp in sorted(ever_removed - live):
+            # resolved like every reader (URL-encoded / absolute forms
+            # a foreign writer logs), but only ever delete INSIDE the
             # table root — an absolute tombstone pointing elsewhere
             # (shallow-clone source data) is never this table's to
             # destroy, real VACUUM's behavior
-            fp = self._abs_of_add_path(p)
-            if os.path.realpath(fp).startswith(root) and os.path.exists(fp):
+            if fp.startswith(root) and os.path.exists(fp):
                 os.remove(fp)
                 n += 1
-        live_dvs = {
-            _roaring.dv_relative_path(a["deletionVector"]["pathOrInlineDv"])
-            for a in adds.values()
-            if a.get("deletionVector")
-        }
+        live_dvs = set()
+        for a in adds.values():
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            if dv["storageType"] == "u":
+                live_dvs.add(_roaring.dv_relative_path(dv["pathOrInlineDv"]))
+            elif dv["storageType"] == "p":
+                # absolute-path DV (shallow clone): if it happens to
+                # live in THIS table's root, its basename is live too
+                live_dvs.add(os.path.basename(dv["pathOrInlineDv"]))
         for f in sorted(os.listdir(self.path)):
             if (
                 f.startswith("deletion_vector_")
@@ -2994,11 +3436,18 @@ class DeltaLogTable(_CheckpointMixin):
             vf = [(v, p) for v, p in self._version_files() if v <= cv]
             # always RETAIN the newest covered commit: it carries the
             # last commitInfo (the ICT high-water mark _commit's O(1)
-            # enablement check keys on), and one file bounds nothing
+            # enablement check keys on), and one file bounds nothing.
+            # Deletion stops at the FIRST non-expired commit so only a
+            # CONTIGUOUS prefix ever goes: per-file expiry against
+            # non-monotonic commitInfo timestamps (a writer with a fast
+            # clock) would leave holes in the retained tail, and every
+            # exact fold (history, CDF, timestamp travel) permanently
+            # raises on a hole instead of at the retention horizon
             for v, p in vf[:-1]:
-                if _age_ts(p) <= cutoff:
-                    os.remove(p)
-                    deleted += 1
+                if _age_ts(p) > cutoff:
+                    break
+                os.remove(p)
+                deleted += 1
             for x, y, p in self._compacted_files():
                 # a segment is deletable only when its whole range is
                 # covered + gone AND the segment itself has expired —
@@ -3146,6 +3595,7 @@ class DeltaLogTable(_CheckpointMixin):
         class this nets correctly: re-added files' rows minus the
         superseded rewrite's rows = exactly the resurrected rows).
         dataChange=false commits (OPTIMIZE) emit nothing."""
+        self._check_read_protocol()
         if from_version > to_version:
             raise ValueError(
                 f"reversed version range ({from_version}, {to_version}]"
@@ -3307,6 +3757,8 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         # whole point), never refused.
         self.read_cdf = str(options.get("read_cdf", "")).lower() == "true"
         self.table = DeltaLogTable(self.path)
+        # the stream reads via pyarrow, not snapshot_adds — gate here
+        self.table._check_read_protocol()
         self.pcols = self.table.partition_columns()
         # column mapping: files carry PHYSICAL names; this reader's
         # declared schema (and pvals) are logical — keep the inverse map
@@ -3330,12 +3782,39 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         return {"v": self.table.latest_version()}
 
     def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict, str]]:
+        start = max(lo + 1, 0)
+        initial: list[tuple[int, dict, str]] = []
+        vf = self.table._version_files()
+        earliest = vf[0][0] if vf else 0
+        if start < earliest:
+            # log-retention cleanup removed commits [start, earliest):
+            # a fresh stream (or one resuming from below the horizon)
+            # serves the CHECKPOINT SNAPSHOT as its first batch and
+            # exact per-commit batches after it — delta-spark's
+            # initial-snapshot semantics (in CDF mode the snapshot rows
+            # surface as inserts at the checkpoint version, what
+            # readChangeFeed without startingVersion serves). Without
+            # this fallback a new stream on a long-lived cleaned table
+            # would permanently raise on the missing commit files.
+            cv = self.table.last_checkpoint()
+            if cv is None or cv < earliest - 1 or cv > hi:
+                # no checkpoint covering the gap (or the gap lies inside
+                # an already-served range a restart is replaying): fail
+                # loudly rather than serve a partial history as if it
+                # were complete
+                raise ValueError(
+                    f"commits [{start}, {earliest}) were cleaned from the "
+                    "log and no checkpoint at or below the requested end "
+                    f"version {hi} covers them — cannot serve a stream "
+                    f"batch from version {start}"
+                )
+            snap = self.table.snapshot_adds(cv)
+            initial = [(cv, a, "add") for _, a in sorted(snap.items())]
+            start = cv + 1
         by_version: dict[int, dict[str, list]] = {}
         # exact=True: the stream serves per-commit batches — reconciled
         # segments (coarse attribution, no cdc) must never substitute
-        for v, a in self.table._actions(
-            hi, from_version=max(lo + 1, 0), exact=True
-        ):
+        for v, a in self.table._actions(hi, from_version=start, exact=True):
             slot = by_version.setdefault(
                 v, {"adds": [], "cdc": [], "rms": [], "del": False}
             )
@@ -3346,7 +3825,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             elif "remove" in a and a["remove"].get("dataChange"):
                 slot["del"] = True
                 slot["rms"].append(a["remove"])
-        out: list[tuple[int, dict, str]] = []
+        out: list[tuple[int, dict, str]] = list(initial)
         for v in sorted(by_version):
             slot = by_version[v]
             if self.read_cdf:

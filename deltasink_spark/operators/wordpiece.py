@@ -10,10 +10,16 @@ LIKELIHOOD-RATIO, not a raw count: the pair (a, b) maximizing
 (the increase in corpus unigram log-likelihood from fusing a+b into one
 symbol, up to constants). Non-initial symbols carry the canonical `##`
 continuation prefix; a merged symbol keeps the LEFT symbol's prefix
-status (`c ##a -> ca`, `##a ##t -> ##at`), which the string form makes
-a single engine-portable rewrite: replace(pair, ' ##', '') — inside a
-word every adjacent right-symbol is `##`-prefixed (only position 0 is
-bare), so stripping the separator+prefix is exactly the WordPiece fuse.
+status (`c ##a -> ca`, `##a ##t -> ##at`). The rewrite is a TOKEN-EXACT
+string replace via the doubled-space sentinel: the symbol string's
+separators are doubled (every token then owns a full delimiter on each
+side), the pair is matched as ` left  right ` — so a bare pair like
+`a ##b` can never fuse inside `##a ##b` (whose `##a` merely ENDS with
+`a`), and adjacent occurrences never share a delimiter — then the
+doubled gaps collapse back and the edges trim. Plain substring replace
+on the raw symbol string would cross token boundaries (a continuation
+symbol's suffix matches a bare symbol), fusing pairs that were never
+selected or counted.
 
 Everything is VOCABULARY-COLLAPSED like the sibling trainers: the K
 merge rounds run on the distinct-word frame with frequencies (one hash
@@ -27,10 +33,11 @@ Determinism contract (the exact-oracle requirement):
   text_kneser_ney_bigram); the score is then three IEEE doubles
   combined in one fixed order — identical in Spark and DuckDB;
 - top-1 tie-break (score DESC, pair ASC) is a total order;
-- the merge rewrite is plain replace() on the space-joined symbol
-  string — byte-identical in both engines (the bpe_train caveat
-  applies verbatim: exact greedy WordPiece while symbols are single
-  characters, engine-identical replay always).
+- the merge rewrite is sentinel-delimited replace() on the
+  space-joined symbol string — token-exact at EVERY stage (not just
+  single-character symbols) and byte-identical in both engines
+  (replace scans left-to-right non-overlapping in Spark and DuckDB
+  alike, which is exactly greedy WordPiece's in-word merge order).
 
 The Spark plan and the DuckDB oracle CTE chain are generated from THE
 SAME constants in this module (the hilbert/unigram shared-generator
@@ -134,16 +141,36 @@ def wp_step(vocab: DataFrame):
             F.col("score"),
         )
     )
+    # token-exact fuse via the doubled-space sentinel: doubling the
+    # separators gives every token a full delimiter on each side, so
+    # the pair key ` left  right ` only ever matches whole tokens and
+    # adjacent occurrences never share a delimiter; the doubled gaps
+    # then collapse and the edges trim
+    fused = F.replace(F.col("merged_pair"), F.lit(" ##"), F.lit(""))
+    sym2 = F.concat(
+        F.lit(" "),
+        F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
+    pair2 = F.concat(
+        F.lit(" "),
+        F.replace(F.col("merged_pair"), F.lit(" "), F.lit("  ")),
+        F.lit(" "),
+    )
     merged = vocab.crossJoin(F.broadcast(top)).select(
         "word",
         "wf",
         "merged_pair",
         "pair_count",
         "score",
-        F.replace(
-            F.col("sym"),
-            F.col("merged_pair"),
-            F.replace(F.col("merged_pair"), F.lit(" ##"), F.lit("")),
+        F.trim(
+            F.replace(
+                F.replace(
+                    sym2, pair2, F.concat(F.lit(" "), fused, F.lit(" "))
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
         ).alias("new_sym"),
         "sym",
     )
@@ -180,8 +207,13 @@ def sql_wp_chain() -> str:
     m{k} AS MATERIALIZED (
         SELECT ch{k}.word, ch{k}.wf, top{k}.merged_pair, top{k}.pair_count,
                top{k}.score,
-               replace(ch{k}.sym, top{k}.merged_pair,
-                       replace(top{k}.merged_pair, ' ##', '')) AS new_sym,
+               trim(replace(
+                   replace(' ' || replace(ch{k}.sym, ' ', '  ') || ' ',
+                           ' ' || replace(top{k}.merged_pair, ' ', '  ')
+                               || ' ',
+                           ' ' || replace(top{k}.merged_pair, ' ##', '')
+                               || ' '),
+                   '  ', ' ')) AS new_sym,
                ch{k}.sym AS sym
         FROM ch{k}, top{k}),
     o{k} AS (SELECT CAST({k} AS BIGINT) AS step, merged_pair, pair_count,

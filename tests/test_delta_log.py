@@ -1537,3 +1537,179 @@ def test_hive_escaped_partition_dir_dml_and_log_encoding(spark, tmp_path):
     assert {r["event_id"] for r in
             ch.filter(F.col("_change_type") == "delete").collect()} == {0}
     assert t.vacuum() >= 1  # the superseded escaped-dir file is reclaimed
+
+def test_update_set_evaluates_all_rhs_against_old_row(spark, tmp_path):
+    """SQL/Delta UPDATE semantics: every SET right-hand side sees the
+    PRE-update row — SET a=b, b=a must SWAP, not propagate (the
+    chained-withColumn failure mode where the second assignment reads
+    the already-updated first column)."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5))  # user_id = id % 7, value = id * 1.5
+    t.update_where(
+        spark, {"user_id": "value", "value": "user_id"}, "event_id = 2"
+    )
+    row = {
+        r["event_id"]: (r["user_id"], r["value"])
+        for r in t.read(spark).collect()
+    }
+    # old row: user_id=2, value=3.0 -> swapped: user_id=3, value=2.0
+    assert row[2] == (3, 2.0), row[2]
+    # CDF postimage carries the same swapped values as the table
+    # (read_changes ranges are (from, to] — exclusive lower bound)
+    ch = t.read_changes(spark, t.latest_version() - 1, t.latest_version())
+    post = [
+        r
+        for r in ch.collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert len(post) == 1
+    assert (post[0]["user_id"], post[0]["value"]) == (3, 2.0)
+
+
+def test_vacuum_mixed_path_encodings_never_deletes_live_file(spark, tmp_path):
+    """A foreign log can reference ONE physical file under SEVERAL
+    encodings (absolute file:// URI vs relative). A file removed under
+    its absolute form but re-added under its relative form is LIVE —
+    vacuum must compare resolved paths, not raw action strings, or it
+    destroys live data."""
+    t = _table(tmp_path)
+    os.makedirs(t.log_dir, exist_ok=True)
+    _ev(spark, 6).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    part = [
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    ][0]
+    os.rename(tmp_path / "stage" / part, os.path.join(t.path, "d1.parquet"))
+    schema_str = (
+        spark.createDataFrame([], "event_id long, user_id long, value double")
+        .schema.json()
+    )
+    absu = "file://" + os.path.join(t.path, "d1.parquet")
+    with open(os.path.join(t.log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+             "options": {}}, "schemaString": schema_str,
+             "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": absu, "partitionValues": {}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}},
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        for a in [
+            {"remove": {"path": absu, "deletionTimestamp": 2,
+                        "dataChange": False}},
+            {"add": {"path": "d1.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 2, "dataChange": False}},
+            {"commitInfo": {"timestamp": 2, "operation": "CONVERT"}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    assert t.vacuum() == 0  # the tombstoned encoding resolves to a LIVE file
+    assert os.path.exists(os.path.join(t.path, "d1.parquet"))
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(6))
+
+
+def test_cleanup_log_deletes_only_contiguous_prefix(spark, tmp_path):
+    """Non-monotonic commitInfo timestamps (a writer with a fast
+    clock): per-file expiry would leave HOLES in the retained tail and
+    permanently brick every exact fold. Cleanup must stop at the first
+    non-expired commit."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5), "cp", 0)                                  # v0
+    t.append(_ev(spark, 10).filter(F.col("event_id") >= 5), "cp", 1)  # v1
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10), "cp", 2) # v2
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 15), "cp", 3) # v3
+    t.checkpoint()  # at v3
+    # inject a FUTURE timestamp into v1 (the fast-clock writer)
+    p1 = os.path.join(t.log_dir, f"{1:020d}.json")
+    lines = [json.loads(ln) for ln in open(p1) if ln.strip()]
+    for a in lines:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = 10**15  # far future
+            a["commitInfo"].pop("inCommitTimestamp", None)
+    with open(p1, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    # cutoff = now: v0 expired -> deleted; v1 NOT expired -> STOP —
+    # v2 (also expired) must be RETAINED so the tail stays contiguous
+    assert t.cleanup_log(retention_ms=0) == 1
+    kept = sorted(
+        int(f[:20]) for f in os.listdir(t.log_dir) if f.endswith(".json")
+    )
+    assert kept == [1, 2, 3]
+    # exact folds over the retained tail keep working (no hole)
+    t2 = DeltaLogTable(t.path)
+    assert {r["version"] for r in t2.history(spark).collect()} == {1, 2, 3}
+    assert t2.read(spark).count() == 20
+
+
+def test_stream_fresh_start_after_cleanup_serves_snapshot(spark, tmp_path):
+    """A NEW stream on a long-lived table whose early commits were
+    cleaned must serve the checkpoint SNAPSHOT as its first batch
+    (delta-spark's initial-snapshot semantics), then exact per-commit
+    batches — not permanently raise on the missing version files."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30), "s", 0)                                   # v0
+    t.append(_ev(spark, 60).filter(F.col("event_id") >= 30), "s", 1)   # v1
+    t.checkpoint()                                                     # cv=1
+    t.cleanup_log(retention_ms=0)                                      # drops v0
+    t.append(_ev(spark, 80).filter(F.col("event_id") >= 60), "s", 2)   # v2
+    assert not os.path.exists(os.path.join(t.log_dir, f"{0:020d}.json"))
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table").option("path", t.path).load(),
+        min_rows=80,
+    )
+    assert out.count() == 80
+    assert {r["event_id"] for r in out.collect()} == set(range(80))
+
+
+def test_out_of_root_absolute_add_path_reads_and_rewrites(spark, tmp_path):
+    """Shallow-clone shape: an add whose absolute file:// URI points
+    OUTSIDE the table root. basePath would reject the scan — the
+    reader must split the scan and re-materialize partition columns
+    from the add's partitionValues."""
+    ext = tmp_path / "elsewhere"
+    os.makedirs(ext)
+    _ev(spark, 6).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    part = [
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    ][0]
+    os.rename(tmp_path / "stage" / part, str(ext / "src.parquet"))
+    t = _table(tmp_path)
+    os.makedirs(t.log_dir, exist_ok=True)
+    schema_str = (
+        spark.createDataFrame(
+            [], "event_id long, user_id long, value double, shop string"
+        ).schema.json()
+    )
+    with open(os.path.join(t.log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+             "options": {}}, "schemaString": schema_str,
+             "partitionColumns": ["shop"], "configuration": {}}},
+            {"add": {"path": "file://" + str(ext / "src.parquet"),
+                     "partitionValues": {"shop": "main"}, "size": 1,
+                     "modificationTime": 1, "dataChange": True}},
+            {"commitInfo": {"timestamp": 1, "operation": "CLONE"}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    got = t.read(spark).collect()
+    assert {r["event_id"] for r in got} == set(range(6))
+    assert {r["shop"] for r in got} == {"main"}
+    # copy-on-write DML over the cloned file: rewrite lands IN-ROOT,
+    # the out-of-root source file is never touched
+    t.delete_where(spark, "event_id < 2")
+    assert {r["event_id"] for r in t.read(spark).collect()} == {2, 3, 4, 5}
+    assert os.path.exists(ext / "src.parquet")
+    # and vacuum never reaches outside the table root
+    assert t.vacuum() == 0
+    assert os.path.exists(ext / "src.parquet")

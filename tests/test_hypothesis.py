@@ -252,23 +252,38 @@ def test_unigram_viterbi_matches_bruteforce(spark, words, multis, counts):
 # --- WordPiece trainer vs plain-Python reference ---------------------------
 
 
+def _wp_fuse(parts: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping fuse of the (left, right)
+    pair over a TOKEN LIST — independent of the engines' sentinel
+    string-replace, so the test pins that the string trick is
+    token-exact (a bare pair must never fuse inside `##`-prefixed
+    lookalikes, and adjacent occurrences never overlap)."""
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i] == left and parts[i + 1] == right:
+            out.append(left + right[2:])  # fused keeps LEFT's ## status
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
 def _wp_ref_train(wordfreq: dict[str, int], steps: int):
-    """Reference WordPiece trainer with the SAME replay semantics the
-    engines use (space-joined symbol string, replace-based fuse): per
-    round, count pairs and symbols weighted by word frequency, score
-    pairs by the likelihood ratio round(ln c_ab,6) - round(ln c_a,6)
-    - round(ln c_b,6), pick (score DESC, pair ASC), fuse by
-    replace(pair, ' ##', '') over every word's symbol string. Returns
-    (merge records, final syms)."""
-    syms = {
-        w: " ".join([w[0]] + ["##" + c for c in w[1:]]) for w in wordfreq
-    }
+    """Reference WordPiece trainer over token LISTS (never the engines'
+    string encoding): per round, count pairs and symbols weighted by
+    word frequency, score pairs by the likelihood ratio
+    round(ln c_ab,6) - round(ln c_a,6) - round(ln c_b,6), pick
+    (score DESC, pair ASC), fuse token-exactly left-to-right. Returns
+    (merge records, final syms as space-joined strings)."""
+    toks = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wordfreq}
     merges = []
     for _ in range(steps):
         pc: dict[str, int] = {}
         sc: dict[str, int] = {}
         for w, f in wordfreq.items():
-            parts = syms[w].split(" ")
+            parts = toks[w]
             for x in parts:
                 sc[x] = sc.get(x, 0) + f
             for i in range(len(parts) - 1):
@@ -276,7 +291,7 @@ def _wp_ref_train(wordfreq: dict[str, int], steps: int):
                 pc[p] = pc.get(p, 0) + f
         if not pc:
             # engine mirror: an empty top-1 cross-join empties the vocab
-            syms = {}
+            toks = {}
             break
         scored = {
             p: round(math.log(c), 6)
@@ -285,10 +300,10 @@ def _wp_ref_train(wordfreq: dict[str, int], steps: int):
             for p, c in pc.items()
         }
         pair = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merged = pair.replace(" ##", "")
+        left, right = pair.split(" ")
         merges.append((pair, pc[pair], scored[pair]))
-        syms = {w: s.replace(pair, merged) for w, s in syms.items()}
-    return merges, syms
+        toks = {w: _wp_fuse(parts, left, right) for w, parts in toks.items()}
+    return merges, {w: " ".join(parts) for w, parts in toks.items()}
 
 
 @SLOW
