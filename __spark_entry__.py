@@ -47,8 +47,16 @@ _R11_NEW: list[str] = [
 # Ops whose implementation changed in r11 — re-verification required
 # (the 15 bespoke-ledger streaming ops ported onto the real
 # `_delta_log` layer; delete_vectors now builds DVs executor-side;
-# LPA dropped the community-size broadcast hint).
+# LPA dropped the community-size broadcast hint; late-r11:
+# sink_delta_delete_where gained the pinned single-evaluation
+# predicate, sink_delta_merge now rejects extra source columns /
+# gained merge_schema, stream_table_source gained the post-cleanup
+# initial-snapshot batch — all re-verified locally against the full
+# 357-op contract, listed here for driver rows).
 _R11_CHANGED = [
+    "sink_delta_delete_where",
+    "sink_delta_merge",
+    "stream_table_source",
     "stream_exactly_once",
     "sink_delta_append",
     "sink_delta_upsert",
@@ -69,8 +77,10 @@ _R11_CHANGED = [
 ]
 
 # Stale cohort: the 27 ops whose latest green driver row is r3 (the
-# r10 verdict's list) — 6 + 17 + 27 = 50 exactly; this rotation
-# finishes the backlog (no op's row older than r5 afterwards).
+# r10 verdict's list) — 6 new + 20 changed + the first 24 of these
+# fill the 50 slots; the last 3 (win_ntile, write_partitioned,
+# zorder_cluster) spill to the FRONT of the r12 rotation along with
+# the _R12_NEW cohort below.
 _R11_STALE = [
     "agg_approx_quantile", "agg_hll_sketch", "agg_hll_union",
     "agg_quantile", "ann_ivf", "contamination_check", "data_mixture",
@@ -81,6 +91,21 @@ _R11_STALE = [
     "text_ngrams", "text_pii_scrub", "text_stats", "text_tokenize",
     "tokenizer_vocab", "win_ntile", "write_partitioned",
     "zorder_cluster",
+]
+
+# Ops added late in round 11, AFTER the 50-slot budget above was
+# already committed to finishing the r3-stale backlog (the r10
+# verdict's priority). Placed after the stale cohort so they spill to
+# r12's rotation as its new cohort — each was verified THIS round by
+# the full local oracle contract (sf0.01 exact compares) plus the
+# empty-corpus and NULL-injection audits; the driver row lands r12.
+_R12_NEW: list[str] = [
+    "sink_delta_clone",
+    "scan_delta_log_protocol_gate",
+    "sink_delta_append_only",
+    "sink_delta_merge_evolve",
+    "sink_delta_scd2",
+    "sink_delta_zorder",
 ]
 
 # Ops added during round 10 — each needed a first driver row (kept for
@@ -162,7 +187,7 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
-        _R11_NEW, _R11_CHANGED, _R11_STALE,
+        _R11_NEW, _R11_CHANGED, _R11_STALE, _R12_NEW,
         _R10_NEW, _R10_CHANGED, _R10_STALE,
     )
     head = []

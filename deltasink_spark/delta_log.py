@@ -1312,14 +1312,18 @@ class DeltaLogTable(_CheckpointMixin):
         shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
-    def _stage_cdc(self, frame: DataFrame) -> list[dict]:
+    def _stage_cdc(
+        self, frame: DataFrame, mapping: dict[str, str] | None = None
+    ) -> list[dict]:
         """Write CDF rows under _change_data/ and return cdc actions
         (shared by delete_where and merge). On a mapped table cdc
         files carry PHYSICAL column names like data files (the spec's
         rule) — otherwise a CDF read spanning a rename would see two
         generations of cdc files disagreeing on column names.
-        _change_type is CDF metadata, never mapped."""
-        cm = self.column_mapping()
+        _change_type is CDF metadata, never mapped. ``mapping``
+        overrides the log's current mapping — a schema-evolving MERGE
+        stages cdc under the mapping its own commit publishes."""
+        cm = mapping if mapping is not None else self.column_mapping()
         if cm:
             frame = frame.select(
                 *[F.col(c).alias(cm.get(c, c)) for c in frame.columns]
@@ -2067,6 +2071,41 @@ class DeltaLogTable(_CheckpointMixin):
 
     # --- public DML ---------------------------------------------------------
 
+    def _widen_schema_meta(self, extra, base: dict | None = None) -> dict:
+        """The metaData action for a schema WIDENED by ``extra`` fields
+        (Delta's mergeSchema evolution, shared by append and MERGE):
+        same table id, new schemaString. Column-mapping aware — on a
+        mapped table every new field gets a fresh stable id + a uuid
+        physical name (the spec's rule: the logical name must stay
+        freely renamable later)."""
+        from pyspark.sql.types import StructField
+
+        base = self._metadata_dict() if base is None else base
+        cur_schema = StructType.fromJson(json.loads(base["schemaString"]))
+        cfg = dict(base.get("configuration") or {})
+        if cfg.get("delta.columnMapping.mode") == "name":
+            maxid = int(cfg.get("delta.columnMapping.maxColumnId", "0"))
+            extra = [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        **(f.metadata or {}),
+                        "delta.columnMapping.id": maxid + i,
+                        "delta.columnMapping.physicalName":
+                            f"col-{uuid.uuid4().hex[:8]}",
+                    },
+                )
+                for i, f in enumerate(extra, 1)
+            ]
+            cfg["delta.columnMapping.maxColumnId"] = str(maxid + len(extra))
+        widened = StructType(list(cur_schema.fields) + list(extra))
+        evolved_meta = dict(base)
+        evolved_meta["schemaString"] = widened.json()
+        evolved_meta["configuration"] = cfg
+        return evolved_meta
+
     def append(
         self,
         df: DataFrame,
@@ -2160,35 +2199,7 @@ class DeltaLogTable(_CheckpointMixin):
                         "enforcement)"
                     )
                 evolve_base = self._metadata_dict()
-                cfg = dict(evolve_base.get("configuration") or {})
-                if cfg.get("delta.columnMapping.mode") == "name":
-                    # mapped table: every NEW field gets a fresh stable
-                    # id + a uuid physical name (the spec's rule — the
-                    # logical name must stay freely renamable later)
-                    from pyspark.sql.types import StructField
-
-                    maxid = int(cfg.get("delta.columnMapping.maxColumnId", "0"))
-                    extra = [
-                        StructField(
-                            f.name,
-                            f.dataType,
-                            f.nullable,
-                            {
-                                **(f.metadata or {}),
-                                "delta.columnMapping.id": maxid + i,
-                                "delta.columnMapping.physicalName":
-                                    f"col-{uuid.uuid4().hex[:8]}",
-                            },
-                        )
-                        for i, f in enumerate(extra, 1)
-                    ]
-                    cfg["delta.columnMapping.maxColumnId"] = str(
-                        maxid + len(extra)
-                    )
-                widened = StructType(list(cur_schema.fields) + list(extra))
-                evolved_meta = dict(evolve_base)
-                evolved_meta["schemaString"] = widened.json()
-                evolved_meta["configuration"] = cfg
+                evolved_meta = self._widen_schema_meta(extra, evolve_base)
         df = self._apply_generated(df)
         id_meta = None
         id_high: dict[str, int] = {}
@@ -2356,18 +2367,30 @@ class DeltaLogTable(_CheckpointMixin):
         spark,
         target_files: int = 2,
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
     ) -> int:
         """OPTIMIZE: rewrite the live snapshot as ``target_files``
         right-sized files (per partition on a partitioned table),
         committed as add+remove with dataChange=false (bytes move, no
         logical row changes — CDF readers skip the commit entirely).
-        ``cluster_by`` is OPTIMIZE ZORDER's effect through range
-        clustering: rows are range-partitioned and sorted on the keys,
-        so every rewritten file's min/max stats become TIGHT and
-        disjoint — the layout that makes read_where_stats skip instead
-        of scan (multi-dimensional interleaving is available by
-        clustering on a precomputed z-key column, the
-        [zorder_cluster]/[hilbert_cluster] expressions)."""
+        ``cluster_by`` is single-dimension range clustering: rows are
+        range-partitioned and sorted on the keys, so every rewritten
+        file's min/max stats become TIGHT and disjoint — the layout
+        that makes read_where_stats skip instead of scan.
+        ``zorder_by`` is OPTIMIZE ZORDER BY (delta-spark's
+        multi-dimensional clustering): each numeric dimension is
+        linearly bucketed into 2^10 cells between its global min/max
+        (one broadcastable agg — no window, no global sort), the
+        bucket bits INTERLEAVE into one Morton key, and the rewrite
+        range-clusters + sorts on that key, which is then dropped —
+        after it, a range predicate on ANY of the dimensions prunes
+        to a narrow band of files instead of the fleet.
+
+        Scale: the z-key is pure codegen bit arithmetic; clustering is
+        repartitionByRange (sampled boundaries, one shuffle) +
+        sortWithinPartitions — never a global sort."""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         adds_live = self.snapshot_adds()
         live = list(adds_live)
         if not live:
@@ -2381,6 +2404,53 @@ class DeltaLogTable(_CheckpointMixin):
             rewritten = df.repartitionByRange(
                 target_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
+        elif zorder_by:
+            zb = 10
+            hi = (1 << zb) - 1
+            mm = df.agg(
+                *[
+                    f
+                    for i, c in enumerate(zorder_by)
+                    for f in (
+                        F.min(F.col(c).cast("double")).alias(f"mn{i}"),
+                        F.max(F.col(c).cast("double")).alias(f"mx{i}"),
+                    )
+                ]
+            ).collect()[0]
+            tmp = df
+            for i, c in enumerate(zorder_by):
+                mn = mm[f"mn{i}"]
+                mx = mm[f"mx{i}"]
+                if mn is None:  # all-null dimension: one bucket
+                    mn, mx = 0.0, 0.0
+                span = (mx - mn) or 1.0
+                tmp = tmp.withColumn(
+                    f"__zb{i}",
+                    F.least(
+                        F.lit(hi),
+                        F.greatest(
+                            F.lit(0),
+                            (
+                                (F.col(c).cast("double") - F.lit(mn))
+                                * hi
+                                / F.lit(span)
+                            ).cast("long"),
+                        ),
+                    ),
+                )
+            k = len(zorder_by)
+            zexpr = " + ".join(
+                f"(shiftleft(shiftright(__zb{i}, {j}) & 1, {k * j + i}))"
+                for j in range(zb)
+                for i in range(k)
+            )
+            helpers = [f"__zb{i}" for i in range(k)]
+            rewritten = (
+                tmp.withColumn("__zkey", F.expr(zexpr))
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey", *helpers)
+            )
         else:
             rewritten = df.repartition(target_files)
         adds = self._stage_files(rewritten, partition_by=pb)
@@ -2394,9 +2464,12 @@ class DeltaLogTable(_CheckpointMixin):
             actions.append(
                 {"remove": self._remove_action(p, adds_live[p], now, False)}
             )
-        actions.append(
-            {"commitInfo": {"timestamp": now, "operation": "OPTIMIZE"}}
-        )
+        ci: dict = {"timestamp": now, "operation": "OPTIMIZE"}
+        if zorder_by:
+            ci["operationParameters"] = {
+                "zOrderBy": json.dumps(list(zorder_by))
+            }
+        actions.append({"commitInfo": ci})
         v = self._commit(actions, self._adds_unchanged(adds_live))
         if v is None:
             raise ConcurrentDeleteReadError(
@@ -2795,7 +2868,13 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
-    def merge(self, spark, source: DataFrame, key: str) -> int:
+    def merge(
+        self,
+        spark,
+        source: DataFrame,
+        key: str,
+        merge_schema: bool = False,
+    ) -> int:
         """MERGE INTO (upsert — the third leg of Delta DML after append
         and DELETE): target rows whose ``key`` matches a source row are
         REPLACED by the source row (whole-row update), source rows with
@@ -2811,6 +2890,13 @@ class DeltaLogTable(_CheckpointMixin):
         matched rows, insert rows for new keys — what a downstream
         replica needs to apply the merge without re-diffing snapshots.
 
+        Schema EVOLUTION (Delta MERGE's withSchemaEvolution): a source
+        carrying columns the target lacks is REJECTED unless
+        ``merge_schema=True``, which widens the schema in the SAME
+        commit (column-mapping aware) — kept rows in rewritten files
+        pad the new columns with null, untouched files pad at read
+        time (the log schema is imposed on every scan).
+
         Scale: cost tracks files-with-matches + source size (the
         semi-join prunes via add-action stats); the unmatched bulk of
         the table is untouched metadata. Source is read several times
@@ -2822,6 +2908,21 @@ class DeltaLogTable(_CheckpointMixin):
             raise ValueError("merge into an empty table: use append")
         src = source.localCheckpoint()
         src = self._apply_generated(src)
+        cur_schema = self.schema()
+        have = {f.name for f in cur_schema.fields}
+        extra = [f for f in src.schema.fields if f.name not in have]
+        evolved_meta = None
+        evolve_base = None
+        if extra:
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch: merge source carries new columns "
+                    f"{[f.name for f in extra]} the table lacks; pass "
+                    "merge_schema=True to evolve (Delta's write "
+                    "enforcement — silently dropping them would lose data)"
+                )
+            evolve_base = self._metadata_dict()
+            evolved_meta = self._widen_schema_meta(extra, evolve_base)
         self._enforce_constraints(src)
         if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
             raise ValueError(
@@ -2870,13 +2971,52 @@ class DeltaLogTable(_CheckpointMixin):
             )
             updated = updated.join(carry, key, "inner")
             inserted, ins_high = self._assign_identity(inserted)
-            id_meta = self._identity_meta_update(ins_high)
+            id_meta = self._identity_meta_update(
+                ins_high, base_meta=evolved_meta
+            )
+            if id_meta is not None and evolved_meta is not None:
+                evolved_meta = id_meta  # one metaData action carries both
+                id_meta = None
         cols = target.columns
+        stage_mapping = None
+        if evolved_meta is not None:
+            wf = StructType.fromJson(
+                json.loads(evolved_meta["schemaString"])
+            ).fields
+            cols = [f.name for f in wf]
+            pad_fields = [f for f in wf if f.name not in set(target.columns)]
+
+            def _pad(df: DataFrame) -> DataFrame:
+                # pre-evolution rows (kept / preimage) predate the new
+                # columns: pad with typed nulls, exactly what the log
+                # schema makes untouched files surface at read time
+                for f in pad_fields:
+                    if f.name not in df.columns:
+                        df = df.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                return df
+
+            kept, preimage = _pad(kept), _pad(preimage)
+            updated, inserted = _pad(updated), _pad(inserted)
+            if (
+                evolved_meta.get("configuration") or {}
+            ).get("delta.columnMapping.mode") == "name":
+                # stage under the mapping this commit is about to
+                # publish (the new fields' physical names live only in
+                # evolved_meta until the commit lands)
+                stage_mapping = {
+                    f.name: (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    )
+                    for f in wf
+                }
         adds = self._stage_files(
             kept.select(*cols)
             .unionByName(updated.select(*cols))
             .unionByName(inserted.select(*cols)),
             partition_by=self.partition_columns(),
+            mapping=stage_mapping,
         )
         cdc_actions = self._stage_cdc(
             preimage.select(*cols)
@@ -2888,11 +3028,14 @@ class DeltaLogTable(_CheckpointMixin):
             )
             .unionByName(
                 inserted.select(*cols).withColumn("_change_type", F.lit("insert"))
-            )
+            ),
+            mapping=stage_mapping,
         )
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
-        if id_meta is not None:
+        if evolved_meta is not None:
+            actions.insert(0, {"metaData": evolved_meta})
+        elif id_meta is not None:
             actions.insert(0, {"metaData": id_meta})
         actions += [
             {"remove": self._remove_action(p, snap[p], now)}
@@ -2914,12 +3057,182 @@ class DeltaLogTable(_CheckpointMixin):
                 raise MetadataChangedError(
                     "identity high-water mark moved concurrently; retry"
                 )
+            if evolved_meta is not None and self._metadata_dict() != evolve_base:
+                raise MetadataChangedError(
+                    "table metaData changed while evolving the schema; "
+                    "retry the merge"
+                )
             return adds_check()
 
         v = self._commit(actions, _pre)
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit rewrote files this MERGE targets; retry"
+            )
+        return v
+
+    def merge_scd2(
+        self,
+        spark,
+        source: DataFrame,
+        key: str,
+        tracked: tuple[str, ...],
+        ts_col: str = "effective_ts",
+        valid_from: str = "valid_from",
+        valid_to: str = "valid_to",
+        current_col: str = "is_current",
+    ) -> int:
+        """SCD TYPE-2 MERGE — the dimension-maintenance idiom every
+        warehouse runs on Delta (one MERGE with a matched-UPDATE that
+        closes the old version and an INSERT that opens the new one).
+        The target is a slowly-changing dimension: ``key``, the
+        ``tracked`` attributes, and the bookkeeping triple
+        (``valid_from``, ``valid_to``, ``current_col``). Per source row
+        (key, tracked..., ``ts_col``):
+
+        - key unknown to the dimension: INSERT an open row
+          (valid_from=ts, valid_to=null, current=true);
+        - key's CURRENT row differs on any tracked attribute
+          (null-safe): CLOSE it (valid_to=ts, current=false — an
+          update_preimage/update_postimage CDF pair) and INSERT the
+          new open row (insert CDF row);
+        - equal tracked attributes: no-op (no file churn, no CDF).
+
+        ONE atomic commit; copy-on-write over only the files holding
+        affected CURRENT rows (historical closed rows are untouched
+        metadata — the common case on a dimension whose history dwarfs
+        its live set). A duplicate-key source is rejected like merge().
+        Assumes ts_col is monotone per key across calls (the standard
+        SCD2 contract; an out-of-order feed needs a staging dedup)."""
+        self._forbid_append_only("MERGE (SCD2)")
+        snap = self.snapshot_adds()
+        if not snap:
+            raise ValueError("SCD2 merge into an empty table: use append "
+                             "with open rows")
+        src = source.localCheckpoint()
+        if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                f"SCD2 source has duplicate {key} values: one change per "
+                "key per merge (Delta rejects multi-match)"
+            )
+        s = self.schema()
+        cols = [f.name for f in s.fields]
+        ftype = {f.name: f.dataType for f in s.fields}
+        target = self._read_adds(spark, snap, with_lineage=True)
+        cur = target.filter(F.col(current_col))
+        # changed = source rows whose key HAS a current row with a
+        # differing tracked attribute (null-safe); new = unknown keys
+        diff = F.lit(False)
+        for c in tracked:
+            diff = diff | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        joined = src.alias("s").join(
+            cur.alias("t"), F.col(f"s.{key}") == F.col(f"t.{key}"), "left"
+        )
+        # changed keys stay a FRAME (pinned once): at scale a merge
+        # batch can change millions of keys — never a driver-side list
+        changed_keys = (
+            joined.filter(F.col(f"t.{key}").isNotNull() & diff)
+            .select(F.col(f"s.{key}").alias(key))
+            .localCheckpoint()
+        )
+        new_rows = joined.filter(F.col(f"t.{key}").isNull()).select("s.*")
+        changed_src = src.join(F.broadcast(changed_keys), key, "left_semi")
+        # only files holding an affected CURRENT row are rewritten
+        rel_of_base = self._rel_of_base_map(snap)
+        hit_files = [
+            rel_of_base[r[0]]
+            for r in cur.join(F.broadcast(changed_keys), key, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        affected = (
+            self._read_adds(spark, {p: snap[p] for p in hit_files})
+            if hit_files
+            else target.drop("__file", "__pos").limit(0)
+        )
+        # to_close and kept are COMPLEMENTARY by construction: one
+        # deterministic membership flag, not two independent filters
+        is_close = F.col(current_col) & F.col("__chg").isNotNull()
+        flagged = affected.join(
+            F.broadcast(changed_keys.select(F.col(key).alias("__chg"))),
+            F.col(key) == F.col("__chg"),
+            "left",
+        )
+        to_close = flagged.filter(is_close).drop("__chg")
+        kept = flagged.filter(~F.coalesce(is_close, F.lit(False))).drop("__chg")
+        ts_of = changed_src.select(
+            F.col(key), F.col(ts_col).alias("__new_ts")
+        )
+        closed = (
+            to_close.join(ts_of, key, "inner")
+            .withColumn(valid_to, F.col("__new_ts").cast(ftype[valid_to]))
+            .withColumn(current_col, F.lit(False).cast(ftype[current_col]))
+            .drop("__new_ts")
+        )
+
+        def _open(df: DataFrame) -> DataFrame:
+            out = df.withColumn(
+                valid_from, F.col(ts_col).cast(ftype[valid_from])
+            ).withColumn(
+                valid_to, F.lit(None).cast(ftype[valid_to])
+            ).withColumn(current_col, F.lit(True).cast(ftype[current_col]))
+            return out.select(*cols)
+
+        opened = _open(changed_src)
+        inserted = _open(new_rows)
+        if not hit_files and inserted.limit(1).count() == 0:
+            return self.latest_version()  # nothing changed: no-op
+        self._enforce_constraints(closed.select(*cols))
+        self._enforce_constraints(opened.unionByName(inserted))
+        adds = self._stage_files(
+            kept.select(*cols)
+            .unionByName(closed.select(*cols))
+            .unionByName(opened)
+            .unionByName(inserted),
+            partition_by=self.partition_columns(),
+        )
+        cdc_actions = self._stage_cdc(
+            to_close.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                closed.select(*cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                opened.withColumn("_change_type", F.lit("insert"))
+            )
+            .unionByName(
+                inserted.withColumn("_change_type", F.lit("insert"))
+            )
+        )
+        now = _now_ms()
+        actions = cdc_actions + [{"add": a} for a in adds]
+        actions += [
+            {"remove": self._remove_action(p, snap[p], now)}
+            for p in hit_files
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "mode": "SCD2",
+                        "key": key,
+                        "tracked": json.dumps(list(tracked)),
+                    },
+                }
+            }
+        )
+        v = self._commit(
+            actions, self._adds_unchanged({p: snap[p] for p in hit_files})
+        )
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this SCD2 merge "
+                "targets; retry"
             )
         return v
 

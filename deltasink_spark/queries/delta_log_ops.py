@@ -1532,3 +1532,315 @@ def sink_delta_log_cleanup(spark, sf_dir):
         except ValueError:
             pass
     return t2.read(spark)
+
+
+@query(
+    "sink_delta_clone",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE COALESCE(event_id % 2 = 0, FALSE) AND NOT COALESCE(value < 20, FALSE)
+          AND NOT COALESCE(user_id % 5 = 0, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 777 AS value FROM events
+    WHERE COALESCE(event_id % 2 = 1, FALSE)
+    """,
+)
+def sink_delta_clone(spark, sf_dir):
+    """SHALLOW CLONE (delta-spark's CREATE TABLE ... SHALLOW CLONE,
+    PROTOCOL.md's absolute add.path form): the clone's version-0
+    commit references the SOURCE's live files by absolute file:// URI
+    — zero data copied, O(files) metadata however big the table — and
+    the source's DELETION VECTOR rides along re-anchored as a
+    storageType-'p' descriptor (the spec's cross-table form). The
+    clone then DIVERGES: a DELETE copy-on-writes INTO THE CLONE ROOT
+    and an append lands clone-local files, while the source is
+    bit-for-bit untouched (asserted); the clone's vacuum refuses to
+    reach outside its own root. Oracle re-derives the diverged clone
+    from the source views: evens minus the source's DV'd slice minus
+    the clone-deleted users, plus the appended odd rows.
+    Scale: cloning a 100 TB table is one JSON commit; the divergence
+    cost tracks only the clone's own DML."""
+    src_t = _fresh_table("clonesrc")
+    ev = _ev(spark, sf_dir)
+    src_t.append(ev.filter(F.col("event_id") % 2 == 0))
+    if src_t.snapshot_files():
+        src_t.delete_where_dv(spark, "value < 20")  # clone carries a DV
+    src_adds_before = src_t.snapshot_adds()
+    t = _fresh_table("clone")
+    t.clone_from(src_t)
+    if t.snapshot_files():
+        t.delete_where(spark, "user_id % 5 = 0")
+    odd = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", (F.col("value") + 777).alias("value")
+    )
+    if odd.limit(1).count():
+        t.append(odd)
+    t.vacuum()  # must never reach into the source root
+    assert src_t.snapshot_adds() == src_adds_before, (
+        "clone DML must not touch the source table"
+    )
+    return t.read(spark)
+
+
+@query(
+    "scan_delta_log_protocol_gate",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 10, FALSE)
+    """,
+)
+def scan_delta_log_protocol_gate(spark, sf_dir):
+    """TABLE-FEATURES protocol gating (PROTOCOL.md "Table Features" —
+    the rule that makes the Delta ecosystem forward-safe): a reader
+    MUST refuse a table whose minReaderVersion/readerFeatures demand
+    anything it does not implement, and a writer must refuse unknown
+    writerFeatures — reading around an unknown feature (a
+    v2Checkpoint-only log, say) silently returns wrong data, and
+    writing around one corrupts whatever invariant it maintains. The
+    op proves BOTH directions: (1) a table legitimately at
+    (minReader 3, minWriter 7) with the features this engine DOES
+    implement (deletionVectors via a DV delete) keeps reading and
+    writing; (2) a hand-upgraded twin demanding an unknown
+    'futureFeature' refuses read AND write with loud errors
+    (asserted). Returns the readable table; the oracle re-derives its
+    content from the source."""
+    import json as _json
+
+    t = _fresh_table("protogate")
+    ev = _ev(spark, sf_dir)
+    t.append(ev)
+    if t.snapshot_files():
+        t.delete_where_dv(spark, "value < 10")  # upgrades to features
+    # hand-author the twin: same protocol SHAPE, one unknown feature
+    bad = _fresh_table("protogate_bad")
+    bad.append(ev.limit(5))
+    with open(os.path.join(bad.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["futureFeature"],
+            "writerFeatures": ["futureFeature"],
+        }}) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+    bad2 = DeltaLogTable(bad.path)
+    try:
+        bad2.read(spark)
+        raise AssertionError("unknown reader feature must refuse the read")
+    except ValueError as e:
+        assert "futureFeature" in str(e)
+    try:
+        bad2.append(ev.limit(1))
+        raise AssertionError("unknown writer feature must refuse the write")
+    except ValueError as e:
+        assert "futureFeature" in str(e)
+    return t.read(spark)
+
+
+@query(
+    "sink_delta_append_only",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    """,
+)
+def sink_delta_append_only(spark, sf_dir):
+    """`delta.appendOnly=true` (the appendOnly writer feature — the
+    property an immutable audit/event table sets so NO tool can
+    rewrite history): switched on with ALTER TABLE SET TBLPROPERTIES
+    (a pure metaData commit), after which every verb that deletes or
+    rewrites rows — DELETE (copy-on-write AND deletion-vector), UPDATE,
+    MERGE, replaceWhere, RESTORE — refuses loudly (each asserted),
+    while appends keep flowing and layout-only OPTIMIZE stays allowed
+    (the spec constrains dataChange, not bytes moving). The oracle
+    proves the appends landed intact — nothing the refused verbs
+    could have touched."""
+    t = _fresh_table("appendonly")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.set_properties({"delta.appendOnly": "true"})
+    t.append(ev.filter((F.col("event_id") % 2 == 1) | F.col("event_id").isNull()))
+    for verb, call in [
+        ("DELETE", lambda: t.delete_where(spark, "value < 10")),
+        ("DV DELETE", lambda: t.delete_where_dv(spark, "value < 10")),
+        ("UPDATE", lambda: t.update_where(spark, {"value": "value + 1"}, "true")),
+        ("MERGE", lambda: t.merge(spark, _ev(spark, sf_dir).limit(1), "event_id")),
+        ("replaceWhere", lambda: t.replace_where(
+            spark, _ev(spark, sf_dir).limit(0), "value < 10")),
+        ("RESTORE", lambda: t.restore(spark, 0)),
+    ]:
+        try:
+            call()
+            raise AssertionError(f"{verb} must refuse on an append-only table")
+        except ValueError as e:
+            assert "append-only" in str(e), (verb, str(e))
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)  # layout-only: still allowed
+    return t.read(spark)
+
+
+@query(
+    "sink_delta_merge_evolve",
+    oracle="""
+    SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS tag
+    FROM events
+    WHERE NOT COALESCE(event_id % 5 = 0, FALSE)
+    UNION ALL
+    SELECT event_id, user_id, value + 100 AS value, 'reproc' AS tag
+    FROM events WHERE COALESCE(event_id % 5 = 0, FALSE)
+    """,
+)
+def sink_delta_merge_evolve(spark, sf_dir):
+    """MERGE with SCHEMA EVOLUTION (delta-spark's
+    withSchemaEvolution): the source carries a column the target lacks
+    (`tag`) — without the flag the merge REFUSES (silently dropping a
+    source column loses data; asserted), with it the SAME commit
+    widens the schemaString and lands the merge, so kept rows in
+    rewritten files pad the new column with null and UNTOUCHED files
+    pad at read time (the log schema is imposed on every scan — no
+    backfill rewrite, the entire point at 100 TB). Oracle: unmatched
+    rows surface tag=NULL, matched/inserted rows carry the source
+    values."""
+    t = _fresh_table("mergeevolve")
+    ev = _ev(spark, sf_dir)
+    t.append(ev)
+    src = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id",
+        (F.col("value") + 100).alias("value"),
+        F.lit("reproc").alias("tag"),
+    )
+    if t.snapshot_files() and src.limit(1).count():
+        try:
+            t.merge(spark, src, "event_id")
+            raise AssertionError("extra source column must refuse without "
+                                 "merge_schema")
+        except ValueError as e:
+            assert "merge_schema" in str(e)
+        t.merge(spark, src, "event_id", merge_schema=True)
+    elif src.limit(1).count():
+        t.append(src, merge_schema=True)
+    else:
+        # empty source: the schema must still end widened for the
+        # oracle's column set
+        t.append(
+            spark.createDataFrame([], _EV_SCHEMA + ", tag string"),
+            merge_schema=True,
+        )
+    return t.read(spark)
+
+
+@query(
+    "sink_delta_scd2",
+    oracle="""
+    WITH d AS (SELECT user_id AS k, MIN(value) AS attr FROM events
+               WHERE user_id IS NOT NULL GROUP BY user_id),
+    u AS (SELECT user_id AS k, MAX(value) AS attr FROM events
+          WHERE user_id IS NOT NULL GROUP BY user_id),
+    nk AS (SELECT user_id + 1000000000 AS k, MIN(value) AS attr FROM events
+           WHERE user_id IS NOT NULL AND user_id % 3 = 0 GROUP BY user_id)
+    SELECT d.k, d.attr, CAST(0 AS BIGINT) AS valid_from,
+           CASE WHEN u.attr IS DISTINCT FROM d.attr
+                THEN CAST(100 AS BIGINT) END AS valid_to,
+           (u.attr IS NOT DISTINCT FROM d.attr) AS is_current
+    FROM d JOIN u ON d.k = u.k
+    UNION ALL
+    SELECT u.k, u.attr, CAST(100 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+    FROM u JOIN d ON d.k = u.k WHERE u.attr IS DISTINCT FROM d.attr
+    UNION ALL
+    SELECT k, attr, CAST(100 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+    FROM nk
+    """,
+)
+def sink_delta_scd2(spark, sf_dir):
+    """SCD TYPE-2 MERGE on the real log — the dimension-maintenance
+    idiom every warehouse runs (close the old version, open the new
+    one, one atomic commit). The dimension opens with one row per
+    user (attr = MIN(value), valid_from 0); the update feed carries
+    attr = MAX(value) at ts=100 — so single-valued users are NO-OPs
+    (their row must stay open and untouched), multi-valued users get
+    their original row CLOSED (valid_to=100, is_current=false; an
+    update_preimage/postimage CDF pair) and a new open row, and a
+    shifted key set (+100000) INSERTS as brand-new members. Only the
+    files holding affected CURRENT rows rewrite — on a real dimension
+    the closed history dwarfs the live set and stays untouched
+    metadata. Oracle re-derives the whole post-merge dimension from
+    the source with null-safe change detection."""
+    _SENTINEL_TYPES.update(
+        k="int64", attr="float64", valid_from="int64",
+        valid_to="int64", is_current="bool_",
+    )
+    t = _fresh_table(
+        "scd2", cols=["k", "attr", "valid_from", "valid_to", "is_current"]
+    )
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    dim = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.min("value").alias("attr")
+    ).select(
+        "k", "attr",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    if dim.limit(1).count() == 0:
+        t.append(spark.createDataFrame(
+            [], "k bigint, attr double, valid_from bigint, valid_to bigint, "
+                "is_current boolean"))
+        return t.read(spark)
+    t.append(dim)
+    upd = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.max("value").alias("attr")
+    ).withColumn("effective_ts", F.lit(100).cast("long"))
+    new = ev.filter(F.col("user_id") % 3 == 0).groupBy(
+        (F.col("user_id") + 1000000000).alias("k")
+    ).agg(F.min("value").alias("attr")).withColumn(
+        "effective_ts", F.lit(100).cast("long")
+    )
+    t.merge_scd2(spark, upd.unionByName(new), "k", ("attr",),
+                 ts_col="effective_ts")
+    return t.read(spark)
+
+
+_SENTINEL_TYPES["dim2"] = "int64"
+
+
+@query(
+    "sink_delta_zorder",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)}, event_id * 37 % 1000 AS dim2, 'd1' AS probe
+    FROM events WHERE COALESCE(event_id BETWEEN 1000 AND 2000, FALSE)
+    UNION ALL
+    SELECT {', '.join(_EV_COLS)}, event_id * 37 % 1000 AS dim2, 'd2' AS probe
+    FROM events WHERE COALESCE(event_id * 37 % 1000 BETWEEN 100 AND 200, FALSE)
+    """,
+)
+def sink_delta_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY (delta-spark's multi-dimensional
+    clustering): the table is built HASH-SCATTERED (four appends each
+    spanning both dimensions' full domains, so every file's min/max
+    covers everything and stats pruning can skip NOTHING on either
+    column), then ONE z-order OPTIMIZE buckets both dimensions,
+    interleaves the bucket bits into a Morton key, and range-clusters
+    the rewrite on it — after which a range predicate on EITHER
+    dimension prunes to a narrow band of files (a strict subset on
+    BOTH probes, asserted in tests/test_delta_log.py via
+    inputFiles()). The single-dimension sibling
+    [sink_delta_cluster_optimize] can only serve one column; z-order
+    is what serves two at once — at 100 TB the difference between one
+    hot dimension and every dashboard filter pruning. The oracle
+    proves the clustered rewrite changed NO rows: both stats-pruned
+    range reads equal the source filters bit-for-bit."""
+    t = _fresh_table("zorder", cols=_EV_COLS + ["dim2"])
+    ev = _ev(spark, sf_dir).withColumn(
+        "dim2", (F.col("event_id") * 37) % 1000
+    )
+    for k in range(4):  # round-robin scatter: every file spans both domains
+        t.append(ev.filter(F.col("event_id") % 4 == k).repartition(4))
+    if t.snapshot_files():
+        t.optimize(spark, target_files=8, zorder_by=("event_id", "dim2"))
+    d1 = t.read_where_stats(spark, "event_id", 1000, 2000).withColumn(
+        "probe", F.lit("d1")
+    )
+    d2 = t.read_where_stats(spark, "dim2", 100, 200).withColumn(
+        "probe", F.lit("d2")
+    )
+    return d1.unionByName(d2)

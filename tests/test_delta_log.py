@@ -1713,3 +1713,201 @@ def test_out_of_root_absolute_add_path_reads_and_rewrites(spark, tmp_path):
     # and vacuum never reaches outside the table root
     assert t.vacuum() == 0
     assert os.path.exists(ext / "src.parquet")
+
+
+def test_shallow_clone_diverges_and_source_untouched(spark, tmp_path):
+    """clone_from: version-0 commit referencing the source's files by
+    absolute URI (zero copy), DV re-anchored as storageType 'p'; DML
+    on the clone copy-on-writes into the CLONE root and the source is
+    bit-for-bit untouched; the clone's vacuum never deletes outside
+    its own root."""
+    src = _table(tmp_path, "src")
+    src.append(_ev(spark, 50))
+    src.delete_where_dv(spark, "event_id < 5")
+    src_adds = src.snapshot_adds()
+    cl = _table(tmp_path, "cl")
+    cl.clone_from(src)
+    # the clone's adds are absolute URIs into the source root; the DV
+    # descriptor is the spec's absolute-path form
+    cadds = cl.snapshot_adds()
+    assert all(p.startswith("file://") for p in cadds)
+    dvs = [a["deletionVector"] for a in cadds.values() if a.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    assert {r["event_id"] for r in cl.read(spark).collect()} == set(range(5, 50))
+    cl.delete_where(spark, "event_id < 10")
+    cl.append(_ev(spark, 60).filter(F.col("event_id") >= 50))
+    assert {r["event_id"] for r in cl.read(spark).collect()} == set(range(10, 60))
+    assert src.snapshot_adds() == src_adds
+    assert {r["event_id"] for r in src.read(spark).collect()} == set(range(5, 50))
+    # vacuum reclaims only clone-root files; source files survive
+    cl.vacuum()
+    assert {r["event_id"] for r in src.read(spark).collect()} == set(range(5, 50))
+    # a second clone_from into a non-empty table refuses
+    with pytest.raises(ValueError, match="not empty"):
+        cl.clone_from(src)
+
+
+def test_zorder_optimize_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (a, b): after hash-scattered appends (every
+    file spans both domains — nothing prunable), the z-ordered rewrite
+    makes a stats-pruned range read open a STRICT SUBSET of files on
+    BOTH dimensions, with identical results."""
+    t = _table(tmp_path)
+    base = _ev(spark, 2000).withColumn("dim2", (F.col("event_id") * 37) % 1000)
+    for k in range(4):
+        # round-robin repartition: every staged file spans BOTH full
+        # domains (spark.range is ordered, so without this each file's
+        # min/max would already be tight and nothing would be provable)
+        t.append(base.filter(F.col("event_id") % 4 == k).repartition(8))
+    def nfiles(df):
+        return len(set(df.inputFiles()))
+    pre_d1 = nfiles(t.read_where_stats(spark, "event_id", 100, 200))
+    pre_d2 = nfiles(t.read_where_stats(spark, "dim2", 100, 200))
+    total = len(t.snapshot_files())
+    assert pre_d1 == total and pre_d2 == total  # scatter: no pruning
+    t.optimize(spark, target_files=8, zorder_by=("event_id", "dim2"))
+    post_total = len(t.snapshot_files())
+    d1 = t.read_where_stats(spark, "event_id", 100, 200)
+    d2 = t.read_where_stats(spark, "dim2", 100, 200)
+    assert nfiles(d1) < post_total
+    assert nfiles(d2) < post_total
+    assert {r["event_id"] for r in d1.collect()} == set(range(100, 201))
+    assert {r["event_id"] for r in d2.collect()} == {
+        r["event_id"] for r in base.filter(F.col("dim2").between(100, 200)).collect()
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.optimize(spark, cluster_by=("event_id",), zorder_by=("dim2",))
+
+
+def test_scd2_merge_lifecycle_and_cdf(spark, tmp_path):
+    """merge_scd2: changed keys close + reopen, unchanged keys are
+    untouched, new keys insert; ONE commit whose CDF carries the
+    update_preimage/update_postimage pair for the closed row and
+    insert rows for the opened/new ones."""
+    t = _table(tmp_path)
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 0, None, True),
+            (2, "b", 0, None, True),
+            (3, "c0", 0, 5, False),   # closed history: must never rewrite
+            (3, "c", 5, None, True),
+        ],
+        "k long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    t.append(dim)
+    upd = spark.createDataFrame(
+        [(1, "a2", 10), (3, "c", 10), (4, "d", 10)],
+        "k long, attr string, effective_ts long",
+    )
+    v = t.merge_scd2(spark, upd, "k", ("attr",), ts_col="effective_ts")
+    rows = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in t.read(spark).collect()
+    )
+    assert rows == sorted([
+        (1, "a", 0, 10, False), (1, "a2", 10, None, True),
+        (2, "b", 0, None, True),
+        (3, "c0", 0, 5, False), (3, "c", 5, None, True),
+        (4, "d", 10, None, True),
+    ])
+    ch = t.read_changes(spark, v - 1, v).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["attr"]))
+    assert sorted(by_type["update_preimage"]) == [(1, "a")]
+    assert sorted(by_type["update_postimage"]) == [(1, "a")]  # closed row
+    assert sorted(by_type["insert"]) == [(1, "a2"), (4, "d")]
+    # replaying the same feed is a NO-OP (attrs equal)
+    assert t.merge_scd2(spark, upd, "k", ("attr",), ts_col="effective_ts") == v
+    # duplicate source keys are rejected like merge()
+    dup = spark.createDataFrame(
+        [(1, "x", 20), (1, "y", 20)], "k long, attr string, effective_ts long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_scd2(spark, dup, "k", ("attr",), ts_col="effective_ts")
+
+
+def test_append_only_blocks_rewrites_allows_appends_and_optimize(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties({"delta.appendOnly": "true"})
+    t.append(_ev(spark, 40).filter(F.col("event_id") >= 20))
+    for call in [
+        lambda: t.delete_where(spark, "event_id < 3"),
+        lambda: t.delete_where_dv(spark, "event_id < 3"),
+        lambda: t.update_where(spark, {"value": "value + 1"}, "true"),
+        lambda: t.merge(spark, _ev(spark, 1), "event_id"),
+        lambda: t.replace_where(spark, _ev(spark, 1), "event_id < 1"),
+        lambda: t.restore(spark, 0),
+    ]:
+        with pytest.raises(ValueError, match="append-only"):
+            call()
+    t.optimize(spark, target_files=1)  # layout-only: allowed
+    assert t.read(spark).count() == 40
+
+
+def test_protocol_gate_refuses_unknown_features(spark, tmp_path):
+    """Unknown readerFeatures refuse reads (snapshot fold, stream
+    reader); unknown writerFeatures refuse commits; the features this
+    engine implements pass the gate."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.delete_where_dv(spark, "event_id < 2")  # legit (3, 7) features
+    assert t.read(spark).count() == 8
+    with open(os.path.join(t.log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "futureFeature"],
+            "writerFeatures": ["futureFeature"],
+        }}) + "\n")
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+    t2 = DeltaLogTable(t.path)
+    with pytest.raises(ValueError, match="futureFeature"):
+        t2.read(spark)
+    with pytest.raises(ValueError, match="futureFeature"):
+        t2.append(_ev(spark, 1))
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+    with pytest.raises(ValueError, match="futureFeature"):
+        DeltaTableStreamReader({"path": t.path})
+    # reader-version ceiling alone also refuses
+    t3 = _table(tmp_path, "t3")
+    t3.append(_ev(spark, 5))
+    with open(os.path.join(t3.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 9, "minWriterVersion": 9}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion 9"):
+        DeltaLogTable(t3.path).read(spark)
+
+
+def test_merge_schema_evolution_pads_and_rejects(spark, tmp_path):
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    src = (
+        _ev(spark, 12)
+        .filter(F.col("event_id") >= 8)
+        .withColumn("tag", F.lit("x"))
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.merge(spark, src, "event_id")
+    v0_files = set(t.snapshot_files())
+    t.merge(spark, src, "event_id", merge_schema=True)
+    got = {r["event_id"]: r["tag"] for r in t.read(spark).collect()}
+    assert len(got) == 12
+    assert got[8] == "x" and got[11] == "x" and got[0] is None
+    # CDF across the evolving merge carries the new column
+    v = t.latest_version()
+    ch = t.read_changes(spark, v - 1, v)
+    ins = {r["event_id"] for r in ch.collect() if r["_change_type"] == "insert"}
+    assert ins == {10, 11}
+    # schema evolution on a column-mapped table: new field gets a
+    # physical name, rename of the NEW column stays free
+    m = _table(tmp_path, "mapped")
+    m.append(_ev(spark, 6))
+    m.enable_column_mapping()
+    m.merge(spark, src.filter(F.col("event_id") < 11), "event_id",
+            merge_schema=True)
+    m.rename_column("tag", "label")
+    got2 = {r["event_id"]: r["label"] for r in m.read(spark).collect()}
+    # target 0..5 + inserted 8..10 = 9 keys; pre-evolution rows pad null
+    assert got2[8] == "x" and got2[0] is None and len(got2) == 9
