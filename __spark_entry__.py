@@ -108,6 +108,17 @@ _R12_NEW: list[str] = [
     "sink_delta_zorder",
 ]
 
+# Ops whose implementation changed late in r11, after the slot budget
+# closed (the BPE chain's fuse became token-exact via the sentinel
+# replace — bpe_merge_step itself is single-char-stage and provably
+# unaffected). Verified this round by exact sf0.01 oracle compares;
+# they spill to r12's changed cohort.
+_R12_CHANGED: list[str] = [
+    "bpe_train",
+    "tokenizer_encode",
+    "tokenizer_roundtrip",
+]
+
 # Ops added during round 10 — each needed a first driver row (kept for
 # ordering of the post-slot-50 spill).
 _R10_NEW: list[str] = [
@@ -187,7 +198,7 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
-        _R11_NEW, _R11_CHANGED, _R11_STALE, _R12_NEW,
+        _R11_NEW, _R11_CHANGED, _R11_STALE, _R12_NEW, _R12_CHANGED,
         _R10_NEW, _R10_CHANGED, _R10_STALE,
     )
     head = []

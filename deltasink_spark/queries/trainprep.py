@@ -1168,8 +1168,11 @@ def _bpe_chain_sql() -> str:
     top{k} AS (SELECT pair, CAST(cnt AS BIGINT) AS pair_count
                FROM pc{k} ORDER BY cnt DESC, pair LIMIT 1),
     m{k} AS (SELECT s{j}.word, s{j}.wf, top{k}.pair, top{k}.pair_count,
-                    replace(s{j}.sym, top{k}.pair,
-                            replace(top{k}.pair, ' ', '')) AS new_sym,
+                    trim(replace(
+                        replace(' ' || replace(s{j}.sym, ' ', '  ') || ' ',
+                                ' ' || replace(top{k}.pair, ' ', '  ') || ' ',
+                                ' ' || replace(top{k}.pair, ' ', '') || ' '),
+                        '  ', ' ')) AS new_sym,
                     s{j}.sym AS sym
              FROM s{j}, top{k}),
     o{k} AS (SELECT CAST({k} AS BIGINT) AS step, pair AS merged_pair, pair_count,
@@ -1242,6 +1245,27 @@ def _bpe_iterate(spark, sf_dir):
                 F.col("cnt").cast("long").alias("pair_count"),
             )
         )
+        # token-exact fuse via the doubled-space sentinel (the
+        # operators/wordpiece.py discipline): doubling the separators
+        # gives every token a full delimiter on each side, so the pair
+        # key ` left  right ` only ever matches whole tokens — in the
+        # multi-char steps a raw replace could fuse inside a LONGER
+        # token whose suffix matches the pair's left symbol
+        sym2 = F.concat(
+            F.lit(" "),
+            F.replace(F.col("sym"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pair2 = F.concat(
+            F.lit(" "),
+            F.replace(F.col("merged_pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        fused = F.concat(
+            F.lit(" "),
+            F.replace(F.col("merged_pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
         merged = (
             vocab.crossJoin(F.broadcast(top))
             .select(
@@ -1249,10 +1273,12 @@ def _bpe_iterate(spark, sf_dir):
                 "wf",
                 "merged_pair",
                 "pair_count",
-                F.replace(
-                    F.col("sym"),
-                    F.col("merged_pair"),
-                    F.replace(F.col("merged_pair"), F.lit(" "), F.lit("")),
+                F.trim(
+                    F.replace(
+                        F.replace(sym2, pair2, fused),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
                 ).alias("new_sym"),
                 "sym",
             )
@@ -1286,14 +1312,14 @@ def bpe_train(spark, sf_dir):
     pair_count, n_affected), i.e. the artifact that IS a trained BPE
     tokenizer. Iteration mechanics + scale shape: see _bpe_iterate.
 
-    Merge semantics note: like bpe_merge_step, the merge is plain
-    left-to-right non-overlapping replace() on the space-joined symbol
-    string — exact greedy BPE while symbols are single characters
-    (proven in tests/test_hypothesis.py), and deliberately
-    engine-identical (Spark replace == DuckDB replace) in the
-    multi-char-symbol steps where textbook BPE would need
-    token-boundary-aware matching; both engines replay byte-identical
-    merges, so the oracle is exact."""
+    Merge semantics note: the fuse is the sentinel-delimited replace()
+    (operators/wordpiece.py's doubled-space trick) — TOKEN-EXACT
+    greedy BPE at EVERY step, including the multi-char-symbol rounds
+    where a raw replace could fuse inside a longer token whose suffix
+    matches the pair (proven against a list-based greedy reference in
+    tests/test_hypothesis.py), and engine-identical (Spark replace ==
+    DuckDB replace, both left-to-right non-overlapping — exactly BPE's
+    in-word merge order), so the oracle is exact."""
     step_rows, _ = _bpe_iterate(spark, sf_dir)
     out = step_rows[0]
     for r in step_rows[1:]:

@@ -1911,3 +1911,72 @@ def test_merge_schema_evolution_pads_and_rejects(spark, tmp_path):
     got2 = {r["event_id"]: r["label"] for r in m.read(spark).collect()}
     # target 0..5 + inserted 8..10 = 9 keys; pre-evolution rows pad null
     assert got2[8] == "x" and got2[0] is None and len(got2) == 9
+
+
+def test_concurrent_writers_stress(spark, tmp_path):
+    """Commit-protocol stress: 6 writer threads interleave appends (txn
+    exactly-once), row-level DELETEs and OPTIMIZEs on ONE table. The
+    lock + put-if-absent + precondition discipline must yield a
+    linearizable log: every append's rows present exactly once, every
+    delete applied, no version gaps, optimistic-concurrency retries
+    bounded. (Threads share the JVM but each _commit opens its own
+    lock-file fd, so flock serializes them like separate processes.)"""
+    import threading
+
+    from deltasink_spark.delta_log import ConcurrentDeleteReadError
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 0).limit(0))  # v0: schema anchor
+    NWRITERS, NAPPENDS = 6, 4
+    errors: list[str] = []
+
+    def _retry(fn, attempts=30):
+        for _ in range(attempts):
+            try:
+                return fn()
+            except ConcurrentDeleteReadError:
+                continue
+        raise AssertionError("retry budget exhausted under contention")
+
+    def writer(i: int) -> None:
+        try:
+            tt = DeltaLogTable(t.path)  # fresh handle per thread
+            for j in range(NAPPENDS):
+                lo = (i * NAPPENDS + j) * 100
+                df = _ev(spark, lo + 100).filter(F.col("event_id") >= lo)
+                assert tt.append(df, f"w{i}", j) is not None
+                assert tt.append(df, f"w{i}", j) is None  # replay no-op
+            if i % 2 == 0:
+                # delete this writer's own slice tail — disjoint keys,
+                # but file-level conflicts with other writers' rewrites
+                _retry(lambda: tt.delete_where(
+                    spark,
+                    f"event_id >= {i * NAPPENDS * 100} AND "
+                    f"event_id < {i * NAPPENDS * 100 + 50}",
+                ))
+            else:
+                _retry(lambda: tt.optimize(spark, target_files=2))
+        except Exception as ex:  # surface thread failures to the test
+            errors.append(f"writer {i}: {ex!r}")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(NWRITERS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    # linearizable outcome: all appended rows exactly once, minus the
+    # even writers' deleted 50-row prefixes
+    expected = set()
+    for i in range(NWRITERS):
+        base = i * NAPPENDS * 100
+        ids = set(range(base, base + NAPPENDS * 100))
+        if i % 2 == 0:
+            ids -= set(range(base, base + 50))
+        expected |= ids
+    got = [r["event_id"] for r in DeltaLogTable(t.path).read(spark).collect()]
+    assert len(got) == len(set(got)), "duplicate rows: broken exactly-once"
+    assert set(got) == expected
+    # the log has no version gaps and every fold agrees
+    vf = [v for v, _ in DeltaLogTable(t.path)._version_files()]
+    assert vf == list(range(len(vf)))

@@ -178,6 +178,47 @@ def test_bpe_string_replace_equals_greedy_merge(chars, pair):
     assert via_replace == " ".join(out)
 
 
+def _sentinel_fuse(joined: str, pair: str, fused: str) -> str:
+    """The engines' sentinel-delimited fuse (trainprep._bpe_iterate /
+    operators/wordpiece.py), replayed with Python's str.replace —
+    same left-to-right non-overlapping semantics as Spark and DuckDB
+    replace()."""
+    padded = " " + joined.replace(" ", "  ") + " "
+    key = " " + pair.replace(" ", "  ") + " "
+    out = padded.replace(key, " " + fused + " ")
+    return out.replace("  ", " ").strip()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "aab", "bb", "aba"]),
+        min_size=1,
+        max_size=16,
+    ),
+    left=st.sampled_from(["a", "b", "ab", "ba", "aab", "bb", "aba"]),
+    right=st.sampled_from(["a", "b", "ab", "ba", "aab", "bb", "aba"]),
+)
+def test_bpe_sentinel_replace_equals_greedy_merge_multichar(toks, left, right):
+    """The MULTI-CHAR-stage claim behind bpe_train's sentinel fuse:
+    for ANY token sequence (including tokens that are substrings,
+    prefixes or suffixes of each other — 'ab' vs 'a', 'aab' vs 'ab'),
+    the doubled-space sentinel replace equals the standard greedy BPE
+    merge walk over the token LIST. A raw (un-sentineled) replace
+    fails this property: 'a b' fuses inside 'ba b' or 'a ba'."""
+    joined = " ".join(toks)
+    got = _sentinel_fuse(joined, f"{left} {right}", left + right)
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    assert got == " ".join(out)
+
+
 # --- unigram-LM Viterbi DP vs brute-force enumeration ----------------------
 
 import math
