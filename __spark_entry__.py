@@ -106,6 +106,7 @@ _R12_NEW: list[str] = [
     "sink_delta_merge_evolve",
     "sink_delta_scd2",
     "sink_delta_zorder",
+    "stream_table_source_rate_limited",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

@@ -4069,6 +4069,21 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         # _change_type / _commit_version. DML commits are SERVED (the
         # whole point), never refused.
         self.read_cdf = str(options.get("read_cdf", "")).lower() == "true"
+        # max_files_per_trigger: delta-spark's maxFilesPerTrigger —
+        # ADMISSION CONTROL. Without it a new stream on a years-old
+        # table serves its whole backlog as ONE micro-batch (an
+        # OOM-or-timeout at 100 TB); with it, latestOffset advances
+        # from the last planned version by only as many commits as fit
+        # the file budget (always at least one commit, so progress is
+        # guaranteed — best-effort like delta-spark's).
+        mfpt = options.get("max_files_per_trigger")
+        self.max_files_per_trigger = int(mfpt) if mfpt is not None else None
+        # the last version this reader already PLANNED (advanced in
+        # partitions(), which also covers a restart's WAL replay);
+        # None = no batch planned yet this process — the one case
+        # where the next latestOffset is uncapped (a restart whose
+        # first action is offset discovery), documented best-effort
+        self._planned_v: int | None = None
         self.table = DeltaLogTable(self.path)
         # the stream reads via pyarrow, not snapshot_adds — gate here
         self.table._check_read_protocol()
@@ -4089,10 +4104,47 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        self._planned_v = -1
         return {"v": -1}
 
     def latestOffset(self) -> dict:
-        return {"v": self.table.latest_version()}
+        latest = self.table.latest_version()
+        lo = self._planned_v
+        if self.max_files_per_trigger is None or lo is None or lo >= latest:
+            return {"v": latest}
+        # walk forward from the cursor, admitting whole commits until
+        # the file budget is spent (at least one commit always admits);
+        # cost is O(admitted commits), never the whole backlog
+        vf = dict(self.table._version_files())
+        earliest = min(vf) if vf else 0
+        v = lo
+        n = 0
+        nxt = lo + 1
+        if nxt < earliest:
+            # cleaned log: the first batch is the checkpoint SNAPSHOT
+            # (see _range_adds) — it is atomic, so the cap cannot split
+            # it; admit through the checkpoint version
+            cv = self.table.last_checkpoint()
+            if cv is not None:
+                v = cv
+                nxt = cv + 1
+        for vv in range(max(nxt, 0), latest + 1):
+            p = vf.get(vv)
+            cnt = 0
+            if p is not None:
+                with open(p) as fh:
+                    for line in fh:
+                        if line.strip():
+                            a = json.loads(line)
+                            if "add" in a and a["add"].get("dataChange"):
+                                cnt += 1
+            if n and n + cnt > self.max_files_per_trigger:
+                break
+            n += cnt
+            v = vv
+            if n >= self.max_files_per_trigger:
+                break
+        return {"v": max(v, lo)}
 
     def _range_adds(self, lo: int, hi: int) -> list[tuple[int, dict, str]]:
         start = max(lo + 1, 0)
@@ -4182,6 +4234,10 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        # the admission cursor: covers both live progress and a
+        # restart's WAL replay (Spark re-plans the pending batch with
+        # its stored offsets before asking for a new latestOffset)
+        self._planned_v = end["v"]
         adds = self._range_adds(start["v"], end["v"])
         if not adds:
             return [_AddFilePartition("", -1, {})]

@@ -1844,3 +1844,58 @@ def sink_delta_zorder(spark, sf_dir):
         "probe", F.lit("d2")
     )
     return d1.unionByName(d2)
+
+
+@query(
+    "stream_table_source_rate_limited",
+    oracle=f"SELECT {', '.join(_EV_COLS)} FROM events",
+)
+def stream_table_source_rate_limited(spark, sf_dir):
+    """Table-as-stream with ADMISSION CONTROL (delta-spark's
+    maxFilesPerTrigger): latestOffset advances the planned cursor by
+    whole commits until the per-trigger file budget is spent — the
+    difference between a new stream on a years-old 100 TB table
+    serving its entire backlog as ONE micro-batch (OOM/timeout) and
+    serving bounded batches that each commit their own offset. Built:
+    8 single-file commits; the capped reader (2 files/trigger) must
+    step through MULTIPLE strictly-increasing offsets (asserted — the
+    uncapped reader reaches the head in one step), and the full
+    streamed drain must equal the source exactly once (the oracle) —
+    rate limiting changes batch BOUNDARIES, never content. Progress is
+    guaranteed: a batch always admits at least one commit."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _fresh_table("ratelimit")
+    ev = _ev(spark, sf_dir).withColumn(
+        "__b", F.coalesce(F.col("event_id") % 8, F.lit(0))
+    )
+    for k in range(8):
+        sl = ev.filter(F.col("__b") == k).drop("__b")
+        if sl.limit(1).count():
+            t.append(sl.coalesce(1))
+    if t.latest_version() < 0:
+        t.append(spark.createDataFrame([], _EV_SCHEMA))
+    capped = DeltaTableStreamReader(
+        {"path": t.path, "max_files_per_trigger": "2"}
+    )
+    offs = [capped.initialOffset()["v"]]
+    while offs[-1] < t.latest_version():
+        end = capped.latestOffset()["v"]
+        assert end > offs[-1], "admission control must always progress"
+        capped.partitions({"v": offs[-1]}, {"v": end})
+        offs.append(end)
+    if t.latest_version() >= 3:
+        assert len(offs) > 2, f"cap must split the backlog: {offs}"
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    total = t.read(spark).count()
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table")
+        .option("path", t.path)
+        .option("max_files_per_trigger", "2")
+        .load(),
+        min_rows=total,
+    )
+    return out

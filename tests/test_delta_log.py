@@ -1980,3 +1980,57 @@ def test_concurrent_writers_stress(spark, tmp_path):
     # the log has no version gaps and every fold agrees
     vf = [v for v, _ in DeltaLogTable(t.path)._version_files()]
     assert vf == list(range(len(vf)))
+
+
+def test_stream_max_files_per_trigger_admission(spark, tmp_path):
+    """maxFilesPerTrigger admission control: latestOffset advances the
+    planned cursor by whole commits until the file budget is spent —
+    a new stream on a long table serves bounded batches instead of the
+    whole backlog at once, and the full drain still delivers every row
+    exactly once."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    for k in range(10):  # 10 commits x 1 file
+        t.append(
+            _ev(spark, (k + 1) * 10)
+            .filter(F.col("event_id") >= k * 10)
+            .coalesce(1)
+        )
+    r = DeltaTableStreamReader(
+        {"path": t.path, "max_files_per_trigger": "3"}
+    )
+    offs = [r.initialOffset()["v"]]
+    while offs[-1] < t.latest_version():
+        end = r.latestOffset()["v"]
+        r.partitions({"v": offs[-1]}, {"v": end})
+        offs.append(end)
+    assert offs == [-1, 2, 5, 8, 9]  # 3+3+3+1 commits
+    # uncapped reader reaches the head in one step
+    r2 = DeltaTableStreamReader({"path": t.path})
+    r2.initialOffset()
+    assert r2.latestOffset()["v"] == 9
+    # end-to-end drain with the cap: every row exactly once
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table")
+        .option("path", t.path)
+        .option("max_files_per_trigger", "3")
+        .load(),
+        min_rows=100,
+    )
+    got = [x["event_id"] for x in out.collect()]
+    assert len(got) == 100 and set(got) == set(range(100))
+    # cleaned log: the snapshot batch is atomic — admission jumps
+    # through the checkpoint version instead of splitting it
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    t.append(_ev(spark, 110).filter(F.col("event_id") >= 100).coalesce(1))
+    r3 = DeltaTableStreamReader(
+        {"path": t.path, "max_files_per_trigger": "2"}
+    )
+    r3.initialOffset()
+    assert r3.latestOffset()["v"] >= 9  # snapshot admitted whole
