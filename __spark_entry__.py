@@ -107,6 +107,7 @@ _R12_NEW: list[str] = [
     "sink_delta_scd2",
     "sink_delta_zorder",
     "stream_table_source_rate_limited",
+    "scan_delta_log_v2_checkpoint",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

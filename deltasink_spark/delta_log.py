@@ -79,7 +79,9 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
 # unknown reader feature (say, a v2Checkpoint-only log) returns
 # silently wrong data, and writing around an unknown writer feature
 # corrupts invariants the unknown feature maintains.
-_SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "deletionVectors", "v2Checkpoint"}
+)
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "appendOnly",
@@ -91,6 +93,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "identityColumns",
         "inCommitTimestamp",
         "invariants",
+        "v2Checkpoint",
     }
 )
 _MAX_READER_VERSION = 3
@@ -119,10 +122,14 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def _checkpoint_schema():
+def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
+    """The checkpoint parquet schema. ``file_actions_only`` = a v2
+    SIDECAR file (add + remove columns only, per spec);``v2_top`` = a
+    v2 top-level file (non-file actions + checkpointMetadata +
+    sidecar pointer rows, no add/remove)."""
     import pyarrow as pa
 
-    return pa.schema(
+    full = pa.schema(
         [
             pa.field(
                 "protocol",
@@ -220,6 +227,36 @@ def _checkpoint_schema():
             ),
         ]
     )
+    if file_actions_only:
+        return pa.schema([full.field("add"), full.field("remove")])
+    if v2_top:
+        return pa.schema(
+            [
+                full.field("protocol"),
+                full.field("metaData"),
+                full.field("txn"),
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct(
+                        [
+                            ("version", pa.int64()),
+                            ("tags", pa.map_(pa.string(), pa.string())),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+    return full
 
 
 # spec default for delta.deletedFileRetentionDuration: tombstones older
@@ -249,11 +286,67 @@ class _CheckpointMixin:
         when a 100 TB table's live add set outgrows one writer task
         (each part is written independently; the spec allows any
         row-to-part assignment)."""
+        if parts < 1:
+            raise ValueError(f"parts must be >= 1, got {parts}")
+        v, nonfile, file_rows = self._checkpoint_fold_rows()
+        rows = nonfile + file_rows
+        schema = _checkpoint_schema()
+        if parts == 1:
+            self._write_checkpoint_parquet(
+                rows, schema,
+                os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet"),
+            )
+        else:
+            # contiguous slices; a short tail leaves later parts EMPTY
+            # (still schema-carrying files — the spec requires exactly
+            # `parts` files to exist, not that each be non-empty)
+            per = -(-len(rows) // parts) if rows else 0
+            for i in range(parts):
+                self._write_checkpoint_parquet(
+                    rows[i * per : (i + 1) * per] if per else [],
+                    schema,
+                    os.path.join(
+                        self.log_dir,
+                        f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                    ),
+                )
+        lcp = {"version": v, "size": len(rows)}
+        if parts > 1:
+            lcp["parts"] = parts
+        self._write_last_checkpoint(lcp)
+        return v
+
+    @staticmethod
+    def _write_checkpoint_parquet(slice_rows, schema, path: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if parts < 1:
-            raise ValueError(f"parts must be >= 1, got {parts}")
+        cols = {f.name: [r.get(f.name) for r in slice_rows] for f in schema}
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    n: pa.array(c, type=schema.field(n).type)
+                    for n, c in cols.items()
+                },
+                schema=schema,
+            ),
+            path,
+        )
+
+    def _write_last_checkpoint(self, info: dict) -> None:
+        tmp = os.path.join(
+            self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(info))
+        os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def _checkpoint_fold_rows(self):
+        """The reconstructed state at the current version as checkpoint
+        ROWS, split into non-file actions (protocol, metaData, txn —
+        a v2 checkpoint's top-level file must carry these) and file
+        actions (add + unexpired remove tombstones — sidecar-able).
+        Shared by the classic and v2 writers."""
         v = self.latest_version()
         if v < 0:
             raise ValueError("cannot checkpoint an empty log")
@@ -294,12 +387,12 @@ class _CheckpointMixin:
             for p, r in removes.items()
             if (r.get("deletionTimestamp") or 0) >= cutoff
         }
-        rows: list[dict] = []
+        nonfile: list[dict] = []
         if proto is not None:
-            rows.append({"protocol": proto})
+            nonfile.append({"protocol": proto})
         if meta is not None:
             fmt = meta.get("format") or {"provider": "parquet", "options": {}}
-            rows.append(
+            nonfile.append(
                 {
                     "metaData": {
                         "id": meta["id"],
@@ -321,10 +414,11 @@ class _CheckpointMixin:
                 }
             )
         for app, ver in sorted(txns.items()):
-            rows.append({"txn": {"appId": app, "version": ver}})
+            nonfile.append({"txn": {"appId": app, "version": ver}})
+        file_rows: list[dict] = []
         for p in adds:
             ad = adds[p]
-            rows.append(
+            file_rows.append(
                 {
                     "add": {
                         "path": ad["path"],
@@ -341,7 +435,7 @@ class _CheckpointMixin:
             )
         for p in sorted(removes):
             rm = removes[p]
-            rows.append(
+            file_rows.append(
                 {
                     "remove": {
                         "path": rm["path"],
@@ -351,43 +445,100 @@ class _CheckpointMixin:
                     }
                 }
             )
-        schema = _checkpoint_schema()
+        return v, nonfile, file_rows
 
-        def _write(slice_rows: list[dict], path: str) -> None:
-            cols = {f.name: [r.get(f.name) for r in slice_rows] for f in schema}
-            pq.write_table(
-                pa.Table.from_pydict(
-                    {
-                        n: pa.array(c, type=schema.field(n).type)
-                        for n, c in cols.items()
-                    },
-                    schema=schema,
-                ),
+    def checkpoint_v2(self, sidecars: int = 2) -> int:
+        """Write a V2 CHECKPOINT (the spec's `v2Checkpoint` table
+        feature — what delta-spark writes under
+        delta.checkpointPolicy=v2): a UUID-named top-level file
+        `<v>.checkpoint.<uuid>.parquet` carrying the NON-FILE actions
+        (protocol, metaData, txn) plus a `checkpointMetadata` row and
+        one `sidecar` row per sidecar file; the FILE actions (adds +
+        unexpired remove tombstones) live in ``sidecars`` parquet
+        files under `_delta_log/_sidecars/`. Requires the v2Checkpoint
+        protocol feature (enable_v2_checkpoints) — readers that don't
+        implement it must refuse the table, which is exactly what the
+        feature gate is for.
+
+        Scale: sidecars are the v2 design's point — a 100 TB table's
+        live add set splits across independently-written (and
+        independently-READ) sidecar files, and an incremental
+        checkpointer can REUSE unchanged sidecars instead of rewriting
+        the whole state (classic multi-part cannot: its parts are
+        positional). Returns the checkpointed version."""
+        if sidecars < 1:
+            raise ValueError(f"sidecars must be >= 1, got {sidecars}")
+        proto = self._protocol_dict() or {}
+        if "v2Checkpoint" not in (proto.get("readerFeatures") or ()):
+            raise ValueError(
+                "v2 checkpoints require the v2Checkpoint protocol "
+                "feature; call enable_v2_checkpoints() first"
+            )
+        v, nonfile, file_rows = self._checkpoint_fold_rows()
+        side_dir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        side_schema = _checkpoint_schema(file_actions_only=True)
+        per = -(-len(file_rows) // sidecars) if file_rows else 0
+        side_rows: list[dict] = []
+        for i in range(sidecars):
+            name = f"{uuid.uuid4()}.parquet"
+            path = os.path.join(side_dir, name)
+            self._write_checkpoint_parquet(
+                file_rows[i * per : (i + 1) * per] if per else [],
+                side_schema,
                 path,
             )
+            side_rows.append(
+                {
+                    "sidecar": {
+                        "path": name,
+                        "sizeInBytes": os.path.getsize(path),
+                        "modificationTime": _now_ms(),
+                    }
+                }
+            )
+        top = (
+            nonfile
+            + [{"checkpointMetadata": {"version": v, "tags": []}}]
+            + side_rows
+        )
+        self._write_checkpoint_parquet(
+            top,
+            _checkpoint_schema(v2_top=True),
+            os.path.join(
+                self.log_dir, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            ),
+        )
+        self._write_last_checkpoint({"version": v, "size": len(top) + len(file_rows)})
+        return v
 
-        if parts == 1:
-            _write(rows, os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet"))
-        else:
-            # contiguous slices; a short tail leaves later parts EMPTY
-            # (still schema-carrying files — the spec requires exactly
-            # `parts` files to exist, not that each be non-empty)
-            per = -(-len(rows) // parts) if rows else 0
-            for i in range(parts):
-                _write(
-                    rows[i * per : (i + 1) * per] if per else [],
-                    os.path.join(
-                        self.log_dir,
-                        f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
-                    ),
-                )
-        tmp = os.path.join(self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
-        meta = {"version": v, "size": len(rows)}
-        if parts > 1:
-            meta["parts"] = parts
-        with open(tmp, "w") as fh:
-            fh.write(json.dumps(meta))
-        os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+    def enable_v2_checkpoints(self) -> int:
+        """Ledger the v2Checkpoint protocol feature (reader AND writer
+        — the spec requires readers to understand the UUID-named
+        top-level + sidecar layout before they can fold the log)."""
+        proto = dict(self._protocol_dict() or _PROTOCOL)
+        proto["minReaderVersion"] = 3
+        proto["minWriterVersion"] = 7
+        proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
+        )
+        proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or []) | {"v2Checkpoint"}
+        )
+        v = self._commit(
+            [
+                {"protocol": proto},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {"feature": "v2Checkpoint"},
+                    }
+                },
+            ]
+        )
+        self._read_proto_ok = False  # re-gate with the new protocol
+        self._write_proto_ok = False
         return v
 
     def _last_checkpoint_info(self) -> dict | None:
@@ -402,9 +553,13 @@ class _CheckpointMixin:
         return None if info is None else int(info["version"])
 
     def _checkpoint_paths(self, cv: int) -> list[str]:
-        """The checkpoint file(s) at ``cv`` — one file, or the `parts`
-        multi-part set `_last_checkpoint` declares (a reader must open
-        ALL parts; rows may land in any of them)."""
+        """The TOP-LEVEL checkpoint file(s) at ``cv`` — the classic
+        single file, the `parts` multi-part set `_last_checkpoint`
+        declares (a reader must open ALL parts; rows may land in any
+        of them), or a V2 UUID-named file
+        (`<v>.checkpoint.<uuid>.parquet` — discovered by listing, the
+        spec's rule; racing writers can leave several, each complete,
+        so any one serves — the lexicographically last is taken)."""
         info = self._last_checkpoint_info() or {}
         parts = int(info.get("parts", 0)) if int(info.get("version", -1)) == cv else 0
         if parts > 1:
@@ -415,14 +570,62 @@ class _CheckpointMixin:
                 )
                 for i in range(parts)
             ]
-        return [os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")]
+        classic = os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
+        if os.path.exists(classic):
+            return [classic]
+        prefix = f"{cv:020d}.checkpoint."
+        v2 = sorted(
+            f
+            for f in os.listdir(self.log_dir)
+            if f.startswith(prefix)
+            and f.endswith(".parquet")
+            # exclude the multipart o.p form (two dot-separated numeric
+            # fields) — a UUID segment has dashes / hex, never pure digits
+            and not f[len(prefix):-8].replace(".", "").isdigit()
+        )
+        if v2:
+            return [os.path.join(self.log_dir, v2[-1])]
+        return [classic]  # let the caller's open raise the clear ENOENT
+
+    def _checkpoint_file_action_paths(self, cv: int) -> list[str]:
+        """Every parquet file carrying the checkpoint's FILE actions
+        (add/remove): the top-level file(s) themselves plus any v2
+        SIDECAR files their `sidecar` rows reference (resolved against
+        `_delta_log/_sidecars/` for relative names, or as absolute
+        URIs — both forms the spec allows)."""
+        import pyarrow.parquet as pq
+
+        tops = self._checkpoint_paths(cv)
+        out = list(tops)
+        for cp in tops:
+            f = pq.ParquetFile(cp)
+            if "sidecar" not in f.schema_arrow.names:
+                continue
+            for rec in (
+                pq.read_table(cp, columns=["sidecar"]).column("sidecar").to_pylist()
+            ):
+                if rec is not None and rec.get("path"):
+                    p = rec["path"]
+                    u = urllib.parse.urlparse(p)
+                    if u.scheme == "file":
+                        out.append(urllib.parse.unquote(u.path))
+                    elif p.startswith("/"):
+                        out.append(p)
+                    else:
+                        out.append(
+                            os.path.join(self.log_dir, "_sidecars", p)
+                        )
+        return out
 
     def _checkpoint_adds(self, cv: int) -> dict[str, dict]:
-        """path -> add action from the checkpoint parquet(s) at ``cv``."""
+        """path -> add action from the checkpoint parquet(s) at ``cv``
+        (classic parts, or a v2 top-level + its sidecars)."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
-        for cp in self._checkpoint_paths(cv):
+        for cp in self._checkpoint_file_action_paths(cv):
+            if "add" not in pq.ParquetFile(cp).schema_arrow.names:
+                continue
             for rec in (
                 pq.read_table(cp, columns=["add"]).column("add").to_pylist()
             ):
@@ -447,14 +650,20 @@ class _CheckpointMixin:
         txns: dict[str, int] = {}
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
-        for cp in self._checkpoint_paths(cv):
+        tops = self._checkpoint_paths(cv)
+        # non-file actions live in the top-level file(s); file actions
+        # in the top-level AND (v2) any sidecars — the file-action list
+        # includes the tops, so each path reads its columns ONCE
+        plan = [(cp, ("protocol", "metaData", "txn")) for cp in tops] + [
+            (cp, ("add", "remove"))
+            for cp in self._checkpoint_file_action_paths(cv)
+        ]
+        for cp, want in plan:
             f = pq.ParquetFile(cp)
             names = set(f.schema_arrow.names)
-            cols = [
-                c
-                for c in ("protocol", "metaData", "txn", "add", "remove")
-                if c in names
-            ]
+            cols = [c for c in want if c in names]
+            if not cols:
+                continue
             t = pq.read_table(cp, columns=cols)
             cold = {c: t.column(c).to_pylist() for c in cols}
             for rec in cold.get("protocol", []):
@@ -503,7 +712,7 @@ class _CheckpointMixin:
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
-        for cp in self._checkpoint_paths(cv):
+        for cp in self._checkpoint_file_action_paths(cv):
             f = pq.ParquetFile(cp)
             if "remove" not in f.schema_arrow.names:
                 continue

@@ -1899,3 +1899,53 @@ def stream_table_source_rate_limited(spark, sf_dir):
         min_rows=total,
     )
     return out
+
+
+@query(
+    "scan_delta_log_v2_checkpoint",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 10, FALSE) OR COALESCE(event_id % 3 = 0, FALSE)
+    """,
+)
+def scan_delta_log_v2_checkpoint(spark, sf_dir):
+    """V2 CHECKPOINT (the spec's `v2Checkpoint` table feature — what
+    delta-spark writes under delta.checkpointPolicy=v2, and the one
+    reader feature this engine previously REFUSED): a UUID-named
+    top-level parquet carries the non-file actions plus
+    checkpointMetadata and `sidecar` pointer rows; the add/remove file
+    actions (DV descriptors included) live in `_delta_log/_sidecars/`
+    parquet files. The v2 design's point at 100 TB: sidecars split the
+    live add set across independently written AND read files, and an
+    incremental checkpointer can reuse unchanged sidecars — classic
+    multi-part parts are positional and must all rewrite. Built: an
+    append, a DV DELETE and a copy-on-write DELETE carving the
+    value<10 slice, then a re-append of its event_id%3==0 subset —
+    so the checkpoint must carry DV descriptors AND remove tombstones
+    through the sidecars; protocol upgrade, checkpoint_v2(sidecars=3),
+    then LOG CLEANUP deletes every pre-checkpoint JSON — the final
+    read runs off the v2 top-level + sidecars + tail alone, proving
+    the fold; a fresh handle's txn replay mark also survives
+    (asserted). Oracle re-derives the content from the source."""
+    t = _fresh_table("v2ckpt")
+    ev = _ev(spark, sf_dir)
+    t.append(ev, "v2ck", 0)
+    if t.snapshot_files():
+        # DV delete THEN re-append a slice: the checkpoint must carry
+        # the DV descriptor and the remove tombstones through sidecars
+        t.delete_where_dv(spark, "value < 10 AND NOT COALESCE(event_id % 3 = 0, FALSE)")
+        t.delete_where(spark, "value < 10 AND COALESCE(event_id % 3 = 0, FALSE)")
+        back = ev.filter(
+            (F.col("value") < 10) & F.coalesce(F.col("event_id") % 3 == 0, F.lit(False))
+        )
+        if back.limit(1).count():
+            t.append(back)
+    t.enable_v2_checkpoints()
+    cv = t.checkpoint_v2(sidecars=3)
+    t.cleanup_log(retention_ms=0)
+    assert not os.path.exists(
+        os.path.join(t.log_dir, f"{0:020d}.json")
+    ) or cv == 0, "cleanup must have removed the pre-checkpoint JSON"
+    t2 = DeltaLogTable(t.path)  # fresh fold: v2 top-level + sidecars only
+    assert t2.append(ev.limit(1), "v2ck", 0) is None  # txn mark survived
+    return t2.read(spark)

@@ -2034,3 +2034,88 @@ def test_stream_max_files_per_trigger_admission(spark, tmp_path):
     )
     r3.initialOffset()
     assert r3.latestOffset()["v"] >= 9  # snapshot admitted whole
+
+
+def test_v2_checkpoint_fold_cleanup_and_classic_interop(spark, tmp_path):
+    """V2 checkpoints (UUID top-level + sidecars): the fold
+    reconstructs protocol/metaData/txn from the top-level and
+    add/remove (with DV descriptors) from the sidecars; survives
+    pre-checkpoint log cleanup; a later CLASSIC checkpoint folds ON
+    TOP of the v2 one; the feature is properly protocol-gated."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 50), "v2t", 0)
+    t.delete_where_dv(spark, "event_id < 5")
+    t.delete_where(spark, "event_id >= 45")
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        t.checkpoint_v2()
+    t.enable_v2_checkpoints()
+    cv = t.checkpoint_v2(sidecars=3)
+    assert len(os.listdir(os.path.join(t.log_dir, "_sidecars"))) == 3
+    t.cleanup_log(retention_ms=0)
+    t2 = DeltaLogTable(t.path)
+    assert {r["event_id"] for r in t2.read(spark).collect()} == set(range(5, 45))
+    assert t2.append(_ev(spark, 5), "v2t", 0) is None  # txn mark survived
+    t2.append(_ev(spark, 60).filter(F.col("event_id") >= 50))
+    # the DV'd file still reads merge-on-read through the sidecar's
+    # descriptor; vacuum sees the sidecar-carried tombstones
+    assert {r["event_id"] for r in t2.read_via_checkpoint(spark).collect()} \
+        == set(range(5, 45)) | set(range(50, 60))
+    assert t2.vacuum() >= 1
+    # a later CLASSIC checkpoint folds from the v2 state
+    ccv = t2.checkpoint()
+    assert ccv > cv
+    t3 = DeltaLogTable(t.path)
+    assert {r["event_id"] for r in t3.read(spark).collect()} \
+        == set(range(5, 45)) | set(range(50, 60))
+    # a reader WITHOUT the feature must refuse: the gate carries it
+    from deltasink_spark import delta_log as dl
+    orig = dl._SUPPORTED_READER_FEATURES
+    dl._SUPPORTED_READER_FEATURES = frozenset(orig - {"v2Checkpoint"})
+    try:
+        with pytest.raises(ValueError, match="v2Checkpoint"):
+            DeltaLogTable(t.path).read(spark)
+    finally:
+        dl._SUPPORTED_READER_FEATURES = orig
+
+
+def test_v2_checkpoint_foreign_sidecar_forms(spark, tmp_path):
+    """Foreign-writer v2 shapes our reader must fold: a sidecar
+    referenced by ABSOLUTE file:// URI (the spec allows both forms)
+    and a dash-UUID top-level name next to a stale classic-named
+    checkpoint from an older version."""
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20), "f", 0)
+    t.append(_ev(spark, 30).filter(F.col("event_id") >= 20), "f", 1)
+    t.enable_v2_checkpoints()
+    cv = t.checkpoint_v2(sidecars=1)
+    # rewrite the top-level's sidecar row to an ABSOLUTE URI
+    tops = t._checkpoint_paths(cv)
+    assert len(tops) == 1 and ".checkpoint." in tops[0]
+    side_dir = os.path.join(t.log_dir, "_sidecars")
+    side = sorted(os.listdir(side_dir))[0]
+    tbl = pq.read_table(tops[0])
+    rows = tbl.to_pylist()
+    for r in rows:
+        if r.get("sidecar"):
+            r["sidecar"] = {
+                "path": "file://" + os.path.join(side_dir, side),
+                "sizeInBytes": r["sidecar"]["sizeInBytes"],
+                "modificationTime": r["sidecar"]["modificationTime"],
+            }
+    import pyarrow as pa
+    from deltasink_spark.delta_log import _checkpoint_schema
+    schema = _checkpoint_schema(v2_top=True)
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    pq.write_table(
+        pa.Table.from_pydict(
+            {n: pa.array(c, type=schema.field(n).type) for n, c in cols.items()},
+            schema=schema,
+        ),
+        tops[0],
+    )
+    t.cleanup_log(retention_ms=0)
+    t4 = DeltaLogTable(t.path)
+    assert {r["event_id"] for r in t4.read(spark).collect()} == set(range(30))
+    assert t4.append(_ev(spark, 1), "f", 1) is None
