@@ -108,6 +108,8 @@ _R12_NEW: list[str] = [
     "sink_delta_zorder",
     "stream_table_source_rate_limited",
     "scan_delta_log_v2_checkpoint",
+    "sink_delta_copy_into",
+    "scan_delta_log_detail",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

@@ -111,6 +111,11 @@ class MetadataChangedError(RuntimeError):
     MetadataChangedException; the caller should re-read and retry."""
 
 
+class ConcurrentAppendError(RuntimeError):
+    """A concurrent commit ledgered state this write depends on (e.g.
+    an overlapping COPY INTO's loaded-file marks); retry resolves."""
+
+
 class ConcurrentDeleteReadError(RuntimeError):
     """A concurrent commit removed files this operation planned to
     rewrite between its snapshot and its commit point — committing
@@ -3595,6 +3600,119 @@ class DeltaLogTable(_CheckpointMixin):
         if not vf:
             return
         yield from self._actions(from_version=vf[0][0], exact=True)
+
+    def copy_into(self, spark, src_dir: str, fmt: str = "parquet") -> int | None:
+        """COPY INTO — idempotent BULK FILE INGEST (Delta's COPY INTO
+        semantics: each source file loads EXACTLY ONCE however many
+        times the command re-runs — the retryable backfill primitive).
+        The loaded-file ledger is one `txn` action per source file
+        (appId = "copyInto:" + the file's table-relative identity), so
+        it rides checkpoints and survives log cleanup like every other
+        exactly-once mark; modified files are NOT reloaded (Delta's
+        default — a reload would duplicate their already-loaded rows).
+        New files are read, pushed through the full write discipline
+        (schema enforcement, generated columns, CHECK constraints) and
+        committed ATOMICALLY with their ledger marks: a crash between
+        staging and commit leaves invisible files and loads cleanly on
+        retry. Returns the commit version, or None when every source
+        file is already ledgered (the idempotent no-op).
+
+        Scale: per run the cost is O(new files) — the ledger check is
+        a set lookup against the txn fold (checkpoint + tail), and the
+        load is one distributed scan of only the new files."""
+        files = sorted(
+            f
+            for f in os.listdir(src_dir)
+            if f.endswith(f".{fmt}") and not f.startswith(("_", "."))
+        )
+        if not files:
+            return None
+        ledger = self.txn_versions()
+        new = [
+            f for f in files
+            if ledger.get(f"copyInto:{f}", -1) < 0
+        ]
+        if not new:
+            return None
+        reader = spark.read
+        s = self.schema()
+        if s is not None:
+            have = {x.name for x in s.fields}
+            reader = reader.schema(s)
+        df = getattr(reader, fmt)(*[os.path.join(src_dir, f) for f in new])
+        if s is not None:
+            extra = [c for c in df.columns if c not in have]
+            if extra:
+                raise ValueError(
+                    f"COPY INTO source carries columns {extra} the table "
+                    "lacks (schema enforcement — evolve the table first)"
+                )
+        df = self._apply_generated(df)
+        self._enforce_constraints(df)
+        adds = self._stage_files(df, partition_by=self.partition_columns())
+        now = _now_ms()
+        actions: list[dict] = [
+            {"txn": {"appId": f"copyInto:{f}", "version": 0,
+                     "lastUpdated": now}}
+            for f in new
+        ]
+        actions += [{"add": a} for a in adds]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "COPY INTO",
+                    "operationParameters": {
+                        "source": src_dir,
+                        "numFiles": len(new),
+                    },
+                }
+            }
+        )
+
+        def _unloaded() -> bool:
+            # a concurrent COPY INTO may have ledgered some of these
+            # files while we staged — loading them again would double
+            led = self.txn_versions(refresh=True)
+            return all(led.get(f"copyInto:{f}", -1) < 0 for f in new)
+
+        v = self._commit(
+            actions,
+            precondition=_unloaded,
+            first_commit_actions=self._metadata_actions(df),
+        )
+        if v is None:
+            raise ConcurrentAppendError(
+                "a concurrent COPY INTO ledgered overlapping source "
+                "files; retry (already-loaded files will be skipped)"
+            )
+        return v
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL — the table's metadata summary exactly as
+        delta-spark reports it: format, id, location, timestamps,
+        partition columns, live numFiles / sizeInBytes (from the log
+        fold — no filesystem scan), table properties and the protocol
+        floor. Pure metadata: O(checkpoint + tail) at any table size."""
+        m = self._metadata_dict() or {}
+        p = self._protocol_dict() or {}
+        adds = self.snapshot_adds()
+        last = self._last_commit_info() or {}
+        return {
+            "format": (m.get("format") or {}).get("provider", "parquet"),
+            "id": m.get("id"),
+            "location": self.path,
+            "createdAt": m.get("createdTime"),
+            "lastModified": last.get(
+                "inCommitTimestamp", last.get("timestamp")
+            ),
+            "partitionColumns": list(m.get("partitionColumns") or ()),
+            "numFiles": len(adds),
+            "sizeInBytes": sum(int(a.get("size") or 0) for a in adds.values()),
+            "properties": dict(m.get("configuration") or {}),
+            "minReaderVersion": p.get("minReaderVersion", 1),
+            "minWriterVersion": p.get("minWriterVersion", 1),
+        }
 
     def clone_from(self, source: "DeltaLogTable") -> int:
         """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): one

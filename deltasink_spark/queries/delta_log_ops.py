@@ -1949,3 +1949,112 @@ def scan_delta_log_v2_checkpoint(spark, sf_dir):
     t2 = DeltaLogTable(t.path)  # fresh fold: v2 top-level + sidecars only
     assert t2.append(ev.limit(1), "v2ck", 0) is None  # txn mark survived
     return t2.read(spark)
+
+
+@query(
+    "sink_delta_copy_into",
+    oracle=f"SELECT {', '.join(_EV_COLS)} FROM events",
+)
+def sink_delta_copy_into(spark, sf_dir):
+    """COPY INTO — idempotent BULK FILE INGEST (Delta's COPY INTO: a
+    source file loads EXACTLY ONCE however many times the command
+    re-runs — the retryable-backfill primitive every landing-zone
+    pipeline needs). The loaded-file ledger is one `txn` action per
+    file, committed ATOMICALLY with the loaded rows, so it rides
+    checkpoints and survives log cleanup like every exactly-once mark.
+    Exercised: 4-file initial load; a full RERUN that must be a no-op
+    (asserted — reloading would double the table); a 5th file arrives
+    and an incremental run loads ONLY it (asserted by commit count);
+    a final rerun no-ops again. Oracle: the table equals the source
+    exactly once. Scale: each run costs O(new files) — ledger check is
+    a txn-fold set lookup, the load scans only new files."""
+    t = _fresh_table("copyinto")
+    src = os.path.join(_DL_BASE, "copyinto_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    ev = _ev(spark, sf_dir)
+    stage = os.path.join(_DL_BASE, "copyinto_stage")
+    for k in range(4):
+        sl = ev.filter(F.col("event_id") % 5 == k)
+        sl.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(src, f"batch{k}.parquet"))
+    v1 = t.copy_into(spark, src)
+    assert t.copy_into(spark, src) is None, "rerun must be a no-op"
+    # the fifth file arrives later — incremental run loads only it
+    sl = ev.filter(F.col("event_id") % 5 == 4)
+    sl.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(src, "batch4.parquet"))
+    v2 = t.copy_into(spark, src)
+    if v1 is not None:
+        assert v2 == v1 + 1, "incremental run must be exactly one commit"
+    assert t.copy_into(spark, src) is None
+    if t.latest_version() < 0:  # empty corpus: still create the table
+        t.append(spark.createDataFrame([], _EV_SCHEMA))
+    return t.read(spark)
+
+
+@query(
+    "scan_delta_log_detail",
+    oracle=f"""
+    WITH acts AS (
+        SELECT "add".path AS ap, "add".size AS asz,
+               "remove".path AS rp
+        FROM read_json('{os.path.join(_DL_BASE, "detail")}/_delta_log/*.json',
+            columns = {{
+                "add": 'STRUCT(path VARCHAR, size BIGINT)',
+                "remove": 'STRUCT(path VARCHAR)'
+            }})
+    ),
+    live AS (
+        SELECT ap AS p, MAX(asz) AS sz FROM acts WHERE ap IS NOT NULL
+        AND ap NOT IN (SELECT rp FROM acts WHERE rp IS NOT NULL)
+        GROUP BY ap
+    )
+    SELECT 'parquet' AS format,
+           'user_bucket' AS partition_cols,
+           CAST(COUNT(*) AS BIGINT) AS num_files,
+           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS size_in_bytes,
+           CAST(1 AS BIGINT) AS min_reader,
+           CAST(4 AS BIGINT) AS min_writer,
+           'true' AS appendonly_prop
+    FROM live
+    """,
+)
+def scan_delta_log_detail(spark, sf_dir):
+    """DESCRIBE DETAIL (delta-spark's table-metadata summary): format,
+    partition columns, live numFiles / sizeInBytes, table properties
+    and the protocol floor — all from the LOG FOLD, never a filesystem
+    scan (pure metadata at any table size). The oracle is the
+    INDEPENDENT reader: DuckDB hand-parses the action JSON, folds
+    add−remove and sums the live add sizes — agreement proves the
+    detail numbers are the format's truth, not this reader's. Built:
+    a partitioned table, two appends, a DELETE (rewrites shrink and
+    re-add files — numFiles/size must track the fold, not history),
+    and a property flip the detail must surface."""
+    t = _fresh_table("detail")
+    ev = _ev(spark, sf_dir).withColumn(
+        "user_bucket", F.coalesce(F.col("user_id") % 4, F.lit(0)).cast("string")
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 0), partition_by=("user_bucket",))
+    t.append(ev.filter((F.col("event_id") % 2 == 1) | F.col("event_id").isNull()))
+    t.delete_where(spark, "value < 30")
+    t.set_properties({"delta.appendOnly": "true"})
+    d = t.detail()
+    return spark.createDataFrame(
+        [
+            (
+                d["format"],
+                ",".join(d["partitionColumns"]),
+                d["numFiles"],
+                d["sizeInBytes"],
+                d["minReaderVersion"],
+                d["minWriterVersion"],
+                d["properties"].get("delta.appendOnly", "absent"),
+            )
+        ],
+        "format string, partition_cols string, num_files long, "
+        "size_in_bytes long, min_reader long, min_writer long, "
+        "appendonly_prop string",
+    )
