@@ -2119,3 +2119,65 @@ def test_v2_checkpoint_foreign_sidecar_forms(spark, tmp_path):
     t4 = DeltaLogTable(t.path)
     assert {r["event_id"] for r in t4.read(spark).collect()} == set(range(30))
     assert t4.append(_ev(spark, 1), "f", 1) is None
+
+
+def test_cross_process_commit_race(spark, tmp_path):
+    """The commit protocol across OS PROCESS boundaries (threads share
+    a JVM and an interpreter — flock's real contract is between
+    processes): 3 subprocesses and the main process each land 8
+    metadata commits (SET TBLPROPERTIES with distinct keys) on ONE
+    table, retrying on MetadataChangedError. Linearizable outcome:
+    every key present exactly once in the final configuration, the
+    version sequence contiguous, no commit clobbered."""
+    import subprocess
+    import sys as _sys
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from deltasink_spark.delta_log import DeltaLogTable, MetadataChangedError
+path, wid = sys.argv[1], sys.argv[2]
+t = DeltaLogTable(path)
+for j in range(8):
+    for _ in range(200):
+        try:
+            t.set_properties({f"w{wid}.k{j}": "v"})
+            break
+        except MetadataChangedError:
+            continue
+    else:
+        raise SystemExit(f"worker {wid} exhausted retries at {j}")
+print("done", wid)
+"""
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, t.path, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(3)
+    ]
+    from deltasink_spark.delta_log import MetadataChangedError
+
+    for j in range(8):
+        for _ in range(200):
+            try:
+                t.set_properties({f"wmain.k{j}": "v"})
+                break
+            except MetadataChangedError:
+                continue
+        else:
+            raise AssertionError("main exhausted retries")
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, (out, err)
+    t2 = DeltaLogTable(t.path)
+    cfg = (t2._metadata_dict() or {}).get("configuration") or {}
+    want = {f"w{w}.k{j}" for w in ["0", "1", "2", "main"] for j in range(8)}
+    assert want <= set(cfg), sorted(want - set(cfg))
+    vf = [v for v, _ in t2._version_files()]
+    assert vf == list(range(len(vf)))  # contiguous, no clobber
+    assert len(vf) >= 1 + 32  # the append + every property commit
+    assert t2.read(spark).count() == 10
