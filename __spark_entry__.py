@@ -110,6 +110,7 @@ _R12_NEW: list[str] = [
     "scan_delta_log_v2_checkpoint",
     "sink_delta_copy_into",
     "scan_delta_log_detail",
+    "sink_delta_optimize_partition",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

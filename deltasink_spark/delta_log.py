@@ -2582,6 +2582,7 @@ class DeltaLogTable(_CheckpointMixin):
         target_files: int = 2,
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, ...] = (),
+        partitions: dict | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the live snapshot as ``target_files``
         right-sized files (per partition on a partitioned table),
@@ -2600,16 +2601,41 @@ class DeltaLogTable(_CheckpointMixin):
         after it, a range predicate on ANY of the dimensions prunes
         to a narrow band of files instead of the fleet.
 
+        ``partitions`` scopes the rewrite (OPTIMIZE ... WHERE on
+        partition columns — how a 100 TB table is actually compacted:
+        partition by partition, never the fleet at once): only files
+        whose partitionValues match every given (column, value) pair
+        are rewritten; everything else is untouched metadata and the
+        concurrency precondition covers only the selected files, so
+        parallel OPTIMIZEs of DIFFERENT partitions never conflict.
+
         Scale: the z-key is pure codegen bit arithmetic; clustering is
         repartitionByRange (sampled boundaries, one shuffle) +
         sortWithinPartitions — never a global sort."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
         adds_live = self.snapshot_adds()
+        pb = self.partition_columns()
+        if partitions:
+            unknown = set(partitions) - set(pb)
+            if unknown:
+                raise ValueError(
+                    f"OPTIMIZE WHERE targets non-partition column(s) "
+                    f"{sorted(unknown)} (partitioned by {list(pb)})"
+                )
+            cm = self.column_mapping() or {}
+            want = {cm.get(k, k): str(v) for k, v in partitions.items()}
+            adds_live = {
+                p: a
+                for p, a in adds_live.items()
+                if all(
+                    (a.get("partitionValues") or {}).get(k) == v
+                    for k, v in want.items()
+                )
+            }
         live = list(adds_live)
         if not live:
             raise ValueError("nothing to optimize")
-        pb = self.partition_columns()
         # DV-aware read: OPTIMIZE PURGES deletion vectors — the
         # rewrite materializes only surviving rows, so the new files
         # carry no DV (delta's OPTIMIZE ... behavior)

@@ -2058,3 +2058,57 @@ def scan_delta_log_detail(spark, sf_dir):
         "size_in_bytes long, min_reader long, min_writer long, "
         "appendonly_prop string",
     )
+
+
+@query(
+    "sink_delta_optimize_partition",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)},
+           CASE WHEN COALESCE(user_id % 2 = 0, FALSE) THEN 'a' ELSE 'b' END
+             AS shop
+    FROM events
+    """,
+)
+def sink_delta_optimize_partition(spark, sf_dir):
+    """OPTIMIZE ... WHERE — partition-scoped compaction (how a 100 TB
+    table is actually maintained: one partition at a time on its own
+    schedule, never the fleet in one commit): three scattered appends
+    leave small files in BOTH partitions; OPTIMIZE WHERE shop='a'
+    rewrites ONLY that partition (the other partition's add actions
+    stay byte-identical — asserted), and because the concurrency
+    precondition covers only the selected files, parallel OPTIMIZEs of
+    different partitions never abort each other. The oracle proves the
+    scoped rewrite changed no rows anywhere."""
+    _SENTINEL_TYPES.setdefault("shop", "string")
+    t = _fresh_table("optpart", cols=_EV_COLS + ["shop"])
+    ev = _ev(spark, sf_dir).withColumn(
+        "shop",
+        F.when(F.coalesce(F.col("user_id") % 2 == 0, F.lit(False)), "a")
+        .otherwise("b"),
+    )
+    for k in range(3):
+        sl = ev.filter(F.coalesce(F.col("event_id") % 3, F.lit(0)) == k)
+        if sl.limit(1).count():
+            t.append(sl, partition_by=("shop",))
+    if t.latest_version() < 0:
+        t.append(
+            spark.createDataFrame([], _EV_SCHEMA + ", shop string"),
+            partition_by=("shop",),
+        )
+    before_b = {
+        p: a["size"]
+        for p, a in t.snapshot_adds().items()
+        if (a.get("partitionValues") or {}).get("shop") == "b"
+    }
+    if any(
+        (a.get("partitionValues") or {}).get("shop") == "a"
+        for a in t.snapshot_adds().values()
+    ):
+        t.optimize(spark, target_files=1, partitions={"shop": "a"})
+    after_b = {
+        p: a["size"]
+        for p, a in t.snapshot_adds().items()
+        if (a.get("partitionValues") or {}).get("shop") == "b"
+    }
+    assert after_b == before_b, "scoped OPTIMIZE must not touch partition b"
+    return t.read(spark)

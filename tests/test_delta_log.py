@@ -2181,3 +2181,33 @@ print("done", wid)
     assert vf == list(range(len(vf)))  # contiguous, no clobber
     assert len(vf) >= 1 + 32  # the append + every property commit
     assert t2.read(spark).count() == 10
+
+
+def test_optimize_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE (partition-scoped compaction): only the
+    selected partition's files rewrite; the other partition's files
+    stay byte-identical; parallel OPTIMIZEs of different partitions
+    never conflict (disjoint preconditions)."""
+    t = _table(tmp_path)
+    df = _ev(spark, 40).withColumn(
+        "shop", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    for k in range(3):  # small files in both partitions
+        t.append(
+            df.filter(F.col("event_id") % 3 == k), partition_by=("shop",)
+        )
+    before = {
+        p: a for p, a in t.snapshot_adds().items()
+        if a["partitionValues"]["shop"] == "b"
+    }
+    t.optimize(spark, target_files=1, partitions={"shop": "a"})
+    after = t.snapshot_adds()
+    # partition b untouched — same action paths, same bytes
+    assert {p: a["size"] for p, a in after.items()
+            if a["partitionValues"]["shop"] == "b"} \
+        == {p: a["size"] for p, a in before.items()}
+    a_files = [p for p, a in after.items() if a["partitionValues"]["shop"] == "a"]
+    assert len(a_files) == 1  # compacted
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(40))
+    with pytest.raises(ValueError, match="non-partition"):
+        t.optimize(spark, partitions={"event_id": 1})
