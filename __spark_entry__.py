@@ -111,6 +111,7 @@ _R12_NEW: list[str] = [
     "sink_delta_copy_into",
     "scan_delta_log_detail",
     "sink_delta_optimize_partition",
+    "scan_delta_log_domain_metadata",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

@@ -94,6 +94,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "inCommitTimestamp",
         "invariants",
         "v2Checkpoint",
+        "domainMetadata",
     }
 )
 _MAX_READER_VERSION = 3
@@ -230,6 +231,16 @@ def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     if file_actions_only:
@@ -240,6 +251,7 @@ def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
                 full.field("protocol"),
                 full.field("metaData"),
                 full.field("txn"),
+                full.field("domainMetadata"),
                 pa.field(
                     "checkpointMetadata",
                     pa.struct(
@@ -364,12 +376,14 @@ class _CheckpointMixin:
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        doms: dict[str, dict] = {}
         start = 0
         pcv = self.last_checkpoint()
         if pcv is not None and pcv <= v:
             st = self._checkpoint_state(pcv)
             meta, proto, txns = st["meta"], st["proto"], st["txns"]
             adds, removes = st["adds"], st["removes"]
+            doms = dict(st.get("doms") or {})
             start = pcv + 1
         for _, a in self._actions(v, from_version=start):
             if "add" in a:
@@ -385,6 +399,8 @@ class _CheckpointMixin:
             elif "txn" in a:
                 t = a["txn"]
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+            elif "domainMetadata" in a:
+                doms[a["domainMetadata"]["domain"]] = a["domainMetadata"]
         # spec: retain UNEXPIRED tombstones only — older ones age out
         cutoff = _now_ms() - _TOMBSTONE_RETENTION_MS
         removes = {
@@ -420,6 +436,20 @@ class _CheckpointMixin:
             )
         for app, ver in sorted(txns.items()):
             nonfile.append({"txn": {"appId": app, "version": ver}})
+        # live domains only: once checkpointed, no older SET survives
+        # for a removed tombstone to shadow
+        for d in sorted(doms):
+            r = doms[d]
+            if not r.get("removed"):
+                nonfile.append(
+                    {
+                        "domainMetadata": {
+                            "domain": r["domain"],
+                            "configuration": r.get("configuration"),
+                            "removed": False,
+                        }
+                    }
+                )
         file_rows: list[dict] = []
         for p in adds:
             ad = adds[p]
@@ -655,11 +685,15 @@ class _CheckpointMixin:
         txns: dict[str, int] = {}
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
+        doms: dict[str, dict] = {}
         tops = self._checkpoint_paths(cv)
         # non-file actions live in the top-level file(s); file actions
         # in the top-level AND (v2) any sidecars — the file-action list
         # includes the tops, so each path reads its columns ONCE
-        plan = [(cp, ("protocol", "metaData", "txn")) for cp in tops] + [
+        plan = [
+            (cp, ("protocol", "metaData", "txn", "domainMetadata"))
+            for cp in tops
+        ] + [
             (cp, ("add", "remove"))
             for cp in self._checkpoint_file_action_paths(cv)
         ]
@@ -691,6 +725,9 @@ class _CheckpointMixin:
                     txns[rec["appId"]] = max(
                         txns.get(rec["appId"], -1), rec["version"]
                     )
+            for rec in cold.get("domainMetadata", []):
+                if rec is not None:
+                    doms[rec["domain"]] = dict(rec)
             for rec in cold.get("add", []):
                 if rec is not None:
                     rec = dict(rec)
@@ -708,6 +745,7 @@ class _CheckpointMixin:
             "txns": txns,
             "adds": adds,
             "removes": removes,
+            "doms": doms,
         }
 
     def _checkpoint_removes(self, cv: int) -> dict[str, dict]:
@@ -2173,6 +2211,80 @@ class DeltaLogTable(_CheckpointMixin):
                 "table metaData changed while dropping the constraint; retry"
             )
         return v
+
+    def set_domain_metadata(
+        self, domain: str, configuration: dict, removed: bool = False
+    ) -> int:
+        """domainMetadata action (the spec's writer feature — the
+        namespaced side-channel real Delta uses for clustering state,
+        row-tracking domains etc.): one action per domain per commit,
+        latest-wins per domain, ``removed=True`` tombstones it. The
+        feature is ledgered on first use (minWriter 7) so a writer
+        that doesn't understand domains refuses the table instead of
+        silently dropping them on its next checkpoint."""
+        proto = dict(self._protocol_dict() or _PROTOCOL)
+        actions: list[dict] = []
+        if "domainMetadata" not in (proto.get("writerFeatures") or ()):
+            proto["minWriterVersion"] = 7
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures") or []) | {"domainMetadata"}
+            )
+            if proto.get("minReaderVersion", 1) >= 3 and "readerFeatures" not in proto:
+                proto["readerFeatures"] = []
+            actions.append({"protocol": proto})
+            self._write_proto_ok = False
+        actions += [
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": json.dumps(
+                        configuration, sort_keys=True
+                    ),
+                    "removed": bool(removed),
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                }
+            },
+        ]
+        return self._commit(actions)
+
+    def domain_metadata(self) -> dict[str, dict]:
+        """domain -> configuration dict, latest action per domain wins,
+        removed domains excluded — folded from the last checkpoint's
+        retained domainMetadata rows + the JSON tail (the spec requires
+        checkpoints to retain live domains, so the fold survives log
+        cleanup)."""
+        doms: dict[str, dict] = {}
+        start = 0
+        cv = self.last_checkpoint()
+        if cv is not None:
+            import pyarrow.parquet as pq
+
+            for cp in self._checkpoint_paths(cv):
+                f = pq.ParquetFile(cp)
+                if "domainMetadata" not in f.schema_arrow.names:
+                    continue
+                for rec in (
+                    pq.read_table(cp, columns=["domainMetadata"])
+                    .column("domainMetadata")
+                    .to_pylist()
+                ):
+                    if rec is not None:
+                        doms[rec["domain"]] = dict(rec)
+            start = cv + 1
+        for _, a in self._actions(from_version=start):
+            if "domainMetadata" in a:
+                doms[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+        return {
+            d: json.loads(r.get("configuration") or "{}")
+            for d, r in doms.items()
+            if not r.get("removed")
+        }
 
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: a new metaData action whose

@@ -33,6 +33,7 @@ crash residue.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -2112,3 +2113,60 @@ def sink_delta_optimize_partition(spark, sf_dir):
     }
     assert after_b == before_b, "scoped OPTIMIZE must not touch partition b"
     return t.read(spark)
+
+
+@query(
+    "scan_delta_log_domain_metadata",
+    oracle=f"""
+    WITH dm AS (
+        SELECT "domainMetadata".domain AS domain,
+               "domainMetadata".configuration AS configuration,
+               "domainMetadata".removed AS removed,
+               CAST(regexp_extract(parse_filename(filename), '^(\\d{{20}})', 1)
+                    AS BIGINT) AS v
+        FROM read_json('{os.path.join(_DL_BASE, "domains")}/_delta_log/*.json',
+            filename = true,
+            columns = {{
+                "domainMetadata": 'STRUCT(domain VARCHAR, configuration VARCHAR, removed BOOLEAN)'
+            }})
+        WHERE "domainMetadata".domain IS NOT NULL
+    ),
+    latest AS (
+        SELECT domain, configuration, removed,
+               ROW_NUMBER() OVER (PARTITION BY domain ORDER BY v DESC) AS rn
+        FROM dm
+    )
+    SELECT domain, configuration FROM latest WHERE rn = 1 AND NOT removed
+    """,
+)
+def scan_delta_log_domain_metadata(spark, sf_dir):
+    """domainMetadata (the spec's namespaced metadata side-channel —
+    what real Delta stores clustering state and row-tracking domains
+    in, writer feature minWriter 7 ledgered on first use): one action
+    per domain per commit, LATEST per domain wins, removed=true
+    tombstones the domain; checkpoints (classic and v2 top-level)
+    retain live domains so the fold survives log cleanup (pinned in
+    tests/test_delta_log.py). Built: a clustering-style domain, a
+    watermark domain SET TWICE (only the later value may surface), and
+    a set-then-REMOVED domain (must not surface). The oracle is the
+    INDEPENDENT reader: DuckDB parses the raw domainMetadata actions,
+    takes the max-version row per domain and filters tombstones —
+    agreement proves the fold is the format's, not this reader's. The
+    watermark value derives from the source so the op tracks the
+    fixture."""
+    t = _fresh_table("domains")
+    ev = _ev(spark, sf_dir)
+    t.append(ev)
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    t.set_domain_metadata(
+        "delta.clustering", {"clusteringColumns": ["event_id", "user_id"]}
+    )
+    t.set_domain_metadata("app.watermark", {"max_event_id": 0})
+    t.set_domain_metadata("app.watermark", {"max_event_id": int(hi)})
+    t.set_domain_metadata("app.tmp", {"x": 1})
+    t.set_domain_metadata("app.tmp", {}, removed=True)
+    doms = t.domain_metadata()
+    return spark.createDataFrame(
+        [(d, json.dumps(c, sort_keys=True)) for d, c in sorted(doms.items())],
+        "domain string, configuration string",
+    )

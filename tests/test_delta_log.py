@@ -2211,3 +2211,37 @@ def test_optimize_partition_scoped(spark, tmp_path):
     assert {r["event_id"] for r in t.read(spark).collect()} == set(range(40))
     with pytest.raises(ValueError, match="non-partition"):
         t.optimize(spark, partitions={"event_id": 1})
+
+
+def test_domain_metadata_fold_checkpoints_and_cleanup(spark, tmp_path):
+    """domainMetadata: latest-per-domain wins, removed tombstones
+    drop, the writer feature is ledgered on first use, and live
+    domains survive BOTH checkpoint formats + log cleanup."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_domain_metadata(
+        "delta.clustering", {"clusteringColumns": ["event_id"]}
+    )
+    t.set_domain_metadata("app.watermark", {"ts": 123})
+    t.set_domain_metadata("app.watermark", {"ts": 456})
+    t.set_domain_metadata("app.tmp", {"x": 1})
+    t.set_domain_metadata("app.tmp", {}, removed=True)
+    want = {
+        "delta.clustering": {"clusteringColumns": ["event_id"]},
+        "app.watermark": {"ts": 456},
+    }
+    assert t.domain_metadata() == want
+    p = t._protocol_dict()
+    assert "domainMetadata" in p["writerFeatures"]
+    assert p["minWriterVersion"] == 7
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    assert DeltaLogTable(t.path).domain_metadata() == want
+    t2 = DeltaLogTable(t.path)
+    t2.enable_v2_checkpoints()
+    t2.set_domain_metadata("post.ckpt", {"y": 2})
+    t2.checkpoint_v2(sidecars=2)
+    t2.cleanup_log(retention_ms=0)
+    t3 = DeltaLogTable(t.path)
+    assert t3.domain_metadata() == {**want, "post.ckpt": {"y": 2}}
+    assert t3.read(spark).count() == 20
