@@ -550,15 +550,14 @@ class _CheckpointMixin:
     def enable_v2_checkpoints(self) -> int:
         """Ledger the v2Checkpoint protocol feature (reader AND writer
         — the spec requires readers to understand the UUID-named
-        top-level + sidecar layout before they can fold the log)."""
-        proto = dict(self._protocol_dict() or _PROTOCOL)
-        proto["minReaderVersion"] = 3
-        proto["minWriterVersion"] = 7
-        proto["readerFeatures"] = sorted(
-            set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
-        )
-        proto["writerFeatures"] = sorted(
-            set(proto.get("writerFeatures") or []) | {"v2Checkpoint"}
+        top-level + sidecar layout before they can fold the log).
+        ADDITIVE and compare-under-lock: features other enablers
+        ledgered survive, and a racing enabler aborts instead of
+        being clobbered."""
+        base = self._protocol_dict()
+        proto = self._upgraded_protocol(
+            reader_features=("v2Checkpoint",),
+            writer_features=("v2Checkpoint",),
         )
         v = self._commit(
             [
@@ -570,8 +569,13 @@ class _CheckpointMixin:
                         "operationParameters": {"feature": "v2Checkpoint"},
                     }
                 },
-            ]
+            ],
+            precondition=lambda: self._protocol_dict() == base,
         )
+        if v is None:
+            raise MetadataChangedError(
+                "protocol changed while enabling v2Checkpoint; retry"
+            )
         self._read_proto_ok = False  # re-gate with the new protocol
         self._write_proto_ok = False
         return v
@@ -2222,16 +2226,21 @@ class DeltaLogTable(_CheckpointMixin):
         feature is ledgered on first use (minWriter 7) so a writer
         that doesn't understand domains refuses the table instead of
         silently dropping them on its next checkpoint."""
-        proto = dict(self._protocol_dict() or _PROTOCOL)
+        base = self._protocol_dict()
         actions: list[dict] = []
-        if "domainMetadata" not in (proto.get("writerFeatures") or ()):
-            proto["minWriterVersion"] = 7
-            proto["writerFeatures"] = sorted(
-                set(proto.get("writerFeatures") or []) | {"domainMetadata"}
+        upgrading = "domainMetadata" not in (
+            (base or {}).get("writerFeatures") or ()
+        )
+        if upgrading:
+            # ADDITIVE upgrade with legacy-implied features carried
+            # (the _upgraded_protocol discipline)
+            actions.append(
+                {
+                    "protocol": self._upgraded_protocol(
+                        writer_features=("domainMetadata",)
+                    )
+                }
             )
-            if proto.get("minReaderVersion", 1) >= 3 and "readerFeatures" not in proto:
-                proto["readerFeatures"] = []
-            actions.append({"protocol": proto})
             self._write_proto_ok = False
         actions += [
             {
@@ -2251,7 +2260,17 @@ class DeltaLogTable(_CheckpointMixin):
                 }
             },
         ]
-        return self._commit(actions)
+        v = self._commit(
+            actions,
+            precondition=(
+                (lambda: self._protocol_dict() == base) if upgrading else None
+            ),
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "protocol changed while enabling domainMetadata; retry"
+            )
+        return v
 
     def domain_metadata(self) -> dict[str, dict]:
         """domain -> configuration dict, latest action per domain wins,
@@ -2259,6 +2278,7 @@ class DeltaLogTable(_CheckpointMixin):
         retained domainMetadata rows + the JSON tail (the spec requires
         checkpoints to retain live domains, so the fold survives log
         cleanup)."""
+        self._check_read_protocol()  # a read surface like any other
         doms: dict[str, dict] = {}
         start = 0
         cv = self.last_checkpoint()
@@ -2320,6 +2340,49 @@ class DeltaLogTable(_CheckpointMixin):
                 "table metaData changed while setting properties; retry"
             )
         return v
+
+    def _upgraded_protocol(
+        self,
+        reader_features: tuple[str, ...] = (),
+        writer_features: tuple[str, ...] = (),
+    ) -> dict:
+        """The current protocol RAISED to table-features form with the
+        given features ADDED — never a wholesale replacement: at
+        (3, 7) only LISTED features are active for a spec-compliant
+        external client, so dropping the features another enabler
+        ledgered (v2Checkpoint, domainMetadata, columnMapping...) would
+        silently deactivate them. A LEGACY protocol's implied
+        capabilities ride along explicitly (the enable_ict discipline,
+        per the spec's version→feature table), and a legacy reader-2
+        (column mapping) carries columnMapping into readerFeatures."""
+        proto = dict(self._protocol_dict() or _PROTOCOL)
+        rf = set(proto.get("readerFeatures") or [])
+        wf = set(proto.get("writerFeatures") or [])
+        if "writerFeatures" not in proto:
+            mwv = proto.get("minWriterVersion", 1)
+            legacy_w = {
+                2: {"appendOnly", "invariants"},
+                3: {"checkConstraints"},
+                4: {"changeDataFeed", "generatedColumns"},
+                5: {"columnMapping"},
+                6: {"identityColumns"},
+            }
+            for lvl, feats in legacy_w.items():
+                if mwv >= lvl:
+                    wf |= feats
+        if "readerFeatures" not in proto and proto.get("minReaderVersion", 1) >= 2:
+            rf |= {"columnMapping"}
+        rf |= set(reader_features)
+        wf |= set(writer_features)
+        # a reader feature must be listed writer-side too (spec rule)
+        wf |= rf
+        out: dict = {"minWriterVersion": 7, "writerFeatures": sorted(wf)}
+        if rf:
+            out["minReaderVersion"] = 3
+            out["readerFeatures"] = sorted(rf)
+        else:
+            out["minReaderVersion"] = proto.get("minReaderVersion", 1)
+        return out
 
     def _check_read_protocol(self) -> None:
         """Reader-side protocol gate (PROTOCOL.md's rule: a client
@@ -2736,7 +2799,12 @@ class DeltaLogTable(_CheckpointMixin):
                     f"{sorted(unknown)} (partitioned by {list(pb)})"
                 )
             cm = self.column_mapping() or {}
-            want = {cm.get(k, k): str(v) for k, v in partitions.items()}
+            # None selects the NULL partition (partitionValues stores
+            # null for it — str() would never match)
+            want = {
+                cm.get(k, k): (None if v is None else str(v))
+                for k, v in partitions.items()
+            }
             adds_live = {
                 p: a
                 for p, a in adds_live.items()
@@ -2943,14 +3011,16 @@ class DeltaLogTable(_CheckpointMixin):
         proto = self._protocol_dict()
         upgrade: list[dict] = []
         if "deletionVectors" not in (proto or {}).get("readerFeatures", []):
+            # ADDITIVE upgrade: a wholesale protocol replacement here
+            # would erase features other enablers ledgered
+            # (v2Checkpoint, domainMetadata, ICT...) and deactivate
+            # the legacy versions' implied capabilities
             upgrade.append(
                 {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": ["deletionVectors"],
-                    }
+                    "protocol": self._upgraded_protocol(
+                        reader_features=("deletionVectors",),
+                        writer_features=("deletionVectors",),
+                    )
                 }
             )
         full = self._read_adds(spark, adds, with_lineage=True)
@@ -3069,7 +3139,18 @@ class DeltaLogTable(_CheckpointMixin):
             }
         )
 
-        v = self._commit(actions, self._adds_unchanged(planned))
+        adds_ok = self._adds_unchanged(planned)
+
+        def _pre_dv() -> bool:
+            if upgrade and self._protocol_dict() != proto:
+                # a concurrent feature enable landed: committing our
+                # stale upgrade action would erase its feature
+                raise MetadataChangedError(
+                    "protocol changed while enabling deletionVectors; retry"
+                )
+            return adds_ok()
+
+        v = self._commit(actions, _pre_dv)
         if v is None:
             raise ConcurrentDeleteReadError(
                 "a concurrent commit changed files this DV DELETE "
@@ -3744,7 +3825,9 @@ class DeltaLogTable(_CheckpointMixin):
         semantics: each source file loads EXACTLY ONCE however many
         times the command re-runs — the retryable backfill primitive).
         The loaded-file ledger is one `txn` action per source file
-        (appId = "copyInto:" + the file's table-relative identity), so
+        (appId = "copyInto:" + the file's fully-qualified real path —
+        same-named files in different directories are different
+        files), so
         it rides checkpoints and survives log cleanup like every other
         exactly-once mark; modified files are NOT reloaded (Delta's
         default — a reload would duplicate their already-loaded rows).
@@ -3766,32 +3849,40 @@ class DeltaLogTable(_CheckpointMixin):
         if not files:
             return None
         ledger = self.txn_versions()
-        new = [
-            f for f in files
-            if ledger.get(f"copyInto:{f}", -1) < 0
-        ]
+        # ledger keys are the FULLY-QUALIFIED source path (real COPY
+        # INTO's identity): two directories' same-named files are
+        # different files — a basename key would silently never load
+        # the second one
+        def _key(f: str) -> str:
+            return "copyInto:" + os.path.realpath(os.path.join(src_dir, f))
+
+        new = [f for f in files if ledger.get(_key(f), -1) < 0]
         if not new:
             return None
-        reader = spark.read
+        paths = [os.path.join(src_dir, f) for f in new]
         s = self.schema()
+        reader = spark.read
         if s is not None:
+            # schema enforcement needs the files' OWN columns: an
+            # imposed read schema silently drops extra source columns
+            # (the exact data loss this guard refuses), so probe the
+            # footers first
             have = {x.name for x in s.fields}
-            reader = reader.schema(s)
-        df = getattr(reader, fmt)(*[os.path.join(src_dir, f) for f in new])
-        if s is not None:
-            extra = [c for c in df.columns if c not in have]
+            probed = getattr(spark.read, fmt)(*paths)
+            extra = [c for c in probed.columns if c not in have]
             if extra:
                 raise ValueError(
                     f"COPY INTO source carries columns {extra} the table "
                     "lacks (schema enforcement — evolve the table first)"
                 )
+            reader = reader.schema(s)
+        df = getattr(reader, fmt)(*paths)
         df = self._apply_generated(df)
         self._enforce_constraints(df)
         adds = self._stage_files(df, partition_by=self.partition_columns())
         now = _now_ms()
         actions: list[dict] = [
-            {"txn": {"appId": f"copyInto:{f}", "version": 0,
-                     "lastUpdated": now}}
+            {"txn": {"appId": _key(f), "version": 0, "lastUpdated": now}}
             for f in new
         ]
         actions += [{"add": a} for a in adds]
@@ -3812,7 +3903,7 @@ class DeltaLogTable(_CheckpointMixin):
             # a concurrent COPY INTO may have ledgered some of these
             # files while we staged — loading them again would double
             led = self.txn_versions(refresh=True)
-            return all(led.get(f"copyInto:{f}", -1) < 0 for f in new)
+            return all(led.get(_key(f), -1) < 0 for f in new)
 
         v = self._commit(
             actions,
@@ -4549,6 +4640,11 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         # where the next latestOffset is uncapped (a restart whose
         # first action is offset discovery), documented best-effort
         self._planned_v: int | None = None
+        # per-version dataChange-add counts (a committed version's
+        # content is immutable, so the cache never invalidates) —
+        # keeps per-trigger admission O(newly admitted commits)
+        # instead of re-parsing previously seen files every trigger
+        self._add_counts: dict[int, int] = {}
         self.table = DeltaLogTable(self.path)
         # the stream reads via pyarrow, not snapshot_adds — gate here
         self.table._check_read_protocol()
@@ -4586,23 +4682,31 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         n = 0
         nxt = lo + 1
         if nxt < earliest:
-            # cleaned log: the first batch is the checkpoint SNAPSHOT
-            # (see _range_adds) — it is atomic, so the cap cannot split
-            # it; admit through the checkpoint version
+            if lo >= 0:
+                # resume below the cleaned horizon: admission control
+                # has nothing to meter — let partitions() raise the
+                # loud data-loss error on the full range
+                return {"v": latest}
+            # fresh stream on a cleaned log: the first batch is the
+            # checkpoint SNAPSHOT (see _range_adds) — it is atomic, so
+            # the cap cannot split it; admit through the checkpoint
             cv = self.table.last_checkpoint()
             if cv is not None:
                 v = cv
                 nxt = cv + 1
         for vv in range(max(nxt, 0), latest + 1):
-            p = vf.get(vv)
-            cnt = 0
-            if p is not None:
-                with open(p) as fh:
-                    for line in fh:
-                        if line.strip():
-                            a = json.loads(line)
-                            if "add" in a and a["add"].get("dataChange"):
-                                cnt += 1
+            cnt = self._add_counts.get(vv)
+            if cnt is None:
+                p = vf.get(vv)
+                cnt = 0
+                if p is not None:
+                    with open(p) as fh:
+                        for line in fh:
+                            if line.strip():
+                                a = json.loads(line)
+                                if "add" in a and a["add"].get("dataChange"):
+                                    cnt += 1
+                self._add_counts[vv] = cnt
             if n and n + cnt > self.max_files_per_trigger:
                 break
             n += cnt
@@ -4617,10 +4721,23 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         vf = self.table._version_files()
         earliest = vf[0][0] if vf else 0
         if start < earliest:
-            # log-retention cleanup removed commits [start, earliest):
-            # a fresh stream (or one resuming from below the horizon)
-            # serves the CHECKPOINT SNAPSHOT as its first batch and
-            # exact per-commit batches after it — delta-spark's
+            if lo >= 0:
+                # a RESUMING stream (it already served rows up to lo)
+                # whose next commits were cleaned: serving the snapshot
+                # would RE-DELIVER everything at or below lo and erase
+                # the cleaned range's deletes from a CDF — data
+                # duplication, not recovery. delta-spark fails this
+                # loudly (failOnDataLoss); so do we.
+                raise ValueError(
+                    f"stream resumed at version {lo} but commits "
+                    f"[{start}, {earliest}) were cleaned from the log — "
+                    "the change history this stream still owes its sink "
+                    "is gone (restart the stream from scratch to serve "
+                    "the current snapshot instead)"
+                )
+            # FRESH stream (lo == -1) on a cleaned log: serve the
+            # CHECKPOINT SNAPSHOT as the first batch and exact
+            # per-commit batches after it — delta-spark's
             # initial-snapshot semantics (in CDF mode the snapshot rows
             # surface as inserts at the checkpoint version, what
             # readChangeFeed without startingVersion serves). Without

@@ -2245,3 +2245,110 @@ def test_domain_metadata_fold_checkpoints_and_cleanup(spark, tmp_path):
     t3 = DeltaLogTable(t.path)
     assert t3.domain_metadata() == {**want, "post.ckpt": {"y": 2}}
     assert t3.read(spark).count() == 20
+
+
+def test_stream_resume_below_cleaned_horizon_raises(spark, tmp_path):
+    """A RESUMING stream (offset >= 0) whose next commits were cleaned
+    must raise loudly — serving the checkpoint snapshot would
+    re-deliver rows it already emitted (the fresh-start fallback is
+    for lo == -1 only)."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    for k in range(4):
+        t.append(_ev(spark, (k + 1) * 10).filter(F.col("event_id") >= k * 10))
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    t.append(_ev(spark, 50).filter(F.col("event_id") >= 40))
+    r = DeltaTableStreamReader({"path": t.path})
+    with pytest.raises(ValueError, match="cleaned from the log"):
+        r.partitions({"v": 0}, {"v": t.latest_version()})
+    # the capped reader's latestOffset defers the same case to
+    # partitions() instead of quietly jumping to the checkpoint
+    r2 = DeltaTableStreamReader(
+        {"path": t.path, "max_files_per_trigger": "1"}
+    )
+    r2._planned_v = 0
+    assert r2.latestOffset()["v"] == t.latest_version()
+
+
+def test_copy_into_schema_probe_and_path_identity(spark, tmp_path):
+    """COPY INTO refuses a source file carrying columns the table
+    lacks (an imposed read schema would silently DROP them), and the
+    ledger keys on the fully-qualified path — same-named files in two
+    directories both load."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    d1 = tmp_path / "jan"
+    d2 = tmp_path / "feb"
+    for d, lo in [(d1, 100), (d2, 200)]:
+        os.makedirs(d)
+        _ev(spark, lo + 10).filter(F.col("event_id") >= lo).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = [f for f in os.listdir(tmp_path / "stage")
+                if f.endswith(".parquet")][0]
+        os.rename(tmp_path / "stage" / part, d / "part-000.parquet")
+    t.copy_into(spark, str(d1))
+    t.copy_into(spark, str(d2))  # same basename, DIFFERENT file
+    got = {r["event_id"] for r in t.read(spark).collect()}
+    assert got == set(range(10)) | set(range(100, 110)) | set(range(200, 210))
+    # extra-column source refuses BEFORE any data lands
+    d3 = tmp_path / "bad"
+    os.makedirs(d3)
+    _ev(spark, 5).withColumn("tag", F.lit("x")).coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")][0]
+    os.rename(tmp_path / "stage" / part, d3 / "x.parquet")
+    before = t.latest_version()
+    with pytest.raises(ValueError, match="tag"):
+        t.copy_into(spark, str(d3))
+    assert t.latest_version() == before
+
+
+def test_feature_enables_are_additive_and_raced_safely(spark, tmp_path):
+    """Protocol upgrades UNION features: enabling v2 checkpoints, then
+    domainMetadata, then the first DV delete must leave ALL three
+    features (plus the legacy versions' implied writer features)
+    ledgered — a wholesale replacement would deactivate the others for
+    spec-compliant external clients."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.enable_v2_checkpoints()
+    t.set_domain_metadata("app.x", {"a": 1})
+    t.delete_where_dv(spark, "event_id < 3")
+    p = t._protocol_dict()
+    rf, wf = set(p["readerFeatures"]), set(p["writerFeatures"])
+    assert {"v2Checkpoint", "deletionVectors"} <= rf
+    assert {"v2Checkpoint", "domainMetadata", "deletionVectors"} <= wf
+    # the legacy (1, 4) protocol's implied writer capabilities rode up
+    assert {"appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns"} <= wf
+    assert t.domain_metadata() == {"app.x": {"a": 1}}
+    assert t.checkpoint_v2() == t.latest_version()
+    assert {r["event_id"] for r in DeltaLogTable(t.path).read(spark).collect()} \
+        == set(range(3, 20))
+
+
+def test_optimize_null_partition_scope(spark, tmp_path):
+    """OPTIMIZE ... WHERE can target the NULL partition (None matches
+    the Hive default-partition sentinel's null partitionValue)."""
+    t = _table(tmp_path)
+    df = _ev(spark, 20).withColumn(
+        "shop", F.when(F.col("event_id") % 2 == 0, "a")
+    )  # odd rows: shop NULL
+    for k in range(2):
+        t.append(df.filter(F.col("event_id") % 3 == k), partition_by=("shop",))
+    t.append(df.filter(F.col("event_id") % 3 == 2), partition_by=("shop",))
+    before_a = {
+        p for p, a in t.snapshot_adds().items()
+        if a["partitionValues"]["shop"] == "a"
+    }
+    t.optimize(spark, target_files=1, partitions={"shop": None})
+    after = t.snapshot_adds()
+    assert {p for p, a in after.items()
+            if a["partitionValues"]["shop"] == "a"} == before_a
+    null_files = [p for p, a in after.items()
+                  if a["partitionValues"]["shop"] is None]
+    assert len(null_files) == 1
+    got = {(r["event_id"], r["shop"]) for r in t.read(spark).collect()}
+    assert got == {(i, "a" if i % 2 == 0 else None) for i in range(20)}
