@@ -112,6 +112,7 @@ _R12_NEW: list[str] = [
     "scan_delta_log_detail",
     "sink_delta_optimize_partition",
     "scan_delta_log_domain_metadata",
+    "pipeline_medallion",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

@@ -2170,3 +2170,102 @@ def scan_delta_log_domain_metadata(spark, sf_dir):
         [(d, json.dumps(c, sort_keys=True)) for d, c in sorted(doms.items())],
         "domain string, configuration string",
     )
+
+
+@query(
+    "pipeline_medallion",
+    oracle="""
+    WITH silver AS (
+        SELECT DISTINCT event_id, user_id, value FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM silver GROUP BY user_id
+    """,
+)
+def pipeline_medallion(spark, sf_dir):
+    """The MEDALLION architecture end-to-end over THREE real
+    `_delta_log` tables — the lakehouse reference pipeline this engine
+    exists to run (bronze: raw, append-only, duplicates and all;
+    silver: deduplicated + quality-filtered via MERGE; gold: serving
+    aggregates rebuilt via replaceWhere, idempotently):
+
+    1. BRONZE ingests the raw feed in two appends, the second
+       RE-DELIVERING a slice (at-least-once transport) — the dupes are
+       asserted present and `delta.appendOnly` protects the raw layer
+       from any rewriting verb;
+    2. SILVER starts from the first clean batch and MERGEs each later
+       batch by event_id (upsert-dedup) after the quality filter
+       (non-null value/user) — asserted duplicate-free;
+    3. GOLD rebuilds per-user aggregates with replaceWhere("true") —
+       run TWICE to prove the backfill is idempotent (same content,
+       new version; the CDF carries the swap for downstream serving).
+
+    The oracle re-derives gold from the raw source in one SQL breath:
+    three tables, four DML classes, one exactly-once answer. Scale:
+    every stage is the already-proven primitive (append / merge /
+    replaceWhere) — the composite adds zero new shuffle beyond them."""
+    bronze = _fresh_table("medallion_bronze")
+    silver = _fresh_table("medallion_silver")
+    _SENTINEL_TYPES.update(
+        n_events="int64", total_value="float64", max_value="float64"
+    )
+    gold = _fresh_table(
+        "medallion_gold",
+        cols=["user_id", "n_events", "total_value", "max_value"],
+    )
+    ev = _ev(spark, sf_dir)
+    b1 = ev.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True)))
+    b2 = ev.filter(F.coalesce(F.col("event_id") % 2 == 1, F.lit(False)))
+    redelivered = b1.filter(F.coalesce(F.col("event_id") % 10 == 0, F.lit(True)))
+    bronze.append(b1, "ingest", 0)
+    bronze.append(b2.unionByName(redelivered), "ingest", 1)  # dupes land
+    bronze.set_properties({"delta.appendOnly": "true"})
+    n_raw = ev.count()
+    assert bronze.read(spark).count() == n_raw + redelivered.count()
+
+    def clean(df):
+        return (
+            df.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+            .dropDuplicates(["event_id"])
+        )
+
+    c1 = clean(b1)
+    if c1.limit(1).count():
+        silver.append(c1)
+        nxt = clean(b2.unionByName(redelivered))
+        if nxt.limit(1).count():
+            silver.merge(spark, nxt, "event_id")  # upsert-dedup
+    else:
+        silver.append(spark.createDataFrame([], _EV_SCHEMA))
+    sv = silver.read(spark)
+    assert sv.count() == sv.select("event_id").distinct().count()
+
+    agg = (
+        silver.read(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    if agg.limit(1).count():
+        v1 = gold.replace_where(spark, agg, "true")
+        v2 = gold.replace_where(spark, agg, "true")  # idempotent backfill
+        assert v2 == v1 + 1
+    else:
+        gold.append(
+            spark.createDataFrame(
+                [], "user_id bigint, n_events bigint, total_value double, "
+                    "max_value double"
+            )
+        )
+    out = gold.read(spark)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, agg.collect()))
+    return out
