@@ -113,6 +113,7 @@ _R12_NEW: list[str] = [
     "sink_delta_optimize_partition",
     "scan_delta_log_domain_metadata",
     "pipeline_medallion",
+    "scan_delta_log_cdf_by_timestamp",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

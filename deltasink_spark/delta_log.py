@@ -4385,6 +4385,38 @@ class DeltaLogTable(_CheckpointMixin):
                 out[v] = ci.get("inCommitTimestamp", ci.get("timestamp", 0))
         return out
 
+    def restore_to_timestamp(self, spark, ts_ms: int) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF — the timestamp leg of
+        restore(): resolve the timestamp exactly like timestampAsOf
+        (ICT-preferring) and roll back to that snapshot as a new
+        commit. All of restore()'s guarantees apply (versioned
+        rollback, CDF nets the change, loud VACUUM failure)."""
+        return self.restore(spark, self.version_at_timestamp(ts_ms))
+
+    def read_changes_by_timestamp(
+        self, spark, from_ts_ms: int, to_ts_ms: int
+    ) -> DataFrame:
+        """CDF read by TIMESTAMP window (delta-spark's
+        startingTimestamp/endingTimestamp): the window covers every
+        commit whose (ICT-preferring) timestamp lies in
+        [from_ts_ms, to_ts_ms] — start resolves to the FIRST commit at
+        or after the start (delta's startingTimestamp rule), end to
+        the last commit at or before the end; an empty window raises
+        like delta-spark's 'greater than latest commit' error rather
+        than silently returning nothing."""
+        if from_ts_ms > to_ts_ms:
+            raise ValueError(
+                f"reversed timestamp window [{from_ts_ms}, {to_ts_ms}]"
+            )
+        ts = self.commit_timestamps()
+        inside = [v for v, t in ts.items() if from_ts_ms <= t <= to_ts_ms]
+        if not inside:
+            raise ValueError(
+                f"no retained commit inside [{from_ts_ms}, {to_ts_ms}]"
+            )
+        lo, hi = min(inside), max(inside)
+        return self.read_changes(spark, lo - 1, hi)
+
     def read_partition(
         self, spark, as_of_version: int | None = None, **partition_filter: str
     ) -> DataFrame:

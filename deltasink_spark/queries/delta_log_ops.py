@@ -2269,3 +2269,49 @@ def pipeline_medallion(spark, sf_dir):
     out = gold.read(spark)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, agg.collect()))
     return out
+
+
+@query(
+    "scan_delta_log_cdf_by_timestamp",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)}, 'delete' AS _change_type FROM events
+    WHERE COALESCE(event_id % 2 = 0, FALSE) AND COALESCE(value < 20, FALSE)
+    UNION ALL
+    SELECT {', '.join(_EV_COLS)}, 'insert' AS _change_type FROM events
+    WHERE COALESCE(event_id % 2 = 1, FALSE)
+    """,
+)
+def scan_delta_log_cdf_by_timestamp(spark, sf_dir):
+    """CDF read by TIMESTAMP window (delta-spark's startingTimestamp/
+    endingTimestamp — how a replica that tracks wall-clock watermarks,
+    not version numbers, consumes the feed): the window resolves to
+    [first commit at-or-after start, last commit at-or-before end]
+    with ICT-preferred timestamps, then serves those commits' exact
+    change rows. Built: append evens (v0), DELETE value<20 (v1),
+    append odds (v2); the window [ts(v1), ts(v2)] must carry exactly
+    v1's delete retractions and v2's inserts — v0's rows must NOT leak
+    in (the window's point), and a window before the table raises
+    loudly (asserted). The oracle re-derives both change sets from the
+    source."""
+    t = _fresh_table("cdfts")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True))))
+    # ICT makes commit timestamps STRICTLY monotonic — two wall-clock
+    # commits can share a millisecond, and a shared stamp would leak
+    # the append's inserts into a window meant to start at the DELETE
+    t.enable_in_commit_timestamps()
+    t.delete_where(spark, "value < 20")
+    t.append(ev.filter(F.coalesce(F.col("event_id") % 2 == 1, F.lit(False))))
+    ts = t.commit_timestamps()
+    latest = t.latest_version()
+    try:
+        t.read_changes_by_timestamp(spark, -10**15, min(ts.values()) - 1)
+        raise AssertionError("empty window must raise, not return nothing")
+    except ValueError:
+        pass
+    if latest >= 3:
+        lo_ts, hi_ts = ts[2], ts[latest]
+    else:  # empty corpus: the DELETE no-ops away; cover what exists
+        lo_ts, hi_ts = min(ts.values()), max(ts.values())
+    ch = t.read_changes_by_timestamp(spark, lo_ts, hi_ts)
+    return ch.select(*_EV_COLS, "_change_type")

@@ -2352,3 +2352,25 @@ def test_optimize_null_partition_scope(spark, tmp_path):
     assert len(null_files) == 1
     got = {(r["event_id"], r["shop"]) for r in t.read(spark).collect()}
     assert got == {(i, "a" if i % 2 == 0 else None) for i in range(20)}
+
+
+def test_timestamp_travel_surface_restore_and_cdf(spark, tmp_path):
+    """restore_to_timestamp and read_changes_by_timestamp: both
+    resolve ICT-preferring timestamps; the CDF window covers
+    [first commit >= start, last commit <= end] and raises on an
+    empty window."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.enable_in_commit_timestamps()
+    t.delete_where(spark, "event_id < 3")
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))
+    ts = t.commit_timestamps()
+    # CDF window over just the delete commit
+    ch = t.read_changes_by_timestamp(spark, ts[2], ts[2])
+    assert {(r["event_id"], r["_change_type"]) for r in ch.collect()} \
+        == {(0, "delete"), (1, "delete"), (2, "delete")}
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.read_changes_by_timestamp(spark, ts[3] + 10**6, ts[3] + 10**7)
+    # restore to the timestamp of v1 (pre-delete)
+    t.restore_to_timestamp(spark, ts[1])
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(10))
