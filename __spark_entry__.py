@@ -114,6 +114,7 @@ _R12_NEW: list[str] = [
     "scan_delta_log_domain_metadata",
     "pipeline_medallion",
     "scan_delta_log_cdf_by_timestamp",
+    "sink_delta_convert",
 ]
 
 # Ops whose implementation changed late in r11, after the slot budget

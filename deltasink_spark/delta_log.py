@@ -112,6 +112,19 @@ class MetadataChangedError(RuntimeError):
     MetadataChangedException; the caller should re-read and retry."""
 
 
+def _pvals_of_rel_path(rel: str) -> dict:
+    """Hive partitionValues parsed from a relative path (the dir
+    segments' k=v pairs, Hive-unescaped, NULL sentinel mapped) —
+    shared by CONVERT TO DELTA and the stream source's
+    synthesized-delete partition recovery."""
+    out: dict = {}
+    for seg in os.path.dirname(rel).split(os.sep):
+        if "=" in seg:
+            k, _, val = seg.partition("=")
+            out[k] = None if val == _HIVE_NULL else urllib.parse.unquote(val)
+    return out
+
+
 class ConcurrentAppendError(RuntimeError):
     """A concurrent commit ledgered state this write depends on (e.g.
     an overlapping COPY INTO's loaded-file marks); retry resolves."""
@@ -3917,6 +3930,115 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def convert_from_parquet(self, spark) -> int:
+        """CONVERT TO DELTA: adopt the EXISTING plain-parquet directory
+        at ``self.path`` (flat or Hive-partitioned) as a Delta table —
+        one version-0 commit referencing every data file IN PLACE,
+        zero bytes copied or moved (delta-spark's CONVERT TO DELTA).
+        The schema (partition columns included, typed by Hive
+        inference) comes from one Spark scan; partitionValues are
+        parsed from each file's directory path; add.paths are logged
+        percent-encoded like every write. Converted adds carry no
+        stats — readers treat stats-less files as unprunable-but-
+        correct (read_where_stats' documented fallback), and the first
+        OPTIMIZE rewrites them with full stats. After conversion the
+        directory IS a Delta table: every DML verb, time travel, CDF
+        and checkpointing apply.
+
+        Scale: the commit is O(files) driver-side metadata — a 100 TB
+        directory converts without touching a data page (schema
+        inference reads one footer). Fails loudly on a directory that
+        already has a `_delta_log`."""
+        if self.latest_version() >= 0:
+            raise ValueError(
+                f"{self.path} already has a _delta_log — refusing to "
+                "convert over an existing table"
+            )
+        rels: list[str] = []
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    rels.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+        if not rels:
+            raise ValueError(f"no parquet files under {self.path}")
+        df = spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, r) for r in rels]
+        )
+        schema = df.schema
+        # partition columns = every key Hive dirs contribute (ordered
+        # by first appearance in the deepest path — one consistent
+        # layout is required, mixed layouts raise)
+        pcols: list[str] | None = None
+        for r in sorted(rels):
+            keys = [
+                seg.partition("=")[0]
+                for seg in os.path.dirname(r).split(os.sep)
+                if "=" in seg
+            ]
+            if pcols is None:
+                pcols = keys
+            elif keys != pcols:
+                # a FLAT file next to Hive dirs is also a mismatch
+                # ([] vs ['shop']) — an unpartitioned row has no home
+                # in a partitioned schema
+                raise ValueError(
+                    f"inconsistent partition layouts: {pcols} vs {keys} "
+                    f"({r}) — CONVERT requires one Hive layout"
+                )
+        pcols = pcols or []
+        now = _now_ms()
+        actions: list[dict] = []
+        for r in sorted(rels):
+            ap = os.path.join(self.path, r)
+            actions.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(
+                            r, safe="/-._~!$&'()*+,;=:@"
+                        ),
+                        "partitionValues": _pvals_of_rel_path(r)
+                        if pcols
+                        else {},
+                        "size": os.path.getsize(ap),
+                        "modificationTime": int(os.path.getmtime(ap) * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CONVERT",
+                    "operationParameters": {"numFiles": len(rels)},
+                }
+            }
+        )
+        meta = {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": pcols,
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": now,
+        }
+        v = self._commit(
+            actions,
+            precondition=lambda: self.latest_version() < 0,
+            first_commit_actions=[
+                {"protocol": dict(_PROTOCOL)},
+                {"metaData": meta},
+            ],
+        )
+        if v is None:
+            raise ValueError(
+                "a concurrent commit created the table during CONVERT"
+            )
+        return v
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL — the table's metadata summary exactly as
         delta-spark reports it: format, id, location, timestamps,
@@ -4835,17 +4957,10 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _pvals_of_path(rel: str) -> dict:
-        """Hive partitionValues parsed from a relative path — remove
-        actions don't carry partitionValues, so synthesized-delete
-        partitions recover them from the file's directory."""
-        import urllib.parse as _up
-
-        out = {}
-        for seg in os.path.dirname(rel).split(os.sep):
-            if "=" in seg:
-                k, _, val = seg.partition("=")
-                out[k] = None if val == _HIVE_NULL else _up.unquote(val)
-        return out
+        """Hive partitionValues from a relative path — remove actions
+        don't carry partitionValues, so synthesized-delete partitions
+        recover them from the file's directory (shared module fold)."""
+        return _pvals_of_rel_path(rel)
 
     def partitions(self, start: dict, end: dict):
         # the admission cursor: covers both live progress and a

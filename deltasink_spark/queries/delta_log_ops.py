@@ -2315,3 +2315,54 @@ def scan_delta_log_cdf_by_timestamp(spark, sf_dir):
         lo_ts, hi_ts = min(ts.values()), max(ts.values())
     ch = t.read_changes_by_timestamp(spark, lo_ts, hi_ts)
     return ch.select(*_EV_COLS, "_change_type")
+
+
+@query(
+    "sink_delta_convert",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)},
+           CASE WHEN COALESCE(user_id % 2 = 0, FALSE) THEN 'a' END AS shop
+    FROM events
+    WHERE NOT COALESCE(value < 10, FALSE)
+    """,
+)
+def sink_delta_convert(spark, sf_dir):
+    """CONVERT TO DELTA (delta-spark's in-place adoption of an
+    existing parquet directory — how a pre-Delta data lake migrates
+    WITHOUT rewriting 100 TB): a Hive-partitioned plain-parquet dir
+    (null partition included) gains a version-0 `_delta_log`
+    referencing every file in place, zero bytes copied; the schema
+    comes from one footer read, partitionValues parse from the dirs.
+    Immediately after conversion the directory IS a Delta table:
+    partition pruning runs off the log, then OPTIMIZE re-stages the
+    adopted files under unique names (Spark's parquet writer reuses
+    one task uuid across partition dirs — the documented
+    basename-ambiguity planning limit, whose remedy is exactly this
+    rewrite), a DELETE copy-on-writes, and VACUUM reclaims the
+    superseded originals. Re-converting an existing table refuses
+    loudly (asserted). Oracle re-derives the post-DML state from the
+    source."""
+    _SENTINEL_TYPES.setdefault("shop", "string")
+    path = os.path.join(_DL_BASE, "convert")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _ev(spark, sf_dir).withColumn(
+        "shop", F.when(F.coalesce(F.col("user_id") % 2 == 0, F.lit(False)), "a")
+    )
+    ev.write.partitionBy("shop").parquet(path)
+    t = DeltaLogTable(path)
+    if ev.limit(1).count():
+        t.convert_from_parquet(spark)
+    else:
+        # empty corpus: Spark wrote no data files — CONVERT has
+        # nothing to adopt; create the empty table directly
+        t.append(spark.createDataFrame([], _EV_SCHEMA + ", shop string"),
+                 partition_by=("shop",))
+    try:
+        t.convert_from_parquet(spark)
+        raise AssertionError("re-convert over a live table must refuse")
+    except ValueError:
+        pass
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)  # unique-name re-stage
+        t.delete_where(spark, "value < 10")
+    return t.read(spark)

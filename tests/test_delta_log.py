@@ -2374,3 +2374,38 @@ def test_timestamp_travel_surface_restore_and_cdf(spark, tmp_path):
     # restore to the timestamp of v1 (pre-delete)
     t.restore_to_timestamp(spark, ts[1])
     assert {r["event_id"] for r in t.read(spark).collect()} == set(range(10))
+
+
+def test_convert_to_delta_adopts_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: a Hive-partitioned plain-parquet dir (null
+    partition included) gains a version-0 log referencing every file
+    in place; partition pruning runs off the log; OPTIMIZE re-stages
+    the reused-basename originals, after which DML and VACUUM apply;
+    re-converting refuses; mixed partition layouts refuse."""
+    ev = _ev(spark, 40).withColumn(
+        "shop", F.when(F.col("event_id") % 2 == 0, "a")
+    )
+    p = str(tmp_path / "t")
+    ev.write.partitionBy("shop").parquet(p)
+    t = DeltaLogTable(p)
+    data_files = {
+        f for root, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    }
+    t.convert_from_parquet(spark)
+    got = {(r["event_id"], r["shop"]) for r in t.read(spark).collect()}
+    assert got == {(i, "a" if i % 2 == 0 else None) for i in range(40)}
+    assert t.read_partition(spark, shop="a").count() == 20
+    # adopted files referenced in place — none copied or renamed
+    assert {os.path.basename(x) for x in t.snapshot_files()} <= data_files
+    with pytest.raises(ValueError, match="already has a _delta_log"):
+        t.convert_from_parquet(spark)
+    t.optimize(spark, target_files=1)
+    t.delete_where(spark, "event_id < 5")
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(5, 40))
+    assert t.vacuum() >= 1
+    # mixed layout refuses
+    p2 = str(tmp_path / "mixed")
+    ev.write.partitionBy("shop").parquet(p2)
+    _ev(spark, 5).coalesce(1).write.mode("append").parquet(p2)
+    with pytest.raises(ValueError, match="inconsistent partition layouts"):
+        DeltaLogTable(p2).convert_from_parquet(spark)
