@@ -4770,6 +4770,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     partitionValues so batches match the declared schema."""
 
     def __init__(self, options) -> None:
+        self.options = dict(options)
         self.path = options["path"]
         self.ignore_deletes = str(options.get("ignore_deletes", "")).lower() == "true"
         # read_cdf=true turns the source into a streaming CHANGE FEED
@@ -4819,8 +4820,32 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        self._planned_v = -1
-        return {"v": -1}
+        # delta-spark's startingVersion / startingTimestamp: begin the
+        # stream AT a version (its own changes included — the spec's
+        # inclusive rule) instead of the table start; timestamp
+        # resolves to the FIRST commit at or after it. Mutually
+        # exclusive like the real options.
+        sv = self.options.get("starting_version")
+        st = self.options.get("starting_timestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
+        if sv is not None:
+            first = int(sv)
+        elif st is not None:
+            ts = self.table.commit_timestamps()
+            at_or_after = [v for v, t in ts.items() if t >= int(st)]
+            if not at_or_after:
+                raise ValueError(
+                    f"no retained commit at or after timestamp {st}"
+                )
+            first = min(at_or_after)
+        else:
+            first = 0
+        self._planned_v = first - 1
+        return {"v": first - 1}
 
     def latestOffset(self) -> dict:
         latest = self.table.latest_version()

@@ -2409,3 +2409,36 @@ def test_convert_to_delta_adopts_in_place(spark, tmp_path):
     _ev(spark, 5).coalesce(1).write.mode("append").parquet(p2)
     with pytest.raises(ValueError, match="inconsistent partition layouts"):
         DeltaLogTable(p2).convert_from_parquet(spark)
+
+
+def test_stream_starting_version_and_timestamp(spark, tmp_path):
+    """startingVersion / startingTimestamp on the table stream: the
+    stream begins AT the resolved version (inclusive), never serving
+    earlier commits; the two options are mutually exclusive; a
+    timestamp with no commit at or after it raises."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10), "s", 0)                                  # v0
+    t.enable_in_commit_timestamps()                                   # v1
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10), "s", 1)  # v2
+    t.append(_ev(spark, 30).filter(F.col("event_id") >= 20), "s", 2)  # v3
+    r = DeltaTableStreamReader({"path": t.path, "starting_version": "2"})
+    lo = r.initialOffset()["v"]
+    assert lo == 1
+    served = r._range_adds(lo, t.latest_version())
+    assert {v for v, _a, _k in served} == {2, 3}  # v0 never served
+    ts = t.commit_timestamps()
+    r2 = DeltaTableStreamReader(
+        {"path": t.path, "starting_timestamp": str(ts[3])}
+    )
+    assert r2.initialOffset()["v"] == 2  # first commit at/after ts[3]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DeltaTableStreamReader(
+            {"path": t.path, "starting_version": "1",
+             "starting_timestamp": "5"}
+        ).initialOffset()
+    with pytest.raises(ValueError, match="at or after"):
+        DeltaTableStreamReader(
+            {"path": t.path, "starting_timestamp": str(ts[3] + 10**9)}
+        ).initialOffset()
