@@ -4305,18 +4305,24 @@ class DeltaLogTable(_CheckpointMixin):
         os.replace(tmp, path)
         return path
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_ms: int = 0, dry_run: bool = False) -> int:
         """Physically delete data files no longer in the CURRENT
-        snapshot (retention 0 — the aggressive end of Delta's VACUUM;
-        time travel to pre-vacuum versions subsequently raises on the
-        missing files, Delta's documented behavior), including
-        DELETION-VECTOR files no live add references (every second DV
-        delete orphans its predecessor's DV file, and OPTIMIZE/rewrite
-        DML orphan them wholesale — without this they leak forever).
-        Never touches unrecognized files outside the removed/DV sets.
-        Returns files deleted."""
+        snapshot whose tombstones are at least ``retention_ms`` old
+        (Delta's VACUUM ... RETAIN: the window that keeps concurrent
+        readers of recent versions — and time travel inside it — safe;
+        the 0 default is the aggressive end, after which pre-vacuum
+        time travel raises on the missing files, Delta's documented
+        behavior). Also reclaims DELETION-VECTOR files no live add
+        references (every second DV delete orphans its predecessor's
+        DV file, and OPTIMIZE/rewrite DML orphan them wholesale —
+        without this they leak forever); DV files ride the same
+        retention window via their youngest referencing tombstone.
+        ``dry_run=True`` counts (and never deletes) — Delta's VACUUM
+        DRY RUN. Never touches unrecognized files outside the
+        removed/DV sets. Returns files deleted (or deletable)."""
         from deltasink_spark import roaring as _roaring
 
+        cutoff = _now_ms() - retention_ms
         adds = self.snapshot_adds()
         # the live/removed set difference runs over RESOLVED filesystem
         # paths, never raw action strings: a foreign log can reference
@@ -4332,18 +4338,23 @@ class DeltaLogTable(_CheckpointMixin):
         # retention (real Delta's documented vacuum horizon)
         start = 0
         cv = self.last_checkpoint()
-        removed_paths: set[str] = set()
+        removed_actions: dict[str, dict] = {}
         if cv is not None:
-            removed_paths = set(self._checkpoint_removes(cv))
+            removed_actions = dict(self._checkpoint_removes(cv))
             start = cv + 1
-        removed_paths |= {
-            a["remove"]["path"]
-            for _, a in self._actions(from_version=start)
-            if "remove" in a
-        }
-        ever_removed = {
-            os.path.realpath(self._abs_of_add_path(p)) for p in removed_paths
-        }
+        for _, a in self._actions(from_version=start):
+            if "remove" in a:
+                removed_actions[a["remove"]["path"]] = a["remove"]
+        # retention: a file is reclaimable only when its YOUNGEST
+        # tombstone has aged past the window (a re-removed file's age
+        # restarts — a reader of the newer version may still hold it)
+        ts_of: dict[str, int] = {}
+        for p, r in removed_actions.items():
+            fp = os.path.realpath(self._abs_of_add_path(p))
+            ts_of[fp] = max(
+                ts_of.get(fp, 0), int(r.get("deletionTimestamp") or 0)
+            )
+        ever_removed = set(ts_of)
         n = 0
         root = os.path.realpath(self.path) + os.sep
         for fp in sorted(ever_removed - live):
@@ -4352,8 +4363,11 @@ class DeltaLogTable(_CheckpointMixin):
             # table root — an absolute tombstone pointing elsewhere
             # (shallow-clone source data) is never this table's to
             # destroy, real VACUUM's behavior
+            if ts_of[fp] > cutoff:
+                continue  # tombstone younger than the retention window
             if fp.startswith(root) and os.path.exists(fp):
-                os.remove(fp)
+                if not dry_run:
+                    os.remove(fp)
                 n += 1
         live_dvs = set()
         for a in adds.values():
@@ -4372,7 +4386,12 @@ class DeltaLogTable(_CheckpointMixin):
                 and f.endswith(".bin")
                 and f not in live_dvs
             ):
-                os.remove(os.path.join(self.path, f))
+                if retention_ms and os.path.getmtime(
+                    os.path.join(self.path, f)
+                ) * 1000 > cutoff:
+                    continue  # orphaned too recently: window protects it
+                if not dry_run:
+                    os.remove(os.path.join(self.path, f))
                 n += 1
         return n
 

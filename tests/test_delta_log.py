@@ -2442,3 +2442,30 @@ def test_stream_starting_version_and_timestamp(spark, tmp_path):
         DeltaTableStreamReader(
             {"path": t.path, "starting_timestamp": str(ts[3] + 10**9)}
         ).initialOffset()
+
+
+def test_vacuum_retention_window_and_dry_run(spark, tmp_path):
+    """VACUUM ... RETAIN + DRY RUN: files whose youngest tombstone is
+    inside the window survive (recent-version readers / time travel
+    stay safe); dry_run counts without deleting; retention 0 reclaims."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.delete_where(spark, "event_id < 5")  # tombstones stamped ~now
+    before = set()
+    for root, _d, fs in os.walk(t.path):
+        before |= {os.path.join(root, f) for f in fs}
+    # fresh tombstones: a 1-hour window protects them
+    assert t.vacuum(retention_ms=3600 * 1000) == 0
+    # dry run counts the retention-0 candidates but deletes nothing
+    n_dry = t.vacuum(dry_run=True)
+    assert n_dry >= 1
+    after_dry = set()
+    for root, _d, fs in os.walk(t.path):
+        after_dry |= {os.path.join(root, f) for f in fs}
+    assert after_dry == before
+    # pre-vacuum time travel still works inside the window
+    assert t.read(spark, as_of_version=0).count() == 20
+    # retention 0 actually reclaims the dry-run count
+    assert t.vacuum() == n_dry
+    with pytest.raises(Exception):
+        t.read(spark, as_of_version=0).collect()
