@@ -318,6 +318,17 @@ class _CheckpointMixin:
         row-to-part assignment)."""
         if parts < 1:
             raise ValueError(f"parts must be >= 1, got {parts}")
+        m = self._metadata_dict() or {}
+        if (m.get("configuration") or {}).get("delta.checkpointPolicy") == "v2":
+            # the table property routes EVERY checkpointer (the
+            # auto-checkpointing streaming sink included) to the v2
+            # layout — delta-spark's checkpointPolicy switch
+            if parts != 1:
+                raise ValueError(
+                    "delta.checkpointPolicy=v2: use checkpoint_v2(sidecars=N) "
+                    "— v2 shards via sidecars, not positional parts"
+                )
+            return self.checkpoint_v2()
         v, nonfile, file_rows = self._checkpoint_fold_rows()
         rows = nonfile + file_rows
         schema = _checkpoint_schema()

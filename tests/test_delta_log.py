@@ -2469,3 +2469,20 @@ def test_vacuum_retention_window_and_dry_run(spark, tmp_path):
     assert t.vacuum() == n_dry
     with pytest.raises(Exception):
         t.read(spark, as_of_version=0).collect()
+
+
+def test_checkpoint_policy_v2_routes_every_checkpointer(spark, tmp_path):
+    """delta.checkpointPolicy=v2 routes plain checkpoint() — and so
+    the auto-checkpointing streaming sink — to the v2 layout."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.enable_v2_checkpoints()
+    t.set_properties({"delta.checkpointPolicy": "v2"})
+    cv = t.checkpoint()  # plain call, v2 result
+    tops = t._checkpoint_paths(cv)
+    assert len(tops) == 1 and not tops[0].endswith(f"{cv:020d}.checkpoint.parquet")
+    assert os.path.isdir(os.path.join(t.log_dir, "_sidecars"))
+    with pytest.raises(ValueError, match="sidecars"):
+        t.checkpoint(parts=2)
+    t.cleanup_log(retention_ms=0)
+    assert DeltaLogTable(t.path).read(spark).count() == 10
