@@ -2267,7 +2267,10 @@ def pipeline_medallion(spark, sf_dir):
             )
         )
     out = gold.read(spark)
-    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, agg.collect()))
+    # idempotence check stays EXECUTOR-side: a symmetric exceptAll is a
+    # distributed anti-join, never a full-result collect (at 100× the
+    # gold aggregate no longer fits a driver)
+    assert out.exceptAll(agg).isEmpty() and agg.exceptAll(out).isEmpty()
     return out
 
 

@@ -2486,3 +2486,126 @@ def test_checkpoint_policy_v2_routes_every_checkpointer(spark, tmp_path):
         t.checkpoint(parts=2)
     t.cleanup_log(retention_ms=0)
     assert DeltaLogTable(t.path).read(spark).count() == 10
+
+
+# --- r12: ADVICE fixes — compaction domains, explicit start=0, checkpoint
+# reclamation, protocol-memo invalidation --------------------------------
+
+
+def test_log_compaction_retains_domain_metadata(spark, tmp_path):
+    """compact_log must carry latest-per-domain domainMetadata —
+    INCLUDING removed=true tombstones (a SET below the range must stay
+    shadowed) — or substituting the segment after cleanup silently
+    loses/resurrects domains and the next checkpoint makes it
+    permanent."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))                               # v0
+    t.set_domain_metadata("pre.range", {"a": 1})           # v1 (below range)
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))  # v2
+    t.set_domain_metadata("pre.range", {}, removed=True)   # v3: tombstone IN range
+    t.set_domain_metadata("app.live", {"b": 2})            # v4
+    t.set_domain_metadata("app.live", {"b": 3})            # v5: latest wins
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 15))  # v6 tail
+    t.compact_log(2, 5)
+    want = {"app.live": {"b": 3}}
+    assert t.domain_metadata() == want
+    # segment carries both the live domain and the removal tombstone
+    comp = [
+        json.loads(line)
+        for line in open(
+            os.path.join(t.log_dir, f"{2:020d}.{5:020d}.compacted.json")
+        )
+        if line.strip()
+    ]
+    doms = {
+        a["domainMetadata"]["domain"]: a["domainMetadata"]
+        for a in comp
+        if "domainMetadata" in a
+    }
+    assert doms["app.live"]["configuration"] == json.dumps({"b": 3})
+    assert doms["pre.range"]["removed"] is True
+    # delete the originals: the substituting fold reconstructs the
+    # same domains, and a checkpoint written from it stays correct
+    for v in range(2, 6):
+        os.remove(os.path.join(t.log_dir, f"{v:020d}.json"))
+    t2 = DeltaLogTable(t.path)
+    assert t2.domain_metadata() == want
+    t2.checkpoint()
+    t2.cleanup_log(retention_ms=0)
+    assert DeltaLogTable(t.path).domain_metadata() == want
+
+
+def test_stream_explicit_starting_version_zero_cleaned_raises(spark, tmp_path):
+    """An EXPLICIT starting_version=0 lands on the same lo == -1
+    sentinel as 'no option', but must fail loudly when version 0 was
+    cleaned — the user asked for the exact change history, and the
+    snapshot fallback would silently substitute collapsed state."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    for k in range(3):
+        t.append(_ev(spark, (k + 1) * 10).filter(F.col("event_id") >= k * 10))
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    r = DeltaTableStreamReader({"path": t.path, "starting_version": "0"})
+    lo = r.initialOffset()
+    with pytest.raises(ValueError, match="cleaned from"):
+        r.partitions(lo, {"v": t.latest_version()})
+    # the optionless fresh stream still gets the snapshot fallback
+    r2 = DeltaTableStreamReader({"path": t.path})
+    parts = r2.partitions(r2.initialOffset(), {"v": t.latest_version()})
+    assert parts
+
+
+def test_cleanup_reclaims_superseded_checkpoints_and_sidecars(spark, tmp_path):
+    """cleanup_log reclaims checkpoints strictly below the last one —
+    the v2 top-level UUID parquet AND its _sidecars set — while the
+    anchoring checkpoint and its sidecars survive."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    cv0 = t.checkpoint()  # classic, will be superseded
+    classic = t._checkpoint_paths(cv0)[0]
+    t.enable_v2_checkpoints()
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))
+    cv1 = t.checkpoint_v2(sidecars=2)
+    old_top = t._checkpoint_paths(cv1)[0]
+    old_sides = t._sidecars_of_top(old_top)
+    assert len(old_sides) == 2
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 15))
+    cv2 = t.checkpoint_v2(sidecars=2)
+    new_top = t._checkpoint_paths(cv2)[0]
+    new_sides = t._sidecars_of_top(new_top)
+    t.cleanup_log(retention_ms=0)
+    for p in [classic, old_top, *old_sides]:
+        assert not os.path.exists(p), p
+    for p in [new_top, *new_sides]:
+        assert os.path.exists(p), p
+    # the anchored fold still serves the full table
+    assert DeltaLogTable(t.path).read(spark).count() == 20
+    # retention window: a fresh superseded checkpoint is NOT reclaimed
+    t.append(_ev(spark, 25).filter(F.col("event_id") >= 20))
+    t.checkpoint_v2(sidecars=1)
+    t.cleanup_log(retention_ms=10**12)
+    assert os.path.exists(new_top)
+
+
+def test_write_gate_revalidates_after_foreign_protocol_upgrade(spark, tmp_path):
+    """The write-protocol memo must not outlive a concurrent protocol
+    upgrade: after a foreign writer ledgers an unknown writerFeature,
+    a long-lived handle that already validated must REFUSE its next
+    commit instead of writing around the feature."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.append(_ev(spark, 5))  # memoized gate: still fine
+    v = t.latest_version() + 1
+    with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["futureFeature"],
+        }}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 1, "operation": "FOREIGN UPGRADE",
+        }}) + "\n")
+    with pytest.raises(ValueError, match="unsupported writer feature"):
+        t.append(_ev(spark, 5))
+    assert t.latest_version() == v  # nothing committed past the upgrade
