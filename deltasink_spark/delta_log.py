@@ -95,6 +95,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "invariants",
         "v2Checkpoint",
         "domainMetadata",
+        "rowTracking",
     }
 )
 _MAX_READER_VERSION = 3
@@ -199,6 +200,12 @@ def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # rowTracking (PROTOCOL.md): fresh row ids are
+                        # baseRowId + row_index, stamped per add —
+                        # checkpoints must carry them or every row id
+                        # changes after the first log cleanup
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         (
                             "deletionVector",
                             pa.struct(
@@ -489,6 +496,10 @@ class _CheckpointMixin:
                         "dataChange": ad.get("dataChange"),
                         "stats": ad.get("stats"),
                         "deletionVector": ad.get("deletionVector"),
+                        "baseRowId": ad.get("baseRowId"),
+                        "defaultRowCommitVersion": ad.get(
+                            "defaultRowCommitVersion"
+                        ),
                     }
                 }
             )
@@ -656,28 +667,35 @@ class _CheckpointMixin:
         SIDECAR files their `sidecar` rows reference (resolved against
         `_delta_log/_sidecars/` for relative names, or as absolute
         URIs — both forms the spec allows)."""
-        import pyarrow.parquet as pq
-
         tops = self._checkpoint_paths(cv)
         out = list(tops)
         for cp in tops:
-            f = pq.ParquetFile(cp)
-            if "sidecar" not in f.schema_arrow.names:
-                continue
-            for rec in (
-                pq.read_table(cp, columns=["sidecar"]).column("sidecar").to_pylist()
-            ):
-                if rec is not None and rec.get("path"):
-                    p = rec["path"]
-                    u = urllib.parse.urlparse(p)
-                    if u.scheme == "file":
-                        out.append(urllib.parse.unquote(u.path))
-                    elif p.startswith("/"):
-                        out.append(p)
-                    else:
-                        out.append(
-                            os.path.join(self.log_dir, "_sidecars", p)
-                        )
+            out.extend(self._sidecars_of_top(cp))
+        return out
+
+    def _sidecars_of_top(self, cp: str) -> list[str]:
+        """Resolved sidecar parquet paths a v2 top-level checkpoint
+        file references (empty for classic/multipart tops) — relative
+        names against `_delta_log/_sidecars/`, or absolute/file: URIs,
+        both forms the spec allows."""
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(cp)
+        if "sidecar" not in f.schema_arrow.names:
+            return []
+        out: list[str] = []
+        for rec in (
+            pq.read_table(cp, columns=["sidecar"]).column("sidecar").to_pylist()
+        ):
+            if rec is not None and rec.get("path"):
+                p = rec["path"]
+                u = urllib.parse.urlparse(p)
+                if u.scheme == "file":
+                    out.append(urllib.parse.unquote(u.path))
+                elif p.startswith("/"):
+                    out.append(p)
+                else:
+                    out.append(os.path.join(self.log_dir, "_sidecars", p))
         return out
 
     def _checkpoint_adds(self, cv: int) -> dict[str, dict]:
@@ -695,8 +713,10 @@ class _CheckpointMixin:
                 if rec is not None:
                     rec = dict(rec)
                     rec["partitionValues"] = dict(rec.get("partitionValues") or [])
-                    if rec.get("deletionVector") is None:
-                        rec.pop("deletionVector", None)
+                    for k in ("deletionVector", "baseRowId",
+                              "defaultRowCommitVersion"):
+                        if rec.get(k) is None:
+                            rec.pop(k, None)
                     out[rec["path"]] = rec
         return out
 
@@ -760,8 +780,10 @@ class _CheckpointMixin:
                 if rec is not None:
                     rec = dict(rec)
                     rec["partitionValues"] = dict(rec.get("partitionValues") or [])
-                    if rec.get("deletionVector") is None:
-                        rec.pop("deletionVector", None)
+                    for k in ("deletionVector", "baseRowId",
+                              "defaultRowCommitVersion"):
+                        if rec.get(k) is None:
+                            rec.pop(k, None)
                     adds[rec["path"]] = rec
             for rec in cold.get("remove", []):
                 if rec is not None:
@@ -976,11 +998,17 @@ class DeltaLogTable(_CheckpointMixin):
         # protocol (outside the lock — the fold is checkpoint-bounded)
         self._check_write_protocol()
         with self._commit_lock():
+            # re-validate UNDER the lock: the watermark memo makes this
+            # O(commits since the pre-lock check) — usually zero files —
+            # and it closes the race where a concurrent writer ledgers
+            # an unknown writerFeature between the gate and the lock
+            self._check_write_protocol()
             if precondition is not None and not precondition():
                 return None
             v = self.latest_version() + 1
             if v == 0 and first_commit_actions:
                 actions = list(first_commit_actions) + actions
+            actions = self._finalize_row_tracking(actions, v)
             enabling = any(
                 "metaData" in a
                 and (a["metaData"].get("configuration") or {}).get(
@@ -1027,6 +1055,20 @@ class DeltaLogTable(_CheckpointMixin):
                     self._txn_hw[t["appId"]] = max(
                         self._txn_hw.get(t["appId"], -1), t["version"]
                     )
+            # advance the protocol watermark over our OWN protocol-free
+            # commit so the next gate stays O(1) instead of re-scanning
+            # the file we just wrote
+            if (
+                getattr(self, "_proto_seen_v", None) == v - 1
+                and not any("protocol" in a for a in actions)
+            ):
+                self._proto_seen_v = v
+            # promote the row-id high-water mark only AFTER the write
+            # succeeded — a failed O_EXCL must not poison the cache
+            pend = getattr(self, "_row_hwm_pending", None)
+            if pend is not None and pend[0] == v:
+                self._row_hwm_seen, self._row_hwm_cache = v, pend[1]
+                self._row_hwm_pending = None
             return v
 
     # --- snapshot state ---------------------------------------------------
@@ -1205,7 +1247,12 @@ class DeltaLogTable(_CheckpointMixin):
 
     # --- data-file staging -------------------------------------------------
 
-    def _read_files(self, spark, adds: dict[str, dict]) -> DataFrame:
+    def _read_files(
+        self,
+        spark,
+        adds: dict[str, dict],
+        extra_long_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
         """Read the add actions' data files. In-root files scan with
         basePath anchored at the table root, so a partitioned table's
         Hive dirs re-materialize their partition columns (a no-op for
@@ -1229,7 +1276,7 @@ class DeltaLogTable(_CheckpointMixin):
         and __pos0 (row index) already materialized: `_metadata` only
         resolves directly on a scan, and the partition-value join
         above would orphan it."""
-        from pyspark.sql.types import StructField
+        from pyspark.sql.types import LongType, StructField
 
         s = self.schema()
         cm = self.column_mapping() or {}
@@ -1246,6 +1293,18 @@ class DeltaLogTable(_CheckpointMixin):
                 if cm
                 else s
             )
+            if extra_long_cols:
+                # PHYSICAL-ONLY columns (materialized row-tracking
+                # lineage): imposed on the scan so files written before
+                # materialization surface them as null — never part of
+                # the logical table schema
+                phys_schema = StructType(
+                    list(phys_schema.fields)
+                    + [
+                        StructField(c, LongType(), True)
+                        for c in extra_long_cols
+                    ]
+                )
         root = os.path.realpath(self.path) + os.sep
         in_root: list[str] = []
         out_root: list[str] = []
@@ -1262,6 +1321,7 @@ class DeltaLogTable(_CheckpointMixin):
             if cm and s is not None:
                 return df.select(
                     *[F.col(phys_of[f.name]).alias(f.name) for f in s.fields],
+                    *extra_long_cols,
                     "__fp",
                     "__pos0",
                 )
@@ -1363,7 +1423,11 @@ class DeltaLogTable(_CheckpointMixin):
         return roaring.read_dv_file(fp, dv["offset"], dv["sizeInBytes"])
 
     def _read_adds(
-        self, spark, adds: dict[str, dict], with_lineage: bool = False
+        self,
+        spark,
+        adds: dict[str, dict],
+        with_lineage: bool = False,
+        extra_long_cols: tuple[str, ...] = (),
     ) -> DataFrame:
         """DV-aware scan of a set of add actions: files read as usual,
         then every add's deletion-vector positions are dropped by ONE
@@ -1375,7 +1439,7 @@ class DeltaLogTable(_CheckpointMixin):
         stays broadcastable at 100 TB. ``with_lineage=True`` keeps the
         (__file, __pos) columns — what DML planning needs to find the
         surviving physical rows of each file."""
-        df = self._read_files(spark, adds)
+        df = self._read_files(spark, adds, extra_long_cols=extra_long_cols)
         # __fp is the _metadata.file_path URI _read_files materialized
         # (percent-encoded): decode its basename so __file equals the
         # on-disk name whatever the log encoded ('+' is pre-escaped
@@ -2330,6 +2394,267 @@ class DeltaLogTable(_CheckpointMixin):
             if not r.get("removed")
         }
 
+    # --- row tracking (PROTOCOL.md rowTracking writer feature) ------------
+    #
+    # Row ids are stable per physical row: fresh rows of an add are
+    # baseRowId + row_index (stamped on the add action, allocated from
+    # the rowIdHighWaterMark in the `delta.rowTracking` domainMetadata);
+    # rewrites that move rows between files (OPTIMIZE, copy-on-write
+    # DML) MATERIALIZE the ids into hidden physical columns (names in
+    # the table config) that readers prefer over the computed default.
+    # DV deletes preserve ids for free (same file, same positions).
+
+    _ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+    def enable_row_tracking(self) -> int:
+        """ALTER TABLE ... SET delta.enableRowTracking=true: ledger the
+        rowTracking writer feature (+ domainMetadata, which carries its
+        high-water mark), pick the materialized column names, and
+        BACKFILL — re-add every live file (dataChange=false) so the
+        commit funnel stamps each with a baseRowId. One commit; a
+        concurrent protocol/metadata/file change aborts it."""
+        base_proto = self._protocol_dict()
+        base_meta = self._metadata_dict()
+        if base_meta is None:
+            raise ValueError("cannot enable row tracking on a table with no metaData")
+        cfg = dict(base_meta.get("configuration") or {})
+        if cfg.get("delta.enableRowTracking") == "true":
+            return self.latest_version()
+        cfg["delta.enableRowTracking"] = "true"
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{uuid.uuid4().hex}",
+        )
+        cfg.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-col-{uuid.uuid4().hex}",
+        )
+        meta = dict(base_meta)
+        meta["configuration"] = cfg
+        snap = self.snapshot_adds()
+        actions: list[dict] = [
+            {
+                "protocol": self._upgraded_protocol(
+                    writer_features=("rowTracking", "domainMetadata")
+                )
+            },
+            {"metaData": meta},
+        ]
+        for p in sorted(snap):
+            na = dict(snap[p])
+            na["dataChange"] = False  # bytes unmoved; CDF/stream readers skip
+            na.pop("baseRowId", None)
+            na.pop("defaultRowCommitVersion", None)
+            actions.append({"add": na})
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            {"delta.enableRowTracking": "true"}
+                        )
+                    },
+                }
+            }
+        )
+        self._write_proto_ok = False
+        adds_ok = self._adds_unchanged(snap)
+
+        def _pre() -> bool:
+            if (
+                self._protocol_dict() != base_proto
+                or self._metadata_dict() != base_meta
+            ):
+                raise MetadataChangedError(
+                    "protocol/metaData changed while enabling row "
+                    "tracking; retry"
+                )
+            return adds_ok()
+
+        v = self._commit(actions, _pre)
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files while enabling row "
+                "tracking; retry"
+            )
+        return v
+
+    def _row_tracking_cfg(self) -> tuple[str, str] | None:
+        """(materialized row-id column, materialized commit-version
+        column) when delta.enableRowTracking=true, else None."""
+        cfg = (self._metadata_dict() or {}).get("configuration") or {}
+        if cfg.get("delta.enableRowTracking") != "true":
+            return None
+        return (
+            cfg["delta.rowTracking.materializedRowIdColumnName"],
+            cfg["delta.rowTracking.materializedRowCommitVersionColumnName"],
+        )
+
+    def _row_id_hwm(self, at_latest: int) -> int:
+        """The current rowIdHighWaterMark (-1 before any allocation),
+        watermark-cached per handle: our own commits keep the cache
+        warm; a foreign commit in between forces one domain fold."""
+        if getattr(self, "_row_hwm_seen", None) == at_latest:
+            return self._row_hwm_cache
+        cfg = self.domain_metadata().get(self._ROW_TRACKING_DOMAIN) or {}
+        return int(cfg.get("rowIdHighWaterMark", -1))
+
+    def _add_num_records(self, ad: dict) -> int:
+        """numRecords of an add — from its stats, falling back to the
+        parquet footer (foreign adds may carry no stats; assignment
+        cannot guess a row count)."""
+        st = ad.get("stats")
+        if st:
+            n = json.loads(st).get("numRecords")
+            if n is not None:
+                return int(n)
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            self._abs_of_add_path(ad["path"])
+        ).metadata.num_rows
+
+    def _finalize_row_tracking(self, actions: list[dict], v: int) -> list[dict]:
+        """Under the commit lock: on a row-tracking table, stamp every
+        add action lacking a baseRowId with a fresh contiguous id range
+        and defaultRowCommitVersion=v, and ledger the advanced
+        high-water mark in the delta.rowTracking domain — the single
+        funnel, so no DML path can mint colliding row ids. Re-adds of
+        an existing file (DV swaps, RESTORE) are built from the old add
+        dict upstream, so their original baseRowId rides through
+        untouched (the spec's stability rule)."""
+        proto = getattr(self, "_proto_cache", None) or {}
+        tracked = "rowTracking" in (proto.get("writerFeatures") or ())
+        if not tracked:
+            tracked = any(
+                "protocol" in a
+                and "rowTracking" in (a["protocol"].get("writerFeatures") or ())
+                for a in actions
+            )
+        if not tracked:
+            return actions
+        pending = [
+            a["add"]
+            for a in actions
+            if "add" in a and a["add"].get("baseRowId") is None
+        ]
+        if not pending:
+            return actions
+        cur = self._row_id_hwm(v - 1)
+        for ad in pending:
+            ad["baseRowId"] = cur + 1
+            ad["defaultRowCommitVersion"] = v
+            cur += self._add_num_records(ad)
+        actions = [
+            a
+            for a in actions
+            if not (
+                "domainMetadata" in a
+                and a["domainMetadata"]["domain"] == self._ROW_TRACKING_DOMAIN
+            )
+        ]
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self._ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": cur}, sort_keys=True
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        self._row_hwm_pending = (v, cur)
+        return actions
+
+    def _with_row_lineage(self, spark, adds, df, mat_id, mat_ver):
+        """Resolve per-row (row id, commit version) on a lineage frame
+        (__file/__pos present, materialized columns scanned): the
+        MATERIALIZED value wins; the default is baseRowId + __pos and
+        defaultRowCommitVersion off the add action, joined in by file
+        basename — a broadcast O(live files) frame, never a shuffle.
+        __pos is the physical row index, so ids stay stable under DV
+        deletes (survivors keep their positions). Returns df with
+        mat_id/mat_ver replaced by the resolved values."""
+        rows = [
+            (
+                self._basename_of_add_path(p),
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
+            )
+            for p, a in adds.items()
+        ]
+        bmap = spark.createDataFrame(
+            rows, "__rt_file string, __rt_base bigint, __rt_ver bigint"
+        )
+        return (
+            df.join(
+                F.broadcast(bmap),
+                F.col("__file") == F.col("__rt_file"),
+                "left",
+            )
+            .withColumn(
+                mat_id,
+                F.coalesce(F.col(mat_id), F.col("__rt_base") + F.col("__pos")),
+            )
+            .withColumn(
+                mat_ver, F.coalesce(F.col(mat_ver), F.col("__rt_ver"))
+            )
+            .drop("__rt_file", "__rt_base", "__rt_ver")
+        )
+
+    def read_with_row_ids(self, spark) -> DataFrame:
+        """Snapshot read surfacing `_row_id` / `_row_commit_version`
+        metadata columns (delta-spark's row-tracking read): stable per
+        logical row across OPTIMIZE, DV deletes and copy-on-write DML —
+        materialized lineage preferred, baseRowId + row_index default
+        otherwise (the spec's coalesce rule)."""
+        rt = self._row_tracking_cfg()
+        if rt is None:
+            raise ValueError(
+                "row tracking is not enabled on this table "
+                "(delta.enableRowTracking); call enable_row_tracking()"
+            )
+        mat_id, mat_ver = rt
+        adds = self.snapshot_adds()
+        s = self.schema()
+        if not adds:
+            return (
+                spark.createDataFrame([], s)
+                .withColumn("_row_id", F.lit(None).cast("long"))
+                .withColumn("_row_commit_version", F.lit(None).cast("long"))
+            )
+        df = self._read_adds(
+            spark, adds, with_lineage=True, extra_long_cols=(mat_id, mat_ver)
+        )
+        df = self._with_row_lineage(spark, adds, df, mat_id, mat_ver)
+        return df.select(
+            *[f.name for f in s.fields],
+            F.col(mat_id).alias("_row_id"),
+            F.col(mat_ver).alias("_row_commit_version"),
+        )
+
+    def _read_adds_materialized(self, spark, adds: dict[str, dict]):
+        """The REWRITE-side read for row-tracking tables: the frame
+        carries the materialized lineage columns populated for every
+        row, so any rewrite that stages it (OPTIMIZE, copy-on-write
+        DML survivors) physically persists the ids — rows keep their
+        identity across files, per the spec's preservation rule.
+        Returns (frame, (mat_id, mat_ver)) — or (plain DV-aware read,
+        None) when tracking is off, so rewrite paths call this
+        unconditionally."""
+        rt = self._row_tracking_cfg()
+        if rt is None:
+            return self._read_adds(spark, adds), None
+        mat_id, mat_ver = rt
+        df = self._read_adds(
+            spark, adds, with_lineage=True, extra_long_cols=(mat_id, mat_ver)
+        )
+        df = self._with_row_lineage(spark, adds, df, mat_id, mat_ver)
+        return df.drop("__file", "__pos"), rt
+
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: a new metaData action whose
         configuration carries the given keys (pure metadata commit) —
@@ -2439,17 +2764,49 @@ class DeltaLogTable(_CheckpointMixin):
                 )
         self._read_proto_ok = True
 
+    def _tail_has_protocol(self, lo: int, hi: int) -> bool | None:
+        """True iff any retained commit in [lo, hi] carries a protocol
+        action; None when part of the range is no longer retained (the
+        caller must fall back to a full re-validation rather than
+        assume the missing commits were protocol-free)."""
+        vf = dict(self._version_files())
+        for v in range(lo, hi + 1):
+            p = vf.get(v)
+            if p is None:
+                return None
+            with open(p) as fh:
+                for line in fh:
+                    if '"protocol"' in line and "protocol" in json.loads(line):
+                        return True
+        return False
+
     def _check_write_protocol(self) -> None:
         """Writer-side protocol gate: refuse to COMMIT to a table whose
         minWriterVersion or writerFeatures demand behavior this engine
         does not implement — writing around an unknown feature corrupts
         whatever invariant that feature maintains. Runs in the single
-        commit funnel (_commit), so no DML path can forget it. Reading
-        must also be safe (a write folds the snapshot first). Memoized
-        like the read gate."""
+        commit funnel (_commit) BOTH outside the lock (fast fail) and
+        again under it (a racer's protocol upgrade between gate and
+        lock must not be written around). The memo is a VERSION
+        WATERMARK, not a per-handle boolean: a long-lived handle
+        re-scans only the commits that appeared since its last check
+        (O(new tail), usually zero files) and re-gates in full the
+        moment one of them ledgers a protocol action."""
         self._check_read_protocol()
+        latest = self.latest_version()
         if getattr(self, "_write_proto_ok", False):
-            return
+            seen = getattr(self, "_proto_seen_v", -1)
+            if latest <= seen:
+                return
+            fresh = self._tail_has_protocol(seen + 1, latest)
+            if fresh is False:
+                self._proto_seen_v = latest
+                return
+            # a newer protocol action (or a cleaned gap hiding one):
+            # drop both memos and re-gate against the current fold
+            self._write_proto_ok = False
+            self._read_proto_ok = False
+            self._check_read_protocol()
         p = self._protocol_dict()
         if p is None:
             return
@@ -2468,6 +2825,8 @@ class DeltaLogTable(_CheckpointMixin):
                     f"{sorted(_SUPPORTED_WRITER_FEATURES)})"
                 )
         self._write_proto_ok = True
+        self._proto_seen_v = latest
+        self._proto_cache = p  # validated protocol (row-tracking gate reads it)
 
     def _forbid_append_only(self, verb: str) -> None:
         """`delta.appendOnly=true` (the appendOnly writer feature):
@@ -2842,8 +3201,11 @@ class DeltaLogTable(_CheckpointMixin):
             raise ValueError("nothing to optimize")
         # DV-aware read: OPTIMIZE PURGES deletion vectors — the
         # rewrite materializes only surviving rows, so the new files
-        # carry no DV (delta's OPTIMIZE ... behavior)
-        df = self._read_adds(spark, adds_live)
+        # carry no DV (delta's OPTIMIZE ... behavior). On a
+        # row-tracking table the frame carries the MATERIALIZED row
+        # ids/commit versions, so compaction moves rows without
+        # renaming them (the OPTIMIZE-preserves-ids rule).
+        df, _rt = self._read_adds_materialized(spark, adds_live)
         if cluster_by:
             rewritten = df.repartitionByRange(
                 target_files, *cluster_by
@@ -2963,16 +3325,18 @@ class DeltaLogTable(_CheckpointMixin):
         # pinned, so kept and deleted are complementary by construction
         # — a nondeterministic predicate evaluated twice could let a
         # row survive in the table AND appear deleted in the CDF
-        affected = (
-            self._read_adds(spark, {p: snap[p] for p in hit_files})
-            .withColumn(
-                "__match",
-                F.coalesce(F.expr(predicate_sql), F.lit(False)),
-            )
-            .localCheckpoint()
+        hit_frame, rt = self._read_adds_materialized(
+            spark, {p: snap[p] for p in hit_files}
         )
+        affected = hit_frame.withColumn(
+            "__match",
+            F.coalesce(F.expr(predicate_sql), F.lit(False)),
+        ).localCheckpoint()
+        # on a row-tracking table the survivors carry their
+        # materialized ids into the rewritten files; the CDC frame
+        # stays logical-schema-only (CDF does not publish lineage)
         kept = affected.filter(~F.col("__match")).drop("__match")
-        deleted = affected.filter(F.col("__match")).drop("__match")
+        deleted = affected.filter(F.col("__match")).drop("__match", *(rt or ()))
         adds = self._stage_files(kept, partition_by=self.partition_columns())
         cdc_actions = self._stage_cdc(
             deleted.withColumn("_change_type", F.lit("delete"))
@@ -3253,14 +3617,13 @@ class DeltaLogTable(_CheckpointMixin):
         # the predicate is materialized as a column before the pin so
         # a nondeterministic predicate cannot put a row in both (or
         # neither) of kept and preimage
-        affected = (
-            self._read_adds(spark, {p: snap[p] for p in hit_files})
-            .withColumn(
-                "__match",
-                F.coalesce(F.expr(predicate_sql), F.lit(False)),
-            )
-            .localCheckpoint()
+        hit_frame, rt = self._read_adds_materialized(
+            spark, {p: snap[p] for p in hit_files}
         )
+        affected = hit_frame.withColumn(
+            "__match",
+            F.coalesce(F.expr(predicate_sql), F.lit(False)),
+        ).localCheckpoint()
         kept = affected.filter(~F.col("__match")).drop("__match")
         pre = affected.filter(F.col("__match")).drop("__match")
         # ALL SET right-hand sides evaluate against the OLD row in one
@@ -3268,13 +3631,26 @@ class DeltaLogTable(_CheckpointMixin):
         # SET a=b, b=a see the already-updated a and break the swap)
         ftype = {f.name: f.dataType for f in s.fields}
         cols = [f.name for f in s.fields]
+        # row tracking: an UPDATE keeps a row's id (materialized
+        # through the rewrite) but its commit version becomes the
+        # UPDATE's — materialized as NULL so the new file's
+        # defaultRowCommitVersion (this very commit) serves it
+        rt_keep = (
+            [
+                F.col(rt[0]),
+                F.lit(None).cast("long").alias(rt[1]),
+            ]
+            if rt
+            else []
+        )
         post = pre.select(
             *[
                 F.expr(set_exprs[c]).cast(ftype[c]).alias(c)
                 if c in set_exprs
                 else F.col(c)
                 for c in cols
-            ]
+            ],
+            *rt_keep,
         )
         # generated columns recompute from the UPDATED inputs (the
         # spec's rule: their value is always the expression's)
@@ -3285,8 +3661,9 @@ class DeltaLogTable(_CheckpointMixin):
         # desync the CDF from the table
         post = post.localCheckpoint()
         self._enforce_constraints(post)
+        stage_cols = cols + list(rt or ())
         adds = self._stage_files(
-            kept.select(*cols).unionByName(post.select(*cols)),
+            kept.select(*stage_cols).unionByName(post.select(*stage_cols)),
             partition_by=self.partition_columns(),
         )
         cdc_actions = self._stage_cdc(
@@ -3398,11 +3775,15 @@ class DeltaLogTable(_CheckpointMixin):
             .collect()
         ]
         target = target.drop("__file", "__pos")
-        affected = (
-            self._read_adds(spark, {p: snap[p] for p in hit_files})
-            if hit_files
-            else target.limit(0)
-        )
+        rt = self._row_tracking_cfg()
+        if hit_files:
+            affected, rt = self._read_adds_materialized(
+                spark, {p: snap[p] for p in hit_files}
+            )
+        else:
+            affected = target.limit(0)
+            for c in rt or ():
+                affected = affected.withColumn(c, F.lit(None).cast("long"))
         kept = affected.join(src.select(key), key, "left_anti")
         preimage = affected.join(src.select(key), key, "left_semi")
         updated = src.join(target.select(key), key, "left_semi")
@@ -3434,6 +3815,22 @@ class DeltaLogTable(_CheckpointMixin):
             if id_meta is not None and evolved_meta is not None:
                 evolved_meta = id_meta  # one metaData action carries both
                 id_meta = None
+        if rt:
+            # row tracking across MERGE: matched rows KEEP their id
+            # (carried per key off the preimage, MIN for determinism
+            # like identity) with a fresh commit version (NULL → the
+            # new file's default); inserts mint fresh ids from the
+            # new file's baseRowId range
+            mat_id, mat_ver = rt
+            carry_rt = preimage.groupBy(key).agg(
+                F.min(mat_id).alias(mat_id)
+            )
+            updated = updated.join(carry_rt, key, "inner").withColumn(
+                mat_ver, F.lit(None).cast("long")
+            )
+            inserted = inserted.withColumn(
+                mat_id, F.lit(None).cast("long")
+            ).withColumn(mat_ver, F.lit(None).cast("long"))
         cols = target.columns
         stage_mapping = None
         if evolved_meta is not None:
@@ -3468,10 +3865,11 @@ class DeltaLogTable(_CheckpointMixin):
                     )
                     for f in wf
                 }
+        stage_cols = cols + list(rt or ())
         adds = self._stage_files(
-            kept.select(*cols)
-            .unionByName(updated.select(*cols))
-            .unionByName(inserted.select(*cols)),
+            kept.select(*stage_cols)
+            .unionByName(updated.select(*stage_cols))
+            .unionByName(inserted.select(*stage_cols)),
             partition_by=self.partition_columns(),
             mapping=stage_mapping,
         )
@@ -3751,12 +4149,15 @@ class DeltaLogTable(_CheckpointMixin):
                 .collect()
             ]
         adds: list[dict] = []
+        rt = None
         if hit_files:
-            affected = self._read_adds(spark, {p: live[p] for p in hit_files})
+            affected, rt = self._read_adds_materialized(
+                spark, {p: live[p] for p in hit_files}
+            )
             kept = affected.filter(
                 ~F.coalesce(F.expr(predicate_sql), F.lit(False))
             )
-            deleted = affected.filter(F.expr(predicate_sql))
+            deleted = affected.filter(F.expr(predicate_sql)).drop(*(rt or ()))
             adds += self._stage_files(kept, partition_by=pb)
         adds += self._stage_files(df, partition_by=pb)
         cdc_frame = df.withColumn("_change_type", F.lit("insert"))
@@ -4277,12 +4678,23 @@ class DeltaLogTable(_CheckpointMixin):
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        doms: dict[str, dict] = {}
         infos: list[dict] = []
         for _, a in self._actions(y, from_version=x):
             if "protocol" in a:
                 proto = a["protocol"]
             elif "metaData" in a:
                 meta = a["metaData"]
+            elif "domainMetadata" in a:
+                # latest-per-domain, KEEPING removed=true tombstones:
+                # unlike a checkpoint (state from version 0, where a
+                # removed domain can simply vanish), a segment replaces
+                # only x..y — a SET below x must stay shadowed by the
+                # in-range removal, so the tombstone must survive.
+                # Without this, non-exact folds that substitute the
+                # segment (domain_metadata, checkpoint writes) silently
+                # lose every domain set inside the range.
+                doms[a["domainMetadata"]["domain"]] = a["domainMetadata"]
             elif "add" in a:
                 adds[a["add"]["path"]] = a["add"]
                 removes.pop(a["add"]["path"], None)
@@ -4306,6 +4718,7 @@ class DeltaLogTable(_CheckpointMixin):
             {"txn": {"appId": app, "version": v}}
             for app, v in sorted(txns.items())
         ]
+        actions += [{"domainMetadata": doms[d]} for d in sorted(doms)]
         actions += [{"remove": removes[p]} for p in sorted(removes)]
         actions += [{"add": adds[p]} for p in sorted(adds)]
         actions += [{"commitInfo": ci} for ci in infos]
@@ -4484,6 +4897,53 @@ class DeltaLogTable(_CheckpointMixin):
                         for v in range(x, y + 1)
                     )
                 ):
+                    os.remove(p)
+                    deleted += 1
+            # superseded CHECKPOINTS: every read anchors on
+            # last_checkpoint(), so checkpoints strictly below it serve
+            # no fold — but deleting eagerly would race a reader mid-way
+            # through the older checkpoint, so they ride the same
+            # retention window (mtime-aged: parquet carries no
+            # commitInfo). A deleted v2 top drags its sidecar set along
+            # UNLESS a retained top still references a sidecar (they
+            # are shareable across checkpoints). Without this, every
+            # checkpoint_v2 leaks the previous UUID top + its full
+            # _sidecars set forever.
+            tops_by_v: dict[int, list[str]] = {}
+            for f in os.listdir(self.log_dir):
+                if (
+                    f.endswith(".parquet")
+                    and len(f) > 31
+                    and f[:20].isdigit()
+                    and f[20:31] == ".checkpoint"
+                ):
+                    tops_by_v.setdefault(int(f[:20]), []).append(
+                        os.path.join(self.log_dir, f)
+                    )
+            doomed = {
+                p
+                for v, ps in tops_by_v.items()
+                if v < cv
+                for p in ps
+                if int(os.path.getmtime(p) * 1000) <= cutoff
+            }
+            if doomed:
+                retained_side: set[str] = set()
+                for ps in tops_by_v.values():
+                    for p in ps:
+                        if p not in doomed:
+                            retained_side.update(
+                                os.path.realpath(s)
+                                for s in self._sidecars_of_top(p)
+                            )
+                for p in sorted(doomed):
+                    for s in self._sidecars_of_top(p):
+                        if (
+                            os.path.realpath(s) not in retained_side
+                            and os.path.exists(s)
+                        ):
+                            os.remove(s)
+                            deleted += 1
                     os.remove(p)
                     deleted += 1
         return deleted
@@ -4943,6 +5403,26 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                     "the change history this stream still owes its sink "
                     "is gone (restart the stream from scratch to serve "
                     "the current snapshot instead)"
+                )
+            if self.options.get("starting_version") is not None or (
+                self.options.get("starting_timestamp") is not None
+            ):
+                # an EXPLICIT starting_version=0 (or a timestamp that
+                # resolved to it) also lands at lo == -1 — the same
+                # sentinel as "no starting option" — but its meaning is
+                # the opposite of the fresh-stream default: the user
+                # asked for the exact change history from version 0,
+                # and serving the checkpoint snapshot instead would
+                # silently collapse the cleaned range's deletes and
+                # re-deliver rewrites as if they were the requested
+                # commits. Fail as loudly as any start >= 1 below the
+                # horizon does.
+                raise ValueError(
+                    f"starting_version requested version {start} but "
+                    f"commits [{start}, {earliest}) were cleaned from "
+                    "the log — the requested change history is gone "
+                    "(drop the starting option to stream from the "
+                    "current snapshot instead)"
                 )
             # FRESH stream (lo == -1) on a cleaned log: serve the
             # CHECKPOINT SNAPSHOT as the first batch and exact

@@ -2369,3 +2369,94 @@ def sink_delta_convert(spark, sf_dir):
         t.optimize(spark, target_files=2)  # unique-name re-stage
         t.delete_where(spark, "value < 10")
     return t.read(spark)
+
+
+@query(
+    "sink_delta_row_tracking",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, value FROM events
+        WHERE event_id IS NOT NULL
+    ),
+    evens AS (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY event_id, user_id NULLS FIRST, value NULLS FIRST
+        ) - 1 AS row_id
+        FROM ev WHERE event_id % 2 = 0
+    ),
+    odds AS (
+        SELECT *, (SELECT COUNT(*) FROM evens) + ROW_NUMBER() OVER (
+            ORDER BY event_id, user_id NULLS FIRST, value NULLS FIRST
+        ) - 1 AS row_id
+        FROM ev WHERE event_id % 2 = 1
+    ),
+    base AS (
+        SELECT *, 'backfill' AS lab FROM evens
+        UNION ALL
+        SELECT *, 'append' AS lab FROM odds
+    ),
+    surv AS (SELECT * FROM base WHERE NOT COALESCE(value < 10, FALSE))
+    SELECT event_id, user_id,
+           CASE WHEN COALESCE(event_id % 7 = 0, FALSE)
+                THEN value + 0.5 ELSE value END AS value,
+           row_id,
+           CASE WHEN COALESCE(event_id % 7 = 0, FALSE)
+                THEN 'update' ELSE lab END AS commit_label
+    FROM surv
+    """,
+)
+def sink_delta_row_tracking(spark, sf_dir):
+    """ROW TRACKING (the `rowTracking` writer feature, PROTOCOL.md):
+    every row gets a STABLE id — fresh rows are `baseRowId +
+    row_index` off their add action (allocated from the
+    `delta.rowTracking` domainMetadata high-water mark, stamped in
+    the single commit funnel so no DML path can mint collisions);
+    rewrites that move rows between files (OPTIMIZE, copy-on-write
+    UPDATE/DELETE/MERGE) MATERIALIZE ids into hidden physical columns
+    readers prefer over the computed default, and DV deletes preserve
+    ids for free (same file, same positions).
+
+    Exercised end-to-end: append evens (one sorted file — ids are the
+    event order), ALTER-enable with backfill, append odds (allocated
+    past the mark), DV-DELETE value<10 (survivors keep ids), UPDATE
+    value on event_id%7=0 (id kept, commit version bumps), then
+    OPTIMIZE (rows move files; materialized lineage must not change).
+    The oracle re-derives every id and commit label from the source
+    alone. Scale: id resolution is one broadcast O(live files) join;
+    materialization rides the rewrite it already pays for."""
+    t = _fresh_table("row_tracking")
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    order = ["event_id", "user_id", "value"]
+    evens = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions(*order)
+    )
+    odds = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions(*order)
+    )
+    t.append(evens)
+    v_backfill = t.enable_row_tracking()
+    v_append = t.append(odds)
+    t.delete_where_dv(spark, "value < 10")
+    v_update = t.update_where(
+        spark, {"value": "value + 0.5"}, "event_id % 7 = 0"
+    )
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)  # moves rows; ids must hold
+    out = t.read_with_row_ids(spark)
+    ver = F.col("_row_commit_version")
+    label = (
+        F.when(ver == F.lit(v_backfill), "backfill")
+        .when(ver == F.lit(v_append), "append")
+        .when(ver == F.lit(v_update), "update")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("_row_id").alias("row_id"),
+        label.alias("commit_label"),
+    )

@@ -2609,3 +2609,103 @@ def test_write_gate_revalidates_after_foreign_protocol_upgrade(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported writer feature"):
         t.append(_ev(spark, 5))
     assert t.latest_version() == v  # nothing committed past the upgrade
+
+
+# --- r12: row tracking (PROTOCOL.md rowTracking writer feature) ----------
+
+
+def _row_ids(t, spark):
+    return {
+        r["event_id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.read_with_row_ids(spark).collect()
+    }
+
+
+def test_row_tracking_lifecycle(spark, tmp_path):
+    """Row ids: backfilled at enablement, allocated past the high-water
+    mark on append, STABLE across DV deletes, OPTIMIZE, UPDATE,
+    copy-on-write DELETE and MERGE, and surviving checkpoint + log
+    cleanup."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))  # pre-enablement rows
+    t.enable_row_tracking()
+    p = t._protocol_dict()
+    assert {"rowTracking", "domainMetadata"} <= set(p["writerFeatures"])
+    ids0 = _row_ids(t, spark)
+    assert sorted(i for i, _ in ids0.values()) == list(range(10))
+    # fresh append allocates PAST the ledgered mark — never reuses
+    v_app = t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))
+    ids1 = _row_ids(t, spark)
+    assert sorted(i for i, _ in ids1.values()) == list(range(15))
+    assert all(ids1[k][0] == v[0] for k, v in ids0.items())
+    assert all(ids1[k][1] == v_app for k in range(10, 15))
+    # DV delete: survivors keep ids AND commit versions (same file)
+    t.delete_where_dv(spark, "event_id in (1, 12)")
+    ids2 = _row_ids(t, spark)
+    assert ids2 == {k: v for k, v in ids1.items() if k not in (1, 12)}
+    # OPTIMIZE: rows move files, ids/versions materialize unchanged
+    t.optimize(spark, target_files=1)
+    assert _row_ids(t, spark) == ids2
+    # UPDATE: id kept, commit version bumps to the UPDATE's commit
+    v_upd = t.update_where(spark, {"value": "value + 1000.0"}, "event_id = 5")
+    ids3 = _row_ids(t, spark)
+    assert ids3[5] == (ids2[5][0], v_upd)
+    assert {k: v for k, v in ids3.items() if k != 5} == {
+        k: v for k, v in ids2.items() if k != 5
+    }
+    # copy-on-write DELETE: kept rows unchanged
+    t.delete_where(spark, "event_id = 7")
+    ids4 = _row_ids(t, spark)
+    assert ids4 == {k: v for k, v in ids3.items() if k != 7}
+    # MERGE: matched rows keep their id (fresh commit version),
+    # inserted rows mint fresh ids above every existing one
+    src = _ev(spark, 22).filter(F.col("event_id").isin(3, 20, 21))
+    v_mrg = t.merge(spark, src, "event_id")
+    ids5 = _row_ids(t, spark)
+    assert ids5[3] == (ids4[3][0], v_mrg)
+    hwm_before = {i for i, _ in ids4.values()}
+    for k in (20, 21):
+        assert ids5[k][0] not in hwm_before and ids5[k][1] == v_mrg
+    assert {k: v for k, v in ids5.items() if k not in (3, 20, 21)} == {
+        k: v for k, v in ids4.items() if k != 3
+    }
+    # ids survive checkpoint + cleanup on a fresh handle
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    t2 = DeltaLogTable(t.path)
+    assert _row_ids(t2, spark) == ids5
+    # and a fresh-handle append continues the sequence, no collisions
+    t2.append(_ev(spark, 30).filter(F.col("event_id") >= 25))
+    ids6 = _row_ids(t2, spark)
+    assert len({i for i, _ in ids6.values()}) == len(ids6)
+    assert min(i for k, (i, _) in ids6.items() if k >= 25) > max(
+        i for i, _ in ids5.values()
+    )
+
+
+def test_row_tracking_replace_where_and_plain_reads(spark, tmp_path):
+    """replaceWhere keeps untouched rows' ids; normal read() never
+    surfaces the materialized physical columns; read_with_row_ids on a
+    non-tracking table refuses."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 20).withColumn("bucket", (F.col("event_id") % 2).cast("long"))
+    )
+    with pytest.raises(ValueError, match="row tracking"):
+        t.read_with_row_ids(spark)
+    t.enable_row_tracking()
+    before = _row_ids(t, spark)
+    repl = (
+        _ev(spark, 40)
+        .filter(F.col("event_id") >= 30)
+        .withColumn("bucket", F.lit(1).cast("long"))
+    )
+    t.replace_where(spark, repl, "bucket = 1")
+    after = _row_ids(t, spark)
+    evens = {k: v for k, v in before.items() if k % 2 == 0}
+    assert {k: v for k, v in after.items() if k < 20} == evens
+    assert len({i for i, _ in after.values()}) == len(after)
+    # OPTIMIZE wrote materialized cols — plain read stays logical
+    t.optimize(spark, target_files=1)
+    assert set(t.read(spark).columns) == {"event_id", "user_id", "value", "bucket"}
+    assert _row_ids(t, spark) == after
