@@ -96,6 +96,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "v2Checkpoint",
         "domainMetadata",
         "rowTracking",
+        "clustering",
     }
 )
 _MAX_READER_VERSION = 3
@@ -2569,6 +2570,88 @@ class DeltaLogTable(_CheckpointMixin):
         self._row_hwm_pending = (v, cur)
         return actions
 
+    # --- liquid clustering state (the `clustering` writer feature) --------
+
+    _CLUSTERING_DOMAIN = "delta.clustering"
+
+    def set_cluster_by(self, cols: tuple[str, ...]) -> int:
+        """ALTER TABLE ... CLUSTER BY (liquid clustering state,
+        PROTOCOL.md's Clustered Table feature): persist the clustering
+        columns in the `delta.clustering` domain (the spec's
+        nested-name form) and ledger the `clustering` +
+        `domainMetadata` writer features — after which a PARAMETERLESS
+        OPTIMIZE clusters on them automatically (one column:
+        range-clustering; several: the z-order rewrite). CLUSTER BY
+        NONE (empty ``cols``) clears the state. A clustered table
+        cannot be Hive-partitioned (delta's mutual exclusion), and the
+        columns must exist in the schema."""
+        s = self.schema()
+        have = {f.name for f in (s.fields if s else [])}
+        unknown = [c for c in cols if c not in have]
+        if unknown:
+            raise ValueError(f"CLUSTER BY targets unknown column(s) {unknown}")
+        if cols and self.partition_columns():
+            raise ValueError(
+                "CLUSTER BY on a Hive-partitioned table: clustering and "
+                "partitioning are mutually exclusive (Delta's contract)"
+            )
+        base = self._protocol_dict()
+        actions: list[dict] = []
+        need = {"clustering", "domainMetadata"} - set(
+            (base or {}).get("writerFeatures") or ()
+        )
+        if need:
+            actions.append(
+                {
+                    "protocol": self._upgraded_protocol(
+                        writer_features=("clustering", "domainMetadata")
+                    )
+                }
+            )
+            self._write_proto_ok = False
+        actions += [
+            {
+                "domainMetadata": {
+                    "domain": self._CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]},
+                        sort_keys=True,
+                    ),
+                    "removed": False,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {
+                        "clusterBy": json.dumps(list(cols))
+                    },
+                }
+            },
+        ]
+        v = self._commit(
+            actions,
+            precondition=(
+                (lambda: self._protocol_dict() == base) if need else None
+            ),
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "protocol changed while setting CLUSTER BY; retry"
+            )
+        return v
+
+    def cluster_columns(self) -> tuple[str, ...]:
+        """The table's persisted clustering columns (empty when not a
+        clustered table) — accepts both the spec's nested-name form
+        and a foreign writer's flat list."""
+        dom = self.domain_metadata().get(self._CLUSTERING_DOMAIN) or {}
+        return tuple(
+            c[0] if isinstance(c, list) else c
+            for c in (dom.get("clusteringColumns") or [])
+        )
+
     def _with_row_lineage(self, spark, adds, df, mat_id, mat_ver):
         """Resolve per-row (row id, commit version) on a lineage frame
         (__file/__pos present, materialized columns scanned): the
@@ -3172,6 +3255,16 @@ class DeltaLogTable(_CheckpointMixin):
         sortWithinPartitions — never a global sort."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if not cluster_by and not zorder_by:
+            # liquid clustering: a parameterless OPTIMIZE on a
+            # clustered table picks up the persisted CLUSTER BY state
+            # (delta-spark's behavior) — one column range-clusters,
+            # several take the z-order rewrite
+            cc = self.cluster_columns()
+            if len(cc) == 1:
+                cluster_by = cc
+            elif cc:
+                zorder_by = cc
         adds_live = self.snapshot_adds()
         pb = self.partition_columns()
         if partitions:

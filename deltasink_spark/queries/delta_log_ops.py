@@ -2460,3 +2460,47 @@ def sink_delta_row_tracking(spark, sf_dir):
         F.col("_row_id").alias("row_id"),
         label.alias("commit_label"),
     )
+
+
+@query(
+    "sink_delta_liquid_cluster",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)}, event_id * 37 % 1000 AS dim2, 'd1' AS probe
+    FROM events WHERE COALESCE(event_id BETWEEN 1000 AND 2000, FALSE)
+    UNION ALL
+    SELECT {', '.join(_EV_COLS)}, event_id * 37 % 1000 AS dim2, 'd2' AS probe
+    FROM events WHERE COALESCE(event_id * 37 % 1000 BETWEEN 100 AND 200, FALSE)
+    """,
+)
+def sink_delta_liquid_cluster(spark, sf_dir):
+    """LIQUID CLUSTERING state (PROTOCOL.md's Clustered Table feature):
+    ALTER TABLE ... CLUSTER BY persists clusteringColumns in the
+    `delta.clustering` domainMetadata (nested-name form) and ledgers
+    the `clustering` writer feature; a PARAMETERLESS OPTIMIZE then
+    picks the columns up automatically and produces the multi-dim
+    clustered layout — the operational difference from
+    [sink_delta_zorder] is that the clustering spec lives in the TABLE
+    (set once, every future OPTIMIZE honors it; how a 100 TB table's
+    nightly compaction job stays layout-correct without each job
+    knowing the schema) rather than in each OPTIMIZE call. Built
+    hash-scattered like the zorder op so nothing is prunable before;
+    both range probes after the parameterless OPTIMIZE must equal the
+    source filters exactly (the oracle) — file pruning itself is
+    pinned in tests/test_delta_log.py via inputFiles()."""
+    t = _fresh_table("liquid", cols=_EV_COLS + ["dim2"])
+    ev = _ev(spark, sf_dir).withColumn(
+        "dim2", (F.col("event_id") * 37) % 1000
+    )
+    for k in range(4):
+        t.append(ev.filter(F.col("event_id") % 4 == k).repartition(4))
+    t.set_cluster_by(("event_id", "dim2"))
+    assert t.cluster_columns() == ("event_id", "dim2")
+    if t.snapshot_files():
+        t.optimize(spark, target_files=8)  # parameterless — state-driven
+    d1 = t.read_where_stats(spark, "event_id", 1000, 2000).withColumn(
+        "probe", F.lit("d1")
+    )
+    d2 = t.read_where_stats(spark, "dim2", 100, 200).withColumn(
+        "probe", F.lit("d2")
+    )
+    return d1.unionByName(d2)

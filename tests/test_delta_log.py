@@ -2709,3 +2709,49 @@ def test_row_tracking_replace_where_and_plain_reads(spark, tmp_path):
     t.optimize(spark, target_files=1)
     assert set(t.read(spark).columns) == {"event_id", "user_id", "value", "bucket"}
     assert _row_ids(t, spark) == after
+
+
+def test_liquid_clustering_state_drives_parameterless_optimize(spark, tmp_path):
+    """ALTER CLUSTER BY persists clusteringColumns in the
+    delta.clustering domain; a PARAMETERLESS OPTIMIZE picks them up
+    and prunes on both dimensions afterwards; CLUSTER BY NONE clears
+    the state; unknown columns and partitioned tables refuse."""
+    t = _table(tmp_path)
+    base = _ev(spark, 2000).withColumn("dim2", (F.col("event_id") * 37) % 1000)
+    for k in range(4):
+        t.append(base.filter(F.col("event_id") % 4 == k).repartition(8))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.set_cluster_by(("nope",))
+    t.set_cluster_by(("event_id", "dim2"))
+    assert t.cluster_columns() == ("event_id", "dim2")
+    p = t._protocol_dict()
+    assert {"clustering", "domainMetadata"} <= set(p["writerFeatures"])
+    # the domain survives in the spec's nested-name form
+    dom = t.domain_metadata()["delta.clustering"]
+    assert dom == {"clusteringColumns": [["event_id"], ["dim2"]]}
+    t.optimize(spark, target_files=8)  # parameterless: picks up state
+
+    def nfiles(df):
+        return len(set(df.inputFiles()))
+
+    post_total = len(t.snapshot_files())
+    d1 = t.read_where_stats(spark, "event_id", 100, 200)
+    d2 = t.read_where_stats(spark, "dim2", 100, 200)
+    assert nfiles(d1) < post_total and nfiles(d2) < post_total
+    assert {r["event_id"] for r in d1.collect()} == set(range(100, 201))
+    # single-column state routes to range clustering
+    t.set_cluster_by(("dim2",))
+    t.optimize(spark, target_files=8)
+    d2b = t.read_where_stats(spark, "dim2", 100, 200)
+    assert nfiles(d2b) < len(t.snapshot_files())
+    # CLUSTER BY NONE clears: a later OPTIMIZE is plain compaction
+    t.set_cluster_by(())
+    assert t.cluster_columns() == ()
+    # a partitioned table refuses clustering
+    t2 = _table(tmp_path, "part")
+    t2.append(
+        _ev(spark, 20).withColumn("b", (F.col("event_id") % 2).cast("string")),
+        partition_by=("b",),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t2.set_cluster_by(("event_id",))
