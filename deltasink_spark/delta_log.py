@@ -1070,7 +1070,61 @@ class DeltaLogTable(_CheckpointMixin):
             if pend is not None and pend[0] == v:
                 self._row_hwm_seen, self._row_hwm_cache = v, pend[1]
                 self._row_hwm_pending = None
+            self._write_version_crc(v)
             return v
+
+    def _write_version_crc(self, v: int) -> None:
+        """Write the VERSION CHECKSUM sidecar (`_delta_log/%020d.crc`,
+        delta-spark's VersionChecksum): tableSizeBytes / numFiles /
+        numMetadata / numProtocol of the post-commit state, derived
+        from the same checkpoint-anchored fold every reader uses.
+        Readers re-derive the numbers and RAISE on mismatch
+        (snapshot_adds) — the cheap tripwire that catches fold
+        divergence (a buggy writer, a truncated log) at the very next
+        read instead of as silent wrong data downstream. Still under
+        the commit lock, so the fold is exactly this commit's state."""
+        adds = self.snapshot_adds(v)
+        info = {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in adds.values()
+            ),
+            "numFiles": len(adds),
+            "numMetadata": 1 if self._metadata_dict() is not None else 0,
+            "numProtocol": 1 if self._protocol_dict() is not None else 0,
+        }
+        p = os.path.join(self.log_dir, f"{v:020d}.crc")
+        tmp = p + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(info, sort_keys=True))
+        os.replace(tmp, p)
+
+    def _validate_version_crc(self, v: int, adds: dict[str, dict]) -> None:
+        """Compare a folded snapshot against the version's checksum
+        sidecar, when one exists (foreign commits may not write them).
+        A mismatch is loud — it means the fold and the writer disagree
+        about the table's state, which is never recoverable silently."""
+        p = os.path.join(self.log_dir, f"{v:020d}.crc")
+        if not os.path.exists(p):
+            return
+        with open(p) as fh:
+            want = json.load(fh)
+        got_files = len(adds)
+        got_bytes = sum(int(a.get("size") or 0) for a in adds.values())
+        if (
+            want.get("numFiles") is not None
+            and int(want["numFiles"]) != got_files
+        ) or (
+            want.get("tableSizeBytes") is not None
+            and int(want["tableSizeBytes"]) != got_bytes
+        ):
+            raise ValueError(
+                f"version checksum mismatch at {v}: crc declares "
+                f"numFiles={want.get('numFiles')} tableSizeBytes="
+                f"{want.get('tableSizeBytes')}, the log folds to "
+                f"numFiles={got_files} tableSizeBytes={got_bytes} — "
+                "the table state and its checksum disagree (corrupt or "
+                "foreign-tampered log)"
+            )
 
     # --- snapshot state ---------------------------------------------------
 
@@ -1093,11 +1147,18 @@ class DeltaLogTable(_CheckpointMixin):
         if cv is not None and (as_of_version is None or as_of_version >= cv):
             live = self._checkpoint_adds(cv)
             start = cv + 1
-        for _, a in self._actions(as_of_version, from_version=start):
+        last = start - 1
+        for v, a in self._actions(as_of_version, from_version=start):
             if "add" in a:
                 live[a["add"]["path"]] = a["add"]
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
+            last = max(last, v)
+        # checksum tripwire: when the folded version has a .crc
+        # sidecar, the fold must agree with it (O(1) json read)
+        v_eff = as_of_version if as_of_version is not None else last
+        if v_eff >= 0:
+            self._validate_version_crc(v_eff, live)
         return live
 
     def snapshot_files(self, as_of_version: int | None = None) -> list[str]:
@@ -4975,6 +5036,10 @@ class DeltaLogTable(_CheckpointMixin):
                     break
                 os.remove(p)
                 deleted += 1
+                crc = os.path.join(self.log_dir, f"{v:020d}.crc")
+                if os.path.exists(crc):  # checksum sidecar rides along
+                    os.remove(crc)
+                    deleted += 1
             for x, y, p in self._compacted_files():
                 # a segment is deletable only when its whole range is
                 # covered + gone AND the segment itself has expired —

@@ -2504,3 +2504,70 @@ def sink_delta_liquid_cluster(spark, sf_dir):
         "probe", F.lit("d2")
     )
     return d1.unionByName(d2)
+
+
+@query(
+    "scan_delta_log_crc",
+    oracle=f"""
+    WITH acts AS (
+        SELECT "add".path AS ap, "add".size AS asize, "remove".path AS rp
+        FROM read_json('{_DL_BASE}/crc/_delta_log/*.json',
+            columns = {{
+                "add": 'STRUCT(path VARCHAR, size BIGINT)',
+                "remove": 'STRUCT(path VARCHAR)'
+            }})
+    ),
+    live AS (
+        SELECT ap, asize FROM acts
+        WHERE ap IS NOT NULL
+          AND ap NOT IN (SELECT rp FROM acts WHERE rp IS NOT NULL)
+    ),
+    crc AS (
+        SELECT "numFiles" AS num_files, "tableSizeBytes" AS table_size_bytes
+        FROM read_json('{_DL_BASE}/crc/_delta_log/*.crc',
+            filename = true,
+            columns = {{"numFiles": 'BIGINT', "tableSizeBytes": 'BIGINT'}})
+        ORDER BY filename DESC LIMIT 1
+    )
+    SELECT crc.num_files,
+           crc.table_size_bytes,
+           (SELECT COUNT(*) FROM live) AS fold_files,
+           (SELECT COALESCE(SUM(asize), 0) FROM live) AS fold_bytes
+    FROM crc
+    """,
+)
+def scan_delta_log_crc(spark, sf_dir):
+    """VERSION CHECKSUMS (delta-spark's `%020d.crc` sidecars): every
+    commit records the post-state numFiles/tableSizeBytes, and every
+    fold validates against the sidecar — the O(1) tripwire that turns
+    fold divergence (writer bug, truncated log, foreign tampering)
+    into a loud error at the NEXT read instead of silent wrong data
+    downstream (the corruption path is pinned loud in
+    tests/test_delta_log.py). Built: two appends + a copy-on-write
+    DELETE + OPTIMIZE; the returned row is the LATEST sidecar next to
+    the log's independently folded numbers, and the DuckDB oracle
+    re-derives BOTH from the raw `_delta_log` json — agreement proves
+    the checksum math against a second implementation, not
+    self-agreement."""
+    t = _fresh_table("crc")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True))))
+    t.append(ev.filter(F.coalesce(F.col("event_id") % 2 == 1, F.lit(False))))
+    t.delete_where(spark, "value < 10")
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+    v = t.latest_version()
+    crc = json.load(open(os.path.join(t.log_dir, f"{v:020d}.crc")))
+    snap = t.snapshot_adds()  # validates against the sidecar en route
+    return spark.createDataFrame(
+        [
+            (
+                int(crc["numFiles"]),
+                int(crc["tableSizeBytes"]),
+                len(snap),
+                sum(int(a.get("size") or 0) for a in snap.values()),
+            )
+        ],
+        "num_files bigint, table_size_bytes bigint, "
+        "fold_files bigint, fold_bytes bigint",
+    )

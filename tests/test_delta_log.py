@@ -1452,10 +1452,11 @@ def test_cleanup_log_bounds_and_stays_loud(spark, tmp_path):
     # retention far in the future: nothing old enough -> no-op
     assert t.cleanup_log(retention_ms=10**12) == 0
     n = t.cleanup_log(retention_ms=0)
-    # v0, v1 + the wholly-covered compacted segment; v2 (the NEWEST
-    # covered commit) is always retained — it carries the last
-    # commitInfo, the ICT high-water anchor _commit keys on
-    assert n == 3
+    # v0, v1 (+ their .crc checksum sidecars) + the wholly-covered
+    # compacted segment; v2 (the NEWEST covered commit) is always
+    # retained — it carries the last commitInfo, the ICT high-water
+    # anchor _commit keys on
+    assert n == 5
     kept = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".json"))
     assert kept == [f"{2:020d}.json", f"{3:020d}.json"]
     t2 = DeltaLogTable(t.path)
@@ -1632,9 +1633,10 @@ def test_cleanup_log_deletes_only_contiguous_prefix(spark, tmp_path):
     with open(p1, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
-    # cutoff = now: v0 expired -> deleted; v1 NOT expired -> STOP —
-    # v2 (also expired) must be RETAINED so the tail stays contiguous
-    assert t.cleanup_log(retention_ms=0) == 1
+    # cutoff = now: v0 (+ its .crc) expired -> deleted; v1 NOT expired
+    # -> STOP — v2 (also expired) must be RETAINED so the tail stays
+    # contiguous
+    assert t.cleanup_log(retention_ms=0) == 2
     kept = sorted(
         int(f[:20]) for f in os.listdir(t.log_dir) if f.endswith(".json")
     )
@@ -2755,3 +2757,36 @@ def test_liquid_clustering_state_drives_parameterless_optimize(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         t2.set_cluster_by(("event_id",))
+
+
+def test_version_checksum_written_validated_and_loud_on_corruption(spark, tmp_path):
+    """Every commit writes a `%020d.crc` sidecar; folds validate
+    against it; a tampered checksum (or a log whose state diverged
+    from it) raises loudly instead of serving silently-wrong state;
+    cleanup reclaims the sidecars with their commits."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.delete_where(spark, "event_id < 3")
+    for v in (0, 1):
+        assert os.path.exists(os.path.join(t.log_dir, f"{v:020d}.crc"))
+    crc = json.load(open(os.path.join(t.log_dir, f"{1:020d}.crc")))
+    snap = t.snapshot_adds()
+    assert crc["numFiles"] == len(snap)
+    assert crc["tableSizeBytes"] == sum(a["size"] for a in snap.values())
+    # time travel validates the OLD version against the OLD sidecar
+    assert t.read(spark, as_of_version=0).count() == 10
+    # tamper: the next fold must refuse
+    with open(os.path.join(t.log_dir, f"{1:020d}.crc"), "w") as fh:
+        fh.write(json.dumps({"numFiles": 999, "tableSizeBytes": 1}))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        DeltaLogTable(t.path).snapshot_adds()
+    # restore a correct sidecar: folds work again, and cleanup
+    # reclaims sidecars alongside their commits
+    with open(os.path.join(t.log_dir, f"{1:020d}.crc"), "w") as fh:
+        fh.write(json.dumps(crc))
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))
+    t.checkpoint()
+    t.cleanup_log(retention_ms=0)
+    left = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".crc"))
+    assert left == [f"{2:020d}.crc"]
+    assert DeltaLogTable(t.path).read(spark).count() == 12
