@@ -80,7 +80,26 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
 # silently wrong data, and writing around an unknown writer feature
 # corrupts invariants the unknown feature maintains.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"columnMapping", "deletionVectors", "v2Checkpoint"}
+    {"columnMapping", "deletionVectors", "v2Checkpoint", "typeWidening"}
+)
+
+# delta.typeWidening's allowed (fromType, toType) pairs (the stable
+# feature's set, protocol type names): integral up-chain, float→double,
+# integral→double. A parquet reader must up-promote old narrow files to
+# the widened log schema (Spark 4's parquet readers do, SPARK-40876).
+_TYPE_WIDENINGS = frozenset(
+    {
+        ("byte", "short"),
+        ("byte", "integer"),
+        ("byte", "long"),
+        ("short", "integer"),
+        ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("byte", "double"),
+        ("short", "double"),
+        ("integer", "double"),
+    }
 )
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
@@ -97,6 +116,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "domainMetadata",
         "rowTracking",
         "clustering",
+        "typeWidening",
     }
 )
 _MAX_READER_VERSION = 3
@@ -3022,6 +3042,50 @@ class DeltaLogTable(_CheckpointMixin):
         evolved_meta["configuration"] = cfg
         return evolved_meta
 
+    @staticmethod
+    def _widen_types_meta(
+        widen: list[tuple[str, str, str]], base: dict
+    ) -> dict:
+        """The metaData action for TYPE-WIDENED columns (the
+        `delta.typeWidening` table feature): each (name, fromType,
+        toType) rewrites the field's type in schemaString and appends
+        the change to the field's `delta.typeChanges` metadata — the
+        record a foreign reader uses to know the old files' narrower
+        physical type is intentional. Files are never rewritten; the
+        parquet reader up-promotes them to the log schema."""
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructField,
+        )
+
+        of_name = {
+            "byte": ByteType(),
+            "short": ShortType(),
+            "integer": IntegerType(),
+            "long": LongType(),
+            "float": FloatType(),
+            "double": DoubleType(),
+        }
+        cur = StructType.fromJson(json.loads(base["schemaString"]))
+        by = {f.name: f for f in cur.fields}
+        for name, from_t, to_t in widen:
+            f = by[name]
+            md = dict(f.metadata or {})
+            changes = list(md.get("delta.typeChanges") or [])
+            changes.append({"fromType": from_t, "toType": to_t})
+            md["delta.typeChanges"] = changes
+            by[name] = StructField(name, of_name[to_t], f.nullable, md)
+        meta = dict(base)
+        meta["schemaString"] = StructType(
+            [by[f.name] for f in cur.fields]
+        ).json()
+        return meta
+
     def append(
         self,
         df: DataFrame,
@@ -3102,20 +3166,73 @@ class DeltaLogTable(_CheckpointMixin):
                 )
             partition_by = existing_pb
         evolved_meta = None
+        evolve_base = None
+        widen_upgrade: list[dict] = []
+        base_proto_tw = None
         cur_schema = self.schema()
         if cur_schema is not None:
             have = {f.name for f in cur_schema.fields}
+            cur_by = {f.name: f for f in cur_schema.fields}
             extra = [f for f in df.schema.fields if f.name not in have]
-            if extra:
-                if not merge_schema:
+            # TYPE enforcement on shared columns: a NARROWER input is
+            # upcast to the table type (Delta casts writes to the
+            # schema), a WIDER input is TYPE WIDENING (delta's
+            # typeWidening feature, merge_schema-gated), anything else
+            # is a rejected mismatch — silently staging files whose
+            # physical type contradicts the log schema would poison
+            # every future read
+            widen: list[tuple[str, str, str]] = []
+            for f in df.schema.fields:
+                if f.name not in cur_by:
+                    continue
+                td = cur_by[f.name].dataType
+                if f.dataType == td:
+                    continue
+                dt, tt = f.dataType.typeName(), td.typeName()
+                if (dt, tt) in _TYPE_WIDENINGS:
+                    df = df.withColumn(f.name, F.col(f.name).cast(td))
+                elif (tt, dt) in _TYPE_WIDENINGS:
+                    widen.append((f.name, tt, dt))
+                else:
                     raise ValueError(
-                        f"schema mismatch: df carries new columns "
-                        f"{[f.name for f in extra]} the table lacks; pass "
-                        "merge_schema=True to evolve (Delta's write "
-                        "enforcement)"
+                        f"schema mismatch: column {f.name} is {tt} in "
+                        f"the table but {dt} in the write, and that is "
+                        "not a supported type widening"
+                    )
+            if extra or widen:
+                if not merge_schema:
+                    what = [f.name for f in extra] + [w[0] for w in widen]
+                    raise ValueError(
+                        f"schema mismatch: df carries new/widened columns "
+                        f"{what} the table lacks; pass merge_schema=True "
+                        "to evolve (Delta's write enforcement)"
                     )
                 evolve_base = self._metadata_dict()
-                evolved_meta = self._widen_schema_meta(extra, evolve_base)
+                evolved_meta = evolve_base
+                if extra:
+                    evolved_meta = self._widen_schema_meta(
+                        extra, evolved_meta
+                    )
+                if widen:
+                    evolved_meta = self._widen_types_meta(
+                        widen, evolved_meta
+                    )
+                    base_proto_tw = self._protocol_dict()
+                    if "typeWidening" not in (
+                        (base_proto_tw or {}).get("writerFeatures") or ()
+                    ):
+                        # reader AND writer feature: old files stay
+                        # narrow, so every reader must understand the
+                        # promotion before it can fold this table
+                        widen_upgrade.append(
+                            {
+                                "protocol": self._upgraded_protocol(
+                                    reader_features=("typeWidening",),
+                                    writer_features=("typeWidening",),
+                                )
+                            }
+                        )
+                        self._write_proto_ok = False
         df = self._apply_generated(df)
         id_meta = None
         id_high: dict[str, int] = {}
@@ -3145,7 +3262,7 @@ class DeltaLogTable(_CheckpointMixin):
         adds = self._stage_files(
             df, partition_by=tuple(partition_by), mapping=stage_mapping
         )
-        actions: list[dict] = []
+        actions: list[dict] = list(widen_upgrade)
         if evolved_meta is not None:
             actions.append({"metaData": evolved_meta})
         elif id_meta is not None:
@@ -3191,6 +3308,18 @@ class DeltaLogTable(_CheckpointMixin):
                 return True
 
             checks.append(_meta_unchanged)
+        if widen_upgrade:
+            # committing a stale protocol upgrade would erase features
+            # a concurrent enabler ledgered in between
+            def _proto_unchanged() -> bool:
+                if self._protocol_dict() != base_proto_tw:
+                    raise MetadataChangedError(
+                        "protocol changed while enabling typeWidening; "
+                        "retry the append"
+                    )
+                return True
+
+            checks.append(_proto_unchanged)
         if id_high:
             # the assigned identity values extend id_base's high-water
             # mark: a concurrent identity append in between would hand

@@ -1517,8 +1517,9 @@ def sink_delta_log_cleanup(spark, sf_dir):
     cv = t.checkpoint()
     n = t.cleanup_log(retention_ms=0)
     # every covered commit except the NEWEST is gone (the retained one
-    # carries the last commitInfo — the ICT high-water anchor)
-    assert n == cv, f"expected {cv} expired commits deleted, got {n}"
+    # carries the last commitInfo — the ICT high-water anchor), each
+    # taking its .crc checksum sidecar with it
+    assert n == 2 * cv, f"expected {2 * cv} expired files deleted, got {n}"
     assert [
         f for f in os.listdir(t.log_dir)
         if f.endswith(".json") and len(f) == 25
@@ -2571,3 +2572,50 @@ def scan_delta_log_crc(spark, sf_dir):
         "num_files bigint, table_size_bytes bigint, "
         "fold_files bigint, fold_bytes bigint",
     )
+
+
+@query(
+    "sink_delta_type_widening",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)},
+           event_id AS small,
+           CAST(CAST(value AS REAL) AS DOUBLE) AS ratio
+    FROM events
+    WHERE NOT COALESCE(value < 10, FALSE)
+    """,
+)
+def sink_delta_type_widening(spark, sf_dir):
+    """TYPE WIDENING (the `delta.typeWidening` table feature): the
+    table is created with `small` int32 / `ratio` float32; a later
+    append re-declares them long/double, which (merge_schema-gated)
+    widens the schemaString, appends each field's `delta.typeChanges`
+    record, and ledgers the reader+writer feature — WITHOUT rewriting
+    a byte: the old narrow parquet files stay, and every reader
+    up-promotes them to the widened log schema at scan time (Spark 4's
+    parquet type promotion). At 100 TB this is the difference between
+    an ALTER COLUMN TYPE being a metadata commit and a full-table
+    rewrite. A copy-on-write DELETE then runs THROUGH the mixed
+    narrow/wide file set. The oracle re-derives the widened values
+    (including the float32 round-trip) from the source."""
+    t = _fresh_table("widening")
+    _SENTINEL_TYPES.setdefault("small", "int64")
+    _SENTINEL_TYPES.setdefault("ratio", "float64")
+    ev = _ev(spark, sf_dir)
+    t.append(
+        ev.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True)))
+        .withColumn("small", F.col("event_id").cast("int"))
+        .withColumn("ratio", F.col("value").cast("float"))
+    )
+    t.append(
+        ev.filter(F.coalesce(F.col("event_id") % 2 == 1, F.lit(False)))
+        .withColumn("small", F.col("event_id").cast("long"))
+        .withColumn("ratio", F.col("value").cast("float").cast("double")),
+        merge_schema=True,
+    )
+    s = {f.name: f for f in t.schema().fields}
+    assert s["small"].dataType.typeName() == "long"
+    assert s["small"].metadata["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    t.delete_where(spark, "value < 10")
+    return DeltaLogTable(t.path).read(spark)  # fresh-handle foreign read

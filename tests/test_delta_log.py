@@ -2790,3 +2790,64 @@ def test_version_checksum_written_validated_and_loud_on_corruption(spark, tmp_pa
     left = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".crc"))
     assert left == [f"{2:020d}.crc"]
     assert DeltaLogTable(t.path).read(spark).count() == 12
+
+
+def test_type_widening_write_and_read(spark, tmp_path):
+    """delta.typeWidening: a wider re-declaration of an existing column
+    widens the schemaString (merge_schema-gated), records
+    delta.typeChanges on the field, ledgers the reader+writer feature,
+    and old NARROW files read up-promoted — never rewritten. Narrower
+    inputs upcast to the table type; incompatible types refuse."""
+    t = _table(tmp_path)
+    ten = _ev(spark, 10).withColumn(
+        "small", F.col("event_id").cast("int")
+    ).withColumn("ratio", F.col("value").cast("float"))
+    t.append(ten)
+    assert {
+        f.name: f.dataType.typeName() for f in t.schema().fields
+    }["small"] == "integer"
+    wide = (
+        _ev(spark, 20)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("small", F.col("event_id").cast("long"))
+        .withColumn("ratio", F.col("value").cast("double"))
+    )
+    with pytest.raises(ValueError, match="widened"):
+        t.append(wide)  # widening is merge_schema-gated
+    t.append(wide, merge_schema=True)
+    s = {f.name: f for f in t.schema().fields}
+    assert s["small"].dataType.typeName() == "long"
+    assert s["ratio"].dataType.typeName() == "double"
+    assert s["small"].metadata["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    p = t._protocol_dict()
+    assert "typeWidening" in p["readerFeatures"]
+    assert "typeWidening" in p["writerFeatures"]
+    # a FRESH handle (the foreign-reader stand-in) promotes the old
+    # int32/float files to the widened schema — all 20 rows, one type
+    t2 = DeltaLogTable(t.path)
+    got = t2.read(spark)
+    assert dict(got.dtypes)["small"] == "bigint"
+    assert {r["small"] for r in got.collect()} == set(range(20))
+    # a narrower post-widening write upcasts to the table type
+    t2.append(
+        _ev(spark, 25)
+        .filter(F.col("event_id") >= 20)
+        .withColumn("small", F.col("event_id").cast("smallint"))
+        .withColumn("ratio", F.lit(1.5).cast("float"))
+    )
+    assert t2.read(spark).count() == 25
+    # DML through the widened table still folds (stats carry mixed
+    # physical types transparently)
+    t2.delete_where(spark, "small < 5")
+    assert t2.read(spark).count() == 20
+    # an incompatible re-declaration refuses loudly
+    with pytest.raises(ValueError, match="not a supported type widening"):
+        t2.append(
+            _ev(spark, 26)
+            .filter(F.col("event_id") >= 25)
+            .withColumn("small", F.lit("x"))
+            .withColumn("ratio", F.lit(1.0).cast("double")),
+            merge_schema=True,
+        )
