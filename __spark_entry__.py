@@ -34,6 +34,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
+# Ops added DURING round 12 — each needs a first driver row. They lead
+# the rotation together with the r11-late _R12_NEW cohort below.
+_R12_NEW_THIS_ROUND: list[str] = [
+    "sink_delta_row_tracking",
+    "sink_delta_liquid_cluster",
+    "scan_delta_log_crc",
+    "sink_delta_type_widening",
+]
+
+# Ops whose implementation changed in r12 — re-verification rows
+# required: the row-tracking lineage now rides every rewrite path
+# (UPDATE/DELETE/MERGE/replaceWhere/OPTIMIZE), every commit writes and
+# every fold validates a .crc checksum sidecar, appends enforce/widen
+# column types, compaction folds domainMetadata, cleanup reclaims
+# checkpoints+sidecars+crc, the write-protocol gate re-validates under
+# the commit lock, and the stream source refuses an explicit
+# starting_version below the cleaned horizon. All re-verified locally
+# against the full 376-op contract this round.
+_R12_CHANGED_THIS_ROUND: list[str] = [
+    "sink_delta_update",
+    "sink_delta_delete_where",
+    "sink_delta_merge",
+    "sink_delta_replace_where",
+    "sink_delta_cluster_optimize",
+    "sink_delta_delete_vectors",
+    "scan_delta_log_checkpoint",
+    "scan_delta_log_compacted",
+    "sink_delta_log_cleanup",
+    "sink_delta_log",
+    "stream_table_source",
+    "pipeline_delta_ingest",
+    "pipeline_gdpr_erasure",
+]
+
+# Stale cohort for r12: the 3 r3-green spills from r11, then the
+# oldest remaining cohort (r4-green rows). Overflow past slot 50
+# spills to r13's rotation.
+_R12_STALE: list[str] = [
+    "win_ntile", "write_partitioned", "zorder_cluster",
+    "agg_histogram", "agg_mode", "agg_pivot", "anomaly_zscore",
+    "cast_coerce", "cdc_apply_changelog", "dedup_semantic",
+    "flatten_struct", "fn_json", "fn_map", "funnel_analysis",
+    "graph_pagerank", "join_asof", "join_bloom_prefilter",
+    "join_skew_salted", "json_extract_path", "json_infer_schema",
+    "json_parse", "meta_columns", "retention_cohort",
+    "sample_stratified", "sink_deadletter", "stream_dedup",
+    "ts_derive_partition", "ts_resample_interp", "ts_similarity",
+    "udaf_pandas", "udf_pandas", "win_first_last", "win_frame_range",
+    "win_frame_rows", "win_lag_lead", "win_session", "win_sliding",
+    "win_tumbling", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+]
+
 # Ops added during round 11 — each needs a first driver row.
 _R11_NEW: list[str] = [
     "sink_delta_update",
@@ -207,7 +261,9 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
-        _R11_NEW, _R11_CHANGED, _R11_STALE, _R12_NEW, _R12_CHANGED,
+        _R12_NEW_THIS_ROUND, _R12_NEW, _R12_CHANGED,
+        _R12_CHANGED_THIS_ROUND, _R12_STALE,
+        _R11_NEW, _R11_CHANGED, _R11_STALE,
         _R10_NEW, _R10_CHANGED, _R10_STALE,
     )
     head = []
