@@ -41,6 +41,7 @@ _R12_NEW_THIS_ROUND: list[str] = [
     "sink_delta_liquid_cluster",
     "scan_delta_log_crc",
     "sink_delta_type_widening",
+    "sink_delta_update_dv",
 ]
 
 # Ops whose implementation changed in r12 — re-verification rows

@@ -3829,6 +3829,215 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def update_where_dv(
+        self, spark, set_exprs: dict[str, str], predicate_sql: str
+    ) -> int:
+        """UPDATE via DELETION VECTORS (merge-on-read UPDATE — what
+        delta-spark does with delta.enableDeletionVectors for DML,
+        next to [update_where]'s copy-on-write): the matched rows'
+        positions go into per-file roaring DVs (NO data file is
+        rewritten) and ONLY the updated rows land as new files — so
+        UPDATE cost tracks matched ROWS, not the sizes of the files
+        they live in. At 100 TB: updating 100 rows spread across 100
+        x 1 GB files costs KBs of DV plus one small add instead of a
+        100 GB rewrite; OPTIMIZE later purges the DVs through the
+        DV-aware read. Same write discipline as update_where: SET
+        right-hand sides evaluate against the OLD row in one select,
+        identity columns are immutable, generated columns recompute,
+        CHECK constraints gate the post rows, and the CDF carries
+        update_preimage/update_postimage pairs. Row tracking: updated
+        rows keep their id (materialized into the new files) with a
+        fresh commit version. Concurrency: each planned file's
+        (path, DV descriptor) is re-validated under the lock."""
+        self._forbid_append_only("UPDATE (deletion vectors)")
+        from deltasink_spark import roaring  # noqa: F401 (dv path dep)
+
+        snap = self.snapshot_adds()
+        if not snap:
+            return self.latest_version()
+        s = self.schema()
+        have = {f.name for f in s.fields} if s is not None else set()
+        missing = [c for c in set_exprs if c not in have]
+        if missing:
+            raise ValueError(f"UPDATE SET targets unknown column(s) {missing}")
+        ids = self.identity_columns()
+        gens = self.generated_columns()
+        for name in set_exprs:
+            if name in ids:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — "
+                    "UPDATE cannot set it (Delta's contract)"
+                )
+            if name in gens:
+                raise ValueError(
+                    f"generated column {name} cannot be SET directly; "
+                    "it is recomputed from its generation expression "
+                    f"({gens[name]}) when its inputs change"
+                )
+        proto = self._protocol_dict()
+        upgrade: list[dict] = []
+        if "deletionVectors" not in (proto or {}).get("readerFeatures", []):
+            upgrade.append(
+                {
+                    "protocol": self._upgraded_protocol(
+                        reader_features=("deletionVectors",),
+                        writer_features=("deletionVectors",),
+                    )
+                }
+            )
+        rt = self._row_tracking_cfg()
+        full = self._read_adds(
+            spark, snap, with_lineage=True, extra_long_cols=rt or ()
+        )
+        if rt:
+            full = self._with_row_lineage(spark, snap, full, *rt)
+        # pin the matched rows ONCE: DV positions, CDF preimage and the
+        # post rows must come from the same evaluation
+        matched = full.filter(F.expr(predicate_sql)).localCheckpoint()
+        rel_of_base = self._rel_of_base_map(snap)
+        old_dvs = {
+            self._basename_of_add_path(p): a["deletionVector"]
+            for p, a in snap.items()
+            if a.get("deletionVector")
+        }
+        table_path = self.path
+
+        def _build_dv(pdf):
+            import pandas as pd
+
+            from deltasink_spark import roaring as _r
+
+            base = pdf["__file"].iloc[0]
+            pos = set(int(x) for x in pdf["__pos"])
+            old_desc = old_dvs.get(base)
+            if old_desc:
+                old_fp = (
+                    old_desc["pathOrInlineDv"]
+                    if old_desc["storageType"] == "p"
+                    else os.path.join(
+                        table_path,
+                        _r.dv_relative_path(old_desc["pathOrInlineDv"]),
+                    )
+                )
+                pos |= _r.read_dv_file(
+                    old_fp, old_desc["offset"], old_desc["sizeInBytes"]
+                )
+            merged = sorted(pos)
+            enc, dv_rel = _r.new_dv_descriptor_path()
+            desc = _r.write_dv_file(os.path.join(table_path, dv_rel), merged)
+            return pd.DataFrame(
+                [
+                    {
+                        "file": base,
+                        "enc": enc,
+                        "offset": desc["offset"],
+                        "size": desc["sizeInBytes"],
+                        "card": len(merged),
+                    }
+                ]
+            )
+
+        hits = (
+            matched.groupBy("__file")
+            .applyInPandas(
+                _build_dv,
+                "file string, enc string, offset int, size int, card long",
+            )
+            .collect()
+        )
+        if not hits:
+            return self.latest_version()
+        pre = matched.drop("__file", "__pos")
+        ftype = {f.name: f.dataType for f in s.fields}
+        cols = [f.name for f in s.fields]
+        rt_keep = (
+            [F.col(rt[0]), F.lit(None).cast("long").alias(rt[1])]
+            if rt
+            else []
+        )
+        post = pre.select(
+            *[
+                F.expr(set_exprs[c]).cast(ftype[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in cols
+            ],
+            *rt_keep,
+        )
+        for gname, gexpr in gens.items():
+            post = post.withColumn(gname, F.expr(gexpr))
+        post = post.localCheckpoint()
+        self._enforce_constraints(post)
+        adds_new = self._stage_files(
+            post.select(*(cols + list(rt or ()))),
+            partition_by=self.partition_columns(),
+        )
+        cdc_actions = self._stage_cdc(
+            pre.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.select(*cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        )
+        planned: dict[str, dict] = {}
+        old_removes: list[dict] = []
+        dv_adds: list[dict] = []
+        now = _now_ms()
+        for r in hits:
+            rel = rel_of_base[r["file"]]
+            old = snap[rel]
+            planned[rel] = old
+            rm = {"path": rel, "deletionTimestamp": now, "dataChange": True}
+            if old.get("deletionVector"):
+                rm["deletionVector"] = old["deletionVector"]
+            old_removes.append(rm)
+            na = dict(old)
+            na["dataChange"] = True
+            na["modificationTime"] = now
+            na["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": r["enc"],
+                "offset": r["offset"],
+                "sizeInBytes": r["size"],
+                "cardinality": r["card"],
+            }
+            dv_adds.append(na)
+        actions = upgrade + cdc_actions
+        actions += [{"remove": rm} for rm in old_removes]
+        actions += [{"add": a} for a in dv_adds]
+        actions += [{"add": a} for a in adds_new]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": predicate_sql,
+                        "set": json.dumps(set_exprs, sort_keys=True),
+                        "deletionVectors": "true",
+                    },
+                }
+            }
+        )
+        adds_ok = self._adds_unchanged(planned)
+
+        def _pre_dv() -> bool:
+            if upgrade and self._protocol_dict() != proto:
+                raise MetadataChangedError(
+                    "protocol changed while enabling deletionVectors; retry"
+                )
+            return adds_ok()
+
+        v = self._commit(actions, _pre_dv)
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit changed files this DV UPDATE "
+                "targets; retry"
+            )
+        return v
+
     def update_where(
         self, spark, set_exprs: dict[str, str], predicate_sql: str
     ) -> int:
@@ -5492,8 +5701,18 @@ class DeltaLogSink:
 
     def write_batch(self, df: DataFrame, batch_id: int) -> bool:
         v = self.table.append(df, self.app_id, batch_id)
-        if v is not None and v > 0 and v % self.checkpoint_interval == 0:
-            self.table.checkpoint()
+        if v is not None and v > 0:
+            # `delta.checkpointInterval` (the table property real Delta
+            # honors) overrides the constructor cadence — the TABLE
+            # decides how often its log is compacted, not each writer
+            cfg = (
+                self.table._metadata_dict() or {}
+            ).get("configuration") or {}
+            ival = int(
+                cfg.get("delta.checkpointInterval", self.checkpoint_interval)
+            )
+            if ival > 0 and v % ival == 0:
+                self.table.checkpoint()
         return v is not None
 
     def foreach_batch(self):

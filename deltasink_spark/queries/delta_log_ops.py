@@ -2619,3 +2619,46 @@ def sink_delta_type_widening(spark, sf_dir):
     ]
     t.delete_where(spark, "value < 10")
     return DeltaLogTable(t.path).read(spark)  # fresh-handle foreign read
+
+
+@query(
+    "sink_delta_update_dv",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN COALESCE(event_id % 3 = 0, FALSE)
+                THEN value + 1000.0 ELSE value END AS value
+    FROM events
+    """,
+)
+def sink_delta_update_dv(spark, sf_dir):
+    """UPDATE via DELETION VECTORS (merge-on-read UPDATE — what
+    delta-spark does under delta.enableDeletionVectors, the modern
+    sibling of [sink_delta_update]'s copy-on-write): matched rows'
+    positions go into per-file roaring DVs (NO original data file is
+    rewritten — byte identity asserted) and ONLY the updated rows land
+    as new adds, so UPDATE cost tracks matched ROWS, not the sizes of
+    the files they live in. At 100 TB: updating 0.1% of rows spread
+    over the fleet costs KBs of DV + one small file instead of
+    rewriting every touched gigabyte. Full write discipline (old-row
+    SET evaluation, constraints, CDF pre/post pairs); OPTIMIZE later
+    purges the DVs. The oracle re-derives the updated content from the
+    source."""
+    import hashlib
+
+    t = _fresh_table("update_dv")
+    t.append(_ev(spark, sf_dir).repartition(4))
+
+    def digests():
+        return {
+            p: hashlib.sha256(
+                open(t._abs_of_add_path(p), "rb").read()
+            ).hexdigest()
+            for p in t.snapshot_files()
+        }
+
+    before = digests()
+    t.update_where_dv(spark, {"value": "value + 1000.0"}, "event_id % 3 = 0")
+    after = digests()
+    assert all(after[p] == d for p, d in before.items() if p in after), \
+        "merge-on-read UPDATE must not rewrite original files"
+    return t.read(spark)

@@ -2899,3 +2899,83 @@ def test_delta_log_update_throughput_reference(spark, tmp_path):
             .collect()
         )
         assert {round(r["d"], 6) for r in row} == {float(i + 1)}
+
+
+def test_update_where_dv_merge_on_read(spark, tmp_path):
+    """DV-backed UPDATE: no original data file is rewritten (byte
+    identity asserted), matched rows vanish via per-file DVs, only the
+    updated rows land as new files, CDF carries pre/post pairs, row
+    ids survive, and a second DV UPDATE on the same file unions into
+    a fresh DV."""
+    import hashlib
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 100).repartition(2))
+    t.enable_row_tracking()
+    ids0 = _row_ids(t, spark)
+
+    def digests():
+        out = {}
+        for p in t.snapshot_files():
+            fp = t._abs_of_add_path(p)
+            out[p] = hashlib.sha256(open(fp, "rb").read()).hexdigest()
+        return out
+
+    before = digests()
+    v1 = t.update_where_dv(spark, {"value": "value + 1000.0"}, "event_id < 10")
+    after = {p: d for p, d in digests().items() if p in before}
+    assert after == {p: d for p, d in before.items()}  # zero rewrites
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert len(got) == 100
+    assert all(got[k] == k * 1.5 + 1000.0 for k in range(10))
+    assert all(got[k] == k * 1.5 for k in range(10, 100))
+    # row ids kept, commit version bumped for updated rows only
+    ids1 = _row_ids(t, spark)
+    assert {k: v[0] for k, v in ids1.items()} == {
+        k: v[0] for k, v in ids0.items()
+    }
+    assert all(ids1[k][1] == v1 for k in range(10))
+    assert all(ids1[k] == ids0[k] for k in range(10, 100))
+    # CDF: exact pre/post pairs (the range is (from, to])
+    ch = t.read_changes(spark, v1 - 1, v1)
+    pre = {r["event_id"]: r["value"] for r in ch.collect()
+           if r["_change_type"] == "update_preimage"}
+    post = {r["event_id"]: r["value"] for r in ch.collect()
+            if r["_change_type"] == "update_postimage"}
+    assert pre == {k: k * 1.5 for k in range(10)}
+    assert post == {k: k * 1.5 + 1000.0 for k in range(10)}
+    # second DV UPDATE on overlapping rows unions the vectors
+    t.update_where_dv(spark, {"value": "value + 1.0"}, "event_id in (5, 50)")
+    got2 = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert len(got2) == 100
+    assert got2[5] == 5 * 1.5 + 1001.0 and got2[50] == 50 * 1.5 + 1.0
+    # identity/generated/unknown-column validation mirrors update_where
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where_dv(spark, {"nope": "1"}, "true")
+    # OPTIMIZE purges the DVs; content and ids unchanged
+    t.optimize(spark, target_files=1)
+    assert {r["event_id"]: r["value"] for r in t.read(spark).collect()} == got2
+    assert not any(
+        a.get("deletionVector") for a in t.snapshot_adds().values()
+    )
+
+
+def test_sink_honors_checkpoint_interval_property(spark, tmp_path):
+    """delta.checkpointInterval overrides the sink's default cadence —
+    the TABLE decides its log-compaction rhythm."""
+    from deltasink_spark.delta_log import DeltaLogSink
+
+    sink = DeltaLogSink(str(tmp_path / "t"), app_id="cpi")
+    sink.write_batch(_ev(spark, 5), 0)
+    sink.table.set_properties({"delta.checkpointInterval": "2"})  # v1
+    for b in range(1, 4):  # v2, v3, v4
+        sink.write_batch(_ev(spark, 5), b)
+    # checkpoints landed at every even version after the property
+    assert sink.table.last_checkpoint() == 4
+    import os as _os
+    cps = sorted(
+        f for f in _os.listdir(sink.table.log_dir)
+        if f.endswith(".checkpoint.parquet")
+    )
+    assert cps == [f"{2:020d}.checkpoint.parquet",
+                   f"{4:020d}.checkpoint.parquet"]
