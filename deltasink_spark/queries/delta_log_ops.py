@@ -2533,7 +2533,8 @@ def sink_delta_liquid_cluster(spark, sf_dir):
     SELECT crc.num_files,
            crc.table_size_bytes,
            (SELECT COUNT(*) FROM live) AS fold_files,
-           (SELECT COALESCE(SUM(asize), 0) FROM live) AS fold_bytes
+           (SELECT CAST(COALESCE(SUM(asize), 0) AS BIGINT) FROM live)
+               AS fold_bytes
     FROM crc
     """,
 )
