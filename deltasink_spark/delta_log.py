@@ -1653,9 +1653,33 @@ class DeltaLogTable(_CheckpointMixin):
                     written.append(
                         os.path.relpath(os.path.join(root, f), tmp)
                     )
+        # `delta.dataSkippingNumIndexedCols` (real Delta's default 32):
+        # stats are collected for the first N schema-ordered columns
+        # only — on a 1000-column table, min/max on every column makes
+        # add actions (and the checkpoint) megabytes per file and the
+        # staging agg 3000 expressions wide, for columns nobody filters
+        # on. -1 means all columns. Files stay correct either way:
+        # stats are an optimization, read_where_stats scans statless
+        # files.
+        n_idx = int(
+            (
+                (self._metadata_dict() or {}).get("configuration") or {}
+            ).get("delta.dataSkippingNumIndexedCols", 32)
+        )
+        # "first N" counts TABLE-schema order (physical names on a
+        # mapped table); staged-frame-only columns (evolving appends,
+        # materialized row-tracking lineage) rank after it
+        s_tbl = self.schema()
+        order = [
+            cm.get(f.name, f.name) if cm else f.name
+            for f in (s_tbl.fields if s_tbl is not None else df.schema.fields)
+        ]
+        order += [c for c in df.columns if c not in set(order)]
+        indexed_set = set(order if n_idx < 0 else order[:n_idx])
         atomic = [
             f.name for f in df.schema.fields
             if f.name not in partition_by
+            and f.name in indexed_set
             and f.dataType.typeName()
             in {"long", "integer", "short", "byte", "double", "float", "string",
                 "date", "timestamp", "boolean", "decimal"}

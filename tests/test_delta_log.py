@@ -2979,3 +2979,55 @@ def test_sink_honors_checkpoint_interval_property(spark, tmp_path):
     )
     assert cps == [f"{2:020d}.checkpoint.parquet",
                    f"{4:020d}.checkpoint.parquet"]
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols bounds stats collection to the
+    first N table-schema columns (default 32, -1 = all) — on a wide
+    table, per-column min/max on everything bloats every add action
+    and checkpoint for columns nobody filters on. Statless columns
+    still read and filter correctly (skipping is an optimization)."""
+    t = _table(tmp_path)
+    wide = _ev(spark, 50)
+    for i in range(6):
+        wide = wide.withColumn(f"x{i}", F.col("event_id") + i)
+    t.append(wide.coalesce(1))  # default 32: everything indexed
+    st0 = json.loads(next(iter(t.snapshot_adds().values()))["stats"])
+    assert "x5" in st0["minValues"]
+    t.set_properties({"delta.dataSkippingNumIndexedCols": "3"})
+    t.append(wide.withColumn("event_id", F.col("event_id") + 100).coalesce(1))
+    newest = max(
+        t.snapshot_adds().values(), key=lambda a: a["modificationTime"]
+    )
+    st1 = json.loads(newest["stats"])
+    assert set(st1["minValues"]) == {"event_id", "user_id", "value"}
+    assert st1["numRecords"] == 50
+    # stats-pruned read over the mixed set stays exact (statless files
+    # are scanned, never skipped into wrongness)
+    got = {
+        r["event_id"]
+        for r in t.read_where_stats(spark, "x5", 5, 10).collect()
+    }
+    assert got == set(range(0, 6)) | set(range(100, 106))
+
+
+def test_row_tracking_survives_restore(spark, tmp_path):
+    """RESTORE re-commits the old snapshot's add actions verbatim —
+    their baseRowId/defaultRowCommitVersion ride through, so restored
+    rows come back under their ORIGINAL ids (the stability rule)."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.enable_row_tracking()
+    v_before = t.latest_version()
+    ids0 = _row_ids(t, spark)
+    t.delete_where(spark, "event_id >= 10")
+    assert set(_row_ids(t, spark)) == set(range(10))
+    t.restore(spark, v_before)
+    assert _row_ids(t, spark) == ids0
+    # and the next append still allocates ABOVE the restored ids
+    t.append(_ev(spark, 25).filter(F.col("event_id") >= 20))
+    ids1 = _row_ids(t, spark)
+    assert len({i for i, _ in ids1.values()}) == len(ids1)
+    assert min(i for k, (i, _) in ids1.items() if k >= 20) > max(
+        i for i, _ in ids0.values()
+    )
