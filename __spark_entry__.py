@@ -42,6 +42,7 @@ _R12_NEW_THIS_ROUND: list[str] = [
     "scan_delta_log_crc",
     "sink_delta_type_widening",
     "sink_delta_update_dv",
+    "sink_delta_drop_feature",
 ]
 
 # Ops whose implementation changed in r12 — re-verification rows

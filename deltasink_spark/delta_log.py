@@ -2878,6 +2878,170 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def drop_feature(self, spark, feature: str) -> int:
+        """ALTER TABLE ... DROP FEATURE (the protocol DOWNGRADE path —
+        how a table enabled with a feature its other clients cannot
+        read becomes readable again). Supported, each with its spec
+        purge:
+
+        - ``deletionVectors``: DV-carrying files are REWRITTEN through
+          the DV-aware read first (REORG ... APPLY (PURGE),
+          dataChange=false — CDF readers skip it), then the feature is
+          delisted both sides.
+        - ``typeWidening``: every live file re-stages at the current
+          (widened) types and each field's delta.typeChanges metadata
+          is stripped, then the feature is delisted.
+        - ``rowTracking``: the delta.rowTracking domain is tombstoned
+          and the enablement/materialized-name properties removed
+          (writer-only feature; existing optional add fields are
+          harmless to any reader).
+
+        After the downgrade a CHECKPOINT is written so clients folding
+        checkpoint + tail never replay a pre-drop action. CAVEAT
+        (documented, the conservative reading of the spec's
+        TRUNCATE-HISTORY requirement): commits BELOW the drop still
+        contain the feature's actions — a foreign reader time-traveling
+        below it needs the feature; run cleanup_log past the retention
+        window to retire that history."""
+        base = self._protocol_dict() or {}
+        rf = set(base.get("readerFeatures") or ())
+        wf = set(base.get("writerFeatures") or ())
+        if feature not in rf | wf:
+            raise ValueError(
+                f"feature {feature!r} is not ledgered on this table"
+            )
+        meta_action: list[dict] = []
+        dom_action: list[dict] = []
+        base_meta = self._metadata_dict()
+        if feature == "deletionVectors":
+            dv_adds = {
+                p: a
+                for p, a in self.snapshot_adds().items()
+                if a.get("deletionVector")
+            }
+            if dv_adds:
+                df, _rt = self._read_adds_materialized(spark, dv_adds)
+                adds = self._stage_files(
+                    df, partition_by=self.partition_columns()
+                )
+                now = _now_ms()
+                actions = [
+                    {"add": {**a, "dataChange": False}} for a in adds
+                ]
+                actions += [
+                    {"remove": self._remove_action(p, dv_adds[p], now, False)}
+                    for p in dv_adds
+                ]
+                actions.append(
+                    {
+                        "commitInfo": {
+                            "timestamp": now,
+                            "operation": "REORG TABLE (PURGE)",
+                        }
+                    }
+                )
+                if self._commit(actions, self._adds_unchanged(dv_adds)) is None:
+                    raise ConcurrentDeleteReadError(
+                        "a concurrent commit rewrote files this PURGE "
+                        "targets; retry"
+                    )
+        elif feature == "typeWidening":
+            if self.snapshot_adds():
+                # re-stage every file at the CURRENT (widened) physical
+                # types — after the drop no reader may be asked to
+                # up-promote a narrow file
+                self.optimize(spark)
+            from pyspark.sql.types import StructField
+
+            meta = dict(base_meta)
+            s = StructType.fromJson(json.loads(meta["schemaString"]))
+            meta["schemaString"] = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {
+                            k: v
+                            for k, v in (f.metadata or {}).items()
+                            if k != "delta.typeChanges"
+                        },
+                    )
+                    for f in s.fields
+                ]
+            ).json()
+            meta_action = [{"metaData": meta}]
+        elif feature == "rowTracking":
+            meta = dict(base_meta)
+            meta["configuration"] = {
+                k: v
+                for k, v in (meta.get("configuration") or {}).items()
+                if k != "delta.enableRowTracking"
+                and not k.startswith("delta.rowTracking.")
+            }
+            meta_action = [{"metaData": meta}]
+            dom_action = [
+                {
+                    "domainMetadata": {
+                        "domain": self._ROW_TRACKING_DOMAIN,
+                        "configuration": "{}",
+                        "removed": True,
+                    }
+                }
+            ]
+        else:
+            raise ValueError(
+                f"dropping feature {feature!r} is not supported "
+                "(deletionVectors, typeWidening, rowTracking are)"
+            )
+        proto = dict(self._protocol_dict() or {})
+        nrf = sorted(set(proto.get("readerFeatures") or ()) - {feature})
+        nwf = sorted(set(proto.get("writerFeatures") or ()) - {feature})
+        new_proto: dict = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": proto.get("minWriterVersion", 7),
+        }
+        if "writerFeatures" in proto:
+            new_proto["writerFeatures"] = nwf
+        if "readerFeatures" in proto:
+            new_proto["readerFeatures"] = nrf
+        actions = (
+            [{"protocol": new_proto}]
+            + meta_action
+            + dom_action
+            + [
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "DROP FEATURE",
+                        "operationParameters": {"feature": feature},
+                    }
+                }
+            ]
+        )
+        pre_proto = self._protocol_dict()
+        pre_meta = self._metadata_dict()
+
+        def _pre() -> bool:
+            if self._protocol_dict() != pre_proto or (
+                meta_action and self._metadata_dict() != pre_meta
+            ):
+                raise MetadataChangedError(
+                    "protocol/metaData changed while dropping the "
+                    "feature; retry"
+                )
+            return True
+
+        v = self._commit(actions, _pre)
+        if v is None:
+            raise MetadataChangedError(
+                "concurrent commit while dropping the feature; retry"
+            )
+        self._read_proto_ok = False
+        self._write_proto_ok = False
+        self.checkpoint()  # the post-drop anchor foreign readers fold from
+        return v
+
     def _upgraded_protocol(
         self,
         reader_features: tuple[str, ...] = (),

@@ -2663,3 +2663,41 @@ def sink_delta_update_dv(spark, sf_dir):
     assert all(after[p] == d for p, d in before.items() if p in after), \
         "merge-on-read UPDATE must not rewrite original files"
     return t.read(spark)
+
+
+@query(
+    "sink_delta_drop_feature",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 10, FALSE)
+    """,
+)
+def sink_delta_drop_feature(spark, sf_dir):
+    """ALTER TABLE DROP FEATURE (the protocol DOWNGRADE path — the
+    escape hatch when a ledgered feature locks out a fleet's other
+    clients): a DV DELETE ledgers deletionVectors; the drop first
+    PURGES (REORG-style dataChange=false rewrite of only the
+    DV-carrying files — CDF readers skip it), then delists the feature
+    from both sides and writes the post-drop CHECKPOINT every foreign
+    reader folds from; rowTracking is then dropped too (domain
+    tombstoned, properties stripped, adds stop stamping). The protocol
+    gate accepts the table again at the lower feature set — proven by
+    a fresh handle re-folding. At 100 TB the purge cost tracks
+    DV-carrying files only, never the fleet. Oracle: content must be
+    bit-identical through enable → DML → purge → drop."""
+    t = _fresh_table("drop_feature")
+    t.append(_ev(spark, sf_dir))
+    t.enable_row_tracking()
+    t.delete_where_dv(spark, "value < 10")
+    p0 = t._protocol_dict() or {}
+    if "deletionVectors" in (p0.get("readerFeatures") or ()):
+        # (an empty corpus's DV DELETE no-ops before ledgering)
+        t.drop_feature(spark, "deletionVectors")
+    t.drop_feature(spark, "rowTracking")
+    p = t._protocol_dict()
+    feats = set(p.get("readerFeatures") or ()) | set(p["writerFeatures"])
+    assert not feats & {"deletionVectors", "rowTracking"}, feats
+    assert not any(
+        a.get("deletionVector") for a in t.snapshot_adds().values()
+    )
+    return DeltaLogTable(t.path).read(spark)

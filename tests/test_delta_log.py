@@ -3031,3 +3031,71 @@ def test_row_tracking_survives_restore(spark, tmp_path):
     assert min(i for k, (i, _) in ids1.items() if k >= 20) > max(
         i for i, _ in ids0.values()
     )
+
+
+def test_drop_feature_downgrades_protocol(spark, tmp_path):
+    """ALTER TABLE DROP FEATURE: deletionVectors purges DV files via a
+    dataChange=false rewrite then delists the feature both sides;
+    rowTracking tombstones its domain and strips the properties; the
+    post-drop checkpoint anchors foreign readers past the feature's
+    actions; content is bit-identical throughout."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 40))
+    t.enable_row_tracking()
+    t.delete_where_dv(spark, "event_id < 5")
+    want = {r["event_id"] for r in t.read(spark).collect()}
+    assert want == set(range(5, 40))
+    p0 = t._protocol_dict()
+    assert "deletionVectors" in p0["readerFeatures"]
+    t.drop_feature(spark, "deletionVectors")
+    p1 = t._protocol_dict()
+    assert "deletionVectors" not in (p1.get("readerFeatures") or [])
+    assert "deletionVectors" not in p1["writerFeatures"]
+    assert not any(
+        a.get("deletionVector") for a in t.snapshot_adds().values()
+    )
+    assert {r["event_id"] for r in t.read(spark).collect()} == want
+    # the purge is dataChange=false: CDF over it emits nothing
+    assert t.read_changes(
+        spark, p0 and t.latest_version() - 2, t.latest_version() - 2
+    ).count() == 0
+    # a fresh handle (foreign reader) folds from the post-drop anchor
+    assert DeltaLogTable(t.path).read(spark).count() == 35
+    # rowTracking drop: domain tombstoned, properties stripped, appends
+    # stop stamping
+    t.drop_feature(spark, "rowTracking")
+    p2 = t._protocol_dict()
+    assert "rowTracking" not in p2["writerFeatures"]
+    assert "delta.rowTracking" not in t.domain_metadata()
+    cfg = (t._metadata_dict().get("configuration") or {})
+    assert not any(k.startswith("delta.rowTracking") for k in cfg)
+    assert "delta.enableRowTracking" not in cfg
+    with pytest.raises(ValueError, match="not enabled"):
+        t.read_with_row_ids(spark)
+    t.append(_ev(spark, 45).filter(F.col("event_id") >= 40))
+    newest = max(
+        t.snapshot_adds().values(), key=lambda a: a["modificationTime"]
+    )
+    assert "baseRowId" not in newest
+    # unknown / unledgered features refuse
+    with pytest.raises(ValueError, match="not ledgered"):
+        t.drop_feature(spark, "deletionVectors")
+    # typeWidening drop re-stages at the widened types + strips metadata
+    t2 = _table(tmp_path, "tw")
+    t2.append(_ev(spark, 10).withColumn("small", F.col("event_id").cast("int")))
+    t2.append(
+        _ev(spark, 20).filter(F.col("event_id") >= 10)
+        .withColumn("small", F.col("event_id").cast("long")),
+        merge_schema=True,
+    )
+    t2.drop_feature(spark, "typeWidening")
+    p3 = t2._protocol_dict()
+    assert "typeWidening" not in (p3.get("readerFeatures") or [])
+    s = {f.name: f for f in t2.schema().fields}
+    assert "delta.typeChanges" not in (s["small"].metadata or {})
+    assert {r["small"] for r in t2.read(spark).collect()} == set(range(20))
+    # every live file is physically wide now (int64 footers)
+    import pyarrow.parquet as pq
+    for p in t2.snapshot_files():
+        f = pq.ParquetFile(t2._abs_of_add_path(p))
+        assert f.schema_arrow.field("small").type == "int64"
