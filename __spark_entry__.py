@@ -43,6 +43,7 @@ _R12_NEW_THIS_ROUND: list[str] = [
     "sink_delta_type_widening",
     "sink_delta_update_dv",
     "sink_delta_drop_feature",
+    "sink_delta_merge_when",
 ]
 
 # Ops whose implementation changed in r12 — re-verification rows

@@ -4606,6 +4606,271 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def merge_when(
+        self,
+        spark,
+        source: DataFrame,
+        key: str,
+        matched_update: dict[str, str] | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | None = None,
+        not_matched_insert: bool = True,
+        not_matched_insert_condition: str | None = None,
+        not_matched_by_source_delete_condition: str | None = None,
+    ) -> int:
+        """MERGE INTO with the full WHEN-clause vocabulary (delta-spark's
+        whenMatchedUpdate / whenMatchedDelete / whenNotMatchedInsert /
+        whenNotMatchedBySourceDelete — [merge] is the whole-row-upsert
+        special case):
+
+        - WHEN MATCHED [AND cond] THEN DELETE: ``matched_delete_condition``
+          (pass "true" for unconditional) — evaluated FIRST, like a
+          delete-before-update clause order.
+        - WHEN MATCHED [AND cond] THEN UPDATE SET: ``matched_update``
+          maps target columns to SQL expressions that may reference the
+          target row's columns by name and the source row's as
+          ``src_<name>`` (all SET right-hand sides see the OLD row).
+        - WHEN NOT MATCHED [AND cond] THEN INSERT: source rows without
+          a target match (condition over the source's own columns).
+        - WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE: target
+          rows whose key has no source row (condition over target
+          columns) — the full-sync idiom that retires rows the feed
+          stopped sending.
+
+        One atomic commit; copy-on-write over ONLY the files holding
+        matched keys or by-source-delete candidates; CDF publishes the
+        exact per-clause vocabulary (update_preimage/postimage pairs,
+        delete rows, insert rows). Duplicate source keys are rejected
+        (Delta's multi-match refusal); identity columns stay immutable
+        on updates and mint fresh values on inserts; generated columns
+        recompute; CHECK constraints gate every written row; row ids
+        survive updates and keeps. Scale: cost tracks matched files +
+        source size — the unmatched bulk is untouched metadata."""
+        self._forbid_append_only("MERGE")
+        snap = self.snapshot_adds()
+        if not snap:
+            raise ValueError("merge into an empty table: use append")
+        src = source.localCheckpoint()
+        src = self._apply_generated(src)
+        s = self.schema()
+        cols = [f.name for f in s.fields]
+        ftype = {f.name: f.dataType for f in s.fields}
+        missing = [c for c in cols if c not in src.columns]
+        if not_matched_insert and missing:
+            raise ValueError(
+                f"merge source lacks table column(s) {missing} required "
+                "for the INSERT clause"
+            )
+        ids = self.identity_columns()
+        gens = self.generated_columns()
+        for name in matched_update or {}:
+            if name not in cols:
+                raise ValueError(f"UPDATE SET targets unknown column {name}")
+            if name in ids:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — "
+                    "UPDATE cannot set it (Delta's contract)"
+                )
+            if name in gens:
+                raise ValueError(
+                    f"generated column {name} cannot be SET directly"
+                )
+        clash = [c for c in cols if c.startswith("src_")]
+        if clash and (matched_update or matched_update_condition):
+            raise ValueError(
+                f"target columns {clash} collide with the src_ prefix "
+                "this MERGE uses to expose source columns in SET "
+                "expressions"
+            )
+        if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
+            raise ValueError(
+                f"merge source has duplicate {key} values — multiple "
+                "source rows match one target row (Delta rejects this)"
+            )
+        rel_of_base = self._rel_of_base_map(snap)
+        rt = self._row_tracking_cfg()
+        full = self._read_adds(
+            spark, snap, with_lineage=True, extra_long_cols=rt or ()
+        )
+        if rt:
+            full = self._with_row_lineage(spark, snap, full, *rt)
+        keys = F.broadcast(src.select(key).distinct())
+        nbs = not_matched_by_source_delete_condition
+        # files to rewrite: those holding a matched key, plus (for the
+        # by-source clause) those holding a retire candidate
+        matched_files = (
+            full.join(keys, key, "left_semi").select("__file").distinct()
+        )
+        if nbs:
+            nbs_files = (
+                full.filter(F.coalesce(F.expr(nbs), F.lit(False)))
+                .join(keys, key, "left_anti")
+                .select("__file")
+                .distinct()
+            )
+            matched_files = matched_files.union(nbs_files).distinct()
+        hit_files = [rel_of_base[r[0]] for r in matched_files.collect()]
+        target_keys = full.select(key).distinct()
+        if not hit_files:
+            affected = full.limit(0)
+        else:
+            affected, _ = self._read_adds_materialized(
+                spark, {p: snap[p] for p in hit_files}
+            )
+            affected = affected.localCheckpoint()
+        src_pref = src.select(
+            key, *[F.col(c).alias(f"src_{c}") for c in src.columns if c != key]
+        )
+        matched = affected.join(src_pref, key, "inner")
+        unmatched_t = affected.join(keys, key, "left_anti")
+        tcols = cols + list(rt or ())
+
+        def _cond(e: str | None):
+            return (
+                F.coalesce(F.expr(e), F.lit(False))
+                if e is not None
+                else F.lit(True)
+            )
+
+        deleted_m = (
+            matched.filter(_cond(matched_delete_condition))
+            if matched_delete_condition is not None
+            else matched.limit(0)
+        )
+        remaining = (
+            matched.filter(~_cond(matched_delete_condition))
+            if matched_delete_condition is not None
+            else matched
+        )
+        if matched_update:
+            to_update = remaining.filter(_cond(matched_update_condition))
+            kept_m = remaining.filter(~_cond(matched_update_condition))
+        else:
+            to_update = remaining.limit(0)
+            kept_m = remaining
+        rt_keep = (
+            [F.col(rt[0]), F.lit(None).cast("long").alias(rt[1])]
+            if rt
+            else []
+        )
+        post = to_update.select(
+            *[
+                F.expr((matched_update or {})[c]).cast(ftype[c]).alias(c)
+                if c in (matched_update or {})
+                else F.col(c)
+                for c in cols
+            ],
+            *rt_keep,
+        )
+        for gname, gexpr in gens.items():
+            post = post.withColumn(gname, F.expr(gexpr))
+        post = post.localCheckpoint()
+        if nbs:
+            deleted_nbs = unmatched_t.filter(_cond(nbs))
+            kept_nm = unmatched_t.filter(~_cond(nbs))
+        else:
+            deleted_nbs = unmatched_t.limit(0)
+            kept_nm = unmatched_t
+        id_meta = None
+        id_base = None
+        ins_high: dict[str, int] = {}
+        if not_matched_insert:
+            inserted = src.join(target_keys, key, "left_anti")
+            if not_matched_insert_condition is not None:
+                inserted = inserted.filter(
+                    _cond(not_matched_insert_condition)
+                )
+            if ids:
+                for name in ids:
+                    if name in source.columns:
+                        raise ValueError(
+                            f"identity column {name} is GENERATED ALWAYS "
+                            "— explicit values are rejected"
+                        )
+                id_base = self._metadata_dict()
+                inserted, ins_high = self._assign_identity(inserted)
+                id_meta = self._identity_meta_update(ins_high)
+            inserted = inserted.select(*cols)
+            for c in rt or ():
+                inserted = inserted.withColumn(c, F.lit(None).cast("long"))
+        else:
+            inserted = affected.limit(0).select(*tcols)
+        self._enforce_constraints(post)
+        self._enforce_constraints(inserted.select(*cols))
+        staged = (
+            kept_m.select(*tcols)
+            .unionByName(kept_nm.select(*tcols))
+            .unionByName(post.select(*tcols))
+            .unionByName(inserted.select(*tcols))
+        )
+        adds = self._stage_files(staged, partition_by=self.partition_columns())
+        cdc_frame = (
+            to_update.select(*cols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.select(*cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                deleted_m.select(*cols)
+                .unionByName(deleted_nbs.select(*cols))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            .unionByName(
+                inserted.select(*cols).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        cdc_actions = self._stage_cdc(cdc_frame)
+        now = _now_ms()
+        actions = cdc_actions + [{"add": a} for a in adds]
+        if id_meta is not None:
+            actions.insert(0, {"metaData": id_meta})
+        actions += [
+            {"remove": self._remove_action(p, snap[p], now)}
+            for p in hit_files
+        ]
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "matchedPredicates": json.dumps(
+                            [
+                                c
+                                for c in (
+                                    matched_delete_condition,
+                                    matched_update_condition,
+                                )
+                                if c is not None
+                            ]
+                        ),
+                        "notMatchedBySourcePredicates": json.dumps(
+                            [nbs] if nbs else []
+                        ),
+                    },
+                }
+            }
+        )
+        adds_check = self._adds_unchanged({p: snap[p] for p in hit_files})
+
+        def _pre() -> bool:
+            if ins_high and self._metadata_dict() != id_base:
+                raise MetadataChangedError(
+                    "identity high-water mark moved concurrently; retry"
+                )
+            return adds_check()
+
+        v = self._commit(actions, _pre)
+        if v is None:
+            raise ConcurrentDeleteReadError(
+                "a concurrent commit rewrote files this MERGE targets; retry"
+            )
+        return v
+
     def merge_scd2(
         self,
         spark,

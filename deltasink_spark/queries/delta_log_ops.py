@@ -2701,3 +2701,72 @@ def sink_delta_drop_feature(spark, sf_dir):
         a.get("deletionVector") for a in t.snapshot_adds().values()
     )
     return DeltaLogTable(t.path).read(spark)
+
+
+@query(
+    "sink_delta_merge_when",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, value FROM events
+        WHERE event_id IS NOT NULL
+    ),
+    kept AS (
+        SELECT event_id, user_id,
+               CASE WHEN COALESCE(event_id % 4 = 0, FALSE)
+                         AND COALESCE(value >= 20, FALSE)
+                    THEN value + value ELSE value END AS value
+        FROM ev
+        WHERE NOT (COALESCE(event_id % 4 = 0, FALSE)
+                   AND COALESCE(value < 20, FALSE))
+          AND NOT (NOT COALESCE(event_id % 4 = 0, FALSE)
+                   AND COALESCE(value > 90, FALSE))
+    ),
+    ins AS (
+        SELECT event_id + 10000000 AS event_id, user_id, value FROM ev
+        WHERE COALESCE(event_id % 10 = 0, FALSE)
+          AND COALESCE(value >= 10, FALSE)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+)
+def sink_delta_merge_when(spark, sf_dir):
+    """MERGE INTO with the FULL WHEN-clause vocabulary (delta-spark's
+    conditional clause API — [sink_delta_merge] is the whole-row-upsert
+    special case): WHEN MATCHED AND src_delta < 20 THEN DELETE (clause
+    order: delete first), WHEN MATCHED AND src_delta >= 20 THEN UPDATE
+    SET value = value + src_delta (SET sees the OLD target row; source
+    columns exposed as src_<name>), WHEN NOT MATCHED AND delta >= 10
+    THEN INSERT, WHEN NOT MATCHED BY SOURCE AND value > 90 THEN DELETE
+    (the full-sync idiom that retires rows the feed stopped sending) —
+    ONE atomic commit, CDF carrying the exact per-clause vocabulary.
+    Copy-on-write over only the files holding matched keys or retire
+    candidates; the untouched bulk is metadata. The oracle re-derives
+    all four clause outcomes from the source in one SQL breath."""
+    t = _fresh_table("merge_when")
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    t.append(ev)
+    src = (
+        ev.filter(F.coalesce(F.col("event_id") % 4 == 0, F.lit(False)))
+        .withColumn("delta", F.col("value"))
+        .unionByName(
+            ev.filter(F.coalesce(F.col("event_id") % 10 == 0, F.lit(False)))
+            .select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                "value",
+            )
+            .withColumn("delta", F.col("value"))
+        )
+    )
+    t.merge_when(
+        spark,
+        src,
+        "event_id",
+        matched_update={"value": "value + src_delta"},
+        matched_update_condition="src_delta >= 20",
+        matched_delete_condition="src_delta < 20",
+        not_matched_insert=True,
+        not_matched_insert_condition="delta >= 10",
+        not_matched_by_source_delete_condition="value > 90",
+    )
+    return t.read(spark)

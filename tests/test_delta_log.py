@@ -3099,3 +3099,68 @@ def test_drop_feature_downgrades_protocol(spark, tmp_path):
     for p in t2.snapshot_files():
         f = pq.ParquetFile(t2._abs_of_add_path(p))
         assert f.schema_arrow.field("small").type == "int64"
+
+
+def test_merge_when_clause_vocabulary(spark, tmp_path):
+    """merge_when: conditional matched UPDATE (src_-prefixed source
+    refs, old-row SET), matched DELETE evaluated first, conditional NOT
+    MATCHED INSERT, and NOT MATCHED BY SOURCE DELETE — one commit, CDF
+    carries the per-clause vocabulary, untouched files stay untouched,
+    row ids survive updates."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))   # keys 0..9
+    t.enable_row_tracking()
+    ids0 = _row_ids(t, spark)
+    # source: keys 3 (update), 4 (delete wins over update), 5 (update
+    # cond false -> kept), 12 (insert), 13 (insert cond false)
+    src = spark.createDataFrame(
+        [(3, 100.0), (4, -1.0), (5, 0.5), (12, 7.0), (13, -7.0)],
+        "event_id bigint, delta double",
+    ).withColumn("user_id", F.col("event_id") % 7) \
+     .withColumn("value", F.col("delta") * 2)
+    v = t.merge_when(
+        spark, src, "event_id",
+        matched_update={"value": "value + src_delta"},
+        matched_update_condition="src_delta >= 1.0",
+        matched_delete_condition="src_delta < 0",
+        not_matched_insert=True,
+        not_matched_insert_condition="delta > 0",
+        not_matched_by_source_delete_condition="event_id >= 8",
+    )
+    got = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    # 4 deleted (matched delete), 8/9 deleted (by source), 12 inserted,
+    # 13 skipped (insert cond), 3 updated (+100), 5 kept (cond false)
+    assert set(got) == {0, 1, 2, 3, 5, 6, 7, 12}
+    assert got[3] == 3 * 1.5 + 100.0
+    assert got[5] == 5 * 1.5
+    assert got[12] == 14.0
+    # row ids: updated row 3 keeps its id with the MERGE's version;
+    # kept rows unchanged; insert mints fresh
+    ids1 = _row_ids(t, spark)
+    assert ids1[3] == (ids0[3][0], v)
+    for k in (0, 1, 2, 5, 6, 7):
+        assert ids1[k] == ids0[k]
+    assert ids1[12][0] not in {i for i, _ in ids0.values()}
+    # CDF: the full per-clause vocabulary in one commit
+    ch = t.read_changes(spark, v - 1, v).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["_change_type"], set()).add(r["event_id"])
+    assert by["update_preimage"] == {3} and by["update_postimage"] == {3}
+    assert by["delete"] == {4, 8, 9}
+    assert by["insert"] == {12}
+    # duplicate source keys refuse
+    dup = src.unionByName(src.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_when(spark, dup, "event_id")
+    # unconditional whole-row flavors still compose: delete-all-matched
+    t.merge_when(
+        spark,
+        t.read(spark).filter("event_id < 2"),
+        "event_id",
+        matched_delete_condition="true",
+        not_matched_insert=False,
+    )
+    assert set(
+        r["event_id"] for r in t.read(spark).collect()
+    ) == {2, 3, 5, 6, 7, 12}
