@@ -44,6 +44,7 @@ _R12_NEW_THIS_ROUND: list[str] = [
     "sink_delta_update_dv",
     "sink_delta_drop_feature",
     "sink_delta_merge_when",
+    "scan_delta_log_history_metrics",
 ]
 
 # Ops whose implementation changed in r12 — re-verification rows

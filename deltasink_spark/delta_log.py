@@ -2757,6 +2757,42 @@ class DeltaLogTable(_CheckpointMixin):
             for c in (dom.get("clusteringColumns") or [])
         )
 
+    @staticmethod
+    def _op_metrics(
+        adds=(), n_removed: int = 0, cdc=(), dvs: int = 0, write: bool = False
+    ) -> dict[str, str]:
+        """commitInfo.operationMetrics (delta-spark's DESCRIBE HISTORY
+        numbers), string-valued per the format and restricted to what
+        the commit ALREADY knows — files/bytes from the add actions,
+        rows from their stats, change-file and DV counts — never an
+        extra Spark job. numOutputRows is omitted when any add lacks
+        stats (a partial count would read as a total)."""
+        rows = 0
+        complete = True
+        nbytes = 0
+        for a in adds:
+            nbytes += int(a.get("size") or 0)
+            st = a.get("stats")
+            n = json.loads(st).get("numRecords") if st else None
+            if n is None:
+                complete = False
+            else:
+                rows += int(n)
+        m: dict[str, str] = {}
+        if write:
+            m["numFiles"] = str(len(adds))
+            m["numOutputBytes"] = str(nbytes)
+        else:
+            m["numAddedFiles"] = str(len(adds))
+            m["numRemovedFiles"] = str(n_removed)
+        if complete:
+            m["numOutputRows"] = str(rows)
+        if cdc:
+            m["numAddedChangeFiles"] = str(len(cdc))
+        if dvs:
+            m["numDeletionVectorsAdded"] = str(dvs)
+        return m
+
     def _with_row_lineage(self, spark, adds, df, mat_id, mat_ver):
         """Resolve per-row (row id, commit version) on a lineage frame
         (__file/__pos present, materialized columns scanned): the
@@ -3467,6 +3503,7 @@ class DeltaLogTable(_CheckpointMixin):
                     "timestamp": _now_ms(),
                     "operation": "WRITE",
                     "operationParameters": {"mode": "Append"},
+                    "operationMetrics": self._op_metrics(adds, write=True),
                 }
             }
         )
@@ -3741,7 +3778,11 @@ class DeltaLogTable(_CheckpointMixin):
             actions.append(
                 {"remove": self._remove_action(p, adds_live[p], now, False)}
             )
-        ci: dict = {"timestamp": now, "operation": "OPTIMIZE"}
+        ci: dict = {
+            "timestamp": now,
+            "operation": "OPTIMIZE",
+            "operationMetrics": self._op_metrics(adds, len(live)),
+        }
         if zorder_by:
             ci["operationParameters"] = {
                 "zOrderBy": json.dumps(list(zorder_by))
@@ -3824,6 +3865,9 @@ class DeltaLogTable(_CheckpointMixin):
                     "timestamp": now,
                     "operation": "DELETE",
                     "operationParameters": {"predicate": predicate_sql},
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -3994,6 +4038,9 @@ class DeltaLogTable(_CheckpointMixin):
                         "predicate": predicate_sql,
                         "deletionVectors": "true",
                     },
+                    "operationMetrics": self._op_metrics(
+                        (), len(old_removes), cdc_actions, dvs=len(hits)
+                    ),
                 }
             }
         )
@@ -4206,6 +4253,10 @@ class DeltaLogTable(_CheckpointMixin):
                         "set": json.dumps(set_exprs, sort_keys=True),
                         "deletionVectors": "true",
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds_new, len(old_removes), cdc_actions,
+                        dvs=len(hits),
+                    ),
                 }
             }
         )
@@ -4370,6 +4421,9 @@ class DeltaLogTable(_CheckpointMixin):
                         "predicate": predicate_sql,
                         "set": json.dumps(set_exprs, sort_keys=True),
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -4582,6 +4636,9 @@ class DeltaLogTable(_CheckpointMixin):
                     "timestamp": now,
                     "operation": "MERGE",
                     "operationParameters": {"matchedPredicates": f"key={key}"},
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -4852,6 +4909,9 @@ class DeltaLogTable(_CheckpointMixin):
                             [nbs] if nbs else []
                         ),
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -5023,6 +5083,9 @@ class DeltaLogTable(_CheckpointMixin):
                         "key": key,
                         "tracked": json.dumps(list(tracked)),
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -5128,6 +5191,9 @@ class DeltaLogTable(_CheckpointMixin):
                         "mode": "Overwrite",
                         "predicate": predicate_sql,
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds, len(hit_files), cdc_actions
+                    ),
                 }
             }
         )
@@ -5175,6 +5241,35 @@ class DeltaLogTable(_CheckpointMixin):
         ]
         return spark.createDataFrame(
             rows, "version bigint, timestamp bigint, operation string"
+        )
+
+    def history_metrics(self, spark) -> DataFrame:
+        """DESCRIBE HISTORY with operationMetrics (delta-spark's
+        numbers column): per retained commit, the files/rows the
+        writer DECLARED it added and removed — audited against the raw
+        actions by scan_delta_log_history_metrics' oracle, which
+        recomputes the same numbers from the add/remove rows
+        themselves. numFiles (WRITE) and numAddedFiles (DML) collapse
+        into one column; absent metrics read as 0."""
+        rows = []
+        for v, a in self._exact_commit_actions():
+            if "commitInfo" not in a:
+                continue
+            ci = a["commitInfo"]
+            m = ci.get("operationMetrics") or {}
+            rows.append(
+                (
+                    v,
+                    ci.get("operation"),
+                    int(m.get("numFiles", m.get("numAddedFiles", 0))),
+                    int(m.get("numRemovedFiles", 0)),
+                    int(m.get("numOutputRows", 0)),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version bigint, operation string, num_added_files bigint, "
+            "num_removed_files bigint, num_output_rows bigint",
         )
 
     def _exact_commit_actions(self):

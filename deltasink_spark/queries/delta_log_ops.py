@@ -2770,3 +2770,60 @@ def sink_delta_merge_when(spark, sf_dir):
         not_matched_by_source_delete_condition="value > 90",
     )
     return t.read(spark)
+
+
+@query(
+    "scan_delta_log_history_metrics",
+    oracle=f"""
+    WITH acts AS (
+        SELECT CAST(regexp_extract(parse_filename(filename), '^(\\d{{20}})', 1)
+                    AS BIGINT) AS v,
+               "add".path AS ap,
+               CAST(json_extract_string("add".stats, '$.numRecords')
+                    AS BIGINT) AS arows,
+               "remove".path AS rp,
+               "commitInfo".operation AS op
+        FROM read_json('{_DL_BASE}/history_metrics/_delta_log/*.json',
+            filename = true,
+            columns = {{
+                "add": 'STRUCT(path VARCHAR, stats VARCHAR)',
+                "remove": 'STRUCT(path VARCHAR)',
+                "commitInfo": 'STRUCT(operation VARCHAR)'
+            }})
+    )
+    SELECT v AS version,
+           MAX(op) AS operation,
+           CAST(COUNT(ap) AS BIGINT) AS num_added_files,
+           CAST(COUNT(rp) AS BIGINT) AS num_removed_files,
+           CAST(COALESCE(SUM(arows), 0) AS BIGINT) AS num_output_rows
+    FROM acts GROUP BY v
+    """,
+)
+def scan_delta_log_history_metrics(spark, sf_dir):
+    """DESCRIBE HISTORY operationMetrics (delta-spark's numbers
+    column): every commit's commitInfo now DECLARES what it did —
+    files/bytes/rows added, files removed, change files, DVs — from
+    data the commit already holds (add-action stats), never an extra
+    Spark job. The table runs WRITE x2, DELETE, UPDATE, OPTIMIZE; the
+    Spark side READS the declared metrics, and the DuckDB oracle
+    RECOMPUTES the same numbers from the raw add/remove actions
+    themselves — agreement proves the metrics math against the log,
+    not a parse of itself. (DV paths declare only NEW data files in
+    numAddedFiles — documented — so this op scopes to copy-on-write
+    verbs.) At 100 TB these numbers are how an operator audits a
+    pipeline (rows in vs rows expected) without scanning a byte."""
+    t = _fresh_table("history_metrics")
+    ev = _ev(spark, sf_dir)
+    t.append(
+        ev.filter(F.coalesce(F.col("event_id") % 2 == 0, F.lit(True)))
+        .repartition(2)
+    )
+    t.append(
+        ev.filter(F.coalesce(F.col("event_id") % 2 == 1, F.lit(False)))
+        .repartition(2)
+    )
+    t.delete_where(spark, "value < 10")
+    t.update_where(spark, {"value": "value + 1.0"}, "event_id % 5 = 0")
+    if t.snapshot_files():
+        t.optimize(spark, target_files=2)
+    return t.history_metrics(spark)
