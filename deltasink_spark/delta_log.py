@@ -6313,8 +6313,25 @@ class DeltaTableStreamReader(DataSourceStreamReader):
     re-materialize their partition columns from each add's
     partitionValues so batches match the declared schema."""
 
+    # delta-spark's camelCase option names accepted as aliases — a user
+    # migrating a readStream.format("delta") call keeps their options
+    # verbatim (snake_case wins when both are given)
+    _OPTION_ALIASES = {
+        "ignoredeletes": "ignore_deletes",
+        "readchangefeed": "read_cdf",
+        "maxfilespertrigger": "max_files_per_trigger",
+        "startingversion": "starting_version",
+        "startingtimestamp": "starting_timestamp",
+    }
+
     def __init__(self, options) -> None:
         self.options = dict(options)
+        for alias, canon in self._OPTION_ALIASES.items():
+            # Spark lower-cases DataSource option keys, so the alias
+            # table is keyed lowercase; explicit snake_case wins
+            if alias in self.options and canon not in self.options:
+                self.options[canon] = self.options[alias]
+        options = self.options
         self.path = options["path"]
         self.ignore_deletes = str(options.get("ignore_deletes", "")).lower() == "true"
         # read_cdf=true turns the source into a streaming CHANGE FEED

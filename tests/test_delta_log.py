@@ -3164,3 +3164,28 @@ def test_merge_when_clause_vocabulary(spark, tmp_path):
     assert set(
         r["event_id"] for r in t.read(spark).collect()
     ) == {2, 3, 5, 6, 7, 12}
+
+
+def test_stream_source_accepts_delta_spark_option_names(spark, tmp_path):
+    """delta-spark camelCase option aliases: a migrating user's
+    readStream options work verbatim (Spark lower-cases option keys;
+    explicit snake_case wins on conflict)."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    for k in range(3):
+        t.append(_ev(spark, (k + 1) * 10).filter(F.col("event_id") >= k * 10))
+    r = DeltaTableStreamReader(
+        {"path": t.path, "startingversion": "1", "maxfilespertrigger": "1"}
+    )
+    assert r.initialOffset() == {"v": 0}  # inclusive of version 1
+    assert r.max_files_per_trigger == 1
+    r2 = DeltaTableStreamReader({"path": t.path, "readchangefeed": "true"})
+    assert r2.read_cdf is True
+    r3 = DeltaTableStreamReader({"path": t.path, "ignoredeletes": "true"})
+    assert r3.ignore_deletes is True
+    # snake_case wins over a conflicting alias
+    r4 = DeltaTableStreamReader(
+        {"path": t.path, "starting_version": "2", "startingversion": "1"}
+    )
+    assert r4.initialOffset() == {"v": 1}
