@@ -3189,3 +3189,79 @@ def test_stream_source_accepts_delta_spark_option_names(spark, tmp_path):
         {"path": t.path, "starting_version": "2", "startingversion": "1"}
     )
     assert r4.initialOffset() == {"v": 1}
+
+
+def test_row_id_stability_random_dml_sequences(spark, tmp_path):
+    """Invariant fuzz: under seeded random sequences of DELETE /
+    DV-DELETE / UPDATE / MERGE / OPTIMIZE / append, every surviving
+    row keeps its row id, updated rows carry the updating commit's
+    version, fresh rows mint ids above every prior one, and ids stay
+    globally unique — the whole row-tracking contract, path-order
+    independent."""
+    import random
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        t = _table(tmp_path, f"rnd{seed}")
+        t.append(_ev(spark, 30).repartition(2))
+        t.enable_row_tracking()
+        expect = _row_ids(t, spark)
+        live = set(range(30))
+        next_key = 1000
+        seen_ids = {i for i, _ in expect.values()}
+        for _step in range(6):
+            op = rng.choice(
+                ["delete", "dv_delete", "update", "optimize", "append",
+                 "merge"]
+            )
+            if op in ("delete", "dv_delete") and live:
+                k = rng.choice(sorted(live))
+                getattr(
+                    t, "delete_where" if op == "delete" else "delete_where_dv"
+                )(spark, f"event_id = {k}")
+                live.discard(k)
+                expect.pop(k, None)
+            elif op == "update" and live:
+                k = rng.choice(sorted(live))
+                v = t.update_where(
+                    spark, {"value": "value + 1.0"}, f"event_id = {k}"
+                )
+                expect[k] = (expect[k][0], v)
+            elif op == "optimize":
+                t.optimize(spark, target_files=2)
+            elif op == "append":
+                v = t.append(
+                    spark.createDataFrame(
+                        [(next_key, next_key % 7, 1.0)],
+                        "event_id bigint, user_id bigint, value double",
+                    )
+                )
+                live.add(next_key)
+                expect[next_key] = (None, v)  # id checked fresh below
+                next_key += 1
+            elif op == "merge":
+                k = rng.choice(sorted(live)) if live else next_key
+                src = spark.createDataFrame(
+                    [(k, k % 7, 9.0), (next_key, next_key % 7, 2.0)],
+                    "event_id bigint, user_id bigint, value double",
+                )
+                v = t.merge(spark, src, "event_id")
+                if k in expect:
+                    expect[k] = (expect[k][0], v)
+                live.add(next_key)
+                live.add(k)
+                expect.setdefault(k, (None, v))
+                expect[next_key] = (None, v)
+                next_key += 1
+            got = _row_ids(t, spark)
+            assert set(got) == live
+            ids_now = [i for i, _ in got.values()]
+            assert len(set(ids_now)) == len(ids_now)  # globally unique
+            for k, (i, ver) in expect.items():
+                if i is None:  # fresh row: id must be NEW, version exact
+                    assert got[k][0] not in seen_ids
+                    assert got[k][1] == ver
+                    expect[k] = got[k]
+                else:
+                    assert got[k] == (i, ver), f"seed={seed} op={op} k={k}"
+            seen_ids |= {i for i, _ in got.values()}
