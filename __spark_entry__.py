@@ -34,6 +34,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
+# Ops added DURING round 13 — each needs a first driver row.
+_R13_NEW_THIS_ROUND: list[str] = []
+
+# Ops whose implementation changed in r13 — re-verification rows
+# required.
+_R13_CHANGED_THIS_ROUND: list[str] = []
+
+# Stale cohort for r13: the ungraded remainder of the r12 stale list
+# (the r4-green cohort from fn_json onward — r12's 50 slots closed at
+# flatten_struct). Graded in full this round, the oldest green
+# watermark advances past r4.
+_R13_STALE: list[str] = [
+    "fn_json", "fn_map", "funnel_analysis",
+    "graph_pagerank", "join_asof", "join_bloom_prefilter",
+    "join_skew_salted", "json_extract_path", "json_infer_schema",
+    "json_parse", "meta_columns", "retention_cohort",
+    "sample_stratified", "sink_deadletter", "stream_dedup",
+    "ts_derive_partition", "ts_resample_interp", "ts_similarity",
+    "udaf_pandas", "udf_pandas", "win_first_last", "win_frame_range",
+    "win_frame_rows", "win_lag_lead", "win_session", "win_sliding",
+    "win_tumbling", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+]
+
 # Ops added DURING round 12 — each needs a first driver row. They lead
 # the rotation together with the r11-late _R12_NEW cohort below.
 _R12_NEW_THIS_ROUND: list[str] = [
@@ -265,6 +290,7 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
+        _R13_NEW_THIS_ROUND, _R13_CHANGED_THIS_ROUND, _R13_STALE,
         _R12_NEW_THIS_ROUND, _R12_NEW, _R12_CHANGED,
         _R12_CHANGED_THIS_ROUND, _R12_STALE,
         _R11_NEW, _R11_CHANGED, _R11_STALE,
