@@ -35,11 +35,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (overflow past slot 50 spills to the next round's rotation).
 
 # Ops added DURING round 13 — each needs a first driver row.
-_R13_NEW_THIS_ROUND: list[str] = []
+_R13_NEW_THIS_ROUND: list[str] = [
+    "sink_delta_concurrent_retry",
+    "sink_delta_timestamp_ntz",
+    "sink_delta_variant",
+    "join_stream_stream_semi",
+    "ann_index_incremental",
+]
 
 # Ops whose implementation changed in r13 — re-verification rows
-# required.
-_R13_CHANGED_THIS_ROUND: list[str] = []
+# required: every DML verb gained optimistic-concurrency re-execution
+# (_occ_retry) and emits delta-spark's per-operation operationMetrics
+# vocabulary; merge_when composes with identity columns; OPTIMIZE's
+# row-lineage join gained the basename-ambiguity guard;
+# tokenizer_vocab's top-500 became a distributed heap. All re-verified
+# locally against the full contract this round.
+_R13_CHANGED_THIS_ROUND: list[str] = [
+    "scan_delta_log_history_metrics",
+    "tokenizer_vocab",
+    "sink_delta_merge_when",
+    "sink_delta_identity",
+    "sink_delta_update",
+    "sink_delta_update_dv",
+    "sink_delta_delete_where",
+    "sink_delta_delete_vectors",
+    "sink_delta_merge",
+    "sink_delta_merge_evolve",
+    "sink_delta_scd2",
+    "sink_delta_replace_where",
+    "sink_delta_cluster_optimize",
+    "sink_delta_zorder",
+    "sink_delta_row_tracking",
+]
 
 # Stale cohort for r13: the ungraded remainder of the r12 stale list
 # (the r4-green cohort from fn_json onward — r12's 50 slots closed at

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import functools
 import json
 import os
 import shutil
@@ -80,7 +81,14 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
 # silently wrong data, and writing around an unknown writer feature
 # corrupts invariants the unknown feature maintains.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"columnMapping", "deletionVectors", "v2Checkpoint", "typeWidening"}
+    {
+        "columnMapping",
+        "deletionVectors",
+        "v2Checkpoint",
+        "typeWidening",
+        "timestampNtz",
+        "variantType",
+    }
 )
 
 # delta.typeWidening's allowed (fromType, toType) pairs (the stable
@@ -117,6 +125,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "rowTracking",
         "clustering",
         "typeWidening",
+        "timestampNtz",
+        "variantType",
     }
 )
 _MAX_READER_VERSION = 3
@@ -163,12 +173,152 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
-def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
+def _type_features_of_struct(dt) -> tuple[str, ...]:
+    """PROTOCOL.md's TYPE-GATED table features carried by a schema:
+    `timestampNtz` when any field (nested included) is TIMESTAMP
+    WITHOUT TIMEZONE, `variantType` for VARIANT — each is a reader AND
+    writer feature (a client that predates the type would misread the
+    physical encoding, so the protocol must make it refuse the table
+    instead). Walks struct/array/map nesting."""
+    feats: set[str] = set()
+
+    def walk(t) -> None:
+        name = t.typeName()
+        if name == "timestamp_ntz":
+            feats.add("timestampNtz")
+        elif name == "variant":
+            feats.add("variantType")
+        for f in getattr(t, "fields", None) or []:
+            walk(f.dataType)
+        if hasattr(t, "elementType"):
+            walk(t.elementType)
+        if hasattr(t, "keyType"):
+            walk(t.keyType)
+            walk(t.valueType)
+
+    walk(dt)
+    return tuple(sorted(feats))
+
+
+def _occ_retry(verb):
+    """OPTIMISTIC-CONCURRENCY RE-EXECUTION around a whole table verb —
+    the public Delta conflict-resolution contract (delta.io
+    concurrency-control; delta-spark's OptimisticTransaction +
+    commit-attempt loop) expressed at the re-plan level our verbs
+    already support: every verb snapshots, plans, stages, and commits
+    behind a precondition that aborts when a concurrent winner touched
+    the SAME files/metadata. Disjoint work already commutes through
+    that design (append-vs-append, rewrites of disjoint files, a
+    DELETE beside an append it doesn't read); what the raw funnel
+    surfaces as ConcurrentDeleteReadError / ConcurrentAppendError /
+    MetadataChangedError is exactly the retryable remainder — so this
+    wrapper re-executes the verb from a FRESH snapshot with
+    exponential backoff, and the caller never retries by hand.
+
+    Retry happens ONLY when the log actually ADVANCED during the
+    attempt (a winner landed): a conflict raised with no new commit is
+    a stale plan or a genuine layout/metadata mismatch that re-planning
+    cannot fix — it re-raises immediately, so true logical conflicts
+    still abort loudly (and first-commit schema/partitioning races keep
+    their exact error). Attempts are bounded (DS_OCC_ATTEMPTS,
+    default 10); exhaustion re-raises the last conflict. A failed
+    attempt's staged data files are invisible orphans (VACUUM-
+    reclaimed), identical to the crash contract, and each retry
+    re-enters the verb from scratch so identity marks / row-id ranges
+    re-mint from the winner's advanced state (never replayed stale —
+    see _finalize_row_tracking's copy-stamping)."""
+    @functools.wraps(verb)
+    def wrapper(self, *args, **kwargs):
+        attempts = int(os.environ.get("DS_OCC_ATTEMPTS", "10"))
+        delay = 0.05
+        for attempt in range(attempts):
+            before = self.latest_version()
+            try:
+                return verb(self, *args, **kwargs)
+            except (
+                ConcurrentAppendError,
+                ConcurrentDeleteReadError,
+                MetadataChangedError,
+            ) as ex:
+                # ConcurrentAppendError may come from a LAGGED listing
+                # (the colliding winner is durable but not visible in
+                # list() yet — FaultInjectingLogStore's model), so
+                # progress cannot always be observed for it; the other
+                # conflicts retry only when the log visibly advanced.
+                progressed = (
+                    isinstance(ex, ConcurrentAppendError)
+                    or self.latest_version() > before
+                )
+                if not progressed or attempt == attempts - 1:
+                    raise
+                time.sleep(delay)
+                delay = min(delay * 2, 1.0)
+
+    return wrapper
+
+
+# stats_parsed / partitionValues_parsed field types, mirrored from the
+# engine's own add-stats JSON serialization (integers land as int64,
+# floats as float64; timestamp/date/decimal stats serialize as their
+# ISO/str forms, so their parsed columns are strings — documented):
+# the parsed columns must DECODE to exactly what json.loads of the
+# stats string yields, or checkpoint pruning and JSON pruning diverge.
+def _pa_stats_type(type_name: str):
+    import pyarrow as pa
+
+    return {
+        "long": pa.int64(), "integer": pa.int64(), "short": pa.int64(),
+        "byte": pa.int64(), "double": pa.float64(), "float": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "date": pa.string(), "timestamp": pa.string(),
+        "decimal": pa.string(),
+    }.get(type_name)
+
+
+def _checkpoint_schema(
+    file_actions_only: bool = False,
+    v2_top: bool = False,
+    stats_fields=None,
+    part_fields=None,
+):
     """The checkpoint parquet schema. ``file_actions_only`` = a v2
     SIDECAR file (add + remove columns only, per spec);``v2_top`` = a
     v2 top-level file (non-file actions + checkpointMetadata +
-    sidecar pointer rows, no add/remove)."""
+    sidecar pointer rows, no add/remove). ``stats_fields`` /
+    ``part_fields`` (name, pa type) lists switch on the spec's
+    MATERIALIZED columns on file-action-carrying schemas:
+    `stats_parsed` (numRecords + typed minValues/maxValues/nullCount
+    structs) and `partitionValues_parsed` (typed partition values) —
+    delta-spark's delta.checkpoint.writeStatsAsStruct layout, which
+    lets a reader prune files from COLUMNAR checkpoint data without
+    JSON-decoding every add's stats string (read_where_stats' fast
+    path)."""
     import pyarrow as pa
+
+    extra_fields = []
+    if stats_fields:
+        extra_fields.append(
+            pa.field(
+                "stats_parsed",
+                pa.struct(
+                    [
+                        ("numRecords", pa.int64()),
+                        ("minValues", pa.struct(list(stats_fields))),
+                        ("maxValues", pa.struct(list(stats_fields))),
+                        (
+                            "nullCount",
+                            pa.struct(
+                                [(n, pa.int64()) for n, _ in stats_fields]
+                            ),
+                        ),
+                    ]
+                ),
+            )
+        )
+    if part_fields:
+        extra_fields.append(
+            pa.field("partitionValues_parsed", pa.struct(list(part_fields)))
+        )
 
     full = pa.schema(
         [
@@ -283,9 +433,12 @@ def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
                 ),
             ),
         ]
+        + extra_fields
     )
     if file_actions_only:
-        return pa.schema([full.field("add"), full.field("remove")])
+        return pa.schema(
+            [full.field("add"), full.field("remove")] + extra_fields
+        )
     if v2_top:
         return pa.schema(
             [
@@ -323,6 +476,134 @@ def _checkpoint_schema(file_actions_only: bool = False, v2_top: bool = False):
 _TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
+class LogStore:
+    """Storage SPI for the `_delta_log` JSON surface — the public
+    delta-spark LogStore contract (org.apache.spark.sql.delta.storage.
+    LogStore): LIST the log directory, READ a log file, PUT-IF-ABSENT
+    a commit file (the atomicity primitive the whole protocol rests
+    on), atomic OVERWRITE for the re-writable artifacts
+    (`_last_checkpoint`, `.crc` sidecars, compacted segments), DELETE
+    for retention, and the writer-side mutual EXCLUSION that
+    serializes same-store committers (delta's S3 single-writer /
+    DynamoDB-lock analogue). The commit funnel in DeltaLogTable speaks
+    ONLY this interface for the JSON log, so an object store with
+    different consistency guarantees slots in underneath without
+    touching protocol code — and the funnel's collision handling is
+    exercised against injected object-store pathologies by
+    FaultInjectingLogStore below.
+
+    This base class IS the local-filesystem implementation: POSIX
+    gives both primitives natively (O_CREAT|O_EXCL put-if-absent,
+    flock mutual exclusion), exactly what the funnel used before the
+    seam was extracted. Checkpoint PARQUET payloads stay on the plain
+    filesystem — like delta-spark, only the JSON commit surface needs
+    the store's atomicity contract; parquet artifacts are immutable
+    once referenced and never raced."""
+
+    def list(self, log_dir: str) -> list[str]:
+        return os.listdir(log_dir)
+
+    def read(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        """Create ``path`` with ``data`` iff it does not exist —
+        raises FileExistsError otherwise (never clobbers). Durable
+        (fsync'd) before returning."""
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, data.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def put_atomic(self, path: str, data: str) -> None:
+        """Atomically (re)write ``path`` — readers see the old or the
+        new content, never a torn file."""
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        os.remove(path)
+
+    @contextlib.contextmanager
+    def lock(self, log_dir: str):
+        """Writer-side mutual exclusion for one table's log (advisory
+        flock on a sidecar — works across processes on one host; an
+        object-store implementation substitutes its lock service)."""
+        lock_path = os.path.join(log_dir, "_commit.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+
+class FaultInjectingLogStore(LogStore):
+    """Adversarial LogStore for the commit-race suite: a real local
+    directory underneath, with object-store pathologies injected in
+    memory on the JSON funnel —
+
+    - LOST-THEN-VISIBLE listings (eventual consistency): a file
+      ANOTHER writer put is HIDDEN from this store's next ``lag``
+      list() calls that would return it, then becomes visible —
+      the pre-strong-consistency S3 LIST behavior, with
+      read-your-writes kept (a store always sees its OWN puts; its
+      post-commit checksum fold depends on that, exactly like a real
+      client tracking its own commit version). A writer whose listing
+      lagged computes a stale next-version and collides on
+      put-if-absent; the funnel must turn that into a retryable
+      conflict, never a crash or a clobber.
+    - DUPLICATE PUTS (retried writes): the first ``dup``
+      put_if_absent calls raise FileExistsError AFTER durably writing
+      the payload — the retry-storm case where a client cannot
+      distinguish its own successful write from a true conflict. The
+      funnel resolves it by payload comparison (an identical existing
+      file is OUR durable commit)."""
+
+    def __init__(self, lag: int = 0, dup: int = 0):
+        self.lag = lag
+        self.dup = dup
+        self._mine: set[str] = set()
+        self._maturity: dict[str, int] = {}
+        self.stats = {"hidden_lists": 0, "dup_puts": 0}
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        super().put_if_absent(path, data)
+        self._mine.add(path)
+        if self.dup > 0:
+            self.dup -= 1
+            self.stats["dup_puts"] += 1
+            raise FileExistsError(path)
+
+    def put_atomic(self, path: str, data: str) -> None:
+        super().put_atomic(path, data)
+        self._mine.add(path)
+
+    def list(self, log_dir: str) -> list[str]:
+        out = []
+        for f in super().list(log_dir):
+            p = os.path.join(log_dir, f)
+            if p in self._mine or not self.lag:
+                out.append(f)
+                continue
+            n = self._maturity.get(p, self.lag)
+            if n > 0:
+                self._maturity[p] = n - 1
+                self.stats["hidden_lists"] += 1
+                continue
+            out.append(f)
+        return out
+
+
 class _CheckpointMixin:
     """Parquet checkpoints (the Delta spec's log-compaction mechanism):
     `_delta_log/%020d.checkpoint.parquet` holds the FULL reconstructed
@@ -333,6 +614,125 @@ class _CheckpointMixin:
     at any table age. At 100 TB / years of commits this is what keeps
     snapshot construction O(live files + recent commits) instead of
     O(all commits ever)."""
+
+    def _parsed_stats_fields(self):
+        """(stats_fields, part_fields) for this table's checkpoint
+        materialized columns: the stats-eligible atomic data columns
+        (physical names on a mapped table) and the typed partition
+        columns. Empty when the log carries no schema (a foreign
+        minimal log) — the checkpoint then keeps the classic layout."""
+        s = self.schema()
+        if s is None:
+            return [], []
+        cm = self.column_mapping() or {}
+        pb = set(self.partition_columns())
+        stats_fields = []
+        for f in s.fields:
+            if f.name in pb:
+                continue  # partition values carry no file stats
+            t = _pa_stats_type(f.dataType.typeName())
+            if t is not None:
+                stats_fields.append((cm.get(f.name, f.name), t))
+        by = {f.name: f for f in s.fields}
+        part_fields = []
+        for c in self.partition_columns():
+            f = by.get(c)
+            t = _pa_stats_type(f.dataType.typeName()) if f else None
+            if t is not None:
+                part_fields.append((cm.get(c, c), t))
+        return stats_fields, part_fields
+
+    @staticmethod
+    def _enrich_file_rows(file_rows, stats_fields, part_fields):
+        """Stamp the MATERIALIZED checkpoint columns onto add rows:
+        `stats_parsed` decoded once at checkpoint-write time (so no
+        reader ever has to json-decode a million stats strings again)
+        and `partitionValues_parsed` with typed partition values.
+        Foreign adds whose stats don't type-check fall back to null
+        parsed columns — pruning then falls back to their JSON stats,
+        never to a wrong decode."""
+        if not stats_fields and not part_fields:
+            return file_rows
+        import pyarrow as pa
+
+        def conv(v, t):
+            if v is None:
+                return None
+            if pa.types.is_integer(t):
+                return v if isinstance(v, int) and not isinstance(v, bool) else None
+            if pa.types.is_floating(t):
+                return (
+                    float(v)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else None
+                )
+            if pa.types.is_boolean(t):
+                return v if isinstance(v, bool) else None
+            return v if isinstance(v, str) else None
+
+        def pconv(v, t):
+            if v is None:
+                return None
+            try:
+                if pa.types.is_integer(t):
+                    return int(v)
+                if pa.types.is_floating(t):
+                    return float(v)
+                if pa.types.is_boolean(t):
+                    return v == "true"
+                return v
+            except (TypeError, ValueError):
+                return None
+
+        out = []
+        for r in file_rows:
+            if "add" not in r:
+                out.append(r)
+                continue
+            r = dict(r)
+            a = r["add"]
+            if stats_fields:
+                sp = None
+                st = a.get("stats")
+                if st:
+                    try:
+                        d = json.loads(st)
+                    except ValueError:
+                        d = None
+                    if isinstance(d, dict):
+                        mv = d.get("minValues") or {}
+                        xv = d.get("maxValues") or {}
+                        nc = d.get("nullCount") or {}
+                        n_rec = d.get("numRecords")
+                        sp = {
+                            "numRecords": n_rec
+                            if isinstance(n_rec, int)
+                            else None,
+                            "minValues": {
+                                n: conv(mv.get(n), t)
+                                for n, t in stats_fields
+                            },
+                            "maxValues": {
+                                n: conv(xv.get(n), t)
+                                for n, t in stats_fields
+                            },
+                            "nullCount": {
+                                n: nc.get(n)
+                                if isinstance(nc.get(n), int)
+                                else None
+                                for n, _ in stats_fields
+                            },
+                        }
+                r["stats_parsed"] = sp
+            if part_fields:
+                pv = a.get("partitionValues") or {}
+                if not isinstance(pv, dict):
+                    pv = dict(pv)  # a map column read back as pairs
+                r["partitionValues_parsed"] = {
+                    n: pconv(pv.get(n), t) for n, t in part_fields
+                }
+            out.append(r)
+        return out
 
     def checkpoint(self, parts: int = 1) -> int:
         """Write a checkpoint at the current version. Returns it.
@@ -358,8 +758,12 @@ class _CheckpointMixin:
                 )
             return self.checkpoint_v2()
         v, nonfile, file_rows = self._checkpoint_fold_rows()
+        sfields, pfields = self._parsed_stats_fields()
+        file_rows = self._enrich_file_rows(file_rows, sfields, pfields)
         rows = nonfile + file_rows
-        schema = _checkpoint_schema()
+        schema = _checkpoint_schema(
+            stats_fields=sfields, part_fields=pfields
+        )
         if parts == 1:
             self._write_checkpoint_parquet(
                 rows, schema,
@@ -403,12 +807,9 @@ class _CheckpointMixin:
         )
 
     def _write_last_checkpoint(self, info: dict) -> None:
-        tmp = os.path.join(
-            self.log_dir, f"_last_checkpoint.{uuid.uuid4().hex}.tmp"
+        self._store.put_atomic(
+            os.path.join(self.log_dir, "_last_checkpoint"), json.dumps(info)
         )
-        with open(tmp, "w") as fh:
-            fh.write(json.dumps(info))
-        os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
     def _checkpoint_fold_rows(self):
         """The reconstructed state at the current version as checkpoint
@@ -566,9 +967,13 @@ class _CheckpointMixin:
                 "feature; call enable_v2_checkpoints() first"
             )
         v, nonfile, file_rows = self._checkpoint_fold_rows()
+        sfields, pfields = self._parsed_stats_fields()
+        file_rows = self._enrich_file_rows(file_rows, sfields, pfields)
         side_dir = os.path.join(self.log_dir, "_sidecars")
         os.makedirs(side_dir, exist_ok=True)
-        side_schema = _checkpoint_schema(file_actions_only=True)
+        side_schema = _checkpoint_schema(
+            file_actions_only=True, stats_fields=sfields, part_fields=pfields
+        )
         per = -(-len(file_rows) // sidecars) if file_rows else 0
         side_rows: list[dict] = []
         for i in range(sidecars):
@@ -638,10 +1043,9 @@ class _CheckpointMixin:
 
     def _last_checkpoint_info(self) -> dict | None:
         p = os.path.join(self.log_dir, "_last_checkpoint")
-        if not os.path.exists(p):
+        if not self._store.exists(p):
             return None
-        with open(p) as fh:
-            return json.load(fh)
+        return json.loads(self._store.read(p))
 
     def last_checkpoint(self) -> int | None:
         info = self._last_checkpoint_info()
@@ -866,9 +1270,10 @@ class _CheckpointMixin:
 class DeltaLogTable(_CheckpointMixin):
     """One Delta table rooted at ``path`` (see module docstring)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, log_store: LogStore | None = None):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self._store = log_store if log_store is not None else LogStore()
         os.makedirs(self.log_dir, exist_ok=True)
         # instance-local txn high-water cache (fast replay pre-check;
         # the authoritative fold happens under the commit lock)
@@ -885,7 +1290,7 @@ class DeltaLogTable(_CheckpointMixin):
         import re as _re
 
         out = []
-        for f in os.listdir(self.log_dir):
+        for f in self._store.list(self.log_dir):
             m = _re.match(r"^(\d{20})\.(\d{20})\.compacted\.json$", f)
             if m:
                 out.append(
@@ -896,7 +1301,7 @@ class DeltaLogTable(_CheckpointMixin):
 
     def _version_files(self) -> list[tuple[int, str]]:
         out = []
-        for f in os.listdir(self.log_dir):
+        for f in self._store.list(self.log_dir):
             if f.endswith(".json") and len(f) == 25:
                 out.append((int(f[:20]), os.path.join(self.log_dir, f)))
         return sorted(out)
@@ -962,10 +1367,9 @@ class DeltaLogTable(_CheckpointMixin):
             )
             if usable:
                 y, p = max(usable)  # longest applicable segment
-                with open(p) as fh:
-                    for line in fh:
-                        if line.strip():
-                            yield y, json.loads(line)
+                for line in self._store.read(p).splitlines():
+                    if line.strip():
+                        yield y, json.loads(line)
                 pos = y + 1
                 continue
             p = vf.get(pos)
@@ -981,22 +1385,13 @@ class DeltaLogTable(_CheckpointMixin):
                         "it — refusing to fold a silently truncated log"
                     )
                 )
-            with open(p) as fh:
-                for line in fh:
-                    if line.strip():
-                        yield pos, json.loads(line)
+            for line in self._store.read(p).splitlines():
+                if line.strip():
+                    yield pos, json.loads(line)
             pos += 1
 
-    @contextlib.contextmanager
     def _commit_lock(self):
-        lock_path = os.path.join(self.log_dir, "_commit.lock")
-        fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY, 0o644)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
-            yield
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
+        return self._store.lock(self.log_dir)
 
     def _commit(
         self,
@@ -1063,13 +1458,27 @@ class DeltaLogTable(_CheckpointMixin):
                     if "commitInfo" in a:
                         a["commitInfo"]["inCommitTimestamp"] = ict
             p = os.path.join(self.log_dir, f"{v:020d}.json")
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            payload = "".join(json.dumps(a) + "\n" for a in actions)
             try:
-                payload = "".join(json.dumps(a) + "\n" for a in actions)
-                os.write(fd, payload.encode())
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+                self._store.put_if_absent(p, payload)
+            except FileExistsError:
+                # Two distinguishable cases (the object-store seam):
+                # the existing file holds OUR payload — a duplicate put
+                # from a store retrying the write, the commit IS
+                # durable, proceed as success; anything else means a
+                # writer outside our lock (or a lagged listing) took
+                # this version — surface the retryable conflict, the
+                # verb's OCC loop re-plans from the true tip.
+                existing = (
+                    self._store.read(p) if self._store.exists(p) else None
+                )
+                if existing != payload:
+                    raise ConcurrentAppendError(
+                        f"version {v} was committed concurrently by a "
+                        "writer outside this store's lock (or this "
+                        "store's listing lagged the true tip); re-plan "
+                        "against the current log and retry"
+                    ) from None
             for a in actions:  # keep the txn fast-path cache warm
                 if "txn" in a and self._txn_hw is not None:
                     t = a["txn"]
@@ -1113,10 +1522,7 @@ class DeltaLogTable(_CheckpointMixin):
             "numProtocol": 1 if self._protocol_dict() is not None else 0,
         }
         p = os.path.join(self.log_dir, f"{v:020d}.crc")
-        tmp = p + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(json.dumps(info, sort_keys=True))
-        os.replace(tmp, p)
+        self._store.put_atomic(p, json.dumps(info, sort_keys=True))
 
     def _validate_version_crc(self, v: int, adds: dict[str, dict]) -> None:
         """Compare a folded snapshot against the version's checksum
@@ -1124,10 +1530,9 @@ class DeltaLogTable(_CheckpointMixin):
         A mismatch is loud — it means the fold and the writer disagree
         about the table's state, which is never recoverable silently."""
         p = os.path.join(self.log_dir, f"{v:020d}.crc")
-        if not os.path.exists(p):
+        if not self._store.exists(p):
             return
-        with open(p) as fh:
-            want = json.load(fh)
+        want = json.loads(self._store.read(p))
         got_files = len(adds)
         got_bytes = sum(int(a.get("size") or 0) for a in adds.values())
         if (
@@ -1847,8 +2252,14 @@ class DeltaLogTable(_CheckpointMixin):
                     for f in schema.fields
                 ]
             )
+        tfeats = _type_features_of_struct(schema)
+        proto = (
+            self._upgraded_protocol(tfeats, tfeats)
+            if tfeats
+            else dict(_PROTOCOL)
+        )
         return [
-            {"protocol": dict(_PROTOCOL)},
+            {"protocol": proto},
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
@@ -1988,12 +2399,11 @@ class DeltaLogTable(_CheckpointMixin):
         if best_path is None:
             return None
         last = None
-        with open(best_path) as fh:
-            for line in fh:
-                if line.strip():
-                    a = json.loads(line)
-                    if "commitInfo" in a:
-                        last = a["commitInfo"]
+        for line in self._store.read(best_path).splitlines():
+            if line.strip():
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    last = a["commitInfo"]
         return last
 
     # --- identity columns ------------------------------------------------------
@@ -2334,6 +2744,7 @@ class DeltaLogTable(_CheckpointMixin):
                     "rows in this write (Delta rejects the whole commit)"
                 )
 
+    @_occ_retry
     def add_constraint(self, spark, name: str, expr_sql: str) -> int:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
         EXISTING table first (Delta scans before accepting — a
@@ -2380,6 +2791,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def drop_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT — removes the configuration key
         in a new metaData action (missing name raises, Delta's
@@ -2630,7 +3042,13 @@ class DeltaLogTable(_CheckpointMixin):
         funnel, so no DML path can mint colliding row ids. Re-adds of
         an existing file (DV swaps, RESTORE) are built from the old add
         dict upstream, so their original baseRowId rides through
-        untouched (the spec's stability rule)."""
+        untouched (the spec's stability rule).
+
+        Stamps COPIES of the pending add dicts, never the caller's —
+        if a cross-process racer wins the version file (O_EXCL raises
+        after this ran), the caller's actions stay unstamped, so the
+        retry re-enters this funnel and mints ids off the RACER's
+        advanced high-water mark instead of replaying stale ones."""
         proto = getattr(self, "_proto_cache", None) or {}
         tracked = "rowTracking" in (proto.get("writerFeatures") or ())
         if not tracked:
@@ -2649,12 +3067,17 @@ class DeltaLogTable(_CheckpointMixin):
         if not pending:
             return actions
         cur = self._row_id_hwm(v - 1)
+        stamped: dict[int, dict] = {}
         for ad in pending:
-            ad["baseRowId"] = cur + 1
-            ad["defaultRowCommitVersion"] = v
-            cur += self._add_num_records(ad)
+            new = dict(ad)
+            new["baseRowId"] = cur + 1
+            new["defaultRowCommitVersion"] = v
+            cur += self._add_num_records(new)
+            stamped[id(ad)] = new
         actions = [
-            a
+            {"add": stamped[id(a["add"])]}
+            if "add" in a and id(a["add"]) in stamped
+            else a
             for a in actions
             if not (
                 "domainMetadata" in a
@@ -2758,35 +3181,112 @@ class DeltaLogTable(_CheckpointMixin):
         )
 
     @staticmethod
-    def _op_metrics(
-        adds=(), n_removed: int = 0, cdc=(), dvs: int = 0, write: bool = False
-    ) -> dict[str, str]:
-        """commitInfo.operationMetrics (delta-spark's DESCRIBE HISTORY
-        numbers), string-valued per the format and restricted to what
-        the commit ALREADY knows — files/bytes from the add actions,
-        rows from their stats, change-file and DV counts — never an
-        extra Spark job. numOutputRows is omitted when any add lacks
-        stats (a partial count would read as a total)."""
-        rows = 0
-        complete = True
-        nbytes = 0
+    def _rows_of_adds(adds) -> tuple[int, bool]:
+        """(total numRecords, stats-complete?) across add dicts —
+        foreign adds may carry no stats; a partial sum must not read
+        as a total, so completeness rides along."""
+        rows, complete = 0, True
         for a in adds:
-            nbytes += int(a.get("size") or 0)
             st = a.get("stats")
             n = json.loads(st).get("numRecords") if st else None
             if n is None:
                 complete = False
             else:
                 rows += int(n)
+        return rows, complete
+
+    @staticmethod
+    def _cdc_clause_counts(cdc_frame: DataFrame) -> dict[str, int]:
+        """Rows per _change_type over the change frame — ONE small
+        aggregation whose inputs every DML path has already pinned
+        (localCheckpoint), mirroring the per-clause SQL metrics
+        delta-spark instruments inside the rewrite job itself. Cost is
+        O(changed rows), never O(table)."""
+        return {
+            r[0]: int(r[1])
+            for r in cdc_frame.groupBy("_change_type").count().collect()
+        }
+
+    @staticmethod
+    def _op_metrics(
+        adds=(),
+        n_removed: int = 0,
+        cdc=(),
+        dvs: int = 0,
+        write: bool = False,
+        op: str | None = None,
+        removed_adds=(),
+        clause_counts: dict[str, int] | None = None,
+        dv_rows: int | None = None,
+    ) -> dict[str, str]:
+        """commitInfo.operationMetrics in delta-spark's per-operation
+        DESCRIBE HISTORY vocabulary (string-valued per the format):
+        WRITE emits numFiles/numOutputBytes/numOutputRows; DELETE
+        numDeletedRows/numCopiedRows; UPDATE numUpdatedRows/
+        numCopiedRows; MERGE numTargetRowsInserted/Updated/Deleted/
+        Copied + numTargetFilesAdded/Removed; OPTIMIZE numAddedFiles/
+        numRemovedFiles/numAddedBytes/numRemovedBytes. Row numbers come
+        from add-action stats (added AND removed sides) plus the
+        per-clause counts the DML path measured (``clause_counts``) or
+        the DV cardinality delta (``dv_rows``) — omitted rather than
+        guessed when any contributing add lacks stats."""
+        rows, complete = DeltaLogTable._rows_of_adds(adds)
+        nbytes = sum(int(a.get("size") or 0) for a in adds)
+        rrows, rcomplete = DeltaLogTable._rows_of_adds(removed_adds)
+        rbytes = sum(int(a.get("size") or 0) for a in removed_adds)
+        cc = clause_counts or {}
         m: dict[str, str] = {}
         if write:
             m["numFiles"] = str(len(adds))
             m["numOutputBytes"] = str(nbytes)
-        else:
+            if complete:
+                m["numOutputRows"] = str(rows)
+            if n_removed:  # replaceWhere: the region it retired
+                m["numRemovedFiles"] = str(n_removed)
+        elif op == "OPTIMIZE":
             m["numAddedFiles"] = str(len(adds))
             m["numRemovedFiles"] = str(n_removed)
-        if complete:
-            m["numOutputRows"] = str(rows)
+            m["numAddedBytes"] = str(nbytes)
+            if rcomplete or not removed_adds:
+                m["numRemovedBytes"] = str(rbytes)
+        elif op == "DELETE":
+            m["numAddedFiles"] = str(len(adds))
+            m["numRemovedFiles"] = str(n_removed)
+            if dv_rows is not None:  # merge-on-read: DV delta is exact
+                m["numDeletedRows"] = str(dv_rows)
+                m["numCopiedRows"] = "0"
+            elif complete and rcomplete:
+                m["numDeletedRows"] = str(rrows - rows)
+                m["numCopiedRows"] = str(rows)
+        elif op == "UPDATE":
+            m["numAddedFiles"] = str(len(adds))
+            m["numRemovedFiles"] = str(n_removed)
+            if dvs and complete:
+                # merge-on-read: every new-file row IS an updated row,
+                # nothing is copied (survivors stay behind the DV)
+                m["numUpdatedRows"] = str(rows)
+                m["numCopiedRows"] = "0"
+            elif "update_postimage" in cc:
+                upd = cc["update_postimage"]
+                m["numUpdatedRows"] = str(upd)
+                if complete:
+                    m["numCopiedRows"] = str(rows - upd)
+        elif op == "MERGE":
+            m["numTargetFilesAdded"] = str(len(adds))
+            m["numTargetFilesRemoved"] = str(n_removed)
+            ins = cc.get("insert", 0)
+            upd = cc.get("update_postimage", 0)
+            m["numTargetRowsInserted"] = str(ins)
+            m["numTargetRowsUpdated"] = str(upd)
+            m["numTargetRowsDeleted"] = str(cc.get("delete", 0))
+            if complete:
+                m["numTargetRowsCopied"] = str(rows - ins - upd)
+                m["numOutputRows"] = str(rows)
+        else:  # generic fallback (restore, clone, ...)
+            m["numAddedFiles"] = str(len(adds))
+            m["numRemovedFiles"] = str(n_removed)
+            if complete:
+                m["numOutputRows"] = str(rows)
         if cdc:
             m["numAddedChangeFiles"] = str(len(cdc))
         if dvs:
@@ -2801,7 +3301,14 @@ class DeltaLogTable(_CheckpointMixin):
         basename — a broadcast O(live files) frame, never a shuffle.
         __pos is the physical row index, so ids stay stable under DV
         deletes (survivors keep their positions). Returns df with
-        mat_id/mat_ver replaced by the resolved values."""
+        mat_id/mat_ver replaced by the resolved values.
+
+        The basename join requires UNIQUE basenames across ``adds`` —
+        a foreign/converted layout where two partition dirs share one
+        basename would fan the join out (duplicated rows, wrong ids,
+        and OPTIMIZE would persist the duplicates). _rel_of_base_map
+        enforces that loudly, same as every DML planning path."""
+        self._rel_of_base_map(adds)
         rows = [
             (
                 self._basename_of_add_path(p),
@@ -2879,6 +3386,7 @@ class DeltaLogTable(_CheckpointMixin):
         df = self._with_row_lineage(spark, adds, df, mat_id, mat_ver)
         return df.drop("__file", "__pos"), rt
 
+    @_occ_retry
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: a new metaData action whose
         configuration carries the given keys (pure metadata commit) —
@@ -3310,6 +3818,7 @@ class DeltaLogTable(_CheckpointMixin):
         ).json()
         return meta
 
+    @_occ_retry
     def append(
         self,
         df: DataFrame,
@@ -3437,26 +3946,39 @@ class DeltaLogTable(_CheckpointMixin):
                     evolved_meta = self._widen_schema_meta(
                         extra, evolved_meta
                     )
+                need_feats: set[str] = set()
                 if widen:
                     evolved_meta = self._widen_types_meta(
                         widen, evolved_meta
                     )
-                    base_proto_tw = self._protocol_dict()
-                    if "typeWidening" not in (
-                        (base_proto_tw or {}).get("writerFeatures") or ()
-                    ):
-                        # reader AND writer feature: old files stay
-                        # narrow, so every reader must understand the
-                        # promotion before it can fold this table
-                        widen_upgrade.append(
-                            {
-                                "protocol": self._upgraded_protocol(
-                                    reader_features=("typeWidening",),
-                                    writer_features=("typeWidening",),
-                                )
-                            }
+                    need_feats.add("typeWidening")
+                if extra:
+                    # a new TIMESTAMP_NTZ / VARIANT column gates the
+                    # whole table on its type feature from this commit
+                    need_feats.update(
+                        _type_features_of_struct(
+                            StructType([f for f in extra])
                         )
-                        self._write_proto_ok = False
+                    )
+                base_proto_tw = self._protocol_dict()
+                need_feats -= set(
+                    (base_proto_tw or {}).get("writerFeatures") or ()
+                )
+                if need_feats:
+                    # reader AND writer features, ONE upgrade action
+                    # (two protocol actions in a commit would fold to
+                    # the last): old files stay narrow / pre-widening,
+                    # so every reader must understand the promotion
+                    # before it can fold this table
+                    nf = tuple(sorted(need_feats))
+                    widen_upgrade.append(
+                        {
+                            "protocol": self._upgraded_protocol(
+                                reader_features=nf, writer_features=nf
+                            )
+                        }
+                    )
+                    self._write_proto_ok = False
         df = self._apply_generated(df)
         id_meta = None
         id_high: dict[str, int] = {}
@@ -3539,8 +4061,8 @@ class DeltaLogTable(_CheckpointMixin):
             def _proto_unchanged() -> bool:
                 if self._protocol_dict() != base_proto_tw:
                     raise MetadataChangedError(
-                        "protocol changed while enabling typeWidening; "
-                        "retry the append"
+                        "protocol changed while this append was ledgering "
+                        "table features; retry the append"
                     )
                 return True
 
@@ -3632,6 +4154,7 @@ class DeltaLogTable(_CheckpointMixin):
             ),
         )
 
+    @_occ_retry
     def optimize(
         self,
         spark,
@@ -3781,7 +4304,12 @@ class DeltaLogTable(_CheckpointMixin):
         ci: dict = {
             "timestamp": now,
             "operation": "OPTIMIZE",
-            "operationMetrics": self._op_metrics(adds, len(live)),
+            "operationMetrics": self._op_metrics(
+                adds,
+                len(live),
+                op="OPTIMIZE",
+                removed_adds=[adds_live[p] for p in live],
+            ),
         }
         if zorder_by:
             ci["operationParameters"] = {
@@ -3796,6 +4324,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def delete_where(self, spark, predicate_sql: str) -> int:
         """Row-level DELETE (copy-on-write, the GDPR-erasure path):
 
@@ -3866,7 +4395,11 @@ class DeltaLogTable(_CheckpointMixin):
                     "operation": "DELETE",
                     "operationParameters": {"predicate": predicate_sql},
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds,
+                        len(hit_files),
+                        cdc_actions,
+                        op="DELETE",
+                        removed_adds=[snap[p] for p in hit_files],
                     ),
                 }
             }
@@ -3880,6 +4413,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def delete_where_dv(self, spark, predicate_sql: str) -> int:
         """Row-level DELETE via DELETION VECTORS — merge-on-read, the
         modern Delta DML path (protocol feature `deletionVectors`)
@@ -4039,7 +4573,25 @@ class DeltaLogTable(_CheckpointMixin):
                         "deletionVectors": "true",
                     },
                     "operationMetrics": self._op_metrics(
-                        (), len(old_removes), cdc_actions, dvs=len(hits)
+                        (),
+                        len(old_removes),
+                        cdc_actions,
+                        dvs=len(hits),
+                        op="DELETE",
+                        # newly-deleted = merged-DV card minus the old
+                        # card (the merge folded prior deletes in)
+                        dv_rows=sum(
+                            r["card"]
+                            - int(
+                                (
+                                    adds[rel_of_base[r["file"]]].get(
+                                        "deletionVector"
+                                    )
+                                    or {}
+                                ).get("cardinality", 0)
+                            )
+                            for r in hits
+                        ),
                     ),
                 }
             }
@@ -4064,6 +4616,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def update_where_dv(
         self, spark, set_exprs: dict[str, str], predicate_sql: str
     ) -> int:
@@ -4255,7 +4808,7 @@ class DeltaLogTable(_CheckpointMixin):
                     },
                     "operationMetrics": self._op_metrics(
                         adds_new, len(old_removes), cdc_actions,
-                        dvs=len(hits),
+                        dvs=len(hits), op="UPDATE",
                     ),
                 }
             }
@@ -4277,6 +4830,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def update_where(
         self, spark, set_exprs: dict[str, str], predicate_sql: str
     ) -> int:
@@ -4422,7 +4976,13 @@ class DeltaLogTable(_CheckpointMixin):
                         "set": json.dumps(set_exprs, sort_keys=True),
                     },
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds,
+                        len(hit_files),
+                        cdc_actions,
+                        op="UPDATE",
+                        # post is localCheckpoint'd — counting the
+                        # materialized partitions is O(matched), cheap
+                        clause_counts={"update_postimage": post.count()},
                     ),
                 }
             }
@@ -4436,6 +4996,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def merge(
         self,
         spark,
@@ -4481,6 +5042,7 @@ class DeltaLogTable(_CheckpointMixin):
         extra = [f for f in src.schema.fields if f.name not in have]
         evolved_meta = None
         evolve_base = None
+        merge_upgrade: list[dict] = []
         if extra:
             if not merge_schema:
                 raise ValueError(
@@ -4491,6 +5053,24 @@ class DeltaLogTable(_CheckpointMixin):
                 )
             evolve_base = self._metadata_dict()
             evolved_meta = self._widen_schema_meta(extra, evolve_base)
+            proto_base = self._protocol_dict()
+            tfeats = tuple(
+                f
+                for f in _type_features_of_struct(StructType(list(extra)))
+                if f
+                not in set((proto_base or {}).get("writerFeatures") or ())
+            )
+            if tfeats:
+                # a new TIMESTAMP_NTZ / VARIANT column gates the table
+                # on its type feature in the SAME commit as the widen
+                merge_upgrade.append(
+                    {
+                        "protocol": self._upgraded_protocol(
+                            reader_features=tfeats, writer_features=tfeats
+                        )
+                    }
+                )
+                self._write_proto_ok = False
         self._enforce_constraints(src)
         if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
             raise ValueError(
@@ -4607,7 +5187,7 @@ class DeltaLogTable(_CheckpointMixin):
             partition_by=self.partition_columns(),
             mapping=stage_mapping,
         )
-        cdc_actions = self._stage_cdc(
+        cdc_frame = (
             preimage.select(*cols)
             .withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
@@ -4617,15 +5197,17 @@ class DeltaLogTable(_CheckpointMixin):
             )
             .unionByName(
                 inserted.select(*cols).withColumn("_change_type", F.lit("insert"))
-            ),
-            mapping=stage_mapping,
+            )
         )
+        cdc_actions = self._stage_cdc(cdc_frame, mapping=stage_mapping)
+        clause_counts = self._cdc_clause_counts(cdc_frame)
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
         if evolved_meta is not None:
             actions.insert(0, {"metaData": evolved_meta})
         elif id_meta is not None:
             actions.insert(0, {"metaData": id_meta})
+        actions = merge_upgrade + actions
         actions += [
             {"remove": self._remove_action(p, snap[p], now)}
             for p in hit_files
@@ -4637,7 +5219,11 @@ class DeltaLogTable(_CheckpointMixin):
                     "operation": "MERGE",
                     "operationParameters": {"matchedPredicates": f"key={key}"},
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds,
+                        len(hit_files),
+                        cdc_actions,
+                        op="MERGE",
+                        clause_counts=clause_counts,
                     ),
                 }
             }
@@ -4654,6 +5240,11 @@ class DeltaLogTable(_CheckpointMixin):
                     "table metaData changed while evolving the schema; "
                     "retry the merge"
                 )
+            if merge_upgrade and self._protocol_dict() != proto_base:
+                raise MetadataChangedError(
+                    "protocol changed while this merge was ledgering "
+                    "table features; retry the merge"
+                )
             return adds_check()
 
         v = self._commit(actions, _pre)
@@ -4663,6 +5254,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def merge_when(
         self,
         spark,
@@ -4712,14 +5304,22 @@ class DeltaLogTable(_CheckpointMixin):
         s = self.schema()
         cols = [f.name for f in s.fields]
         ftype = {f.name: f.dataType for f in s.fields}
-        missing = [c for c in cols if c not in src.columns]
+        ids = self.identity_columns()
+        gens = self.generated_columns()
+        # identity columns must NOT be in the source (the insert branch
+        # mints them via _assign_identity, like merge()); generated
+        # columns were just computed by _apply_generated — neither
+        # counts as "missing" for the INSERT clause
+        missing = [
+            c
+            for c in cols
+            if c not in src.columns and c not in ids and c not in gens
+        ]
         if not_matched_insert and missing:
             raise ValueError(
                 f"merge source lacks table column(s) {missing} required "
                 "for the INSERT clause"
             )
-        ids = self.identity_columns()
-        gens = self.generated_columns()
         for name in matched_update or {}:
             if name not in cols:
                 raise ValueError(f"UPDATE SET targets unknown column {name}")
@@ -4910,7 +5510,11 @@ class DeltaLogTable(_CheckpointMixin):
                         ),
                     },
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds,
+                        len(hit_files),
+                        cdc_actions,
+                        op="MERGE",
+                        clause_counts=self._cdc_clause_counts(cdc_frame),
                     ),
                 }
             }
@@ -4931,6 +5535,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def merge_scd2(
         self,
         spark,
@@ -5052,7 +5657,7 @@ class DeltaLogTable(_CheckpointMixin):
             .unionByName(inserted),
             partition_by=self.partition_columns(),
         )
-        cdc_actions = self._stage_cdc(
+        cdc_frame = (
             to_close.select(*cols)
             .withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
@@ -5067,6 +5672,8 @@ class DeltaLogTable(_CheckpointMixin):
                 inserted.withColumn("_change_type", F.lit("insert"))
             )
         )
+        cdc_actions = self._stage_cdc(cdc_frame)
+        clause_counts = self._cdc_clause_counts(cdc_frame)
         now = _now_ms()
         actions = cdc_actions + [{"add": a} for a in adds]
         actions += [
@@ -5084,7 +5691,11 @@ class DeltaLogTable(_CheckpointMixin):
                         "tracked": json.dumps(list(tracked)),
                     },
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds,
+                        len(hit_files),
+                        cdc_actions,
+                        op="MERGE",
+                        clause_counts=clause_counts,
                     ),
                 }
             }
@@ -5099,6 +5710,7 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
     def replace_where(self, spark, df: DataFrame, predicate_sql: str) -> int:
         """Predicate-scoped OVERWRITE (Delta's
         ``.mode("overwrite").option("replaceWhere", pred)`` — the
@@ -5192,7 +5804,7 @@ class DeltaLogTable(_CheckpointMixin):
                         "predicate": predicate_sql,
                     },
                     "operationMetrics": self._op_metrics(
-                        adds, len(hit_files), cdc_actions
+                        adds, len(hit_files), cdc_actions, write=True
                     ),
                 }
             }
@@ -5245,31 +5857,46 @@ class DeltaLogTable(_CheckpointMixin):
 
     def history_metrics(self, spark) -> DataFrame:
         """DESCRIBE HISTORY with operationMetrics (delta-spark's
-        numbers column): per retained commit, the files/rows the
-        writer DECLARED it added and removed — audited against the raw
-        actions by scan_delta_log_history_metrics' oracle, which
-        recomputes the same numbers from the add/remove rows
-        themselves. numFiles (WRITE) and numAddedFiles (DML) collapse
-        into one column; absent metrics read as 0."""
+        per-operation numbers column): per retained commit, what the
+        writer DECLARED it did — files added/removed, rows
+        written (WRITE/MERGE numOutputRows), deleted (DELETE
+        numDeletedRows / MERGE numTargetRowsDeleted), updated (UPDATE
+        numUpdatedRows / MERGE numTargetRowsUpdated) and copied — each
+        vocabulary's synonyms collapse into one column; absent metrics
+        read as 0. Audited against the raw actions AND the change
+        files by scan_delta_log_history_metrics' oracle, which
+        recomputes every number from the log + cdc parquet."""
         rows = []
         for v, a in self._exact_commit_actions():
             if "commitInfo" not in a:
                 continue
             ci = a["commitInfo"]
             m = ci.get("operationMetrics") or {}
+
+            def pick(*names: str, m=m) -> int:
+                for n in names:
+                    if n in m:
+                        return int(m[n])
+                return 0
+
             rows.append(
                 (
                     v,
                     ci.get("operation"),
-                    int(m.get("numFiles", m.get("numAddedFiles", 0))),
-                    int(m.get("numRemovedFiles", 0)),
-                    int(m.get("numOutputRows", 0)),
+                    pick("numFiles", "numAddedFiles", "numTargetFilesAdded"),
+                    pick("numRemovedFiles", "numTargetFilesRemoved"),
+                    pick("numOutputRows"),
+                    pick("numDeletedRows", "numTargetRowsDeleted"),
+                    pick("numUpdatedRows", "numTargetRowsUpdated"),
+                    pick("numCopiedRows", "numTargetRowsCopied"),
                 )
             )
         return spark.createDataFrame(
             rows,
             "version bigint, operation string, num_added_files bigint, "
-            "num_removed_files bigint, num_output_rows bigint",
+            "num_removed_files bigint, num_output_rows bigint, "
+            "num_deleted_rows bigint, num_updated_rows bigint, "
+            "num_copied_rows bigint",
         )
 
     def _exact_commit_actions(self):
@@ -5285,6 +5912,7 @@ class DeltaLogTable(_CheckpointMixin):
             return
         yield from self._actions(from_version=vf[0][0], exact=True)
 
+    @_occ_retry
     def copy_into(self, spark, src_dir: str, fmt: str = "parquet") -> int | None:
         """COPY INTO — idempotent BULK FILE INGEST (Delta's COPY INTO
         semantics: each source file loads EXACTLY ONCE however many
@@ -5763,10 +6391,9 @@ class DeltaLogTable(_CheckpointMixin):
         actions += [{"add": adds[p]} for p in sorted(adds)]
         actions += [{"commitInfo": ci} for ci in infos]
         path = os.path.join(self.log_dir, f"{x:020d}.{y:020d}.compacted.json")
-        tmp = path + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write("".join(json.dumps(a) + "\n" for a in actions))
-        os.replace(tmp, path)
+        self._store.put_atomic(
+            path, "".join(json.dumps(a) + "\n" for a in actions)
+        )
         return path
 
     def vacuum(self, retention_ms: int = 0, dry_run: bool = False) -> int:
@@ -5920,11 +6547,11 @@ class DeltaLogTable(_CheckpointMixin):
             for v, p in vf[:-1]:
                 if _age_ts(p) > cutoff:
                     break
-                os.remove(p)
+                self._store.delete(p)
                 deleted += 1
                 crc = os.path.join(self.log_dir, f"{v:020d}.crc")
-                if os.path.exists(crc):  # checksum sidecar rides along
-                    os.remove(crc)
+                if self._store.exists(crc):  # checksum sidecar rides along
+                    self._store.delete(crc)
                     deleted += 1
             for x, y, p in self._compacted_files():
                 # a segment is deletable only when its whole range is
@@ -5935,13 +6562,13 @@ class DeltaLogTable(_CheckpointMixin):
                     y <= cv
                     and _age_ts(p) <= cutoff
                     and all(
-                        not os.path.exists(
+                        not self._store.exists(
                             os.path.join(self.log_dir, f"{v:020d}.json")
                         )
                         for v in range(x, y + 1)
                     )
                 ):
-                    os.remove(p)
+                    self._store.delete(p)
                     deleted += 1
             # superseded CHECKPOINTS: every read anchors on
             # last_checkpoint(), so checkpoints strictly below it serve
@@ -6110,11 +6737,26 @@ class DeltaLogTable(_CheckpointMixin):
         to a full-scan filter whatever the file layout. At 100 TB with
         ingest-time ordering (hilbert/zorder_cluster), this is the
         mechanism that turns a point query into a handful of file
-        reads."""
+        reads.
+
+        CHECKPOINT FAST PATH: when a checkpoint anchors the snapshot,
+        the skip/keep decision for every checkpointed file comes from
+        the checkpoint's MATERIALIZED `stats_parsed` columns — one
+        columnar read of three subcolumns per part, no JSON decode of
+        any add's stats string. Only files that entered in the JSON
+        tail after the checkpoint (or whose parsed stats are null)
+        fall back to decoding their stats. On a 1M-file table that
+        turns a million driver-side json.loads into one vectorized
+        parquet column scan."""
         adds = self.snapshot_adds()
         phys = (self.column_mapping() or {}).get(col, col)
+        decided = self._ckpt_stats_prune(phys, lo, hi)
         hit = {}
         for p, a in adds.items():
+            if p in decided:
+                if not decided[p]:
+                    hit[p] = a
+                continue
             st = a.get("stats")
             if not st:
                 hit[p] = a
@@ -6141,6 +6783,48 @@ class DeltaLogTable(_CheckpointMixin):
                 raise ValueError("empty table with no metaData action")
             return spark.createDataFrame([], s).filter(pred)
         return self._read_adds(spark, hit).filter(pred)
+
+    def _ckpt_stats_prune(self, phys: str, lo, hi) -> dict[str, bool]:
+        """path -> skip? decisions from the checkpoint's materialized
+        `stats_parsed` columns (see read_where_stats): one columnar
+        read of exactly (add.path, minValues.<col>, maxValues.<col>)
+        per checkpoint part/sidecar. Paths absent from the result (no
+        checkpoint, pre-stats_parsed layout, null parsed stats) stay
+        UNDECIDED and fall back to JSON stats — pruning is an
+        optimization, never a correctness filter. Safe under the JSON
+        tail: a same-path re-add (DV swap, RESTORE) points at the same
+        immutable bytes, so checkpointed bounds remain valid bounds;
+        a new tail-staged file simply isn't in the checkpoint."""
+        cv = self.last_checkpoint()
+        if cv is None:
+            return {}
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict[str, bool] = {}
+        for part in self._checkpoint_file_action_paths(cv):
+            try:
+                t = pq.read_table(
+                    part,
+                    columns=[
+                        "add.path",
+                        f"stats_parsed.minValues.{phys}",
+                        f"stats_parsed.maxValues.{phys}",
+                    ],
+                )
+            except (KeyError, OSError, pa.ArrowInvalid):
+                return {}  # old-layout checkpoint or unknown column
+            paths = t.column(0).to_pylist()
+            mns = t.column(1).to_pylist()
+            mxs = t.column(2).to_pylist()
+            for path, mn, mx in zip(paths, mns, mxs):
+                if path is None or mn is None or mx is None:
+                    continue
+                try:
+                    out[path] = bool(mx < lo or mn > hi)
+                except TypeError:
+                    continue
+        return out
 
     def read_changes(self, spark, from_version: int, to_version: int) -> DataFrame:
         """CDF read over (from_version, to_version]: per commit, cdc

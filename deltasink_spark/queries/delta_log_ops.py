@@ -2782,35 +2782,89 @@ def sink_delta_merge_when(spark, sf_dir):
                CAST(json_extract_string("add".stats, '$.numRecords')
                     AS BIGINT) AS arows,
                "remove".path AS rp,
+               "cdc".path AS cp,
                "commitInfo".operation AS op
         FROM read_json('{_DL_BASE}/history_metrics/_delta_log/*.json',
             filename = true,
             columns = {{
                 "add": 'STRUCT(path VARCHAR, stats VARCHAR)',
                 "remove": 'STRUCT(path VARCHAR)',
+                "cdc": 'STRUCT(path VARCHAR)',
                 "commitInfo": 'STRUCT(operation VARCHAR)'
             }})
+    ),
+    rowmap AS (
+        SELECT ap AS path, MAX(arows) AS nrows
+        FROM acts WHERE ap IS NOT NULL GROUP BY ap
+    ),
+    cdcrows AS (
+        SELECT parse_filename(filename) AS f,
+               SUM(CASE WHEN _change_type = 'update_postimage'
+                        THEN 1 ELSE 0 END) AS upd,
+               SUM(CASE WHEN _change_type = 'insert'
+                        THEN 1 ELSE 0 END) AS ins,
+               SUM(CASE WHEN _change_type = 'delete'
+                        THEN 1 ELSE 0 END) AS del
+        FROM read_parquet(
+            '{_DL_BASE}/history_metrics/_change_data/*.parquet',
+            filename = true, union_by_name = true)
+        GROUP BY 1
+    ),
+    pervsn AS (
+        SELECT a.v,
+               MAX(a.op) AS op,
+               COUNT(a.ap) AS naf,
+               COUNT(a.rp) AS nrf,
+               SUM(a.arows) AS arows,
+               SUM(rm.nrows) AS rrows,
+               SUM(cr.upd) AS upd,
+               SUM(cr.ins) AS ins,
+               SUM(cr.del) AS del
+        FROM acts a
+        LEFT JOIN rowmap rm ON a.rp = rm.path
+        LEFT JOIN cdcrows cr ON parse_filename(a.cp) = cr.f
+        GROUP BY a.v
     )
     SELECT v AS version,
-           MAX(op) AS operation,
-           CAST(COUNT(ap) AS BIGINT) AS num_added_files,
-           CAST(COUNT(rp) AS BIGINT) AS num_removed_files,
-           CAST(COALESCE(SUM(arows), 0) AS BIGINT) AS num_output_rows
-    FROM acts GROUP BY v
+           op AS operation,
+           CAST(naf AS BIGINT) AS num_added_files,
+           CAST(nrf AS BIGINT) AS num_removed_files,
+           CAST(CASE WHEN op IN ('WRITE', 'MERGE')
+                     THEN COALESCE(arows, 0) ELSE 0
+                END AS BIGINT) AS num_output_rows,
+           CAST(CASE WHEN op = 'DELETE'
+                     THEN COALESCE(rrows, 0) - COALESCE(arows, 0)
+                     WHEN op = 'MERGE' THEN COALESCE(del, 0) ELSE 0
+                END AS BIGINT) AS num_deleted_rows,
+           CAST(CASE WHEN op IN ('UPDATE', 'MERGE')
+                     THEN COALESCE(upd, 0) ELSE 0
+                END AS BIGINT) AS num_updated_rows,
+           CAST(CASE WHEN op = 'DELETE' THEN COALESCE(arows, 0)
+                     WHEN op = 'UPDATE'
+                     THEN COALESCE(arows, 0) - COALESCE(upd, 0)
+                     WHEN op = 'MERGE'
+                     THEN COALESCE(arows, 0) - COALESCE(upd, 0)
+                          - COALESCE(ins, 0)
+                     ELSE 0
+                END AS BIGINT) AS num_copied_rows
+    FROM pervsn
     """,
 )
 def scan_delta_log_history_metrics(spark, sf_dir):
-    """DESCRIBE HISTORY operationMetrics (delta-spark's numbers
-    column): every commit's commitInfo now DECLARES what it did —
-    files/bytes/rows added, files removed, change files, DVs — from
-    data the commit already holds (add-action stats), never an extra
-    Spark job. The table runs WRITE x2, DELETE, UPDATE, OPTIMIZE; the
-    Spark side READS the declared metrics, and the DuckDB oracle
-    RECOMPUTES the same numbers from the raw add/remove actions
-    themselves — agreement proves the metrics math against the log,
-    not a parse of itself. (DV paths declare only NEW data files in
-    numAddedFiles — documented — so this op scopes to copy-on-write
-    verbs.) At 100 TB these numbers are how an operator audits a
+    """DESCRIBE HISTORY operationMetrics in delta-spark's
+    PER-OPERATION vocabulary: WRITE declares numFiles/numOutputRows,
+    DELETE numDeletedRows/numCopiedRows, UPDATE numUpdatedRows/
+    numCopiedRows, MERGE numTargetRows{{Inserted,Updated,Deleted,
+    Copied}}, OPTIMIZE added/removed files+bytes — from add-action
+    stats on BOTH sides of the commit plus the per-clause counts the
+    DML path measured. The table runs WRITE x2, DELETE, UPDATE, MERGE,
+    OPTIMIZE; the Spark side READS the declared metrics, and the
+    DuckDB oracle RECOMPUTES every number independently — file counts
+    from the raw actions, deleted rows from the removed files' stats
+    (ledgered when those files were added), updated/inserted/deleted
+    clause rows from the cdc PARQUET itself — agreement proves the
+    metrics math against the log AND the change data, not a parse of
+    itself. At 100 TB these numbers are how an operator audits a
     pipeline (rows in vs rows expected) without scanning a byte."""
     t = _fresh_table("history_metrics")
     ev = _ev(spark, sf_dir)
@@ -2824,6 +2878,225 @@ def scan_delta_log_history_metrics(spark, sf_dir):
     )
     t.delete_where(spark, "value < 10")
     t.update_where(spark, {"value": "value + 1.0"}, "event_id % 5 = 0")
+    src = (
+        ev.filter(F.coalesce(F.col("event_id") % 7 == 0, F.lit(False)))
+        .withColumn("value", F.col("value") + 100.0)
+        .unionByName(
+            ev.filter(F.coalesce(F.col("event_id") % 11 == 0, F.lit(False)))
+            .select(
+                (F.col("event_id") + 20_000_000).alias("event_id"),
+                "user_id",
+                "value",
+            )
+        )
+    )
+    t.merge(spark, src, "event_id")
     if t.snapshot_files():
         t.optimize(spark, target_files=2)
     return t.history_metrics(spark)
+
+
+@query(
+    "sink_delta_concurrent_retry",
+    oracle="""
+    SELECT event_id, user_id,
+           value + CAST(event_id % 3 AS DOUBLE) * 1000.0 AS value
+    FROM events WHERE event_id IS NOT NULL AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id + 30000000 AS event_id, user_id, value
+    FROM events WHERE event_id IS NOT NULL AND event_id % 5 = 0
+    """,
+)
+def sink_delta_concurrent_retry(spark, sf_dir):
+    """OPTIMISTIC CONCURRENCY end-to-end (the public Delta
+    conflict-resolution contract, delta.io concurrency-control): four
+    writer threads race on ONE unpartitioned table — three UPDATEs
+    over row-disjoint but FILE-OVERLAPPING predicates (every pair
+    conflicts at the file level, the worst case for copy-on-write) and
+    one bulk append. Every verb lands with ZERO caller retries: the
+    _occ_retry loop in delta_log.py re-executes a conflicted verb from
+    a fresh snapshot (retrying only when a winner actually advanced
+    the log, with exponential backoff), so row-disjoint writers
+    serialize instead of failing. The final state is deterministic —
+    updates on disjoint row sets commute, the appended slice
+    (event_id+30M) is excluded from every predicate — and the oracle
+    recomputes it exactly from the source. Scale: conflicts cost
+    O(files-touched) re-plans, never table scans; disjoint-PARTITION
+    writers on a partitioned table don't even conflict (their hit-file
+    sets are disjoint — pinned by test_concurrent_writers_stress)."""
+    import threading
+
+    t = _fresh_table("concurrent_retry")
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    t.append(ev.filter(F.col("event_id") % 2 == 0).repartition(4))
+    errors: list[str] = []
+
+    def upd(i: int) -> None:
+        try:
+            DeltaLogTable(t.path).update_where(
+                spark,
+                {"value": f"value + {float(i * 1000)}"},
+                f"event_id % 3 = {i} AND event_id < 30000000",
+            )
+        except Exception as ex:
+            errors.append(f"upd{i}: {ex!r}")
+
+    def app() -> None:
+        try:
+            DeltaLogTable(t.path).append(
+                ev.filter(F.col("event_id") % 5 == 0).select(
+                    (F.col("event_id") + 30_000_000).alias("event_id"),
+                    "user_id",
+                    "value",
+                )
+            )
+        except Exception as ex:
+            errors.append(f"append: {ex!r}")
+
+    threads = [
+        threading.Thread(target=upd, args=(i,)) for i in range(3)
+    ] + [threading.Thread(target=app)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise RuntimeError(f"concurrent writers surfaced: {errors}")
+    return t.read(spark)
+
+
+@query(
+    "sink_delta_timestamp_ntz",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id,
+               make_timestamp((event_id % 86400) * 1000000) AS ntz
+        FROM events WHERE event_id IS NOT NULL
+    )
+    SELECT event_id, user_id, ntz FROM src
+    WHERE NOT COALESCE(ntz < TIMESTAMP '1970-01-01 06:00:00', FALSE)
+    """,
+)
+def sink_delta_timestamp_ntz(spark, sf_dir):
+    """TIMESTAMP WITHOUT TIMEZONE round-trip (the `timestampNtz` table
+    feature, PROTOCOL.md): a TIMESTAMP_NTZ column rides append →
+    copy-on-write DELETE (with an NTZ comparison predicate) → scan,
+    and the CDF replay of the change stream reproduces the scan
+    exactly (asserted in-op, the medallion idiom). The FIRST commit
+    ledgers `timestampNtz` in readerFeatures AND writerFeatures at
+    protocol (3, 7) — a client that predates the type refuses the
+    table instead of misreading isAdjustedToUTC=false timestamps as
+    instants (gate-tested both directions in tests/test_delta_log.py).
+    The oracle replays the same wall-clock arithmetic on naive DuckDB
+    TIMESTAMPs; the session TZ is pinned UTC so the cast is
+    deterministic."""
+    t = _fresh_table("ts_ntz", cols=["event_id", "user_id"])
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    frame = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(F.col("event_id") % 86400)
+        .cast("timestamp_ntz")
+        .alias("ntz"),
+    )
+    v0 = t.append(frame)
+    proto = t._protocol_dict()
+    assert "timestampNtz" in (proto.get("readerFeatures") or ()), proto
+    v1 = t.delete_where(spark, "ntz < TIMESTAMP_NTZ'1970-01-01 06:00:00'")
+    out = t.read(spark)
+    # CDF replay reproduces the scan: inserts at v0 minus deletes at v1
+    ch = t.read_changes(spark, v0 - 1, v1)
+    cols = ["event_id", "user_id", "ntz"]
+    replay = (
+        ch.filter(F.col("_change_type") == "insert")
+        .select(*cols)
+        .exceptAll(
+            ch.filter(F.col("_change_type") == "delete").select(*cols)
+        )
+    )
+    if not out.exceptAll(replay).isEmpty() or not replay.exceptAll(
+        out
+    ).isEmpty():
+        raise AssertionError("CDF replay diverged from the NTZ scan")
+    return out
+
+
+@query(
+    "sink_delta_variant",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 3 = 0 THEN props
+                    WHEN event_id % 3 = 1 THEN
+                        '{"a": {"b": ' || event_id || '}, "tags": [1, 2]}'
+                    ELSE '"s' || user_id || '"'
+               END AS js
+        FROM events WHERE event_id IS NOT NULL
+    )
+    SELECT event_id,
+           CAST(json_extract(js, '$.k') AS INT) AS k_int,
+           CAST(json_extract(js, '$.a.b') AS BIGINT) AS ab,
+           CASE WHEN event_id % 3 = 2
+                THEN json_extract_string(js, '$') END AS s_scalar
+    FROM src
+    WHERE NOT COALESCE(CAST(json_extract(js, '$.k') AS INT) < 10, FALSE)
+    """,
+)
+def sink_delta_variant(spark, sf_dir):
+    """VARIANT round-trip (the `variantType` table feature,
+    PROTOCOL.md's Variant Data Type): a heterogeneous VARIANT column —
+    objects, nested objects with arrays, and bare JSON scalars per row
+    — rides append → copy-on-write DELETE (predicate on a
+    variant_get typed extraction) → scan, with typed extractions
+    projected at the end. The FIRST commit ledgers `variantType` in
+    readerFeatures AND writerFeatures at (3, 7): the physical encoding
+    is the binary (metadata, value) pair, which a pre-variant client
+    must refuse rather than misread (gate-tested both directions in
+    tests/test_delta_log.py). The oracle replays the same construction
+    and extractions over DuckDB JSON — typed-path extraction rather
+    than whole-document serialization, so engine-specific JSON
+    whitespace/ordering can't flip the hash."""
+    t = _fresh_table("variant", cols=["event_id", "user_id"])
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    props = load(spark, sf_dir, "events").select("event_id", "props")
+    frame = (
+        ev.join(props, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_id") % 3 == 0, F.col("props"))
+            .when(
+                F.col("event_id") % 3 == 1,
+                F.concat(
+                    F.lit('{"a": {"b": '),
+                    F.col("event_id").cast("string"),
+                    F.lit('}, "tags": [1, 2]}'),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('"s'), F.col("user_id").cast("string"), F.lit('"')
+                )
+            )
+            .alias("js"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.parse_json(F.col("js")).alias("var"),
+        )
+    )
+    t.append(frame)
+    proto = t._protocol_dict()
+    assert "variantType" in (proto.get("readerFeatures") or ()), proto
+    t.delete_where(spark, "variant_get(var, '$.k', 'int') < 10")
+    out = t.read(spark)
+    return out.select(
+        "event_id",
+        F.variant_get(F.col("var"), "$.k", "int").alias("k_int"),
+        F.variant_get(F.col("var"), "$.a.b", "bigint").alias("ab"),
+        F.when(
+            F.col("event_id") % 3 == 2,
+            F.variant_get(F.col("var"), "$", "string"),
+        ).alias("s_scalar"),
+    )

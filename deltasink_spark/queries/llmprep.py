@@ -85,9 +85,11 @@ def doc_chunking(spark, sf_dir):
 def tokenizer_vocab(spark, sf_dir):
     """Vocabulary building: token frequencies (one map-side-combined
     hash agg over the exploded corpus), min-count filter, top-K by
-    (count DESC, token ASC — the deterministic tie-break). The final
-    ranking window runs over the vocabulary-sized aggregate, not the
-    corpus, so the single-partition window is bounded at any scale."""
+    (count DESC, token ASC — the deterministic tie-break). The top-500
+    cut is a TakeOrderedAndProject (per-partition heaps — no task ever
+    sorts the full vocabulary, which is millions of rows at 100 TB);
+    the ranking window then runs over the 500-row frame only, the same
+    shape as [text_zipf_slope]."""
     d = load(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -95,10 +97,10 @@ def tokenizer_vocab(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(500)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 500)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
 

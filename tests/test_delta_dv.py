@@ -118,11 +118,17 @@ def test_rewrite_precondition_detects_concurrent_dv_delete(spark, tmp_path):
         return out
 
     t2._stage_files = hijack
-    with pytest.raises(ConcurrentDeleteReadError):
-        t2.optimize(spark, target_files=1)
-    # the concurrent delete's effect survives
+    # the verb's OCC loop re-plans over the post-delete state: the
+    # compaction lands WITHOUT resurrecting the DV'd rows and with
+    # zero caller retries
+    assert t2.optimize(spark, target_files=1) is not None
     got = {r["event_id"] for r in t2.read(spark).collect()}
     assert got == set(range(3, 30))
+    # the retried rewrite physically dropped the deleted rows — the
+    # compacted snapshot needs no DV at all
+    assert not any(
+        a.get("deletionVector") for a in t2.snapshot_adds().values()
+    )
 
 
 def test_checkpoint_preserves_constraints_and_config(spark, tmp_path):

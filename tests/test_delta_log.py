@@ -60,14 +60,18 @@ def test_commit_files_are_put_if_absent(spark, tmp_path):
     t = _table(tmp_path)
     t.append(_ev(spark))
     # A racer that somehow wrote version 1 outside the lock: the next
-    # commit must NOT clobber it — O_EXCL raises instead.
+    # commit must NOT clobber it — the put-if-absent collision surfaces
+    # as a retryable ConcurrentAppendError (the LogStore funnel), and
+    # the racer's bytes stay untouched.
+    from deltasink_spark.delta_log import ConcurrentAppendError
+
     racer = os.path.join(t.log_dir, f"{1:020d}.json")
     with open(racer, "w") as fh:
         fh.write(json.dumps({"commitInfo": {"operation": "RACER"}}) + "\n")
     orig = t.latest_version
     t.latest_version = lambda: 0  # force the stale version choice
     try:
-        with pytest.raises(FileExistsError):
+        with pytest.raises(ConcurrentAppendError):
             t._commit([{"commitInfo": {"operation": "LOSER"}}])
     finally:
         t.latest_version = orig
@@ -328,7 +332,9 @@ def test_concurrent_rewrite_conflict_detected(spark, tmp_path):
          for p in stale_adds],
         t._adds_unchanged(stale_adds),
     ) is None
-    # end-to-end: interleave a racer INSIDE delete_where's commit
+    # end-to-end: interleave a racer INSIDE delete_where's commit —
+    # the verb's optimistic-concurrency loop must RE-PLAN against the
+    # racer's state and land without any caller retry
     real_commit = t._commit
     raced = {"done": False}
 
@@ -340,15 +346,29 @@ def test_concurrent_rewrite_conflict_detected(spark, tmp_path):
 
     t._commit = racing_commit
     try:
-        with pytest.raises(ConcurrentDeleteReadError):
-            t.delete_where(spark, "event_id < 5")
+        assert t.delete_where(spark, "event_id < 5") is not None
     finally:
         t._commit = real_commit
-    # nothing was lost: the table still reads fully
-    assert t.read(spark).count() == 30
-    # and a clean retry succeeds
-    t.delete_where(spark, "event_id < 5")
+    assert raced["done"]
+    # serializable outcome: the racer's compaction landed AND the
+    # delete applied exactly once on top of it
     assert t.read(spark).count() == 25
+    assert {r["event_id"] for r in t.read(spark).collect()} == set(range(5, 30))
+    # a conflict with NO winning commit in between (a stale plan, not a
+    # race) must NOT retry-loop: it aborts immediately
+    calls = {"n": 0}
+
+    def always_conflict(actions, precondition=None):
+        calls["n"] += 1
+        return None  # precondition-style abort with no log progress
+
+    t._commit = always_conflict
+    try:
+        with pytest.raises(ConcurrentDeleteReadError):
+            t.delete_where(spark, "event_id < 10")
+    finally:
+        t._commit = real_commit
+    assert calls["n"] == 1, "no-progress conflict must not be retried"
 
 
 def test_partitioned_table_dml_preserves_partitions(spark, tmp_path):
@@ -1049,11 +1069,11 @@ def test_in_commit_timestamps_strictly_monotonic(spark, tmp_path):
 
 
 def test_identity_concurrent_append_aborts(spark, tmp_path):
-    """Two appends racing on the same high-water mark must NOT both
-    commit — the second aborts (MetadataChangedError) instead of
-    handing out duplicate ids."""
-    from deltasink_spark.delta_log import MetadataChangedError
-
+    """Two appends racing on the same identity high-water mark must
+    NOT both commit off the stale mark: the loser's attempt aborts
+    under the lock (MetadataChangedError) and the verb's OCC loop
+    re-executes it against the winner's advanced mark — both land,
+    ids stay unique, zero caller retries."""
     t = _table(tmp_path)
     t.append(
         _ev(spark, 5).select("event_id", "user_id", "value"),
@@ -1072,13 +1092,15 @@ def test_identity_concurrent_append_aborts(spark, tmp_path):
         return orig(actions, precondition, **kw)
 
     t._commit = hijack
-    with pytest.raises(MetadataChangedError):
-        t.append(_ev(spark, 11).filter(F.col("event_id") >= 8)
-                 .select("event_id", "user_id", "value"))
+    assert t.append(
+        _ev(spark, 11).filter(F.col("event_id") >= 8)
+        .select("event_id", "user_id", "value")
+    ) is not None
     t._commit = orig
-    # no duplicate ids exist; the racer's ids landed
+    # both appends landed; every id minted exactly once, no collisions
     rids = [r["rid"] for r in t.read(spark).collect()]
-    assert len(rids) == len(set(rids)) == 8
+    assert len(rids) == len(set(rids)) == 11
+    assert set(rids) == set(range(11))
 
 
 def test_identity_replace_where_and_merge(spark, tmp_path):
@@ -1399,8 +1421,6 @@ def test_checkpoint_carries_format_and_remove_tombstones(spark, tmp_path):
 
 
 def test_first_append_race_validates_layout_under_lock(spark, tmp_path):
-    from deltasink_spark.delta_log import MetadataChangedError
-
     class Racing(DeltaLogTable):
         """Injects a concurrent winning first append between this
         writer's staging and its commit."""
@@ -1421,14 +1441,18 @@ def test_first_append_race_validates_layout_under_lock(spark, tmp_path):
             return adds
 
     ev = _ev(spark, 5)
-    # conflicting partitioning: loser must abort, not corrupt
+    # conflicting partitioning: the loser's first-commit plan aborts
+    # under the lock (never corrupts), and its OCC re-execution lands
+    # as a PLAIN append that inherits the winner's layout
     t = Racing(str(tmp_path / "a"), ev, winner_pb=("user_id",))
-    with pytest.raises(MetadataChangedError, match="partitioned by"):
-        t.append(ev)
+    assert t.append(ev) == 1
     assert DeltaLogTable(t.path).partition_columns() == ("user_id",)
-    # conflicting schema: loser must abort
+    assert DeltaLogTable(t.path).read(spark).count() == 10
+    # conflicting schema: the stale first-commit plan aborts under the
+    # lock; the re-execution hits normal write enforcement against the
+    # winner's narrower schema and surfaces the standard user error
     t2 = Racing(str(tmp_path / "b"), ev.drop("value"))
-    with pytest.raises(MetadataChangedError, match="does not cover"):
+    with pytest.raises(ValueError, match="schema mismatch"):
         t2.append(ev)
     # MATCHING layout: loser lands cleanly at version 1
     t3 = Racing(str(tmp_path / "c"), ev)
@@ -1920,25 +1944,17 @@ def test_concurrent_writers_stress(spark, tmp_path):
     exactly-once), row-level DELETEs and OPTIMIZEs on ONE table. The
     lock + put-if-absent + precondition discipline must yield a
     linearizable log: every append's rows present exactly once, every
-    delete applied, no version gaps, optimistic-concurrency retries
-    bounded. (Threads share the JVM but each _commit opens its own
-    lock-file fd, so flock serializes them like separate processes.)"""
+    delete applied, no version gaps — and the verbs' own
+    optimistic-concurrency re-execution absorbs every file-level
+    conflict, so callers never retry by hand. (Threads share the JVM
+    but each _commit opens its own lock-file fd, so flock serializes
+    them like separate processes.)"""
     import threading
-
-    from deltasink_spark.delta_log import ConcurrentDeleteReadError
 
     t = _table(tmp_path)
     t.append(_ev(spark, 0).limit(0))  # v0: schema anchor
     NWRITERS, NAPPENDS = 6, 4
     errors: list[str] = []
-
-    def _retry(fn, attempts=30):
-        for _ in range(attempts):
-            try:
-                return fn()
-            except ConcurrentDeleteReadError:
-                continue
-        raise AssertionError("retry budget exhausted under contention")
 
     def writer(i: int) -> None:
         try:
@@ -1951,13 +1967,13 @@ def test_concurrent_writers_stress(spark, tmp_path):
             if i % 2 == 0:
                 # delete this writer's own slice tail — disjoint keys,
                 # but file-level conflicts with other writers' rewrites
-                _retry(lambda: tt.delete_where(
+                assert tt.delete_where(
                     spark,
                     f"event_id >= {i * NAPPENDS * 100} AND "
                     f"event_id < {i * NAPPENDS * 100 + 50}",
-                ))
+                ) is not None
             else:
-                _retry(lambda: tt.optimize(spark, target_files=2))
+                assert tt.optimize(spark, target_files=2) is not None
         except Exception as ex:  # surface thread failures to the test
             errors.append(f"writer {i}: {ex!r}")
 
@@ -3265,3 +3281,198 @@ def test_row_id_stability_random_dml_sequences(spark, tmp_path):
                 else:
                     assert got[k] == (i, ver), f"seed={seed} op={op} k={k}"
             seen_ids |= {i for i, _ in got.values()}
+
+
+def test_merge_when_insert_mints_identity(spark, tmp_path):
+    """merge_when + identity columns: the INSERT clause mints fresh
+    values (the source must NOT carry the column — GENERATED ALWAYS),
+    matched updates keep the target's value, and the missing-column
+    check does not demand the un-suppliable identity column."""
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 6),
+        identity={"rid": {"start": 0, "step": 1, "order_by": "event_id"}},
+    )
+    src = spark.createDataFrame(
+        [(2, 9, 100.0), (10, 3, 7.0)],
+        "event_id bigint, user_id bigint, value double",
+    )
+    t.merge_when(
+        spark, src, "event_id",
+        matched_update={"value": "src_value"},
+        not_matched_insert=True,
+    )
+    got = {r["event_id"]: (r["rid"], r["value"])
+           for r in t.read(spark).collect()}
+    assert got[2] == (2, 100.0)          # update keeps the target's rid
+    assert got[10][0] == 6 and got[10][1] == 7.0  # insert mints next id
+    rids = [r["rid"] for r in t.read(spark).collect()]
+    assert len(rids) == len(set(rids))
+    # explicit identity in the source still refuses
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge_when(
+            spark, src.withColumn("rid", F.lit(99)), "event_id",
+            not_matched_insert=True,
+        )
+
+
+def test_operation_metrics_delta_spark_vocabulary(spark, tmp_path):
+    """operationMetrics speak delta-spark's per-operation names:
+    DELETE emits numDeletedRows/numCopiedRows, UPDATE numUpdatedRows/
+    numCopiedRows, MERGE numTargetRows{Inserted,Updated,Deleted,
+    Copied}, OPTIMIZE numAddedBytes/numRemovedBytes — with values that
+    reconcile against the actual row movement."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 100).repartition(2))
+
+    def metrics(v):
+        for ver, a in t._exact_commit_actions():
+            if ver == v and "commitInfo" in a:
+                return a["commitInfo"].get("operationMetrics") or {}
+        raise AssertionError(f"no commitInfo at v{v}")
+
+    m0 = metrics(0)
+    assert m0["numFiles"] == "2" and m0["numOutputRows"] == "100"
+    v = t.delete_where(spark, "event_id < 10")
+    md = metrics(v)
+    assert md["numDeletedRows"] == "10" and md["numCopiedRows"] == "90"
+    assert "numOutputRows" not in md
+    v = t.update_where(spark, {"value": "value + 1.0"}, "event_id < 30")
+    mu = metrics(v)
+    assert mu["numUpdatedRows"] == "20"   # 10..29 survive = 20 rows
+    assert mu["numCopiedRows"] == "70"
+    src = spark.createDataFrame(
+        [(15, 1, 0.0), (500, 2, 5.0)], "event_id bigint, user_id bigint, value double"
+    )
+    v = t.merge(spark, src, "event_id")
+    mm = metrics(v)
+    assert mm["numTargetRowsInserted"] == "1"
+    assert mm["numTargetRowsUpdated"] == "1"
+    assert mm["numTargetRowsDeleted"] == "0"
+    v = t.optimize(spark, target_files=1)
+    mo = metrics(v)
+    assert int(mo["numAddedBytes"]) > 0 and int(mo["numRemovedBytes"]) > 0
+    assert "numOutputRows" not in mo
+    # merge-on-read DELETE: numDeletedRows = the DV-cardinality delta
+    v = t.delete_where_dv(spark, "event_id >= 80")
+    mv = metrics(v)
+    assert mv["numDeletedRows"] == "21"  # 80..99 (20 rows) + 500
+    assert int(mv["numDeletionVectorsAdded"]) >= 1
+
+
+def test_type_features_ledgered_and_gated(spark, tmp_path):
+    """timestampNtz / variantType table features, both directions:
+    (1) a schema carrying the type ledgers the feature (reader AND
+    writer side, protocol (3,7)) — at creation AND when schema
+    evolution introduces the column later, in the SAME commit;
+    (2) a foreign log demanding the features is accepted by this
+    engine, while stripping support makes the gate refuse — a client
+    that predates the types must never misread the encodings."""
+    import deltasink_spark.delta_log as dl
+
+    # creation-time ledger (NTZ)
+    t = _table(tmp_path)
+    t.append(
+        _ev(spark, 10).withColumn(
+            "ntz", F.timestamp_seconds(F.col("event_id")).cast("timestamp_ntz")
+        )
+    )
+    p = t._protocol_dict()
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "timestampNtz" in p["readerFeatures"]
+    assert "timestampNtz" in p["writerFeatures"]
+    assert t.read(spark).count() == 10
+    # evolution-time ledger (VARIANT arrives via merge_schema append)
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 10))
+    assert "variantType" not in (
+        (t2._protocol_dict() or {}).get("writerFeatures") or ()
+    )
+    t2.append(
+        _ev(spark, 12)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("var", F.parse_json(F.lit('{"x": 1}'))),
+        merge_schema=True,
+    )
+    p2 = t2._protocol_dict()
+    assert "variantType" in p2["readerFeatures"]
+    got = t2.read(spark)
+    assert got.count() == 12
+    assert (
+        got.filter("variant_get(var, '$.x', 'int') = 1").count() == 2
+    )
+    # the gate refuses when support is stripped (a pre-variant client)
+    orig_r = dl._SUPPORTED_READER_FEATURES
+    orig_w = dl._SUPPORTED_WRITER_FEATURES
+    dl._SUPPORTED_READER_FEATURES = frozenset(orig_r - {"variantType"})
+    dl._SUPPORTED_WRITER_FEATURES = frozenset(orig_w - {"variantType"})
+    try:
+        t3 = DeltaLogTable(t2.path)
+        with pytest.raises(ValueError, match="variantType"):
+            t3.read(spark)
+    finally:
+        dl._SUPPORTED_READER_FEATURES = orig_r
+        dl._SUPPORTED_WRITER_FEATURES = orig_w
+    # NTZ values survive the round-trip exactly (naive wall-clock)
+    row = t.read(spark).filter("event_id = 7").collect()[0]
+    assert row["ntz"].isoformat() == "1970-01-01T00:00:07"
+
+
+def test_checkpoint_stats_parsed_prunes_without_json(spark, tmp_path):
+    """Checkpoint materialized columns: stats_parsed (typed
+    minValues/maxValues/nullCount structs) and partitionValues_parsed
+    land in the checkpoint parquet, and read_where_stats decides
+    skip/keep for every checkpointed file from those COLUMNS — with
+    the JSON tail empty, no add's stats string needs decoding. The
+    pruned scan's inputFiles contain only overlapping files; results
+    stay exact."""
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    # 4 ordered slices -> 4 files with disjoint event_id ranges
+    for i in range(4):
+        t.append(
+            _ev(spark, (i + 1) * 100)
+            .filter(F.col("event_id") >= i * 100)
+            .repartition(1)
+        )
+    cv = t.checkpoint()
+    assert cv == 3
+    # materialized columns exist with struct types
+    ck = pq.read_table(
+        os.path.join(t.log_dir, f"{cv:020d}.checkpoint.parquet")
+    )
+    names = set(ck.schema.names)
+    assert "stats_parsed" in names
+    sp = ck.schema.field("stats_parsed").type
+    assert {f.name for f in sp} == {
+        "numRecords", "minValues", "maxValues", "nullCount"
+    }
+    # the columnar prune decides EVERY live file (tail is empty) and
+    # keeps exactly the overlapping one
+    adds = t.snapshot_adds()
+    decided = t._ckpt_stats_prune("event_id", 120, 180)
+    assert set(decided) == set(adds)
+    kept = {p for p, skip in decided.items() if not skip}
+    assert len(kept) == 1
+    out = t.read_where_stats(spark, "event_id", 120, 180)
+    files = {os.path.basename(f) for f in out.inputFiles()}
+    assert files == {os.path.basename(p) for p in kept}
+    assert out.count() == 61  # 120..180 inclusive
+    # partitioned table: partitionValues_parsed rides along typed
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 50), partition_by=("user_id",))
+    cv2 = t2.checkpoint()
+    ck2 = pq.read_table(
+        os.path.join(t2.log_dir, f"{cv2:020d}.checkpoint.parquet")
+    )
+    pvp = ck2.schema.field("partitionValues_parsed").type
+    assert [f.name for f in pvp] == ["user_id"]
+    import pyarrow as pa
+    assert pa.types.is_integer(pvp.field("user_id").type)
+    got = [
+        r["user_id"]
+        for r in ck2.column("partitionValues_parsed").to_pylist()
+        if r is not None
+    ]
+    assert sorted(set(got)) == list(range(7))

@@ -1339,3 +1339,12 @@ def test_wordpiece_encode_is_equijoin_plus_agg(spark, sf_small):
     p = plan(q("tokenizer_wordpiece_encode", spark, sf_small))
     assert "CartesianProduct" not in p and "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_tokenizer_vocab_topk_is_distributed_heap(spark, sf_small):
+    """The top-500 vocabulary cut must be a TakeOrderedAndProject
+    (per-partition heaps) with the ranking window confined to the
+    500-row frame — never a global sort of the full vocabulary."""
+    p = plan(q("tokenizer_vocab", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
