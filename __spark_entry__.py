@@ -41,6 +41,7 @@ _R13_NEW_THIS_ROUND: list[str] = [
     "sink_delta_variant",
     "join_stream_stream_semi",
     "ann_index_incremental",
+    "sink_delta_column_defaults",
 ]
 
 # Ops whose implementation changed in r13 — re-verification rows

@@ -88,6 +88,7 @@ _SUPPORTED_READER_FEATURES = frozenset(
         "typeWidening",
         "timestampNtz",
         "variantType",
+        "vacuumProtocolCheck",
     }
 )
 
@@ -127,6 +128,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "typeWidening",
         "timestampNtz",
         "variantType",
+        "allowColumnDefaults",
+        "vacuumProtocolCheck",
     }
 )
 _MAX_READER_VERSION = 3
@@ -2272,6 +2275,158 @@ class DeltaLogTable(_CheckpointMixin):
             },
         ]
 
+    def column_defaults(self) -> dict[str, str]:
+        """name -> default expression, from the schema's
+        `CURRENT_DEFAULT` field metadata (the `allowColumnDefaults`
+        writer feature's storage, per PROTOCOL.md Default Columns)."""
+        s = self.schema()
+        if s is None:
+            return {}
+        return {
+            f.name: f.metadata["CURRENT_DEFAULT"]
+            for f in s.fields
+            if f.metadata and "CURRENT_DEFAULT" in f.metadata
+        }
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """The column-defaults WRITE contract (PROTOCOL.md's
+        allowColumnDefaults): a column ABSENT from the written frame is
+        filled from its default expression; a provided column wins
+        verbatim — even explicit NULLs (defaults are insert-time fill,
+        not generated-column validation; that difference is the whole
+        point of the two features)."""
+        for name, expr_sql in self.column_defaults().items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr_sql))
+        return df
+
+    @_occ_retry
+    def set_column_default(self, name: str, expr_sql: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT (the
+        `allowColumnDefaults` writer feature — writer-only: a reader
+        needs nothing, defaults resolve at WRITE time and the files
+        are self-contained): stamps `CURRENT_DEFAULT` on the field's
+        schema metadata and ledgers the feature in the SAME commit.
+        Generated and identity columns refuse (they own their values;
+        delta-spark rejects the combination too). Existing rows are
+        untouched — defaults fill future writes that omit the column,
+        never history."""
+        m = self._metadata_dict()
+        if m is None:
+            raise ValueError("cannot set a default on a table with no metaData")
+        if name in self.generated_columns():
+            raise ValueError(
+                f"column {name} is GENERATED — its value is always the "
+                "generation expression; a default cannot apply"
+            )
+        if name in self.identity_columns():
+            raise ValueError(
+                f"column {name} is GENERATED ALWAYS AS IDENTITY — "
+                "a default cannot apply"
+            )
+        from pyspark.sql.types import StructField
+
+        sch = StructType.fromJson(json.loads(m["schemaString"]))
+        if name not in {f.name for f in sch.fields}:
+            raise ValueError(f"unknown column {name}")
+        fields = [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**(f.metadata or {}), "CURRENT_DEFAULT": expr_sql}
+                if f.name == name
+                else f.metadata,
+            )
+            for f in sch.fields
+        ]
+        meta = dict(m)
+        meta["schemaString"] = StructType(fields).json()
+        proto_base = self._protocol_dict()
+        actions: list[dict] = []
+        if "allowColumnDefaults" not in (
+            (proto_base or {}).get("writerFeatures") or ()
+        ):
+            actions.append(
+                {
+                    "protocol": self._upgraded_protocol(
+                        writer_features=("allowColumnDefaults",)
+                    )
+                }
+            )
+            self._write_proto_ok = False
+        now = _now_ms()
+        actions += [
+            {"metaData": meta},
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "SET DEFAULT",
+                    "operationParameters": {"name": name, "expr": expr_sql},
+                }
+            },
+        ]
+
+        def _pre() -> bool:
+            if self._metadata_dict() != m:
+                raise MetadataChangedError(
+                    "table metaData changed while setting the default; retry"
+                )
+            if self._protocol_dict() != proto_base:
+                raise MetadataChangedError(
+                    "protocol changed while ledgering allowColumnDefaults; "
+                    "retry"
+                )
+            return True
+
+        v = self._commit(actions, _pre)
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while setting the default; retry"
+            )
+        return v
+
+    @_occ_retry
+    def drop_column_default(self, name: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT: removes the
+        field's CURRENT_DEFAULT metadata (the feature stays ledgered —
+        dropping a default never needs a protocol downgrade)."""
+        m = self._metadata_dict()
+        if m is None or name not in self.column_defaults():
+            raise ValueError(f"column {name} has no default")
+        from pyspark.sql.types import StructField
+
+        sch = StructType.fromJson(json.loads(m["schemaString"]))
+        fields = []
+        for f in sch.fields:
+            if f.name == name:
+                md = dict(f.metadata or {})
+                md.pop("CURRENT_DEFAULT", None)
+                fields.append(StructField(f.name, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        meta = dict(m)
+        meta["schemaString"] = StructType(fields).json()
+        now = _now_ms()
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": "DROP DEFAULT",
+                        "operationParameters": {"name": name},
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == m,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while dropping the default; retry"
+            )
+        return v
+
     def generated_columns(self) -> dict[str, str]:
         """name -> generation expression, from the schema's
         `delta.generationExpression` field metadata (the spec's
@@ -3980,6 +4135,7 @@ class DeltaLogTable(_CheckpointMixin):
                     )
                     self._write_proto_ok = False
         df = self._apply_generated(df)
+        df = self._apply_defaults(df)
         id_meta = None
         id_high: dict[str, int] = {}
         id_base = None
@@ -5308,8 +5464,10 @@ class DeltaLogTable(_CheckpointMixin):
         gens = self.generated_columns()
         # identity columns must NOT be in the source (the insert branch
         # mints them via _assign_identity, like merge()); generated
-        # columns were just computed by _apply_generated — neither
-        # counts as "missing" for the INSERT clause
+        # columns were just computed by _apply_generated and DEFAULTED
+        # columns fill from their expressions — none counts as
+        # "missing" for the INSERT clause
+        src = self._apply_defaults(src)
         missing = [
             c
             for c in cols
@@ -5913,6 +6071,39 @@ class DeltaLogTable(_CheckpointMixin):
         yield from self._actions(from_version=vf[0][0], exact=True)
 
     @_occ_retry
+    def enable_vacuum_protocol_check(self) -> int:
+        """Ledger the `vacuumProtocolCheck` reader+writer feature: from
+        this commit on, every VACUUM (this engine's and any compliant
+        client's) must pass the full protocol gate before deleting a
+        byte — the guard that stops a legacy vacuumer from reclaiming
+        files a feature it doesn't understand still references."""
+        proto_base = self._protocol_dict()
+        new_proto = self._upgraded_protocol(
+            reader_features=("vacuumProtocolCheck",),
+            writer_features=("vacuumProtocolCheck",),
+        )
+        self._write_proto_ok = False
+        v = self._commit(
+            [
+                {"protocol": new_proto},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "feature": "vacuumProtocolCheck"
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: self._protocol_dict() == proto_base,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "protocol changed while enabling vacuumProtocolCheck; retry"
+            )
+        return v
+
     def copy_into(self, spark, src_dir: str, fmt: str = "parquet") -> int | None:
         """COPY INTO — idempotent BULK FILE INGEST (Delta's COPY INTO
         semantics: each source file loads EXACTLY ONCE however many
@@ -6410,7 +6601,22 @@ class DeltaLogTable(_CheckpointMixin):
         retention window via their youngest referencing tombstone.
         ``dry_run=True`` counts (and never deletes) — Delta's VACUUM
         DRY RUN. Never touches unrecognized files outside the
-        removed/DV sets. Returns files deleted (or deletable)."""
+        removed/DV sets. Returns files deleted (or deletable).
+
+        `vacuumProtocolCheck` (PROTOCOL.md's Vacuum Protocol Check
+        feature): when the table ledgers it, VACUUM runs the FULL
+        writer-side protocol gate first — an unknown writerFeature may
+        track files this client cannot see (its own sidecar layout, a
+        different DV naming), and deleting by an incomplete reachability
+        fold would be permanent data loss. Without the feature, the
+        read gate alone applies (delta's historical default, kept for
+        parity)."""
+        proto = self._protocol_dict() or {}
+        if "vacuumProtocolCheck" in (
+            tuple(proto.get("writerFeatures") or ())
+            + tuple(proto.get("readerFeatures") or ())
+        ):
+            self._check_write_protocol()
         from deltasink_spark import roaring as _roaring
 
         cutoff = _now_ms() - retention_ms

@@ -3100,3 +3100,45 @@ def sink_delta_variant(spark, sf_dir):
             F.variant_get(F.col("var"), "$", "string"),
         ).alias("s_scalar"),
     )
+
+
+@query(
+    "sink_delta_column_defaults",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id % 3 = 0 THEN 'c' || CAST(user_id AS VARCHAR)
+                WHEN event_id % 3 = 1 THEN 'organic'
+                ELSE 'paid' END AS channel
+    FROM events WHERE event_id IS NOT NULL
+    """,
+)
+def sink_delta_column_defaults(spark, sf_dir):
+    """COLUMN DEFAULT VALUES (the `allowColumnDefaults` writer
+    feature, PROTOCOL.md Default Columns): ALTER COLUMN ... SET
+    DEFAULT stamps CURRENT_DEFAULT on the field's schema metadata and
+    ledgers the writer-only feature in the same commit; an append
+    that OMITS the column gets the default filled at write time (the
+    files stay self-contained — readers need nothing), a provided
+    column wins verbatim. Three appends: explicit values → a
+    defaulted omission → an explicit override after the default
+    exists; the oracle recomputes all three regimes from the source.
+    Writer-only by design: at 100 TB the default never rewrites
+    history — it applies to future writes, a metadata-only ALTER."""
+    t = _fresh_table("col_defaults")
+    ev = _ev(spark, sf_dir).filter(F.col("event_id").isNotNull())
+    t.append(
+        ev.filter(F.col("event_id") % 3 == 0).withColumn(
+            "channel",
+            F.concat(F.lit("c"), F.col("user_id").cast("string")),
+        )
+    )
+    t.set_column_default("channel", "'organic'")
+    proto = t._protocol_dict()
+    assert "allowColumnDefaults" in (proto.get("writerFeatures") or ()), proto
+    t.append(ev.filter(F.col("event_id") % 3 == 1))  # omitted -> default
+    t.append(
+        ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "channel", F.lit("paid")
+        )
+    )
+    return t.read(spark)

@@ -1336,8 +1336,11 @@ def ann_index_incremental(spark, sf_dir):
         F.col("nrm").alias("qnm"),
     )
     b = qn.select("vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn"))
+    # no broadcast HINT on the delta side: a batch is usually small
+    # enough that AQE broadcasts it anyway, but a backfill-sized batch
+    # must degrade to a shuffle join, not OOM the driver
     scored = (
-        cand.join(F.broadcast(a), "qid")
+        cand.join(a, "qid")
         .join(b, "vec_id")
         .withColumn(
             "cos",

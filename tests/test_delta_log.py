@@ -3476,3 +3476,95 @@ def test_checkpoint_stats_parsed_prunes_without_json(spark, tmp_path):
         if r is not None
     ]
     assert sorted(set(got)) == list(range(7))
+
+
+def test_column_defaults_contract(spark, tmp_path):
+    """allowColumnDefaults: SET DEFAULT ledgers the writer-only
+    feature; omission fills, provision wins (explicit NULL included);
+    generated/identity columns refuse a default; DROP DEFAULT stops
+    the fill; merge_when INSERTs fill the default too."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 5).withColumn("tag", F.lit("x")))
+    t.set_column_default("tag", "'dflt'")
+    p = t._protocol_dict()
+    assert "allowColumnDefaults" in (p.get("writerFeatures") or ())
+    assert "readerFeatures" not in p or "allowColumnDefaults" not in (
+        p.get("readerFeatures") or ()
+    )
+    t.append(_ev(spark, 8).filter(F.col("event_id") >= 5))  # omitted
+    t.append(
+        _ev(spark, 10).filter(F.col("event_id") >= 8)
+        .withColumn("tag", F.lit(None).cast("string"))  # explicit NULL wins
+    )
+    got = {r["event_id"]: r["tag"] for r in t.read(spark).collect()}
+    assert got[0] == "x" and got[5] == "dflt" and got[9] is None
+    # merge_when INSERT without the defaulted column fills it
+    src = spark.createDataFrame(
+        [(20, 1, 1.0)], "event_id bigint, user_id bigint, value double"
+    )
+    t.merge_when(spark, src, "event_id", not_matched_insert=True)
+    got = {r["event_id"]: r["tag"] for r in t.read(spark).collect()}
+    assert got[20] == "dflt"
+    # refusals: generated / identity columns own their values
+    t2 = _table(tmp_path, "t2")
+    t2.append(
+        _ev(spark, 3),
+        generated={"g": "value * 2"},
+    )
+    with pytest.raises(ValueError, match="GENERATED"):
+        t2.set_column_default("g", "'x'")
+    t3 = _table(tmp_path, "t3")
+    t3.append(
+        _ev(spark, 3),
+        identity={"rid": {"start": 0, "step": 1, "order_by": "event_id"}},
+    )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t3.set_column_default("rid", "7")
+    # DROP DEFAULT: later omissions go back to null
+    t.drop_column_default("tag")
+    t.append(_ev(spark, 31).filter(F.col("event_id") >= 30))
+    got = {r["event_id"]: r["tag"] for r in t.read(spark).collect()}
+    assert got[30] is None
+
+
+def test_vacuum_protocol_check_gates_unknown_writer_features(spark, tmp_path):
+    """vacuumProtocolCheck: WITHOUT it, an unknown writerFeature does
+    not block vacuum (reads-only gate, delta's historical default);
+    WITH it ledgered, vacuum refuses — an unknown writer feature may
+    track files an incomplete reachability fold would orphan-delete."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.optimize(spark, target_files=1)  # leaves removed files to reclaim
+    # foreign upgrade: an unknown WRITER feature lands in the log
+    with open(os.path.join(t.log_dir, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "futureWriterThing"],
+        }}) + "\n")
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
+    t2 = DeltaLogTable(t.path)
+    assert t2.vacuum(dry_run=True) > 0  # read gate alone: allowed
+    # now the same log ALSO ledgers vacuumProtocolCheck
+    with open(os.path.join(t.log_dir, f"{3:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": [
+                "appendOnly", "futureWriterThing", "vacuumProtocolCheck",
+            ],
+        }}) + "\n")
+        fh.write(json.dumps(
+            {"commitInfo": {"timestamp": 2, "operation": "UPGRADE"}}) + "\n")
+    t3 = DeltaLogTable(t.path)
+    with pytest.raises(ValueError, match="futureWriterThing"):
+        t3.vacuum(dry_run=True)
+    # our own enable method ledgers both sides and vacuum still works
+    # on a table whose features we fully support
+    u = _table(tmp_path, "u")
+    u.append(_ev(spark, 10))
+    u.enable_vacuum_protocol_check()
+    p = u._protocol_dict()
+    assert "vacuumProtocolCheck" in p["readerFeatures"]
+    assert "vacuumProtocolCheck" in p["writerFeatures"]
+    u.optimize(spark, target_files=1)
+    assert u.vacuum(dry_run=True) > 0
