@@ -277,6 +277,14 @@ R11OPS = [
     "tokenizer_wordpiece_encode",  # corpus encode under the merges
 ]
 
+# r13 additions — own group (scope rule). The other five r13 ops are
+# excluded by the standing group policy: the four sink_delta_* ops are
+# sink/IO fixtures (staged-write + commit cost, not a query plan) and
+# join_stream_stream_semi is a real StreamingQuery drain.
+R13OPS = [
+    "ann_index_incremental",     # delta-batch ANN probe vs persisted index
+]
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
@@ -317,7 +325,7 @@ def main() -> None:
     # bench's own error channel is the JSON "errors" field, so logs
     # carry no signal here — turn them OFF.
     spark.sparkContext.setLogLevel("OFF")
-    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS + R10DOPS + R11OPS if op in registry.QUERIES]
+    ops = [op for op in HEADLINE + TPCH + R4OPS + R5OPS + R5BOPS + R6OPS + R7OPS + R8OPS + R8BOPS + R8COPS + R8DOPS + R9OPS + R9BOPS + R9COPS + R9DOPS + R10OPS + R10BOPS + R10COPS + R10DOPS + R11OPS + R13OPS if op in registry.QUERIES]
     if os.environ.get("DS_BENCH_ALL"):
         ops = sorted(registry.QUERIES)
 
@@ -424,6 +432,9 @@ def main() -> None:
         ),
         "r11ops": round(
             sum(t for op, t in timings.items() if op in R11OPS), 4
+        ),
+        "r13ops": round(
+            sum(t for op, t in timings.items() if op in R13OPS), 4
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

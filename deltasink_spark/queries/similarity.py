@@ -1307,19 +1307,26 @@ def ann_index_incremental(spark, sf_dir):
 
     from deltasink_spark.delta_log import DeltaLogTable
 
-    qn = _qn_frame(spark, sf_dir).select("vec_id", "iv", "nrm")
+    # one quantize pass, pinned: corpus index build, delta probe,
+    # scoring and the convergence proof all reuse it
+    qn = (
+        _qn_frame(spark, sf_dir)
+        .select("vec_id", "iv", "nrm")
+        .localCheckpoint(eager=False)
+    )
     is_delta = F.col("vec_id") % 10 == 0
     corpus = qn.filter(~is_delta)
     delta = qn.filter(is_delta)
     idx = DeltaLogTable(tempfile.mkdtemp(prefix="ds_annidx_"))
-    idx.append(
-        lsh_tall_frame(corpus, "vec_id", "iv", _ANN_PLANES, _ANN_L).select(
-            "vec_id", "t", "bucket"
-        )
-    )
-    tall_delta = lsh_tall_frame(
-        delta, "vec_id", "iv", _ANN_PLANES, _ANN_L
+    tall_corpus = lsh_tall_frame(
+        corpus, "vec_id", "iv", _ANN_PLANES, _ANN_L
     ).select("vec_id", "t", "bucket")
+    idx.append(tall_corpus)
+    tall_delta = (
+        lsh_tall_frame(delta, "vec_id", "iv", _ANN_PLANES, _ANN_L)
+        .select("vec_id", "t", "bucket")
+        .localCheckpoint(eager=False)
+    )
     probe = tall_delta.select(
         F.col("vec_id").alias("qid"), "t", "bucket"
     )
@@ -1359,10 +1366,10 @@ def ann_index_incremental(spark, sf_dir):
     )
     # index MAINTENANCE: the delta bands join the persisted index in
     # one commit; the maintained index must equal a full rebuild
+    # (corpus bands ∪ delta bands — the rebuild is exactly that union
+    # because banding is per-row, so no third LSH pass is needed)
     idx.append(tall_delta)
-    rebuilt = lsh_tall_frame(qn, "vec_id", "iv", _ANN_PLANES, _ANN_L).select(
-        "vec_id", "t", "bucket"
-    )
+    rebuilt = tall_corpus.unionByName(tall_delta)
     maintained = idx.read(spark)
     if not maintained.exceptAll(rebuilt).isEmpty() or not rebuilt.exceptAll(
         maintained
