@@ -5186,7 +5186,13 @@ class DeltaLogTable(_CheckpointMixin):
         semi-join prunes via add-action stats); the unmatched bulk of
         the table is untouched metadata. Source is read several times
         (matched/unmatched splits) — localCheckpoint'd first so a
-        nondeterministic source cannot desync the reads."""
+        nondeterministic source cannot desync the reads.
+
+        Column DEFAULTS deliberately do NOT fill a merge() source:
+        this verb replaces matched rows WHOLE-ROW, so a defaulted fill
+        would clobber the target's value with the default on every
+        match — the clause-level [merge_when] applies defaults to its
+        INSERT branch only, which is delta-spark's contract."""
         self._forbid_append_only("MERGE")
         snap = self.snapshot_adds()
         if not snap:

@@ -3568,3 +3568,67 @@ def test_vacuum_protocol_check_gates_unknown_writer_features(spark, tmp_path):
     assert "vacuumProtocolCheck" in p["writerFeatures"]
     u.optimize(spark, target_files=1)
     assert u.vacuum(dry_run=True) > 0
+
+
+def test_cross_process_dml_race(spark, tmp_path):
+    """OCC across OS PROCESS boundaries (flock's real contract): two
+    subprocesses race row-disjoint copy-on-write DELETEs on the SAME
+    files (guaranteed file-level conflict) while the main process
+    appends — every verb lands with zero caller retries (the verbs'
+    own _occ_retry), the final state is exact, the version sequence
+    contiguous. Subprocesses run plain python (no Spark): they drive
+    a second handle's metadata-light verbs; the DELETEs themselves
+    need Spark, so the two racing deletes run in THREADS here while
+    the subprocesses hammer set_properties — mixed-actor contention
+    over one log."""
+    import subprocess
+    import sys as _sys
+    import threading
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 200).repartition(2))
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from deltasink_spark.delta_log import DeltaLogTable
+t = DeltaLogTable(sys.argv[1])
+for j in range(6):
+    t.set_properties({f"p{sys.argv[2]}.k{j}": "v"})
+print("done")
+"""
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, t.path, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    errors: list[str] = []
+
+    def deleter(lo: int, hi: int) -> None:
+        try:
+            DeltaLogTable(t.path).delete_where(
+                spark, f"event_id >= {lo} AND event_id < {hi}"
+            )
+        except Exception as ex:
+            errors.append(repr(ex))
+
+    th = [
+        threading.Thread(target=deleter, args=(0, 30)),
+        threading.Thread(target=deleter, args=(100, 130)),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, (out, err)
+    assert not errors, errors
+    t2 = DeltaLogTable(t.path)
+    got = {r["event_id"] for r in t2.read(spark).collect()}
+    assert got == set(range(30, 100)) | set(range(130, 200))
+    cfg = (t2._metadata_dict() or {}).get("configuration") or {}
+    assert all(f"p{w}.k{j}" in cfg for w in (0, 1) for j in range(6))
+    vf = [v for v, _ in t2._version_files()]
+    assert vf == list(range(len(vf)))
