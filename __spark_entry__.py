@@ -42,6 +42,7 @@ _R13_NEW_THIS_ROUND: list[str] = [
     "join_stream_stream_semi",
     "ann_index_incremental",
     "sink_delta_column_defaults",
+    "sink_delta_clone_deep",
 ]
 
 # Ops whose implementation changed in r13 — re-verification rows

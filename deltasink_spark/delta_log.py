@@ -6417,6 +6417,115 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def deep_clone_from(self, source: "DeltaLogTable") -> int:
+        """DEEP CLONE (Delta's CREATE TABLE ... CLONE — the deep form,
+        the OSS default): physically COPY every live data file (and
+        every live deletion-vector payload) into the clone root, then
+        one version-0 commit whose adds carry the copied paths with
+        the source's stats / partitionValues / row-tracking lineage —
+        a fully INDEPENDENT table. Nothing references the source, so
+        vacuuming or dropping the source can never damage the clone
+        (the availability property [clone_from]'s zero-copy shallow
+        form trades away). Source domainMetadata (row-id high-water
+        mark, clustering state) clones along so row ids keep minting
+        collision-free and a parameterless OPTIMIZE keeps clustering.
+        txn app marks do NOT clone (exactly-once ledgers are
+        per-table; a replay guard must not skip the clone's first
+        legitimate batch). Relative source files keep their partition
+        layout; absolute adds (a shallow-clone source) copy to fresh
+        root names — partitionValues on the action, not the dir, are
+        what readers consume. DV descriptors re-anchor as table-local
+        'u' over the copied payload (offsets preserved — the whole DV
+        file is copied).
+
+        Scale: the clone is one file-copy pass over LIVE bytes (the
+        operation's irreducible cost and its point — an isolated
+        physical copy) plus O(files) driver metadata; history does
+        NOT clone (version 0 is the snapshot), per delta-spark."""
+        from deltasink_spark import roaring as _roaring
+
+        if self.latest_version() >= 0:
+            raise ValueError("clone target table is not empty")
+        src_meta = source._metadata_dict()
+        if src_meta is None:
+            raise ValueError("clone source has no metaData action")
+        now = _now_ms()
+        actions: list[dict] = []
+        for p, a in sorted(source.snapshot_adds().items()):
+            src_fp = os.path.realpath(source._abs_of_add_path(p))
+            if "://" in p or p.startswith("/"):
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+            else:
+                rel = urllib.parse.unquote(p)
+            dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src_fp, dst)
+            na = dict(a)
+            na["path"] = urllib.parse.quote(rel, safe="/-._~!$&'()*+,;=:@")
+            na["dataChange"] = True
+            na["modificationTime"] = now
+            dv = a.get("deletionVector")
+            if dv:
+                if dv["storageType"] == "u":
+                    src_dv = os.path.join(
+                        source.path,
+                        _roaring.dv_relative_path(dv["pathOrInlineDv"]),
+                    )
+                elif dv["storageType"] == "p":
+                    src_dv = dv["pathOrInlineDv"]
+                else:
+                    raise ValueError(
+                        f"cannot clone DV storageType {dv['storageType']!r}"
+                    )
+                enc, dv_rel = _roaring.new_dv_descriptor_path()
+                dst_dv = os.path.join(self.path, dv_rel)
+                os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                shutil.copyfile(src_dv, dst_dv)
+                nd = dict(dv)
+                nd["storageType"] = "u"
+                nd["pathOrInlineDv"] = enc
+                na["deletionVector"] = nd
+            actions.append({"add": na})
+        for dom in sorted(source.domain_metadata()):
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": dom,
+                        "configuration": json.dumps(
+                            source.domain_metadata()[dom], sort_keys=True
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+        meta = dict(src_meta)
+        meta["id"] = uuid.uuid4().hex  # a clone is a NEW table identity
+        meta["createdTime"] = now
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": source.path,
+                        "sourceVersion": source.latest_version(),
+                        "isShallow": "false",
+                    },
+                }
+            }
+        )
+        proto = source._protocol_dict() or dict(_PROTOCOL)
+        v = self._commit(
+            actions,
+            precondition=lambda: self.latest_version() < 0,
+            first_commit_actions=[{"protocol": proto}, {"metaData": meta}],
+        )
+        if v is None:
+            raise ValueError(
+                "a concurrent commit created the clone target first"
+            )
+        return v
+
     def restore(self, spark, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
         an earlier snapshot as a NEW commit (history is immutable; the

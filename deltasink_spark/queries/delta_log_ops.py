@@ -3142,3 +3142,44 @@ def sink_delta_column_defaults(spark, sf_dir):
         )
     )
     return t.read(spark)
+
+
+@query(
+    "sink_delta_clone_deep",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE COALESCE(event_id % 2 = 0, FALSE) AND NOT COALESCE(value < 20, FALSE)
+          AND NOT COALESCE(user_id % 5 = 0, FALSE)
+    """,
+)
+def sink_delta_clone_deep(spark, sf_dir):
+    """DEEP CLONE (delta-spark's CREATE TABLE ... CLONE, the deep
+    form): every live data file AND the live deletion-vector payload
+    physically COPY into the clone root; the version-0 commit carries
+    the copied paths with the source's stats and a table-local 'u'
+    DV descriptor over the copied payload. The clone is fully
+    INDEPENDENT — proven the hard way in-op: after cloning, the
+    source is mutated (another DELETE) and then VACUUMED at zero
+    retention, physically deleting the very files a shallow clone
+    would still reference; the deep clone reads back intact. A
+    clone-side DELETE also lands while the source history stays
+    unaffected. Oracle = the source content at clone time minus the
+    clone's own DELETE. Scale: the clone pays one copy pass over
+    LIVE bytes (its irreducible point — an isolated physical copy)
+    plus O(files) metadata; history does not clone."""
+    src_t = _fresh_table("dclonesrc")
+    ev = _ev(spark, sf_dir)
+    src_t.append(ev.filter(F.col("event_id") % 2 == 0))
+    if src_t.snapshot_files():
+        src_t.delete_where_dv(spark, "value < 20")  # clone copies a DV
+    t = _fresh_table("dclone")
+    t.deep_clone_from(src_t)
+    if t.snapshot_files():
+        t.delete_where(spark, "user_id % 5 = 0")
+    # source mutates AND vacuums away its pre-clone files: a shallow
+    # clone would now be unreadable; the deep clone must not care
+    if src_t.snapshot_files():
+        src_t.delete_where(spark, "value >= 150")
+        src_t.optimize(spark, target_files=1)
+    src_t.vacuum()
+    return t.read(spark)

@@ -3632,3 +3632,28 @@ print("done")
     assert all(f"p{w}.k{j}" in cfg for w in (0, 1) for j in range(6))
     vf = [v for v, _ in t2._version_files()]
     assert vf == list(range(len(vf)))
+
+
+def test_deep_clone_independence_and_row_ids(spark, tmp_path):
+    """deep_clone_from: copied files, cloned row-tracking high-water
+    mark (fresh ids in the clone never collide with cloned rows), no
+    txn marks cloned (replay guards are per-table), and the clone
+    survives the source being vacuumed to nothing."""
+    src = _table(tmp_path, "src")
+    src.append(_ev(spark, 10), "app", 7)
+    src.enable_row_tracking()
+    t = _table(tmp_path, "clone")
+    t.deep_clone_from(src)
+    # row ids cloned; appends mint ABOVE the cloned high-water mark
+    ids0 = {r["_row_id"] for r in t.read_with_row_ids(spark).collect()}
+    t.append(_ev(spark, 15).filter(F.col("event_id") >= 10))
+    ids1 = [r["_row_id"] for r in t.read_with_row_ids(spark).collect()]
+    assert len(ids1) == len(set(ids1)) == 15
+    assert ids0 < set(ids1)
+    # txn marks did NOT clone: the same (app, 7) batch lands
+    assert t.append(_ev(spark, 16).filter(F.col("event_id") >= 15),
+                    "app", 7) is not None
+    # the source vanishes; the clone still reads
+    src.delete_where(spark, "event_id >= 0")
+    src.vacuum()
+    assert t.read(spark).count() == 16
