@@ -68,6 +68,9 @@ _R13_CHANGED_THIS_ROUND: list[str] = [
     "sink_delta_cluster_optimize",
     "sink_delta_zorder",
     "sink_delta_row_tracking",
+    "sink_vacuum",
+    "sink_delta_clone",
+    "pipeline_gdpr_erasure",
 ]
 
 # Stale cohort for r13: the ungraded remainder of the r12 stale list

@@ -203,6 +203,34 @@ def _type_features_of_struct(dt) -> tuple[str, ...]:
     return tuple(sorted(feats))
 
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def _parse_duration_ms(text: str) -> int:
+    """Parse delta's CalendarInterval-style duration property values —
+    "interval 30 days", "1 week", "interval 1 week 2 days", case- and
+    plural-insensitive (the format delta.logRetentionDuration /
+    delta.deletedFileRetentionDuration carry). Unknown text raises:
+    silently misreading a retention window as 0 would vacuum live
+    readers' files."""
+    import re as _re
+
+    parts = _re.findall(
+        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?\b",
+        text.strip().lower(),
+    )
+    if not parts:
+        raise ValueError(f"cannot parse duration {text!r}")
+    return sum(int(n) * _DURATION_UNITS_MS[u] for n, u in parts)
+
+
 def _occ_retry(verb):
     """OPTIMISTIC-CONCURRENCY RE-EXECUTION around a whole table verb —
     the public Delta conflict-resolution contract (delta.io
@@ -6702,14 +6730,26 @@ class DeltaLogTable(_CheckpointMixin):
         )
         return path
 
-    def vacuum(self, retention_ms: int = 0, dry_run: bool = False) -> int:
+    def vacuum(
+        self,
+        retention_ms: int | None = None,
+        dry_run: bool = False,
+        force: bool = False,
+    ) -> int:
         """Physically delete data files no longer in the CURRENT
         snapshot whose tombstones are at least ``retention_ms`` old
         (Delta's VACUUM ... RETAIN: the window that keeps concurrent
-        readers of recent versions — and time travel inside it — safe;
-        the 0 default is the aggressive end, after which pre-vacuum
-        time travel raises on the missing files, Delta's documented
-        behavior). Also reclaims DELETION-VECTOR files no live add
+        readers of recent versions — and time travel inside it — safe).
+        ``retention_ms=None`` (the default) resolves the TABLE's
+        `delta.deletedFileRetentionDuration` property, falling back to
+        the spec's 1-week default — the table, not each caller,
+        decides its safety window, exactly delta-spark. An explicit
+        retention BELOW the resolved window refuses unless
+        ``force=True`` (delta-spark's retentionDurationCheck: the
+        guard against the classic VACUUM RETAIN 0 HOURS foot-gun that
+        breaks every concurrent reader); past it, pre-vacuum time
+        travel raises on the missing files, Delta's documented
+        behavior. Also reclaims DELETION-VECTOR files no live add
         references (every second DV delete orphans its predecessor's
         DV file, and OPTIMIZE/rewrite DML orphan them wholesale —
         without this they leak forever); DV files ride the same
@@ -6732,6 +6772,24 @@ class DeltaLogTable(_CheckpointMixin):
             + tuple(proto.get("readerFeatures") or ())
         ):
             self._check_write_protocol()
+        cfg = (self._metadata_dict() or {}).get("configuration") or {}
+        prop = cfg.get("delta.deletedFileRetentionDuration")
+        window = (
+            _parse_duration_ms(prop)
+            if prop
+            else _TOMBSTONE_RETENTION_MS  # the spec's 1-week default
+        )
+        if retention_ms is None:
+            retention_ms = window
+        elif retention_ms < window and not force:
+            raise ValueError(
+                f"VACUUM retention {retention_ms} ms is below the "
+                f"table's window ({window} ms from "
+                "delta.deletedFileRetentionDuration); a concurrent "
+                "reader of a recent version may still hold these files "
+                "— pass force=True to override "
+                "(delta-spark's retentionDurationCheck)"
+            )
         from deltasink_spark import roaring as _roaring
 
         cutoff = _now_ms() - retention_ms
@@ -6807,7 +6865,7 @@ class DeltaLogTable(_CheckpointMixin):
                 n += 1
         return n
 
-    def cleanup_log(self, retention_ms: int = 30 * 24 * 3600 * 1000) -> int:
+    def cleanup_log(self, retention_ms: int | None = None) -> int:
         """METADATA CLEANUP (`delta.logRetentionDuration` semantics —
         the mechanism that keeps `_delta_log` from growing forever on
         a long-lived table): delete JSON commit files AT OR BELOW the
@@ -6823,9 +6881,20 @@ class DeltaLogTable(_CheckpointMixin):
         and history shows only the retained tail — exactly real
         Delta's documented retention behavior. Returns files deleted.
 
+        ``retention_ms=None`` resolves the TABLE's
+        `delta.logRetentionDuration` property, falling back to the
+        spec's 30-day default — the table decides how much history it
+        keeps, not each caller (delta-spark's contract).
+
         Scale: the log stays O(checkpoint + retention window) however
         old the table; the delete itself is O(expired files) of
         driver-side unlinks."""
+        if retention_ms is None:
+            cfg = (self._metadata_dict() or {}).get("configuration") or {}
+            prop = cfg.get("delta.logRetentionDuration")
+            retention_ms = (
+                _parse_duration_ms(prop) if prop else 30 * 24 * 3600 * 1000
+            )
         cv = self.last_checkpoint()
         if cv is None:
             return 0  # nothing is checkpoint-covered: delete nothing

@@ -229,7 +229,7 @@ def sink_delta_delete_where(spark, sf_dir):
     t.append(ev.filter(F.col("event_id") % 2 == 0))
     t.append(ev.filter(F.col("event_id") % 2 == 1))
     t.delete_where(spark, "value < 50")
-    t.vacuum()
+    t.vacuum(0, force=True)
     return t.read(spark)
 
 
@@ -1133,7 +1133,7 @@ def pipeline_gdpr_erasure(spark, sf_dir):
     assert before - after == erased, "CDF audit must equal the read delta"
     if t.snapshot_files():
         t.optimize(spark, target_files=2)  # purge DVs: erasure hits disk
-    removed = t.vacuum()
+    removed = t.vacuum(0, force=True)
     if erased:
         assert removed > 0, "vacuum must destroy the superseded bytes"
         try:
@@ -1259,7 +1259,7 @@ def sink_delta_update(spark, sf_dir):
     t.append(ev.filter(F.col("event_id") % 2 == 0))
     t.append(ev.filter(F.col("event_id") % 2 == 1))
     t.update_where(spark, {"value": "value + 1000"}, "user_id % 5 = 0")
-    t.vacuum()
+    t.vacuum(0, force=True)
     return t.read(spark)
 
 
@@ -1577,7 +1577,7 @@ def sink_delta_clone(spark, sf_dir):
     )
     if odd.limit(1).count():
         t.append(odd)
-    t.vacuum()  # must never reach into the source root
+    t.vacuum(0, force=True)  # must never reach into the source root
     assert src_t.snapshot_adds() == src_adds_before, (
         "clone DML must not touch the source table"
     )
@@ -3181,5 +3181,5 @@ def sink_delta_clone_deep(spark, sf_dir):
     if src_t.snapshot_files():
         src_t.delete_where(spark, "value >= 150")
         src_t.optimize(spark, target_files=1)
-    src_t.vacuum()
+    src_t.vacuum(0, force=True)
     return t.read(spark)

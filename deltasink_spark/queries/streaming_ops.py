@@ -683,7 +683,7 @@ def sink_vacuum(spark, sf_dir):
         sink.write_batch(ev.filter(F.col("event_id") % 6 == b), b)
     if sink.table.snapshot_files():
         sink.table.optimize(spark, target_files=4)
-        removed = sink.table.vacuum()
+        removed = sink.table.vacuum(0, force=True)
         assert removed >= 6, f"expected >= 6 superseded files removed, got {removed}"
     assert sink.write_batch(ev.limit(1), 2) is False  # replay stays no-op
     return sink.table.read(spark)

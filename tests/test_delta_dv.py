@@ -178,7 +178,7 @@ def test_vacuum_reclaims_orphaned_dv_files(spark, tmp_path):
     dvs_before = [
         f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
     ]
-    n = t.vacuum()
+    n = t.vacuum(0, force=True)
     dvs_after = [
         f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
     ]
@@ -322,5 +322,5 @@ def test_dv_wide_delete_builds_executor_side(spark, tmp_path):
     }
     superseded = sum(1 for p in gen1 if gen2[p] != gen1[p])
     assert superseded >= 1  # only files containing matches re-DV'd
-    orphans = t.vacuum()
+    orphans = t.vacuum(0, force=True)
     assert orphans == superseded  # exactly the superseded DV files

@@ -153,7 +153,7 @@ def test_vacuum_drops_superseded_but_keeps_current(spark, tmp_path):
     t = _table(tmp_path)
     t.append(_ev(spark, 40))
     t.optimize(spark, target_files=1)
-    removed = t.vacuum()
+    removed = t.vacuum(0, force=True)
     assert removed >= 1
     assert t.read(spark).count() == 40  # current snapshot intact
     # time travel PAST the vacuumed version now fails on missing files
@@ -545,7 +545,7 @@ def test_restore_fails_after_vacuum(spark, tmp_path):
     t = _table(tmp_path)
     t.append(_ev(spark, 20))
     t.optimize(spark, target_files=1)
-    t.vacuum()  # drops the pre-optimize files
+    t.vacuum(0, force=True)  # drops the pre-optimize files
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(spark, 0)
 
@@ -1415,7 +1415,7 @@ def test_checkpoint_carries_format_and_remove_tombstones(spark, tmp_path):
     for v in range(2):
         os.remove(os.path.join(t.log_dir, f"{v:020d}.json"))
     t2 = DeltaLogTable(t.path)
-    assert t2.vacuum() == 1  # the superseded original is reclaimed
+    assert t2.vacuum(0, force=True) == 1  # the superseded original is reclaimed
     assert {r["event_id"] for r in t2.read(spark).collect()} \
         == set(range(4, 10))
 
@@ -1561,7 +1561,7 @@ def test_hive_escaped_partition_dir_dml_and_log_encoding(spark, tmp_path):
     ch = t.read_changes(spark, 0, t.latest_version())
     assert {r["event_id"] for r in
             ch.filter(F.col("_change_type") == "delete").collect()} == {0}
-    assert t.vacuum() >= 1  # the superseded escaped-dir file is reclaimed
+    assert t.vacuum(0, force=True) >= 1  # the superseded escaped-dir file is reclaimed
 
 def test_update_set_evaluates_all_rhs_against_old_row(spark, tmp_path):
     """SQL/Delta UPDATE semantics: every SET right-hand side sees the
@@ -1631,7 +1631,7 @@ def test_vacuum_mixed_path_encodings_never_deletes_live_file(spark, tmp_path):
             {"commitInfo": {"timestamp": 2, "operation": "CONVERT"}},
         ]:
             fh.write(json.dumps(a) + "\n")
-    assert t.vacuum() == 0  # the tombstoned encoding resolves to a LIVE file
+    assert t.vacuum(0, force=True) == 0  # the tombstoned encoding resolves to a LIVE file
     assert os.path.exists(os.path.join(t.path, "d1.parquet"))
     assert {r["event_id"] for r in t.read(spark).collect()} == set(range(6))
 
@@ -1737,7 +1737,7 @@ def test_out_of_root_absolute_add_path_reads_and_rewrites(spark, tmp_path):
     assert {r["event_id"] for r in t.read(spark).collect()} == {2, 3, 4, 5}
     assert os.path.exists(ext / "src.parquet")
     # and vacuum never reaches outside the table root
-    assert t.vacuum() == 0
+    assert t.vacuum(0, force=True) == 0
     assert os.path.exists(ext / "src.parquet")
 
 
@@ -1766,7 +1766,7 @@ def test_shallow_clone_diverges_and_source_untouched(spark, tmp_path):
     assert src.snapshot_adds() == src_adds
     assert {r["event_id"] for r in src.read(spark).collect()} == set(range(5, 50))
     # vacuum reclaims only clone-root files; source files survive
-    cl.vacuum()
+    cl.vacuum(0, force=True)
     assert {r["event_id"] for r in src.read(spark).collect()} == set(range(5, 50))
     # a second clone_from into a non-empty table refuses
     with pytest.raises(ValueError, match="not empty"):
@@ -2078,7 +2078,7 @@ def test_v2_checkpoint_fold_cleanup_and_classic_interop(spark, tmp_path):
     # descriptor; vacuum sees the sidecar-carried tombstones
     assert {r["event_id"] for r in t2.read_via_checkpoint(spark).collect()} \
         == set(range(5, 45)) | set(range(50, 60))
-    assert t2.vacuum() >= 1
+    assert t2.vacuum(0, force=True) >= 1
     # a later CLASSIC checkpoint folds from the v2 state
     ccv = t2.checkpoint()
     assert ccv > cv
@@ -2420,7 +2420,7 @@ def test_convert_to_delta_adopts_in_place(spark, tmp_path):
     t.optimize(spark, target_files=1)
     t.delete_where(spark, "event_id < 5")
     assert {r["event_id"] for r in t.read(spark).collect()} == set(range(5, 40))
-    assert t.vacuum() >= 1
+    assert t.vacuum(0, force=True) >= 1
     # mixed layout refuses
     p2 = str(tmp_path / "mixed")
     ev.write.partitionBy("shop").parquet(p2)
@@ -2473,9 +2473,9 @@ def test_vacuum_retention_window_and_dry_run(spark, tmp_path):
     for root, _d, fs in os.walk(t.path):
         before |= {os.path.join(root, f) for f in fs}
     # fresh tombstones: a 1-hour window protects them
-    assert t.vacuum(retention_ms=3600 * 1000) == 0
+    assert t.vacuum(retention_ms=3600 * 1000, force=True) == 0
     # dry run counts the retention-0 candidates but deletes nothing
-    n_dry = t.vacuum(dry_run=True)
+    n_dry = t.vacuum(0, dry_run=True, force=True)
     assert n_dry >= 1
     after_dry = set()
     for root, _d, fs in os.walk(t.path):
@@ -2484,7 +2484,7 @@ def test_vacuum_retention_window_and_dry_run(spark, tmp_path):
     # pre-vacuum time travel still works inside the window
     assert t.read(spark, as_of_version=0).count() == 20
     # retention 0 actually reclaims the dry-run count
-    assert t.vacuum() == n_dry
+    assert t.vacuum(0, force=True) == n_dry
     with pytest.raises(Exception):
         t.read(spark, as_of_version=0).collect()
 
@@ -3544,7 +3544,7 @@ def test_vacuum_protocol_check_gates_unknown_writer_features(spark, tmp_path):
         fh.write(json.dumps(
             {"commitInfo": {"timestamp": 1, "operation": "UPGRADE"}}) + "\n")
     t2 = DeltaLogTable(t.path)
-    assert t2.vacuum(dry_run=True) > 0  # read gate alone: allowed
+    assert t2.vacuum(0, dry_run=True, force=True) > 0  # read gate alone: allowed
     # now the same log ALSO ledgers vacuumProtocolCheck
     with open(os.path.join(t.log_dir, f"{3:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
@@ -3557,7 +3557,7 @@ def test_vacuum_protocol_check_gates_unknown_writer_features(spark, tmp_path):
             {"commitInfo": {"timestamp": 2, "operation": "UPGRADE"}}) + "\n")
     t3 = DeltaLogTable(t.path)
     with pytest.raises(ValueError, match="futureWriterThing"):
-        t3.vacuum(dry_run=True)
+        t3.vacuum(0, dry_run=True, force=True)
     # our own enable method ledgers both sides and vacuum still works
     # on a table whose features we fully support
     u = _table(tmp_path, "u")
@@ -3567,7 +3567,7 @@ def test_vacuum_protocol_check_gates_unknown_writer_features(spark, tmp_path):
     assert "vacuumProtocolCheck" in p["readerFeatures"]
     assert "vacuumProtocolCheck" in p["writerFeatures"]
     u.optimize(spark, target_files=1)
-    assert u.vacuum(dry_run=True) > 0
+    assert u.vacuum(0, dry_run=True, force=True) > 0
 
 
 def test_cross_process_dml_race(spark, tmp_path):
@@ -3655,5 +3655,37 @@ def test_deep_clone_independence_and_row_ids(spark, tmp_path):
                     "app", 7) is not None
     # the source vanishes; the clone still reads
     src.delete_where(spark, "event_id >= 0")
-    src.vacuum()
+    src.vacuum(0, force=True)
     assert t.read(spark).count() == 16
+
+
+def test_retention_properties_are_authoritative(spark, tmp_path):
+    """delta.deletedFileRetentionDuration / delta.logRetentionDuration:
+    the TABLE properties drive vacuum and log-cleanup windows; an
+    explicit VACUUM retention below the window refuses without
+    force=True (delta-spark's retentionDurationCheck)."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.optimize(spark, target_files=1)  # superseded files to reclaim
+    # default window (spec 1 week): fresh tombstones are NOT deletable
+    assert t.vacuum(dry_run=True) == 0
+    with pytest.raises(ValueError, match="retentionDurationCheck"):
+        t.vacuum(0)
+    assert t.vacuum(0, dry_run=True, force=True) > 0
+    # the property tightens the window; vacuum() then reclaims
+    t.set_properties({"delta.deletedFileRetentionDuration": "interval 0 seconds"})
+    assert t.vacuum(dry_run=True) > 0
+    # an explicit retention above the window needs no force
+    assert t.vacuum(retention_ms=10**12, dry_run=True) == 0
+    # bad property text is loud, never silently 0
+    t.set_properties({"delta.deletedFileRetentionDuration": "soon"})
+    with pytest.raises(ValueError, match="cannot parse duration"):
+        t.vacuum(dry_run=True)
+    # log cleanup honors delta.logRetentionDuration
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 5))
+    t2.append(_ev(spark, 6).filter(F.col("event_id") >= 5))
+    t2.checkpoint()
+    assert t2.cleanup_log() == 0  # 30-day default keeps everything
+    t2.set_properties({"delta.logRetentionDuration": "interval 0 seconds"})
+    assert t2.cleanup_log() > 0
