@@ -34,6 +34,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
+# Ops added DURING round 14 — each needs a first driver row.
+_R14_NEW_THIS_ROUND: list[str] = []
+
+# Ops whose implementation changed in r14 — re-verification rows
+# required.
+_R14_CHANGED_THIS_ROUND: list[str] = []
+
+# Stale cohort for r14: the 15-op r4-green spill from r13 (win_sliding
+# onward — r13's 50 slots closed at win_session), then the oldest
+# remaining cohort (the 43 r5-green rows, alphabetical). Overflow past
+# slot 50 spills to r15's rotation; after this round the oldest green
+# watermark clears r4 for good.
+_R14_STALE: list[str] = [
+    "win_sliding", "win_tumbling", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
+    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    # r5-green cohort
+    "agg_argmax", "agg_bool_family", "agg_corr", "agg_count_min",
+    "agg_moments", "avro_parse", "dedup_blocked_levenshtein",
+    "dedup_containment", "embedding_quantize", "embedding_standardize",
+    "event_sessionize", "fn_bitwise", "fn_posexplode", "ivf_train_step",
+    "join_null_safe", "join_range_bucketed", "join_stream_static",
+    "join_stream_stream", "join_temporal_lookup", "sample_bottom_k",
+    "sample_temperature", "scd2_intervals", "sql_interface",
+    "stream_backpressure", "stream_late_policy", "stream_stateful",
+    "stream_trigger", "stream_watermark", "text_bm25",
+    "text_boilerplate_ngrams", "text_entropy", "text_unigram_logprob",
+    "tpch_q1", "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q9", "ts_ewma",
+    "unpivot_melt",
+]
+
 # Ops added DURING round 13 — each needs a first driver row.
 _R13_NEW_THIS_ROUND: list[str] = [
     "sink_delta_concurrent_retry",
@@ -322,6 +354,7 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
+        _R14_NEW_THIS_ROUND, _R14_CHANGED_THIS_ROUND, _R14_STALE,
         _R13_NEW_THIS_ROUND, _R13_CHANGED_THIS_ROUND, _R13_STALE,
         _R12_NEW_THIS_ROUND, _R12_NEW, _R12_CHANGED,
         _R12_CHANGED_THIS_ROUND, _R12_STALE,
