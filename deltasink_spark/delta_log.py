@@ -222,12 +222,17 @@ def _parse_duration_ms(text: str) -> int:
     readers' files."""
     import re as _re
 
-    parts = _re.findall(
-        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?\b",
+    term = r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?"
+    m = _re.fullmatch(
+        rf"(?:interval\s+)?{term}(?:\s+{term})*",
         text.strip().lower(),
     )
-    if not parts:
+    if m is None:
+        # findall would happily skip signs and junk ("interval -1 days"
+        # -> +1 day) — a malformed retention property must ERROR, not
+        # become a different retention window that vacuums live files.
         raise ValueError(f"cannot parse duration {text!r}")
+    parts = _re.findall(term, m.group(0))
     return sum(int(n) * _DURATION_UNITS_MS[u] for n, u in parts)
 
 
@@ -260,7 +265,10 @@ def _occ_retry(verb):
     see _finalize_row_tracking's copy-stamping)."""
     @functools.wraps(verb)
     def wrapper(self, *args, **kwargs):
-        attempts = int(os.environ.get("DS_OCC_ATTEMPTS", "10"))
+        # clamp: a misconfigured DS_OCC_ATTEMPTS <= 0 must not turn
+        # every DML into a silent no-op "success" (the loop body would
+        # never run and the wrapper would return None)
+        attempts = max(1, int(os.environ.get("DS_OCC_ATTEMPTS", "10")))
         delay = 0.05
         for attempt in range(attempts):
             before = self.latest_version()
@@ -288,22 +296,30 @@ def _occ_retry(verb):
     return wrapper
 
 
-# stats_parsed / partitionValues_parsed field types, mirrored from the
-# engine's own add-stats JSON serialization (integers land as int64,
-# floats as float64; timestamp/date/decimal stats serialize as their
-# ISO/str forms, so their parsed columns are strings — documented):
-# the parsed columns must DECODE to exactly what json.loads of the
-# stats string yields, or checkpoint pruning and JSON pruning diverge.
-def _pa_stats_type(type_name: str):
+# stats_parsed / partitionValues_parsed field types: the column's REAL
+# data type, per the Delta checkpoint spec / delta-spark's
+# writeStatsAsStruct layout (an int32 column's parsed stats are int32,
+# a date-partitioned table's parsed partition value is date32, ...) —
+# a delta-spark reader schema-reconciles these structs against the
+# table schema, so emitting everything as int64/string would fail
+# reconciliation or mis-type partition pruning. Values that can't be
+# materialized faithfully in the real type (foreign junk stats,
+# out-of-range ints, inexact decimals) fall back to null in
+# _enrich_file_rows — pruning then uses the JSON stats string.
+def _pa_stats_type(dt):
     import pyarrow as pa
 
+    name = dt.typeName()
+    if name == "decimal":
+        return pa.decimal128(dt.precision, dt.scale)
     return {
-        "long": pa.int64(), "integer": pa.int64(), "short": pa.int64(),
-        "byte": pa.int64(), "double": pa.float64(), "float": pa.float64(),
+        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
+        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
         "string": pa.string(), "boolean": pa.bool_(),
-        "date": pa.string(), "timestamp": pa.string(),
-        "decimal": pa.string(),
-    }.get(type_name)
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }.get(name)
 
 
 def _checkpoint_schema(
@@ -661,14 +677,14 @@ class _CheckpointMixin:
         for f in s.fields:
             if f.name in pb:
                 continue  # partition values carry no file stats
-            t = _pa_stats_type(f.dataType.typeName())
+            t = _pa_stats_type(f.dataType)
             if t is not None:
                 stats_fields.append((cm.get(f.name, f.name), t))
         by = {f.name: f for f in s.fields}
         part_fields = []
         for c in self.partition_columns():
             f = by.get(c)
-            t = _pa_stats_type(f.dataType.typeName()) if f else None
+            t = _pa_stats_type(f.dataType) if f else None
             if t is not None:
                 part_fields.append((cm.get(c, c), t))
         return stats_fields, part_fields
@@ -684,13 +700,23 @@ class _CheckpointMixin:
         never to a wrong decode."""
         if not stats_fields and not part_fields:
             return file_rows
+        import datetime as _dt
+        import decimal as _decmod
+
         import pyarrow as pa
 
         def conv(v, t):
+            # stats-JSON value -> the column's REAL arrow type; None on
+            # anything not faithfully representable (foreign junk,
+            # out-of-range int, inexact decimal) so pruning falls back
+            # to the JSON stats string instead of a wrong decode
             if v is None:
                 return None
             if pa.types.is_integer(t):
-                return v if isinstance(v, int) and not isinstance(v, bool) else None
+                if not (isinstance(v, int) and not isinstance(v, bool)):
+                    return None
+                w = t.bit_width - 1
+                return v if -(1 << w) <= v < (1 << w) else None
             if pa.types.is_floating(t):
                 return (
                     float(v)
@@ -699,6 +725,42 @@ class _CheckpointMixin:
                 )
             if pa.types.is_boolean(t):
                 return v if isinstance(v, bool) else None
+            if pa.types.is_date(t):
+                if not isinstance(v, str):
+                    return None
+                try:
+                    return _dt.date.fromisoformat(v)
+                except ValueError:
+                    return None
+            if pa.types.is_timestamp(t):
+                if not isinstance(v, str):
+                    return None
+                try:
+                    ts = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                except ValueError:
+                    return None
+                if t.tz is not None:
+                    return (
+                        ts
+                        if ts.tzinfo is not None
+                        else ts.replace(tzinfo=_dt.timezone.utc)
+                    )
+                return ts.replace(tzinfo=None) if ts.tzinfo else ts
+            if pa.types.is_decimal(t):
+                try:
+                    d = _decmod.Decimal(v if isinstance(v, str) else str(v))
+                    q = d.quantize(
+                        _decmod.Decimal(1).scaleb(-t.scale),
+                        context=_decmod.Context(
+                            traps=[
+                                _decmod.Inexact,
+                                _decmod.InvalidOperation,
+                            ]
+                        ),
+                    )
+                except (_decmod.DecimalException, TypeError, ValueError):
+                    return None
+                return q if len(q.as_tuple().digits) <= t.precision else None
             return v if isinstance(v, str) else None
 
         def pconv(v, t):
@@ -706,11 +768,21 @@ class _CheckpointMixin:
                 return None
             try:
                 if pa.types.is_integer(t):
-                    return int(v)
+                    i = int(v)
+                    w = t.bit_width - 1
+                    return i if -(1 << w) <= i < (1 << w) else None
                 if pa.types.is_floating(t):
                     return float(v)
                 if pa.types.is_boolean(t):
                     return v == "true"
+                if (
+                    pa.types.is_date(t)
+                    or pa.types.is_timestamp(t)
+                    or pa.types.is_decimal(t)
+                ):
+                    # Hive partition strings use a ' ' time separator;
+                    # fromisoformat (3.11+) accepts both forms
+                    return conv(v, t)
                 return v
             except (TypeError, ValueError):
                 return None
@@ -6486,6 +6558,16 @@ class DeltaLogTable(_CheckpointMixin):
             else:
                 rel = urllib.parse.unquote(p)
             dst = os.path.join(self.path, rel)
+            # CONTAINMENT: a foreign/untrusted source log whose
+            # relative add path smuggles '..' segments must not turn
+            # the copy into an arbitrary-file-write outside the clone
+            # root (the same realpath root-prefix guard vacuum and the
+            # read path enforce) — such paths fall back to a fresh
+            # root-level name, like the absolute-path branch
+            root = os.path.realpath(self.path)
+            if not os.path.realpath(dst).startswith(root + os.sep):
+                rel = f"part-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copyfile(src_fp, dst)
             na = dict(a)
@@ -7207,11 +7289,29 @@ class DeltaLogTable(_CheckpointMixin):
             paths = t.column(0).to_pylist()
             mns = t.column(1).to_pylist()
             mxs = t.column(2).to_pylist()
+            import datetime as _dt
+
+            bounds_aware = (
+                isinstance(lo, _dt.datetime) and lo.tzinfo is not None
+            )
+
+            def norm(v):
+                # parsed timestamp columns come back tz-aware UTC; the
+                # session TZ is pinned UTC, so compare wall-clock when
+                # the caller's bounds are naive
+                if (
+                    isinstance(v, _dt.datetime)
+                    and v.tzinfo is not None
+                    and not bounds_aware
+                ):
+                    return v.replace(tzinfo=None)
+                return v
+
             for path, mn, mx in zip(paths, mns, mxs):
                 if path is None or mn is None or mx is None:
                     continue
                 try:
-                    out[path] = bool(mx < lo or mn > hi)
+                    out[path] = bool(norm(mx) < lo or norm(mn) > hi)
                 except TypeError:
                     continue
         return out

@@ -1303,6 +1303,7 @@ def ann_index_incremental(spark, sf_dir):
     FULL-REBUILD answer restricted to delta-probing queries: same
     plane literals, same buckets, exact quantized cosine, top-3 per
     new vector."""
+    import shutil
     import tempfile
 
     from deltasink_spark.delta_log import DeltaLogTable
@@ -1317,64 +1318,78 @@ def ann_index_incremental(spark, sf_dir):
     is_delta = F.col("vec_id") % 10 == 0
     corpus = qn.filter(~is_delta)
     delta = qn.filter(is_delta)
-    idx = DeltaLogTable(tempfile.mkdtemp(prefix="ds_annidx_"))
-    tall_corpus = lsh_tall_frame(
-        corpus, "vec_id", "iv", _ANN_PLANES, _ANN_L
-    ).select("vec_id", "t", "bucket")
-    idx.append(tall_corpus)
-    tall_delta = (
-        lsh_tall_frame(delta, "vec_id", "iv", _ANN_PLANES, _ANN_L)
-        .select("vec_id", "t", "bucket")
-        .localCheckpoint(eager=False)
-    )
-    probe = tall_delta.select(
-        F.col("vec_id").alias("qid"), "t", "bucket"
-    )
-    searchable = idx.read(spark).unionByName(tall_delta)
-    cand = (
-        probe.join(searchable, ["t", "bucket"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-        .distinct()
-    )
-    a = qn.select(
-        F.col("vec_id").alias("qid"),
-        F.col("iv").alias("qi"),
-        F.col("nrm").alias("qnm"),
-    )
-    b = qn.select("vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn"))
-    # no broadcast HINT on the delta side: a batch is usually small
-    # enough that AQE broadcasts it anyway, but a backfill-sized batch
-    # must degrade to a shuffle join, not OOM the driver
-    scored = (
-        cand.join(a, "qid")
-        .join(b, "vec_id")
-        .withColumn(
-            "cos",
-            F.round(
-                qdot(F.col("qi"), F.col("di")) / (F.col("qnm") * F.col("dn")),
-                6,
-            ),
+    # scratch index table, removed after the convergence proof (the
+    # returned frame is eagerly checkpointed, so nothing downstream
+    # reads the index dir) — a bench run must not leak a table per run
+    idx_root = tempfile.mkdtemp(prefix="ds_annidx_")
+    idx = DeltaLogTable(idx_root)
+    try:
+        tall_corpus = lsh_tall_frame(
+            corpus, "vec_id", "iv", _ANN_PLANES, _ANN_L
+        ).select("vec_id", "t", "bucket")
+        idx.append(tall_corpus)
+        tall_delta = (
+            lsh_tall_frame(delta, "vec_id", "iv", _ANN_PLANES, _ANN_L)
+            .select("vec_id", "t", "bucket")
+            .localCheckpoint(eager=False)
         )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    out = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("qid", "vec_id", "cos", "rk")
-        .localCheckpoint()
-    )
-    # index MAINTENANCE: the delta bands join the persisted index in
-    # one commit; the maintained index must equal a full rebuild
-    # (corpus bands ∪ delta bands — the rebuild is exactly that union
-    # because banding is per-row, so no third LSH pass is needed)
-    idx.append(tall_delta)
-    rebuilt = tall_corpus.unionByName(tall_delta)
-    maintained = idx.read(spark)
-    if not maintained.exceptAll(rebuilt).isEmpty() or not rebuilt.exceptAll(
-        maintained
-    ).isEmpty():
-        raise AssertionError(
-            "maintained ANN index diverged from a full rebuild"
+        probe = tall_delta.select(
+            F.col("vec_id").alias("qid"), "t", "bucket"
         )
-    return out
+        searchable = idx.read(spark).unionByName(tall_delta)
+        cand = (
+            probe.join(searchable, ["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id")
+            .distinct()
+        )
+        a = qn.select(
+            F.col("vec_id").alias("qid"),
+            F.col("iv").alias("qi"),
+            F.col("nrm").alias("qnm"),
+        )
+        b = qn.select(
+            "vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn")
+        )
+        # no broadcast HINT on the delta side: a batch is usually small
+        # enough that AQE broadcasts it anyway, but a backfill-sized
+        # batch must degrade to a shuffle join, not OOM the driver
+        scored = (
+            cand.join(a, "qid")
+            .join(b, "vec_id")
+            .withColumn(
+                "cos",
+                F.round(
+                    qdot(F.col("qi"), F.col("di"))
+                    / (F.col("qnm") * F.col("dn")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("qid", "vec_id", "cos", "rk")
+            .localCheckpoint()
+        )
+        # index MAINTENANCE: the delta bands join the persisted index
+        # in one commit; the maintained index must equal a full rebuild
+        # (corpus bands ∪ delta bands — the rebuild is exactly that
+        # union because banding is per-row, so no third LSH pass is
+        # needed)
+        idx.append(tall_delta)
+        rebuilt = tall_corpus.unionByName(tall_delta)
+        maintained = idx.read(spark)
+        if (
+            not maintained.exceptAll(rebuilt).isEmpty()
+            or not rebuilt.exceptAll(maintained).isEmpty()
+        ):
+            raise AssertionError(
+                "maintained ANN index diverged from a full rebuild"
+            )
+        return out
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)

@@ -3689,3 +3689,166 @@ def test_retention_properties_are_authoritative(spark, tmp_path):
     assert t2.cleanup_log() == 0  # 30-day default keeps everything
     t2.set_properties({"delta.logRetentionDuration": "interval 0 seconds"})
     assert t2.cleanup_log() > 0
+
+
+def test_duration_parse_rejects_signs_and_junk():
+    """_parse_duration_ms fullmatches the whole property value: a
+    malformed retention window ('interval -1 days' reading as +1 day,
+    junk-padded text silently narrowing) must ERROR, never become a
+    different window that vacuums live readers' files."""
+    from deltasink_spark.delta_log import _parse_duration_ms
+
+    day = 86_400_000
+    assert _parse_duration_ms("interval 1 week 2 days") == 9 * day
+    assert _parse_duration_ms("30 DAYS") == 30 * day
+    assert _parse_duration_ms(" interval 1 hour ") == 3_600_000
+    for bad in (
+        "interval -1 days",
+        "garbage 3 days garbage",
+        "3 days and 4 hours",
+        "interval",
+        "-3 days",
+        "3 fortnights",
+        "1.5 days",
+    ):
+        with pytest.raises(ValueError, match="cannot parse duration"):
+            _parse_duration_ms(bad)
+
+
+def test_occ_attempts_misconfig_never_noop(spark, tmp_path, monkeypatch):
+    """DS_OCC_ATTEMPTS <= 0 clamps to one attempt: a misconfigured env
+    var must not turn every decorated DML into a silent no-op
+    'success' (the retry loop body would never run)."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    monkeypatch.setenv("DS_OCC_ATTEMPTS", "0")
+    assert t.delete_where(spark, "event_id < 5") is not None
+    assert t.read(spark).count() == 5
+    monkeypatch.setenv("DS_OCC_ATTEMPTS", "-3")
+    assert t.delete_where(spark, "event_id < 7") is not None
+    assert t.read(spark).count() == 3
+
+
+def test_deep_clone_contains_traversal_paths(spark, tmp_path):
+    """A foreign source log whose relative add path smuggles '..'
+    segments must not turn deep clone's copy into a write OUTSIDE the
+    clone root — the traversal path falls back to a fresh root-level
+    name (same realpath guard the vacuum/read paths enforce)."""
+    src = _table(tmp_path, "src")
+    src.append(_ev(spark, 10).repartition(1))
+    # relocate the data file outside the source root and point the log
+    # at it via a '..' relative path (a hostile/foreign log shape)
+    [(p, _)] = src.snapshot_adds().items()
+    import shutil as _sh
+    import urllib.parse as _up
+
+    evil = tmp_path / "evil.parquet"
+    _sh.move(src._abs_of_add_path(p), str(evil))
+    log0 = os.path.join(src.log_dir, f"{0:020d}.json")
+    lines = open(log0).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "add" in a:
+            a["add"]["path"] = "../evil.parquet"
+        out.append(json.dumps(a))
+    open(log0, "w").write("\n".join(out) + "\n")
+    assert src.read(spark).count() == 10  # foreign read path resolves
+    clone = _table(tmp_path, "clone")
+    clone.deep_clone_from(src)
+    # nothing was written outside the clone root, and the clone is
+    # self-contained: the copied file lives under clone/, reads intact
+    root = os.path.realpath(str(tmp_path / "clone"))
+    [(cp, _)] = clone.snapshot_adds().items()
+    resolved = os.path.realpath(clone._abs_of_add_path(cp))
+    assert resolved.startswith(root + os.sep)
+    assert ".." not in _up.unquote(cp)
+    assert clone.read(spark).count() == 10
+    evil.unlink()  # the clone must not reference the foreign file
+    assert clone.read(spark).count() == 10
+
+
+def test_checkpoint_parsed_columns_use_real_types(spark, tmp_path):
+    """stats_parsed / partitionValues_parsed carry the column's REAL
+    data type (int32 for integer, date32 for date, typed decimal /
+    timestamp), per the Delta checkpoint spec — not a blanket
+    int64/string — so a delta-spark reader schema-reconciles and
+    partition-prunes correctly; unrepresentable junk falls back to
+    null, never a wrong decode."""
+    import datetime as dt
+    import decimal as dec
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    rows = [
+        (
+            1,
+            dt.date(2023, 1, 2),
+            dt.datetime(2023, 1, 2, 3, 4, 5, 123456),
+            dec.Decimal("12.34"),
+            2.5,
+        ),
+        (
+            7,
+            dt.date(2024, 6, 9),
+            dt.datetime(2024, 6, 9, 1, 2, 3),
+            dec.Decimal("99.99"),
+            -1.5,
+        ),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("m", T.DecimalType(10, 2)),
+            T.StructField("f", T.FloatType()),
+        ]
+    )
+    t = _table(tmp_path)
+    t.append(spark.createDataFrame(rows, schema).repartition(1))
+    cv = t.checkpoint()
+    ck = pq.read_table(
+        os.path.join(t.log_dir, f"{cv:020d}.checkpoint.parquet")
+    )
+    mv = ck.schema.field("stats_parsed").type.field("minValues").type
+    assert mv.field("i").type == pa.int32()
+    assert mv.field("d").type == pa.date32()
+    assert mv.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert mv.field("m").type == pa.decimal128(10, 2)
+    assert mv.field("f").type == pa.float32()
+    sp = [r for r in ck.column("stats_parsed").to_pylist() if r][0]
+    assert sp["minValues"]["i"] == 1 and sp["maxValues"]["i"] == 7
+    assert sp["minValues"]["d"] == dt.date(2023, 1, 2)
+    assert sp["minValues"]["m"] == dec.Decimal("12.34")
+    assert sp["minValues"]["ts"].replace(tzinfo=None) == dt.datetime(
+        2023, 1, 2, 3, 4, 5, 123456
+    )
+    # the columnar fast path still decides every checkpointed file on
+    # a typed column (naive bounds vs tz-aware parsed values)
+    decided = t._ckpt_stats_prune("d", dt.date(2023, 1, 1), dt.date(2023, 12, 31))
+    assert decided and not any(decided.values())
+    decided = t._ckpt_stats_prune(
+        "ts", dt.datetime(2025, 1, 1), dt.datetime(2025, 12, 31)
+    )
+    assert decided and all(decided.values())
+    # date-partitioned: partitionValues_parsed is date32 and typed
+    t2 = _table(tmp_path, "t2")
+    t2.append(
+        spark.createDataFrame(rows, schema),
+        partition_by=("d",),
+    )
+    cv2 = t2.checkpoint()
+    ck2 = pq.read_table(
+        os.path.join(t2.log_dir, f"{cv2:020d}.checkpoint.parquet")
+    )
+    pvp = ck2.schema.field("partitionValues_parsed").type
+    assert pvp.field("d").type == pa.date32()
+    got = {
+        r["d"]
+        for r in ck2.column("partitionValues_parsed").to_pylist()
+        if r is not None and r["d"] is not None
+    }
+    assert got == {dt.date(2023, 1, 2), dt.date(2024, 6, 9)}
