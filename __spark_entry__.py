@@ -35,11 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (overflow past slot 50 spills to the next round's rotation).
 
 # Ops added DURING round 14 — each needs a first driver row.
-_R14_NEW_THIS_ROUND: list[str] = []
+_R14_NEW_THIS_ROUND: list[str] = [
+    "sink_delta_auto_compact",
+]
 
 # Ops whose implementation changed in r14 — re-verification rows
-# required.
-_R14_CHANGED_THIS_ROUND: list[str] = []
+# required: checkpoint stats_parsed/partitionValues_parsed became
+# typed (real data types per the spec), deep clone gained the path
+# containment guard, retention duration parsing hardened.
+_R14_CHANGED_THIS_ROUND: list[str] = [
+    "scan_delta_log_checkpoint",
+    "scan_delta_log_stats_prune",
+    "scan_delta_log_v2_checkpoint",
+    "sink_delta_clone_deep",
+    "sink_vacuum",
+    "sink_delta_log_cleanup",
+]
 
 # Stale cohort for r14: the 15-op r4-green spill from r13 (win_sliding
 # onward — r13's 50 slots closed at win_session), then the oldest

@@ -4261,6 +4261,10 @@ class DeltaLogTable(_CheckpointMixin):
                     json.loads(evolved_meta["schemaString"])
                 ).fields
             }
+        if (
+            (self._metadata_dict() or {}).get("configuration") or {}
+        ).get("delta.autoOptimize.optimizeWrite") == "true":
+            df = self._optimize_write(df, tuple(partition_by))
         adds = self._stage_files(
             df, partition_by=tuple(partition_by), mapping=stage_mapping
         )
@@ -4398,7 +4402,7 @@ class DeltaLogTable(_CheckpointMixin):
         # protocol+metaData ride along and are prepended only if this
         # commit WINS version 0 (decided under the lock — two racing
         # first appends must not both ledger a table identity)
-        return self._commit(
+        v = self._commit(
             actions,
             precondition,
             first_commit_actions=self._metadata_actions(
@@ -4409,6 +4413,12 @@ class DeltaLogTable(_CheckpointMixin):
                 identity_high=first_identity_high,
             ),
         )
+        if v is not None:
+            # post-commit hook, AFTER the ingest is durable; a no-op
+            # unless delta.autoOptimize.autoCompact is on, and never
+            # raises a retryable into this append's OCC wrapper
+            self.auto_compact(df.sparkSession)
+        return v
 
     @_occ_retry
     def optimize(
@@ -4579,6 +4589,140 @@ class DeltaLogTable(_CheckpointMixin):
                 "snapshot; retry"
             )
         return v
+
+    def _optimize_write(self, df: DataFrame, pb: tuple[str, ...]) -> DataFrame:
+        """delta.autoOptimize.optimizeWrite (delta-spark's optimized
+        write): ONE pre-write shuffle that bin-packs the output so a
+        micro-batch lands as few right-sized files instead of one tiny
+        file per input task — the property that keeps continuous
+        ingest from accreting thousands of small files per partition.
+        The bin count comes from Catalyst's own plan-size estimate
+        over the target bin size (delta-spark's
+        optimizeWrite.binSize, default 128 MiB; overridable via the
+        table property delta.autoOptimize.optimizeWrite.binSize) and
+        is clamped to the session's shuffle parallelism — an unknown
+        estimate (Catalyst's Long.Max default) must never explode the
+        shuffle. On a partitioned table the shuffle keys on the
+        partition columns, so each Hive partition's rows collapse into
+        the fewest tasks and ~binSize files, exactly the adaptive
+        shuffle delta-spark injects before the write."""
+        cfg = (self._metadata_dict() or {}).get("configuration") or {}
+        bin_size = int(
+            cfg.get(
+                "delta.autoOptimize.optimizeWrite.binSize",
+                128 * 1024 * 1024,
+            )
+        )
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            est = 0
+        n = -(-est // bin_size) if 0 < est < (1 << 50) else cap
+        n = max(1, min(n, cap))
+        keys = [c for c in pb if c in df.columns]
+        return df.repartition(n, *keys) if keys else df.repartition(n)
+
+    def auto_compact(self, spark) -> int | None:
+        """delta.autoOptimize.autoCompact (delta-spark's auto
+        compaction): the POST-COMMIT small-file check append runs when
+        the property is on. Per partition, live files smaller than
+        maxFileSize (128 MiB default) are counted from LOG METADATA
+        alone — no file is opened — and any partition whose small-file
+        count reaches minNumFiles (delta-spark's default 50; both
+        overridable via delta.autoOptimize.autoCompact.minNumFiles /
+        .maxFileSize table properties) gets its small files rewritten
+        into ~maxFileSize bins, committed as add+remove with
+        dataChange=false (CDF readers skip it, exactly OPTIMIZE's
+        commit class, operationParameters auto=true). BEST-EFFORT by
+        contract: a concurrent writer touching the selected files
+        aborts the compaction silently (returns None) — auto compact
+        must never fail or retry the ingest that triggered it, and the
+        skipped files are simply picked up by the next trigger.
+
+        Scale: the trigger test is O(live adds) driver metadata; the
+        rewrite reads ONLY the triggered partitions' small files —
+        never the fleet — and large files are never rewritten, so
+        steady-state write amplification is bounded by one extra copy
+        per small file."""
+        cfg = (self._metadata_dict() or {}).get("configuration") or {}
+        if cfg.get("delta.autoOptimize.autoCompact") != "true":
+            return None
+        min_n = int(
+            cfg.get("delta.autoOptimize.autoCompact.minNumFiles", 50)
+        )
+        max_size = int(
+            cfg.get(
+                "delta.autoOptimize.autoCompact.maxFileSize",
+                128 * 1024 * 1024,
+            )
+        )
+        snap = self.snapshot_adds()
+        groups: dict[tuple, list[str]] = {}
+        for p, a in snap.items():
+            if (a.get("size") or 0) >= max_size:
+                continue
+            key = tuple(sorted((a.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(p)
+        sel = {
+            p: snap[p]
+            for paths in groups.values()
+            if len(paths) >= min_n
+            for p in paths
+        }
+        if not sel:
+            return None
+        pb = self.partition_columns()
+        df, _rt = self._read_adds_materialized(spark, sel)
+        total = sum((a.get("size") or 0) for a in sel.values())
+        n = max(1, -(-total // max_size))
+        keys = [c for c in pb if c in df.columns]
+        rewritten = df.repartition(n, *keys) if keys else df.repartition(n)
+        adds = self._stage_files(rewritten, partition_by=pb)
+        actions: list[dict] = []
+        for a in adds:
+            a = dict(a)
+            a["dataChange"] = False
+            actions.append({"add": a})
+        now = _now_ms()
+        for p in sel:
+            actions.append(
+                {"remove": self._remove_action(p, sel[p], now, False)}
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {"auto": "true"},
+                    "operationMetrics": self._op_metrics(
+                        adds,
+                        len(sel),
+                        op="OPTIMIZE",
+                        removed_adds=list(sel.values()),
+                    ),
+                }
+            }
+        )
+        try:
+            return self._commit(actions, self._adds_unchanged(sel))
+        except (
+            ConcurrentAppendError,
+            ConcurrentDeleteReadError,
+            MetadataChangedError,
+        ):
+            # best-effort: a losing auto compact leaves its staged
+            # files as invisible orphans (vacuum-reclaimed) and must
+            # NOT propagate into the triggering append's OCC retry —
+            # that would re-append the batch
+            return None
 
     @_occ_retry
     def delete_where(self, spark, predicate_sql: str) -> int:

@@ -3183,3 +3183,59 @@ def sink_delta_clone_deep(spark, sf_dir):
         src_t.optimize(spark, target_files=1)
     src_t.vacuum(0, force=True)
     return t.read(spark)
+
+
+@query(
+    "sink_delta_auto_compact",
+    oracle=f"SELECT {', '.join(_EV_COLS)} FROM events",
+)
+def sink_delta_auto_compact(spark, sf_dir):
+    """AUTO COMPACTION + OPTIMIZED WRITES (delta-spark's
+    delta.autoOptimize.optimizeWrite / autoCompact table properties):
+    a 10-micro-batch ingest where every batch arrives fragmented
+    (repartition(4)) ends with a BOUNDED live-file count and
+    bit-identical content, with NO explicit OPTIMIZE call.
+    optimizeWrite bin-packs each batch pre-commit (one shuffle keyed
+    by the plan-size estimate — a tiny batch lands as ONE file, not
+    one per task); autoCompact is append's post-commit small-file
+    check: when a partition's small-file count reaches minNumFiles,
+    those files rewrite into ~maxFileSize bins as a dataChange=false
+    commit (operationParameters auto=true, the OPTIMIZE commit class
+    CDF readers skip). Best-effort by contract — a conflicting
+    compaction aborts silently and never fails or retries the ingest
+    that triggered it (the OCC matrix pins that). The oracle is the
+    full source content: compaction moves bytes, never rows. Scale:
+    the trigger test is O(live adds) log metadata; each compaction
+    reads only the triggered partition's small files — continuous
+    ingest stops accreting small files without any maintenance job."""
+    t = _fresh_table("auto_compact")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 10 == 0).repartition(4))
+    t.set_properties(
+        {
+            "delta.autoOptimize.optimizeWrite": "true",
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.autoCompact.minNumFiles": "4",
+        }
+    )
+    for i in range(1, 10):
+        t.append(ev.filter(F.col("event_id") % 10 == i).repartition(4))
+    live = len(t.snapshot_adds())
+    # bounded: without the properties this ingest leaves 40+ files
+    # (4 per batch); optimizeWrite caps each batch at one file and
+    # autoCompact folds every 4th — the steady state stays under the
+    # trigger threshold plus the since-last-trigger tail
+    assert live < 6, f"auto compact left {live} live files"
+    if t.snapshot_files():
+        autos = [
+            a["commitInfo"]
+            for _, a in t._exact_commit_actions()
+            if "commitInfo" in a
+            and a["commitInfo"].get("operation") == "OPTIMIZE"
+            and (a["commitInfo"].get("operationParameters") or {}).get(
+                "auto"
+            )
+            == "true"
+        ]
+        assert autos, "auto compaction never triggered"
+    return t.read(spark)

@@ -3852,3 +3852,82 @@ def test_checkpoint_parsed_columns_use_real_types(spark, tmp_path):
         if r is not None and r["d"] is not None
     }
     assert got == {dt.date(2023, 1, 2), dt.date(2024, 6, 9)}
+
+
+def test_auto_optimize_write_bin_packs_appends(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite: an append whose input plan
+    arrives in many tiny tasks lands as ONE right-sized file (the
+    plan-size estimate is far below one 128 MiB bin), instead of one
+    file per input partition."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    assert len(t.snapshot_adds()) >= 1
+    t.set_properties({"delta.autoOptimize.optimizeWrite": "true"})
+    before = len(t.snapshot_adds())
+    t.append(_ev(spark, 30).filter(F.col("event_id") >= 10).repartition(8))
+    assert len(t.snapshot_adds()) == before + 1  # not before + 8
+    assert t.read(spark).count() == 30
+
+
+def test_auto_compact_bounds_small_files(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: a 10-micro-batch ingest ends
+    with a bounded live-file count and bit-identical content, no
+    explicit OPTIMIZE call; the compaction commits are
+    dataChange=false (CDF skips them) with operationParameters
+    auto=true; a concurrent-conflict abort is silent (best-effort)."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10).repartition(1))
+    t.set_properties(
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.autoCompact.minNumFiles": "4",
+        }
+    )
+    for i in range(1, 11):
+        t.append(
+            _ev(spark, (i + 1) * 10)
+            .filter(F.col("event_id") >= i * 10)
+            .repartition(1)
+        )
+    # bounded: compaction keeps live files under the trigger threshold
+    # plus the since-last-trigger tail (10 appends would otherwise be
+    # 11+ live files)
+    assert len(t.snapshot_adds()) < 5
+    assert t.read(spark).count() == 110
+    assert (
+        t.read(spark).agg(F.sum("event_id")).collect()[0][0]
+        == 110 * 109 // 2
+    )
+    autos = [
+        a["commitInfo"]
+        for _, a in t._exact_commit_actions()
+        if "commitInfo" in a
+        and a["commitInfo"].get("operation") == "OPTIMIZE"
+        and (a["commitInfo"].get("operationParameters") or {}).get("auto")
+        == "true"
+    ]
+    assert autos  # compaction actually ran, uninvoked
+    # CDF: auto compact commits publish NO change rows
+    ver = t.latest_version()
+    changes = t.read_changes(spark, -1, ver)
+    assert changes.filter(F.col("_change_type") == "insert").count() == 110
+    # partitioned: the per-partition trigger counts files per
+    # partitionValues group, and compaction stays inside partitions
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 12), partition_by=("user_id",))
+    t2.set_properties(
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.autoCompact.minNumFiles": "3",
+        }
+    )
+    for i in range(1, 4):
+        t2.append(
+            _ev(spark, (i + 1) * 12).filter(F.col("event_id") >= i * 12)
+        )
+    per_part: dict = {}
+    for a in t2.snapshot_adds().values():
+        k = tuple(sorted((a.get("partitionValues") or {}).items()))
+        per_part[k] = per_part.get(k, 0) + 1
+    assert max(per_part.values()) < 3
+    assert t2.read(spark).count() == 48
