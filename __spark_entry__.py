@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Ops added DURING round 14 — each needs a first driver row.
 _R14_NEW_THIS_ROUND: list[str] = [
     "sink_delta_auto_compact",
+    "stream_schema_tracking",
 ]
 
 # Ops whose implementation changed in r14 — re-verification rows
@@ -50,6 +51,12 @@ _R14_CHANGED_THIS_ROUND: list[str] = [
     "sink_delta_clone_deep",
     "sink_vacuum",
     "sink_delta_log_cleanup",
+    # stream reader gained schema-change detection / tracking /
+    # skipChangeCommits / widening casts
+    "stream_table_source",
+    "stream_table_source_rate_limited",
+    "stream_cdf_source",
+    "cdf_incremental_sync",
 ]
 
 # Stale cohort for r14: the 15-op r4-green spill from r13 (win_sliding

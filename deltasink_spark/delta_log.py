@@ -7597,6 +7597,48 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _tracked_schema_entry(loc: str | None) -> dict | None:
+    """Latest entry of a stream's SCHEMA TRACKING LOG (delta-spark's
+    schemaTrackingLocation): a directory of %020d.json records, each
+    the (tableVersion, schemaString, partitionColumns, configuration)
+    a restarting stream should resume under. None = never
+    initialized."""
+    if not loc or not os.path.isdir(loc):
+        return None
+    entries = sorted(
+        f for f in os.listdir(loc) if f.endswith(".json") and f[:20].isdigit()
+    )
+    if not entries:
+        return None
+    with open(os.path.join(loc, entries[-1])) as fh:
+        return json.load(fh)
+
+
+def _persist_schema_entry(loc: str, entry: dict) -> None:
+    """Append a schema entry to the tracking log unless the latest
+    entry already matches (idempotent under replanned batches and
+    racing executors-side retries — the write is tmp + atomic
+    rename)."""
+    os.makedirs(loc, exist_ok=True)
+    cur = _tracked_schema_entry(loc)
+    if (
+        cur is not None
+        and cur.get("schemaString") == entry.get("schemaString")
+        and cur.get("partitionColumns") == entry.get("partitionColumns")
+    ):
+        return
+    nxt = 0
+    entries = sorted(
+        f for f in os.listdir(loc) if f.endswith(".json") and f[:20].isdigit()
+    )
+    if entries:
+        nxt = int(entries[-1][:20]) + 1
+    tmp = os.path.join(loc, f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, os.path.join(loc, f"{nxt:020d}.json"))
+
+
 class _AddFilePartition(InputPartition):
     def __init__(
         self,
@@ -7640,6 +7682,8 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         "maxfilespertrigger": "max_files_per_trigger",
         "startingversion": "starting_version",
         "startingtimestamp": "starting_timestamp",
+        "schematrackinglocation": "schema_tracking_location",
+        "skipchangecommits": "skip_change_commits",
     }
 
     def __init__(self, options) -> None:
@@ -7652,6 +7696,22 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         options = self.options
         self.path = options["path"]
         self.ignore_deletes = str(options.get("ignore_deletes", "")).lower() == "true"
+        # skipChangeCommits (delta-spark's successor to ignoreDeletes/
+        # ignoreChanges): skip ANY commit carrying dataChange removes
+        # in its entirety — rewrite adds are mostly already-served
+        # rows, so serving them would duplicate. Behavior-identical to
+        # ignore_deletes here (our ignore_deletes already skips whole
+        # commits, the only correct reading); both names accepted.
+        self.skip_change_commits = (
+            str(options.get("skip_change_commits", "")).lower() == "true"
+        )
+        # schemaTrackingLocation (delta-spark's non-additive schema
+        # evolution contract): the stream PERSISTS the schema it reads
+        # under; a mid-stream schema change fails the run loudly after
+        # recording the NEW schema, and the restarted stream resumes
+        # under it — old files conform (typed-null padding, physical->
+        # logical rename continuity, widening casts) at read time.
+        self.schema_tracking_location = options.get("schema_tracking_location")
         # read_cdf=true turns the source into a streaming CHANGE FEED
         # (delta-spark's readChangeFeed): every commit's exact change
         # rows — cdc files when the commit published them, synthesized
@@ -7689,6 +7749,58 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             p: l for l, p in (self.table.column_mapping() or {}).items()
         }
         s = self.table.schema()
+        if self.schema_tracking_location:
+            tracked = _tracked_schema_entry(self.schema_tracking_location)
+            if tracked is None:
+                # first run: initialize the tracking log with the
+                # schema this stream starts under
+                m = self.table._metadata_dict() or {}
+                if m.get("schemaString"):
+                    _persist_schema_entry(
+                        self.schema_tracking_location,
+                        {
+                            "tableVersion": self.table.latest_version(),
+                            "schemaString": m["schemaString"],
+                            "partitionColumns": list(
+                                m.get("partitionColumns") or ()
+                            ),
+                            "configuration": m.get("configuration") or {},
+                        },
+                    )
+            else:
+                # restart: resume under the TRACKED schema (the one a
+                # detected change persisted), not whatever the table
+                # says now — a second later change must still be
+                # detected against this baseline
+                s = StructType.fromJson(json.loads(tracked["schemaString"]))
+                self.pcols = tuple(tracked.get("partitionColumns") or ())
+                if (tracked.get("configuration") or {}).get(
+                    "delta.columnMapping.mode"
+                ) == "name":
+                    self._phys_to_logical = {
+                        (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        ): f.name
+                        for f in s.fields
+                    }
+                else:
+                    self._phys_to_logical = {}
+        # the DECLARED baseline a mid-stream metaData action is
+        # compared against, keyed by PHYSICAL identity (files carry
+        # physical columns; logical renames must compare as the same
+        # column): physical name -> (typeName, simpleString)
+        self._decl_phys = (
+            {
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ): (f.dataType.typeName(), f.dataType.simpleString())
+                for f in s.fields
+            }
+            if s is not None
+            else {}
+        )
+        _l2p = {l: p for p, l in self._phys_to_logical.items()}
+        self._decl_pcols_phys = tuple(_l2p.get(c, c) for c in self.pcols)
         self.field_order = [f.name for f in s.fields] if s else []
         if self.read_cdf:
             self.field_order += ["_change_type", "_commit_version"]
@@ -7841,7 +7953,8 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         # segments (coarse attribution, no cdc) must never substitute
         for v, a in self.table._actions(hi, from_version=start, exact=True):
             slot = by_version.setdefault(
-                v, {"adds": [], "cdc": [], "rms": [], "del": False}
+                v,
+                {"adds": [], "cdc": [], "rms": [], "del": False, "meta": None},
             )
             if "add" in a and a["add"].get("dataChange"):
                 slot["adds"].append(a["add"])
@@ -7850,9 +7963,12 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             elif "remove" in a and a["remove"].get("dataChange"):
                 slot["del"] = True
                 slot["rms"].append(a["remove"])
+            elif "metaData" in a:
+                slot["meta"] = a["metaData"]
         out: list[tuple[int, dict, str]] = list(initial)
         for v in sorted(by_version):
             slot = by_version[v]
+            self._check_schema_change(v, slot.get("meta"))
             if self.read_cdf:
                 # change-feed mode: cdc actions carry the exact rows;
                 # commits without cdc fall back to dataChange adds as
@@ -7866,12 +7982,12 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                     out.extend((v, r, "rm") for r in slot["rms"])
                 continue
             if slot["del"]:
-                if not self.ignore_deletes:
+                if not (self.ignore_deletes or self.skip_change_commits):
                     raise ValueError(
                         f"commit {v} deletes or rewrites data; streaming a "
                         "table with row-level deletes requires "
-                        "ignore_deletes=true (or read_cdf=true) — refusing "
-                        "to silently drop them"
+                        "skip_change_commits=true / ignore_deletes=true "
+                        "(or read_cdf=true) — refusing to silently drop them"
                     )
                 # skip the WHOLE commit: its adds are rewrites of
                 # already-served rows — serving them would duplicate
@@ -7885,6 +8001,83 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         don't carry partitionValues, so synthesized-delete partitions
         recover them from the file's directory (shared module fold)."""
         return _pvals_of_rel_path(rel)
+
+    def _check_schema_change(self, v: int, meta: dict | None) -> None:
+        """Mid-stream SCHEMA CHANGE discipline (delta-spark's streaming
+        source contract): a metaData action in the admitted range is
+        checked for READABILITY UNDER THIS STREAM'S DECLARED BASELINE,
+        by PHYSICAL column identity — files written under a schema
+        whose every physical column exists in the baseline at the same
+        (or a narrower, widening-castable) type serve fine (that is
+        every HISTORICAL schema after a restart: old logical names
+        rebind via physicalName, missing columns pad as typed nulls,
+        narrow files up-cast — so a restarted stream never re-trips on
+        its own history). A schema the baseline CANNOT represent — an
+        added column (would silently drop), a widened type (would
+        misread), repartitioning — must never be served silently: a
+        running query's output schema is fixed. Without schema
+        tracking: fail loudly (restart required). With
+        schema_tracking_location: PERSIST the new schema first, then
+        fail the run — the restarted stream resumes under the tracked
+        schema and Spark's WAL replays this exact batch, now
+        conformable. Config-only metaData commits (SET TBLPROPERTIES)
+        pass through untouched (same schemaString)."""
+        if meta is None or not meta.get("schemaString"):
+            return
+        new_s = StructType.fromJson(json.loads(meta["schemaString"]))
+        new_pcols_phys = []
+        readable = True
+        for f in new_s.fields:
+            phys = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            d = self._decl_phys.get(phys)
+            if d is None:
+                readable = False
+                break
+            d_tn, d_ss = d
+            m_tn, m_ss = f.dataType.typeName(), f.dataType.simpleString()
+            if m_ss != d_ss and (m_tn, d_tn) not in _TYPE_WIDENINGS:
+                readable = False
+                break
+        if readable:
+            new_l2p = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in new_s.fields
+            }
+            new_pcols_phys = [
+                new_l2p.get(c, c)
+                for c in (meta.get("partitionColumns") or ())
+            ]
+            if tuple(new_pcols_phys) != self._decl_pcols_phys:
+                readable = False
+        if readable:
+            return
+        if self.schema_tracking_location:
+            _persist_schema_entry(
+                self.schema_tracking_location,
+                {
+                    "tableVersion": v,
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or ()
+                    ),
+                    "configuration": meta.get("configuration") or {},
+                },
+            )
+            raise ValueError(
+                f"schema of the Delta table changed at version {v}; the "
+                "new schema was persisted to the schema tracking location "
+                "— restart the stream to continue under it (this batch "
+                "replays from the checkpoint)"
+            )
+        raise ValueError(
+            f"schema of the Delta table changed at version {v}; restart "
+            "the stream, or set schema_tracking_location "
+            "(schemaTrackingLocation) to continue across schema changes"
+        )
 
     def partitions(self, start: dict, end: dict):
         # the admission cursor: covers both live progress and a
@@ -7962,8 +8155,22 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                 "_commit_version",
                 pa.array([partition.version] * n, pa.int64()),
             )
+        # numeric types a pre-widening file may carry NARROWER than
+        # the declared schema (type widening: int->bigint, float->
+        # double, int->double) — cast-conformed below; everything else
+        # (timestamps' tz flavors, decimals, compounds) must never be
+        # cast here
+        castable = {
+            "bigint", "int", "smallint", "tinyint", "double", "float",
+        }
+        type_drift = any(
+            self.ptypes.get(nm) in castable
+            and t.schema.field(i).type != self._pa_type(self.ptypes[nm])
+            for i, nm in enumerate(t.column_names)
+        )
         if self.field_order and (
             self.pcols
+            or type_drift
             or t.column_names != self.field_order
         ):
             # conform the file to the DECLARED schema: re-materialize
@@ -7981,6 +8188,13 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             from_pvals = set(self.pcols) if partition.kind != "cdc" else set()
             for c in self.field_order:
                 if c in cols and c not in from_pvals:
+                    simple = self.ptypes.get(c)
+                    if simple in castable:
+                        want = self._pa_type(simple)
+                        if cols[c].type != want:
+                            # pre-widening file: up-promote to the
+                            # declared type (the log schema wins)
+                            cols[c] = cols[c].cast(want)
                     continue
                 typ = self.ptypes.get(c, "string")
                 raw = partition.pvals.get(c) if c in from_pvals else None
@@ -8011,7 +8225,18 @@ class DeltaTableStreamDataSource(DataSource):
         return "delta_log_table"
 
     def schema(self):
-        s = DeltaLogTable(self.options["path"]).schema()
+        # a tracked schema (schemaTrackingLocation) WINS over the
+        # table's current one: the restarted stream must resume under
+        # the schema persisted at the detected change, and later
+        # changes are detected against that baseline, not blended in
+        loc = self.options.get("schema_tracking_location") or self.options.get(
+            "schematrackinglocation"
+        )
+        tracked = _tracked_schema_entry(loc)
+        if tracked is not None and tracked.get("schemaString"):
+            s = StructType.fromJson(json.loads(tracked["schemaString"]))
+        else:
+            s = DeltaLogTable(self.options["path"]).schema()
         if s is None:
             raise ValueError("table has no metaData action yet")
         if str(self.options.get("read_cdf", "")).lower() == "true":

@@ -3239,3 +3239,84 @@ def sink_delta_auto_compact(spark, sf_dir):
         ]
         assert autos, "auto compaction never triggered"
     return t.read(spark)
+
+
+@query(
+    "stream_schema_tracking",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id % 3 = 2
+                THEN 'c' || CAST(user_id AS VARCHAR) END AS channel
+    FROM events
+    """,
+)
+def stream_schema_tracking(spark, sf_dir):
+    """STREAMING SCHEMA TRACKING (delta-spark's schemaTrackingLocation,
+    r13 verdict missing #2): a table stream survives a mid-stream
+    schema change by RESTARTING under the tracked schema. Run 1 drains
+    the pre-change batch; an unserved old-schema batch plus a
+    schema-evolving append (new `channel` column) land; run 2 FAILS
+    after persisting the new schema to the tracking location (a
+    running query's output schema is fixed — serving the new files
+    would silently drop the column); run 3 resumes from the same
+    checkpoint under the NEW schema, and the old-schema file arrives
+    typed-null padded BY THE SOURCE while the evolved rows carry their
+    values. The drain lands in a collector Delta table via
+    foreachBatch (distributed — no driver materialization of data).
+    Readability is judged by PHYSICAL column identity, so a restart
+    never re-trips on its own history (the creation metaData is a
+    physical subset of the tracked schema). Oracle = the full source
+    with channel recomputed for the post-evolution slice. Scale: the
+    check is O(metaData actions in range) driver metadata; padding and
+    widening casts are per-batch arrow ops in the stream workers."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _fresh_table("strack")
+    shutil.rmtree(os.path.join(_DL_BASE, "strack_sink"), ignore_errors=True)
+    sinkt = DeltaLogTable(os.path.join(_DL_BASE, "strack_sink"))
+    loc = os.path.join(_DL_BASE, "strack_loc")
+    ckpt = os.path.join(_DL_BASE, "strack_ckpt")
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 3 == 0))
+    spark.dataSource.register(DeltaTableStreamDataSource)
+
+    def run():
+        q = (
+            spark.readStream.format("delta_log_table")
+            .option("path", t.path)
+            .option("schemaTrackingLocation", loc)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: sinkt.append(df, merge_schema=True)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # drains the pre-change slice under the old schema
+    t.append(ev.filter(F.col("event_id") % 3 == 1))  # unserved, old schema
+    t.append(
+        ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "channel",
+            F.concat(F.lit("c"), F.col("user_id").cast("string")),
+        ),
+        merge_schema=True,
+    )
+    try:
+        run()
+        raise AssertionError(
+            "mid-stream schema change must fail the run after "
+            "persisting the new schema"
+        )
+    except StreamingQueryException as ex:
+        assert "persisted" in str(ex), str(ex)
+    run()  # resumes under the tracked (evolved) schema
+    if sinkt.latest_version() < 0:
+        sinkt.append(
+            spark.createDataFrame([], _EV_SCHEMA + ", channel string")
+        )
+    return sinkt.read(spark)

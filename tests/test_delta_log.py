@@ -3931,3 +3931,158 @@ def test_auto_compact_bounds_small_files(spark, tmp_path):
         per_part[k] = per_part.get(k, 0) + 1
     assert max(per_part.values()) < 3
     assert t2.read(spark).count() == 48
+
+
+def test_stream_schema_change_refuses_without_tracking(spark, tmp_path):
+    """A mid-stream schema change (a column added ahead of this
+    reader's declared baseline) must fail the stream loudly — a
+    running query's output schema is fixed, so serving the new files
+    would silently drop the added column. Historical schema changes
+    BEHIND the baseline (a restart scanning the creation metaData)
+    serve fine — readability is judged by physical identity."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    r = DeltaTableStreamReader({"path": t.path})
+    t.append(
+        _ev(spark, 20)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("tag", F.lit("x")),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema.*changed"):
+        r.partitions({"v": -1}, {"v": t.latest_version()})
+    # a FRESH reader (baseline = evolved schema) serves the whole
+    # history: the creation metaData is a physical subset
+    r2 = DeltaTableStreamReader({"path": t.path})
+    assert r2.partitions({"v": -1}, {"v": t.latest_version()})
+
+
+def test_stream_schema_tracking_restart_continuity(spark, tmp_path):
+    """schemaTrackingLocation end-to-end: run 1 drains under the old
+    schema; an unserved old-schema batch plus an evolving append land;
+    run 2 FAILS after persisting the new schema to the tracking
+    location; run 3 resumes from the same checkpoint under the NEW
+    schema — the old-schema file arrives typed-null padded by the
+    SOURCE, the evolved rows carry their values."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _table(tmp_path)
+    loc = str(tmp_path / "strack")
+    ckpt = str(tmp_path / "ckpt")
+    t.append(_ev(spark, 10))
+    spark.dataSource.register(DeltaTableStreamDataSource)
+
+    def run():
+        got: list = []
+        q = (
+            spark.readStream.format("delta_log_table")
+            .option("path", t.path)
+            .option("schemaTrackingLocation", loc)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    out1 = run()
+    assert len(out1) == 10
+    assert list(out1[0].asDict()) == ["event_id", "user_id", "value"]
+    # unserved old-schema batch, then the schema-evolution commit
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10))
+    t.append(
+        _ev(spark, 30)
+        .filter(F.col("event_id") >= 20)
+        .withColumn("tag", F.concat(F.lit("t"), F.col("user_id"))),
+        merge_schema=True,
+    )
+    with pytest.raises(StreamingQueryException, match="persisted"):
+        run()
+    out3 = run()
+    assert list(out3[0].asDict()) == ["event_id", "user_id", "value", "tag"]
+    rows = {r["event_id"]: r["tag"] for r in out3}
+    assert set(rows) == set(range(10, 30))
+    assert all(rows[i] is None for i in range(10, 20))  # source-padded
+    assert all(rows[i] == f"t{i % 7}" for i in range(20, 30))
+
+
+def test_stream_schema_tracking_rename_and_widen(spark, tmp_path):
+    """Non-additive continuity: a column-mapping RENAME rebinds by
+    physicalName (old files keep serving under the new logical name),
+    and a type WIDENING up-casts pre-widening files — both require the
+    tracking restart, and a second change is detected against the
+    TRACKED baseline, not the table's current schema."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _table(tmp_path)
+    loc = str(tmp_path / "strack2")
+    ckpt = str(tmp_path / "ckpt2")
+    t.append(
+        _ev(spark, 10).withColumn(
+            "score", (F.col("event_id") % 5).cast("int")
+        )
+    )
+    t.enable_column_mapping()
+    spark.dataSource.register(DeltaTableStreamDataSource)
+
+    def run():
+        got: list = []
+        q = (
+            spark.readStream.format("delta_log_table")
+            .option("path", t.path)
+            .option("schema_tracking_location", loc)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    assert len(run()) == 10
+    t.rename_column("score", "points")
+    t.append(
+        _ev(spark, 20)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("points", (F.col("event_id") % 5).cast("bigint")),
+        merge_schema=True,  # rename already landed; widening int->long
+    )
+    with pytest.raises(StreamingQueryException, match="persisted"):
+        run()
+    out = run()
+    d = out[0].asDict()
+    assert "points" in d and "score" not in d
+    rows = {r["event_id"]: r["points"] for r in out}
+    assert set(rows) == set(range(10, 20))
+    assert all(rows[i] == i % 5 for i in range(10, 20))
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits (delta-spark's successor option): a commit
+    carrying dataChange removes is skipped in its ENTIRETY — rewrite
+    adds never re-serve already-delivered rows."""
+    from deltasink_spark.delta_log import DeltaTableStreamReader
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.delete_where(spark, "event_id < 5")
+    r = DeltaTableStreamReader({"path": t.path})
+    with pytest.raises(ValueError, match="skip_change_commits"):
+        r.partitions({"v": -1}, {"v": t.latest_version()})
+    # Spark lower-cases DataSource option keys before they reach the
+    # reader — direct construction mimics that
+    r2 = DeltaTableStreamReader(
+        {"path": t.path, "skipchangecommits": "true"}
+    )
+    parts = r2.partitions({"v": -1}, {"v": t.latest_version()})
+    # only version 0's adds serve; the delete commit contributes none
+    assert parts and all(p.version == 0 for p in parts)
