@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R14_NEW_THIS_ROUND: list[str] = [
     "sink_delta_auto_compact",
     "stream_schema_tracking",
+    "scan_delta_log_id_mode",
 ]
 
 # Ops whose implementation changed in r14 — re-verification rows

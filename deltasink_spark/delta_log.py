@@ -1871,12 +1871,32 @@ class DeltaLogTable(_CheckpointMixin):
         s = self.schema()
         cm = self.column_mapping() or {}
         phys_of = {f.name: cm.get(f.name, f.name) for f in (s.fields if s else [])}
+        fid_of = (
+            self.column_field_ids()
+            if self.column_mapping_mode() == "id"
+            else {}
+        )
+        if fid_of:
+            # columnMapping mode "id": the requested schema carries
+            # parquet field ids, and Spark's fieldId.read path binds
+            # file columns BY ID — a foreign id-mode file whose
+            # physical column names differ from the log's
+            # physicalName still resolves correctly (the id is the
+            # durable identity; names are incidental)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         phys_schema = None
         if s is not None:
             phys_schema = (
                 StructType(
                     [
-                        StructField(phys_of[f.name], f.dataType, f.nullable)
+                        StructField(
+                            phys_of[f.name],
+                            f.dataType,
+                            f.nullable,
+                            {"parquet.field.id": fid_of[phys_of[f.name]]}
+                            if phys_of[f.name] in fid_of
+                            else None,
+                        )
                         for f in s.fields
                     ]
                 )
@@ -2117,6 +2137,7 @@ class DeltaLogTable(_CheckpointMixin):
         prefix: str = "part",
         partition_by: tuple[str, ...] = (),
         mapping: dict[str, str] | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> list[dict]:
         """Write ``df``'s partitions as uniquely-named parquet files in
         the table root (under Hive-style partition dirs when
@@ -2149,6 +2170,26 @@ class DeltaLogTable(_CheckpointMixin):
             )
             partition_by = tuple(cm.get(c, c) for c in partition_by)
         spark = df.sparkSession
+        if field_ids is None and self.column_mapping_mode() == "id":
+            field_ids = self.column_field_ids()
+        if field_ids:
+            # columnMapping mode "id": stamp the spec's stable field
+            # ids as PARQUET FIELD IDS (Spark's
+            # spark.sql.parquet.fieldId.write path — the id, not the
+            # name, is the column's durable identity in every file),
+            # so any id-resolving reader binds columns regardless of
+            # what the file calls them
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            df = df.select(
+                *[
+                    F.col(c).alias(
+                        c, metadata={"parquet.field.id": field_ids[c]}
+                    )
+                    if c in field_ids
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         tmp = os.path.join(self.path, f"tmp_stage_{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -2309,6 +2350,7 @@ class DeltaLogTable(_CheckpointMixin):
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
         identity_high: dict[str, int] | None = None,
+        column_mapping_mint: dict[str, tuple[int, str]] | None = None,
     ) -> list[dict]:
         schema = df.schema
         if identity:
@@ -2355,12 +2397,48 @@ class DeltaLogTable(_CheckpointMixin):
                     for f in schema.fields
                 ]
             )
+        cfg = {"delta.enableChangeDataFeed": "true"}
+        if column_mapping_mint:
+            # columnMapping mode "id", declared at CREATION (delta's
+            # rule — existing tables upgrade only to mode "name",
+            # because their files carry no field ids): every field
+            # gets a stable id + a uuid physical name, and the staged
+            # version-0 files already carry the matching parquet
+            # field ids (minted once in append, used for both)
+            from pyspark.sql.types import StructField
+
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {
+                            **(f.metadata or {}),
+                            "delta.columnMapping.id":
+                                column_mapping_mint[f.name][0],
+                            "delta.columnMapping.physicalName":
+                                column_mapping_mint[f.name][1],
+                        },
+                    )
+                    for f in schema.fields
+                ]
+            )
+            cfg["delta.columnMapping.mode"] = "id"
+            cfg["delta.columnMapping.maxColumnId"] = str(len(schema.fields))
         tfeats = _type_features_of_struct(schema)
-        proto = (
-            self._upgraded_protocol(tfeats, tfeats)
-            if tfeats
-            else dict(_PROTOCOL)
-        )
+        if column_mapping_mint:
+            if tfeats:
+                feats = tuple(sorted(set(tfeats) | {"columnMapping"}))
+                proto = self._upgraded_protocol(feats, feats)
+            else:
+                proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        else:
+            proto = (
+                self._upgraded_protocol(tfeats, tfeats)
+                if tfeats
+                else dict(_PROTOCOL)
+            )
         return [
             {"protocol": proto},
             {
@@ -2369,7 +2447,7 @@ class DeltaLogTable(_CheckpointMixin):
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema.json(),
                     "partitionColumns": list(partition_by),
-                    "configuration": {"delta.enableChangeDataFeed": "true"},
+                    "configuration": cfg,
                     "createdTime": _now_ms(),
                 }
             },
@@ -2756,14 +2834,18 @@ class DeltaLogTable(_CheckpointMixin):
 
     def column_mapping(self) -> dict[str, str] | None:
         """logical name -> physical name when the table runs in the
-        spec's columnMapping mode "name" (each field's
+        spec's columnMapping mode "name" OR "id" (each field's
         `delta.columnMapping.physicalName` metadata), else None.
-        Fields without an explicit physicalName map to themselves."""
+        Fields without an explicit physicalName map to themselves.
+        In mode "id" the physicalName is still what OUR writer stamps
+        into files; READS additionally resolve by parquet field id
+        (see _read_files), which is what makes foreign id-mode files
+        with different physical column names readable."""
         m = self._metadata_dict()
         if m is None:
             return None
         cfg = m.get("configuration") or {}
-        if cfg.get("delta.columnMapping.mode") != "name":
+        if cfg.get("delta.columnMapping.mode") not in ("name", "id"):
             return None
         s = StructType.fromJson(json.loads(m["schemaString"]))
         return {
@@ -2772,6 +2854,33 @@ class DeltaLogTable(_CheckpointMixin):
             )
             for f in s.fields
         }
+
+    def column_mapping_mode(self) -> str | None:
+        """The table's delta.columnMapping.mode ("name" / "id"), else
+        None."""
+        m = self._metadata_dict()
+        if m is None:
+            return None
+        mode = (m.get("configuration") or {}).get("delta.columnMapping.mode")
+        return mode if mode in ("name", "id") else None
+
+    def column_field_ids(self) -> dict[str, int]:
+        """PHYSICAL name -> parquet field id (each field's
+        `delta.columnMapping.id` metadata) on a mapped table — the
+        identity files carry in mode "id" (stamped as parquet field
+        ids on write, matched by id on read)."""
+        m = self._metadata_dict()
+        if m is None or self.column_mapping_mode() is None:
+            return {}
+        s = StructType.fromJson(json.loads(m["schemaString"]))
+        out = {}
+        for f in s.fields:
+            md = f.metadata or {}
+            if "delta.columnMapping.id" in md:
+                out[
+                    md.get("delta.columnMapping.physicalName", f.name)
+                ] = int(md["delta.columnMapping.id"])
+        return out
 
     def enable_column_mapping(self) -> int:
         """Upgrade to columnMapping mode "name" (delta's ALTER TABLE
@@ -2789,7 +2898,7 @@ class DeltaLogTable(_CheckpointMixin):
         if m is None:
             raise ValueError("cannot enable column mapping: no metaData yet")
         cfg = dict(m.get("configuration") or {})
-        if cfg.get("delta.columnMapping.mode") == "name":
+        if cfg.get("delta.columnMapping.mode") in ("name", "id"):
             raise ValueError("column mapping already enabled")
         s = StructType.fromJson(json.loads(m["schemaString"]))
         fields = []
@@ -4006,7 +4115,7 @@ class DeltaLogTable(_CheckpointMixin):
         base = self._metadata_dict() if base is None else base
         cur_schema = StructType.fromJson(json.loads(base["schemaString"]))
         cfg = dict(base.get("configuration") or {})
-        if cfg.get("delta.columnMapping.mode") == "name":
+        if cfg.get("delta.columnMapping.mode") in ("name", "id"):
             maxid = int(cfg.get("delta.columnMapping.maxColumnId", "0"))
             extra = [
                 StructField(
@@ -4083,6 +4192,7 @@ class DeltaLogTable(_CheckpointMixin):
         merge_schema: bool = False,
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
+        column_mapping_mode: str | None = None,
     ) -> int | None:
         """Append ``df`` as one commit. With (app_id, txn_version) the
         commit is idempotent: a version at or below the appId's ledgered
@@ -4107,6 +4217,22 @@ class DeltaLogTable(_CheckpointMixin):
         a writer providing it is validated against the expression
         (mismatch rejects the write) — which is what makes a generated
         partition column trustworthy for pruning forever after."""
+        if column_mapping_mode is not None:
+            # columnMapping mode "id" exists only from CREATION: an
+            # existing table's files carry no parquet field ids, so an
+            # upgrade could never resolve them by id (delta's rule —
+            # upgrades go to mode "name" via enable_column_mapping)
+            if column_mapping_mode != "id":
+                raise ValueError(
+                    "only column mapping mode 'id' is declared at "
+                    "creation; upgrade existing tables with "
+                    "enable_column_mapping() (mode 'name')"
+                )
+            if self.latest_version() >= 0:
+                raise ValueError(
+                    "column mapping mode 'id' is declared on the FIRST "
+                    "commit (Delta: id mode only at table creation)"
+                )
         if generated:
             if self.latest_version() >= 0:
                 raise ValueError(
@@ -4250,23 +4376,51 @@ class DeltaLogTable(_CheckpointMixin):
                 id_meta = None
         self._enforce_constraints(df)
         stage_mapping = None
+        stage_field_ids = None
+        cm_mint = None
         if evolved_meta is not None and (
             evolved_meta.get("configuration") or {}
-        ).get("delta.columnMapping.mode") == "name":
+        ).get("delta.columnMapping.mode") in ("name", "id"):
+            ev_fields = StructType.fromJson(
+                json.loads(evolved_meta["schemaString"])
+            ).fields
             stage_mapping = {
                 f.name: (f.metadata or {}).get(
                     "delta.columnMapping.physicalName", f.name
                 )
-                for f in StructType.fromJson(
-                    json.loads(evolved_meta["schemaString"])
-                ).fields
+                for f in ev_fields
             }
+            if (
+                evolved_meta.get("configuration") or {}
+            ).get("delta.columnMapping.mode") == "id":
+                # evolving an id-mode table: stage under the ids the
+                # evolved metaData is about to publish
+                stage_field_ids = {
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ): int((f.metadata or {})["delta.columnMapping.id"])
+                    for f in ev_fields
+                    if "delta.columnMapping.id" in (f.metadata or {})
+                }
+        elif column_mapping_mode == "id":
+            # creation: mint stable ids + uuid physical names ONCE —
+            # staging stamps them as parquet field ids, the version-0
+            # metaData publishes the identical mapping
+            cm_mint = {
+                f.name: (i, f"col-{uuid.uuid4().hex}")
+                for i, f in enumerate(df.schema.fields, start=1)
+            }
+            stage_mapping = {n: p for n, (_i, p) in cm_mint.items()}
+            stage_field_ids = {p: i for _n, (i, p) in cm_mint.items()}
         if (
             (self._metadata_dict() or {}).get("configuration") or {}
         ).get("delta.autoOptimize.optimizeWrite") == "true":
             df = self._optimize_write(df, tuple(partition_by))
         adds = self._stage_files(
-            df, partition_by=tuple(partition_by), mapping=stage_mapping
+            df,
+            partition_by=tuple(partition_by),
+            mapping=stage_mapping,
+            field_ids=stage_field_ids,
         )
         actions: list[dict] = list(widen_upgrade)
         if evolved_meta is not None:
@@ -4357,11 +4511,12 @@ class DeltaLogTable(_CheckpointMixin):
             def _first_commit_race() -> bool:
                 if self.latest_version() < 0:
                     return True  # still empty — we win version 0
-                if generated or identity:
+                if generated or identity or column_mapping_mode:
                     raise MetadataChangedError(
                         "a concurrent first append won version 0; "
-                        "generated/identity columns can only be declared "
-                        "at table creation — retry without them"
+                        "generated/identity columns and column mapping "
+                        "mode can only be declared at table creation — "
+                        "retry without them"
                     )
                 if self.identity_columns() or self.generated_columns():
                     raise MetadataChangedError(
@@ -4411,6 +4566,7 @@ class DeltaLogTable(_CheckpointMixin):
                 generated=generated,
                 identity=identity,
                 identity_high=first_identity_high,
+                column_mapping_mint=cm_mint,
             ),
         )
         if v is not None:

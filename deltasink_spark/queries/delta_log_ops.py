@@ -3320,3 +3320,110 @@ def stream_schema_tracking(spark, sf_dir):
             spark.createDataFrame([], _EV_SCHEMA + ", channel string")
         )
     return sinkt.read(spark)
+
+
+@query(
+    "scan_delta_log_id_mode",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 30, FALSE)
+    """,
+)
+def scan_delta_log_id_mode(spark, sf_dir):
+    """COLUMN MAPPING MODE "id" (r13 verdict missing #3): columns
+    resolve by PARQUET FIELD ID, not name. The fixture is a
+    HAND-AUTHORED foreign id-mode table whose data file carries
+    physical column names (`c_one`/`c_two`/`c_three`) that DISAGREE
+    with the log's physicalName (`col-pa`/`col-pb`/`col-pc`) — only
+    the field ids (1/2/3) line up, exactly what a foreign engine that
+    renamed its physical columns emits; our reader binds by id
+    (Spark's parquet fieldId.read path under a field-id-annotated
+    requested schema). OUR writer then appends INTO the foreign table
+    (staged files carry the log's physicalNames AND matching parquet
+    field ids — any id-resolving reader accepts them), and a
+    DELETE rewrites id-stamped files through the same discipline.
+    Oracle = both slices minus the deleted rows, from the source.
+    Scale: id resolution is a per-file schema-reconciliation rule in
+    the scan, zero extra IO; renames stay O(1) metadata forever."""
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType
+
+    path = os.path.join(_DL_BASE, "idmode")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.join(path, "_delta_log"))
+    ev = _ev(spark, sf_dir)
+    # foreign data file: scrambled physical names, correct field ids
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    tmp = os.path.join(path, "tmp_stage")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("c_one", metadata={"parquet.field.id": 1}),
+            F.col("user_id").alias("c_two", metadata={"parquet.field.id": 2}),
+            F.col("value").alias("c_three", metadata={"parquet.field.id": 3}),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(
+        os.path.join(tmp, part),
+        os.path.join(path, "part-00000-foreign.c000.snappy.parquet"),
+    )
+    shutil.rmtree(tmp)
+    fields = [
+        ("event_id", "long", 1, "col-pa"),
+        ("user_id", "long", 2, "col-pb"),
+        ("value", "double", 3, "col-pc"),
+    ]
+    schema_str = StructType(
+        [
+            StructField(
+                n,
+                StructType.fromDDL(f"x {t}").fields[0].dataType,
+                True,
+                {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": p,
+                },
+            )
+            for n, t, i, p in fields
+        ]
+    ).json()
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "00000000-0000-0000-0000-0000000001d0",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                    "createdTime": 1,
+                }
+            },
+            {
+                "add": {
+                    "path": "part-00000-foreign.c000.snappy.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            },
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    t = DeltaLogTable(path)
+    assert t.column_mapping_mode() == "id"
+    # our writer appends INTO the foreign table; a DELETE then
+    # rewrites through the same id-stamped staging
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    if t.snapshot_files():
+        t.delete_where(spark, "value < 30")
+    return t.read(spark)

@@ -4086,3 +4086,126 @@ def test_stream_skip_change_commits(spark, tmp_path):
     parts = r2.partitions({"v": -1}, {"v": t.latest_version()})
     # only version 0's adds serve; the delete commit contributes none
     assert parts and all(p.version == 0 for p in parts)
+
+
+def test_column_mapping_id_contract(spark, tmp_path):
+    """columnMapping mode "id": declared at creation only (files must
+    carry field ids from the first byte), files stamp parquet field
+    ids matching delta.columnMapping.id, renames are pure metadata,
+    DML rewrites stay id-stamped, and the guards hold (no id-mode on
+    an existing table, no mode "name" via the creation kwarg, no
+    double enable)."""
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20), column_mapping_mode="id")
+    assert t.column_mapping_mode() == "id"
+    assert t._protocol_dict() == {"minReaderVersion": 2, "minWriterVersion": 5}
+    fids = t.column_field_ids()
+    assert sorted(fids.values()) == [1, 2, 3]
+    assert all(p.startswith("col-") for p in fids)
+    # staged files carry PARQUET field ids matching the log
+    for p in t.snapshot_adds():
+        sch = pq.read_schema(t._abs_of_add_path(p))
+        got = {
+            n: int(sch.field(n).metadata[b"PARQUET:field_id"])
+            for n in sch.names
+        }
+        assert got == fids
+    # rename = metadata; reads rebind by id/physical
+    t.rename_column("user_id", "uid")
+    assert t.read(spark).columns == ["event_id", "uid", "value"]
+    assert t.read(spark).agg(F.sum("uid")).collect()[0][0] == sum(
+        i % 7 for i in range(20)
+    )
+    # DML rewrite keeps the id discipline
+    t.delete_where(spark, "event_id < 5")
+    t.optimize(spark, target_files=1)
+    assert t.read(spark).count() == 15
+    for p in t.snapshot_adds():
+        sch = pq.read_schema(t._abs_of_add_path(p))
+        assert all(
+            sch.field(n).metadata
+            and b"PARQUET:field_id" in sch.field(n).metadata
+            for n in sch.names
+        )
+    # guards
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_column_mapping()
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 5))
+    with pytest.raises(ValueError, match="FIRST commit"):
+        t2.append(_ev(spark, 5), column_mapping_mode="id")
+    with pytest.raises(ValueError, match="only column mapping mode 'id'"):
+        _table(tmp_path, "t3").append(
+            _ev(spark, 5), column_mapping_mode="name"
+        )
+
+
+def test_column_mapping_id_resolves_foreign_names_by_field_id(
+    spark, tmp_path
+):
+    """A foreign id-mode data file whose physical column NAMES differ
+    from the log's physicalName still reads correctly — binding is by
+    parquet field id (swapped names would poison a name-based read:
+    the values would land in the wrong columns)."""
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType
+
+    path = str(tmp_path / "fid")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    tmp = os.path.join(path, "tmp")
+    # file names SWAPPED vs semantics: ids are the only truth
+    (
+        _ev(spark, 10)
+        .select(
+            F.col("event_id").alias("value", metadata={"parquet.field.id": 1}),
+            F.col("user_id").alias("event_id", metadata={"parquet.field.id": 2}),
+            F.col("value").alias("user_id", metadata={"parquet.field.id": 3}),
+        )
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, part), os.path.join(path, "f.parquet"))
+    import shutil as _sh
+
+    _sh.rmtree(tmp)
+    longt = StructType.fromDDL("x long").fields[0].dataType
+    dbl = StructType.fromDDL("x double").fields[0].dataType
+    schema_str = StructType(
+        [
+            StructField("event_id", longt, True,
+                        {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-a"}),
+            StructField("user_id", longt, True,
+                        {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-b"}),
+            StructField("value", dbl, True,
+                        {"delta.columnMapping.id": 3,
+                         "delta.columnMapping.physicalName": "col-c"}),
+        ]
+    ).json()
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "00000000-0000-0000-0000-0000000000f1",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str, "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 1,
+            }},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1,
+                     "dataChange": True}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    t = DeltaLogTable(path)
+    out = t.read(spark)
+    rows = {r["event_id"]: (r["user_id"], r["value"]) for r in out.collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[i] == (i % 7, i * 1.5) for i in range(10))
