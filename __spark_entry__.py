@@ -39,6 +39,7 @@ _R14_NEW_THIS_ROUND: list[str] = [
     "sink_delta_auto_compact",
     "stream_schema_tracking",
     "scan_delta_log_id_mode",
+    "join_stream_stream_right_outer",
 ]
 
 # Ops whose implementation changed in r14 — re-verification rows

@@ -7117,6 +7117,7 @@ class DeltaLogTable(_CheckpointMixin):
         retention_ms: int | None = None,
         dry_run: bool = False,
         force: bool = False,
+        mode: str = "lite",
     ) -> int:
         """Physically delete data files no longer in the CURRENT
         snapshot whose tombstones are at least ``retention_ms`` old
@@ -7140,6 +7141,21 @@ class DeltaLogTable(_CheckpointMixin):
         DRY RUN. Never touches unrecognized files outside the
         removed/DV sets. Returns files deleted (or deletable).
 
+        ``mode`` (delta's VACUUM ... LITE vs FULL, delta-spark 3.3):
+        "lite" (the default) drives deletion from the LOG'S REMOVE
+        HISTORY alone — O(checkpoint removes + tail) metadata, no
+        directory listing of the data tree, the only mode that stays
+        cheap on a 100 TB table with millions of files — and by
+        construction never touches a file the log doesn't know.
+        "full" ADDITIONALLY walks the table root and reclaims
+        UNTRACKED debris past the retention window (by mtime):
+        crash-orphaned staged files no commit ever referenced, foreign
+        junk, leftover tmp_stage dirs. Hidden trees (`_delta_log`,
+        `_change_data`, dot-files) are never touched, live files and
+        live DV payloads never qualify, and tombstoned files keep
+        their tombstone-age rule from the lite pass (mtime never
+        overrides a younger tombstone).
+
         `vacuumProtocolCheck` (PROTOCOL.md's Vacuum Protocol Check
         feature): when the table ledgers it, VACUUM runs the FULL
         writer-side protocol gate first — an unknown writerFeature may
@@ -7148,6 +7164,8 @@ class DeltaLogTable(_CheckpointMixin):
         fold would be permanent data loss. Without the feature, the
         read gate alone applies (delta's historical default, kept for
         parity)."""
+        if mode not in ("lite", "full"):
+            raise ValueError(f"vacuum mode must be 'lite' or 'full', got {mode!r}")
         proto = self._protocol_dict() or {}
         if "vacuumProtocolCheck" in (
             tuple(proto.get("writerFeatures") or ())
@@ -7245,6 +7263,54 @@ class DeltaLogTable(_CheckpointMixin):
                 if not dry_run:
                     os.remove(os.path.join(self.path, f))
                 n += 1
+        if mode == "full":
+            real_root = os.path.realpath(self.path)
+            for walk_root, dirs, files in os.walk(real_root):
+                rel_root = os.path.relpath(walk_root, real_root)
+                # hidden trees are never vacuum's to touch
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if not (d.startswith("_") or d.startswith("."))
+                ]
+                for f in files:
+                    if f.startswith("_") or f.startswith("."):
+                        continue
+                    if f.startswith("deletion_vector_") and f.endswith(
+                        ".bin"
+                    ):
+                        continue  # the DV pass above owns these
+                    fp = os.path.realpath(os.path.join(walk_root, f))
+                    rel = (
+                        f if rel_root == "." else os.path.join(rel_root, f)
+                    )
+                    if fp in live or rel in live_dvs:
+                        continue
+                    if fp in ever_removed:
+                        continue  # tombstoned: the lite pass owns it
+                    try:
+                        mt = os.path.getmtime(fp) * 1000
+                    except OSError:
+                        continue
+                    if retention_ms and mt > cutoff:
+                        continue  # too fresh: may be a commit in flight
+                    if not dry_run:
+                        os.remove(fp)
+                    n += 1
+            if not dry_run:
+                # reap now-empty debris dirs (crash-orphaned tmp_stage
+                # trees), bottom-up; live Hive partition dirs hold
+                # files and survive
+                for walk_root, dirs, files in os.walk(
+                    real_root, topdown=False
+                ):
+                    if walk_root == real_root:
+                        continue
+                    base = os.path.basename(walk_root)
+                    if base.startswith("_") or base.startswith("."):
+                        continue
+                    if not os.listdir(walk_root):
+                        os.rmdir(walk_root)
         return n
 
     def cleanup_log(self, retention_ms: int | None = None) -> int:

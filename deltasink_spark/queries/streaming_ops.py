@@ -1231,3 +1231,64 @@ def cdf_incremental_sync(spark, sf_dir):
                 f"applied={applied}, re-apply wrote={replayed}"
             )
     return replica.read(spark)
+
+
+@query(
+    "join_stream_stream_right_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    matched AS (
+        SELECT a.event_id AS eid_a, b.event_id AS eid_b, b.user_id AS uid
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE),
+    unmatched AS (
+        SELECT CAST(NULL AS BIGINT) AS eid_a, b.event_id AS eid_b,
+               b.user_id AS uid
+        FROM events b CROSS JOIN mx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events a
+            WHERE b.user_id = a.user_id AND a.event_id < b.event_id
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE)
+          AND epoch_us(b.ts) < epoch_ms(mts) * 1000 - 300000000)
+    SELECT eid_a, eid_b, uid FROM matched
+    UNION ALL SELECT eid_a, eid_b, uid FROM unmatched
+    """,
+)
+def join_stream_stream_right_outer(spark, sf_dir):
+    """Stream-stream RIGHT OUTER join — the matrix's last directional
+    cell (inner r5, left-outer r8, full r10, left-semi r13; the r13
+    verdict's missing #6): join_stream_stream_outer with the sides'
+    ROLES swapped — now the RIGHT row is the survivor, null-padded on
+    the LEFT once the watermark proves no earlier-event partner can
+    still arrive. The sealing rule mirrors by symmetry: a right row
+    b's admissible partners satisfy ts_a <= ts_b, so b's null-padded
+    result emits once the watermark (max event time at millisecond
+    granularity minus the 5-minute delay) passes ts_b itself — NOT
+    ts_b + 5min, the asymmetry that makes right-outer a distinct
+    semantics cell rather than a column swap (the left-outer seal
+    waits the full window; the right seal only waits the delay).
+    Unmatched right rows newer than that stay in state and are
+    correctly absent from the bounded drain.
+
+    Scale shape: the same symmetric stateful hash join partitioned on
+    user_id, state bounded by the watermark delay — the right buffer
+    holds at most the delay window of per-key rows, evicted the
+    moment the seal rule fires."""
+    a = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("uid2"), F.col("ts").alias("ts_a")
+    )
+    b = with_watermark(events_stream(spark, sf_dir), "ts", "5 minutes").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("uid"), F.col("ts").alias("ts_b")
+    )
+    joined = a.join(
+        b,
+        (F.col("uid") == F.col("uid2"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        "rightOuter",
+    ).select("eid_a", "eid_b", "uid")
+    name = _mem_name()
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)

@@ -4209,3 +4209,47 @@ def test_column_mapping_id_resolves_foreign_names_by_field_id(
     rows = {r["event_id"]: (r["user_id"], r["value"]) for r in out.collect()}
     assert set(rows) == set(range(10))
     assert all(rows[i] == (i % 7, i * 1.5) for i in range(10))
+
+
+def test_vacuum_lite_vs_full_untracked_debris(spark, tmp_path):
+    """VACUUM LITE vs FULL (delta-spark 3.3): LITE drives deletion
+    from the log's remove history alone — identical tracked deletions
+    to FULL, but a planted UNTRACKED debris file (crash-orphaned
+    stage residue) survives; FULL's directory walk reclaims it (and
+    empty debris dirs) past the retention window, never touching live
+    files, live DVs, or hidden trees."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30))
+    t.optimize(spark, target_files=1)  # superseded file -> tombstone
+    # planted debris: an orphaned data file and a crashed stage dir,
+    # both backdated past any window
+    debris = os.path.join(t.path, "part-orphan-crashed.parquet")
+    open(debris, "wb").write(b"junk")
+    os.utime(debris, (1, 1))
+    ddir = os.path.join(t.path, "tmp_stage_dead")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "part-half-staged.parquet")
+    open(dfile, "wb").write(b"junk")
+    os.utime(dfile, (1, 1))
+    os.utime(ddir, (1, 1))
+    # LITE and FULL agree on TRACKED deletions (dry-run counts)
+    lite_n = t.vacuum(0, dry_run=True, force=True)
+    full_n = t.vacuum(0, dry_run=True, force=True, mode="full")
+    assert full_n == lite_n + 2  # exactly the two debris files differ
+    # LITE: tombstoned files reclaimed, debris untouched
+    assert t.vacuum(0, force=True) == lite_n
+    assert os.path.exists(debris) and os.path.exists(dfile)
+    assert t.read(spark).count() == 30
+    # FULL: debris (and its empty dir) reclaimed, table intact
+    assert t.vacuum(0, force=True, mode="full") == 2
+    assert not os.path.exists(debris)
+    assert not os.path.exists(ddir)
+    assert os.path.isdir(t.log_dir)  # hidden trees untouched
+    assert t.read(spark).count() == 30
+    # a FRESH untracked file inside the window is protected by mtime
+    fresh = os.path.join(t.path, "part-fresh-inflight.parquet")
+    open(fresh, "wb").write(b"junk")
+    assert t.vacuum(retention_ms=10**12, force=True, mode="full") == 0
+    assert os.path.exists(fresh)
+    with pytest.raises(ValueError, match="lite.*full|full.*lite"):
+        t.vacuum(0, force=True, mode="deep")
