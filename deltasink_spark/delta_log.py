@@ -651,6 +651,163 @@ class FaultInjectingLogStore(LogStore):
         return out
 
 
+class CommitCoordinator:
+    """COORDINATED-COMMITS SPI (Delta's commit-coordinator / catalog-
+    managed commits RFC, delta-spark's CommitCoordinatorClient): for a
+    coordinator-OWNED table, the source of truth for the log's tail is
+    the COORDINATOR, not a filesystem listing — writers register each
+    commit with it (the coordinator serializes version assignment and
+    stages the payload under `_delta_log/_staged_commits/`), readers
+    merge its unbackfilled tail over the backfilled `%020d.json`
+    files, and BACKFILL later copies owned commits into the standard
+    files so filesystem-only readers catch up. This is how Delta
+    commits safely on stores with no put-if-absent primitive.
+
+    - ``commit(log_dir, version, payload)``: atomically claim
+      ``version`` and durably stage its payload; raises
+      FileExistsError when the version is already owned or backfilled
+      (the same conflict surface put-if-absent gives the funnel).
+    - ``get_commits(log_dir)``: version -> staged payload path for the
+      unbackfilled tail, ascending.
+    - ``backfill(store, log_dir)``: publish owned commits as standard
+      version files (idempotent put-if-absent; an already-backfilled
+      file is success), then drop them from the owned tail.
+    """
+
+    def commit(self, log_dir: str, version: int, payload: str) -> str:
+        raise NotImplementedError
+
+    def get_commits(self, log_dir: str) -> dict[int, str]:
+        raise NotImplementedError
+
+    def backfill(self, store: "LogStore", log_dir: str) -> int:
+        raise NotImplementedError
+
+
+class InProcessCoordinator(CommitCoordinator):
+    """In-process coordinator implementation: one shared object (the
+    'service') holding the owned tail per table under a threading
+    lock. Staged payloads are durable files under
+    `_delta_log/_staged_commits/<uuid>.<version>.json` — a crash loses
+    only the in-memory registry, and a restarted coordinator could
+    rebuild it from the staged dir (version is in the name); the
+    payloads themselves are never at risk."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._owned: dict[str, dict[int, str]] = {}
+
+    def commit(self, log_dir: str, version: int, payload: str) -> str:
+        with self._lock:
+            owned = self._owned.setdefault(log_dir, {})
+            if version in owned or os.path.exists(
+                os.path.join(log_dir, f"{version:020d}.json")
+            ):
+                raise FileExistsError(
+                    f"version {version} already committed"
+                )
+            staged_dir = os.path.join(log_dir, "_staged_commits")
+            os.makedirs(staged_dir, exist_ok=True)
+            sp = os.path.join(
+                staged_dir, f"{uuid.uuid4().hex}.{version:020d}.json"
+            )
+            fd = os.open(sp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, payload.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            owned[version] = sp
+            return sp
+
+    def get_commits(self, log_dir: str) -> dict[int, str]:
+        with self._lock:
+            return dict(sorted(self._owned.get(log_dir, {}).items()))
+
+    def backfill(self, store: "LogStore", log_dir: str) -> int:
+        n = 0
+        with self._lock:
+            owned = self._owned.get(log_dir, {})
+            for v in sorted(owned):
+                sp = owned[v]
+                real = os.path.join(log_dir, f"{v:020d}.json")
+                with open(sp) as fh:
+                    payload = fh.read()
+                try:
+                    store.put_if_absent(real, payload)
+                except FileExistsError:
+                    pass  # already backfilled (idempotent)
+                os.remove(sp)
+                del owned[v]
+                n += 1
+        return n
+
+
+class CoordinatedLogStore(LogStore):
+    """LogStore for a coordinator-OWNED table: version-file writes
+    route to the coordinator (owned commit), and list/read/exists
+    merge the coordinator's unbackfilled tail over the backfilled
+    files — so the whole commit funnel, every fold, and the race
+    matrix run UNCHANGED over coordinated tables. Non-version
+    artifacts (`.crc` sidecars, `_last_checkpoint`, compacted
+    segments) keep the plain store semantics; a reader with a PLAIN
+    LogStore sees only backfilled commits, the spec's filesystem-
+    reader contract."""
+
+    def __init__(self, coordinator: CommitCoordinator):
+        self.coordinator = coordinator
+
+    @staticmethod
+    def _version_of(path: str) -> tuple[str, int] | None:
+        log_dir, name = os.path.split(path)
+        if (
+            len(name) == 25
+            and name.endswith(".json")
+            and name[:20].isdigit()
+        ):
+            return log_dir, int(name[:20])
+        return None
+
+    def _staged_path(self, path: str) -> str | None:
+        ver = self._version_of(path)
+        if ver is None:
+            return None
+        log_dir, v = ver
+        if os.path.exists(path):
+            return None  # backfilled wins (same content by contract)
+        return self.coordinator.get_commits(log_dir).get(v)
+
+    def list(self, log_dir: str) -> list[str]:
+        out = super().list(log_dir)
+        known = set(out)
+        for v in self.coordinator.get_commits(log_dir):
+            name = f"{v:020d}.json"
+            if name not in known:
+                out.append(name)
+        return out
+
+    def read(self, path: str) -> str:
+        sp = self._staged_path(path)
+        return super().read(sp if sp is not None else path)
+
+    def exists(self, path: str) -> bool:
+        return super().exists(path) or self._staged_path(path) is not None
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        ver = self._version_of(path)
+        if ver is None:
+            super().put_if_absent(path, data)
+            return
+        log_dir, v = ver
+        self.coordinator.commit(log_dir, v, data)
+
+    def delete(self, path: str) -> None:
+        sp = self._staged_path(path)
+        super().delete(sp if sp is not None else path)
+
+
 class _CheckpointMixin:
     """Parquet checkpoints (the Delta spec's log-compaction mechanism):
     `_delta_log/%020d.checkpoint.parquet` holds the FULL reconstructed
@@ -4034,10 +4191,9 @@ class DeltaLogTable(_CheckpointMixin):
             p = vf.get(v)
             if p is None:
                 return None
-            with open(p) as fh:
-                for line in fh:
-                    if '"protocol"' in line and "protocol" in json.loads(line):
-                        return True
+            for line in self._store.read(p).splitlines():
+                if '"protocol"' in line and "protocol" in json.loads(line):
+                    return True
         return False
 
     def _check_write_protocol(self) -> None:
@@ -7353,15 +7509,14 @@ class DeltaLogTable(_CheckpointMixin):
             carries no commitInfo (optional per spec) — absent content
             must never read as infinitely old."""
             last = None
-            with open(path) as fh:
-                for line in fh:
-                    if line.strip():
-                        a = json.loads(line)
-                        if "commitInfo" in a:
-                            ci = a["commitInfo"]
-                            last = ci.get(
-                                "inCommitTimestamp", ci.get("timestamp")
-                            )
+            for line in self._store.read(path).splitlines():
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ci = a["commitInfo"]
+                        last = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
             if last is None:
                 last = int(os.path.getmtime(path) * 1000)
             return last

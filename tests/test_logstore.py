@@ -117,3 +117,82 @@ def test_race_matrix_over_fault_store(spark, tmp_path):
     )
     vf = [v for v, _ in t._version_files()]
     assert vf == list(range(len(vf)))
+
+
+def test_coordinated_commits_own_and_backfill(spark, tmp_path):
+    """Coordinated commits: a coordinator-owned table's commits stage
+    under _delta_log/_staged_commits and are visible to coordinated
+    handles IMMEDIATELY; a plain-filesystem reader sees only the
+    BACKFILLED prefix; backfill publishes the owned tail as standard
+    version files (idempotently) after which both views agree."""
+    from deltasink_spark.delta_log import (
+        CoordinatedLogStore,
+        InProcessCoordinator,
+    )
+
+    coord = InProcessCoordinator()
+    path = str(tmp_path / "t")
+    t = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    assert t.append(_ev(spark, 10)) == 0
+    assert t.append(_ev(spark, 20, lo=10)) == 1
+    # owned, unbackfilled: no standard version files yet
+    assert [v for v, _ in DeltaLogTable(path)._version_files()] == []
+    staged = os.listdir(os.path.join(t.log_dir, "_staged_commits"))
+    assert len(staged) == 2
+    # the coordinated view is complete and exact
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 20
+    # a second coordinated handle (same coordinator service) sees it
+    t2 = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    assert t2.read(spark).count() == 20
+    # filesystem reader: only backfilled commits exist
+    fs = DeltaLogTable(path)
+    assert fs.latest_version() == -1
+    # backfill publishes; both views converge; staged dir drains
+    assert coord.backfill(LogStore(), t.log_dir) == 2
+    assert [v for v, _ in fs._version_files()] == [0, 1]
+    assert fs.read(spark).count() == 20
+    assert os.listdir(os.path.join(t.log_dir, "_staged_commits")) == []
+    # backfill again: idempotent no-op
+    assert coord.backfill(LogStore(), t.log_dir) == 0
+    # post-backfill coordinated commits keep sequencing correctly
+    assert t.append(_ev(spark, 30, lo=20)) == 2
+    assert fs.latest_version() == 1  # still unbackfilled tail
+    coord.backfill(LogStore(), t.log_dir)
+    assert fs.read(spark).count() == 30
+
+
+def test_coordinated_commits_race_matrix(spark, tmp_path):
+    """The commit-race suite's core scenario over coordinator-owned
+    handles: interleaved appends and a row-level DELETE from two
+    handles sharing the coordinator — linearizable outcome, exact
+    content, contiguous owned versions, conflicts surfaced as the
+    same retryable the OCC loop already handles."""
+    from deltasink_spark.delta_log import (
+        CoordinatedLogStore,
+        InProcessCoordinator,
+    )
+
+    coord = InProcessCoordinator()
+    path = str(tmp_path / "t")
+    a = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    b = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    a.append(_ev(spark, 50))
+    b.append(_ev(spark, 100, lo=50))
+    a.delete_where(spark, "event_id < 10")
+    b.append(_ev(spark, 120, lo=100))
+    assert {r["event_id"] for r in a.read(spark).collect()} == set(
+        range(10, 120)
+    )
+    assert sorted(coord.get_commits(a.log_dir)) == [0, 1, 2, 3]
+    # a direct stale-version claim conflicts exactly like put-if-absent
+    with pytest.raises(FileExistsError):
+        coord.commit(a.log_dir, 3, "{}\n")
+    # checkpoint + backfill: a filesystem reader folds the whole state
+    coord.backfill(LogStore(), a.log_dir)
+    a.checkpoint()
+    fs = DeltaLogTable(path)
+    assert fs.read(spark).count() == 110
+    assert {r["event_id"] for r in fs.read(spark).collect()} == set(
+        range(10, 120)
+    )
