@@ -40,6 +40,7 @@ _R14_NEW_THIS_ROUND: list[str] = [
     "stream_schema_tracking",
     "scan_delta_log_id_mode",
     "join_stream_stream_right_outer",
+    "sink_delta_uniform",
 ]
 
 # Ops whose implementation changed in r14 — re-verification rows

@@ -1760,7 +1760,25 @@ class DeltaLogTable(_CheckpointMixin):
                 self._row_hwm_seen, self._row_hwm_cache = v, pend[1]
                 self._row_hwm_pending = None
             self._write_version_crc(v)
+            self._maybe_uniform(v)
             return v
+
+    def _maybe_uniform(self, v: int) -> None:
+        """UniForm post-commit hook: when
+        `delta.universalFormat.enabledFormats` contains "iceberg",
+        regenerate the Iceberg metadata tree for this commit's state
+        (deltasink_spark/uniform.py). The Delta commit is ALREADY
+        durable when this runs — a failure here raises loudly (the
+        Iceberg view lagged one commit; delta-spark's async converter
+        has the same window) rather than rolling anything back."""
+        cfg = (self._metadata_dict() or {}).get("configuration") or {}
+        if "iceberg" not in (
+            cfg.get("delta.universalFormat.enabledFormats") or ""
+        ):
+            return
+        from deltasink_spark import uniform
+
+        uniform.write_iceberg_snapshot(self, v)
 
     def _write_version_crc(self, v: int) -> None:
         """Write the VERSION CHECKSUM sidecar (`_delta_log/%020d.crc`,
@@ -8178,6 +8196,18 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         )
         _l2p = {l: p for p, l in self._phys_to_logical.items()}
         self._decl_pcols_phys = tuple(_l2p.get(c, c) for c in self.pcols)
+        # columnMapping mode "id": the stream's arrow-side reads bind
+        # file columns by PARQUET FIELD ID too (same rule as the batch
+        # scan) — a foreign id-mode file whose physical names disagree
+        # with the log still streams correctly
+        self._fid_to_logical: dict[int, str] = {}
+        if s is not None and self.table.column_mapping_mode() == "id":
+            for f in s.fields:
+                md = f.metadata or {}
+                if "delta.columnMapping.id" in md:
+                    self._fid_to_logical[
+                        int(md["delta.columnMapping.id"])
+                    ] = f.name
         self.field_order = [f.name for f in s.fields] if s else []
         if self.read_cdf:
             self.field_order += ["_change_type", "_commit_version"]
@@ -8507,7 +8537,17 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.abs_path)
-        if self._phys_to_logical:
+        if self._fid_to_logical:
+            names = []
+            for i, c in enumerate(t.column_names):
+                md = t.schema.field(i).metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                if fid is not None and int(fid) in self._fid_to_logical:
+                    names.append(self._fid_to_logical[int(fid)])
+                else:
+                    names.append(self._phys_to_logical.get(c, c))
+            t = t.rename_columns(names)
+        elif self._phys_to_logical:
             t = t.rename_columns(
                 [self._phys_to_logical.get(c, c) for c in t.column_names]
             )

@@ -1,0 +1,529 @@
+"""UniForm / icebergCompatV2 — Iceberg metadata generation for Delta
+tables (delta-spark's Universal Format: the SAME parquet data files,
+with an Iceberg `metadata/` tree written alongside `_delta_log` so an
+Iceberg catalog/reader consumes the table without a copy).
+
+Reference parity: delta.io UniForm (`delta.universalFormat.
+enabledFormats=iceberg`, `delta.enableIcebergCompatV2=true`) and the
+Apache Iceberg table spec v2 (metadata.json / manifest list /
+manifest files as Avro object-container files with Iceberg's
+field-id-annotated schemas).
+
+What is generated per Delta commit on an enabled table:
+
+- ``metadata/v<N>.metadata.json`` — format-version 2 table metadata:
+  the Delta schema mapped to an Iceberg schema (field ids = the
+  table's columnMapping ids when mapped, ordinals otherwise — exactly
+  icebergCompatV2's rule), the snapshot list (one snapshot per Delta
+  commit, sequence-number = Delta version), and the current snapshot
+  pointer.
+- ``metadata/snap-<id>-1-<uuid>.avro`` — the snapshot's MANIFEST LIST
+  (Avro OCF, spec field ids 500-517).
+- ``metadata/<uuid>-m0.avro`` — ONE manifest carrying every live data
+  file as an ADDED entry (each UniForm snapshot is an `overwrite`
+  snapshot describing the full live set — current-state reads are
+  exact; Iceberg-side incremental consumption degrades to full
+  snapshots, the documented trade of this writer).
+- ``metadata/version-hint.text`` — the filesystem-catalog pointer.
+
+Constraints enforced (icebergCompatV2's own): no deletion vectors in
+the live set (Iceberg v2 would need delete files) and no Hive
+partitioning (spec-id 0 is the unpartitioned spec; identity
+partition specs are a follow-up) — both REFUSE loudly rather than
+emit metadata Iceberg would misread.
+
+The Avro OCF writer/reader below implement the container format from
+the Avro 1.11 spec directly (magic `Obj\\x01`, metadata map with
+avro.schema/avro.codec, 16-byte sync, long-prefixed blocks) over the
+zigzag primitives in operators/avro.py — hand-encoded against the
+FIXED Iceberg schemas, no generic schema walker needed.
+
+Scale: generation is O(live files) driver metadata per enabled
+commit — the same order as the crc sidecar fold — and data files are
+never copied or rewritten; that is UniForm's entire point at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from deltasink_spark.operators.avro import read_long, write_long
+
+_MAGIC = b"Obj\x01"
+
+
+def _w_str(s: str, out: bytearray) -> None:
+    raw = s.encode("utf-8")
+    write_long(len(raw), out)
+    out += raw
+
+
+def _w_bytes(b: bytes, out: bytearray) -> None:
+    write_long(len(b), out)
+    out += b
+
+
+def avro_ocf_write(path: str, schema_json: str, records: list[bytes]) -> None:
+    """Write one Avro object-container file: header (magic, metadata
+    map carrying the writer schema + null codec, sync marker) and a
+    single block of pre-encoded record bodies."""
+    sync = os.urandom(16)
+    out = bytearray(_MAGIC)
+    write_long(2, out)  # metadata map: one count-prefixed block
+    _w_str("avro.schema", out)
+    _w_bytes(schema_json.encode("utf-8"), out)
+    _w_str("avro.codec", out)
+    _w_bytes(b"null", out)
+    write_long(0, out)  # end of map
+    out += sync
+    if records:
+        body = b"".join(records)
+        write_long(len(records), out)
+        write_long(len(body), out)
+        out += body
+        out += sync
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(out))
+    os.replace(tmp, path)
+
+
+def avro_ocf_read(path: str) -> tuple[str, list[bytes], list[int]]:
+    """Read an Avro OCF written with a KNOWN record layout: returns
+    (schema json, concatenated block bodies, per-block record counts).
+    Callers decode the bodies against the schema they expect —
+    sufficient for the fixed Iceberg manifest schemas and for
+    foreign-shape fixtures that use the same layout."""
+    buf = open(path, "rb").read()
+    if buf[:4] != _MAGIC:
+        raise ValueError(f"{path} is not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # count-prefixed-with-size form
+            _sz, pos = read_long(buf, pos)
+            n = -n
+        for _ in range(n):
+            kl, pos = read_long(buf, pos)
+            k = buf[pos : pos + kl].decode("utf-8")
+            pos += kl
+            vl, pos = read_long(buf, pos)
+            meta[k] = buf[pos : pos + vl]
+            pos += vl
+    if meta.get("avro.codec", b"null") not in (b"null", b""):
+        raise ValueError("only the null codec is supported")
+    sync = buf[pos : pos + 16]
+    pos += 16
+    bodies: list[bytes] = []
+    counts: list[int] = []
+    while pos < len(buf):
+        cnt, pos = read_long(buf, pos)
+        size, pos = read_long(buf, pos)
+        bodies.append(buf[pos : pos + size])
+        pos += size
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch — corrupt container")
+        pos += 16
+        counts.append(cnt)
+    return meta.get("avro.schema", b"{}").decode("utf-8"), bodies, counts
+
+
+# --- Iceberg schemas (table spec v2, field ids per the spec) -----------
+
+_MANIFEST_LIST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        ],
+    }
+)
+
+_MANIFEST_ENTRY_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [],
+                            },
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def _encode_manifest_list_entry(
+    manifest_path: str,
+    manifest_length: int,
+    sequence_number: int,
+    snapshot_id: int,
+    added_files: int,
+    added_rows: int,
+) -> bytes:
+    out = bytearray()
+    _w_str(manifest_path, out)
+    write_long(manifest_length, out)
+    write_long(0, out)  # partition_spec_id
+    write_long(0, out)  # content = data
+    write_long(sequence_number, out)
+    write_long(sequence_number, out)  # min_sequence_number
+    write_long(snapshot_id, out)
+    write_long(added_files, out)
+    write_long(0, out)  # existing_files_count
+    write_long(0, out)  # deleted_files_count
+    write_long(added_rows, out)
+    write_long(0, out)  # existing_rows_count
+    write_long(0, out)  # deleted_rows_count
+    return bytes(out)
+
+
+def _encode_manifest_entry(
+    status: int,
+    snapshot_id: int,
+    file_path: str,
+    record_count: int,
+    file_size: int,
+) -> bytes:
+    out = bytearray()
+    write_long(status, out)
+    write_long(1, out)  # snapshot_id: union branch 1 (long)
+    write_long(snapshot_id, out)
+    write_long(0, out)  # sequence_number: null (inherit)
+    write_long(0, out)  # file_sequence_number: null (inherit)
+    write_long(0, out)  # data_file.content = data
+    _w_str(file_path, out)
+    _w_str("PARQUET", out)
+    # partition: empty record — zero bytes
+    write_long(record_count, out)
+    write_long(file_size, out)
+    return bytes(out)
+
+
+_ICEBERG_TYPES = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_schema_fields(table) -> list[dict]:
+    """Delta schema -> Iceberg schema fields. Field ids are the
+    table's columnMapping ids when mapped (icebergCompatV2's rule —
+    the SAME ids ride the parquet files), ordinals otherwise."""
+    s = table.schema()
+    if s is None:
+        return []
+    fields = []
+    for i, f in enumerate(s.fields, start=1):
+        md = f.metadata or {}
+        fid = int(md.get("delta.columnMapping.id", i))
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            it = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _ICEBERG_TYPES:
+            it = _ICEBERG_TYPES[tn]
+        else:
+            raise ValueError(
+                f"icebergCompatV2: column {f.name} has type {tn}, which "
+                "this UniForm writer does not map"
+            )
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": it,
+            }
+        )
+    return fields
+
+
+def write_iceberg_snapshot(table, version: int) -> str:
+    """Generate the Iceberg metadata for ``table``'s state at its
+    current snapshot, as Delta commit ``version``. Returns the
+    metadata.json path. Refuses DV-carrying or partitioned tables
+    (icebergCompatV2's own preconditions)."""
+    if table.partition_columns():
+        raise ValueError(
+            "icebergCompatV2: Hive-partitioned tables are not supported "
+            "by this UniForm writer (identity partition specs are a "
+            "follow-up); unpartition or disable UniForm"
+        )
+    adds = table.snapshot_adds()
+    if any(a.get("deletionVector") for a in adds.values()):
+        raise ValueError(
+            "icebergCompatV2 requires no deletion vectors in the live "
+            "set (Iceberg v2 would need delete files) — purge DVs "
+            "(OPTIMIZE) before enabling UniForm"
+        )
+    meta_dir = os.path.join(table.path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = version + 1  # snapshot ids must be unique, non-zero
+    seq = version + 1
+    now = int(__import__("time").time() * 1000)
+    # one manifest with the full live set
+    entries = []
+    total_rows = 0
+    for p, a in sorted(adds.items()):
+        fp = table._abs_of_add_path(p)
+        nrec = 0
+        st = a.get("stats")
+        if st:
+            try:
+                nrec = int(json.loads(st).get("numRecords") or 0)
+            except (ValueError, TypeError):
+                nrec = 0
+        total_rows += nrec
+        entries.append(
+            _encode_manifest_entry(
+                1, snapshot_id, fp, nrec, int(a.get("size") or 0)
+            )
+        )
+    m_name = f"{uuid.uuid4().hex}-m0.avro"
+    m_path = os.path.join(meta_dir, m_name)
+    avro_ocf_write(m_path, _MANIFEST_ENTRY_SCHEMA, entries)
+    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(meta_dir, ml_name)
+    avro_ocf_write(
+        ml_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            _encode_manifest_list_entry(
+                m_path,
+                os.path.getsize(m_path),
+                seq,
+                snapshot_id,
+                len(entries),
+                total_rows,
+            )
+        ],
+    )
+    fields = _iceberg_schema_fields(table)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "sequence-number": seq,
+        "schema-id": 0,
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(entries)),
+            "added-records": str(total_rows),
+        },
+        "manifest-list": ml_path,
+    }
+    # carry forward prior snapshots (metadata version = delta version+1)
+    prior: list[dict] = []
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            prev_n = int(open(hint).read().strip())
+            prev = json.load(
+                open(os.path.join(meta_dir, f"v{prev_n}.metadata.json"))
+            )
+            prior = prev.get("snapshots") or []
+        except (ValueError, OSError):
+            prior = []
+    md = {
+        "format-version": 2,
+        "table-uuid": (table._metadata_dict() or {}).get("id")
+        or uuid.uuid4().hex,
+        "location": table.path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now,
+        "last-column-id": max((f["id"] for f in fields), default=0),
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": fields}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prior + [snapshot],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now}
+        ],
+        "metadata-log": [],
+    }
+    n = version + 1
+    mj = os.path.join(meta_dir, f"v{n}.metadata.json")
+    tmp = mj + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(md, fh)
+    os.replace(tmp, mj)
+    with open(hint + ".tmp", "w") as fh:
+        fh.write(str(n))
+    os.replace(hint + ".tmp", hint)
+    return mj
+
+
+# --- independent reader-side fold ---------------------------------------
+
+
+def _decode_manifest_list(body: bytes, count: int) -> list[dict]:
+    out = []
+    pos = 0
+    for _ in range(count):
+        e = {}
+        ln, pos = read_long(body, pos)
+        e["manifest_path"] = body[pos : pos + ln].decode("utf-8")
+        pos += ln
+        e["manifest_length"], pos = read_long(body, pos)
+        e["partition_spec_id"], pos = read_long(body, pos)
+        e["content"], pos = read_long(body, pos)
+        e["sequence_number"], pos = read_long(body, pos)
+        e["min_sequence_number"], pos = read_long(body, pos)
+        e["added_snapshot_id"], pos = read_long(body, pos)
+        e["added_files_count"], pos = read_long(body, pos)
+        e["existing_files_count"], pos = read_long(body, pos)
+        e["deleted_files_count"], pos = read_long(body, pos)
+        e["added_rows_count"], pos = read_long(body, pos)
+        e["existing_rows_count"], pos = read_long(body, pos)
+        e["deleted_rows_count"], pos = read_long(body, pos)
+        out.append(e)
+    if pos != len(body):
+        raise ValueError("trailing bytes after manifest list entries")
+    return out
+
+
+def _decode_manifest(body: bytes, count: int) -> list[dict]:
+    out = []
+    pos = 0
+    for _ in range(count):
+        e = {}
+        e["status"], pos = read_long(body, pos)
+        b, pos = read_long(body, pos)
+        if b:
+            e["snapshot_id"], pos = read_long(body, pos)
+        b, pos = read_long(body, pos)
+        if b:
+            e["sequence_number"], pos = read_long(body, pos)
+        b, pos = read_long(body, pos)
+        if b:
+            e["file_sequence_number"], pos = read_long(body, pos)
+        e["content"], pos = read_long(body, pos)
+        ln, pos = read_long(body, pos)
+        e["file_path"] = body[pos : pos + ln].decode("utf-8")
+        pos += ln
+        ln, pos = read_long(body, pos)
+        e["file_format"] = body[pos : pos + ln].decode("utf-8")
+        pos += ln
+        # partition: empty record, zero bytes
+        e["record_count"], pos = read_long(body, pos)
+        e["file_size_in_bytes"], pos = read_long(body, pos)
+        out.append(e)
+    if pos != len(body):
+        raise ValueError("trailing bytes after manifest entries")
+    return out
+
+
+def read_iceberg_live_files(table_path: str) -> list[dict]:
+    """Fold the ICEBERG metadata only — version-hint -> metadata.json
+    -> current snapshot -> manifest list -> manifests -> live data
+    files (status != deleted). Never opens `_delta_log`: this is the
+    independent path the UniForm op's round-trip proof runs."""
+    meta_dir = os.path.join(table_path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    cur = md["current-snapshot-id"]
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == cur
+    )
+    _schema, bodies, counts = avro_ocf_read(snap["manifest-list"])
+    manifests = []
+    for body, cnt in zip(bodies, counts):
+        manifests.extend(_decode_manifest_list(body, cnt))
+    files: list[dict] = []
+    for m in manifests:
+        _s, mb, mc = avro_ocf_read(m["manifest_path"])
+        for body, cnt in zip(mb, mc):
+            files.extend(
+                e for e in _decode_manifest(body, cnt) if e["status"] != 2
+            )
+    return files

@@ -4253,3 +4253,210 @@ def test_vacuum_lite_vs_full_untracked_debris(spark, tmp_path):
     assert os.path.exists(fresh)
     with pytest.raises(ValueError, match="lite.*full|full.*lite"):
         t.vacuum(0, force=True, mode="deep")
+
+
+def test_uniform_iceberg_metadata_round_trip(spark, tmp_path):
+    """UniForm: every enabled commit regenerates the Iceberg tree;
+    the iceberg-only fold names exactly the live set across append ->
+    delete -> optimize; refusals fire on DVs and partitioning; the
+    metadata chain carries prior snapshots and a monotone
+    version-hint."""
+    from deltasink_spark.uniform import (
+        avro_ocf_read,
+        read_iceberg_live_files,
+    )
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    t.append(_ev(spark, 40).filter(F.col("event_id") >= 20))
+    files = read_iceberg_live_files(t.path)
+    assert {os.path.realpath(f["file_path"]) for f in files} == {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    assert sum(f["record_count"] for f in files) == 40
+    t.delete_where(spark, "event_id < 5")
+    t.optimize(spark, target_files=1)
+    files = read_iceberg_live_files(t.path)
+    assert {os.path.realpath(f["file_path"]) for f in files} == {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    assert sum(f["record_count"] for f in files) == 35
+    # metadata chain: version-hint tracks delta version + 1, snapshots
+    # accumulate, manifest list is a well-formed OCF with our schema
+    meta_dir = os.path.join(t.path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    assert n == t.latest_version() + 1
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    assert md["format-version"] == 2
+    assert len(md["snapshots"]) >= 3
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    schema_json, _bodies, counts = avro_ocf_read(snap["manifest-list"])
+    assert "manifest_file" in schema_json and sum(counts) == 1
+    fids = {
+        f["name"]: f["id"] for f in md["schemas"][0]["fields"]
+    }
+    assert fids == {"event_id": 1, "user_id": 2, "value": 3}
+    # refusals: DVs and partitioning are icebergCompatV2 violations —
+    # the DV one fires from the post-commit hook itself (the Delta
+    # commit is durable; the Iceberg view refuses to misrepresent it)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.delete_where_dv(spark, "event_id = 10")
+    assert t.read(spark).count() == 34  # the delta DELETE landed
+    t2 = _table(tmp_path, "t2")
+    t2.append(_ev(spark, 10), partition_by=("user_id",))
+    with pytest.raises(ValueError, match="partitioned"):
+        from deltasink_spark.uniform import write_iceberg_snapshot
+
+        write_iceberg_snapshot(t2, t2.latest_version())
+
+
+def test_uniform_foreign_shape_acceptance(spark, tmp_path):
+    """The iceberg fold accepts a FOREIGN-authored metadata tree: two
+    manifests in one list, entries with explicit sequence-number
+    branches, and a status=2 (deleted) entry that must be skipped."""
+    import json as _json
+
+    from deltasink_spark import uniform as U
+
+    root = str(tmp_path / "ice")
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta)
+    df = _ev(spark, 30)
+    p1 = os.path.join(root, "f1.parquet")
+    p2 = os.path.join(root, "f2.parquet")
+    p3 = os.path.join(root, "f3.parquet")
+    for p, lo, hi in ((p1, 0, 10), (p2, 10, 20), (p3, 20, 30)):
+        tmp = p + ".d"
+        df.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), p)
+        import shutil as _sh
+
+        _sh.rmtree(tmp)
+
+    def entry(status, path, nrec):
+        out = bytearray()
+        from deltasink_spark.operators.avro import write_long as wl
+
+        wl(status, out)
+        wl(1, out); wl(77, out)          # snapshot_id branch set
+        wl(1, out); wl(5, out)           # sequence_number branch SET
+        wl(1, out); wl(5, out)           # file_sequence_number SET
+        wl(0, out)                       # content
+        raw = path.encode(); wl(len(raw), out); out += raw
+        raw = b"PARQUET"; wl(len(raw), out); out += raw
+        wl(nrec, out); wl(1, out)
+        return bytes(out)
+
+    m1 = os.path.join(meta, "m1.avro")
+    m2 = os.path.join(meta, "m2.avro")
+    U.avro_ocf_write(
+        m1, U._MANIFEST_ENTRY_SCHEMA,
+        [entry(1, p1, 10), entry(2, p3, 10)],  # p3 DELETED
+    )
+    U.avro_ocf_write(
+        m2, U._MANIFEST_ENTRY_SCHEMA, [entry(0, p2, 10)]
+    )
+    ml = os.path.join(meta, "snap-77-1-x.avro")
+    U.avro_ocf_write(
+        ml, U._MANIFEST_LIST_SCHEMA,
+        [
+            U._encode_manifest_list_entry(m1, os.path.getsize(m1), 5, 77, 2, 20),
+            U._encode_manifest_list_entry(m2, os.path.getsize(m2), 5, 77, 1, 10),
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "current-snapshot-id": 77,
+        "snapshots": [
+            {"snapshot-id": 77, "sequence-number": 5,
+             "timestamp-ms": 1, "manifest-list": ml},
+        ],
+    }
+    _json.dump(md, open(os.path.join(meta, "v3.metadata.json"), "w"))
+    open(os.path.join(meta, "version-hint.text"), "w").write("3")
+    files = U.read_iceberg_live_files(root)
+    assert {f["file_path"] for f in files} == {p1, p2}
+    out = spark.read.parquet(*sorted(f["file_path"] for f in files))
+    assert {r["event_id"] for r in out.collect()} == set(range(20))
+
+
+def test_stream_source_id_mode_binds_by_field_id(spark, tmp_path):
+    """The table STREAM source on an id-mode table binds file columns
+    by parquet field id — a foreign file with swapped physical names
+    streams with values in the right columns."""
+    import json as _json
+    import shutil as _sh
+
+    from pyspark.sql.types import StructField, StructType
+
+    path = str(tmp_path / "fid")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    tmp = os.path.join(path, "tmp")
+    (
+        _ev(spark, 10)
+        .select(
+            F.col("event_id").alias("value", metadata={"parquet.field.id": 1}),
+            F.col("user_id").alias("event_id", metadata={"parquet.field.id": 2}),
+            F.col("value").alias("user_id", metadata={"parquet.field.id": 3}),
+        )
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, part), os.path.join(path, "f.parquet"))
+    _sh.rmtree(tmp)
+    longt = StructType.fromDDL("x long").fields[0].dataType
+    dbl = StructType.fromDDL("x double").fields[0].dataType
+    schema_str = StructType(
+        [
+            StructField("event_id", longt, True,
+                        {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-a"}),
+            StructField("user_id", longt, True,
+                        {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-b"}),
+            StructField("value", dbl, True,
+                        {"delta.columnMapping.id": 3,
+                         "delta.columnMapping.physicalName": "col-c"}),
+        ]
+    ).json()
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "00000000-0000-0000-0000-0000000000f2",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str, "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 1,
+            }},
+            {"add": {"path": "f.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1,
+                     "dataChange": True}},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+    spark.dataSource.register(DeltaTableStreamDataSource)
+    from deltasink_spark.queries.sources_sinks import _run_until
+
+    out = _run_until(
+        spark,
+        spark.readStream.format("delta_log_table")
+        .option("path", path)
+        .load(),
+        min_rows=10,
+    )
+    rows = {r["event_id"]: (r["user_id"], r["value"]) for r in out.collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[i] == (i % 7, i * 1.5) for i in range(10))
