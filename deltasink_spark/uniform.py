@@ -157,6 +157,27 @@ _MANIFEST_LIST_SCHEMA = json.dumps(
     }
 )
 
+def _manifest_entry_schema(pfields: list[tuple[str, str, int]]) -> str:
+    """The manifest_entry schema for a table whose partition spec has
+    ``pfields`` = [(name, avro primitive, partition field id)] —
+    identity transforms, each value an optional union (spec field ids
+    1000+)."""
+    import json as _j
+
+    base = _j.loads(_MANIFEST_ENTRY_SCHEMA)
+    r102 = base["fields"][4]["type"]["fields"][3]["type"]
+    r102["fields"] = [
+        {
+            "name": n,
+            "type": ["null", "int" if t == "date" else t],
+            "default": None,
+            "field-id": fid,
+        }
+        for n, t, fid in pfields
+    ]
+    return _j.dumps(base)
+
+
 _MANIFEST_ENTRY_SCHEMA = json.dumps(
     {
         "type": "record",
@@ -257,7 +278,12 @@ def _encode_manifest_entry(
     file_path: str,
     record_count: int,
     file_size: int,
+    pvals: list[tuple[str, object]] | None = None,
 ) -> bytes:
+    """``pvals`` = [(avro primitive, value-or-None)] in partition-spec
+    order; an unpartitioned table's partition record is zero bytes."""
+    import struct as _struct
+
     out = bytearray()
     write_long(status, out)
     write_long(1, out)  # snapshot_id: union branch 1 (long)
@@ -267,7 +293,23 @@ def _encode_manifest_entry(
     write_long(0, out)  # data_file.content = data
     _w_str(file_path, out)
     _w_str("PARQUET", out)
-    # partition: empty record — zero bytes
+    for prim, v in pvals or []:
+        if v is None:
+            write_long(0, out)  # union branch: null
+            continue
+        write_long(1, out)
+        if prim in ("long", "int", "date"):
+            write_long(int(v), out)
+        elif prim == "string":
+            _w_str(str(v), out)
+        elif prim == "double":
+            out += _struct.pack("<d", float(v))
+        elif prim == "float":
+            out += _struct.pack("<f", float(v))
+        elif prim == "boolean":
+            out.append(1 if v in (True, "true") else 0)
+        else:  # pragma: no cover - writer validates prims upstream
+            raise ValueError(f"unsupported partition primitive {prim}")
     write_long(record_count, out)
     write_long(file_size, out)
     return bytes(out)
@@ -321,17 +363,40 @@ def _iceberg_schema_fields(table) -> list[dict]:
     return fields
 
 
+_PARTITION_PRIMS = {
+    "long": "long", "integer": "int", "short": "int", "byte": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "date": "date",
+}
+
+
+def _hive_pval(raw: str | None, prim: str):
+    """A Delta partitionValues string -> the typed Iceberg partition
+    value (None for the Hive null partition)."""
+    if raw is None:
+        return None
+    if prim in ("long", "int"):
+        return int(raw)
+    if prim == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    if prim == "double" or prim == "float":
+        return float(raw)
+    if prim == "boolean":
+        return raw == "true"
+    return raw
+
+
 def write_iceberg_snapshot(table, version: int) -> str:
     """Generate the Iceberg metadata for ``table``'s state at its
     current snapshot, as Delta commit ``version``. Returns the
-    metadata.json path. Refuses DV-carrying or partitioned tables
-    (icebergCompatV2's own preconditions)."""
-    if table.partition_columns():
-        raise ValueError(
-            "icebergCompatV2: Hive-partitioned tables are not supported "
-            "by this UniForm writer (identity partition specs are a "
-            "follow-up); unpartition or disable UniForm"
-        )
+    metadata.json path. Hive partitioning maps to an IDENTITY
+    partition spec (field ids 1000+; per-file partition values ride
+    the manifest entries' typed partition struct — identity-transform
+    readers materialize the column from metadata, so Hive-layout
+    files that omit it stay valid Iceberg data files). Refuses
+    DV-carrying tables (icebergCompatV2's own precondition)."""
     adds = table.snapshot_adds()
     if any(a.get("deletionVector") for a in adds.values()):
         raise ValueError(
@@ -344,6 +409,25 @@ def write_iceberg_snapshot(table, version: int) -> str:
     snapshot_id = version + 1  # snapshot ids must be unique, non-zero
     seq = version + 1
     now = int(__import__("time").time() * 1000)
+    fields = _iceberg_schema_fields(table)
+    fid_of = {f["name"]: f["id"] for f in fields}
+    # identity partition spec from the table's Hive partitioning
+    pcols = table.partition_columns()
+    s_tbl = table.schema()
+    by_name = {f.name: f for f in (s_tbl.fields if s_tbl else [])}
+    cm = table.column_mapping() or {}
+    pfields: list[tuple[str, str, int]] = []
+    for i, c in enumerate(pcols):
+        f = by_name.get(c)
+        tn = f.dataType.typeName() if f is not None else None
+        prim = _PARTITION_PRIMS.get(tn or "")
+        if prim is None:
+            raise ValueError(
+                f"icebergCompatV2: partition column {c} has type {tn}, "
+                "which this UniForm writer cannot map to an identity "
+                "partition value"
+            )
+        pfields.append((c, prim, 1000 + i))
     # one manifest with the full live set
     entries = []
     total_rows = 0
@@ -357,14 +441,22 @@ def write_iceberg_snapshot(table, version: int) -> str:
             except (ValueError, TypeError):
                 nrec = 0
         total_rows += nrec
+        pv = a.get("partitionValues") or {}
+        if not isinstance(pv, dict):
+            pv = dict(pv)
+        pvals = [
+            (prim, _hive_pval(pv.get(cm.get(c, c)), prim))
+            for c, prim, _fid in pfields
+        ]
         entries.append(
             _encode_manifest_entry(
-                1, snapshot_id, fp, nrec, int(a.get("size") or 0)
+                1, snapshot_id, fp, nrec, int(a.get("size") or 0),
+                pvals=pvals,
             )
         )
     m_name = f"{uuid.uuid4().hex}-m0.avro"
     m_path = os.path.join(meta_dir, m_name)
-    avro_ocf_write(m_path, _MANIFEST_ENTRY_SCHEMA, entries)
+    avro_ocf_write(m_path, _manifest_entry_schema(pfields), entries)
     ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     ml_path = os.path.join(meta_dir, ml_name)
     avro_ocf_write(
@@ -381,7 +473,6 @@ def write_iceberg_snapshot(table, version: int) -> str:
             )
         ],
     )
-    fields = _iceberg_schema_fields(table)
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now,
@@ -419,8 +510,21 @@ def write_iceberg_snapshot(table, version: int) -> str:
             {"type": "struct", "schema-id": 0, "fields": fields}
         ],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": fid_of[c],
+                        "field-id": fid,
+                    }
+                    for c, _prim, fid in pfields
+                ],
+            }
+        ],
+        "last-partition-id": 999 + len(pfields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},
@@ -472,7 +576,15 @@ def _decode_manifest_list(body: bytes, count: int) -> list[dict]:
     return out
 
 
-def _decode_manifest(body: bytes, count: int) -> list[dict]:
+def _decode_manifest(
+    body: bytes,
+    count: int,
+    pfields: list[tuple[str, str]] | None = None,
+) -> list[dict]:
+    """``pfields`` = [(name, avro primitive)] in partition-spec order
+    (empty/None for an unpartitioned spec)."""
+    import struct as _struct
+
     out = []
     pos = 0
     for _ in range(count):
@@ -494,7 +606,30 @@ def _decode_manifest(body: bytes, count: int) -> list[dict]:
         ln, pos = read_long(body, pos)
         e["file_format"] = body[pos : pos + ln].decode("utf-8")
         pos += ln
-        # partition: empty record, zero bytes
+        part = {}
+        for name, prim in pfields or []:
+            br, pos = read_long(body, pos)
+            if not br:
+                part[name] = None
+                continue
+            if prim in ("long", "int", "date"):
+                part[name], pos = read_long(body, pos)
+            elif prim == "string":
+                n2, pos = read_long(body, pos)
+                part[name] = body[pos : pos + n2].decode("utf-8")
+                pos += n2
+            elif prim == "double":
+                (part[name],) = _struct.unpack_from("<d", body, pos)
+                pos += 8
+            elif prim == "float":
+                (part[name],) = _struct.unpack_from("<f", body, pos)
+                pos += 4
+            elif prim == "boolean":
+                part[name] = bool(body[pos])
+                pos += 1
+            else:
+                raise ValueError(f"unsupported partition primitive {prim}")
+        e["partition"] = part
         e["record_count"], pos = read_long(body, pos)
         e["file_size_in_bytes"], pos = read_long(body, pos)
         out.append(e)
@@ -515,6 +650,32 @@ def read_iceberg_live_files(table_path: str) -> list[dict]:
     snap = next(
         s for s in md["snapshots"] if s["snapshot-id"] == cur
     )
+    # partition decode plan from the DEFAULT SPEC + schema: identity
+    # fields' primitives come from their source columns
+    pfields: list[tuple[str, str]] = []
+    specs = {
+        sp.get("spec-id", 0): sp for sp in md.get("partition-specs") or []
+    }
+    spec = specs.get(md.get("default-spec-id", 0)) or {"fields": []}
+    type_of = {}
+    for sch in md.get("schemas") or []:
+        if sch.get("schema-id") == md.get("current-schema-id", 0):
+            type_of = {f["id"]: f["type"] for f in sch.get("fields") or []}
+    _prim_of = {
+        "long": "long", "int": "int", "date": "date", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+    }
+    for f in spec.get("fields") or []:
+        if f.get("transform") != "identity":
+            raise ValueError(
+                f"unsupported partition transform {f.get('transform')!r}"
+            )
+        prim = _prim_of.get(str(type_of.get(f.get("source-id"))))
+        if prim is None:
+            raise ValueError(
+                f"cannot decode partition field {f.get('name')!r}"
+            )
+        pfields.append((f["name"], prim))
     _schema, bodies, counts = avro_ocf_read(snap["manifest-list"])
     manifests = []
     for body, cnt in zip(bodies, counts):
@@ -524,6 +685,8 @@ def read_iceberg_live_files(table_path: str) -> list[dict]:
         _s, mb, mc = avro_ocf_read(m["manifest_path"])
         for body, cnt in zip(mb, mc):
             files.extend(
-                e for e in _decode_manifest(body, cnt) if e["status"] != 2
+                e
+                for e in _decode_manifest(body, cnt, pfields)
+                if e["status"] != 2
             )
     return files

@@ -4309,12 +4309,46 @@ def test_uniform_iceberg_metadata_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="deletion vectors"):
         t.delete_where_dv(spark, "event_id = 10")
     assert t.read(spark).count() == 34  # the delta DELETE landed
+    # partitioned table: identity partition spec, typed per-file
+    # partition values in the manifest, reconstructable by a reader
     t2 = _table(tmp_path, "t2")
-    t2.append(_ev(spark, 10), partition_by=("user_id",))
-    with pytest.raises(ValueError, match="partitioned"):
-        from deltasink_spark.uniform import write_iceberg_snapshot
+    t2.append(_ev(spark, 14), partition_by=("user_id",))
+    t2.set_properties({"delta.universalFormat.enabledFormats": "iceberg"})
+    t2.append(_ev(spark, 28).filter(F.col("event_id") >= 14))
+    files2 = read_iceberg_live_files(t2.path)
+    assert {os.path.realpath(f["file_path"]) for f in files2} == {
+        os.path.realpath(t2._abs_of_add_path(p))
+        for p in t2.snapshot_adds()
+    }
+    got_parts = {f["partition"]["user_id"] for f in files2}
+    assert got_parts == set(range(7))
+    md2 = json.load(
+        open(
+            os.path.join(
+                t2.path, "metadata",
+                f"v{t2.latest_version() + 1}.metadata.json",
+            )
+        )
+    )
+    spec = md2["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+    assert md2["last-partition-id"] == 1000
+    # identity readers materialize the partition column from metadata:
+    # per-file reads + lit(partition value) reconstruct the table
+    import functools as _ft
 
-        write_iceberg_snapshot(t2, t2.latest_version())
+    frames = [
+        spark.read.parquet(f["file_path"]).withColumn(
+            "user_id", F.lit(f["partition"]["user_id"]).cast("long")
+        )
+        for f in files2
+    ]
+    whole = _ft.reduce(lambda x, y: x.unionByName(y), frames)
+    assert whole.count() == 28
+    assert whole.groupBy().sum("user_id").collect()[0][0] == sum(
+        i % 7 for i in range(28)
+    )
 
 
 def test_uniform_foreign_shape_acceptance(spark, tmp_path):
