@@ -683,6 +683,13 @@ class CommitCoordinator:
     def backfill(self, store: "LogStore", log_dir: str) -> int:
         raise NotImplementedError
 
+    def discard(self, log_dir: str, version: int) -> None:
+        """Drop an owned, unbackfilled commit (retention cleanup of a
+        checkpoint-covered version) — registry entry AND staged
+        payload together, so list()/exists() never advertise a
+        dangling version."""
+        raise NotImplementedError
+
 
 class InProcessCoordinator(CommitCoordinator):
     """In-process coordinator implementation: one shared object (the
@@ -743,6 +750,13 @@ class InProcessCoordinator(CommitCoordinator):
                 del owned[v]
                 n += 1
         return n
+
+    def discard(self, log_dir: str, version: int) -> None:
+        with self._lock:
+            owned = self._owned.get(log_dir, {})
+            sp = owned.pop(version, None)
+            if sp is not None and os.path.exists(sp):
+                os.remove(sp)
 
 
 class CoordinatedLogStore(LogStore):
@@ -805,7 +819,14 @@ class CoordinatedLogStore(LogStore):
 
     def delete(self, path: str) -> None:
         sp = self._staged_path(path)
-        super().delete(sp if sp is not None else path)
+        if sp is not None:
+            # unbackfilled owned commit: the registry entry must go
+            # WITH the payload or list()/exists() keep advertising a
+            # dangling version whose read() then crashes
+            log_dir, v = self._version_of(path)
+            self.coordinator.discard(log_dir, v)
+            return
+        super().delete(path)
 
 
 class _CheckpointMixin:
@@ -3936,6 +3957,16 @@ class DeltaLogTable(_CheckpointMixin):
         base = self._metadata_dict()
         if base is None:
             raise ValueError("cannot set properties on a table with no metaData")
+        if "iceberg" in (
+            props.get("delta.universalFormat.enabledFormats") or ""
+        ):
+            # validate BEFORE the property is durable: a table the
+            # UniForm writer cannot represent (unmappable type, DVs)
+            # must refuse HERE — enabling first would make the
+            # post-commit hook poison every later commit
+            from deltasink_spark import uniform
+
+            uniform.validate_table(self)
         meta = dict(base)
         cfg = dict(meta.get("configuration") or {})
         cfg.update(props)
@@ -4887,31 +4918,11 @@ class DeltaLogTable(_CheckpointMixin):
         else:
             rewritten = df.repartition(target_files)
         adds = self._stage_files(rewritten, partition_by=pb)
-        actions = []
-        for a in adds:
-            a = dict(a)
-            a["dataChange"] = False
-            actions.append({"add": a})
-        now = _now_ms()
-        for p in live:
-            actions.append(
-                {"remove": self._remove_action(p, adds_live[p], now, False)}
-            )
-        ci: dict = {
-            "timestamp": now,
-            "operation": "OPTIMIZE",
-            "operationMetrics": self._op_metrics(
-                adds,
-                len(live),
-                op="OPTIMIZE",
-                removed_adds=[adds_live[p] for p in live],
-            ),
-        }
-        if zorder_by:
-            ci["operationParameters"] = {
-                "zOrderBy": json.dumps(list(zorder_by))
-            }
-        actions.append({"commitInfo": ci})
+        actions = self._optimize_commit_actions(
+            adds,
+            {p: adds_live[p] for p in live},
+            {"zOrderBy": json.dumps(list(zorder_by))} if zorder_by else None,
+        )
         v = self._commit(actions, self._adds_unchanged(adds_live))
         if v is None:
             raise ConcurrentDeleteReadError(
@@ -4955,8 +4966,15 @@ class DeltaLogTable(_CheckpointMixin):
             )
         except Exception:
             est = 0
-        n = -(-est // bin_size) if 0 < est < (1 << 50) else cap
-        n = max(1, min(n, cap))
+        if not (0 < est < (1 << 50)):
+            # Catalyst couldn't estimate (Long.Max sentinel on
+            # RDD-backed frames): shuffling to the session default
+            # would SPREAD a tiny batch into hundreds of one-row
+            # files — the opposite of optimized writes. Keep the
+            # input's own partitioning; the post-commit auto compact
+            # still bounds any accretion.
+            return df
+        n = max(1, min(-(-est // bin_size), cap))
         keys = [c for c in pb if c in df.columns]
         return df.repartition(n, *keys) if keys else df.repartition(n)
 
@@ -5010,49 +5028,66 @@ class DeltaLogTable(_CheckpointMixin):
         if not sel:
             return None
         pb = self.partition_columns()
-        df, _rt = self._read_adds_materialized(spark, sel)
-        total = sum((a.get("size") or 0) for a in sel.values())
-        n = max(1, -(-total // max_size))
-        keys = [c for c in pb if c in df.columns]
-        rewritten = df.repartition(n, *keys) if keys else df.repartition(n)
-        adds = self._stage_files(rewritten, partition_by=pb)
+        try:
+            # the WHOLE rewrite is best-effort: the triggering append
+            # is already durable, so neither a conflict NOR a racing
+            # vacuum/IO failure during the read/stage may escape into
+            # append's OCC wrapper (a propagated retryable would
+            # re-append the batch; any other escape fails an ingest
+            # that actually succeeded). Losers leave invisible staged
+            # orphans (vacuum-reclaimed); the small files are simply
+            # picked up by the next trigger.
+            df, _rt = self._read_adds_materialized(spark, sel)
+            total = sum((a.get("size") or 0) for a in sel.values())
+            n = max(1, -(-total // max_size))
+            keys = [c for c in pb if c in df.columns]
+            rewritten = (
+                df.repartition(n, *keys) if keys else df.repartition(n)
+            )
+            adds = self._stage_files(rewritten, partition_by=pb)
+            actions = self._optimize_commit_actions(
+                adds, sel, {"auto": "true"}
+            )
+            return self._commit(actions, self._adds_unchanged(sel))
+        except Exception:
+            return None
+
+    def _optimize_commit_actions(
+        self,
+        adds: list[dict],
+        removed: dict[str, dict],
+        params: dict | None = None,
+    ) -> list[dict]:
+        """The OPTIMIZE commit class, shared by optimize() and
+        auto_compact(): dataChange=false adds for the rewrite,
+        dataChange=false removes for the superseded files, one
+        commitInfo with delta-spark's OPTIMIZE operationMetrics —
+        one assembly, so the two paths can never drift on action
+        shape or metric names."""
         actions: list[dict] = []
         for a in adds:
             a = dict(a)
             a["dataChange"] = False
             actions.append({"add": a})
         now = _now_ms()
-        for p in sel:
+        for p in removed:
             actions.append(
-                {"remove": self._remove_action(p, sel[p], now, False)}
+                {"remove": self._remove_action(p, removed[p], now, False)}
             )
-        actions.append(
-            {
-                "commitInfo": {
-                    "timestamp": now,
-                    "operation": "OPTIMIZE",
-                    "operationParameters": {"auto": "true"},
-                    "operationMetrics": self._op_metrics(
-                        adds,
-                        len(sel),
-                        op="OPTIMIZE",
-                        removed_adds=list(sel.values()),
-                    ),
-                }
-            }
-        )
-        try:
-            return self._commit(actions, self._adds_unchanged(sel))
-        except (
-            ConcurrentAppendError,
-            ConcurrentDeleteReadError,
-            MetadataChangedError,
-        ):
-            # best-effort: a losing auto compact leaves its staged
-            # files as invisible orphans (vacuum-reclaimed) and must
-            # NOT propagate into the triggering append's OCC retry —
-            # that would re-append the batch
-            return None
+        ci: dict = {
+            "timestamp": now,
+            "operation": "OPTIMIZE",
+            "operationMetrics": self._op_metrics(
+                adds,
+                len(removed),
+                op="OPTIMIZE",
+                removed_adds=list(removed.values()),
+            ),
+        }
+        if params:
+            ci["operationParameters"] = params
+        actions.append({"commitInfo": ci})
+        return actions
 
     @_occ_retry
     def delete_where(self, spark, predicate_sql: str) -> int:
@@ -7441,11 +7476,16 @@ class DeltaLogTable(_CheckpointMixin):
             real_root = os.path.realpath(self.path)
             for walk_root, dirs, files in os.walk(real_root):
                 rel_root = os.path.relpath(walk_root, real_root)
-                # hidden trees are never vacuum's to touch
+                # hidden trees are never vacuum's to touch; neither is
+                # the root-level UniForm `metadata/` tree — it is the
+                # Iceberg catalog surface, exactly as off-limits as
+                # `_delta_log` (a Hive partition dir always carries
+                # '=', so a literal "metadata" dir is never data)
                 dirs[:] = [
                     d
                     for d in dirs
                     if not (d.startswith("_") or d.startswith("."))
+                    and not (walk_root == real_root and d == "metadata")
                 ]
                 for f in files:
                     if f.startswith("_") or f.startswith("."):
@@ -8171,7 +8211,11 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                 self.pcols = tuple(tracked.get("partitionColumns") or ())
                 if (tracked.get("configuration") or {}).get(
                     "delta.columnMapping.mode"
-                ) == "name":
+                ) in ("name", "id"):
+                    # BOTH mapped modes carry physicalName — resetting
+                    # the map on an id-mode restart would compare
+                    # partition columns by logical name and trip the
+                    # readability check on every config-only commit
                     self._phys_to_logical = {
                         (f.metadata or {}).get(
                             "delta.columnMapping.physicalName", f.name

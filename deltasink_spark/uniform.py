@@ -388,36 +388,20 @@ def _hive_pval(raw: str | None, prim: str):
     return raw
 
 
-def write_iceberg_snapshot(table, version: int) -> str:
-    """Generate the Iceberg metadata for ``table``'s state at its
-    current snapshot, as Delta commit ``version``. Returns the
-    metadata.json path. Hive partitioning maps to an IDENTITY
-    partition spec (field ids 1000+; per-file partition values ride
-    the manifest entries' typed partition struct — identity-transform
-    readers materialize the column from metadata, so Hive-layout
-    files that omit it stay valid Iceberg data files). Refuses
-    DV-carrying tables (icebergCompatV2's own precondition)."""
-    adds = table.snapshot_adds()
-    if any(a.get("deletionVector") for a in adds.values()):
-        raise ValueError(
-            "icebergCompatV2 requires no deletion vectors in the live "
-            "set (Iceberg v2 would need delete files) — purge DVs "
-            "(OPTIMIZE) before enabling UniForm"
-        )
-    meta_dir = os.path.join(table.path, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    snapshot_id = version + 1  # snapshot ids must be unique, non-zero
-    seq = version + 1
-    now = int(__import__("time").time() * 1000)
+def validate_table(table) -> tuple[list[dict], list[tuple[str, str, int]]]:
+    """icebergCompatV2 preconditions, checkable WITHOUT writing: every
+    column type maps to an Iceberg type, every partition column maps
+    to an identity partition primitive, and the live set carries no
+    deletion vectors. Raises ValueError otherwise. Returns the
+    (schema fields, partition spec fields) the writer uses —
+    set_properties runs this BEFORE durably enabling UniForm, so a
+    table the writer cannot represent never gets the property (the
+    post-commit hook would otherwise poison every later commit)."""
     fields = _iceberg_schema_fields(table)
-    fid_of = {f["name"]: f["id"] for f in fields}
-    # identity partition spec from the table's Hive partitioning
-    pcols = table.partition_columns()
     s_tbl = table.schema()
     by_name = {f.name: f for f in (s_tbl.fields if s_tbl else [])}
-    cm = table.column_mapping() or {}
     pfields: list[tuple[str, str, int]] = []
-    for i, c in enumerate(pcols):
+    for i, c in enumerate(table.partition_columns()):
         f = by_name.get(c)
         tn = f.dataType.typeName() if f is not None else None
         prim = _PARTITION_PRIMS.get(tn or "")
@@ -428,18 +412,55 @@ def write_iceberg_snapshot(table, version: int) -> str:
                 "partition value"
             )
         pfields.append((c, prim, 1000 + i))
+    if any(
+        a.get("deletionVector") for a in table.snapshot_adds().values()
+    ):
+        raise ValueError(
+            "icebergCompatV2 requires no deletion vectors in the live "
+            "set (Iceberg v2 would need delete files) — purge DVs "
+            "(OPTIMIZE) before enabling UniForm"
+        )
+    return fields, pfields
+
+
+def write_iceberg_snapshot(table, version: int) -> str:
+    """Generate the Iceberg metadata for ``table``'s state at its
+    current snapshot, as Delta commit ``version``. Returns the
+    metadata.json path. Hive partitioning maps to an IDENTITY
+    partition spec (field ids 1000+; per-file partition values ride
+    the manifest entries' typed partition struct — identity-transform
+    readers materialize the column from metadata, so Hive-layout
+    files that omit it stay valid Iceberg data files). Refuses
+    DV-carrying tables (icebergCompatV2's own precondition)."""
+    fields, pfields = validate_table(table)
+    adds = table.snapshot_adds()
+    meta_dir = os.path.join(table.path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = version + 1  # snapshot ids must be unique, non-zero
+    seq = version + 1
+    now = int(__import__("time").time() * 1000)
+    fid_of = {f["name"]: f["id"] for f in fields}
+    cm = table.column_mapping() or {}
     # one manifest with the full live set
     entries = []
     total_rows = 0
     for p, a in sorted(adds.items()):
         fp = table._abs_of_add_path(p)
-        nrec = 0
+        nrec = None
         st = a.get("stats")
         if st:
             try:
-                nrec = int(json.loads(st).get("numRecords") or 0)
+                nrec = json.loads(st).get("numRecords")
             except (ValueError, TypeError):
-                nrec = 0
+                nrec = None
+        if not isinstance(nrec, int):
+            # a stats-less add (legal for foreign writers): read the
+            # REAL count from the parquet footer — Iceberg engines
+            # trust record_count for count(*) pushdown, so writing 0
+            # for a file with rows would be silently wrong metadata
+            import pyarrow.parquet as _pq
+
+            nrec = _pq.ParquetFile(fp).metadata.num_rows
         total_rows += nrec
         pv = a.get("partitionValues") or {}
         if not isinstance(pv, dict):

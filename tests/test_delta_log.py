@@ -4303,6 +4303,12 @@ def test_uniform_iceberg_metadata_round_trip(spark, tmp_path):
         f["name"]: f["id"] for f in md["schemas"][0]["fields"]
     }
     assert fids == {"event_id": 1, "user_id": 2, "value": 3}
+    # FULL vacuum never touches the Iceberg metadata tree (it is
+    # the catalog surface, exactly as off-limits as _delta_log) —
+    # the fold still works after debris reclamation
+    t.vacuum(0, force=True, mode="full")
+    files = read_iceberg_live_files(t.path)
+    assert sum(f["record_count"] for f in files) == 35
     # refusals: DVs and partitioning are icebergCompatV2 violations —
     # the DV one fires from the post-commit hook itself (the Delta
     # commit is durable; the Iceberg view refuses to misrepresent it)
@@ -4494,3 +4500,57 @@ def test_stream_source_id_mode_binds_by_field_id(spark, tmp_path):
     rows = {r["event_id"]: (r["user_id"], r["value"]) for r in out.collect()}
     assert set(rows) == set(range(10))
     assert all(rows[i] == (i % 7, i * 1.5) for i in range(10))
+
+
+def test_stream_schema_tracking_id_mode_restart_not_stuck(spark, tmp_path):
+    """A schema-tracking RESTART on a columnMapping mode "id" table
+    must rebuild the physical map from the tracked schema — otherwise
+    partition/physical comparisons fall back to logical names and
+    every config-only metaData commit spuriously trips the
+    readability check, wedging the stream in a fail/restart loop."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10), column_mapping_mode="id")
+    loc = str(tmp_path / "loc")
+    ckpt = str(tmp_path / "ck")
+    spark.dataSource.register(DeltaTableStreamDataSource)
+
+    def run():
+        got: list = []
+        q = (
+            spark.readStream.format("delta_log_table")
+            .option("path", t.path)
+            .option("schema_tracking_location", loc)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    assert len(run()) == 10
+    # force a TRACKED restart baseline: an additive evolution fails
+    # the run (persisting the new schema), then the restart must sail
+    # through config-only commits and serve everything
+    t.append(
+        _ev(spark, 20)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("tag", F.lit("x")),
+        merge_schema=True,
+    )
+    t.set_properties({"delta.appendOnly": "false"})  # config-only meta
+    t.append(
+        _ev(spark, 30)
+        .filter(F.col("event_id") >= 20)
+        .withColumn("tag", F.lit("y")),
+    )
+    with pytest.raises(StreamingQueryException, match="persisted"):
+        run()
+    out = run()  # restart under tracked id-mode schema: no re-trip
+    assert {r["event_id"] for r in out} == set(range(10, 30))
+    assert {r["tag"] for r in out} == {"x", "y"}
