@@ -285,6 +285,15 @@ R13OPS = [
     "ann_index_incremental",     # delta-batch ANN probe vs persisted index
 ]
 
+# r14 additions — ALL excluded by the standing group policy: the four
+# delta ops (sink_delta_auto_compact, scan_delta_log_id_mode,
+# sink_delta_uniform, and the schema-tracking fixture's collector
+# writes) are sink/IO fixtures whose cost class is commit-path (pinned
+# by the DML-throughput and ingest references in BASELINE.md), and
+# stream_schema_tracking / join_stream_stream_right_outer are real
+# StreamingQuery drains (three runs with a deliberate mid-run failure
+# in the tracking case — wall-clock dominated by engine startup).
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold

@@ -4554,3 +4554,63 @@ def test_stream_schema_tracking_id_mode_restart_not_stuck(spark, tmp_path):
     out = run()  # restart under tracked id-mode schema: no re-trip
     assert {r["event_id"] for r in out} == set(range(10, 30))
     assert {r["tag"] for r in out} == {"x", "y"}
+
+
+def test_uniform_uses_column_mapping_ids(spark, tmp_path):
+    """On an id-mapped table the Iceberg schema's field ids must BE
+    the columnMapping ids (icebergCompatV2's rule — the same ids ride
+    the parquet files as field ids, so an Iceberg reader binds
+    columns without any name translation)."""
+    from deltasink_spark.uniform import read_iceberg_live_files
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 12), column_mapping_mode="id")
+    t.set_properties({"delta.universalFormat.enabledFormats": "iceberg"})
+    t.append(_ev(spark, 24).filter(F.col("event_id") >= 12))
+    meta_dir = os.path.join(t.path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    ice_ids = {f["name"]: f["id"] for f in md["schemas"][0]["fields"]}
+    cm = t.column_mapping()
+    delta_ids = {
+        l: t.column_field_ids()[p] for l, p in cm.items()
+    }
+    assert ice_ids == delta_ids
+    files = read_iceberg_live_files(t.path)
+    assert sum(f["record_count"] for f in files) == 24
+
+
+def test_auto_compact_bounds_streaming_ingest(spark, tmp_path, sf_small):
+    """The continuous-ingest story end-to-end: a checkpointed stream
+    draining through DeltaLogSink with autoOptimize properties ends
+    with a BOUNDED live-file count and exactly-once content, no
+    maintenance job — the append hooks fire identically under
+    foreachBatch."""
+    from deltasink_spark.sources import events_stream
+    from deltasink_spark.tables import load
+
+    path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = DeltaLogSink(path, app_id="t_autocompact")
+    # seed the table so the properties exist before the drain
+    first = load(spark, sf_small, "events").select("event_id", "value")
+    sink.table.append(first.limit(0))
+    sink.table.set_properties(
+        {
+            "delta.autoOptimize.optimizeWrite": "true",
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.autoCompact.minNumFiles": "4",
+        }
+    )
+    s = events_stream(spark, sf_small).select("event_id", "value")
+    q = (
+        s.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = load(spark, sf_small, "events").count()
+    assert sink.table.read(spark).count() == expected
+    assert len(sink.table.snapshot_adds()) < 5
