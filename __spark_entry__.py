@@ -54,6 +54,8 @@ _R14_CHANGED_THIS_ROUND: list[str] = [
     "sink_delta_clone_deep",
     "sink_vacuum",
     "sink_delta_log_cleanup",
+    # name-mapped staging now stamps parquet field ids (UniForm compat)
+    "sink_delta_column_mapping",
     # stream reader gained schema-change detection / tracking /
     # skipChangeCommits / widening casts
     "stream_table_source",

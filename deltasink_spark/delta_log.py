@@ -2366,7 +2366,11 @@ class DeltaLogTable(_CheckpointMixin):
             )
             partition_by = tuple(cm.get(c, c) for c in partition_by)
         spark = df.sparkSession
-        if field_ids is None and self.column_mapping_mode() == "id":
+        if field_ids is None and self.column_mapping_mode() is not None:
+            # BOTH mapped modes carry stable delta.columnMapping.ids —
+            # stamping them as parquet field ids costs nothing and is
+            # what lets id-resolving readers (mode-id tables, Iceberg
+            # engines over a UniForm table) bind columns durably
             field_ids = self.column_field_ids()
         if field_ids:
             # columnMapping mode "id": stamp the spec's stable field

@@ -27,10 +27,15 @@ What is generated per Delta commit on an enabled table:
 - ``metadata/version-hint.text`` — the filesystem-catalog pointer.
 
 Constraints enforced (icebergCompatV2's own): no deletion vectors in
-the live set (Iceberg v2 would need delete files) and no Hive
-partitioning (spec-id 0 is the unpartitioned spec; identity
-partition specs are a follow-up) — both REFUSE loudly rather than
-emit metadata Iceberg would misread.
+the live set (Iceberg v2 would need delete files) — REFUSES loudly
+rather than emit metadata Iceberg would misread; `validate_table`
+runs the same checks at enable time so the property never lands on a
+table the writer cannot represent. Hive partitioning maps to an
+IDENTITY partition spec (field ids 1000+, typed per-file partition
+values in the manifest entries). ID-LESS data files (history written
+before mapping/UniForm) are covered by the spec's
+`schema.name-mapping.default` table property; every mapped table's
+new files carry real parquet field ids.
 
 The Avro OCF writer/reader below implement the container format from
 the Avro 1.11 spec directly (magic `Obj\\x01`, metadata map with
@@ -441,6 +446,7 @@ def write_iceberg_snapshot(table, version: int) -> str:
     now = int(__import__("time").time() * 1000)
     fid_of = {f["name"]: f["id"] for f in fields}
     cm = table.column_mapping() or {}
+    _cm_of = cm
     # one manifest with the full live set
     entries = []
     total_rows = 0
@@ -548,7 +554,25 @@ def write_iceberg_snapshot(table, version: int) -> str:
         "last-partition-id": 999 + len(pfields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {},
+        # name-mapping (Iceberg spec): binds ID-LESS data files (a
+        # name-mode table's pre-UniForm files, an unmapped table's
+        # whole history) by the column names they actually carry —
+        # physical names on a mapped table, logical otherwise; files
+        # WITH parquet field ids (our mode-id/mapped writes) bind by
+        # id and never consult this
+        "properties": {
+            "schema.name-mapping.default": json.dumps(
+                [
+                    {
+                        "field-id": f["id"],
+                        "names": sorted(
+                            {f["name"], _cm_of.get(f["name"], f["name"])}
+                        ),
+                    }
+                    for f in fields
+                ]
+            )
+        },
         "current-snapshot-id": snapshot_id,
         "snapshots": prior + [snapshot],
         "snapshot-log": [

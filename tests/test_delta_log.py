@@ -4614,3 +4614,40 @@ def test_auto_compact_bounds_streaming_ingest(spark, tmp_path, sf_small):
     expected = load(spark, sf_small, "events").count()
     assert sink.table.read(spark).count() == expected
     assert len(sink.table.snapshot_adds()) < 5
+
+
+def test_uniform_name_mapping_property_and_field_ids(spark, tmp_path):
+    """UniForm on a NAME-mapped table: the Iceberg metadata carries
+    schema.name-mapping.default binding each field id to the physical
+    (file) column name — the spec mechanism for id-less history —
+    and files staged after mapping carry real parquet field ids, so
+    post-mapping writes bind by id."""
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))  # pre-mapping, id-less file
+    t.enable_column_mapping()
+    t.rename_column("user_id", "uid")
+    t.set_properties({"delta.universalFormat.enabledFormats": "iceberg"})
+    t.append(_ev(spark, 20).filter(F.col("event_id") >= 10)
+             .withColumnRenamed("user_id", "uid"))
+    meta_dir = os.path.join(t.path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    by_id = {e["field-id"]: e["names"] for e in nm}
+    # uid's physicalName is frozen at 'user_id' — both names listed
+    uid_field = next(
+        f for f in md["schemas"][0]["fields"] if f["name"] == "uid"
+    )
+    assert set(by_id[uid_field["id"]]) == {"uid", "user_id"}
+    # the post-mapping file carries parquet field ids
+    newest = max(
+        (t._abs_of_add_path(p) for p in t.snapshot_adds()),
+        key=os.path.getmtime,
+    )
+    sch = pq.read_schema(newest)
+    assert any(
+        f_.metadata and b"PARQUET:field_id" in f_.metadata
+        for f_ in (sch.field(i) for i in range(len(sch.names)))
+    )
