@@ -4260,9 +4260,36 @@ class DeltaLogTable(_CheckpointMixin):
         WATERMARK, not a per-handle boolean: a long-lived handle
         re-scans only the commits that appeared since its last check
         (O(new tail), usually zero files) and re-gates in full the
-        moment one of them ledgers a protocol action."""
+        moment one of them ledgers a protocol action.
+
+        COORDINATED-COMMITS ownership gate (the catalogManaged rule):
+        a table whose configuration names a commit coordinator is
+        OWNED — its log tail lives with the coordinator, so a plain
+        filesystem writer that put-if-absent'ed version N directly
+        could land beside a coordinator-owned N with different
+        content (split brain, both 'durable'). Such writers refuse
+        here; reads stay open (a filesystem reader legitimately sees
+        the backfilled prefix)."""
         self._check_read_protocol()
         latest = self.latest_version()
+        # ownership memo keyed on the log tip: the property only moves
+        # via a metaData commit, so an unchanged tip cannot change the
+        # answer — the hot path stays free of metadata folds
+        if getattr(self, "_coord_seen_v", None) != latest:
+            cfg = (self._metadata_dict() or {}).get("configuration") or {}
+            self._coord_name = cfg.get(
+                "delta.coordinatedCommits.commitCoordinator-preview"
+            ) or cfg.get("delta.coordinatedCommits.commitCoordinator")
+            self._coord_seen_v = latest
+        if self._coord_name and not isinstance(
+            self._store, CoordinatedLogStore
+        ):
+            raise ValueError(
+                f"table is owned by commit coordinator "
+                f"{self._coord_name!r}; a filesystem writer must not "
+                "commit directly — open it with a CoordinatedLogStore "
+                "(reads of the backfilled prefix remain allowed)"
+            )
         if getattr(self, "_write_proto_ok", False):
             seen = getattr(self, "_proto_seen_v", -1)
             if latest <= seen:

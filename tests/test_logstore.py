@@ -196,3 +196,31 @@ def test_coordinated_commits_race_matrix(spark, tmp_path):
     assert {r["event_id"] for r in fs.read(spark).collect()} == set(
         range(10, 120)
     )
+
+
+def test_coordinator_ownership_gate(spark, tmp_path):
+    """A table whose configuration names a commit coordinator is
+    OWNED: a plain-filesystem writer refuses to commit (a direct
+    put-if-absent beside the coordinator's owned tail would be split
+    brain), while coordinated writers commit and filesystem READS of
+    the backfilled prefix stay open."""
+    from deltasink_spark.delta_log import (
+        CoordinatedLogStore,
+        InProcessCoordinator,
+    )
+
+    coord = InProcessCoordinator()
+    path = str(tmp_path / "t")
+    t = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    t.append(_ev(spark, 10))
+    t.set_properties(
+        {"delta.coordinatedCommits.commitCoordinator-preview": "in-process"}
+    )
+    t.append(_ev(spark, 20, lo=10))  # coordinated writer: fine
+    coord.backfill(LogStore(), t.log_dir)
+    fs = DeltaLogTable(path)
+    assert fs.read(spark).count() == 20  # reads stay open
+    with pytest.raises(ValueError, match="commit coordinator"):
+        fs.append(_ev(spark, 30, lo=20))
+    # the refusal left no partial commit behind
+    assert DeltaLogTable(path).latest_version() == t.latest_version()
