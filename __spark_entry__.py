@@ -41,6 +41,7 @@ _R14_NEW_THIS_ROUND: list[str] = [
     "scan_delta_log_id_mode",
     "join_stream_stream_right_outer",
     "sink_delta_uniform",
+    "sink_delta_coordinated",
 ]
 
 # Ops whose implementation changed in r14 — re-verification rows

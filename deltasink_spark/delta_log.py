@@ -816,6 +816,14 @@ class CoordinatedLogStore(LogStore):
             return
         log_dir, v = ver
         self.coordinator.commit(log_dir, v, data)
+        if '"delta.coordinatedCommits.commitCoordinator' in data:
+            # the ENABLEMENT commit (and everything before it) must be
+            # backfilled SYNCHRONOUSLY (the coordinated-commits RFC's
+            # rule): a filesystem writer that cannot see the ownership
+            # metaData would sail past the ownership gate, compute a
+            # stale version, and put-if-absent a SPLIT-BRAIN commit
+            # beside the owned tail
+            self.coordinator.backfill(LogStore(), log_dir)
 
     def delete(self, path: str) -> None:
         sp = self._staged_path(path)

@@ -224,3 +224,35 @@ def test_coordinator_ownership_gate(spark, tmp_path):
         fs.append(_ev(spark, 30, lo=20))
     # the refusal left no partial commit behind
     assert DeltaLogTable(path).latest_version() == t.latest_version()
+
+
+def test_coordinator_enablement_backfills_synchronously(spark, tmp_path):
+    """The RFC's split-brain guard: the commit that ENABLES
+    coordinated commits (and everything before it) backfills
+    synchronously — a plain-filesystem writer therefore ALWAYS sees
+    the ownership metaData and refuses, even while later commits sit
+    unbackfilled with the coordinator. Without this, a filesystem
+    writer blind to the owned tail would put-if-absent a colliding
+    version file beside it."""
+    from deltasink_spark.delta_log import (
+        CoordinatedLogStore,
+        InProcessCoordinator,
+    )
+
+    coord = InProcessCoordinator()
+    path = str(tmp_path / "t")
+    t = DeltaLogTable(path, log_store=CoordinatedLogStore(coord))
+    t.append(_ev(spark, 10))
+    t.set_properties(
+        {"delta.coordinatedCommits.commitCoordinator-preview": "in-process"}
+    )
+    # enablement (v1) and its prefix (v0) are ALREADY standard files
+    fs = DeltaLogTable(path)
+    assert fs.latest_version() == 1
+    t.append(_ev(spark, 20, lo=10))  # v2 stays owned/unbackfilled
+    assert fs.read(spark).count() == 10  # backfilled prefix only
+    with pytest.raises(ValueError, match="commit coordinator"):
+        DeltaLogTable(path).append(_ev(spark, 30, lo=20))
+    # the owned tail is intact and exactly what the coordinator holds
+    assert t.read(spark).count() == 20
+    assert sorted(coord.get_commits(t.log_dir)) == [2]
