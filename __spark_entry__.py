@@ -57,6 +57,9 @@ _R14_CHANGED_THIS_ROUND: list[str] = [
     "sink_delta_log_cleanup",
     # name-mapped staging now stamps parquet field ids (UniForm compat)
     "sink_delta_column_mapping",
+    # evolution-added columns forced nullable (old files pad null)
+    "sink_delta_merge_evolve",
+    "sink_delta_log_schema_evolution",
     # stream reader gained schema-change detection / tracking /
     # skipChangeCommits / widening casts
     "stream_table_source",

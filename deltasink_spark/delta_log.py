@@ -4359,13 +4359,23 @@ class DeltaLogTable(_CheckpointMixin):
         base = self._metadata_dict() if base is None else base
         cur_schema = StructType.fromJson(json.loads(base["schemaString"]))
         cfg = dict(base.get("configuration") or {})
+        # evolution-added columns are ALWAYS nullable (delta-spark's
+        # rule): every file written before this commit lacks them and
+        # must legally surface them as null — inheriting a
+        # non-nullable flag from the input frame (e.g. a lit()
+        # expression) would make reading the table's own history a
+        # constraint violation
+        extra = [
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in extra
+        ]
         if cfg.get("delta.columnMapping.mode") in ("name", "id"):
             maxid = int(cfg.get("delta.columnMapping.maxColumnId", "0"))
             extra = [
                 StructField(
                     f.name,
                     f.dataType,
-                    f.nullable,
+                    True,
                     {
                         **(f.metadata or {}),
                         "delta.columnMapping.id": maxid + i,

@@ -4651,3 +4651,55 @@ def test_uniform_name_mapping_property_and_field_ids(spark, tmp_path):
         f_.metadata and b"PARQUET:field_id" in f_.metadata
         for f_ in (sch.field(i) for i in range(len(sch.names)))
     )
+
+
+def test_stream_schema_tracking_cdf_mode(spark, tmp_path):
+    """schemaTrackingLocation composes with readChangeFeed: a
+    mid-stream evolution fails the CDF stream after persisting the
+    new schema; the restart serves pre-evolution cdc/add files padded
+    to the tracked schema with the CDF metadata columns intact."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _table(tmp_path)
+    loc = str(tmp_path / "loc")
+    ckpt = str(tmp_path / "ck")
+    t.append(_ev(spark, 10))
+    spark.dataSource.register(DeltaTableStreamDataSource)
+
+    def run():
+        got: list = []
+        q = (
+            spark.readStream.format("delta_log_table")
+            .option("path", t.path)
+            .option("read_cdf", "true")
+            .option("schemaTrackingLocation", loc)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    out1 = run()
+    assert len(out1) == 10
+    t.delete_where(spark, "event_id < 3")  # cdc commit, old schema
+    t.append(
+        _ev(spark, 20)
+        .filter(F.col("event_id") >= 10)
+        .withColumn("tag", F.lit("z")),
+        merge_schema=True,
+    )
+    with pytest.raises(StreamingQueryException, match="persisted"):
+        run()
+    out = run()
+    kinds = {}
+    for r in out:
+        kinds.setdefault(r["_change_type"], []).append(r)
+    assert len(kinds["delete"]) == 3  # old-schema cdc rows served
+    assert all(r["tag"] is None for r in kinds["delete"])  # padded
+    assert len(kinds["insert"]) == 10
+    assert all(r["tag"] == "z" for r in kinds["insert"])
