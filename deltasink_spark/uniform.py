@@ -512,18 +512,25 @@ def write_iceberg_snapshot(table, version: int) -> str:
         },
         "manifest-list": ml_path,
     }
-    # carry forward prior snapshots (metadata version = delta version+1)
+    # carry forward prior snapshots + the metadata-log chain
+    # (metadata version = delta version + 1)
     prior: list[dict] = []
+    meta_log: list[dict] = []
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         try:
             prev_n = int(open(hint).read().strip())
-            prev = json.load(
-                open(os.path.join(meta_dir, f"v{prev_n}.metadata.json"))
-            )
+            prev_path = os.path.join(meta_dir, f"v{prev_n}.metadata.json")
+            prev = json.load(open(prev_path))
             prior = prev.get("snapshots") or []
+            meta_log = (prev.get("metadata-log") or []) + [
+                {
+                    "timestamp-ms": prev.get("last-updated-ms") or 0,
+                    "metadata-file": prev_path,
+                }
+            ]
         except (ValueError, OSError):
-            prior = []
+            prior, meta_log = [], []
     md = {
         "format-version": 2,
         "table-uuid": (table._metadata_dict() or {}).get("id")
@@ -578,7 +585,7 @@ def write_iceberg_snapshot(table, version: int) -> str:
         "snapshot-log": [
             {"snapshot-id": snapshot_id, "timestamp-ms": now}
         ],
-        "metadata-log": [],
+        "metadata-log": meta_log,
     }
     n = version + 1
     mj = os.path.join(meta_dir, f"v{n}.metadata.json")
