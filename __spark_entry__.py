@@ -34,6 +34,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose latest green driver row is oldest, oldest first — filling the
 # budget (overflow past slot 50 spills to the next round's rotation).
 
+# Ops added DURING round 15 — each needs a first driver row.
+_R15_NEW_THIS_ROUND: list[str] = []
+
+# Ops whose implementation changed in r15 — re-verification rows
+# required.
+_R15_CHANGED_THIS_ROUND: list[str] = []
+
+# Stale cohort for r15: the r5-green remainder that spilled past r14's
+# slot 50 (27 ops, join_stream_static onward alphabetically), then the
+# full r6-green cohort (46 ops) filling the budget; overflow spills to
+# r16's rotation.
+_R15_STALE: list[str] = [
+    # r5-green remainder
+    "join_stream_static", "join_stream_stream", "join_temporal_lookup",
+    "sample_bottom_k", "sample_temperature", "scd2_intervals",
+    "sql_interface", "stream_backpressure", "stream_late_policy",
+    "stream_stateful", "stream_trigger", "stream_watermark",
+    "text_bm25", "text_boilerplate_ngrams", "text_entropy",
+    "text_unigram_logprob", "tpch_q1", "tpch_q11", "tpch_q12",
+    "tpch_q15", "tpch_q16", "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q9", "ts_ewma", "unpivot_melt",
+    # r6-green cohort
+    "agg_bitmap_native", "agg_listagg", "attribution_first_touch",
+    "attribution_last_touch", "avro_confluent_envelope",
+    "bpe_merge_step", "cdc_chunk", "dataset_split", "dedup_paragraph",
+    "dedup_substring_span", "dedup_url_canonical", "dq_checks",
+    "dsir_select", "embedding_pq", "event_pattern_match", "fn_collate",
+    "fn_crypto", "fn_struct", "fn_try", "fn_url", "join_asof_forward",
+    "join_lateral", "json_variant", "knn_graph", "pipeline_web_prep",
+    "protobuf_parse", "quality_ccnet_bins", "quality_gopher",
+    "rollup_incremental", "scan_binaryfile", "scan_text", "scan_xml",
+    "sim_pq_adc", "sink_python_ds", "source_python_ds",
+    "sql_parameterized", "stream_python_ds",
+    "stream_transform_with_state", "table_stats", "text_c4_clean",
+    "text_hashing_vectorizer", "ts_rollup_multi", "udaf_arrow_grouped",
+    "udf_arrow", "win_running_distinct", "xml_parse",
+]
+
 # Ops added DURING round 14 — each needs a first driver row.
 _R14_NEW_THIS_ROUND: list[str] = [
     "sink_delta_auto_compact",
@@ -381,6 +419,7 @@ _R10_STALE = [
 
 def _ordered_ids() -> list[str]:
     groups = (
+        _R15_NEW_THIS_ROUND, _R15_CHANGED_THIS_ROUND, _R15_STALE,
         _R14_NEW_THIS_ROUND, _R14_CHANGED_THIS_ROUND, _R14_STALE,
         _R13_NEW_THIS_ROUND, _R13_CHANGED_THIS_ROUND, _R13_STALE,
         _R12_NEW_THIS_ROUND, _R12_NEW, _R12_CHANGED,
