@@ -38,8 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _R15_NEW_THIS_ROUND: list[str] = []
 
 # Ops whose implementation changed in r15 — re-verification rows
-# required.
-_R15_CHANGED_THIS_ROUND: list[str] = []
+# required: the exact-dedup keep-first became the map-side-combinable
+# MIN(struct) hash-agg (skew-safe; semantics identical).
+_R15_CHANGED_THIS_ROUND: list[str] = [
+    "dedup_exact_hash",
+    "pipeline_llm_prep",
+]
 
 # Stale cohort for r15: the r5-green remainder that spilled past r14's
 # slot 50 (27 ops, join_stream_static onward alphabetically), then the

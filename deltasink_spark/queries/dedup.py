@@ -12,7 +12,6 @@ values hash differently per engine -> rows-only + property tests.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from deltasink_spark.operators.minhash import (
     minhash_dedup_pairs,
@@ -57,13 +56,15 @@ _SHINGLE_CTE = """
 )
 def dedup_exact_hash(spark, sf_dir):
     """Exact content dedup: hash text, keep the min-doc_id row per hash.
-    At scale this is one hash-agg shuffle on the 32-byte digest."""
+    One hash-agg shuffle on the 32-byte digest; keep-first is
+    MIN(doc_id), map-side combinable — a 10^6-way boilerplate cluster
+    collapses to one row per map task before the shuffle, where the
+    former row_number() window sorted the whole cluster in one task."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("content_sha").orderBy("doc_id")
     return (
         d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_sha")
     )
 

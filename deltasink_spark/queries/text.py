@@ -377,12 +377,20 @@ def pipeline_llm_prep(spark, sf_dir):
         F.split(norm, " ").alias("toks"),
         F.round(quality_score(F.col("text"), tokenize(F.col("text"))), 4).alias("quality"),
     ).filter(F.col("quality") >= 0.5)
-    w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
+    # keep-first = MIN(struct(doc_id, <row>)) per content hash: map-side
+    # combinable (dedup_paragraph's documented skew-safe shape), so a
+    # 10^6-way boilerplate cluster never sorts inside one window task.
+    # doc_id leads the struct and is unique, so MIN picks the min-id row.
     deduped = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(F.sha2(F.col("norm"), 256).alias("content_sha"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "source", "norm", "toks", "quality")
+            ).alias("keep")
+        )
+        .select("keep.*")
         # feeds the minhash DAG (shingles) AND the final anti-join +
-        # summary: materialize once instead of re-running the window.
+        # summary: materialize once instead of re-running the agg.
         .localCheckpoint(eager=False)
     )
     near_pairs = minhash_dedup_pairs(

@@ -670,3 +670,45 @@ def test_simhash_megabucket_skew_candidates_linear(spark):
     n_pairs = pairs.count()
     assert n_pairs <= 4 * n, f"candidate blowup: {n_pairs}"
     assert n_pairs == n - 1  # every member reaches the hub exactly once
+
+
+def test_exact_dedup_megacluster_skew_no_window(spark, tmp_path):
+    """Adversarial-skew proof for the exact-dedup keep-first stage
+    (dedup_exact_hash and pipeline_llm_prep's dedup stage): 20,000
+    byte-identical docs land on ONE content hash. The keep-first must
+    be the map-side-combinable MIN(struct) hash-agg — the former
+    row_number() window would sort the whole cluster inside one task.
+    Proof both ways: (a) the optimized plans carry NO Window node on
+    the dedup path, (b) the mega-cluster collapses to its min doc_id."""
+    from deltasink_spark import registry
+
+    dup = (
+        "the quick brown fox jumps over the lazy dog and runs to town "
+        "every single day without fail"
+    )
+    other = (
+        "completely different second document about the weather and "
+        "ships sailing across a calm blue sea at dawn"
+    )
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(other)).otherwise(F.lit(dup)).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    out = registry.QUERIES["dedup_exact_hash"](spark, sf)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = {r["doc_id"] for r in out.collect()}
+    assert rows == {0, 7}  # min of the mega-cluster + the singleton
+
+    pipe = registry.QUERIES["pipeline_llm_prep"](spark, sf)
+    pplan = pipe._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in pplan, pplan
+    summary = pipe.collect()
+    assert len(summary) == 1
+    assert summary[0]["n_docs"] == 2  # cluster -> 1 survivor + the other doc
