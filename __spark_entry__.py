@@ -35,7 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # budget (overflow past slot 50 spills to the next round's rotation).
 
 # Ops added DURING round 15 — each needs a first driver row.
-_R15_NEW_THIS_ROUND: list[str] = []
+_R15_NEW_THIS_ROUND: list[str] = [
+    "sink_delta_uniform_incremental",
+    "sink_delta_uniform_dv",
+]
 
 # Ops whose implementation changed in r15 — re-verification rows
 # required: the exact-dedup keep-first became the map-side-combinable
@@ -43,6 +46,9 @@ _R15_NEW_THIS_ROUND: list[str] = []
 _R15_CHANGED_THIS_ROUND: list[str] = [
     "dedup_exact_hash",
     "pipeline_llm_prep",
+    # UniForm writer became incremental (delta manifests, carry-forward,
+    # DV position deletes) — the existing uniform op re-verifies
+    "sink_delta_uniform",
 ]
 
 # Stale cohort for r15: the r5-green remainder that spilled past r14's

@@ -3978,7 +3978,7 @@ class DeltaLogTable(_CheckpointMixin):
             # post-commit hook poison every later commit
             from deltasink_spark import uniform
 
-            uniform.validate_table(self)
+            uniform.validate_table(self, pending=props)
         meta = dict(base)
         cfg = dict(meta.get("configuration") or {})
         cfg.update(props)

@@ -19,11 +19,14 @@ What is generated per Delta commit on an enabled table:
   pointer.
 - ``metadata/snap-<id>-1-<uuid>.avro`` — the snapshot's MANIFEST LIST
   (Avro OCF, spec field ids 500-517).
-- ``metadata/<uuid>-m0.avro`` — ONE manifest carrying every live data
-  file as an ADDED entry (each UniForm snapshot is an `overwrite`
-  snapshot describing the full live set — current-state reads are
-  exact; Iceberg-side incremental consumption degrades to full
-  snapshots, the documented trade of this writer).
+- ``metadata/<uuid>-m0.avro`` — this commit's DELTA manifest: only
+  the files the commit added, as ADDED entries. Prior manifests are
+  carried forward in the manifest list (the spec's `existing`
+  manifests); a manifest that lost files is rewritten with EXISTING
+  survivors + DELETED tombstones (retained one snapshot) — so
+  snapshots are `append`/`delete`/`overwrite` per the actual file
+  delta and Iceberg incremental consumers see exact per-commit
+  changes (``read_iceberg_changelog``).
 - ``metadata/version-hint.text`` — the filesystem-catalog pointer.
 
 Constraints enforced (icebergCompatV2's own): no deletion vectors in
@@ -259,22 +262,53 @@ def _encode_manifest_list_entry(
     snapshot_id: int,
     added_files: int,
     added_rows: int,
+    *,
+    min_sequence_number: int | None = None,
+    existing_files: int = 0,
+    existing_rows: int = 0,
+    deleted_files: int = 0,
+    deleted_rows: int = 0,
+    content: int = 0,
 ) -> bytes:
     out = bytearray()
     _w_str(manifest_path, out)
     write_long(manifest_length, out)
     write_long(0, out)  # partition_spec_id
-    write_long(0, out)  # content = data
+    write_long(content, out)  # 0 = data, 1 = deletes
     write_long(sequence_number, out)
-    write_long(sequence_number, out)  # min_sequence_number
+    write_long(
+        sequence_number if min_sequence_number is None else min_sequence_number,
+        out,
+    )
     write_long(snapshot_id, out)
     write_long(added_files, out)
-    write_long(0, out)  # existing_files_count
-    write_long(0, out)  # deleted_files_count
+    write_long(existing_files, out)
+    write_long(deleted_files, out)
     write_long(added_rows, out)
-    write_long(0, out)  # existing_rows_count
-    write_long(0, out)  # deleted_rows_count
+    write_long(existing_rows, out)
+    write_long(deleted_rows, out)
     return bytes(out)
+
+
+def _reencode_manifest_list_entry(e: dict) -> bytes:
+    """Carry a DECODED manifest-list entry forward verbatim into the
+    next snapshot's manifest list (the spec's `existing` manifests:
+    the entry keeps its original added_snapshot_id and sequence
+    numbers so entry-level sequence inheritance stays correct)."""
+    return _encode_manifest_list_entry(
+        e["manifest_path"],
+        e["manifest_length"],
+        e["sequence_number"],
+        e["added_snapshot_id"],
+        e["added_files_count"],
+        e["added_rows_count"],
+        min_sequence_number=e["min_sequence_number"],
+        existing_files=e["existing_files_count"],
+        existing_rows=e["existing_rows_count"],
+        deleted_files=e["deleted_files_count"],
+        deleted_rows=e["deleted_rows_count"],
+        content=e.get("content", 0),
+    )
 
 
 def _encode_manifest_entry(
@@ -284,18 +318,32 @@ def _encode_manifest_entry(
     record_count: int,
     file_size: int,
     pvals: list[tuple[str, object]] | None = None,
+    *,
+    seq: int | None = None,
+    file_seq: int | None = None,
+    content: int = 0,
 ) -> bytes:
     """``pvals`` = [(avro primitive, value-or-None)] in partition-spec
-    order; an unpartitioned table's partition record is zero bytes."""
+    order; an unpartitioned table's partition record is zero bytes.
+    ``seq``/``file_seq``: explicit (data) sequence numbers — REQUIRED
+    by the spec for EXISTING/DELETED entries in a rewritten manifest
+    (only ADDED entries in the manifest their snapshot wrote may
+    inherit from the manifest-list entry); None writes the null
+    branch (inherit). ``content``: data_file.content — 0 for data
+    files, 1 for position-delete files."""
     import struct as _struct
 
     out = bytearray()
     write_long(status, out)
     write_long(1, out)  # snapshot_id: union branch 1 (long)
     write_long(snapshot_id, out)
-    write_long(0, out)  # sequence_number: null (inherit)
-    write_long(0, out)  # file_sequence_number: null (inherit)
-    write_long(0, out)  # data_file.content = data
+    for v in (seq, file_seq):
+        if v is None:
+            write_long(0, out)  # null branch: inherit
+        else:
+            write_long(1, out)
+            write_long(v, out)
+    write_long(content, out)  # data_file.content: 0 data, 1 pos deletes
     _w_str(file_path, out)
     _w_str("PARQUET", out)
     for prim, v in pvals or []:
@@ -393,15 +441,22 @@ def _hive_pval(raw: str | None, prim: str):
     return raw
 
 
-def validate_table(table) -> tuple[list[dict], list[tuple[str, str, int]]]:
-    """icebergCompatV2 preconditions, checkable WITHOUT writing: every
-    column type maps to an Iceberg type, every partition column maps
-    to an identity partition primitive, and the live set carries no
-    deletion vectors. Raises ValueError otherwise. Returns the
-    (schema fields, partition spec fields) the writer uses —
-    set_properties runs this BEFORE durably enabling UniForm, so a
-    table the writer cannot represent never gets the property (the
-    post-commit hook would otherwise poison every later commit)."""
+def validate_table(
+    table, pending: dict[str, str] | None = None
+) -> tuple[list[dict], list[tuple[str, str, int]]]:
+    """UniForm preconditions, checkable WITHOUT writing: every column
+    type maps to an Iceberg type, every partition column maps to an
+    identity partition primitive, and deletion vectors in the live
+    set are only allowed when `delta.enableIcebergCompatV2` is on
+    (the writer then materializes each DV as an Iceberg v2
+    position-delete file; without compatV2 an Iceberg reader would
+    misread DV-masked rows as live, so the enable REFUSES). Raises
+    ValueError otherwise. Returns the (schema fields, partition spec
+    fields) the writer uses — set_properties runs this BEFORE durably
+    enabling UniForm (``pending`` carries the about-to-be-set
+    properties), so a table the writer cannot represent never gets
+    the property (the post-commit hook would otherwise poison every
+    later commit)."""
     fields = _iceberg_schema_fields(table)
     s_tbl = table.schema()
     by_name = {f.name: f for f in (s_tbl.fields if s_tbl else [])}
@@ -417,39 +472,24 @@ def validate_table(table) -> tuple[list[dict], list[tuple[str, str, int]]]:
                 "partition value"
             )
         pfields.append((c, prim, 1000 + i))
-    if any(
+    cfg = dict((table._metadata_dict() or {}).get("configuration") or {})
+    cfg.update(pending or {})
+    compat_v2 = (cfg.get("delta.enableIcebergCompatV2") or "").lower() == "true"
+    if not compat_v2 and any(
         a.get("deletionVector") for a in table.snapshot_adds().values()
     ):
         raise ValueError(
-            "icebergCompatV2 requires no deletion vectors in the live "
-            "set (Iceberg v2 would need delete files) — purge DVs "
-            "(OPTIMIZE) before enabling UniForm"
+            "UniForm without icebergCompatV2 cannot represent deletion "
+            "vectors (an Iceberg reader would see DV-masked rows as "
+            "live) — enable delta.enableIcebergCompatV2 so DVs map to "
+            "position-delete files, or purge DVs (OPTIMIZE) first"
         )
     return fields, pfields
 
 
-def write_iceberg_snapshot(table, version: int) -> str:
-    """Generate the Iceberg metadata for ``table``'s state at its
-    current snapshot, as Delta commit ``version``. Returns the
-    metadata.json path. Hive partitioning maps to an IDENTITY
-    partition spec (field ids 1000+; per-file partition values ride
-    the manifest entries' typed partition struct — identity-transform
-    readers materialize the column from metadata, so Hive-layout
-    files that omit it stay valid Iceberg data files). Refuses
-    DV-carrying tables (icebergCompatV2's own precondition)."""
-    fields, pfields = validate_table(table)
-    adds = table.snapshot_adds()
-    meta_dir = os.path.join(table.path, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    snapshot_id = version + 1  # snapshot ids must be unique, non-zero
-    seq = version + 1
-    now = int(__import__("time").time() * 1000)
-    fid_of = {f["name"]: f["id"] for f in fields}
-    cm = table.column_mapping() or {}
-    _cm_of = cm
-    # one manifest with the full live set
-    entries = []
-    total_rows = 0
+def _entry_file_counts(table, adds) -> dict[str, tuple[int, int, dict]]:
+    """abs path -> (record count, size, raw add) for the live set."""
+    out = {}
     for p, a in sorted(adds.items()):
         fp = table._abs_of_add_path(p)
         nrec = None
@@ -467,55 +507,127 @@ def write_iceberg_snapshot(table, version: int) -> str:
             import pyarrow.parquet as _pq
 
             nrec = _pq.ParquetFile(fp).metadata.num_rows
-        total_rows += nrec
+        out[fp] = (nrec, int(a.get("size") or 0), a)
+    return out
+
+
+def _write_position_delete(
+    path: str, data_file: str, positions: list[int]
+) -> None:
+    """One Iceberg v2 POSITION-DELETE parquet file targeting
+    ``data_file``: columns file_path / pos with the spec's reserved
+    field ids (2147483546 / 2147483545), rows sorted by pos."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "file_path": pa.array([data_file] * len(positions), pa.string()),
+            "pos": pa.array(positions, pa.int64()),
+        },
+        schema=schema,
+    )
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def write_iceberg_snapshot(table, version: int) -> str:
+    """Generate the Iceberg metadata for ``table``'s state at its
+    current snapshot, as Delta commit ``version``. Returns the
+    metadata.json path. Hive partitioning maps to an IDENTITY
+    partition spec (field ids 1000+; per-file partition values ride
+    the manifest entries' typed partition struct — identity-transform
+    readers materialize the column from metadata, so Hive-layout
+    files that omit it stay valid Iceberg data files).
+
+    Deletion vectors (icebergCompatV2 tables only — validate_table
+    refuses otherwise): each live DV materializes as an Iceberg v2
+    POSITION-DELETE parquet file (file_path + pos rows, the spec's
+    reserved field ids), named by a digest of (data file, DV
+    descriptor) so an unchanged DV is never rewritten; the current
+    delete set rides ONE delete manifest (content=1). When the DV
+    state is unchanged the previous delete manifest carries forward
+    verbatim; when it changed, a fresh delete manifest replaces the
+    prior ones. Per-commit delete work is O(changed DVs), KBs per
+    file whatever the table size — the same bound as Delta's own DV
+    read path.
+
+    Snapshots are INCREMENTAL (Iceberg spec v2 manifest lifecycle):
+    each commit writes ONE delta manifest carrying this commit's new
+    files as ADDED entries; prior snapshots' manifests are carried
+    forward in the manifest list verbatim (the spec's `existing`
+    manifests, keeping their original added_snapshot_id and sequence
+    numbers so entry-level inheritance stays correct). A manifest
+    that lost files to this commit is REWRITTEN: survivors become
+    EXISTING entries with explicit sequence numbers, removed files
+    become DELETED entries stamped with this snapshot — retained for
+    exactly one snapshot (dropped at the next carry-forward) so
+    Iceberg incremental consumers see the removal. The snapshot
+    summary operation is `append` / `delete` / `overwrite` per the
+    actual file delta. Falls back to one full-rewrite snapshot when
+    the prior metadata is unreadable or the partition spec changed."""
+    fields, pfields = validate_table(table)
+    adds = table.snapshot_adds()
+    meta_dir = os.path.join(table.path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = version + 1  # snapshot ids must be unique, non-zero
+    seq = version + 1
+    now = int(__import__("time").time() * 1000)
+    fid_of = {f["name"]: f["id"] for f in fields}
+    cm = table.column_mapping() or {}
+    _cm_of = cm
+    cur = _entry_file_counts(table, adds)
+    decode_plan = [(c, prim) for c, prim, _fid in pfields]
+
+    def _pvals_of(a: dict) -> list[tuple[str, object]]:
         pv = a.get("partitionValues") or {}
         if not isinstance(pv, dict):
             pv = dict(pv)
-        pvals = [
+        return [
             (prim, _hive_pval(pv.get(cm.get(c, c)), prim))
             for c, prim, _fid in pfields
         ]
-        entries.append(
-            _encode_manifest_entry(
-                1, snapshot_id, fp, nrec, int(a.get("size") or 0),
-                pvals=pvals,
-            )
-        )
-    m_name = f"{uuid.uuid4().hex}-m0.avro"
-    m_path = os.path.join(meta_dir, m_name)
-    avro_ocf_write(m_path, _manifest_entry_schema(pfields), entries)
-    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-    ml_path = os.path.join(meta_dir, ml_name)
-    avro_ocf_write(
-        ml_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
-            _encode_manifest_list_entry(
-                m_path,
-                os.path.getsize(m_path),
-                seq,
-                snapshot_id,
-                len(entries),
-                total_rows,
-            )
-        ],
-    )
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "timestamp-ms": now,
-        "sequence-number": seq,
-        "schema-id": 0,
-        "summary": {
-            "operation": "overwrite",
-            "added-data-files": str(len(entries)),
-            "added-records": str(total_rows),
-        },
-        "manifest-list": ml_path,
-    }
-    # carry forward prior snapshots + the metadata-log chain
-    # (metadata version = delta version + 1)
+
+    # ---- deletion vectors -> position-delete files -----------------
+    import hashlib as _hashlib
+
+    dv_deletes: dict[str, tuple[int, int, list]] = {}
+    for fp, (_nrec, _size, a) in cur.items():
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        positions = sorted(table._dv_positions(a))
+        sig = _hashlib.sha1(
+            (fp + "\x00" + json.dumps(dv, sort_keys=True)).encode("utf-8")
+        ).hexdigest()
+        dp = os.path.join(meta_dir, f"delete-{sig}.parquet")
+        if not os.path.exists(dp):
+            _write_position_delete(dp, fp, positions)
+        dv_deletes[dp] = (len(positions), os.path.getsize(dp), _pvals_of(a))
+
+    # ---- prior state: snapshots, metadata-log, and the previous
+    # snapshot's manifests (for carry-forward / rewrite) -------------
     prior: list[dict] = []
     meta_log: list[dict] = []
+    prev_manifests: list[dict] = []  # decoded manifest-list entries
+    prev_ok = False
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         try:
@@ -529,8 +641,247 @@ def write_iceberg_snapshot(table, version: int) -> str:
                     "metadata-file": prev_path,
                 }
             ]
-        except (ValueError, OSError):
-            prior, meta_log = [], []
+            if _decode_plan_of(prev) == decode_plan:
+                prev_cur = prev.get("current-snapshot-id")
+                prev_snap = next(
+                    (
+                        s
+                        for s in prior
+                        if s["snapshot-id"] == prev_cur
+                    ),
+                    None,
+                )
+                if prev_snap is not None:
+                    _s, bodies, counts = avro_ocf_read(
+                        prev_snap["manifest-list"]
+                    )
+                    for body, cnt in zip(bodies, counts):
+                        prev_manifests.extend(
+                            _decode_manifest_list(body, cnt)
+                        )
+                    prev_ok = True
+        except (ValueError, OSError, KeyError):
+            prior, meta_log, prev_manifests, prev_ok = [], [], [], False
+
+    # ---- classify the file delta -----------------------------------
+    list_entries: list[bytes] = []  # the new manifest list, in order
+    claimed: set[str] = set()
+    n_deleted_files = 0
+    n_deleted_rows = 0
+    schema_json = _manifest_entry_schema(pfields)
+    prev_delete_mls: list[dict] = []
+    if prev_ok:
+        for m in prev_manifests:
+            if m.get("content") == 1:
+                # delete manifests have their own lifecycle below
+                prev_delete_mls.append(m)
+                continue
+            try:
+                _ms, mb, mc = avro_ocf_read(m["manifest_path"])
+            except (OSError, ValueError):
+                prev_ok = False
+                break
+            ent: list[dict] = []
+            for body, cnt in zip(mb, mc):
+                ent.extend(_decode_manifest(body, cnt, decode_plan))
+            live = [e for e in ent if e["status"] != 2]
+            survivors = [e for e in live if e["file_path"] in cur]
+            removed = [e for e in live if e["file_path"] not in cur]
+            claimed.update(e["file_path"] for e in survivors)
+            had_tombstones = len(live) != len(ent)
+            if not removed and not had_tombstones:
+                # untouched: carry the list entry forward verbatim
+                list_entries.append(_reencode_manifest_list_entry(m))
+                continue
+            # rewrite: survivors -> EXISTING with explicit sequence
+            # numbers; this commit's removals -> DELETED stamped with
+            # this snapshot; prior DELETED tombstones are dropped
+            # (they were visible for exactly one snapshot)
+            n_deleted_files += len(removed)
+            n_deleted_rows += sum(e["record_count"] for e in removed)
+            inherit_seq = m["sequence_number"]
+            rewritten: list[bytes] = []
+            ex_rows = 0
+            for e in survivors:
+                ex_rows += e["record_count"]
+                rewritten.append(
+                    _encode_manifest_entry(
+                        0,
+                        e.get("snapshot_id") or m["added_snapshot_id"],
+                        e["file_path"],
+                        e["record_count"],
+                        e["file_size_in_bytes"],
+                        pvals=[
+                            (prim, e["partition"].get(name))
+                            for name, prim in decode_plan
+                        ],
+                        seq=e.get("sequence_number", inherit_seq)
+                        if e.get("sequence_number") is not None
+                        else inherit_seq,
+                        file_seq=e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else inherit_seq,
+                    )
+                )
+            rm_rows = 0
+            for e in removed:
+                rm_rows += e["record_count"]
+                rewritten.append(
+                    _encode_manifest_entry(
+                        2,
+                        snapshot_id,
+                        e["file_path"],
+                        e["record_count"],
+                        e["file_size_in_bytes"],
+                        pvals=[
+                            (prim, e["partition"].get(name))
+                            for name, prim in decode_plan
+                        ],
+                        seq=e.get("sequence_number", inherit_seq)
+                        if e.get("sequence_number") is not None
+                        else inherit_seq,
+                        file_seq=e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else inherit_seq,
+                    )
+                )
+            if not rewritten:
+                continue  # the whole manifest died: drop it entirely
+            rw_name = f"{uuid.uuid4().hex}-m0.avro"
+            rw_path = os.path.join(meta_dir, rw_name)
+            avro_ocf_write(rw_path, schema_json, rewritten)
+            list_entries.append(
+                _encode_manifest_list_entry(
+                    rw_path,
+                    os.path.getsize(rw_path),
+                    seq,
+                    snapshot_id,
+                    0,
+                    0,
+                    min_sequence_number=min(
+                        inherit_seq, m["min_sequence_number"]
+                    ),
+                    existing_files=len(survivors),
+                    existing_rows=ex_rows,
+                    deleted_files=len(removed),
+                    deleted_rows=rm_rows,
+                )
+            )
+    if not prev_ok:
+        # full-rewrite fallback: everything is ADDED in one manifest
+        list_entries, claimed = [], set()
+        n_deleted_files = n_deleted_rows = 0
+
+    # ---- this commit's delta manifest (new files only) -------------
+    entries = []
+    added_rows = 0
+    for fp in sorted(set(cur) - claimed):
+        nrec, size, a = cur[fp]
+        added_rows += nrec
+        pv = a.get("partitionValues") or {}
+        if not isinstance(pv, dict):
+            pv = dict(pv)
+        pvals = [
+            (prim, _hive_pval(pv.get(cm.get(c, c)), prim))
+            for c, prim, _fid in pfields
+        ]
+        entries.append(
+            _encode_manifest_entry(
+                1, snapshot_id, fp, nrec, size, pvals=pvals
+            )
+        )
+    if entries:
+        m_name = f"{uuid.uuid4().hex}-m0.avro"
+        m_path = os.path.join(meta_dir, m_name)
+        avro_ocf_write(m_path, schema_json, entries)
+        list_entries.insert(
+            0,
+            _encode_manifest_list_entry(
+                m_path,
+                os.path.getsize(m_path),
+                seq,
+                snapshot_id,
+                len(entries),
+                added_rows,
+            ),
+        )
+    # ---- the delete side: ONE manifest of position-delete files ----
+    deletes_changed = False
+    prev_delete_paths: set[str] = set()
+    if prev_ok:
+        try:
+            for m in prev_delete_mls:
+                _ms, mb, mc = avro_ocf_read(m["manifest_path"])
+                for body, cnt in zip(mb, mc):
+                    prev_delete_paths.update(
+                        e["file_path"]
+                        for e in _decode_manifest(body, cnt, decode_plan)
+                        if e["status"] != 2
+                    )
+        except (OSError, ValueError):
+            prev_delete_paths = set()
+    if prev_ok and prev_delete_paths == set(dv_deletes):
+        # DV state unchanged: carry the delete manifests forward
+        list_entries.extend(
+            _reencode_manifest_list_entry(m) for m in prev_delete_mls
+        )
+    elif dv_deletes:
+        deletes_changed = True
+        dent: list[bytes] = []
+        d_rows = 0
+        for dp in sorted(dv_deletes):
+            n_pos, dsize, dpvals = dv_deletes[dp]
+            d_rows += n_pos
+            dent.append(
+                _encode_manifest_entry(
+                    1, snapshot_id, dp, n_pos, dsize,
+                    pvals=dpvals, content=1,
+                )
+            )
+        dm_path = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+        avro_ocf_write(dm_path, schema_json, dent)
+        list_entries.append(
+            _encode_manifest_list_entry(
+                dm_path,
+                os.path.getsize(dm_path),
+                seq,
+                snapshot_id,
+                len(dent),
+                d_rows,
+                content=1,
+            )
+        )
+    elif prev_delete_paths:
+        # every DV purged: the prior delete manifests simply drop out
+        deletes_changed = True
+    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(meta_dir, ml_name)
+    avro_ocf_write(ml_path, _MANIFEST_LIST_SCHEMA, list_entries)
+    if not prev_ok:
+        op = "append" if not prior else "overwrite"
+    elif entries and (n_deleted_files or deletes_changed):
+        op = "overwrite"
+    elif n_deleted_files or deletes_changed:
+        op = "delete"
+    else:
+        op = "append"
+    total_rows = sum(nrec for nrec, _sz, _a in cur.values())
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "sequence-number": seq,
+        "schema-id": 0,
+        "summary": {
+            "operation": op,
+            "added-data-files": str(len(entries)),
+            "added-records": str(added_rows),
+            "deleted-data-files": str(n_deleted_files),
+            "deleted-records": str(n_deleted_rows),
+            "total-data-files": str(len(cur)),
+            "total-records": str(total_rows),
+        },
+        "manifest-list": ml_path,
+    }
     md = {
         "format-version": 2,
         "table-uuid": (table._metadata_dict() or {}).get("id")
@@ -690,20 +1041,10 @@ def _decode_manifest(
     return out
 
 
-def read_iceberg_live_files(table_path: str) -> list[dict]:
-    """Fold the ICEBERG metadata only — version-hint -> metadata.json
-    -> current snapshot -> manifest list -> manifests -> live data
-    files (status != deleted). Never opens `_delta_log`: this is the
-    independent path the UniForm op's round-trip proof runs."""
-    meta_dir = os.path.join(table_path, "metadata")
-    n = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
-    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
-    cur = md["current-snapshot-id"]
-    snap = next(
-        s for s in md["snapshots"] if s["snapshot-id"] == cur
-    )
-    # partition decode plan from the DEFAULT SPEC + schema: identity
-    # fields' primitives come from their source columns
+def _decode_plan_of(md: dict) -> list[tuple[str, str]]:
+    """The partition decode plan [(name, avro primitive)] from a
+    metadata.json's DEFAULT SPEC + current schema: identity fields'
+    primitives come from their source columns."""
     pfields: list[tuple[str, str]] = []
     specs = {
         sp.get("spec-id", 0): sp for sp in md.get("partition-specs") or []
@@ -728,17 +1069,99 @@ def read_iceberg_live_files(table_path: str) -> list[dict]:
                 f"cannot decode partition field {f.get('name')!r}"
             )
         pfields.append((f["name"], prim))
+    return pfields
+
+
+def _read_iceberg_current(table_path: str, want_content: int) -> list[dict]:
+    """Fold the current snapshot's live entries of one content class
+    (0 = data files, 1 = position-delete files)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    cur = md["current-snapshot-id"]
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == cur
+    )
+    pfields = _decode_plan_of(md)
     _schema, bodies, counts = avro_ocf_read(snap["manifest-list"])
     manifests = []
     for body, cnt in zip(bodies, counts):
         manifests.extend(_decode_manifest_list(body, cnt))
     files: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != want_content:
+            continue
         _s, mb, mc = avro_ocf_read(m["manifest_path"])
         for body, cnt in zip(mb, mc):
             files.extend(
                 e
                 for e in _decode_manifest(body, cnt, pfields)
-                if e["status"] != 2
+                if e["status"] != 2 and e["content"] == want_content
             )
     return files
+
+
+def read_iceberg_live_files(table_path: str) -> list[dict]:
+    """Fold the ICEBERG metadata only — version-hint -> metadata.json
+    -> current snapshot -> manifest list -> manifests -> live data
+    files (status != deleted). Never opens `_delta_log`: this is the
+    independent path the UniForm op's round-trip proof runs. Data
+    files only; a DV-carrying table's position deletes come from
+    ``read_iceberg_deletes`` and must be anti-joined on
+    (file_path, pos) — the Iceberg v2 merge-on-read contract."""
+    return _read_iceberg_current(table_path, 0)
+
+
+def read_iceberg_deletes(table_path: str) -> list[dict]:
+    """The current snapshot's live POSITION-DELETE files (content=1
+    manifests), from the Iceberg metadata only."""
+    return _read_iceberg_current(table_path, 1)
+
+
+def read_iceberg_changelog(table_path: str) -> list[dict]:
+    """Per-snapshot FILE-LEVEL changelog from the Iceberg metadata
+    only (never opens `_delta_log`): for each snapshot in the current
+    metadata.json, ordered by sequence-number, decode only the
+    manifests that snapshot itself wrote (added_snapshot_id ==
+    snapshot-id) and collect its ADDED and DELETED entries — the
+    incremental-consumption path real Iceberg engines run. Returns
+    [{snapshot_id, sequence_number, operation, added: [entry],
+    removed: [entry]}]. Folding added/removed in order reproduces the
+    live set (asserted by the sink_delta_uniform_incremental op)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    pfields = _decode_plan_of(md)
+    out: list[dict] = []
+    for snap in sorted(
+        md.get("snapshots") or [], key=lambda s: s["sequence-number"]
+    ):
+        sid = snap["snapshot-id"]
+        _schema, bodies, counts = avro_ocf_read(snap["manifest-list"])
+        manifests: list[dict] = []
+        for body, cnt in zip(bodies, counts):
+            manifests.extend(_decode_manifest_list(body, cnt))
+        added: list[dict] = []
+        removed: list[dict] = []
+        for m in manifests:
+            if m["added_snapshot_id"] != sid:
+                continue  # carried forward: no changes from this snapshot
+            if m.get("content", 0) == 1:
+                continue  # delete manifests: not part of the DATA changelog
+            _s, mb, mc = avro_ocf_read(m["manifest_path"])
+            for body, cnt in zip(mb, mc):
+                for e in _decode_manifest(body, cnt, pfields):
+                    if e["status"] == 1 and e.get("snapshot_id") == sid:
+                        added.append(e)
+                    elif e["status"] == 2 and e.get("snapshot_id") == sid:
+                        removed.append(e)
+        out.append(
+            {
+                "snapshot_id": sid,
+                "sequence_number": snap["sequence-number"],
+                "operation": (snap.get("summary") or {}).get("operation"),
+                "added": added,
+                "removed": removed,
+            }
+        )
+    return out

@@ -4298,7 +4298,9 @@ def test_uniform_iceberg_metadata_round_trip(spark, tmp_path):
         if s["snapshot-id"] == md["current-snapshot-id"]
     )
     schema_json, _bodies, counts = avro_ocf_read(snap["manifest-list"])
-    assert "manifest_file" in schema_json and sum(counts) == 1
+    # incremental snapshots: the list carries this commit's delta
+    # manifest plus rewritten/carried prior manifests (>= 1 entries)
+    assert "manifest_file" in schema_json and sum(counts) >= 1
     fids = {
         f["name"]: f["id"] for f in md["schemas"][0]["fields"]
     }
@@ -4703,3 +4705,95 @@ def test_stream_schema_tracking_cdf_mode(spark, tmp_path):
     assert all(r["tag"] is None for r in kinds["delete"])  # padded
     assert len(kinds["insert"]) == 10
     assert all(r["tag"] == "z" for r in kinds["insert"])
+
+
+def test_uniform_incremental_snapshots_and_position_deletes(spark, tmp_path):
+    """Incremental UniForm lifecycle: append snapshots write ONE delta
+    manifest and carry prior manifests forward BY PATH (no rewrite);
+    a rewrite commit tombstones removed files for exactly one
+    snapshot; DVs materialize as position-delete files that are
+    digest-keyed (unchanged DV -> same file, no rewrite) and the
+    merge-on-read fold reproduces the table."""
+    from deltasink_spark.uniform import (
+        _decode_manifest_list,
+        avro_ocf_read,
+        read_iceberg_changelog,
+        read_iceberg_deletes,
+        read_iceberg_live_files,
+    )
+
+    def manifest_paths(t):
+        meta_dir = os.path.join(t.path, "metadata")
+        n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+        md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+        snap = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _s, bodies, counts = avro_ocf_read(snap["manifest-list"])
+        out = []
+        for body, cnt in zip(bodies, counts):
+            out.extend(_decode_manifest_list(body, cnt))
+        return out
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true",
+        }
+    )
+    first = manifest_paths(t)
+    assert len(first) == 1
+    t.append(_ev(spark, 40).filter(F.col("event_id") >= 20))
+    second = manifest_paths(t)
+    # carry-forward is BY PATH: the enable-time manifest rides along
+    assert first[0]["manifest_path"] in {m["manifest_path"] for m in second}
+    assert len(second) == 2
+    new_m = next(
+        m
+        for m in second
+        if m["manifest_path"] != first[0]["manifest_path"]
+    )
+    assert new_m["added_files_count"] >= 1
+    # per-snapshot changelog: both enabled commits are appends
+    ops = [
+        (s["operation"], len(s["added"]), len(s["removed"]))
+        for s in read_iceberg_changelog(t.path)
+    ]
+    assert all(op == "append" and rm == 0 for op, _a, rm in ops)
+    # DV delete: position-delete file appears, fold applies it
+    t.delete_where_dv(spark, "event_id % 10 = 0")
+    dels = read_iceberg_deletes(t.path)
+    assert dels and all(d["content"] == 1 for d in dels)
+    assert sum(d["record_count"] for d in dels) == 4
+    del_paths = {d["file_path"] for d in dels}
+    # snapshot summary for the DV commit is a delete
+    assert read_iceberg_changelog(t.path)[-1]["operation"] == "delete"
+    # unchanged DV state on the next commit: SAME delete files (the
+    # digest key), carried forward without rewrite
+    t.append(_ev(spark, 41).filter(F.col("event_id") >= 40))
+    dels2 = read_iceberg_deletes(t.path)
+    assert {d["file_path"] for d in dels2} == del_paths
+    # merge-on-read: data files minus (file, pos) tombstones == table
+    data = read_iceberg_live_files(t.path)
+    df = spark.read.parquet(*sorted({f["file_path"] for f in data}))
+    enc = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    df = df.withColumn("__file", F.url_decode(enc)).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    dd = spark.read.parquet(*sorted(del_paths)).select(
+        F.element_at(F.split("file_path", "/"), -1).alias("dv_file"),
+        F.col("pos").alias("dv_pos"),
+    )
+    got = df.join(
+        F.broadcast(dd),
+        (F.col("__file") == F.col("dv_file"))
+        & (F.col("__pos") == F.col("dv_pos")),
+        "left_anti",
+    ).select("event_id", "user_id", "value")
+    assert got.exceptAll(t.read(spark)).isEmpty()
+    assert t.read(spark).exceptAll(got).isEmpty()
+    assert got.count() == 37  # 41 rows - 4 DV'd
