@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R15_NEW_THIS_ROUND: list[str] = [
     "sink_delta_uniform_incremental",
     "sink_delta_uniform_dv",
+    "scan_delta_log_stats_columns",
 ]
 
 # Ops whose implementation changed in r15 — re-verification rows

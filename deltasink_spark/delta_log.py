@@ -322,6 +322,17 @@ def _pa_stats_type(dt):
     }.get(name)
 
 
+# column types whose min/max/nullCount stats are collected (and are
+# meaningful for interval pruning) — shared by staging stats
+# collection and the dataSkippingStatsColumns validation
+_STATS_ATOMIC_TYPES = frozenset(
+    {
+        "long", "integer", "short", "byte", "double", "float", "string",
+        "date", "timestamp", "boolean", "decimal",
+    }
+)
+
+
 def _checkpoint_schema(
     file_actions_only: bool = False,
     v2_top: bool = False,
@@ -848,23 +859,97 @@ class _CheckpointMixin:
     snapshot construction O(live files + recent commits) instead of
     O(all commits ever)."""
 
+    def _explicit_stats_columns(self) -> set[str] | None:
+        """`delta.dataSkippingStatsColumns` as a set of PHYSICAL
+        column names, or None when the property is unset (the
+        first-N `dataSkippingNumIndexedCols` rule applies instead).
+        The per-column opt-in list is the knob that matters on a wide
+        table where the first-32 rule would index junk columns.
+        Parsed leniently here — validation (unknown names, partition
+        columns, ineligible types) happens at SET time so a bad list
+        never lands durably; a foreign log's bad entry just selects
+        nothing, and statless columns always fall back to scan."""
+        raw = (
+            (self._metadata_dict() or {}).get("configuration") or {}
+        ).get("delta.dataSkippingStatsColumns")
+        if raw is None:
+            return None
+        cm = self.column_mapping() or {}
+        return {
+            cm.get(n, n)
+            for n in (c.strip().strip("`") for c in raw.split(","))
+            if n
+        }
+
+    def _validate_stats_columns(self, raw: str) -> None:
+        """SET-time validation for `delta.dataSkippingStatsColumns`
+        (delta-spark validates the same way): every entry must name
+        an existing TOP-LEVEL data column of a stats-eligible atomic
+        type — unknown names, partition columns, nested paths and
+        ineligible types refuse loudly HERE, because a silently-bad
+        list would stop stats collection on the columns the operator
+        thinks are indexed."""
+        s = self.schema()
+        if s is None:
+            raise ValueError(
+                "cannot set delta.dataSkippingStatsColumns on a table "
+                "with no schema"
+            )
+        by = {f.name: f for f in s.fields}
+        pb = set(self.partition_columns())
+        for name in (c.strip().strip("`") for c in raw.split(",")):
+            if not name:
+                raise ValueError(
+                    "empty entry in delta.dataSkippingStatsColumns"
+                )
+            if "." in name:
+                raise ValueError(
+                    f"dataSkippingStatsColumns: nested column path "
+                    f"{name!r} is not supported by this writer"
+                )
+            f = by.get(name)
+            if f is None:
+                raise ValueError(
+                    f"dataSkippingStatsColumns names unknown column "
+                    f"{name!r}"
+                )
+            if name in pb:
+                raise ValueError(
+                    f"dataSkippingStatsColumns cannot name partition "
+                    f"column {name!r} (partition values prune via "
+                    "partitionValues, not file stats)"
+                )
+            if f.dataType.typeName() not in _STATS_ATOMIC_TYPES:
+                raise ValueError(
+                    f"dataSkippingStatsColumns: column {name!r} of type "
+                    f"{f.dataType.typeName()} is not stats-eligible"
+                )
+
     def _parsed_stats_fields(self):
         """(stats_fields, part_fields) for this table's checkpoint
         materialized columns: the stats-eligible atomic data columns
         (physical names on a mapped table) and the typed partition
         columns. Empty when the log carries no schema (a foreign
-        minimal log) — the checkpoint then keeps the classic layout."""
+        minimal log) — the checkpoint then keeps the classic layout.
+        An explicit `delta.dataSkippingStatsColumns` list restricts
+        `stats_parsed` to exactly the listed columns — unlisted
+        parsed-stat fields are DROPPED from the checkpoint schema
+        (their values would be all-null dead weight on every file
+        row)."""
         s = self.schema()
         if s is None:
             return [], []
         cm = self.column_mapping() or {}
         pb = set(self.partition_columns())
+        explicit = self._explicit_stats_columns()
         stats_fields = []
         for f in s.fields:
             if f.name in pb:
                 continue  # partition values carry no file stats
             t = _pa_stats_type(f.dataType)
-            if t is not None:
+            if t is not None and (
+                explicit is None or cm.get(f.name, f.name) in explicit
+            ):
                 stats_fields.append((cm.get(f.name, f.name), t))
         by = {f.name: f for f in s.fields}
         part_fields = []
@@ -2410,36 +2495,44 @@ class DeltaLogTable(_CheckpointMixin):
                     written.append(
                         os.path.relpath(os.path.join(root, f), tmp)
                     )
-        # `delta.dataSkippingNumIndexedCols` (real Delta's default 32):
-        # stats are collected for the first N schema-ordered columns
-        # only — on a 1000-column table, min/max on every column makes
-        # add actions (and the checkpoint) megabytes per file and the
-        # staging agg 3000 expressions wide, for columns nobody filters
-        # on. -1 means all columns. Files stay correct either way:
-        # stats are an optimization, read_where_stats scans statless
-        # files.
-        n_idx = int(
-            (
-                (self._metadata_dict() or {}).get("configuration") or {}
-            ).get("delta.dataSkippingNumIndexedCols", 32)
-        )
-        # "first N" counts TABLE-schema order (physical names on a
-        # mapped table); staged-frame-only columns (evolving appends,
-        # materialized row-tracking lineage) rank after it
-        s_tbl = self.schema()
-        order = [
-            cm.get(f.name, f.name) if cm else f.name
-            for f in (s_tbl.fields if s_tbl is not None else df.schema.fields)
-        ]
-        order += [c for c in df.columns if c not in set(order)]
-        indexed_set = set(order if n_idx < 0 else order[:n_idx])
+        # Stats-column policy: an explicit `delta.
+        # dataSkippingStatsColumns` list wins outright (the per-column
+        # opt-in — on a wide table whose first 32 columns are junk,
+        # this is the knob that indexes the columns queries actually
+        # filter on); otherwise `delta.dataSkippingNumIndexedCols`
+        # (real Delta's default 32): stats for the first N
+        # schema-ordered columns only — min/max on every column of a
+        # 1000-column table makes add actions (and the checkpoint)
+        # megabytes per file and the staging agg 3000 expressions
+        # wide, for columns nobody filters on. -1 means all columns.
+        # Files stay correct either way: stats are an optimization,
+        # read_where_stats scans statless files.
+        explicit_stats = self._explicit_stats_columns()
+        if explicit_stats is not None:
+            indexed_set = explicit_stats
+        else:
+            n_idx = int(
+                (
+                    (self._metadata_dict() or {}).get("configuration") or {}
+                ).get("delta.dataSkippingNumIndexedCols", 32)
+            )
+            # "first N" counts TABLE-schema order (physical names on a
+            # mapped table); staged-frame-only columns (evolving
+            # appends, materialized row-tracking lineage) rank after it
+            s_tbl = self.schema()
+            order = [
+                cm.get(f.name, f.name) if cm else f.name
+                for f in (
+                    s_tbl.fields if s_tbl is not None else df.schema.fields
+                )
+            ]
+            order += [c for c in df.columns if c not in set(order)]
+            indexed_set = set(order if n_idx < 0 else order[:n_idx])
         atomic = [
             f.name for f in df.schema.fields
             if f.name not in partition_by
             and f.name in indexed_set
-            and f.dataType.typeName()
-            in {"long", "integer", "short", "byte", "double", "float", "string",
-                "date", "timestamp", "boolean", "decimal"}
+            and f.dataType.typeName() in _STATS_ATOMIC_TYPES
         ]
         stats_rows: dict[str, dict] = {}
         if written:
@@ -3979,6 +4072,10 @@ class DeltaLogTable(_CheckpointMixin):
             from deltasink_spark import uniform
 
             uniform.validate_table(self, pending=props)
+        if "delta.dataSkippingStatsColumns" in props:
+            self._validate_stats_columns(
+                props["delta.dataSkippingStatsColumns"]
+            )
         meta = dict(base)
         cfg = dict(meta.get("configuration") or {})
         cfg.update(props)

@@ -4797,3 +4797,60 @@ def test_uniform_incremental_snapshots_and_position_deletes(spark, tmp_path):
     assert got.exceptAll(t.read(spark)).isEmpty()
     assert t.read(spark).exceptAll(got).isEmpty()
     assert got.count() == 37  # 41 rows - 4 DV'd
+
+
+def test_data_skipping_stats_columns(spark, tmp_path):
+    """`delta.dataSkippingStatsColumns`: the explicit opt-in list
+    overrides the first-N rule — post-SET adds carry stats ONLY for
+    listed columns, the checkpoint's stats_parsed struct drops
+    unlisted fields, SET-time validation refuses bad lists, and an
+    unlisted column's range read degrades to scan (never a wrong
+    prune)."""
+    import pyarrow.parquet as pq
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 50).repartition(1))
+    # SET-time validation: unknown names, nested paths refuse
+    with pytest.raises(ValueError, match="unknown column"):
+        t.set_properties({"delta.dataSkippingStatsColumns": "nope"})
+    with pytest.raises(ValueError, match="nested"):
+        t.set_properties({"delta.dataSkippingStatsColumns": "value.x"})
+    with pytest.raises(ValueError, match="empty entry"):
+        t.set_properties({"delta.dataSkippingStatsColumns": "value,,"})
+    t.set_properties({"delta.dataSkippingStatsColumns": "value, user_id"})
+    t.append(
+        _ev(spark, 100).filter(F.col("event_id") >= 50).repartition(1)
+    )
+    # post-SET add: stats only for the listed columns
+    post = [
+        json.loads(a["stats"])
+        for p, a in t.snapshot_adds().items()
+        if json.loads(a["stats"])["numRecords"] == 50
+        and json.loads(a["stats"]).get("minValues", {}).get("event_id")
+        is None
+    ]
+    assert post, "post-SET file not found"
+    assert set(post[0]["minValues"]) == {"value", "user_id"}
+    assert set(post[0]["nullCount"]) == {"value", "user_id"}
+    # checkpoint: stats_parsed struct carries ONLY the listed fields
+    cv = t.checkpoint()
+    ck = pq.read_table(
+        os.path.join(t.log_dir, f"{cv:020d}.checkpoint.parquet")
+    )
+    mv = next(
+        f for f in ck.schema.field("stats_parsed").type
+        if f.name == "minValues"
+    )
+    assert {f.name for f in mv.type} == {"value", "user_id"}
+    # unlisted column: degrade to scan, exact result
+    full = t.read(spark).filter(
+        (F.col("event_id") >= 10) & (F.col("event_id") <= 60)
+    )
+    got = t.read_where_stats(spark, "event_id", 10, 60)
+    assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
+    # both files scan: the pre-SET file overlaps [10,60] and the
+    # post-SET file has no event_id stats
+    assert len(set(got.inputFiles())) == 2
+    # listed column still prunes from the checkpointed parsed stats
+    decided = t._ckpt_stats_prune("user_id", 0, 6)
+    assert decided and not all(decided.values())
