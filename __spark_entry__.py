@@ -51,6 +51,9 @@ _R15_CHANGED_THIS_ROUND: list[str] = [
     # UniForm writer became incremental (delta manifests, carry-forward,
     # DV position deletes) — the existing uniform op re-verifies
     "sink_delta_uniform",
+    # gained the stateStore providerClass round-trip + the loud
+    # asyncProgressTracking rejection pin
+    "stream_progress_metrics",
 ]
 
 # Stale cohort for r15: the r5-green remainder that spilled past r14's

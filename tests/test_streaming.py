@@ -1385,3 +1385,69 @@ def test_delta_log_ingest_throughput_and_commit_latency(spark, tmp_path):
         if a.get("stats")
     )
     assert sink.table.read(spark).count() == committed
+
+
+def test_state_store_provider_round_trip(spark, tmp_path):
+    """`spark.sql.streaming.stateStore.providerClass` coverage: the
+    session default IS the HDFS-backed provider; an explicit default
+    and the bundled RocksDB provider both drain a stateful dedup to
+    the SAME result set (accepted); an unknown provider class fails
+    the query LOUDLY (rejected — never silent wrong state)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    assert hdfs in spark.conf.get(key)
+    src = str(tmp_path / "src")
+    # duplicated keys across two batches: the dedup state must carry
+    # across micro-batches for the second batch to drop repeats
+    base_rows = [(i % 8, i) for i in range(32)]
+    spark.createDataFrame(base_rows, "k long, v long").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def drain(provider):
+        prev = spark.conf.get(key)
+        spark.conf.set(key, provider)
+        rows = []
+        try:
+            s = (
+                spark.readStream.schema("k long, v long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .dropDuplicates(["k"])
+            )
+            q = (
+                s.writeStream.foreachBatch(
+                    lambda b, i: rows.append(sorted(map(tuple, b.collect())))
+                )
+                .option(
+                    "checkpointLocation",
+                    str(tmp_path / f"ckpt_{uuid.uuid4().hex}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set(key, prev)
+        return sorted(r for batch in rows for r in batch)
+
+    got_default = drain(hdfs)
+    keys = {k for k, _v in got_default}
+    assert keys == set(range(8))
+    assert len(got_default) == 8  # state dropped every repeat
+    got_rocks = drain(rocks)
+    assert {k for k, _v in got_rocks} == keys
+    assert len(got_rocks) == 8
+    with pytest.raises(StreamingQueryException):
+        drain("com.example.NoSuchStateStoreProvider")
+    # and the conf is restored after every drain (round trip)
+    assert hdfs in spark.conf.get(key)
