@@ -40,6 +40,7 @@ _R15_NEW_THIS_ROUND: list[str] = [
     "sink_delta_uniform_dv",
     "scan_delta_log_stats_columns",
     "sink_delta_checkpoint_protection",
+    "sink_delta_uniform_hudi",
 ]
 
 # Ops whose implementation changed in r15 — re-verification rows

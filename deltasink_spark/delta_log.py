@@ -1879,21 +1879,33 @@ class DeltaLogTable(_CheckpointMixin):
             return v
 
     def _maybe_uniform(self, v: int) -> None:
-        """UniForm post-commit hook: when
-        `delta.universalFormat.enabledFormats` contains "iceberg",
-        regenerate the Iceberg metadata tree for this commit's state
-        (deltasink_spark/uniform.py). The Delta commit is ALREADY
-        durable when this runs — a failure here raises loudly (the
-        Iceberg view lagged one commit; delta-spark's async converter
-        has the same window) rather than rolling anything back."""
+        """UniForm post-commit hook: per format token in
+        `delta.universalFormat.enabledFormats`, regenerate that
+        format's metadata for this commit's state — "iceberg" the
+        Iceberg tree (deltasink_spark/uniform.py), "hudi" the
+        `.hoodie/` timeline instant (deltasink_spark/hudi.py); both
+        may ride one table. The Delta commit is ALREADY durable when
+        this runs — a failure here raises loudly (the foreign view
+        lagged one commit; delta-spark's async converter has the same
+        window) rather than rolling anything back. Unknown tokens in
+        a FOREIGN log's property are skipped (set_properties refuses
+        them on our own enable path)."""
         cfg = (self._metadata_dict() or {}).get("configuration") or {}
-        if "iceberg" not in (
-            cfg.get("delta.universalFormat.enabledFormats") or ""
-        ):
-            return
-        from deltasink_spark import uniform
+        fmts = {
+            f.strip()
+            for f in (
+                cfg.get("delta.universalFormat.enabledFormats") or ""
+            ).split(",")
+            if f.strip()
+        }
+        if "iceberg" in fmts:
+            from deltasink_spark import uniform
 
-        uniform.write_iceberg_snapshot(self, v)
+            uniform.write_iceberg_snapshot(self, v)
+        if "hudi" in fmts:
+            from deltasink_spark import hudi
+
+            hudi.write_hudi_commit(self, v)
 
     def _write_version_crc(self, v: int) -> None:
         """Write the VERSION CHECKSUM sidecar (`_delta_log/%020d.crc`,
@@ -4063,16 +4075,29 @@ class DeltaLogTable(_CheckpointMixin):
         base = self._metadata_dict()
         if base is None:
             raise ValueError("cannot set properties on a table with no metaData")
-        if "iceberg" in (
-            props.get("delta.universalFormat.enabledFormats") or ""
-        ):
-            # validate BEFORE the property is durable: a table the
+        fmts_raw = props.get("delta.universalFormat.enabledFormats")
+        if fmts_raw is not None:
+            # validate BEFORE the property is durable: a table a
             # UniForm writer cannot represent (unmappable type, DVs)
-            # must refuse HERE — enabling first would make the
-            # post-commit hook poison every later commit
-            from deltasink_spark import uniform
+            # — or a format no writer exists for — must refuse HERE;
+            # enabling first would make the post-commit hook poison
+            # every later commit
+            fmts = [f.strip() for f in fmts_raw.split(",") if f.strip()]
+            unknown = [f for f in fmts if f not in ("iceberg", "hudi")]
+            if unknown:
+                raise ValueError(
+                    "delta.universalFormat.enabledFormats names "
+                    f"unsupported format(s) {unknown} (iceberg, hudi "
+                    "are supported)"
+                )
+            if "iceberg" in fmts:
+                from deltasink_spark import uniform
 
-            uniform.validate_table(self, pending=props)
+                uniform.validate_table(self, pending=props)
+            if "hudi" in fmts:
+                from deltasink_spark import hudi
+
+                hudi.validate_table(self, pending=props)
         if "delta.dataSkippingStatsColumns" in props:
             self._validate_stats_columns(
                 props["delta.dataSkippingStatsColumns"]

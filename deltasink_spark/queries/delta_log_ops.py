@@ -3786,6 +3786,92 @@ def sink_delta_uniform_dv(spark, sf_dir):
 
 
 @query(
+    "sink_delta_uniform_hudi",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(user_id % 3 = 0, FALSE)
+    """,
+)
+def sink_delta_uniform_hudi(spark, sf_dir):
+    """UniForm hudi target (r14 verdict missing #6, stretch):
+    `delta.universalFormat.enabledFormats=hudi` makes every commit
+    write a completed instant onto an Apache Hudi COPY_ON_WRITE
+    `.hoodie/` timeline next to `_delta_log`
+    (deltasink_spark/hudi.py: hoodie.properties + `<instant>.commit`
+    carrying HoodieCommitMetadata partitionToWriteStats; a commit
+    that replaces file groups writes `<instant>.replacecommit` with
+    partitionToReplaceFileIds — Hudi's own replace semantics; one
+    Delta file = one file group, instants zero-padded by version so
+    timeline order == commit order). PROOF is the round trip through
+    the OTHER format: the op folds the TIMELINE ONLY (properties ->
+    ordered instants -> write stats / replaced ids; `_delta_log`
+    never opened on that path), reads exactly the file groups it
+    names, and the exact oracle pins the content across append ->
+    append -> DELETE (a replacecommit). Refuse-loudly parity
+    (asserted in-op): an unknown format token refuses at SET time,
+    and enabling hudi over a DV-carrying table refuses (COPY_ON_WRITE
+    has no row-mask sidecar — the iceberg target's position deletes
+    are the escape hatch). Scale: per-commit work is O(files touched
+    + timeline), data files never copied."""
+    from deltasink_spark.hudi import read_hudi_live_files
+
+    t = _fresh_table("uniform_hudi")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    # refuse-loudly parity: unknown format token
+    if t.schema() is not None:
+        try:
+            t.set_properties(
+                {"delta.universalFormat.enabledFormats": "paimon"}
+            )
+            raise AssertionError("unknown format must refuse at SET time")
+        except ValueError as ex:
+            assert "unsupported format" in str(ex), ex
+    # refuse-loudly parity: hudi over a DV-carrying table
+    dv_probe = _fresh_table("uniform_hudi_dv")
+    dv_probe.append(ev.filter(F.col("event_id") % 2 == 1))
+    if dv_probe.snapshot_files():
+        dv_probe.delete_where_dv(spark, "event_id % 5 = 0")
+        if any(
+            a.get("deletionVector")
+            for a in dv_probe.snapshot_adds().values()
+        ):
+            try:
+                dv_probe.set_properties(
+                    {"delta.universalFormat.enabledFormats": "hudi"}
+                )
+                raise AssertionError("hudi enable must refuse DVs")
+            except ValueError as ex:
+                assert "COPY_ON_WRITE" in str(ex), ex
+    t.set_properties({"delta.universalFormat.enabledFormats": "hudi"})
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    if t.snapshot_files():
+        t.delete_where(spark, "user_id % 3 = 0")  # -> replacecommit
+    files = read_hudi_live_files(t.path)
+    # the timeline fold and the delta fold must name the SAME live set
+    delta_live = {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    hudi_live = {os.path.realpath(f["abs_path"]) for f in files}
+    assert hudi_live == delta_live, (
+        f"hudi fold diverged: {len(hudi_live)} vs {len(delta_live)}"
+    )
+    # a DELETE landed -> the timeline carries a replacecommit instant
+    hd = os.path.join(t.path, ".hoodie")
+    if t.snapshot_files() and len(
+        [f for f in os.listdir(hd) if f.endswith(".commit")]
+    ) < t.latest_version():
+        assert any(
+            f.endswith(".replacecommit") for f in os.listdir(hd)
+        )
+    if not files:
+        return spark.createDataFrame([], _EV_SCHEMA)
+    out = spark.read.parquet(*sorted(hudi_live))
+    assert out.count() == sum(f["numWrites"] for f in files)
+    return out.select(*_EV_COLS)
+
+
+@query(
     "sink_delta_coordinated",
     oracle=f"""
     SELECT {', '.join(_EV_COLS)} FROM events

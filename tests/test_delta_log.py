@@ -4895,3 +4895,58 @@ def test_checkpoint_protection_guards_all_artifact_classes(spark, tmp_path):
     assert not [f for f in left if ".compacted." in f]
     assert t._version_files()[0][0] >= ve + 1
     assert t.read(spark).count() == 41
+
+
+def test_uniform_hudi_timeline(spark, tmp_path):
+    """The hudi UniForm target: hoodie.properties written once, one
+    completed instant per enabled commit (version-ordered), a
+    rewriting DELETE lands as a replacecommit whose replaced fileIds
+    are exactly the removed file groups, the timeline-only fold
+    matches the Delta live set at every step, and iceberg+hudi ride
+    one table simultaneously."""
+    from deltasink_spark.hudi import (
+        _timeline_instants,
+        read_hudi_live_files,
+    )
+    from deltasink_spark.uniform import read_iceberg_live_files
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {"delta.universalFormat.enabledFormats": "iceberg,hudi"}
+    )
+    hd = os.path.join(t.path, ".hoodie")
+    assert os.path.exists(os.path.join(hd, "hoodie.properties"))
+    props = open(os.path.join(hd, "hoodie.properties")).read()
+    assert "hoodie.table.type=COPY_ON_WRITE" in props
+    t.append(_ev(spark, 40).filter(F.col("event_id") >= 20))
+    before = {f["fileId"] for f in read_hudi_live_files(t.path)}
+    assert {os.path.realpath(f["abs_path"]) for f in read_hudi_live_files(t.path)} == {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    pre_delete_adds = set(t.snapshot_adds())
+    t.delete_where(spark, "event_id < 5")
+    inst = _timeline_instants(t.path)
+    # instants are version-ordered; the DELETE is a replacecommit
+    assert [a for _i, a, _p in inst][-1] == "replacecommit"
+    assert [i for i, _a, _p in inst] == sorted(i for i, _a, _p in inst)
+    md = json.load(open(inst[-1][2]))
+    replaced = {
+        fid
+        for fids in md["partitionToReplaceFileIds"].values()
+        for fid in fids
+    }
+    gone = before - {f["fileId"] for f in read_hudi_live_files(t.path)}
+    assert replaced == gone and replaced
+    # both targets' folds agree with the Delta fold
+    delta_live = {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    assert {
+        os.path.realpath(f["abs_path"]) for f in read_hudi_live_files(t.path)
+    } == delta_live
+    assert {
+        os.path.realpath(f["file_path"])
+        for f in read_iceberg_live_files(t.path)
+    } == delta_live
+    assert sum(f["numWrites"] for f in read_hudi_live_files(t.path)) == 35
