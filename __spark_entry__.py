@@ -41,6 +41,7 @@ _R15_NEW_THIS_ROUND: list[str] = [
     "scan_delta_log_stats_columns",
     "sink_delta_checkpoint_protection",
     "sink_delta_uniform_hudi",
+    "sink_delta_uniform_expire",
 ]
 
 # Ops whose implementation changed in r15 — re-verification rows

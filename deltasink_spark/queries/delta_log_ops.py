@@ -3786,6 +3786,98 @@ def sink_delta_uniform_dv(spark, sf_dir):
 
 
 @query(
+    "sink_delta_uniform_expire",
+    oracle=f"""
+    SELECT {', '.join(_EV_COLS)} FROM events
+    WHERE NOT COALESCE(value < 100, FALSE)
+    """,
+)
+def sink_delta_uniform_expire(spark, sf_dir):
+    """EXPIRE SNAPSHOTS for the UniForm Iceberg tree (Iceberg's
+    ExpireSnapshots maintenance action — `expireOlderThan` +
+    `retainLast` semantics): without it a long-lived UniForm table's
+    snapshot list, manifest lists, and manifests grow without bound —
+    the `metadata/` twin of the problem cleanup_log solves for
+    `_delta_log`. The op builds append -> enable -> append -> DELETE
+    (4 snapshots incl. a rewrite), expires everything but the current
+    snapshot, and proves: (1) the metadata names exactly ONE
+    snapshot and the changelog covers only the retained window; (2)
+    every expired snapshot's manifest list is GONE from disk and no
+    orphan manifest remains (every *-m0.avro on disk is reachable
+    from the current snapshot — leak-free, asserted by walking the
+    directory); (3) the live fold is UNCHANGED (exact oracle) and
+    data files are untouched (they belong to the Delta log; VACUUM
+    owns them); (4) expire refuses retain_last < 1. Scale: one
+    metadata pass over O(snapshots x manifests), no data I/O."""
+    import time as _time
+
+    from deltasink_spark.uniform import (
+        avro_ocf_read,
+        expire_iceberg_snapshots,
+        read_iceberg_changelog,
+        read_iceberg_live_files,
+        _decode_manifest_list,
+    )
+
+    t = _fresh_table("uniform_exp")
+    ev = _ev(spark, sf_dir)
+    t.append(ev.filter(F.col("event_id") % 2 == 0))
+    t.set_properties(
+        {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true",
+        }
+    )
+    t.append(ev.filter(F.col("event_id") % 2 == 1))
+    if t.snapshot_files():
+        t.delete_where(spark, "value < 100")
+    n_snaps_before = len(read_iceberg_changelog(t.path))
+    try:
+        expire_iceberg_snapshots(t.path, retain_last=0)
+        raise AssertionError("retain_last=0 must refuse")
+    except ValueError as ex:
+        assert "retain_last" in str(ex), ex
+    deleted = expire_iceberg_snapshots(
+        t.path, older_than_ms=int(_time.time() * 1000) + 10_000
+    )
+    meta_dir = os.path.join(t.path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    assert len(md["snapshots"]) == 1
+    assert md["snapshots"][0]["snapshot-id"] == md["current-snapshot-id"]
+    if n_snaps_before > 1:
+        assert deleted > 0
+    assert len(read_iceberg_changelog(t.path)) == 1
+    # leak-free: every manifest list / manifest on disk is reachable
+    # from the current snapshot
+    snap = md["snapshots"][0]
+    _s, bodies, counts = avro_ocf_read(snap["manifest-list"])
+    reachable = {os.path.realpath(snap["manifest-list"])}
+    for body, cnt in zip(bodies, counts):
+        reachable.update(
+            os.path.realpath(m["manifest_path"])
+            for m in _decode_manifest_list(body, cnt)
+        )
+    on_disk = {
+        os.path.realpath(os.path.join(meta_dir, f))
+        for f in os.listdir(meta_dir)
+        if f.endswith(".avro")
+    }
+    assert on_disk == reachable, (
+        f"{len(on_disk - reachable)} orphan metadata files leaked"
+    )
+    files = read_iceberg_live_files(t.path)
+    delta_live = {
+        os.path.realpath(t._abs_of_add_path(p)) for p in t.snapshot_adds()
+    }
+    ice_live = {os.path.realpath(f["file_path"]) for f in files}
+    assert ice_live == delta_live
+    if not files:
+        return spark.createDataFrame([], _EV_SCHEMA)
+    return spark.read.parquet(*sorted(ice_live)).select(*_EV_COLS)
+
+
+@query(
     "sink_delta_uniform_hudi",
     oracle=f"""
     SELECT {', '.join(_EV_COLS)} FROM events

@@ -628,12 +628,14 @@ def write_iceberg_snapshot(table, version: int) -> str:
     meta_log: list[dict] = []
     prev_manifests: list[dict] = []  # decoded manifest-list entries
     prev_ok = False
+    prev_md: dict | None = None  # full prior metadata (schemas, logs)
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         try:
             prev_n = int(open(hint).read().strip())
             prev_path = os.path.join(meta_dir, f"v{prev_n}.metadata.json")
             prev = json.load(open(prev_path))
+            prev_md = prev
             prior = prev.get("snapshots") or []
             meta_log = (prev.get("metadata-log") or []) + [
                 {
@@ -662,6 +664,7 @@ def write_iceberg_snapshot(table, version: int) -> str:
                     prev_ok = True
         except (ValueError, OSError, KeyError):
             prior, meta_log, prev_manifests, prev_ok = [], [], [], False
+            prev_md = None
 
     # ---- classify the file delta -----------------------------------
     list_entries: list[bytes] = []  # the new manifest list, in order
@@ -866,11 +869,52 @@ def write_iceberg_snapshot(table, version: int) -> str:
     else:
         op = "append"
     total_rows = sum(nrec for nrec, _sz, _a in cur.values())
+    # schema evolution (Iceberg spec): `schemas` is APPEND-ONLY — a
+    # changed field list mints a fresh schema-id and prior schemas
+    # stay listed, so every old snapshot still resolves the schema it
+    # was written under; an unchanged schema reuses the current id
+    schemas: list[dict] = [
+        {"type": "struct", "schema-id": 0, "fields": fields}
+    ]
+    cur_schema_id = 0
+    if prev_md is not None:
+        prev_schemas = prev_md.get("schemas") or []
+        prev_sid = prev_md.get("current-schema-id", 0)
+        prev_fields = next(
+            (
+                s.get("fields")
+                for s in prev_schemas
+                if s.get("schema-id") == prev_sid
+            ),
+            None,
+        )
+        if prev_fields == fields:
+            schemas, cur_schema_id = prev_schemas, prev_sid
+        elif prev_schemas:
+            cur_schema_id = (
+                max(s.get("schema-id", 0) for s in prev_schemas) + 1
+            )
+            schemas = prev_schemas + [
+                {
+                    "type": "struct",
+                    "schema-id": cur_schema_id,
+                    "fields": fields,
+                }
+            ]
+    last_col_id = max(
+        (f["id"] for s in schemas for f in s.get("fields") or []),
+        default=0,
+    )
+    # snapshot-log: the history of current-snapshot transitions —
+    # accumulated, not rewritten (the spec's time-travel-by-time index)
+    snap_log = (
+        (prev_md.get("snapshot-log") or []) if prev_md is not None else []
+    ) + [{"snapshot-id": snapshot_id, "timestamp-ms": now}]
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now,
         "sequence-number": seq,
-        "schema-id": 0,
+        "schema-id": cur_schema_id,
         "summary": {
             "operation": op,
             "added-data-files": str(len(entries)),
@@ -889,11 +933,9 @@ def write_iceberg_snapshot(table, version: int) -> str:
         "location": table.path,
         "last-sequence-number": seq,
         "last-updated-ms": now,
-        "last-column-id": max((f["id"] for f in fields), default=0),
-        "current-schema-id": 0,
-        "schemas": [
-            {"type": "struct", "schema-id": 0, "fields": fields}
-        ],
+        "last-column-id": last_col_id,
+        "current-schema-id": cur_schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [
             {
@@ -933,9 +975,7 @@ def write_iceberg_snapshot(table, version: int) -> str:
         },
         "current-snapshot-id": snapshot_id,
         "snapshots": prior + [snapshot],
-        "snapshot-log": [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now}
-        ],
+        "snapshot-log": snap_log,
         "metadata-log": meta_log,
     }
     n = version + 1
@@ -1165,3 +1205,109 @@ def read_iceberg_changelog(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def expire_iceberg_snapshots(
+    table_path: str,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+) -> int:
+    """EXPIRE SNAPSHOTS (Iceberg's ExpireSnapshots maintenance
+    action, the public `expireOlderThan`/`retainLast` semantics):
+    drop snapshots whose timestamp is older than ``older_than_ms``
+    (default: the spec's 5-day `history.expire.max-snapshot-age-ms`),
+    always retaining the current snapshot and at least
+    ``retain_last`` newest; delete the files ONLY expired snapshots
+    reference — their manifest lists, then any manifest (and any
+    position-delete file) no retained snapshot reaches. Data files
+    are NEVER touched (they belong to the Delta log; VACUUM owns
+    them). The current metadata version is rewritten in place with
+    the pruned snapshot list + snapshot-log (this writer derives
+    metadata version numbers from Delta commit versions, so a
+    maintenance-only bump would collide with the next commit —
+    documented deviation from Iceberg's fresh-metadata-per-expire).
+    Returns the number of metadata files deleted. Without this, a
+    long-lived UniForm table's snapshot list and manifest directory
+    grow without bound — the same class of problem cleanup_log solves
+    for `_delta_log`."""
+    import time as _time
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    if older_than_ms is None:
+        older_than_ms = int(_time.time() * 1000) - 5 * 24 * 3600 * 1000
+    meta_dir = os.path.join(table_path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    mj = os.path.join(meta_dir, f"v{n}.metadata.json")
+    md = json.load(open(mj))
+    snaps = sorted(
+        md.get("snapshots") or [], key=lambda s: s["sequence-number"]
+    )
+    cur = md["current-snapshot-id"]
+    keep_ids = {s["snapshot-id"] for s in snaps[-retain_last:]} | {cur}
+    retained = [
+        s
+        for s in snaps
+        if s["snapshot-id"] in keep_ids or s["timestamp-ms"] >= older_than_ms
+    ]
+    expired = [s for s in snaps if s not in retained]
+    if not expired:
+        return 0
+
+    def _manifests_of(snap: dict) -> set[str]:
+        try:
+            _s, bodies, counts = avro_ocf_read(snap["manifest-list"])
+        except (OSError, ValueError):
+            return set()
+        out: set[str] = set()
+        for body, cnt in zip(bodies, counts):
+            out.update(
+                m["manifest_path"] for m in _decode_manifest_list(body, cnt)
+            )
+        return out
+
+    kept_manifests: set[str] = set()
+    for s in retained:
+        kept_manifests.update(os.path.realpath(p) for p in _manifests_of(s))
+    deleted = 0
+    pfields = _decode_plan_of(md)
+    doomed_delete_files: set[str] = set()
+    kept_delete_files: set[str] = set()
+    for s in expired + retained:
+        keep = s in retained
+        for mp in _manifests_of(s):
+            rp = os.path.realpath(mp)
+            if not keep and rp in kept_manifests:
+                continue
+            try:
+                _sc, mb, mc = avro_ocf_read(mp)
+                for body, cnt in zip(mb, mc):
+                    for e in _decode_manifest(body, cnt, pfields):
+                        if e["content"] == 1:
+                            (
+                                kept_delete_files
+                                if keep
+                                else doomed_delete_files
+                            ).add(os.path.realpath(e["file_path"]))
+            except (OSError, ValueError):
+                pass
+            if not keep and os.path.exists(mp):
+                os.remove(mp)
+                deleted += 1
+        if not keep and os.path.exists(s["manifest-list"]):
+            os.remove(s["manifest-list"])
+            deleted += 1
+    for dp in sorted(doomed_delete_files - kept_delete_files):
+        if os.path.exists(dp):
+            os.remove(dp)
+            deleted += 1
+    md["snapshots"] = retained
+    rid = {s["snapshot-id"] for s in retained}
+    md["snapshot-log"] = [
+        e for e in (md.get("snapshot-log") or []) if e["snapshot-id"] in rid
+    ]
+    tmp = mj + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(md, fh)
+    os.replace(tmp, mj)
+    return deleted

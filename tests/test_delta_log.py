@@ -4950,3 +4950,97 @@ def test_uniform_hudi_timeline(spark, tmp_path):
         for f in read_iceberg_live_files(t.path)
     } == delta_live
     assert sum(f["numWrites"] for f in read_hudi_live_files(t.path)) == 35
+
+
+def test_uniform_schema_evolution_mints_schema_ids(spark, tmp_path):
+    """Iceberg schemas are APPEND-ONLY: a schema-evolving commit mints
+    a fresh schema-id; prior schemas stay listed and old snapshots
+    keep referencing theirs; snapshot-log accumulates transitions."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    t.append(_ev(spark, 30).filter(F.col("event_id") >= 20))
+    t.append(
+        _ev(spark, 40)
+        .filter(F.col("event_id") >= 30)
+        .withColumn("tag", F.lit("x")),
+        merge_schema=True,
+    )
+    meta_dir = os.path.join(t.path, "metadata")
+    n = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    sids = [s["schema-id"] for s in md["schemas"]]
+    assert sids == [0, 1]
+    assert md["current-schema-id"] == 1
+    assert [f["name"] for f in md["schemas"][1]["fields"]][-1] == "tag"
+    assert [f["name"] for f in md["schemas"][0]["fields"]] == [
+        "event_id", "user_id", "value",
+    ]
+    by_seq = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+    assert by_seq[0]["schema-id"] == 0      # pre-evolution snapshot
+    assert by_seq[-1]["schema-id"] == 1     # the evolving commit's
+    assert md["last-column-id"] == 4
+    # snapshot-log accumulates one entry per enabled commit
+    assert len(md["snapshot-log"]) == len(md["snapshots"])
+    assert md["snapshot-log"][-1]["snapshot-id"] == md["current-snapshot-id"]
+
+
+def test_expire_snapshots_keeps_referenced_delete_files(spark, tmp_path):
+    """ExpireSnapshots GC keeps any position-delete file a RETAINED
+    snapshot still references (digest-keyed delete files are shared
+    across snapshots), drops truly-unreferenced metadata, and a
+    partial-age expire retains the newer window."""
+    import time as _time
+
+    from deltasink_spark.hudi import read_hudi_live_files  # noqa: F401
+    from deltasink_spark.uniform import (
+        expire_iceberg_snapshots,
+        read_iceberg_changelog,
+        read_iceberg_deletes,
+        read_iceberg_live_files,
+    )
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 30))
+    t.set_properties(
+        {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true",
+        }
+    )
+    t.delete_where_dv(spark, "event_id % 10 = 0")  # DV -> delete file
+    t.append(_ev(spark, 31).filter(F.col("event_id") >= 30))
+    dels_before = {d["file_path"] for d in read_iceberg_deletes(t.path)}
+    assert dels_before
+    # retain_last=2: the DV snapshot expires but the delete FILE it
+    # minted is still referenced by the retained carry-forward
+    n = expire_iceberg_snapshots(
+        t.path,
+        older_than_ms=int(_time.time() * 1000) + 10_000,
+        retain_last=2,
+    )
+    assert n > 0
+    assert {d["file_path"] for d in read_iceberg_deletes(t.path)} == dels_before
+    assert all(os.path.exists(p) for p in dels_before)
+    assert len(read_iceberg_changelog(t.path)) == 2
+    # merge-on-read still exact after expire
+    data = read_iceberg_live_files(t.path)
+    df = spark.read.parquet(*sorted({f["file_path"] for f in data}))
+    enc = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    df = df.withColumn("__file", F.url_decode(enc)).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    dd = spark.read.parquet(*sorted(dels_before)).select(
+        F.element_at(F.split("file_path", "/"), -1).alias("dv_file"),
+        F.col("pos").alias("dv_pos"),
+    )
+    got = df.join(
+        F.broadcast(dd),
+        (F.col("__file") == F.col("dv_file"))
+        & (F.col("__pos") == F.col("dv_pos")),
+        "left_anti",
+    ).select("event_id", "user_id", "value")
+    assert got.exceptAll(t.read(spark)).isEmpty()
+    assert t.read(spark).exceptAll(got).isEmpty()
