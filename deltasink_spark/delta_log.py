@@ -131,6 +131,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "allowColumnDefaults",
         "vacuumProtocolCheck",
         "checkpointProtection",
+        "icebergCompatV2",
     }
 )
 _MAX_READER_VERSION = 3
@@ -4106,19 +4107,38 @@ class DeltaLogTable(_CheckpointMixin):
         cfg = dict(meta.get("configuration") or {})
         cfg.update(props)
         meta["configuration"] = cfg
-        v = self._commit(
-            [
-                {"metaData": meta},
+        actions: list[dict] = [{"metaData": meta}]
+        if (
+            props.get("delta.enableIcebergCompatV2") or ""
+        ).lower() == "true" and "icebergCompatV2" not in (
+            (self._protocol_dict() or {}).get("writerFeatures") or ()
+        ):
+            # delta-spark ledgers icebergCompatV2 as a WRITER table
+            # feature in the enabling commit — a legacy writer that
+            # doesn't keep the Iceberg metadata in sync (or respect
+            # the compat invariants) must be gated out
+            self._write_proto_ok = False
+            actions.insert(
+                0,
                 {
-                    "commitInfo": {
-                        "timestamp": _now_ms(),
-                        "operation": "SET TBLPROPERTIES",
-                        "operationParameters": {
-                            "properties": json.dumps(props, sort_keys=True)
-                        },
-                    }
+                    "protocol": self._upgraded_protocol(
+                        writer_features=("icebergCompatV2",)
+                    )
                 },
-            ],
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": _now_ms(),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(props, sort_keys=True)
+                    },
+                }
+            }
+        )
+        v = self._commit(
+            actions,
             precondition=lambda: self._metadata_dict() == base,
         )
         if v is None:
@@ -4266,11 +4286,32 @@ class DeltaLogTable(_CheckpointMixin):
                 if k != "delta.requireCheckpointProtectionBeforeVersion"
             }
             meta_action = [{"metaData": meta}]
+        elif feature == "icebergCompatV2":
+            cfg0 = (base_meta or {}).get("configuration") or {}
+            if "iceberg" in (
+                cfg0.get("delta.universalFormat.enabledFormats") or ""
+            ) and any(
+                a.get("deletionVector")
+                for a in self.snapshot_adds().values()
+            ):
+                raise ValueError(
+                    "cannot drop icebergCompatV2 while the iceberg "
+                    "UniForm target carries deletion vectors (their "
+                    "position-delete representation depends on it) — "
+                    "purge DVs (OPTIMIZE) first"
+                )
+            meta = dict(base_meta)
+            meta["configuration"] = {
+                k: v
+                for k, v in (meta.get("configuration") or {}).items()
+                if k != "delta.enableIcebergCompatV2"
+            }
+            meta_action = [{"metaData": meta}]
         else:
             raise ValueError(
                 f"dropping feature {feature!r} is not supported "
                 "(deletionVectors, typeWidening, rowTracking, "
-                "checkpointProtection are)"
+                "checkpointProtection, icebergCompatV2 are)"
             )
         proto = dict(self._protocol_dict() or {})
         nrf = sorted(set(proto.get("readerFeatures") or ()) - {feature})

@@ -5044,3 +5044,34 @@ def test_expire_snapshots_keeps_referenced_delete_files(spark, tmp_path):
     ).select("event_id", "user_id", "value")
     assert got.exceptAll(t.read(spark)).isEmpty()
     assert t.read(spark).exceptAll(got).isEmpty()
+
+
+def test_iceberg_compat_v2_is_a_ledgered_writer_feature(spark, tmp_path):
+    """`delta.enableIcebergCompatV2=true` ledgers the icebergCompatV2
+    WRITER feature in the enabling commit (delta-spark parity: a
+    legacy writer that wouldn't keep the Iceberg view in sync is
+    gated out); DROP FEATURE removes feature + property, but refuses
+    while the iceberg target still carries deletion vectors."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true",
+        }
+    )
+    wf = (t._protocol_dict() or {}).get("writerFeatures") or ()
+    assert "icebergCompatV2" in wf
+    t.delete_where_dv(spark, "event_id % 4 = 0")  # DVs ride compatV2
+    with pytest.raises(ValueError, match="position-delete"):
+        t.drop_feature(spark, "icebergCompatV2")
+    t.drop_feature(spark, "deletionVectors")  # PURGE rewrites the DVs
+    t.drop_feature(spark, "icebergCompatV2")
+    t2 = DeltaLogTable(t.path)
+    assert "icebergCompatV2" not in (
+        (t2._protocol_dict() or {}).get("writerFeatures") or ()
+    )
+    assert "delta.enableIcebergCompatV2" not in (
+        (t2._metadata_dict() or {}).get("configuration") or {}
+    )
+    assert t2.read(spark).count() == 15
