@@ -1001,6 +1001,8 @@ def scan_delta_log_stats_columns(spark, sf_dir):
         p: a for p, a in t.snapshot_adds().items() if p not in before
     }
     for a in post.values():
+        if not a.get("stats"):
+            continue  # an empty-corpus file stages statless — legal
         st = json.loads(a["stats"])
         assert set(st.get("minValues") or {}) <= {"value"}, st
         assert "numRecords" in st
@@ -1016,7 +1018,9 @@ def scan_delta_log_stats_columns(spark, sf_dir):
     # strict file subset whenever more than one value band exists
     out = t.read_where_stats(spark, "value", 120, 180)
     n_live = len(t.snapshot_adds())
-    if len(post) >= 2:
+    n_stats_post = sum(1 for a in post.values() if a.get("stats"))
+    if n_stats_post == len(post) >= 2:
+        # both value bands carry stats: the off-range band must prune
         assert len(set(out.inputFiles())) < n_live, (
             f"no pruning: {len(set(out.inputFiles()))} of {n_live}"
         )
