@@ -294,6 +294,13 @@ R13OPS = [
 # StreamingQuery drains (three runs with a deliberate mid-run failure
 # in the tracking case — wall-clock dominated by engine startup).
 
+# r15 additions — ALL excluded by the standing group policy: the six
+# new ops (sink_delta_uniform_incremental/_dv/_hudi/_expire,
+# scan_delta_log_stats_columns, sink_delta_checkpoint_protection) are
+# sink/IO fixtures whose cost class is commit-path metadata (pinned by
+# the DML-throughput and ingest references in BASELINE.md) — each is a
+# build-a-table-then-fold-its-metadata proof, not a query plan.
+
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
 # is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold

@@ -1348,3 +1348,15 @@ def test_tokenizer_vocab_topk_is_distributed_heap(spark, sf_small):
     p = plan(q("tokenizer_vocab", spark, sf_small))
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_exact_dedup_is_single_shuffle_hash_agg(spark, sf_small):
+    """The skew-safe exact-dedup shape (r14 verdict's perf-weak
+    conversion): ONE exchange, NO sort, NO window — partial
+    aggregation collapses a mega-duplicate cluster map-side. A
+    row_number() keep-first would show Window + Sort here and
+    serialize the cluster into one task."""
+    p = plan(q("dedup_exact_hash", spark, sf_small))
+    assert p.count("+- Exchange") == 1, p  # the tree's one shuffle
+    assert "Window" not in p and "Sort" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
