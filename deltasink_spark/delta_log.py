@@ -4147,6 +4147,84 @@ class DeltaLogTable(_CheckpointMixin):
             )
         return v
 
+    @_occ_retry
+    def unset_properties(
+        self, keys: list[str] | tuple[str, ...], if_exists: bool = False
+    ) -> int:
+        """ALTER TABLE ... UNSET TBLPROPERTIES: remove configuration
+        keys in a new metaData commit. A missing key raises (delta's
+        unset-non-existent error) unless ``if_exists``. Guards the
+        feature-backed keys whose removal would silently change a
+        ledgered feature's behavior: the checkpointProtection horizon
+        must leave via DROP FEATURE (removing just the property would
+        zero the horizon while the feature still claims protection),
+        and icebergCompatV2 cannot be unset while the iceberg UniForm
+        target carries deletion vectors (their position-delete
+        representation depends on it)."""
+        base = self._metadata_dict()
+        if base is None:
+            raise ValueError(
+                "cannot unset properties on a table with no metaData"
+            )
+        cfg = dict(base.get("configuration") or {})
+        missing = [k for k in keys if k not in cfg]
+        if missing and not if_exists:
+            raise ValueError(
+                f"cannot unset non-existent propert{'ies' if len(missing) > 1 else 'y'} "
+                f"{missing} (pass if_exists=True to ignore)"
+            )
+        proto = self._protocol_dict() or {}
+        wf = set(proto.get("writerFeatures") or ())
+        if (
+            "delta.requireCheckpointProtectionBeforeVersion" in keys
+            and "checkpointProtection" in wf
+        ):
+            raise ValueError(
+                "cannot unset delta.requireCheckpointProtectionBefore"
+                "Version while the checkpointProtection feature is "
+                "ledgered — DROP FEATURE removes both together"
+            )
+        if (
+            "delta.enableIcebergCompatV2" in keys
+            and "iceberg"
+            in (cfg.get("delta.universalFormat.enabledFormats") or "")
+            and any(
+                a.get("deletionVector")
+                for a in self.snapshot_adds().values()
+            )
+        ):
+            raise ValueError(
+                "cannot unset delta.enableIcebergCompatV2 while the "
+                "iceberg UniForm target carries deletion vectors — "
+                "purge DVs (OPTIMIZE) first"
+            )
+        meta = dict(base)
+        meta["configuration"] = {
+            k: v for k, v in cfg.items() if k not in set(keys)
+        }
+        v = self._commit(
+            [
+                {"metaData": meta},
+                {
+                    "commitInfo": {
+                        "timestamp": _now_ms(),
+                        "operation": "UNSET TBLPROPERTIES",
+                        "operationParameters": {
+                            "properties": json.dumps(
+                                sorted(keys), sort_keys=True
+                            )
+                        },
+                    }
+                },
+            ],
+            precondition=lambda: self._metadata_dict() == base,
+        )
+        if v is None:
+            raise MetadataChangedError(
+                "table metaData changed while unsetting properties; retry"
+            )
+        return v
+
     def drop_feature(self, spark, feature: str) -> int:
         """ALTER TABLE ... DROP FEATURE (the protocol DOWNGRADE path —
         how a table enabled with a feature its other clients cannot

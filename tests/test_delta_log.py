@@ -5075,3 +5075,49 @@ def test_iceberg_compat_v2_is_a_ledgered_writer_feature(spark, tmp_path):
         (t2._metadata_dict() or {}).get("configuration") or {}
     )
     assert t2.read(spark).count() == 15
+
+
+def test_unset_properties(spark, tmp_path):
+    """ALTER TABLE UNSET TBLPROPERTIES: keys leave the configuration
+    in one metaData commit; missing keys raise without if_exists; the
+    feature-backed keys are guarded (checkpointProtection horizon
+    leaves only via DROP FEATURE; compatV2 refuses while DVs ride the
+    iceberg target); disabling UniForm stops the post-commit hook."""
+    t = _table(tmp_path)
+    t.append(_ev(spark, 20))
+    t.set_properties(
+        {
+            "delta.appendOnly": "false",
+            "delta.logRetentionDuration": "interval 30 days",
+        }
+    )
+    with pytest.raises(ValueError, match="non-existent"):
+        t.unset_properties(["delta.nope"])
+    t.unset_properties(["delta.nope"], if_exists=True)  # no-op commit ok
+    t.unset_properties(["delta.logRetentionDuration"])
+    cfg = (t._metadata_dict() or {}).get("configuration") or {}
+    assert "delta.logRetentionDuration" not in cfg
+    assert cfg.get("delta.appendOnly") == "false"
+    # checkpointProtection horizon: only DROP FEATURE removes it
+    t.enable_checkpoint_protection()
+    with pytest.raises(ValueError, match="DROP FEATURE"):
+        t.unset_properties(
+            ["delta.requireCheckpointProtectionBeforeVersion"]
+        )
+    # compatV2 + DVs: unset refuses until purged
+    t.set_properties(
+        {
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "delta.enableIcebergCompatV2": "true",
+        }
+    )
+    t.delete_where_dv(spark, "event_id % 5 = 0")
+    with pytest.raises(ValueError, match="purge DVs"):
+        t.unset_properties(["delta.enableIcebergCompatV2"])
+    # disabling UniForm entirely is allowed; the hook stops firing
+    meta_dir = os.path.join(t.path, "metadata")
+    n_before = len(os.listdir(meta_dir))
+    t.unset_properties(["delta.universalFormat.enabledFormats"])
+    t.append(_ev(spark, 21).filter(F.col("event_id") >= 20))
+    assert len(os.listdir(meta_dir)) == n_before  # no new iceberg files
+    assert t.read(spark).count() == 17  # 21 - 4 DV'd
