@@ -1211,6 +1211,7 @@ def expire_iceberg_snapshots(
     table_path: str,
     older_than_ms: int | None = None,
     retain_last: int = 1,
+    previous_versions_max: int = 100,
 ) -> int:
     """EXPIRE SNAPSHOTS (Iceberg's ExpireSnapshots maintenance
     action, the public `expireOlderThan`/`retainLast` semantics):
@@ -1229,7 +1230,11 @@ def expire_iceberg_snapshots(
     Returns the number of metadata files deleted. Without this, a
     long-lived UniForm table's snapshot list and manifest directory
     grow without bound — the same class of problem cleanup_log solves
-    for `_delta_log`."""
+    for `_delta_log`. ``previous_versions_max`` (Iceberg's
+    `write.metadata.previous-versions-max`, default 100) additionally
+    bounds the metadata-log chain: older v*.metadata.json files are
+    unlinked (path-containment-guarded to the metadata dir) and their
+    log entries dropped."""
     import time as _time
 
     if retain_last < 1:
@@ -1251,8 +1256,38 @@ def expire_iceberg_snapshots(
         if s["snapshot-id"] in keep_ids or s["timestamp-ms"] >= older_than_ms
     ]
     expired = [s for s in snaps if s not in retained]
-    if not expired:
+    # metadata-log pruning (Iceberg's write.metadata.
+    # previous-versions-max): keep only the newest K prior metadata
+    # files; dropped entries' v*.metadata.json are unlinked — the
+    # other unbounded-growth axis of a long-lived UniForm table
+    meta_log = md.get("metadata-log") or []
+    dropped_meta = (
+        meta_log[: -previous_versions_max]
+        if previous_versions_max >= 0 and len(meta_log) > previous_versions_max
+        else []
+    )
+    if not expired and not dropped_meta:
         return 0
+    deleted_meta = 0
+    if dropped_meta:
+        md["metadata-log"] = meta_log[len(dropped_meta):]
+        for e in dropped_meta:
+            p = e.get("metadata-file")
+            if (
+                p
+                and os.path.realpath(p) != os.path.realpath(mj)
+                and os.path.realpath(os.path.dirname(p))
+                == os.path.realpath(meta_dir)
+                and os.path.exists(p)
+            ):
+                os.remove(p)
+                deleted_meta += 1
+    if not expired:
+        tmp0 = mj + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp0, "w") as fh:
+            json.dump(md, fh)
+        os.replace(tmp0, mj)
+        return deleted_meta
 
     def _manifests_of(snap: dict) -> set[str]:
         try:
@@ -1310,4 +1345,4 @@ def expire_iceberg_snapshots(
     with open(tmp, "w") as fh:
         json.dump(md, fh)
     os.replace(tmp, mj)
-    return deleted
+    return deleted + deleted_meta

@@ -5121,3 +5121,49 @@ def test_unset_properties(spark, tmp_path):
     t.append(_ev(spark, 21).filter(F.col("event_id") >= 20))
     assert len(os.listdir(meta_dir)) == n_before  # no new iceberg files
     assert t.read(spark).count() == 17  # 21 - 4 DV'd
+
+
+def test_expire_prunes_metadata_log(spark, tmp_path):
+    """previous_versions_max bounds the metadata-log chain: older
+    v*.metadata.json files are unlinked and their entries dropped,
+    while the current metadata and the newest K survive; a
+    metadata-only prune (no expired snapshots) also works."""
+    import time as _time
+
+    from deltasink_spark.uniform import expire_iceberg_snapshots
+
+    t = _table(tmp_path)
+    t.append(_ev(spark, 10))
+    t.set_properties({"delta.universalFormat.enabledFormats": "iceberg"})
+    for i in range(1, 5):
+        t.append(
+            _ev(spark, 10 * (i + 1)).filter(F.col("event_id") >= 10 * i)
+        )
+    meta_dir = os.path.join(t.path, "metadata")
+    n_meta = len(
+        [f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")]
+    )
+    assert n_meta == 5
+    # metadata-only prune: snapshots all retained, chain bounded to 2
+    n = expire_iceberg_snapshots(
+        t.path,
+        older_than_ms=0,
+        retain_last=1,
+        previous_versions_max=2,
+    )
+    assert n == 2  # 4 prior entries -> keep newest 2, unlink 2
+    left = sorted(
+        f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )
+    assert len(left) == 3  # current + 2 retained priors
+    md = json.load(
+        open(os.path.join(meta_dir, left[-1]))
+    )
+    assert len(md["metadata-log"]) == 2
+    assert len(md["snapshots"]) == 5  # nothing expired by age
+    # fold still works end-to-end
+    from deltasink_spark.uniform import read_iceberg_live_files
+
+    assert sum(
+        f["record_count"] for f in read_iceberg_live_files(t.path)
+    ) == 50
