@@ -1447,6 +1447,15 @@ def test_state_store_provider_round_trip(spark, tmp_path):
     got_rocks = drain(rocks)
     assert {k for k, _v in got_rocks} == keys
     assert len(got_rocks) == 8
+    # RocksDB CHANGELOG CHECKPOINTING (the incremental-checkpoint mode
+    # an operator flips at large state): same results under the toggle
+    clog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    spark.conf.set(clog, "true")
+    try:
+        got_clog = drain(rocks)
+    finally:
+        spark.conf.unset(clog)
+    assert {k for k, _v in got_clog} == keys and len(got_clog) == 8
     with pytest.raises(StreamingQueryException):
         drain("com.example.NoSuchStateStoreProvider")
     # and the conf is restored after every drain (round trip)
