@@ -72,6 +72,16 @@ def sql_df_capped_cte(cap: int) -> str:
 """
 
 
+# Aggregate/band expression TEXT is built once at import and parsed
+# JVM-side in one py4j call per projection: the per-call Column-object
+# loops (64 min-aggs x ~4 round trips, 32 band structs x ~6) cost
+# ~0.5 s of driver latency per invocation for an identical tree
+# (r15 driver-latency measurement).
+_SIG_STRUCT_EXPR = "struct(" + ", ".join(
+    f"min(xxhash64({i}, h0)) as sig_{i}" for i in range(N_PERMS)
+) + ")"
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
     """One row per doc: sig_0..sig_{N_PERMS-1} = min over shingles of
     the i-th permutation hash. The shingle STRING is hashed exactly
@@ -80,14 +90,24 @@ def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
     string traversals per shingle (~2x faster signature stage at
     sf0.1). A single map-side-combined hash agg."""
     hashed = shingles.withColumn("h0", F.xxhash64(F.col("shingle")))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"sig_{i}")
-        for i in range(N_PERMS)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return (
+        hashed.groupBy(id_col)
+        .agg(F.expr(_SIG_STRUCT_EXPR).alias("bs"))
+        .select(id_col, "bs.*")
+    )
 
 
 BUCKET_CAP = 64  # all-pairs expansion bound per LSH bucket
+
+_BANDS_ARRAY_EXPR = "array(" + ", ".join(
+    "struct({b} as band_id, xxhash64({cols}) as band_hash)".format(
+        b=b,
+        cols=", ".join(
+            f"sig_{b * (N_PERMS // N_BANDS) + k}" for k in range(N_PERMS // N_BANDS)
+        ),
+    )
+    for b in range(N_BANDS)
+) + ")"
 
 
 def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -> DataFrame:
@@ -121,17 +141,7 @@ def lsh_candidates(sigs: DataFrame, id_col: str, bucket_cap: int = BUCKET_CAP) -
     precision by test_star_pairs_verified_at_lowered_threshold.
     Cost: one extra hash agg on the (band_id, band_hash) key the
     self-join shuffles on anyway."""
-    r = N_PERMS // N_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"sig_{b * r + k}") for k in range(r)]).alias("band_hash"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    tall = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    tall = sigs.select(F.col(id_col), F.explode(F.expr(_BANDS_ARRAY_EXPR)).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
     stats = tall.groupBy("band_id", "band_hash").agg(

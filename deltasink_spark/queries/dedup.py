@@ -186,6 +186,22 @@ _SIMHASH_ORACLE = """
 )
 
 
+# Expression TEXT built once at import: per-call Column-object loops
+# (60 sums x ~7 py4j round trips each, then a 60-deep shiftleft/xor
+# fold) cost ~1.3 s of pure driver latency PER INVOCATION (r15
+# measurement) for a tree Catalyst immediately re-linearizes. One
+# F.expr per projection parses the same algebra JVM-side in ~ms.
+# Assembly uses + over disjoint bit terms == the old xor of shiftlefts.
+_SIMHASH_SUMS_EXPR = "struct(" + ", ".join(
+    f"sum(case when shiftright(h, {i}) & 1 = 1 then 1 else -1 end) as b{i}"
+    for i in range(_SIMHASH_BITS)
+) + ")"
+_SIMHASH_ASSEMBLE_EXPR = "(" + " + ".join(
+    f"(case when bs.b{i} >= 0 then cast({1 << i} as bigint) else cast(0 as bigint) end)"
+    for i in range(_SIMHASH_BITS)
+) + ") as simhash"
+
+
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash: per bit, sum +1/-1 over distinct tokens, sign ->
@@ -196,19 +212,8 @@ def dedup_simhash(spark, sf_dir):
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for i in range(_SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        simhash = term if simhash is None else simhash.bitwiseXOR(term)
-    return sums.select("doc_id", simhash.alias("simhash"))
+    sums = tok.groupBy("doc_id").agg(F.expr(_SIMHASH_SUMS_EXPR).alias("bs"))
+    return sums.selectExpr("doc_id", _SIMHASH_ASSEMBLE_EXPR)
 
 
 _QCOS = f"ROUND({sql_qdot('a.iv', 'b.iv')} / (a.nrm * b.nrm), 6)"
@@ -857,8 +862,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     property tests instead."""
     from deltasink_spark.operators.minhash import (
         BUCKET_CAP,
-        N_BANDS,
-        N_PERMS,
+        _BANDS_ARRAY_EXPR,
         jaccard_verify,
         minhash_signatures,
         shingle_table,
@@ -870,20 +874,8 @@ def dedup_minhash_incremental(spark, sf_dir):
         eager=False
     )
     sigs = minhash_signatures(sh, "doc_id")
-    r = N_PERMS // N_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"sig_{b * r + k}") for k in range(r)]
-                ).alias("band_hash"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
     tall = (
-        sigs.select("doc_id", F.explode(bands).alias("b"))
+        sigs.select("doc_id", F.explode(F.expr(_BANDS_ARRAY_EXPR)).alias("b"))
         .select(
             "doc_id",
             F.col("b.band_id").alias("band_id"),

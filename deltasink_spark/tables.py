@@ -54,10 +54,37 @@ def fanout(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(n, *by) if by else df.repartition(n)
 
 
+# Catalog-style schema memo: spark.read.parquet() re-infers the schema
+# from the footer on EVERY call (~80 ms driver-side at r15 measurement),
+# and ops call load() 1-4x per invocation — across the 160-op bench
+# that is tens of seconds of pure metadata latency. Real warehouses
+# keep table schemas in a catalog; mirror that by inferring once per
+# (path, mtime) and passing the schema explicitly afterwards (~15 ms).
+# METADATA ONLY: no rows or plan fragments are cached — every action
+# still lists and scans the parquet files, and a regenerated fixture
+# (new mtime) re-infers.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema_read(spark: SparkSession, path: str):
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_CACHE:
+        return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _cached_schema_read(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
@@ -75,12 +102,12 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType
 
     try:
-        df = spark.read.parquet(path)
+        df = _cached_schema_read(spark, path)
     except Exception:
         # TIMESTAMP(NANOS) footer with nanosAsLong unset: schema
         # conversion fails at read time. Retry reading nanos as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _cached_schema_read(spark, path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         # nanos-as-long: rebuild a microsecond timestamp. The fixture
