@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deltasink_spark.registry import query
-from deltasink_spark.tables import load
+from deltasink_spark.tables import fanout, load
 
 from deltasink_spark.queries.aggregates import davg, dsum, sql_davg, sql_dsum
 
@@ -781,8 +781,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred rows whatever the corpus size; every sum/avg goes through
     the exact-decimal helpers so merge order can't flip a ulp.
     (agg_hash is the abridged flagship; this is the full 8-column Q1.)"""
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit(Q1_DATE).cast("timestamp")
+    # fanout: the single-row-group fixture scans as ONE task, which
+    # serializes the 8-decimal-aggregate partial agg (local profile
+    # only; no-op on clusters). Median 1.50 -> 0.92 s at sf0.1.
+    li = fanout(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit(Q1_DATE).cast("timestamp")
+        )
     )
     charge = _rev() * (1 + F.col("l_tax"))
     return (
