@@ -86,7 +86,10 @@ def qdot_arrow() -> "object":
         b = np.vstack([np.asarray(v, dtype=np.int64) for v in vb])
         return pd.Series(np.einsum("ij,ij->i", a, b))
 
-    return pandas_udf(_dot, "long", PandasUDFType.SCALAR)
+    # _dot is pure; the marker only stops the optimizer from cloning the
+    # evaluation below a pushed-down filter on its output (one
+    # ArrowEvalPython instead of two per scoring stage)
+    return pandas_udf(_dot, "long", PandasUDFType.SCALAR).asNondeterministic()
 
 
 def qnorm(ia: Column) -> Column:
@@ -221,8 +224,10 @@ def _lsh_signatures(planes: list[list[int]], tables: int):
         return pd.Series(list(buckets))
 
     # explicit functionType: `from __future__ import annotations` turns
-    # type hints into strings pandas_udf cannot resolve
-    return pandas_udf(_signatures, "array<long>", PandasUDFType.SCALAR)
+    # type hints into strings pandas_udf cannot resolve.
+    # _signatures is pure; nondeterministic only keeps the optimizer from
+    # duplicating the matmul below the size()>0 filter posexplode infers
+    return pandas_udf(_signatures, "array<long>", PandasUDFType.SCALAR).asNondeterministic()
 
 
 def lsh_tall_frame(df, id_col: str, vec_col: str, planes: list[list[int]], tables: int):
