@@ -244,6 +244,9 @@ def minhash_pairs_cached(spark, sf_dir: str) -> DataFrame:
     got = _PAIR_CACHE.get(key)
     if got is not None:
         return got
+    # eager: the pair frame is consumed by MANY ops' actions; r15 A/B
+    # showed lazy localCheckpoint costs ~0.8 s EXTRA PER ACTION here
+    # (AQE re-finalizes the last stage), far above the one saved build job
     pairs = minhash_dedup_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
     ).localCheckpoint()

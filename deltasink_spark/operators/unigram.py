@@ -324,6 +324,8 @@ def unigram_train_cached(spark, sf_dir: str):
     got = _UG_CACHE.get(key)
     if got is not None:
         return got
+    # eager: multi-consumer cached frames; r15 A/B measured lazy
+    # checkpoints slower per consumer action (see minhash_pairs_cached)
     words = words_frame(load(spark, sf_dir, "documents")).localCheckpoint()
     pieces = pieces_with_lp(seed_pieces(words)).localCheckpoint()
     best = None

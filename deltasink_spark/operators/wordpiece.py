@@ -239,6 +239,8 @@ def wordpiece_train_cached(spark, sf_dir: str):
     got = _WP_CACHE.get(key)
     if got is not None:
         return got
+    # eager: multi-consumer cached frames; r15 A/B measured lazy
+    # checkpoints slower per consumer action (see minhash_pairs_cached)
     vocab = words_wp(load(spark, sf_dir, "documents")).localCheckpoint()
     records = []
     for k in range(1, WP_STEPS + 1):

@@ -2076,7 +2076,10 @@ def _coorder_edges(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s1", "s2")
-        .localCheckpoint()
+        # lazy: lineage is cut at plan level either way; the first
+        # caller's action materializes the blocks without a separate
+        # eager-checkpoint job
+        .localCheckpoint(eager=False)
     )
     _EDGE_CACHE[cache_key] = e
     return e
@@ -2793,9 +2796,9 @@ def graph_kcore(spark, sf_dir):
     _KCORE_ROUNDS if a future fixture peels deeper.
 
     Scale: each round is one degree hash agg + two semi-joins on the
-    (shrinking) edge list, lineage cut per round with an eager
-    localCheckpoint (the [bpe_train] iterative-algorithm move); real
-    peeling converges in O(max-core-number) rounds."""
+    (shrinking) edge list, lineage cut per round with a lazy
+    localCheckpoint the convergence count materializes (one job per
+    round); real peeling converges in O(max-core-number) rounds."""
     e = _coorder_edges(spark, sf_dir)
     n_edges = e.count()
     rounds = 0
@@ -2822,7 +2825,9 @@ def graph_kcore(spark, sf_dir):
             e.join(deg.withColumnRenamed("k", "s1"), "s1", "left_semi")
             .join(deg.withColumnRenamed("k", "s2"), "s2", "left_semi")
             .select("s1", "s2")
-            .localCheckpoint()
+            # lazy: the count() below materializes plan AND checkpoint
+            # blocks in ONE job per round instead of two
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         e = nxt
