@@ -1383,10 +1383,21 @@ def ann_index_incremental(spark, sf_dir):
         idx.append(tall_delta)
         rebuilt = tall_corpus.unionByName(tall_delta)
         maintained = idx.read(spark)
-        if (
-            not maintained.exceptAll(rebuilt).isEmpty()
-            or not rebuilt.exceptAll(maintained).isEmpty()
-        ):
+        # multiset equality as ONE signed-union aggregation (the
+        # min_label_components convergence-check move): both
+        # directional exceptAll().isEmpty() probes always ran on the
+        # (converged) happy path — two shuffle-heavy jobs where one
+        # hash-agg suffices; limit(1) stops at the first difference
+        diverged = (
+            maintained.select("vec_id", "t", "bucket", F.lit(1).alias("w"))
+            .unionByName(rebuilt.select("vec_id", "t", "bucket", F.lit(-1).alias("w")))
+            .groupBy("vec_id", "t", "bucket")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+            .limit(1)
+            .count()
+        )
+        if diverged:
             raise AssertionError(
                 "maintained ANN index diverged from a full rebuild"
             )
