@@ -1360,3 +1360,26 @@ def test_exact_dedup_is_single_shuffle_hash_agg(spark, sf_small):
     assert p.count("+- Exchange") == 1, p  # the tree's one shuffle
     assert "Window" not in p and "Sort" not in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_arrow_udfs_not_duplicated_by_filter_pushdown(spark, sf_small):
+    """Guide §4.4 regression pin (r15): a filter on a pandas-UDF
+    column pushed below the computing projection CLONES the UDF —
+    one ArrowEvalPython for the filter, another for the projection —
+    doubling the Python-boundary work per row. The dot and signature
+    UDFs are marked nondeterministic (they are pure; the marker only
+    blocks the clone), so each logical call site must surface as
+    EXACTLY one ArrowEvalPython node: signature once per self-join
+    side + dot once for the scoring ops, signature once + dot once
+    for the tall-frame ops."""
+    for op, nodes in (
+        ("sim_cosine_pairs", 3),
+        ("ts_similarity", 3),
+        ("dedup_embedding_cosine", 3),
+        ("sim_ann_lsh", 2),
+        ("knn_graph", 2),
+        ("ann_recall_at_k", 2),
+    ):
+        p = plan(q(op, spark, sf_small))
+        got = p.count("ArrowEvalPython (")  # tree section, one per node
+        assert got == nodes, (op, got, nodes)
