@@ -299,12 +299,15 @@ def min_label_components(pairs, stats: dict | None = None):
         mins = adj.groupBy("u").agg(
             F.least(F.min("v"), F.col("u")).alias("m")
         )
+        # NO trailing distinct: the only consumer is small_star, whose
+        # leading reorient + distinct dedups anyway — the extra shuffle
+        # bought nothing (mins is 1 row per u, so the join cannot blow
+        # up multiplicity beyond |adj|)
         return (
             adj.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e):
