@@ -296,6 +296,10 @@ def funnel_analysis(spark, sf_dir):
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        # two consumers with different column pruning (stage-2 join
+        # needs t_view, the roll-up base does not) — the agg subtrees
+        # are not canonically identical, so cut once
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -303,6 +307,8 @@ def funnel_analysis(spark, sf_dir):
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        # same two-consumer shape (stage-3 join + roll-up flag)
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -2510,6 +2516,9 @@ def funnel_time_to_convert(spark, sf_dir):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        # two consumers (the qualifying-click join and the delay join)
+        # with different pruning — no exchange reuse without the cut
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.join(v, "user_id")
@@ -2694,6 +2703,11 @@ def funnel_window_strict(spark, sf_dir):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        # two consumers (the level-2 join and the roll-up base) whose
+        # column pruning differs, so the agg subtrees are not
+        # canonically identical and AQE exchange reuse cannot fire —
+        # cut once instead of scanning+aggregating events twice
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.join(v, "user_id")
@@ -2704,6 +2718,8 @@ def funnel_window_strict(spark, sf_dir):
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        # same two-consumer shape (level-3 join + roll-up flag)
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.join(c, "user_id")

@@ -613,7 +613,12 @@ def _phash_pairs(ph, bucket_cap: int = _PH_BUCKET_CAP):
     )
     tall = ph.select("doc_id", "phash", F.explode(bands).alias("b")).select(
         "doc_id", "phash", F.col("b.j").alias("j"), F.col("b.bv").alias("bv")
-    )
+        # four consumers (bucket stats, the tagged join probe, and the
+        # a/b self-join sides) — without the cut each re-runs the
+        # 64-sample gradient hash projection (with a real decoder: the
+        # image decode) over the corpus; 4 narrow rows/doc is the
+        # cheapest thing in the op to materialize (guide §4/§2.4)
+    ).localCheckpoint(eager=False)
     # min(struct) carries the hub's phash alongside its id in ONE agg
     stats = tall.groupBy("j", "bv").agg(
         F.count(F.lit(1)).alias("bkt_n"),

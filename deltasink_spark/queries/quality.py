@@ -166,43 +166,60 @@ def dq_checks(spark, sf_dir):
     customer = load(spark, sf_dir, "customer")
     lineitem = load(spark, sf_dir, "lineitem")
 
-    def one(name, n_checked_df, viol_df):
-        n = n_checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
-        v = viol_df.agg(F.count(F.lit(1)).alias("n_violations"))
-        return n.crossJoin(v).select(
-            F.lit(name).alias("check_name"), "n_checked", "n_violations"
-        )
+    # Each check is ONE conditional agg over ONE pass of its input
+    # (r15, guide §2.3 "aggregate before you shuffle"): the original
+    # two-frame form (count the table, count the violating filter/
+    # anti-join, cross-join the scalars) scanned every checked input
+    # twice and built the lineitem⋈orders join twice. n_checked and
+    # n_violations now come out of the same combining agg; the FK
+    # anti-join becomes a broadcast LEFT join against the (unique,
+    # primary-key) parent keys + a null count — row-count preserving,
+    # so the counts are value-identical.
+    def one(name, df, viol):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0)).alias(
+                "n_violations"
+            ),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
 
     fk = one(
         "orders_custkey_fk",
-        orders,
         orders.join(
-            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            F.broadcast(
+                customer.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+                    "cust_hit", F.lit(1)
+                )
+            ),
             "o_custkey",
-            "left_anti",
+            "left",
         ),
+        F.col("cust_hit").isNull(),
     )
     rng = one(
         "lineitem_quantity_range",
         lineitem,
-        lineitem.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)),
-    )
-    dup_excess = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") > 1)
-        .agg(F.coalesce(F.sum(F.col("ct") - 1), F.lit(0)).alias("n_violations"))
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
     )
     uniq = (
-        orders.agg(F.count(F.lit(1)).alias("n_checked"))
-        .crossJoin(dup_excess)
-        .select(F.lit("orders_orderkey_unique").alias("check_name"), "n_checked", "n_violations")
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            # empty orders: the ungrouped SUM is NULL where a COUNT
+            # would be 0 (the r8 global-agg-on-empty class) — coalesce
+            F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("ct") > 1, F.col("ct") - 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_violations"),
+        )
+        .select(
+            F.lit("orders_orderkey_unique").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
     )
-    nn = one(
-        "customer_name_not_null",
-        customer,
-        customer.filter(F.col("c_name").isNull()),
-    )
+    nn = one("customer_name_not_null", customer, F.col("c_name").isNull())
     li_ord = lineitem.join(
         orders.select("o_orderkey", "o_orderdate"),
         lineitem["l_orderkey"] == orders["o_orderkey"],
@@ -210,7 +227,7 @@ def dq_checks(spark, sf_dir):
     order_inv = one(
         "lineitem_ship_after_order",
         li_ord,
-        li_ord.filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        F.col("l_shipdate") < F.col("o_orderdate"),
     )
     return fk.unionAll(rng).unionAll(uniq).unionAll(nn).unionAll(order_inv)
 
@@ -761,38 +778,84 @@ def dq_referential_integrity(spark, sf_dir):
     combining agg (an anti-join formulation would scan the child a
     second time for n_child); the dim-sized parents broadcast. No
     windows, no driver-side row handling."""
-    checks = [
-        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    def orphan_sum(hit):
+        # empty child: the ungrouped SUM is NULL where the oracle's
+        # COUNT subquery is 0 (the r8 audit's global-agg-on-empty
+        # class) — coalesce
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col(hit).isNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+        )
+
+    # orders->customer: one orders pass, one left join, one agg.
+    oc_child = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    oc_parent = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .withColumn("hit", F.lit(1))
+    )
+    oc = (
+        oc_child.join(oc_parent, "k", "left")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            orphan_sum("hit").alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders->customer").alias("relationship"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    # The three lineitem relationships share ONE child pass (r15):
+    # chaining the three (unique, primary-key → row-count-preserving)
+    # left joins onto a single scan and splitting the one aggregated
+    # row back into per-relationship rows replaces three separate
+    # scan+join+agg pipelines — same join count, two fewer full passes
+    # over the biggest table in the schema (guide §1.2 step 1).
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    parents = [
+        ("l_orderkey", "orders", "o_orderkey", "hit_o"),
+        ("l_partkey", "part", "p_partkey", "hit_p"),
+        ("l_suppkey", "supplier", "s_suppkey", "hit_s"),
     ]
-    out = None
-    for rel, child, ck, parent, pk in checks:
-        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+    j = li
+    for ck, parent, pk, hit in parents:
         p = (
             load(spark, sf_dir, parent)
-            .select(F.col(pk).alias("k"))
-            .withColumn("hit", F.lit(1))
+            .select(F.col(pk).alias(ck))
+            .withColumn(hit, F.lit(1))
         )
-        row = (
-            c.join(p, "k", "left")
-            .groupBy()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_child"),
-                # empty child: the ungrouped SUM is NULL where the
-                # oracle's COUNT subquery is 0 (the r8 audit's
-                # global-agg-on-empty class) — coalesce
-                F.coalesce(
-                    F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_orphans"),
+        j = j.join(p, ck, "left")
+    agg = j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        orphan_sum("hit_o").alias("orph_o"),
+        orphan_sum("hit_p").alias("orph_p"),
+        orphan_sum("hit_s").alias("orph_s"),
+    )
+    li_rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem->orders").alias("relationship"),
+                    F.col("n_child").alias("n_child"),
+                    F.col("orph_o").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem->part").alias("relationship"),
+                    F.col("n_child").alias("n_child"),
+                    F.col("orph_p").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem->supplier").alias("relationship"),
+                    F.col("n_child").alias("n_child"),
+                    F.col("orph_s").alias("n_orphans"),
+                ),
             )
-            .select(
-                F.lit(rel).alias("relationship"), "n_child", "n_orphans"
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        ).alias("r")
+    ).select("r.relationship", "r.n_child", "r.n_orphans")
+    return oc.unionByName(li_rows)

@@ -380,6 +380,30 @@ def agg_bitmap_native(spark, sf_dir):
 _KMV_K = 128
 
 
+def _kmv_frame(spark, sf_dir, null_filter: bool = False, checkpoint: bool = True):
+    """Per-event-type KMV/theta sketch: the K smallest DISTINCT 32-bit
+    hashes of user_id (one distinct + per-type top-K rank). Every
+    family op consumes this frame 3x (theta + a-side + b-side), so it
+    is built once and lazily checkpointed: AQE reuses the identical
+    distinct Exchange at runtime, but each window consumer re-SORTS
+    the distinct set — the cut makes the shuffle AND the sort run once
+    per action (guide §2.4). ``checkpoint=False`` exposes the raw
+    build plan (plan-assertion tests pin the window shape there)."""
+    from deltasink_spark.tables import md5_long
+
+    e = load(spark, sf_dir, "events")
+    if null_filter:
+        e = e.filter(F.col("user_id").isNotNull())
+    h = e.select("event_type", md5_long(F.col("user_id")).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kmv = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    return kmv.localCheckpoint(eager=False) if checkpoint else kmv
+
+
 @query(
     "agg_kmv_intersect",
     oracle=f"""
@@ -434,18 +458,7 @@ def agg_kmv_intersect(spark, sf_dir):
     |types| x K rows — broadcastable, mergeable (union two KMV sets,
     re-truncate to K), the same algebra minhash_union proves. At
     100 TB the sketches are the only thing that crosses the shuffle."""
-    e = load(spark, sf_dir, "events")
-    from deltasink_spark.tables import md5_long
-
-    h = e.select(
-        "event_type", md5_long(F.col("user_id")).alias("h")
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    kmv = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
-    )
+    kmv = _kmv_frame(spark, sf_dir)
     theta = kmv.groupBy("event_type").agg(
         F.max("h").alias("th"), F.count(F.lit(1)).alias("n_sk")
     )
@@ -532,18 +545,7 @@ def agg_kmv_difference(spark, sf_dir):
     Scale shape: identical to the intersect — one distinct + per-type
     top-K window builds the sketches; everything after runs on
     |types| x K rows (broadcastable, mergeable)."""
-    e = load(spark, sf_dir, "events")
-    from deltasink_spark.tables import md5_long
-
-    h = e.select(
-        "event_type", md5_long(F.col("user_id")).alias("h")
-    ).distinct()
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    kmv = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
-    )
+    kmv = _kmv_frame(spark, sf_dir)
     theta = kmv.groupBy("event_type").agg(F.max("h").alias("th"))
     ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("th_a"))
     tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("th_b"))
@@ -642,20 +644,7 @@ def agg_kmv_union(spark, sf_dir):
     Scale shape: sketch build = one distinct + per-type top-K window;
     the merge + re-truncate runs on |types|² x K rows — tiny,
     broadcastable; nothing corpus-sized crosses the pair join."""
-    e = load(spark, sf_dir, "events")
-    from deltasink_spark.tables import md5_long
-
-    h = (
-        e.filter(F.col("user_id").isNotNull())
-        .select("event_type", md5_long(F.col("user_id")).alias("h"))
-        .distinct()
-    )
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    kmv = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
-    )
+    kmv = _kmv_frame(spark, sf_dir, null_filter=True)
     types = kmv.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
@@ -755,20 +744,7 @@ def agg_theta_jaccard(spark, sf_dir):
     Scale shape: identical to the family — sketch build is one
     distinct + per-type top-K window; the pair arithmetic runs on
     |types|² x K rows, nothing corpus-sized crosses the pair join."""
-    e = load(spark, sf_dir, "events")
-    from deltasink_spark.tables import md5_long
-
-    h = (
-        e.filter(F.col("user_id").isNotNull())
-        .select("event_type", md5_long(F.col("user_id")).alias("h"))
-        .distinct()
-    )
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    kmv = (
-        h.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "h")
-    )
+    kmv = _kmv_frame(spark, sf_dir, null_filter=True)
     theta = kmv.groupBy("event_type").agg(F.max("h").alias("th"))
     ta = theta.select(F.col("event_type").alias("type_a"), F.col("th").alias("th_a"))
     tb = theta.select(F.col("event_type").alias("type_b"), F.col("th").alias("th_b"))

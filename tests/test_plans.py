@@ -466,10 +466,14 @@ def test_table_stats_single_scan_no_expand(spark, sf_small):
     assert "Expand" not in p
 
 
-def test_dq_checks_fk_is_broadcast_anti_join(spark, sf_small):
+def test_dq_checks_fk_single_pass_conditional_agg(spark, sf_small):
+    """The FK check is a row-count-preserving broadcast LEFT join
+    against the unique parent keys + a null count folded into the SAME
+    combining agg as n_checked (r15: the anti-join form scanned orders
+    twice and cross-joined the two scalar counts)."""
     p = plan(q("dq_checks", spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "LeftAnti" in p
+    assert "LeftAnti" not in p
     assert "BroadcastHashJoin" in p
 
 
@@ -861,10 +865,19 @@ def test_sample_weighted_union_direct_is_topk(spark, sf_small):
 def test_agg_kmv_intersect_sketch_sized_joins(spark, sf_small):
     """The KMV build is one distinct + per-type window; everything
     downstream joins |types| x K sketch rows — no cartesian against
-    the events scan."""
+    the events scan. The build is lazily checkpointed (r15: each
+    family op consumes it 3x — theta + both join sides — and AQE
+    re-sorted the reused distinct exchange per consumer), so the final
+    plan shows the cut and the window shape is pinned on the raw
+    build frame."""
     p = plan(q("agg_kmv_intersect", spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "Window" in p  # the per-type top-K rank
+    assert "Scan ExistingRDD" in p  # the checkpointed sketch build
+    from deltasink_spark.queries.sketches import _kmv_frame
+
+    b = plan(_kmv_frame(spark, sf_small, checkpoint=False))
+    assert "Window" in b  # the per-type top-K rank
+    assert "CartesianProduct" not in b
 
 
 def test_hilbert_cluster_range_partition_no_global_sort(spark, sf_small):
@@ -1285,7 +1298,8 @@ def test_agg_kmv_difference_sketch_sized_joins(spark, sf_small):
     — no cartesian against the events scan."""
     p = plan(q("agg_kmv_difference", spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "Window" in p  # the per-type top-K rank
+    assert "Scan ExistingRDD" in p  # checkpointed build; window pinned
+    # on the raw build frame in the intersect test
 
 
 def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
@@ -1294,7 +1308,9 @@ def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
     cartesian against the events scan."""
     p = plan(q("agg_kmv_union", spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "Window" in p
+    assert "Window" in p  # the per-pair re-rank (the per-type build
+    # window sits behind the checkpoint cut)
+    assert "Scan ExistingRDD" in p
 
 
 def test_attribution_linear_no_range_join(spark, sf_small):
