@@ -732,24 +732,40 @@ def eval_simhash_banding(spark, sf_dir):
     sh = (
         dedup_simhash(spark, sf_dir)
         .select("doc_id", "simhash")
-        # four consumers (band self-join sides + both hamming probes):
-        # without the checkpoint the 60-sum agg runs up to 4x per action
+        # two consumers inside the band machinery (bucket stats + the
+        # tagged probe): without the checkpoint the 60-sum agg runs
+        # more than once per action
         .localCheckpoint(eager=False)
     )
-    pred = _simhash_band_pairs(sh).localCheckpoint(eager=False)
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b").localCheckpoint(
-        eager=False
-    )
-    np_ = pred.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
-    nt = truth.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    nh = (
-        pred.join(truth, ["id_a", "id_b"])
-        .groupBy()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    pred = _simhash_band_pairs(sh)
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    # ONE tagged-union aggregation replaces the former three branches
+    # (count(pred), count(truth), count(pred JOIN truth)) + two
+    # broadcast glue joins + two checkpoints (r15): both sides are
+    # distinct pair SETS, so after max-merging the tags per pair,
+    # n_pred / n_truth / n_hit are three sums over the SAME frame —
+    # pred and truth are each computed once with a single consumer, so
+    # the checkpoints that existed to stop re-execution go away too
+    # (guide §1.4 job count, §2.4 shared shuffles).
+    m = (
+        pred.select("id_a", "id_b", F.lit(1).alias("p"), F.lit(0).alias("t"))
+        .unionByName(
+            truth.select("id_a", "id_b", F.lit(0).alias("p"), F.lit(1).alias("t"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("p").alias("p"), F.max("t").alias("t"))
     )
     return (
-        np_.join(F.broadcast(nt))
-        .join(F.broadcast(nh))
+        m.groupBy()
+        .agg(
+            # empty corpus: ungrouped SUM is NULL where the oracle's
+            # COUNTs are 0 — coalesce (the r8 global-agg-on-empty class)
+            F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce(F.sum(F.col("p") * F.col("t")), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
         .select(
             "n_pred",
             "n_truth",

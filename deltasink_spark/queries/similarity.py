@@ -467,7 +467,11 @@ def ann_ivf(spark, sf_dir):
         assign.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .distinct()
+        # no distinct (r15): assign carries exactly ONE cid per vec_id
+        # (rk == 1) and probes has unique (qid, cid) rows, so the join
+        # cannot emit a (qid, vec_id) pair twice — the oracle's
+        # DISTINCT is a no-op and the dedup exchange bought nothing
+        # (guide §2.4: a distinct on data that is already unique)
     )
     a = qn.select(F.col("vec_id").alias("qid"), F.col("iv").alias("qi"), F.col("nrm").alias("qnm"))
     b = qn.select("vec_id", F.col("iv").alias("di"), F.col("nrm").alias("dn"))
@@ -1022,7 +1026,11 @@ def ann_ivf_pq_query(spark, sf_dir):
         assign.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .distinct()
+        # no distinct (r15): assign carries exactly ONE cid per vec_id
+        # (rk == 1) and probes has unique (qid, cid) rows, so the join
+        # cannot emit a (qid, vec_id) pair twice — the oracle's
+        # DISTINCT is a no-op and the dedup exchange bought nothing
+        # (guide §2.4: a distinct on data that is already unique)
     )
 
     codes = _pq_codes_frame(spark, sf_dir)
