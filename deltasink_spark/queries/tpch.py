@@ -854,6 +854,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        # two consumers (the per-part max and the self-join back) —
+        # without the cut the whole 4-way dim join ran twice per
+        # action (r15, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     best = cand.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
         F.max("s_acctbal").alias("best_bal")
@@ -967,6 +971,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum(F.col("l_extendedprice"), 6, "value"))
+        # NO checkpoint: A/B'd +0.5 s (r15) — cutting the aggregated
+        # frame materializes every column and blocks the pipeline,
+        # costing more than the duplicate threshold-side agg saves
     )
     tot = val.groupBy().agg(
         (dsum(F.col("value"), 6) * Q11_FRACTION).alias("thresh")
@@ -1064,6 +1071,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev(), 6, "total_revenue")
+        # NO checkpoint: A/B'd +0.5 s (r15) — same finding as Q11's
+        # threshold frame; the duplicate max-side agg is cheaper than
+        # materializing the cut
     )
     m = revenue.groupBy().agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1251,6 +1261,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     three fact-fact theta joins; at 100 TB that is the difference
     between one shuffle chain and a blow-up."""
     li = load(spark, sf_dir, "lineitem")
+    # NO checkpoints on ps/achieved: A/B'd 1.65 -> 3.26 s (r15) —
+    # cutting the aggregated frames materializes them and blocks the
+    # pipeline for more than the duplicate agg subtrees cost
     ps = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("smax"))
     om = ps.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.max("smax").alias("mx"), F.count(F.lit(1)).alias("nsupp")

@@ -66,6 +66,23 @@ def get_spark(
         # always builds a local[N] master; set 0 when borrowing the
         # module for a cluster deployment).
         builder = builder.config("spark.sql.files.maxPartitionBytes", "4m")
+        # SIZE-based AQE partition coalescing (optimization guide §2.2/
+        # §9: coalesce small post-shuffle partitions toward a byte
+        # target rather than preserving parallelism). With the default
+        # parallelismFirst=true every KB-sized shuffle stage still
+        # fans out to `shuffle.partitions` tiny tasks, and at fixture
+        # scale task-launch latency dominates: A/B over 35 ops read
+        # −22% on the light half and no regression on the shuffle-
+        # heavy half with a 1m advisory (64m/8m advisories DID regress
+        # the compute-dense joins by halving their parallelism — size
+        # is a poor proxy for compute density, so the advisory stays
+        # small enough that only KB-scale stages collapse). Cluster
+        # deployments (DS_LOCAL_PROFILE=0) keep stock behavior; the
+        # guide's production setting is parallelismFirst=false with a
+        # 128-256m advisory sized to the real shuffle volumes.
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        ).config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
