@@ -671,6 +671,24 @@ def _pq_key_sql(m: int) -> str:
     return f"({d} * {_PQ_K} + c.cid)"
 
 
+def _pq_dist_expr(m: int, a: str = "iv", b: str = "civ") -> str:
+    """Spark-SQL text for subspace-m's exact squared distance — built
+    once at import and parsed JVM-side in ONE call per subspace
+    (guide §1 / the change-3 pattern: the Column-object form issued
+    ~10 py4j round trips per subspace per DataFrame BUILD, and the
+    bench pays the build on every timed run)."""
+    lo = m * _PQ_SUB + 1
+    return (
+        f"aggregate(zip_with(slice({a}, {lo}, {_PQ_SUB}), "
+        f"slice({b}, {lo}, {_PQ_SUB}), (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+_PQ_KEY_EXPRS = [f"({_pq_dist_expr(m)}) * {_PQ_K} + cid" for m in range(_PQ_M)]
+_PQ_DIST_EXPRS = [_pq_dist_expr(m) for m in range(_PQ_M)]
+
+
 def _pq_codes_cte() -> str:
     keys = ", ".join(f"MIN({_pq_key_sql(m)}) AS k{m}" for m in range(_PQ_M))
     codes = ", ".join(f"k{m} % {_PQ_K} AS code_{m}" for m in range(_PQ_M))
@@ -696,24 +714,14 @@ def _pq_codes_frame(spark, sf_dir):
     cent = qv.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
     )
-    zero = F.lit(0).cast("long")
-
-    def key(m):
-        lo = m * _PQ_SUB + 1
-        sub_v = F.slice(F.col("iv"), lo, _PQ_SUB)
-        sub_c = F.slice(F.col("civ"), lo, _PQ_SUB)
-        d = F.aggregate(
-            F.zip_with(sub_v, sub_c, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        return d * _PQ_K + F.col("cid")
-
     keys = (
         fanout(qv)
         .crossJoin(F.broadcast(cent))
         .groupBy("vec_id")
-        .agg(*[F.min(key(m)).alias(f"k{m}") for m in range(_PQ_M)])
+        # import-time expression text, one JVM parse per subspace
+        # (see _pq_dist_expr) — the Column-object zip_with/aggregate
+        # loop here dominated this frame's per-call build latency
+        .agg(*[F.min(F.expr(_PQ_KEY_EXPRS[m])).alias(f"k{m}") for m in range(_PQ_M)])
     )
     # exact floor-div by _PQ_K via bit shift: `/` would round-trip
     # through double and corrupt keys past 2^53 (squared quantized
@@ -811,27 +819,16 @@ def sim_pq_adc(spark, sf_dir):
     cent = qv.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
     )
-    zero = F.lit(0).cast("long")
-
-    def pdist(m):
-        lo = m * _PQ_SUB + 1
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("iv"), lo, _PQ_SUB),
-                F.slice(F.col("civ"), lo, _PQ_SUB),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
+    # import-time expression text, one JVM parse per subspace (see
+    # _pq_dist_expr) — the Column-object zip_with/aggregate loop here
+    # dominated the LUT's per-call build latency
     lut_wide = (
         qv.filter(F.col("vec_id") < 5)
         .crossJoin(F.broadcast(cent))
         .select(
             F.col("vec_id").alias("qid"),
             "cid",
-            *[pdist(m).alias(f"d{m}") for m in range(_PQ_M)],
+            *[F.expr(_PQ_DIST_EXPRS[m]).alias(f"d{m}") for m in range(_PQ_M)],
         )
     )
     tlut = lut_wide.select(
@@ -1045,27 +1042,16 @@ def ann_ivf_pq_query(spark, sf_dir):
     pcent = qv.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("iv").alias("civ")
     )
-    zero = F.lit(0).cast("long")
-
-    def pdist(m):
-        lo = m * _PQ_SUB + 1
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("iv"), lo, _PQ_SUB),
-                F.slice(F.col("civ"), lo, _PQ_SUB),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
+    # import-time expression text, one JVM parse per subspace (see
+    # _pq_dist_expr) — the Column-object zip_with/aggregate loop here
+    # dominated the LUT's per-call build latency
     lut_wide = (
         qv.filter(F.col("vec_id") < 5)
         .crossJoin(F.broadcast(pcent))
         .select(
             F.col("vec_id").alias("qid"),
             "cid",
-            *[pdist(m).alias(f"d{m}") for m in range(_PQ_M)],
+            *[F.expr(_PQ_DIST_EXPRS[m]).alias(f"d{m}") for m in range(_PQ_M)],
         )
     )
     tlut = lut_wide.select(
