@@ -303,10 +303,14 @@ R13OPS = [
 
 # Memoized one-time builds (r9 verdict "what's wrong" #2): warm medians
 # hide the build cost inside warm-up, so a regression in the BUILD path
-# is invisible. DS_BENCH_COLD=1 busts each cache and times ONE cold
-# pass of its cheapest consumer; recorded as "cold_builds" in the JSON
-# (reference medians in BASELINE.md). Off by default so the recorded
-# group medians stay comparable across rounds.
+# is invisible. The cold pass busts each cache and times ONE cold run
+# of its cheapest consumer; recorded as "cold_builds" in the JSON
+# (reference medians in BASELINE.md). Since r16 it runs by DEFAULT
+# (r15 verdict item #7: dedup_minhash_lsh's 15 ms warm median is a
+# memo-dict hit, so the real build cost must be visible in every
+# recorded bench line, not only in an opt-in channel). ADDITIVE ONLY:
+# it runs AFTER all timed groups, so every existing group median stays
+# comparable across rounds. DS_BENCH_COLD=0 skips it.
 COLD_BUILDS = {
     "minhash_pair_frame": "dedup_minhash_lsh",
     "bpe_vocab": "bpe_train",
@@ -454,7 +458,7 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if os.environ.get("DS_BENCH_COLD"):
+    if os.environ.get("DS_BENCH_COLD", "1") != "0":
         cold: dict[str, float] = {}
         for label, op in COLD_BUILDS.items():
             if op not in registry.QUERIES:

@@ -793,7 +793,16 @@ def _simhash_band_pairs(sh, bucket_cap: int = _SB_BUCKET_CAP):
     the exact bit_count verify needs no join back to the hash frame;
     star pairs keep the FULL Hamming bar (one shared 15-bit band is
     weak evidence on sign-correlated corpora — the over-collision this
-    op exists to measure)."""
+    op exists to measure).
+
+    CONTRACT: the returned frame is a DISTINCT (id_a < id_b) pair SET
+    — the trailing .distinct() is load-bearing beyond dedup. The
+    eval_simhash_banding tagged-union aggregation counts n_pred as
+    SUM over max-merged pair tags, which equals the oracle's
+    COUNT(*) over ``pred`` only because both sides are sets; dropping
+    the distinct here would silently turn n_pred into a distinct
+    count while the oracle counts rows. Pinned by
+    tests/test_properties.py::test_simhash_band_pairs_distinct."""
     bands = sh.select(
         "doc_id",
         "simhash",

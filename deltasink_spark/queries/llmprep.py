@@ -310,9 +310,13 @@ def min_label_components(pairs, stats: dict | None = None):
             .filter(F.col("u") != F.col("v"))
         )
 
-    def small_star(e):
+    def small_star_raw(e):
         # Orient each edge larger->smaller; every node links its
         # SMALLER neighbors (and itself) to the neighborhood min.
+        # Returns the UN-deduped relink/self-link union: the trailing
+        # distinct is fused into the round's convergence aggregation
+        # below (r16) — both group by (u, v), so keeping them separate
+        # paid one full extra exchange of the new edge set per round.
         ori = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
@@ -322,29 +326,37 @@ def min_label_components(pairs, stats: dict | None = None):
         return (
             fresh(relink).unionByName(fresh(selfl))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     rounds = 0
     for _ in range(24):  # O(log n) bound; fixture graphs converge in 2-3
         rounds += 1
-        nxt = small_star(large_star(edges)).localCheckpoint(eager=False)
-        # Converged when the edge set is a fixed point (a forest of
-        # stars centered on component minima). Both sides are distinct
-        # sets, so set equality == no (u,v) group with a nonzero signed
-        # weight; one signed-union aggregation is ONE distributed job
-        # per round (vs two exceptAll().count() jobs), and limit(1)
-        # lets it stop at the first difference.
-        changed = (
-            fresh(nxt).select("u", "v", F.lit(1).alias("w"))
-            .unionByName(fresh(edges).select("u", "v", F.lit(-1).alias("w")))
+        # ONE (u, v) aggregation per round does double duty (r16,
+        # guide §2.4 "two operations keyed the same way share one
+        # exchange"): max-merging presence tags over
+        # [new edges (n=1)] ∪ [old edges (o=1)] simultaneously
+        # (a) deduplicates the raw small-star output — rows with n=1
+        #     ARE small_star's old distinct() result — and
+        # (b) decides convergence: both sides are sets, so the edge
+        #     set is a fixed point iff no (u, v) group has n != o.
+        # The former separate signed-union count paid a second full
+        # exchange of the new edge set for the same information.
+        merged = (
+            small_star_raw(large_star(edges))
+            .select("u", "v", F.lit(1).alias("n"), F.lit(0).alias("o"))
+            .unionByName(
+                fresh(edges).select("u", "v", F.lit(0).alias("n"), F.lit(1).alias("o"))
+            )
             .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .filter(F.col("w") != 0)
-            .limit(1)
-            .count()
+            .agg(F.max("n").alias("n"), F.max("o").alias("o"))
+            .localCheckpoint(eager=False)
         )
-        edges = nxt
+        # limit(1): stop at the first differing pair. This action also
+        # materializes the checkpoint, so the round stays ONE job.
+        changed = (
+            merged.filter(F.col("n") != F.col("o")).limit(1).count()
+        )
+        edges = merged.filter(F.col("n") == 1).select("u", "v")
         if changed == 0:
             break
     if stats is not None:  # test instrumentation (round-count bound)

@@ -862,6 +862,20 @@ def test_sample_weighted_union_direct_is_topk(spark, sf_small):
     assert "TakeOrderedAndProject" in p
 
 
+def _assert_kmv_raw_build_shape(spark, sf_small):
+    """Shared raw-build assertion for the KMV family: the checkpoint
+    cut hides the sketch build behind 'Scan ExistingRDD' in every
+    consumer's final plan, so each family test ALSO pins the raw
+    (checkpoint=False) build shape — one per-type top-K window, no
+    cartesian (the r15 ADVICE item: asserting it only in the
+    intersect test left difference/union unpinned)."""
+    from deltasink_spark.queries.sketches import _kmv_frame
+
+    b = plan(_kmv_frame(spark, sf_small, checkpoint=False))
+    assert "Window" in b  # the per-type top-K rank
+    assert "CartesianProduct" not in b
+
+
 def test_agg_kmv_intersect_sketch_sized_joins(spark, sf_small):
     """The KMV build is one distinct + per-type window; everything
     downstream joins |types| x K sketch rows — no cartesian against
@@ -873,11 +887,7 @@ def test_agg_kmv_intersect_sketch_sized_joins(spark, sf_small):
     p = plan(q("agg_kmv_intersect", spark, sf_small))
     assert "CartesianProduct" not in p
     assert "Scan ExistingRDD" in p  # the checkpointed sketch build
-    from deltasink_spark.queries.sketches import _kmv_frame
-
-    b = plan(_kmv_frame(spark, sf_small, checkpoint=False))
-    assert "Window" in b  # the per-type top-K rank
-    assert "CartesianProduct" not in b
+    _assert_kmv_raw_build_shape(spark, sf_small)
 
 
 def test_hilbert_cluster_range_partition_no_global_sort(spark, sf_small):
@@ -1298,8 +1308,8 @@ def test_agg_kmv_difference_sketch_sized_joins(spark, sf_small):
     — no cartesian against the events scan."""
     p = plan(q("agg_kmv_difference", spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "Scan ExistingRDD" in p  # checkpointed build; window pinned
-    # on the raw build frame in the intersect test
+    assert "Scan ExistingRDD" in p  # the checkpointed sketch build
+    _assert_kmv_raw_build_shape(spark, sf_small)
 
 
 def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
@@ -1311,6 +1321,7 @@ def test_agg_kmv_union_sketch_sized_merge(spark, sf_small):
     assert "Window" in p  # the per-pair re-rank (the per-type build
     # window sits behind the checkpoint cut)
     assert "Scan ExistingRDD" in p
+    _assert_kmv_raw_build_shape(spark, sf_small)
 
 
 def test_attribution_linear_no_range_join(spark, sf_small):

@@ -672,6 +672,26 @@ def test_simhash_megabucket_skew_candidates_linear(spark):
     assert n_pairs == n - 1  # every member reaches the hub exactly once
 
 
+def test_simhash_band_pairs_distinct(spark):
+    """Pin the distinct-set CONTRACT of _simhash_band_pairs (see its
+    docstring): eval_simhash_banding's tagged-union aggregation counts
+    n_pred as a sum over max-merged pair tags, which equals the
+    oracle's COUNT(*) only when the pair frame is a set. Two docs with
+    the SAME simhash collide in all 4 bands, so without the trailing
+    distinct each pair would surface 4x."""
+    from deltasink_spark.queries.dedup import _simhash_band_pairs
+
+    sh = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.lit(987654321).cast("long").alias("simhash"),
+    )
+    rows = _simhash_band_pairs(sh).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "pair frame is not a distinct set"
+    # 8 identical hashes -> all 28 ordered pairs, each exactly once
+    assert sorted(pairs) == [(a, b) for a in range(8) for b in range(a + 1, 8)]
+
+
 def test_exact_dedup_megacluster_skew_no_window(spark, tmp_path):
     """Adversarial-skew proof for the exact-dedup keep-first stage
     (dedup_exact_hash and pipeline_llm_prep's dedup stage): 20,000
