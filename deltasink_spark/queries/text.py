@@ -392,19 +392,29 @@ def pipeline_llm_prep(spark, sf_dir):
             ).alias("keep")
         )
         .select("keep.*")
-        .withColumn("toks", F.split(F.col("norm"), " "))
         # feeds the minhash DAG (shingles) AND the final anti-join +
         # summary: materialize once instead of re-running the agg.
+        # toks stays OUT of the checkpoint too (r16): it is split(norm)
+        # — materializing the token array would roughly double the
+        # checkpointed block bytes for a column the summary only needs
+        # the SIZE of (same §2.2 payload argument as keeping it out of
+        # the dedup agg struct).
         .localCheckpoint(eager=False)
     )
     near_pairs = minhash_dedup_pairs(
         deduped.select("doc_id", "norm"), "doc_id", "norm", n=3, threshold=0.6
     )
-    dup_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # no distinct: left_anti semantics ("no match exists") are
+    # identical on a duplicated right side, and the id set is
+    # broadcast-hashed anyway — the distinct only bought an extra
+    # exchange + aggregate stage on the critical path (r16, §2.4
+    # "a distinct on data that is already unique" — here, a distinct
+    # whose uniqueness the consumer never needed).
+    dup_ids = near_pairs.select(F.col("id_b").alias("doc_id"))
     kept = deduped.join(dup_ids, "doc_id", "left_anti")
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_tokens"),
+        F.sum(F.size(F.split(F.col("norm"), " "))).alias("total_tokens"),
         F.round(
             F.sum(F.col("quality").cast("decimal(30,4)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_quality"),

@@ -63,6 +63,10 @@ def _normalize(rows, cols) -> list[str]:
 
 
 def compare_driver_style(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?") -> None:
+    compare_driver_style_pdf(spark_fn(spark, sf_dir).toPandas(), sf_dir, sql, op_id)
+
+
+def compare_driver_style_pdf(spdf, sf_dir: str, sql: str, op_id: str = "?", ddf=None) -> None:
     """Mirror the two driver-canonicalizer hazards the value-compare in
     compare() cannot see (it goes through Python objects):
 
@@ -72,11 +76,14 @@ def compare_driver_style(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?
     2. pandas-dtype divergence — DuckDB SUM(BIGINT) returns HUGEINT which
        lands as float64 while Spark emits int64, flipping the value hash
        even when the values are equal (r2: text_stats, pipeline_llm_prep).
+
+    Takes the already-computed ``toPandas()`` frame so the Spark side
+    can be executed elsewhere (tests/test_oracle.py precomputes every
+    op's frame concurrently — guide §2.6 overlapping driver jobs).
     """
     import numpy as np
 
-    spdf = spark_fn(spark, sf_dir).toPandas()
-    ddf = duck_conn(sf_dir).execute(sql).fetchdf()
+    ddf = ddf if ddf is not None else duck_conn(sf_dir).execute(sql).fetchdf()
     spdf.columns = [c.lower() for c in spdf.columns]
     ddf.columns = [c.lower() for c in ddf.columns]
     for name, frame in (("spark", spdf), ("duckdb", ddf)):
@@ -113,11 +120,21 @@ def compare_driver_style(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?
 
 def compare(spark, sf_dir: str, spark_fn, sql: str, op_id: str = "?") -> None:
     sdf = spark_fn(spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
-    res = duck_conn(sf_dir).execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    compare_rows(sdf.collect(), sdf.columns, sf_dir, sql, op_id)
+
+
+def compare_rows(srows, scols, sf_dir: str, sql: str, op_id: str = "?", duck=None) -> None:
+    """compare() over an already-collected Spark result (see
+    compare_driver_style_pdf for why the split exists). ``duck`` may
+    carry a precomputed (dcols, drows) pair — tests/test_oracle.py
+    runs the DuckDB side on the same worker pool as the Spark side,
+    via per-thread cursors of the shared in-memory catalog."""
+    if duck is not None:
+        dcols, drows = duck
+    else:
+        res = duck_conn(sf_dir).execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
 
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
         f"[{op_id}] column mismatch: spark={sorted(scols)} duckdb={sorted(dcols)}"

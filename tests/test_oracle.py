@@ -1,9 +1,25 @@
 """Differential test: every registered op with an oracle must match
-DuckDB exactly at the oracle scale factor (mirrors the driver's t2)."""
+DuckDB exactly at the oracle scale factor (mirrors the driver's t2).
+
+Wall-clock note (r16, guide §2.6): each compare is one-or-two tiny
+Spark actions whose cost is almost entirely job-scheduling latency,
+and the default sweep is ~800 of them — run sequentially they took
+~13 of the suite's 33 minutes, which broke the grading driver's pytest
+budget. The Spark side of every collected test is therefore
+precomputed ONCE per session by a small driver-side thread pool
+(actions from independent ops overlap; Spark's scheduler is built for
+concurrent jobs and all fixture state is per-op — the only catalog
+writer, join_bucketed's bucketed tables, is keyed per sf_dir and runs
+inside a single future). Each test then performs its DuckDB run and
+the comparison itself, so failure attribution, -x semantics and -k
+subsetting (only collected ops are precomputed) are unchanged.
+"""
 
 from __future__ import annotations
 
 import os
+import re
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -14,31 +30,111 @@ registry.load_all()
 WITH_ORACLE = sorted(registry.ORACLES)
 ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
+# op -> ("rows", rows, cols) | ("pdf", pdf) | ("count", n, n_fields)
+# | ("err", exc); filled once per session by _precompute, consumed
+# (popped) by the tests so large results are freed as the sweep walks.
+_PRE: dict[tuple[str, str], tuple] = {}
+_PRE_DONE = False
+
+_WANT = {
+    "test_oracle_match": "rows",
+    "test_oracle_driver_canon": "pdf",
+    "test_rows_only_runs": "count",
+}
+
+
+def _collected_ops(request) -> dict[str, set[str]]:
+    """Which (kind, op) pairs this session will actually consume —
+    keeps `-k`/node-id subset runs from precomputing all 399 ops."""
+    want: dict[str, set[str]] = {k: set() for k in _WANT.values()}
+    for item in request.session.items:
+        m = re.match(r"(test_oracle_match|test_oracle_driver_canon|test_rows_only_runs)\[(.+)\]$", item.name)
+        if m:
+            want[_WANT[m.group(1)]].add(m.group(2))
+    return want
+
+
+def _precompute(spark, sf_oracle, want) -> None:
+    from tests.diffcheck import duck_conn
+
+    duck_conn(sf_oracle)  # register the views once, before the pool
+
+    def run(kind, op):
+        try:
+            df = registry.QUERIES[op](spark, sf_oracle)
+            if kind == "count":
+                return (kind, op), ("count", df.count(), len(df.schema.fields))
+            # DuckDB rides the same worker: .cursor() clones share the
+            # in-memory catalog and are safe one-per-thread
+            cur = duck_conn(sf_oracle).cursor()
+            try:
+                if kind == "rows":
+                    res = cur.execute(registry.ORACLES[op])
+                    duck = ([d[0] for d in res.description], res.fetchall())
+                    return (kind, op), ("rows", df.collect(), df.columns, duck)
+                ddf = cur.execute(registry.ORACLES[op]).fetchdf()
+                return (kind, op), ("pdf", df.toPandas(), ddf)
+            finally:
+                cur.close()
+        except Exception as exc:  # re-raised inside the consuming test
+            return (kind, op), ("err", exc)
+
+    jobs = [(kind, op) for kind, ops in sorted(want.items()) for op in sorted(ops)]
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        futs = [pool.submit(run, kind, op) for kind, op in jobs]
+        for f in futs:
+            key, res = f.result()
+            _PRE[key] = res
+
+
+@pytest.fixture(scope="session")
+def oracle_pre(request, spark, sf_oracle):
+    global _PRE_DONE
+    if not _PRE_DONE:
+        _precompute(spark, sf_oracle, _collected_ops(request))
+        _PRE_DONE = True
+
+    def take(kind, op_id):
+        res = _PRE.pop((kind, op_id), None)
+        if res is None:  # not precomputed — compute inline (same work
+            # the pre-r16 sequential tests did per test)
+            df = registry.QUERIES[op_id](spark, sf_oracle)
+            if kind == "rows":
+                return ("rows", df.collect(), df.columns, None)
+            if kind == "pdf":
+                return ("pdf", df.toPandas(), None)
+            return ("count", df.count(), len(df.schema.fields))
+        if res[0] == "err":
+            raise res[1]
+        return res
+
+    return take
+
 
 @pytest.mark.parametrize("op_id", WITH_ORACLE)
-def test_oracle_match(spark, sf_oracle, op_id):
-    from tests.diffcheck import compare
+def test_oracle_match(oracle_pre, sf_oracle, op_id):
+    from tests.diffcheck import compare_rows
 
-    compare(spark, sf_oracle, registry.QUERIES[op_id], registry.ORACLES[op_id], op_id)
+    _, rows, cols, duck = oracle_pre("rows", op_id)
+    compare_rows(rows, cols, sf_oracle, registry.ORACLES[op_id], op_id, duck=duck)
 
 
 @pytest.mark.parametrize("op_id", WITH_ORACLE)
-def test_oracle_driver_canon(spark, sf_oracle, op_id):
+def test_oracle_driver_canon(oracle_pre, sf_oracle, op_id):
     """Driver-canonicalizer hazards invisible to the value compare:
     array cells (pandas sort_values crash) and int64-vs-float64 dtype
     divergence (DuckDB HUGEINT) — the two r2 failure classes."""
-    from tests.diffcheck import compare_driver_style
+    from tests.diffcheck import compare_driver_style_pdf
 
-    compare_driver_style(
-        spark, sf_oracle, registry.QUERIES[op_id], registry.ORACLES[op_id], op_id
-    )
+    _, pdf, ddf = oracle_pre("pdf", op_id)
+    compare_driver_style_pdf(pdf, sf_oracle, registry.ORACLES[op_id], op_id, ddf=ddf)
 
 
 @pytest.mark.parametrize("op_id", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_oracle, op_id):
-    df = registry.QUERIES[op_id](spark, sf_oracle)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_rows_only_runs(oracle_pre, sf_oracle, op_id):
+    _, n, n_fields = oracle_pre("count", op_id)
+    assert n >= 0
+    assert n_fields > 0
 
 
 @pytest.mark.skipif(

@@ -994,24 +994,29 @@ def test_upsert_100_batches_no_growth(spark, tmp_path):
     of the upsert path (the streaming foreachBatch applies this same
     merge per micro-batch)."""
     keyspace = 1_000
-    target = str(tmp_path / "target")
-    tmp = str(tmp_path / "tmp")
+    # ping-pong between two target paths: each round reads generation
+    # b and overwrites generation b+1, so one write per batch suffices
+    # (the old write-to-tmp-then-copy needed two because a path cannot
+    # be overwritten while it is also the read input — r16, halves the
+    # test's 200 parquet writes with identical merge semantics).
+    paths = [str(tmp_path / "t0"), str(tmp_path / "t1")]
     base = spark.range(keyspace).select(
         F.col("id").alias("user_id"), F.lit(0.0).alias("value")
     )
-    base.write.mode("overwrite").parquet(target)
+    base.write.mode("overwrite").parquet(paths[0])
+    cur = 0
     counts = []
     for b in range(100):
         batch = spark.range(b * 10, b * 10 + 50).select(
             (F.col("id") % keyspace).alias("user_id"),
             F.lit(float(b)).alias("value"),
         ).groupBy("user_id").agg(F.max("value").alias("value"))
-        existing = spark.read.parquet(target)
+        existing = spark.read.parquet(paths[cur])
         merged = existing.join(batch, "user_id", "left_anti").unionByName(batch)
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target)
+        cur = 1 - cur
+        merged.write.mode("overwrite").parquet(paths[cur])
         if b % 10 == 9:
-            counts.append(spark.read.parquet(target).count())
+            counts.append(spark.read.parquet(paths[cur]).count())
     assert counts == [keyspace] * len(counts), counts
 
 
